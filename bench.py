@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": N, "unit": "sec", "queries":
+{...}, "sf": ...}.
+
+Each query is fully executed (count + light collect via ``write to
+noop``-style consumption: we use ``df.collect()`` since headline
+results are small aggregates). Timing includes plan + execution, not
+session startup; a warmup query primes the JVM/codegen.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# Headline set: the scan/join/agg/window workhorses (fact-table-heavy),
+# plus the extension pipelines once registered.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_top_revenue_orders",
+    "q04_semi_join",
+    "q05_regional_revenue",
+    "q06_revenue_delta",
+    "q07_rollup",
+    "q12_global_agg",
+    "q24_range_join",
+    "q31_topk_per_group",
+    "q37_dedup_first_wins",
+    "q64_from_json_map",
+]
+# Extension headliners (added as they land).
+HEADLINE += [
+    "x01_dedup_exact",
+    "x02_dedup_minhash",
+    "x10_knn_bruteforce",
+    "x20_text_quality",
+]
+
+
+def main() -> None:
+    from capgemini_himss24_fhirbulkdata_demo_spark.queries import QUERIES
+    from capgemini_himss24_fhirbulkdata_demo_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    names = [n for n in HEADLINE if n in QUERIES]
+
+    # Warmup: prime codegen + parquet footer caches with the flagship.
+    QUERIES["q01_pricing_summary"](spark, SF_DIR).collect()
+
+    per_query: dict[str, float] = {}
+    t_all = time.perf_counter()
+    for name in names:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, SF_DIR).collect()
+        per_query[name] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - t_all, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_sweep_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

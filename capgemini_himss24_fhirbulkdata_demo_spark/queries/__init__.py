@@ -1,0 +1,22 @@
+"""Declared query surface (SURVEY §2B) — the differential-test contract.
+
+Every module in this package registers queries into
+:mod:`.registry`; importing the package loads them all.
+"""
+
+from . import (  # noqa: F401
+    registry,
+    relational,
+    joins,
+    windows,
+    setops,
+    scalars,
+    semistructured,
+    dedup,
+    similarity,
+    textstats,
+    streaming_batch,
+)
+
+QUERIES = registry.QUERIES
+ORACLE_SQL = registry.ORACLE_SQL

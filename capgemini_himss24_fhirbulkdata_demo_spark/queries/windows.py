@@ -1,0 +1,269 @@
+"""Window-function surface (SURVEY §2B Window functions, Sort/limit/top-k).
+
+ranking (row_number/rank/dense_rank/ntile/percent_rank), offsets
+(lag/lead), frames (rowsBetween running aggregates), per-group top-k.
+
+Scale note: every window here partitions by a real key (nation,
+order, user) — never an empty OVER () on a fact table, which would
+serialize into one task. Per-group top-k uses row_number + filter,
+which AQE executes as a partial sort per shuffle partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import register
+
+
+@register(
+    "q30_rank_in_nation",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           ROW_NUMBER()  OVER w AS rn,
+           RANK()        OVER w AS rnk,
+           DENSE_RANK()  OVER w AS drnk
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    ORDER BY c_nationkey, rn
+    """,
+)
+def q30_rank_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking trio over a keyed partition; c_custkey tiebreak makes
+    row_number deterministic."""
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .orderBy("c_nationkey", "rn")
+    )
+
+
+@register(
+    "q31_topk_per_group",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM ranked WHERE rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+)
+def q31_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k: the engine's canonical pattern (row_number ≤ k).
+
+    Catalyst plans a WindowGroupLimit (rank-limit pushdown) before the
+    full sort at this shape — verified via .explain in tests.
+    """
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@register(
+    "q32_running_sum",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+                PARTITION BY user_id ORDER BY event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_value,
+           COUNT(*) OVER (
+                PARTITION BY user_id ORDER BY event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far
+    FROM events
+    WHERE user_id <= 25
+    ORDER BY user_id, event_id
+    """,
+)
+def q32_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate with an explicit ROWS frame; decimal-exact so
+    the cumulative sum is order-of-evaluation-proof."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") <= 25)
+        .select(
+            "user_id",
+            "event_id",
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias(
+                "running_value"
+            ),
+            F.count("*").over(w).alias("n_so_far"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "q33_lag_lead",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           LAG(event_type)  OVER w AS prev_type,
+           LEAD(event_type) OVER w AS next_type,
+           LAG(event_id, 2, CAST(-1 AS BIGINT)) OVER w AS prev2_id
+    FROM events
+    WHERE user_id <= 25
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ORDER BY user_id, event_id
+    """,
+)
+def q33_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG/LEAD offsets incl. a defaulted 2-step lag."""
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") <= 25)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+            F.lag("event_id", 2, -1).over(w).cast("bigint").alias("prev2_id"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "q34_ntile_percentiles",
+    oracle="""
+    SELECT c_custkey,
+           NTILE(4) OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def q34_ntile_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE / PERCENT_RANK / CUME_DIST over a global order.
+
+    Global-order windows don't scale (single partition); declared for
+    surface completeness and run on the non-scaling customer dim only.
+    """
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q35_first_last_frame",
+    oracle="""
+    SELECT user_id, event_id,
+           FIRST_VALUE(event_type) OVER w AS first_type,
+           LAST_VALUE(event_type)  OVER w AS last_type,
+           NTH_VALUE(event_type, 2) OVER w AS second_type
+    FROM events
+    WHERE user_id <= 25
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY user_id, event_id
+    """,
+)
+def q35_first_last_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST/LAST/NTH_VALUE over an unbounded frame (full-partition)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") <= 25)
+        .select(
+            "user_id",
+            "event_id",
+            F.first("event_type").over(w).alias("first_type"),
+            F.last("event_type").over(w).alias("last_type"),
+            F.nth_value("event_type", 2).over(w).alias("second_type"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "q36_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           COUNT(*) OVER (ORDER BY o_totalprice
+                          RANGE BETWEEN 100 PRECEDING AND 100 FOLLOWING) AS n_similar
+    FROM orders
+    WHERE o_orderkey <= 300
+    ORDER BY o_orderkey
+    """,
+)
+def q36_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based) — count of orders within ±100 price."""
+    w = Window.orderBy("o_totalprice").rangeBetween(-100, 100)
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 300)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.count("*").over(w).alias("n_similar"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q37_dedup_first_wins",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_orderkey, l_linenumber, l_partkey,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS rn
+      FROM lineitem)
+    SELECT l_orderkey, l_linenumber, l_partkey
+    FROM ranked WHERE rn = 1
+    ORDER BY l_orderkey
+    """,
+)
+def q37_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dropDuplicates: first-row-per-key via explicit
+    window order (SURVEY §7.c — never rely on nondeterministic
+    dropDuplicates for oracle-checked results)."""
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("l_orderkey")
+    )
