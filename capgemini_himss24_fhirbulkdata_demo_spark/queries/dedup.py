@@ -1,1 +1,359 @@
-"""Placeholder — populated by the dedup extension build step."""
+"""Deduplication operators over ``documents`` (training-data pipeline
+extensions; BASELINE.json north-star "dedup").
+
+- exact dedup: hash-groupBy on a canonical fingerprint
+- near-dup: MinHash + LSH banding (shingle → minhash → band →
+  bucket-join → Jaccard verify)
+- SimHash signatures (md5-derived bit votes)
+- n-gram Jaccard within blocking buckets
+
+All hashes derive from md5 so Spark and DuckDB compute identical
+values (both engines' md5 of identical bytes agree); minhash is the
+lexicographic MIN over hex digests — a valid uniform hash family
+h_i(s) = md5(s + '#' + i).
+
+Scale design: shingling/minhashing is a narrow per-row pass; the only
+shuffles are the LSH band-bucket join (keyed by band hash — uniform
+by construction, no skew) and the final pair dedup. This is the
+standard 100 TB near-dup architecture (one pass to signatures, one
+banded self-join); brute-force all-pairs appears only inside buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import register
+
+_N_HASHES = 8
+_BAND_SIZE = 2
+_N_BANDS = _N_HASHES // _BAND_SIZE
+_JACCARD_MIN = 0.3
+
+
+# ---------------------------------------------------------------- exact
+
+@register(
+    "x01_dedup_exact",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, source,
+             MD5(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS fp_full,
+             MD5(ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:8], ' ')) AS fp_head8
+      FROM documents)
+    SELECT fp_head8,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS canonical_doc,
+           LIST_SORT(LIST(doc_id)) AS member_docs
+    FROM fp
+    GROUP BY fp_head8
+    HAVING COUNT(*) > 1
+    ORDER BY fp_head8
+    """,
+)
+def x01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy: fingerprint the canonicalized
+    text (and a head-8-token prefix, which does collide in the
+    fixtures) and emit duplicate groups with a deterministic
+    canonical representative (min doc_id).
+
+    Scale: one shuffle on the 16-byte fingerprint; group sizes are
+    bounded (dup cardinality), no skew concern.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    head8 = F.array_join(F.slice(F.split("text", " "), 1, 8), " ")
+    return (
+        docs.select("doc_id", F.md5(head8.cast("binary")).alias("fp_head8"))
+        .groupBy("fp_head8")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc"),
+            F.sort_array(F.collect_list("doc_id")).alias("member_docs"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("fp_head8")
+    )
+
+
+# ------------------------------------------------------------- minhash
+
+def _sql_shingles() -> str:
+    """DuckDB: distinct word-2-gram shingles of ``text``."""
+    return (
+        "LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT(text, ' '))), "
+        "i -> STRING_SPLIT(text, ' ')[i] || ' ' || STRING_SPLIT(text, ' ')[i+1]))"
+    )
+
+
+def _spark_shingles():
+    toks = F.split("text", " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        )
+    )
+
+
+def _sql_minhash(i: int) -> str:
+    return f"LIST_MIN(LIST_TRANSFORM(sh, s -> MD5(s || '#{i}')))"
+
+
+def _spark_minhash(i: int):
+    return F.array_min(
+        F.transform(
+            F.col("sh"), lambda s: F.md5(F.concat(s, F.lit(f"#{i}")).cast("binary"))
+        )
+    )
+
+
+_SQL_BANDS = ", ".join(
+    f"h{2 * b} || h{2 * b + 1} AS band{b}" for b in range(_N_BANDS)
+)
+_SQL_HASHES = ", ".join(f"{_sql_minhash(i)} AS h{i}" for i in range(_N_HASHES))
+_SQL_BAND_UNION = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx, band{b} AS band_val FROM banded"
+    for b in range(_N_BANDS)
+)
+
+_X02_SQL = f"""
+    WITH sh AS (
+      SELECT doc_id, {_sql_shingles()} AS sh FROM documents),
+    sigs AS (
+      SELECT doc_id, {_SQL_HASHES} FROM sh),
+    banded AS (
+      SELECT doc_id, {_SQL_BANDS} FROM sigs),
+    bands AS ({_SQL_BAND_UNION}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id),
+    scored AS (
+      SELECT doc_a, doc_b,
+             ROUND(CAST(LEN(LIST_INTERSECT(sa.sh, sb.sh)) AS DOUBLE)
+                   / LEN(LIST_DISTINCT(sa.sh || sb.sh)), 4) AS jaccard
+      FROM cand JOIN sh sa ON sa.doc_id = doc_a
+                JOIN sh sb ON sb.doc_id = doc_b)
+    SELECT doc_a, doc_b, jaccard
+    FROM scored
+    WHERE jaccard >= {_JACCARD_MIN}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register("x02_dedup_minhash", oracle=_X02_SQL)
+def x02_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: MinHash ({_N_HASHES} hashes) + LSH banding
+    ({_N_BANDS} bands × {_BAND_SIZE}) + exact-Jaccard verification.
+
+    Pipeline: shingle (word 2-grams, distinct) → minhash signature →
+    band keys → self-join on band buckets → candidate pairs →
+    Jaccard(shingles) ≥ threshold.
+
+    Scale: signatures are a narrow scan; the self-join shuffles on
+    uniformly-distributed band hashes; Jaccard verification touches
+    only candidate pairs (LSH's point). The shingle sets re-join by
+    doc_id — at 100 TB they'd be persisted columnar alongside the
+    signature table rather than recomputed.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", _spark_shingles().alias("sh"))
+    sigs = sh.select(
+        "doc_id", *[_spark_minhash(i).alias(f"h{i}") for i in range(_N_HASHES)]
+    )
+    banded = sigs.select(
+        "doc_id",
+        *[
+            F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")).alias(f"band{b}")
+            for b in range(_N_BANDS)
+        ],
+    )
+    bands = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_val")
+                    )
+                    for b in range(_N_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "bv.band_idx", "bv.band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    scored = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_distinct(F.concat("sh_a", "sh_b"))),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    return (
+        scored.filter(F.col("jaccard") >= _JACCARD_MIN)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ------------------------------------------------------------- simhash
+
+_SIM_BITS = 16
+
+
+def _sql_tok_hash() -> str:
+    # 15 hex chars → positive BIGINT (60 bits), enough for 16 vote bits.
+    return "CAST(('0x' || SUBSTR(MD5(t), 1, 15)) AS BIGINT)"
+
+
+_SQL_VOTES = ", ".join(
+    f"CAST(SUM(((h >> {j}) & 1) * 2 - 1) AS BIGINT) AS v{j}" for j in range(_SIM_BITS)
+)
+_SQL_SIMHASH = " + ".join(
+    f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(_SIM_BITS)
+)
+
+_X03_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS t
+      FROM documents),
+    th AS (
+      SELECT doc_id, {_sql_tok_hash()} AS h FROM tok),
+    votes AS (
+      SELECT doc_id, {_SQL_VOTES} FROM th GROUP BY doc_id)
+    SELECT doc_id, CAST({_SQL_SIMHASH} AS BIGINT) AS simhash
+    FROM votes
+    ORDER BY doc_id
+    """
+
+
+@register("x03_simhash", oracle=_X03_SQL)
+def x03_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures ({_SIM_BITS}-bit): per distinct token an
+    md5-derived integer votes ±1 on each bit position; the signature
+    sets bits with positive vote sums. Near-dup pairs are then found
+    by Hamming distance (bit_count(xor)) over banded prefixes — the
+    signature computation is the oracle-checked part.
+
+    Scale: explode(tokens) → one shuffle keyed by doc_id for the vote
+    aggregate; partial aggregation (map-side combine over the 16 vote
+    sums) keeps the shuffle tiny regardless of document length.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t")
+    )
+    h = F.conv(F.substring(F.md5(F.col("t").cast("binary")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    th = tok.select("doc_id", h.alias("h"))
+    votes = th.groupBy("doc_id").agg(
+        *[
+            F.sum((F.shiftright("h", j).bitwiseAND(F.lit(1))) * 2 - 1)
+            .cast("bigint")
+            .alias(f"v{j}")
+            for j in range(_SIM_BITS)
+        ]
+    )
+    simhash = None
+    for j in range(_SIM_BITS):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return votes.select(
+        "doc_id", simhash.cast("bigint").alias("simhash")
+    ).orderBy("doc_id")
+
+
+# ------------------------------------------------------- ngram jaccard
+
+_X04_SQL = """
+    WITH g AS (
+      SELECT doc_id, source, n_chars // 100 AS len_bucket,
+             LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LENGTH(text) - 1),
+                           i -> SUBSTRING(text, i, 3))) AS grams
+      FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             ROUND(CAST(LEN(LIST_INTERSECT(a.grams, b.grams)) AS DOUBLE)
+                   / LEN(LIST_DISTINCT(a.grams || b.grams)), 4) AS jaccard3
+      FROM g a JOIN g b
+        ON a.source = b.source AND a.len_bucket = b.len_bucket
+       AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, jaccard3
+    FROM pairs
+    WHERE jaccard3 >= 0.5
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register("x04_ngram_jaccard", oracle=_X04_SQL)
+def x04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-3-gram Jaccard near-dup within blocking buckets
+    (source × length-bucket) — the classic blocked pairwise fallback
+    when candidate sets are small enough to enumerate.
+
+    Scale: blocking bounds the quadratic term to bucket sizes; the
+    join shuffles on (source, len_bucket). For unbounded corpora the
+    MinHash path (x02) replaces enumeration.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = F.array_distinct(
+        F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
+    )
+    g = docs.select(
+        "doc_id",
+        "source",
+        (F.col("n_chars") / F.lit(100)).cast("bigint").alias("len_bucket"),
+        grams.alias("grams"),
+    )
+    a = g.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("source").alias("src_a"),
+        F.col("len_bucket").alias("lb_a"),
+        F.col("grams").alias("grams_a"),
+    )
+    b = g.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("source").alias("src_b"),
+        F.col("len_bucket").alias("lb_b"),
+        F.col("grams").alias("grams_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("src_a") == F.col("src_b"))
+        & (F.col("lb_a") == F.col("lb_b"))
+        & (F.col("doc_a") < F.col("doc_b")),
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
+            / F.size(F.array_distinct(F.concat("grams_a", "grams_b"))),
+            4,
+        ).alias("jaccard3"),
+    )
+    return pairs.filter(F.col("jaccard3") >= 0.5).orderBy("doc_a", "doc_b")

@@ -1,1 +1,233 @@
-"""Placeholder — populated by the similarity extension build step."""
+"""Vector-similarity search over ``embeddings`` (training-data
+pipeline extensions; BASELINE.json north-star "vector similarity").
+
+- x10: brute-force cosine top-k (the correctness baseline)
+- x11: random-hyperplane LSH bucketing (the scale path: candidates
+  restricted to matching sign-buckets before exact scoring)
+
+Determinism across engines: every dot product is a *sequential left
+fold* over IEEE doubles (Spark ``aggregate``/DuckDB ``list_reduce``)
+— identical operand order ⇒ bit-identical sums, no decimal tricks
+needed. Hyperplane coefficients are ±1 derived from md5 (public,
+deterministic), materialized as literals into both dialects.
+
+Scale notes: brute-force is O(Q·N) — fine for a reranker over LSH
+candidates, which is exactly the x11 shape: bucket join (shuffle on
+bucket id) then per-bucket scoring; at 100 TB the embedding table is
+bucketed/Z-ordered by the LSH key so the join co-locates.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import register
+
+_DIM = 64
+_N_QUERIES = 5  # vec_id < 5 are the query vectors
+_TOP_K = 3
+_N_PLANES = 6
+
+
+def _planes() -> list[list[int]]:
+    """±1 hyperplane coefficients from md5(p:i) — deterministic,
+    reproducible in any environment, no RNG state."""
+    out = []
+    for p in range(_N_PLANES):
+        row = []
+        for i in range(_DIM):
+            h = hashlib.md5(f"{p}:{i}".encode()).digest()
+            row.append(1 if h[0] & 1 else -1)
+        out.append(row)
+    return out
+
+
+_PLANES = _planes()
+
+
+# Spark-side fold helpers -------------------------------------------------
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _proj(vec, coeffs: list[int]):
+    carr = F.array(*[F.lit(c) for c in coeffs])
+    return F.aggregate(
+        F.zip_with(carr, vec, lambda c, x: c.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+# DuckDB-side fold helpers ------------------------------------------------
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"LIST_REDUCE(LIST_TRANSFORM(RANGE(1, {_DIM} + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+        f"(x, y) -> x + y)"
+    )
+
+
+def _sql_proj(vec: str, coeffs: list[int]) -> str:
+    lit = "[" + ", ".join(str(c) for c in coeffs) + "]"
+    return (
+        f"LIST_REDUCE(LIST_TRANSFORM(RANGE(1, {_DIM} + 1), "
+        f"i -> CAST({lit}[i] AS DOUBLE) * CAST({vec}[i] AS DOUBLE)), "
+        f"(x, y) -> x + y)"
+    )
+
+
+_SQL_BUCKET = " + ".join(
+    f"(CASE WHEN {_sql_proj('embedding', _PLANES[p])} > 0 THEN {1 << p} ELSE 0 END)"
+    for p in range(_N_PLANES)
+)
+
+
+_X10_SQL = f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb,
+                      SQRT({_sql_dot('embedding', 'embedding')}) AS q_norm
+               FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    c AS (SELECT vec_id AS c_id, label AS c_label, embedding AS c_emb,
+                 SQRT({_sql_dot('embedding', 'embedding')}) AS c_norm
+          FROM embeddings),
+    scored AS (
+      SELECT q_id, c_id, c_label,
+             {_sql_dot('q_emb', 'c_emb')} / (q_norm * c_norm) AS cos_raw
+      FROM q JOIN c ON q_id <> c_id),
+    ranked AS (
+      SELECT q_id, c_id, c_label, ROUND(cos_raw, 6) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cos_raw DESC, c_id) AS rnk
+      FROM scored)
+    SELECT q_id, c_id, c_label, cosine, rnk
+    FROM ranked WHERE rnk <= {_TOP_K}
+    ORDER BY q_id, rnk
+    """
+
+
+@register("x10_knn_bruteforce", oracle=_X10_SQL)
+def x10_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: query rows broadcast against the full
+    embedding table, exact cosine, per-query row_number ≤ k.
+
+    Ranking runs on the *unrounded* cosine (bit-identical across
+    engines by fold construction) with c_id tiebreak; the surfaced
+    score is rounded for display only.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        norm.alias("q_norm"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("c_emb"),
+        norm.alias("c_norm"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            "c_label",
+            (_dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))).alias(
+                "cos_raw"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), "c_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("q_id", "c_id", "c_label", F.round("cos_raw", 6).alias("cosine"), "rnk")
+        .orderBy("q_id", "rnk")
+    )
+
+
+_X11_SQL = f"""
+    WITH b AS (
+      SELECT vec_id, label, embedding,
+             CAST({_SQL_BUCKET} AS BIGINT) AS bucket,
+             SQRT({_sql_dot('embedding', 'embedding')}) AS norm
+      FROM embeddings),
+    q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket, norm AS q_norm
+          FROM b WHERE vec_id < {_N_QUERIES}),
+    cand AS (
+      SELECT q.q_id, c.vec_id AS c_id, c.label AS c_label,
+             {_sql_dot('q_emb', 'c.embedding')} / (q.q_norm * c.norm) AS cos_raw
+      FROM q JOIN b c ON q.bucket = c.bucket AND q.q_id <> c.vec_id),
+    ranked AS (
+      SELECT q_id, c_id, c_label, ROUND(cos_raw, 6) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cos_raw DESC, c_id) AS rnk
+      FROM cand)
+    SELECT q_id, c_id, c_label, cosine, rnk
+    FROM ranked WHERE rnk <= {_TOP_K}
+    ORDER BY q_id, rnk
+    """
+
+
+@register("x11_knn_lsh", oracle=_X11_SQL)
+def x11_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: {_N_PLANES} random-hyperplane sign bits form a
+    bucket id; candidates are same-bucket vectors only, then exact
+    cosine + top-k. Recall trades against the candidate-set size via
+    the plane count (more planes → smaller buckets).
+
+    Scale: the bucket id is a uniform small key — the query↔candidate
+    join is a hash join on it (vs x10's cross join). Multi-probe (flip
+    one bit) would be the recall upgrade; not needed for the contract.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket = None
+    for p in range(_N_PLANES):
+        term = F.when(_proj(F.col("embedding"), _PLANES[p]) > 0, F.lit(1 << p)).otherwise(
+            F.lit(0)
+        )
+        bucket = term if bucket is None else bucket + term
+    b = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        bucket.cast("bigint").alias("bucket"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    )
+    q = b.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+        F.col("norm").alias("q_norm"),
+    )
+    cand = (
+        F.broadcast(q)
+        .join(b, (F.col("q_bucket") == F.col("bucket")) & (F.col("q_id") != F.col("vec_id")))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            F.col("label").alias("c_label"),
+            (_dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_norm") * F.col("norm"))).alias(
+                "cos_raw"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), "c_id")
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("q_id", "c_id", "c_label", F.round("cos_raw", 6).alias("cosine"), "rnk")
+        .orderBy("q_id", "rnk")
+    )

@@ -1,1 +1,145 @@
-"""Placeholder — populated by the streaming_batch extension build step."""
+"""Batch equivalents of the streaming window operators (SURVEY §2B
+Streaming row). The Structured Streaming layer
+(:mod:`..streaming`) runs the *same* logical shapes via readStream;
+these batch twins are the oracle-checkable contract (streaming output
+== batch output on a replayed, completed source — asserted in
+tests/test_streaming.py).
+
+Reference anchor: the ``_since`` incremental cursor
+(``FetchBulkData/__init__.py:609-613``) and the polling loop
+(``:282-326``) are the reference's hand-rolled micro-batch trigger;
+Spark's window()/session_window() + watermark subsume them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import register
+
+
+@register(
+    "x30_tumbling_window",
+    oracle="""
+    SELECT STRFTIME(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+)
+def x30_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows: window() groupBy — identical logical
+    plan under readStream with a watermark (streaming layer)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "n_users",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "x31_sliding_window",
+    oracle="""
+    WITH exploded AS (
+      SELECT UNNEST([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE])
+               AS w_start,
+             event_type, user_id, value
+      FROM events)
+    SELECT STRFTIME(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM exploded
+    GROUP BY 1
+    ORDER BY window_start
+    """,
+)
+def x31_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h size, 30 min slide): every event lands in
+    two windows; the oracle materializes the window-assignment
+    expansion explicitly (which is exactly what Spark's window()
+    Expand node does)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+@register(
+    "x32_session_window",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events WHERE user_id <= 50),
+    marked AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL 5 MINUTE THEN 1 ELSE 0 END
+               AS new_session
+      FROM ordered),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM marked)
+    SELECT user_id,
+           STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           STRFTIME(MAX(ts) + INTERVAL 5 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def x32_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (5-minute gap): session_window() in batch; the
+    oracle is the classic gaps-and-islands rewrite. Session end =
+    last event + gap (Spark's session_window semantics).
+
+    Note: STRFTIME second-truncates; the fixture's timestamps carry
+    microseconds, so start/end strings still align because both
+    engines truncate identically on format.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 50)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )

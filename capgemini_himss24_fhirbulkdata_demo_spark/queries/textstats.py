@@ -1,1 +1,201 @@
-"""Placeholder — populated by the textstats extension build step."""
+"""Text-analysis operators over ``documents`` (training-data pipeline
+extensions; BASELINE.json north-star, SURVEY §2B last row).
+
+Everything is built-in string/array functions (codegen'd, no UDFs):
+language-ID by stopword-hit heuristic, quality scoring, token
+counting (whitespace + regex), document fingerprinting.
+
+Scale notes: all queries are embarrassingly parallel scans (narrow,
+zero shuffle except the final per-source aggregates) — they pipeline
+with whatever dedup/similarity stage follows at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import register
+
+# Tiny per-language stopword lists for the n-gram-free heuristic.
+_STOP = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "und", "das", "ein"),
+    "fr": ("le", "la", "et", "les", "un"),
+    "es": ("el", "la", "y", "los", "una"),
+}
+_EN_STOP = _STOP["en"]
+
+
+def _sql_list(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _tok():
+    return F.split(F.col("text"), " ")
+
+
+@register(
+    "x20_text_quality",
+    oracle=f"""
+    SELECT doc_id, lang, source,
+           LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+           LENGTH(text) AS n_chars_m,
+           LENGTH(REPLACE(text, ' ', '')) AS n_nonspace,
+           CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                 t -> LIST_CONTAINS({_sql_list(_EN_STOP)}, t))) AS BIGINT)
+             AS n_stopwords,
+           ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                 / LEN(STRING_SPLIT(text, ' ')), 4) AS avg_token_len,
+           ROUND(CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                 t -> LIST_CONTAINS({_sql_list(_EN_STOP)}, t))) AS DOUBLE)
+                 / LEN(STRING_SPLIT(text, ' ')), 4) AS stopword_ratio,
+           CASE WHEN LEN(STRING_SPLIT(text, ' ')) BETWEEN 5 AND 1000
+                 AND LENGTH(REPLACE(text, ' ', ''))
+                     >= 3 * LEN(STRING_SPLIT(text, ' '))
+                THEN 1 ELSE 0 END AS quality_pass
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def x20_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token/char counts, stopword ratio, length gate.
+
+    The ratios divide two exact ints in one double op, so they are
+    bit-stable. ``n_chars_m`` is measured (vs the table's n_chars).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tok()
+    n_tokens = F.size(toks).cast("bigint")
+    n_nonspace = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    stop_arr = F.array(*[F.lit(w) for w in _EN_STOP])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("bigint")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        n_tokens.alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_m"),
+        n_nonspace.cast("bigint").alias("n_nonspace"),
+        n_stop.alias("n_stopwords"),
+        F.round(n_nonspace.cast("double") / n_tokens, 4).alias("avg_token_len"),
+        F.round(n_stop.cast("double") / n_tokens, 4).alias("stopword_ratio"),
+        F.when(
+            n_tokens.between(5, 1000) & (n_nonspace >= 3 * n_tokens), 1
+        )
+        .otherwise(0)
+        .alias("quality_pass"),
+    ).orderBy("doc_id")
+
+
+def _lang_hit_sql(lang: str) -> str:
+    return (
+        f"CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), "
+        f"t -> LIST_CONTAINS({_sql_list(_STOP[lang])}, t))) AS BIGINT)"
+    )
+
+
+@register(
+    "x21_lang_id",
+    oracle=f"""
+    WITH hits AS (
+      SELECT doc_id, lang,
+             {_lang_hit_sql('en')} AS en_hits,
+             {_lang_hit_sql('de')} AS de_hits,
+             {_lang_hit_sql('fr')} AS fr_hits,
+             {_lang_hit_sql('es')} AS es_hits
+      FROM documents)
+    SELECT doc_id, lang AS lang_label,
+           en_hits, de_hits, fr_hits, es_hits,
+           CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits
+                     AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
+                WHEN de_hits >= fr_hits AND de_hits >= es_hits
+                     AND de_hits > 0 THEN 'de'
+                WHEN fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
+                WHEN es_hits > 0 THEN 'es'
+                ELSE 'und' END AS lang_pred
+    FROM hits
+    ORDER BY doc_id
+    """,
+)
+def x21_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: per-language stopword hit counts with a
+    deterministic argmax (fixed tie order en>de>fr>es, 'und' when no
+    evidence). A real deployment swaps the word lists for n-gram
+    profiles; the operator shape (scan + HOF counts + CASE) is the
+    same and stays fully JVM-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tok()
+
+    def hits(lang: str):
+        arr = F.array(*[F.lit(w) for w in _STOP[lang]])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("bigint")
+
+    en, de, fr, es = (hits(lang) for lang in ("en", "de", "fr", "es"))
+    pred = (
+        F.when((en >= de) & (en >= fr) & (en >= es) & (en > 0), "en")
+        .when((de >= fr) & (de >= es) & (de > 0), "de")
+        .when((fr >= es) & (fr > 0), "fr")
+        .when(es > 0, "es")
+        .otherwise("und")
+    )
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        en.alias("en_hits"),
+        de.alias("de_hits"),
+        fr.alias("fr_hits"),
+        es.alias("es_hits"),
+        pred.alias("lang_pred"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "x22_token_count",
+    oracle="""
+    SELECT doc_id,
+           LEN(STRING_SPLIT(text, ' ')) AS ws_tokens,
+           LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '[^a-zA-Z0-9]+'),
+                           t -> t <> '')) AS word_tokens,
+           CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS approx_bpe_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def x22_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, regex word split
+    (BPE-ish pre-tokenizer), and the chars/4 BPE budget heuristic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("ws_tokens"),
+        F.size(
+            F.filter(F.split("text", "[^a-zA-Z0-9]+"), lambda t: t != "")
+        ).cast("bigint").alias("word_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("approx_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "x23_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           MD5(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS fp_full,
+           MD5(SUBSTRING(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g')), 1, 64))
+             AS fp_prefix64
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def x23_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: canonicalize (lower + collapse
+    whitespace) then md5 over full text and a 64-char prefix — the
+    cheap pre-filter for exact/near dedup at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace("text", r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.md5(norm.cast("binary")).alias("fp_full"),
+        F.md5(F.substring(norm, 1, 64).cast("binary")).alias("fp_prefix64"),
+    ).orderBy("doc_id")
