@@ -1,0 +1,62 @@
+"""NDJSON source/sink (SURVEY §2A S1/K1/T1/T18/T19).
+
+The reference's wire format: one FHIR resource (JSON document) per
+line, one file per resource type (``FetchBulkData/__init__.py:359``
+decode/split/parse; ``:535`` re-join; ``:218`` type-from-filename).
+
+Spark mapping (SURVEY §1.2): ``spark.read.json`` *is* T1 (decode,
+line-split, per-line parse, null-on-missing) — distributed, spilling,
+vectorized. The sink re-serializes via ``to_json(struct(*))`` + text
+write, which reproduces ``'\\n'.join(...)`` with absent-key semantics
+for nulls (``ignoreNullFields`` default true).
+
+Scale: a landing *directory* of NDJSON files is one distributed scan
+(each file ≥1 task, big files split on line boundaries); schema is
+curated (transforms/schemas.py) so reads never pay inference.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_ndjson(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    with_input_file: bool = False,
+) -> DataFrame:
+    """Read NDJSON file(s)/directory into a DataFrame.
+
+    With a curated ``schema``, missing fields are null (the
+    reference's tolerant ``try/except KeyError`` behavior); without,
+    Spark infers by sampling (dev only — SURVEY §1.2).
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.json(path)
+    if with_input_file:
+        df = df.withColumn("_input_file", F.input_file_name())
+    return df
+
+
+def write_ndjson(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write a DataFrame as NDJSON (one JSON object per line).
+
+    ``to_json`` omits null fields, matching the reference's output of
+    plain ``json.dumps`` on dicts that never contained those keys.
+    """
+    df.select(
+        F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value")
+    ).write.mode(mode).text(path)
+
+
+def resource_type_from_name(blob_name: str) -> str:
+    """Blob-name convention: resource type is the text before the
+    first '-' (``FetchBulkData/__init__.py:218`` — T19)."""
+    return os.path.basename(blob_name).split("-")[0]
