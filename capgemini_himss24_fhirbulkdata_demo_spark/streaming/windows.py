@@ -1,0 +1,98 @@
+"""Streaming windowed aggregations + stateful dedup.
+
+Each function mirrors a batch twin in queries/streaming_batch.py —
+the equivalence (streaming over a replayed complete source == batch)
+is asserted in tests/test_streaming.py. Watermarks bound state:
+windows older than the watermark are finalized and evicted; late rows
+beyond it are dropped (the late-drop count is observable via the
+``observe`` metric the tests use).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_agg(
+    events: DataFrame,
+    window_size: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling event-time windows with watermark; append-mode safe."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_size).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_agg(
+    events: DataFrame,
+    window_size: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_size, slide).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_agg(
+    events: DataFrame,
+    gap: str = "5 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Session windows (gap-merged) per key — the streaming form of the
+    gaps-and-islands batch query (x32)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col, F.session_window(ts_col, gap).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key_col,
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str],
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stateful exactly-once dedup: dropDuplicates over key columns
+    with watermark-bounded state (SURVEY §2B Streaming row).
+
+    State holds one entry per key seen within the watermark horizon;
+    duplicates arriving later than the watermark are already outside
+    the correctness contract (the batch layer's exact dedup is the
+    backstop — the standard lambda-free two-tier design).
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

@@ -1,0 +1,227 @@
+"""Streaming tests (SURVEY §5.2.4): replay the events fixture through
+a file stream; assert streaming window aggregates equal their batch
+twins; watermark late-drop; stateful dedup; foreachBatch exactly-once
+shape."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from capgemini_himss24_fhirbulkdata_demo_spark.catalog import load_table
+from capgemini_himss24_fhirbulkdata_demo_spark.streaming import (
+    read_parquet_stream,
+    run_foreach_batch_import,
+    session_agg,
+    streaming_dedup,
+    tumbling_agg,
+)
+
+from .conftest import SF_DIR
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def landed_events(spark, tmp_path_factory):
+    """Land the events fixture as parquet files (the 'export dir')."""
+    d = str(tmp_path_factory.mktemp("landing"))
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    ev.repartition(4).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _run_to_memory(stream_df, name, checkpoint, mode="append"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_tumbling_stream_equals_batch(spark, landed_events, tmp_path):
+    stream = read_parquet_stream(spark, landed_events, EVENTS_SCHEMA)
+    agg = tumbling_agg(stream)
+    _run_to_memory(agg, "tumbling_out", str(tmp_path / "ck1"), mode="append")
+    got = {
+        tuple(r)
+        for r in spark.table("tumbling_out")
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .collect()
+    }
+    batch = load_table(spark, SF_DIR, "events")
+    exp = {
+        tuple(r)
+        for r in batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .collect()
+    }
+    # availableNow + append mode emits only watermark-finalized windows;
+    # every emitted window must match its batch twin exactly, and the
+    # stream must have finalized all but the watermark tail.
+    assert got.issubset(exp)
+    assert len(got) >= len(exp) - 40  # 2h watermark tail on a 30-day stream
+
+
+def test_session_stream_equals_batch(spark, landed_events, tmp_path):
+    stream = read_parquet_stream(spark, landed_events, EVENTS_SCHEMA).filter(
+        F.col("user_id") <= 10
+    )
+    agg = session_agg(stream)
+    _run_to_memory(agg, "session_out", str(tmp_path / "ck2"), mode="append")
+    got = {tuple(r) for r in spark.table("session_out").collect()}
+    batch = load_table(spark, SF_DIR, "events").filter(F.col("user_id") <= 10)
+    exp = {
+        tuple(r)
+        for r in batch.groupBy("user_id", F.session_window("ts", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+        .collect()
+    }
+    assert got.issubset(exp)
+    assert len(got) >= len(exp) - 25
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Two-run replay against one checkpoint: run 1 advances the
+    watermark past the late rows; run 2 feeds only late rows → they
+    are dropped (no new finalized windows from run 2's data)."""
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    ck = str(tmp_path / "ck")
+
+    def land(rows, name):
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 6, 1, 0, 0, 0)
+    on_time = [
+        (1, t0, 1, "click", 1.0, "{}"),
+        (2, t0 + dt.timedelta(hours=5), 1, "click", 1.0, "{}"),  # watermark -> 3h
+    ]
+    late = [(3, t0 + dt.timedelta(minutes=30), 1, "click", 99.0, "{}")]
+
+    emitted: list[tuple] = []
+
+    def run_once():
+        batch_rows: list[tuple] = []
+
+        def commit(batch_df, batch_id):
+            batch_rows.extend(tuple(r) for r in batch_df.collect())
+
+        stream = read_parquet_stream(spark, landing, EVENTS_SCHEMA)
+        agg = (
+            tumbling_agg(stream, window_size="1 hour", watermark="2 hours")
+            .writeStream.foreachBatch(commit)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        agg.awaitTermination(120)
+        return batch_rows
+
+    land(on_time, "f1")
+    first = run_once()
+    assert ("2024-06-01 00:00:00", "click", 1, 1.0) in first
+
+    land(late, "f2")
+    emitted = run_once()
+    # the late event's window (00:00) was already finalized in run 1 —
+    # it must NOT be re-emitted or double-counted
+    assert all(r[0] != "2024-06-01 00:00:00" for r in emitted)
+
+
+def test_streaming_dedup(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 6, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 1, "click", 1.0, "{}"),
+        (1, t0 + dt.timedelta(seconds=10), 1, "click", 1.0, "{}"),  # dup id
+        (2, t0 + dt.timedelta(minutes=1), 1, "view", 2.0, "{}"),
+    ]
+    spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.parquet(landing, mode="append")
+    stream = read_parquet_stream(spark, landing, EVENTS_SCHEMA)
+    dedup = streaming_dedup(stream, ["event_id"])
+    _run_to_memory(dedup, "dedup_out", str(tmp_path / "ck"))
+    got = spark.table("dedup_out").select("event_id").collect()
+    assert sorted(r.event_id for r in got) == [1, 2]
+
+
+def test_foreach_batch_import_sink(spark, tmp_path):
+    """foreachBatch commit receives (batch_df, batch_id); restart with
+    the same checkpoint does not re-commit old batches."""
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    ck = str(tmp_path / "ck")
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 6, 1)
+    spark.createDataFrame(
+        [(1, t0, 1, "click", 1.0, "{}")], EVENTS_SCHEMA
+    ).coalesce(1).write.parquet(landing, mode="append")
+
+    committed: list[tuple[int, int]] = []
+
+    def commit(batch_df, batch_id):
+        committed.append((batch_id, batch_df.count()))
+
+    stream = read_parquet_stream(spark, landing, EVENTS_SCHEMA)
+    q = run_foreach_batch_import(stream, ck, commit)
+    q.awaitTermination(120)
+    assert committed == [(0, 1)]
+
+    # restart with no new data: nothing re-committed
+    committed.clear()
+    stream2 = read_parquet_stream(spark, landing, EVENTS_SCHEMA)
+    q2 = run_foreach_batch_import(stream2, ck, commit)
+    q2.awaitTermination(120)
+    assert committed == []
