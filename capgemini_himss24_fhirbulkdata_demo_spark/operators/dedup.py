@@ -1,0 +1,127 @@
+"""Dedup operators: deterministic exact dedup + MinHash/LSH near-dup
+(SURVEY §2B Dedup row + north-star extensions).
+
+The near-dup pipeline (shingle → minhash → band → bucket-join →
+Jaccard verify) is the standard 100 TB architecture: one narrow pass
+to signatures, one shuffle keyed by uniformly-distributed band
+hashes, exact verification only on candidates. Hash family:
+``h_i(s) = md5(s + '#' + i)`` with lexicographic MIN over hex digests
+— engine-portable (any engine's md5 agrees) and uniform.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_first_wins(
+    df: DataFrame, keys: list[str], order_by: list[Column | str]
+) -> DataFrame:
+    """Deterministic dropDuplicates: first row per key under an
+    explicit total order (SURVEY §7.c — never rely on plain
+    dropDuplicates for reproducible results)."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def shingle(text_col: Column, n: int = 2) -> Column:
+    """Distinct word n-gram shingles of a text column (codegen'd)."""
+    toks = F.split(text_col, " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, shingles_col: str, n_hashes: int = 8
+) -> DataFrame:
+    """(id, h0..h{n-1}) minhash signature table."""
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                F.col(shingles_col),
+                lambda s, i=i: F.md5(F.concat(s, F.lit(f"#{i}")).cast("binary")),
+            )
+        ).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return df.select(F.col(id_col), *sig_cols)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, n_hashes: int = 8, band_size: int = 2
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing at least one LSH band.
+
+    Bands are concatenations of ``band_size`` adjacent minhashes; the
+    self-join shuffles on the band value (uniform, skew-free).
+    """
+    n_bands = n_hashes // band_size
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.concat(
+                            *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
+                        ).alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select(id_col, "bv.band_idx", "bv.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard(a: Column, b: Column, scale: int = 4) -> Column:
+    """Exact Jaccard over two (distinct-element) array columns."""
+    return F.round(
+        F.size(F.array_intersect(a, b)).cast("double")
+        / F.size(F.array_distinct(F.concat(a, b))),
+        scale,
+    )
+
+
+def near_dup_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 2,
+    min_jaccard: float = 0.3,
+) -> DataFrame:
+    """Full near-dup pipeline → (id_a, id_b, jaccard) above threshold."""
+    sh = docs.select(F.col(id_col), shingle(F.col(text_col), shingle_n).alias("sh"))
+    sigs = minhash_signatures(sh, id_col, "sh", n_hashes)
+    cand = lsh_candidate_pairs(sigs, id_col, n_hashes, band_size)
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .filter(F.col("jaccard") >= min_jaccard)
+    )

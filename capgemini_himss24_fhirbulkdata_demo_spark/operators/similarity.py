@@ -1,0 +1,99 @@
+"""Vector similarity operators (north-star extension).
+
+``cosine_dot`` is a sequential left fold over IEEE doubles — the
+deterministic-by-construction dot product (see queries/similarity.py
+for the cross-engine rationale). ``lsh_bucket`` derives ±1 hyperplane
+coefficients from md5 (no RNG state), giving reproducible sign
+buckets for ANN candidate pruning.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cosine_dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two array<float|double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def vector_norm(v: Column) -> Column:
+    return F.sqrt(cosine_dot(v, v))
+
+
+def hyperplanes(n_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 plane coefficients from md5(p:i)."""
+    return [
+        [1 if hashlib.md5(f"{p}:{i}".encode()).digest()[0] & 1 else -1 for i in range(dim)]
+        for p in range(n_planes)
+    ]
+
+
+def lsh_bucket(vec: Column, planes: list[list[int]]) -> Column:
+    """Sign-bit bucket id from hyperplane projections."""
+    bucket = None
+    for p, coeffs in enumerate(planes):
+        carr = F.array(*[F.lit(c) for c in coeffs])
+        proj = F.aggregate(
+            F.zip_with(carr, vec, lambda c, x: c.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        term = F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    return bucket.cast("bigint")
+
+
+def cosine_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    query_id: str,
+    cand_id: str,
+    query_vec: str,
+    cand_vec: str,
+    k: int = 10,
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """Top-k candidates per query by cosine → (query_id, neighbor_id,
+    cosine, rank) with fixed output names (inputs may share a name).
+
+    Brute-force when ``bucket_col`` is None (queries broadcast against
+    all candidates — the reranker shape); bucketed hash join when both
+    sides carry a ``bucket_col`` (the ANN scale path).
+    """
+    q = queries.select(
+        F.col(query_id).alias("__qid"),
+        F.col(query_vec).alias("__qv"),
+        vector_norm(F.col(query_vec)).alias("__qn"),
+        *([F.col(bucket_col).alias("__qb")] if bucket_col else []),
+    )
+    c = candidates.select(
+        F.col(cand_id).alias("__cid"),
+        F.col(cand_vec).alias("__cv"),
+        vector_norm(F.col(cand_vec)).alias("__cn"),
+        *([F.col(bucket_col).alias("__cb")] if bucket_col else []),
+    )
+    cond = F.col("__qid") != F.col("__cid")
+    if bucket_col:
+        joined = F.broadcast(q).join(c, (F.col("__qb") == F.col("__cb")) & cond)
+    else:
+        joined = F.broadcast(q).join(c, cond)
+    scored = joined.select(
+        F.col("__qid").alias("query_id"),
+        F.col("__cid").alias("neighbor_id"),
+        (cosine_dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,104 @@
+"""Unit tests for the composed operators (operators/), checked against
+independent formulations on the fixtures."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from capgemini_himss24_fhirbulkdata_demo_spark.catalog import load_table
+from capgemini_himss24_fhirbulkdata_demo_spark.operators import (
+    asof_join,
+    cosine_topk,
+    dedup_first_wins,
+    lsh_bucket,
+    near_dup_pairs,
+    top_k_per_group,
+)
+from capgemini_himss24_fhirbulkdata_demo_spark.operators.similarity import hyperplanes
+
+from .conftest import SF_DIR
+
+
+def test_asof_join_backward(spark):
+    trades = spark.createDataFrame(
+        [(1, 10), (1, 25), (2, 5)], "sym INT, t INT"
+    )
+    quotes = spark.createDataFrame(
+        [(1, 8, 100.0), (1, 20, 101.0), (1, 30, 102.0), (2, 9, 50.0)],
+        "sym INT, qt INT, px DOUBLE",
+    )
+    got = {
+        (r.sym, r.t): (r.qt, r.px)
+        for r in asof_join(
+            trades, quotes, on=[("sym", "sym")], ordinal=("t", "qt")
+        ).collect()
+    }
+    assert got[(1, 10)] == (8, 100.0)
+    assert got[(1, 25)] == (20, 101.0)
+    assert got[(2, 5)] == (None, None)  # no quote at-or-before -> left row kept
+
+
+def test_asof_join_forward(spark):
+    left = spark.createDataFrame([(1, 10)], "k INT, t INT")
+    right = spark.createDataFrame([(1, 9, "a"), (1, 12, "b"), (1, 15, "c")],
+                                  "k INT, rt INT, v STRING")
+    r = asof_join(left, right, on=[("k", "k")], ordinal=("t", "rt"),
+                  direction="forward").first()
+    assert (r.rt, r.v) == (12, "b")
+
+
+def test_top_k_matches_query(spark):
+    orders = load_table(spark, SF_DIR, "orders")
+    got = top_k_per_group(
+        orders,
+        ["o_custkey"],
+        [F.desc("o_totalprice"), F.col("o_orderkey")],
+        3,
+        rank_col="rn",
+    ).select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    from capgemini_himss24_fhirbulkdata_demo_spark.queries import QUERIES
+
+    exp = QUERIES["q31_topk_per_group"](spark, SF_DIR)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+
+def test_dedup_first_wins_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "b", 2), (1, "a", 1), (2, "c", 9)], "k INT, v STRING, ord INT"
+    )
+    got = sorted(map(tuple, dedup_first_wins(df, ["k"], ["ord"]).collect()))
+    assert got == [(1, "a", 1), (2, "c", 9)]
+
+
+def test_near_dup_pairs_matches_query(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    got = near_dup_pairs(docs, "doc_id", "text").withColumnRenamed(
+        "id_a", "doc_a"
+    ).withColumnRenamed("id_b", "doc_b")
+    from capgemini_himss24_fhirbulkdata_demo_spark.queries import QUERIES
+
+    exp = QUERIES["x02_dedup_minhash"](spark, SF_DIR)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+
+def test_cosine_topk_bruteforce_and_bucketed(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    got = cosine_topk(q, emb, "vec_id", "vec_id", "embedding", "embedding", k=2)
+    rows = got.collect()
+    assert {r.query_id for r in rows} == {0, 1, 2}
+    assert all(-1.0 <= r.cosine <= 1.0 + 1e-9 for r in rows)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.cosine)
+    for scores in per_q.values():
+        assert scores == sorted(scores, reverse=True)
+
+    planes = hyperplanes(4, 64)
+    b = emb.withColumn("bucket", lsh_bucket(F.col("embedding"), planes))
+    qb = b.filter(F.col("vec_id") < 3)
+    bucketed = cosine_topk(
+        qb, b, "vec_id", "vec_id", "embedding", "embedding", k=2, bucket_col="bucket"
+    ).collect()
+    # bucketed results are a subset of each query's full ranking by construction
+    assert all(-1.0 <= r.cosine <= 1.0 + 1e-9 for r in bucketed)

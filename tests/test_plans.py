@@ -1,0 +1,142 @@
+"""Physical-plan contract tests (SURVEY §4): pushdown, pruning,
+broadcast selection, rank-limit folding, no cartesian degeneration.
+These lock in the '100 TB plan shape' — a regression here is a perf
+bug even when results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+
+from capgemini_himss24_fhirbulkdata_demo_spark import queries as q
+from capgemini_himss24_fhirbulkdata_demo_spark.plans import (
+    assert_no_cartesian_product,
+    explain_str,
+    join_strategies,
+    pushed_filters,
+    read_schemas,
+    wholestage_codegen_count,
+)
+
+from .conftest import SF_DIR
+
+
+def _plan(spark, name):
+    return q.QUERIES[name](spark, SF_DIR)
+
+
+def test_q01_pushdown_and_pruning(spark):
+    df = _plan(spark, "q01_pricing_summary")
+    pf = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pf, pf
+    scans = read_schemas(df)
+    assert len(scans) == 1
+    # only the 7 referenced columns, not all 11
+    assert set(scans[0]) == {
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    }
+
+
+def test_q02_like_and_range_pushed(spark):
+    df = _plan(spark, "q02_filter_project")
+    pf = " ".join(pushed_filters(df))
+    assert "p_size" in pf and "BRASS" in pf, pf
+    assert set(read_schemas(df)[0]) == {
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        "p_type",
+        "p_size",
+        "p_retailprice",
+    }
+
+
+def test_q03_broadcasts_customer(spark):
+    df = _plan(spark, "q03_top_revenue_orders")
+    strategies = join_strategies(df)
+    assert "BroadcastHashJoin" in strategies, strategies
+    assert "CartesianProduct" not in strategies
+    # top-k via TakeOrderedAndProject, not a global Sort
+    assert "TakeOrderedAndProject" in explain_str(df, "simple")
+
+
+def test_q05_star_join_all_dims_broadcast(spark):
+    df = _plan(spark, "q05_regional_revenue")
+    strategies = join_strategies(df)
+    assert strategies.count("BroadcastHashJoin") >= 4, strategies
+    assert "CartesianProduct" not in strategies
+
+
+def test_q31_rank_limit_folds(spark):
+    df = _plan(spark, "q31_topk_per_group")
+    assert "WindowGroupLimit" in explain_str(df, "simple")
+
+
+def test_q23_theta_is_bounded_bnlj(spark):
+    # theta join is only plannable as nested-loop; the engine contract
+    # is that the broadcast side is the non-scaling one.
+    df = _plan(spark, "q23_theta_join")
+    assert "BroadcastNestedLoopJoin" in join_strategies(df)
+
+
+def test_minhash_no_cartesian(spark):
+    assert_no_cartesian_product(_plan(spark, "x02_dedup_minhash"))
+
+
+def test_knn_lsh_is_hash_join(spark):
+    # bucketed ANN must join on the bucket key, not nested-loop.
+    strategies = join_strategies(_plan(spark, "x11_knn_lsh"))
+    assert "BroadcastHashJoin" in strategies or "SortMergeJoin" in strategies, strategies
+    assert "BroadcastNestedLoopJoin" not in strategies
+
+
+def test_codegen_spans_exist(spark):
+    # the hot relational path stays inside whole-stage codegen; AQE
+    # only annotates codegen spans on the *final* plan, so execute
+    # first and inspect the post-execution plan.
+    df1 = _plan(spark, "q01_pricing_summary")
+    df1.collect()
+    assert wholestage_codegen_count(df1) >= 1
+    df5 = _plan(spark, "q05_regional_revenue")
+    df5.collect()
+    assert wholestage_codegen_count(df5) >= 2
+
+
+def test_fhir_eob_join_strategies(spark, tmp_path):
+    """The FHIR EOB pipeline's two relational ops must both broadcast
+    (enrichment cross-join of the 1-row map + anti-join of removed
+    ids) — SURVEY §4.3.1/.2."""
+    import json as _json
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.sources import read_ndjson
+    from capgemini_himss24_fhirbulkdata_demo_spark.transforms import get_transform
+    from capgemini_himss24_fhirbulkdata_demo_spark.transforms.schemas import (
+        EXPLANATION_OF_BENEFIT_SCHEMA,
+        RXNAV_LOOKUP_SCHEMA,
+    )
+
+    p = tmp_path / "ExplanationOfBenefit-c-1.json"
+    p.write_text(
+        _json.dumps(
+            {
+                "resourceType": "ExplanationOfBenefit",
+                "id": "e1",
+                "patient": {"reference": "Patient/-10000000000027"},
+                "type": {"coding": []},
+                "supportingInfo": [],
+                "item": [],
+            }
+        )
+    )
+    df = read_ndjson(spark, str(p), EXPLANATION_OF_BENEFIT_SCHEMA)
+    rx = spark.createDataFrame([("1", "n", "r")], RXNAV_LOOKUP_SCHEMA)
+    out = get_transform("https://bcda.example", "ExplanationOfBenefit")(df, rx)
+    text = explain_str(out, "simple")
+    assert "BroadcastNestedLoopJoin" in text or "BroadcastHashJoin" in text
+    strategies = join_strategies(out)
+    assert "CartesianProduct" not in strategies, strategies
