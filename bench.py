@@ -34,7 +34,12 @@ HEADLINE = [
     "q06_revenue_delta",
     "q07_rollup",
     "q12_global_agg",
+    "q16_nation_trade_pairs",
+    "q18_big_orders",
+    "q19_order_count_distribution",
     "q24_range_join",
+    "q25_asof_join",
+    "q29_percentiles",
     "q31_topk_per_group",
     "q37_dedup_first_wins",
     "q64_from_json_map",
@@ -43,8 +48,13 @@ HEADLINE = [
 HEADLINE += [
     "x01_dedup_exact",
     "x02_dedup_minhash",
+    "x03_simhash",
     "x10_knn_bruteforce",
+    "x11_knn_lsh",
     "x20_text_quality",
+    "x23_fingerprint",
+    "x30_tumbling_window",
+    "x32_session_window",
 ]
 
 

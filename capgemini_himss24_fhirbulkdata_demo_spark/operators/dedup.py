@@ -96,12 +96,12 @@ def lsh_candidate_pairs(
 
 
 def jaccard(a: Column, b: Column, scale: int = 4) -> Column:
-    """Exact Jaccard over two (distinct-element) array columns."""
-    return F.round(
-        F.size(F.array_intersect(a, b)).cast("double")
-        / F.size(F.array_distinct(F.concat(a, b))),
-        scale,
-    )
+    """Exact Jaccard over two (distinct-element) array columns.
+
+    Uses |A∪B| = |A|+|B|−|A∩B| — one intersect, no union allocation.
+    """
+    inter = F.size(F.array_intersect(a, b))
+    return F.round(inter.cast("double") / (F.size(a) + F.size(b) - inter), scale)
 
 
 def near_dup_pairs(
@@ -114,7 +114,9 @@ def near_dup_pairs(
     min_jaccard: float = 0.3,
 ) -> DataFrame:
     """Full near-dup pipeline → (id_a, id_b, jaccard) above threshold."""
-    sh = docs.select(F.col(id_col), shingle(F.col(text_col), shingle_n).alias("sh"))
+    sh = docs.select(
+        F.col(id_col), shingle(F.col(text_col), shingle_n).alias("sh")
+    ).persist()
     sigs = minhash_signatures(sh, id_col, "sh", n_hashes)
     cand = lsh_candidate_pairs(sigs, id_col, n_hashes, band_size)
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))

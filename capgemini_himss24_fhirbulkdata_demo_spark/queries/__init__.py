@@ -7,6 +7,7 @@ Every module in this package registers queries into
 from . import (  # noqa: F401
     registry,
     relational,
+    relational2,
     joins,
     windows,
     setops,

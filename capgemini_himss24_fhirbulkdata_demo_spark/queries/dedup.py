@@ -136,7 +136,8 @@ _X02_SQL = f"""
     scored AS (
       SELECT doc_a, doc_b,
              ROUND(CAST(LEN(LIST_INTERSECT(sa.sh, sb.sh)) AS DOUBLE)
-                   / LEN(LIST_DISTINCT(sa.sh || sb.sh)), 4) AS jaccard
+                   / (LEN(sa.sh) + LEN(sb.sh)
+                      - LEN(LIST_INTERSECT(sa.sh, sb.sh))), 4) AS jaccard
       FROM cand JOIN sh sa ON sa.doc_id = doc_a
                 JOIN sh sb ON sb.doc_id = doc_b)
     SELECT doc_a, doc_b, jaccard
@@ -162,10 +163,13 @@ def x02_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature table rather than recomputed.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", _spark_shingles().alias("sh"))
+    # Persist shingles + signatures: three plan branches read them
+    # (signature build, jaccard join A, jaccard join B) — at 100 TB
+    # these are materialized columnar tables, locally a cache.
+    sh = docs.select("doc_id", _spark_shingles().alias("sh")).persist()
     sigs = sh.select(
         "doc_id", *[_spark_minhash(i).alias(f"h{i}") for i in range(_N_HASHES)]
-    )
+    ).persist()
     banded = sigs.select(
         "doc_id",
         *[
@@ -200,6 +204,8 @@ def x02_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # |A∪B| = |A|+|B|−|A∩B|: one intersect per pair, no union alloc.
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
     scored = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -207,8 +213,7 @@ def x02_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a",
             "doc_b",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                / F.size(F.array_distinct(F.concat("sh_a", "sh_b"))),
+                inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter),
                 4,
             ).alias("jaccard"),
         )
@@ -299,7 +304,8 @@ _X04_SQL = """
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              ROUND(CAST(LEN(LIST_INTERSECT(a.grams, b.grams)) AS DOUBLE)
-                   / LEN(LIST_DISTINCT(a.grams || b.grams)), 4) AS jaccard3
+                   / (LEN(a.grams) + LEN(b.grams)
+                      - LEN(LIST_INTERSECT(a.grams, b.grams))), 4) AS jaccard3
       FROM g a JOIN g b
         ON a.source = b.source AND a.len_bucket = b.len_bucket
        AND a.doc_id < b.doc_id)
@@ -342,6 +348,7 @@ def x04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("len_bucket").alias("lb_b"),
         F.col("grams").alias("grams_b"),
     )
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
     pairs = a.join(
         b,
         (F.col("src_a") == F.col("src_b"))
@@ -351,8 +358,7 @@ def x04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a",
         "doc_b",
         F.round(
-            F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
-            / F.size(F.array_distinct(F.concat("grams_a", "grams_b"))),
+            inter.cast("double") / (F.size("grams_a") + F.size("grams_b") - inter),
             4,
         ).alias("jaccard3"),
     )

@@ -1,0 +1,297 @@
+"""Advanced relational coverage: correlated subqueries, nation-pair
+joins, distribution aggregates, percentiles, ordered string agg,
+pivot/unpivot shapes (SURVEY §2B breadth).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import register
+from .relational import _SQL_DISC_PRICE, _dec, _disc_price
+
+
+@register(
+    "q15_min_bal_supplier",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, n.n_name,
+           CAST(s.s_acctbal AS DOUBLE) AS bal
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_acctbal = (SELECT MIN(s2.s_acctbal) FROM supplier s2
+                         WHERE s2.s_nationkey = s.s_nationkey)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q15_min_bal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated MIN subquery (decorrelated by
+    Catalyst into an aggregate + join)."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(
+        """
+        SELECT s.s_suppkey, s.s_name, n.n_name,
+               CAST(s.s_acctbal AS DOUBLE) AS bal
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE s.s_acctbal = (SELECT MIN(s2.s_acctbal) FROM supplier s2
+                             WHERE s2.s_nationkey = s.s_nationkey)
+        ORDER BY s.s_suppkey
+        """
+    )
+
+
+@register(
+    "q16_nation_trade_pairs",
+    oracle=f"""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           EXTRACT(YEAR FROM l_shipdate) AS yr,
+           CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE cn.n_name < sn.n_name
+      AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+    GROUP BY cust_nation, supp_nation, yr
+    ORDER BY cust_nation, supp_nation, yr
+    """,
+)
+def q16_nation_trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: two roles of the same dim (nation aliased
+    twice), asymmetric pair filter, per-year revenue."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cn), cust.c_nationkey == cn.cnk)
+        .join(F.broadcast(sn), supp.s_nationkey == sn.snk)
+        .filter(F.col("cust_nation") < F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").cast("bigint").alias("yr"))
+        .agg(
+            F.sum(_disc_price()).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("cust_nation", "supp_nation", "yr")
+    )
+
+
+@register(
+    "q18_big_orders",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders via HAVING on an exact
+    decimal sum, deterministic top-20."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate")
+        .agg(F.sum(_dec("l_quantity")).alias("_tq"))
+        .filter(F.col("_tq") > 150)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("_tq").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q19_order_count_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q19_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join with join-side filter, then a
+    distribution (two-level aggregate)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q29_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(MEDIAN(l_quantity), 4) AS median_qty,
+           ROUND(QUANTILE_CONT(l_quantity, 0.25), 4) AS p25_qty,
+           ROUND(QUANTILE_CONT(l_quantity, 0.75), 4) AS p75_qty,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS p90_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q29_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous percentiles (median/p25/p75/p90) per group — Spark
+    ``percentile`` and DuckDB ``quantile_cont`` both implement the
+    linear-interpolation definition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+            F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("p25_qty"),
+            F.round(F.expr("percentile(l_quantity, 0.75)"), 4).alias("p75_qty"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q38_string_agg",
+    oracle="""
+    SELECT r_name,
+           STRING_AGG(n_name, ',' ORDER BY n_name) AS nations_csv
+    FROM region JOIN nation ON r_regionkey = n_regionkey
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+)
+def q38_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg semantics) — expressed as
+    sort_array(collect_list) + array_join for deterministic order."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        region.join(nation, region.r_regionkey == nation.n_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias(
+                "nations_csv"
+            )
+        )
+        .orderBy("r_name")
+    )
+
+
+@register(
+    "q47_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS price_f
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q47_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot shape via conditional aggregation (the portable form of
+    PIVOT; Spark's pivot() plans the same conditional aggs)."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def n_status(s):
+        return F.count(F.when(F.col("o_orderstatus") == s, 1)).alias(f"n_{s.lower()}")
+
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            n_status("F"),
+            n_status("O"),
+            n_status("P"),
+            F.sum(
+                F.when(F.col("o_orderstatus") == "F", _dec("o_totalprice"))
+            ).cast("double").alias("price_f"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q48_unpivot",
+    oracle="""
+    SELECT c_custkey, metric, val FROM (
+      SELECT c_custkey, 'acctbal' AS metric, CAST(c_acctbal AS DOUBLE) AS val
+      FROM customer WHERE c_custkey <= 30
+      UNION ALL
+      SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS val
+      FROM customer WHERE c_custkey <= 30
+    )
+    ORDER BY c_custkey, metric
+    """,
+)
+def q48_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long) via stack()."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 30)
+    return (
+        cust.select(
+            "c_custkey",
+            F.expr(
+                "stack(2, 'acctbal', CAST(c_acctbal AS DOUBLE), "
+                "'nationkey', CAST(c_nationkey AS DOUBLE)) AS (metric, val)"
+            ),
+        )
+        .orderBy("c_custkey", "metric")
+    )
+
+
+@register("q56_approx_distinct")  # no SQL oracle: approximate by design
+def q56_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — declared surface with a
+    rows-only check (the estimate is engine-specific by design;
+    SURVEY §2B Aggregation row). The exact twin is q12_global_agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    )
