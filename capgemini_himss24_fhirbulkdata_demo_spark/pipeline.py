@@ -1,0 +1,173 @@
+"""End-to-end bulk ETL pipeline (SURVEY §3.1, re-architected).
+
+The reference's ``POST /himss24demo/bulkimport/latest`` flow
+(``FetchBulkData/__init__.py:619-684``) as a Spark job:
+
+1. driver-side connector: auth → $export kickoff (with the persisted
+   ``_since`` cursor) → poll → land NDJSON files;
+2. **per-resource-type Spark jobs**: read landed NDJSON (curated
+   schema) → (source, resource) transform → write NDJSON to the
+   export area. Files are independent loads (the reference loops
+   sequentially, ``:644``; here each file is its own narrow job —
+   SURVEY §4.3.4);
+3. driver-side sink-commit: build the FHIR ``Parameters`` manifest →
+   $import → poll → archive landed files → advance the cursor.
+
+The transform stage is shuffle-free except the two broadcast joins
+(RxNav enrichment map, removed-ids anti-join), so step 2 pipelines in
+one stage per file regardless of file size.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import re
+import shutil
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
+
+from .connectors.fhir_bulk import FhirBulkConnector, build_import_manifest
+from .connectors.state import HighWaterMark
+from .sources.ndjson import read_ndjson, resource_type_from_name, write_ndjson
+from .transforms import get_transform
+from .transforms.schemas import RESOURCE_SCHEMAS
+
+
+@dataclass
+class PipelineResult:
+    landed: list[str] = field(default_factory=list)
+    transformed: dict[str, str] = field(default_factory=dict)  # path -> out dir
+    import_status_url: str | None = None
+    archived: list[str] = field(default_factory=list)
+    since_advanced_to: str | None = None
+
+
+def transform_landed_file(
+    spark: SparkSession,
+    path: str,
+    server_url: str,
+    out_dir: str,
+    rxnav: DataFrame | None = None,
+) -> str:
+    """Step 2 for one landed file: read → transform → write NDJSON.
+
+    Returns the output directory. Unknown (source, resource) pairs
+    pass through untouched (the reference ignores them too).
+
+    T16 count audit (``__init__.py:532`` "{kept}/{total} will be
+    loaded") rides the write as ``observe`` metrics — single pass, no
+    extra jobs, unlike the reference's len() bookkeeping.
+    """
+    resource = resource_type_from_name(path)
+    schema = RESOURCE_SCHEMAS.get(resource)
+    obs_in = Observation(f"in:{os.path.basename(path)}")
+    df = read_ndjson(spark, path, schema).observe(obs_in, F.count(F.lit(1)).alias("n"))
+    fn = get_transform(server_url, resource)
+    if fn is not None:
+        df = fn(df, rxnav)
+    obs_out = Observation(f"out:{os.path.basename(path)}")
+    df = df.observe(obs_out, F.count(F.lit(1)).alias("n"))
+    out = os.path.join(out_dir, os.path.splitext(os.path.basename(path))[0])
+    write_ndjson(df, out)
+    logger.info(
+        "%s: %s/%s resources will be loaded",
+        os.path.basename(path),
+        obs_out.get["n"],
+        obs_in.get["n"],
+    )
+    return out
+
+
+def run_bulk_import(
+    spark: SparkSession,
+    connector: FhirBulkConnector,
+    server_url: str,
+    group_id: str,
+    token: str,
+    import_server: str,
+    import_token: str,
+    work_dir: str,
+    rxnav: DataFrame | None = None,
+    state: HighWaterMark | None = None,
+    client_id: str = "client",
+    blob_base_url: str = "file://",
+) -> PipelineResult:
+    """The full export → transform → import → archive flow."""
+    res = PipelineResult()
+    since = state.get(server_url, group_id) if state else None
+    run_started = datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S")
+
+    status_url = connector.kickoff_export(server_url, group_id, token, since=since)
+    manifest = json.loads(connector.poll_status(status_url, token))
+
+    landing = os.path.join(work_dir, "landing")
+    res.landed = connector.land_export(manifest, token, landing, client_id=client_id)
+
+    out_dir = os.path.join(work_dir, "export")
+    for path in res.landed:
+        res.transformed[path] = transform_landed_file(
+            spark, path, server_url, out_dir, rxnav
+        )
+
+    entries = [
+        (p, f"{blob_base_url}{res.transformed[p]}") for p in res.landed
+    ]
+    import_body = build_import_manifest(entries)
+    res.import_status_url = connector.bulk_import(import_server, import_token, import_body)
+    connector.poll_status(res.import_status_url, import_token)
+
+    res.archived = connector.archive_files(res.landed, os.path.join(work_dir, "archive"))
+    if state is not None:
+        state.advance(server_url, group_id, run_started)
+        res.since_advanced_to = run_started
+    return res
+
+
+def restamp_seed_name(name: str, timestamp: int) -> str:
+    """K5: replace every digit run in a seed blob name with a fresh
+    epoch stamp (``re.sub('\\d+', ts)`` copy+delete,
+    ``FetchBulkData/__init__.py:698-716``) so re-imports don't collide
+    on versioned names."""
+    return re.sub(r"\d+", str(timestamp), name)
+
+
+def run_reset_and_seed(
+    connector: FhirBulkConnector,
+    import_server: str,
+    import_token: str,
+    seed_dir: str,
+    work_dir: str,
+    timestamp: int,
+    blob_base_url: str = "file://",
+) -> dict:
+    """The reset flow (SURVEY §3.2, ``__init__.py:686-726``):
+    $bulk-delete → poll → re-stamp seed files (K5) → import manifest
+    → $import → poll. Returns {deleted, seeded, import_status_url}.
+    """
+    delete_status = connector.bulk_delete(import_server, import_token)
+    connector.poll_status(delete_status, import_token)
+
+    os.makedirs(work_dir, exist_ok=True)
+    seeded: list[str] = []
+    for name in sorted(os.listdir(seed_dir)):
+        new_name = restamp_seed_name(name, timestamp)
+        dst = os.path.join(work_dir, new_name)
+        shutil.copyfile(os.path.join(seed_dir, name), dst)
+        seeded.append(dst)
+
+    entries = [(p, f"{blob_base_url}{p}") for p in seeded]
+    body = build_import_manifest(entries)
+    import_status = connector.bulk_import(import_server, import_token, body)
+    connector.poll_status(import_status, import_token)
+    return {
+        "deleted": delete_status,
+        "seeded": seeded,
+        "import_status_url": import_status,
+    }

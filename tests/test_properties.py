@@ -1,0 +1,119 @@
+"""Property-based tests (SURVEY §5.2.3) with hypothesis.
+
+Spark-touching properties run each case through one shared session on
+small example counts (Spark job latency bounds throughput); pure
+helpers get full-strength generation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from capgemini_himss24_fhirbulkdata_demo_spark.functions.encoding import (
+    b64url_decode_py,
+    b64url_encode_py,
+)
+from capgemini_himss24_fhirbulkdata_demo_spark.multimodal.binary import (
+    _decode_fake,
+    encode_fake,
+)
+from capgemini_himss24_fhirbulkdata_demo_spark.pipeline import restamp_seed_name
+
+
+@given(st.binary(max_size=512))
+def test_b64url_roundtrip(data):
+    enc = b64url_encode_py(data)
+    assert "=" not in enc and "+" not in enc and "/" not in enc
+    assert b64url_decode_py(enc) == data
+
+
+@given(
+    st.integers(0, 2**31 - 1),
+    st.sampled_from(["image", "video"]),
+    st.integers(1, 64),
+    st.integers(1, 64),
+    st.integers(1, 4),
+)
+def test_fake_media_roundtrip(mid, kind, w, h, nf):
+    payload = encode_fake(mid, kind, w, h, nf)
+    dw, dh, frames = _decode_fake(payload)
+    assert (dw, dh, len(frames)) == (w, h, nf)
+    assert all(len(f) == w * h for f in frames)
+
+
+@given(st.text(alphabet="abcZ019-._", min_size=1, max_size=40), st.integers(0, 10**10))
+def test_restamp_replaces_every_digit_run(name, ts):
+    out = restamp_seed_name(name, ts)
+    # every digit run is exactly the stamp; non-digits untouched
+    import re
+
+    for run in re.findall(r"\d+", out):
+        assert run == str(ts)
+    assert re.sub(r"\d+", "", out) == re.sub(r"\d+", "", name)
+
+
+@given(
+    st.lists(st.integers(0, 50), min_size=0, max_size=30),
+    st.lists(st.integers(0, 50), min_size=0, max_size=30),
+)
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_jaccard_matches_python_sets(spark, xs, ys):
+    from pyspark.sql import functions as F
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.operators.dedup import jaccard
+
+    sx, sy = set(xs), set(ys)
+    if not (sx or sy):
+        return  # 0/0 undefined in both formulations
+    df = spark.createDataFrame(
+        [(sorted(sx), sorted(sy))], "a: array<bigint>, b: array<bigint>"
+    )
+    got = df.select(jaccard(F.col("a"), F.col("b"), scale=9).alias("j")).first().j
+    exp = round(len(sx & sy) / len(sx | sy), 9)
+    assert abs(got - exp) < 1e-9
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.fixed_dictionaries(
+            {
+                "resourceType": st.just("Patient"),
+                "id": st.text(alphabet="abc123", min_size=1, max_size=8),
+                "gender": st.sampled_from(["male", "female", "other"]),
+                "birthDate": st.dates().map(str),
+            }
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_ndjson_roundtrip_identity(spark, tmp_path_factory, patients):
+    """read→write identity on untouched documents (canonical compare)."""
+    from capgemini_himss24_fhirbulkdata_demo_spark.sources import (
+        read_ndjson,
+        write_ndjson,
+    )
+    from capgemini_himss24_fhirbulkdata_demo_spark.transforms.schemas import (
+        PATIENT_SCHEMA,
+    )
+
+    tmp = tmp_path_factory.mktemp("rt")
+    p = os.path.join(tmp, "Patient-x-1.json")
+    with open(p, "w") as f:
+        f.write("\n".join(json.dumps(r) for r in patients))
+    out = os.path.join(tmp, "out")
+    write_ndjson(read_ndjson(spark, p, PATIENT_SCHEMA), out)
+    got = []
+    for name in sorted(os.listdir(out)):
+        if name.startswith("part-"):
+            with open(os.path.join(out, name)) as f:
+                got.extend(json.loads(line) for line in f if line.strip())
+    canon = lambda rows: sorted(json.dumps(r, sort_keys=True) for r in rows)  # noqa: E731
+    assert canon(got) == canon(patients)
