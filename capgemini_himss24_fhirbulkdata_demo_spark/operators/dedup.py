@@ -42,17 +42,34 @@ def shingle(text_col: Column, n: int = 2) -> Column:
 def minhash_signatures(
     df: DataFrame, id_col: str, shingles_col: str, n_hashes: int = 8
 ) -> DataFrame:
-    """(id, h0..h{n-1}) minhash signature table."""
+    """(id, h0..h{n-1}) minhash signature table.
+
+    Hash family: ceil(n/4) md5 digests per shingle (seeded by '#'*k
+    prefixes), each sliced into four 8-hex-char (32-bit) hashes — 4×
+    less digest work than n independent md5s, same uniformity.
+    """
+    n_digests = (n_hashes + 3) // 4
+
+    # closure factories: a default-arg lambda would read as a 2-arg
+    # (element, index) HOF lambda to F.transform
+    def digest_fn(k: int):
+        return lambda s: F.md5(F.concat(F.lit("#" * k), s).cast("binary"))
+
+    def slice_fn(i: int):
+        return lambda x: F.substring(x, 1 + 8 * (i % 4), 8)
+
+    dg = df.select(
+        F.col(id_col),
+        *[
+            F.transform(F.col(shingles_col), digest_fn(k)).alias(f"__d{k}")
+            for k in range(n_digests)
+        ],
+    )
     sig_cols = [
-        F.array_min(
-            F.transform(
-                F.col(shingles_col),
-                lambda s, i=i: F.md5(F.concat(s, F.lit(f"#{i}")).cast("binary")),
-            )
-        ).alias(f"h{i}")
+        F.array_min(F.transform(F.col(f"__d{i // 4}"), slice_fn(i))).alias(f"h{i}")
         for i in range(n_hashes)
     ]
-    return df.select(F.col(id_col), *sig_cols)
+    return dg.select(F.col(id_col), *sig_cols)
 
 
 def lsh_candidate_pairs(

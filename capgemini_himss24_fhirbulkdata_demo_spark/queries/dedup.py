@@ -99,15 +99,39 @@ def _spark_shingles():
     )
 
 
+# Hash family: two md5 digests per shingle (d1 = md5(s), d2 =
+# md5('#'+s)), each sliced into four 8-hex-char (32-bit) hashes →
+# h0..h7. One quarter the digest work of 8 independent md5s with the
+# same uniformity; both engines slice identical hex strings.
+
+
+def _sql_digests() -> str:
+    return (
+        "LIST_TRANSFORM(sh, s -> MD5(s)) AS d1, "
+        "LIST_TRANSFORM(sh, s -> MD5('#' || s)) AS d2"
+    )
+
+
 def _sql_minhash(i: int) -> str:
-    return f"LIST_MIN(LIST_TRANSFORM(sh, s -> MD5(s || '#{i}')))"
+    src = "d1" if i < 4 else "d2"
+    off = 1 + 8 * (i % 4)
+    return f"LIST_MIN(LIST_TRANSFORM({src}, x -> SUBSTR(x, {off}, 8)))"
+
+
+def _spark_digests():
+    return [
+        F.transform(F.col("sh"), lambda s: F.md5(s.cast("binary"))).alias("d1"),
+        F.transform(
+            F.col("sh"), lambda s: F.md5(F.concat(F.lit("#"), s).cast("binary"))
+        ).alias("d2"),
+    ]
 
 
 def _spark_minhash(i: int):
+    src = "d1" if i < 4 else "d2"
+    off = 1 + 8 * (i % 4)
     return F.array_min(
-        F.transform(
-            F.col("sh"), lambda s: F.md5(F.concat(s, F.lit(f"#{i}")).cast("binary"))
-        )
+        F.transform(F.col(src), lambda x: F.substring(x, off, 8))
     )
 
 
@@ -123,8 +147,10 @@ _SQL_BAND_UNION = " UNION ALL ".join(
 _X02_SQL = f"""
     WITH sh AS (
       SELECT doc_id, {_sql_shingles()} AS sh FROM documents),
+    dg AS (
+      SELECT doc_id, sh, {_sql_digests()} FROM sh),
     sigs AS (
-      SELECT doc_id, {_SQL_HASHES} FROM sh),
+      SELECT doc_id, {_SQL_HASHES} FROM dg),
     banded AS (
       SELECT doc_id, {_SQL_BANDS} FROM sigs),
     bands AS ({_SQL_BAND_UNION}),
@@ -167,7 +193,8 @@ def x02_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (signature build, jaccard join A, jaccard join B) — at 100 TB
     # these are materialized columnar tables, locally a cache.
     sh = docs.select("doc_id", _spark_shingles().alias("sh")).persist()
-    sigs = sh.select(
+    dg = sh.select("doc_id", "sh", *_spark_digests())
+    sigs = dg.select(
         "doc_id", *[_spark_minhash(i).alias(f"h{i}") for i in range(_N_HASHES)]
     ).persist()
     banded = sigs.select(
