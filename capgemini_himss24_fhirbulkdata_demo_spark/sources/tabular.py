@@ -1,0 +1,75 @@
+"""Tabular sources/sinks: CSV, text, Parquet with partitioning and
+bucketing (SURVEY §2B Scans/Sinks rows).
+
+Bucketing is the engine's co-located-join story (SURVEY brief
+"bucketing for co-located joins"): writing both sides of a hot join
+bucketed by the join key lets the planner drop BOTH shuffle exchanges
+— at 100 TB that turns the nightly fact↔fact join into a local zip.
+Verified by plan assertion in tests/test_tabular.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """CSV scan; schema'd reads skip inference (never infer in prod —
+    an extra full pass at 100 TB)."""
+    reader = spark.read.option("header", header).option("sep", sep)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwrite") -> None:
+    df.write.option("header", header).mode(mode).csv(path)
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """Raw line scan (``value STRING``) — the escape hatch under
+    spark.read.json (SURVEY §2A T1 explicit form)."""
+    return spark.read.text(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Parquet sink; ``partition_by`` produces the directory layout
+    partition pruning reads back (verified in tests)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (+optionally sorted) managed table.
+
+    Joins between two tables bucketed identically on the join key are
+    planned with zero Exchange on either side (SortMergeJoin over
+    pre-bucketed scans).
+    """
+    w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)

@@ -1,0 +1,89 @@
+"""Tabular IO tests: CSV/text round-trip, partitioned writes with
+partition pruning, bucketed co-located joins (no Exchange)."""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import functions as F
+
+from capgemini_himss24_fhirbulkdata_demo_spark.catalog import load_table
+from capgemini_himss24_fhirbulkdata_demo_spark.plans import explain_str
+from capgemini_himss24_fhirbulkdata_demo_spark.sources.tabular import (
+    read_csv,
+    read_text,
+    write_bucketed_table,
+    write_csv,
+    write_parquet,
+)
+
+from .conftest import SF_DIR
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    nation = load_table(spark, SF_DIR, "nation")
+    p = str(tmp_path / "nation_csv")
+    write_csv(nation, p)
+    back = read_csv(spark, p, schema="n_nationkey INT, n_name STRING, n_regionkey INT")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+
+def test_text_scan(spark, tmp_path):
+    p = tmp_path / "lines.txt"
+    p.write_text("alpha\nbeta\ngamma")
+    df = read_text(spark, str(p))
+    assert sorted(r.value for r in df.collect()) == ["alpha", "beta", "gamma"]
+
+
+def test_partitioned_write_and_pruning(spark, tmp_path):
+    orders = load_table(spark, SF_DIR, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    p = str(tmp_path / "orders_part")
+    write_parquet(orders, p, partition_by=["o_year"])
+    years = sorted(
+        int(d.split("=")[1]) for d in os.listdir(p) if d.startswith("o_year=")
+    )
+    assert years[0] == 1995
+
+    back = spark.read.parquet(p).filter(F.col("o_year") == 1996)
+    text = explain_str(back)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", text)
+    assert m and "o_year" in m.group(1), text
+    exp = orders.filter(F.col("o_year") == 1996).count()
+    assert back.count() == exp
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Both sides bucketed on the join key -> SMJ with zero shuffle
+    (the 100 TB co-located-join contract)."""
+    orders = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    write_bucketed_table(orders, "b_orders", "o_orderkey", 4, sort_col="o_orderkey")
+    write_bucketed_table(li, "b_lineitem", "l_orderkey", 4, sort_col="l_orderkey")
+    try:
+        bo = spark.table("b_orders")
+        bl = spark.table("b_lineitem")
+        joined = bo.join(bl, bo.o_orderkey == bl.l_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.count("*").alias("n"))
+        # disable broadcast to force the SMJ path the bucketing serves
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            text = explain_str(joined, "simple")
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        join_part = text.split("HashAggregate")[-1]  # below the agg: the join subtree
+        assert "SortMergeJoin" in text
+        assert "Exchange" not in join_part, join_part
+        # and it computes the right thing
+        exp = (
+            orders.join(li, orders.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, exp.collect()))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
