@@ -16,4 +16,5 @@ from .dedup import (  # noqa: F401
     shingle,
 )
 from .similarity import cosine_dot, cosine_topk, lsh_bucket  # noqa: F401
+from .skew import salted_aggregate, salted_join  # noqa: F401
 from .topk import top_k_per_group  # noqa: F401

@@ -269,16 +269,19 @@ _SQL_SIMHASH = " + ".join(
     f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(_SIM_BITS)
 )
 
-_X03_SQL = f"""
-    WITH tok AS (
+_X03_CORE = f"""tok AS (
       SELECT doc_id, UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS t
       FROM documents),
     th AS (
       SELECT doc_id, {_sql_tok_hash()} AS h FROM tok),
     votes AS (
-      SELECT doc_id, {_SQL_VOTES} FROM th GROUP BY doc_id)
-    SELECT doc_id, CAST({_SQL_SIMHASH} AS BIGINT) AS simhash
-    FROM votes
+      SELECT doc_id, {_SQL_VOTES} FROM th GROUP BY doc_id),
+    sims AS (
+      SELECT doc_id, CAST({_SQL_SIMHASH} AS BIGINT) AS simhash FROM votes)"""
+
+_X03_SQL = f"""
+    WITH {_X03_CORE}
+    SELECT doc_id, simhash FROM sims
     ORDER BY doc_id
     """
 
@@ -295,6 +298,11 @@ def x03_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; partial aggregation (map-side combine over the 16 vote
     sums) keeps the shuffle tiny regardless of document length.
     """
+    return _spark_simhash_df(spark, sf_dir).orderBy("doc_id")
+
+
+def _spark_simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) — shared by x03 (signatures) and x05 (pairs)."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t")
@@ -315,9 +323,7 @@ def x03_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     for j in range(_SIM_BITS):
         term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         simhash = term if simhash is None else simhash + term
-    return votes.select(
-        "doc_id", simhash.cast("bigint").alias("simhash")
-    ).orderBy("doc_id")
+    return votes.select("doc_id", simhash.cast("bigint").alias("simhash"))
 
 
 # ------------------------------------------------------- ngram jaccard
@@ -390,3 +396,85 @@ def x04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("jaccard3"),
     )
     return pairs.filter(F.col("jaccard3") >= 0.5).orderBy("doc_a", "doc_b")
+
+
+# ------------------------------------------------------ simhash pairs
+
+_HAMMING_MAX = 3
+_SIM_BANDS = 4  # 4 nibbles of the 16-bit signature; pigeonhole: any
+#                 pair within hamming distance 3 shares >= 1 nibble
+
+_X05_SQL = f"""
+    WITH {_X03_CORE},
+    bands AS (
+      SELECT doc_id, simhash, UNNEST(RANGE(4)) AS band_idx,
+             UNNEST([(simhash >> 0) & 15, (simhash >> 4) & 15,
+                     (simhash >> 8) & 15, (simhash >> 12) & 15]) AS nibble
+      FROM sims),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.nibble = b.nibble
+       AND a.doc_id < b.doc_id),
+    verified AS (
+      SELECT doc_a, doc_b,
+             CAST(BIT_COUNT(XOR(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+      FROM cand JOIN sims sa ON sa.doc_id = doc_a
+                JOIN sims sb ON sb.doc_id = doc_b)
+    SELECT doc_a, doc_b, hamming
+    FROM verified
+    WHERE hamming <= {_HAMMING_MAX}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register("x05_simhash_pairs", oracle=_X05_SQL)
+def x05_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: nibble-banded candidates + exact
+    Hamming verification (bit_count(xor) <= 3).
+
+    Banding is exact by pigeonhole: 4 bands over a 16-bit signature
+    guarantee every pair within distance 3 collides on >= 1 band —
+    no recall loss, unlike probabilistic MinHash banding. The self-
+    join shuffles on (band_idx, nibble); at 100 TB the 64-bit variant
+    bands into 8 bytes with the same argument for distance <= 7.
+    """
+    sims = _spark_simhash_df(spark, sf_dir).persist()
+    bands = sims.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", 4 * b).bitwiseAND(F.lit(15))
+                    for b in range(_SIM_BANDS)
+                ]
+            )
+        ).alias("band_idx", "nibble"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.nibble") == F.col("b.nibble"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sims.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    sb = sims.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("bigint").alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= _HAMMING_MAX)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -295,3 +295,118 @@ def q56_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
     )
+
+
+@register(
+    "q57_promo_revenue",
+    oracle=f"""
+    SELECT EXTRACT(YEAR FROM l_shipdate) AS yr,
+           ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN {_SQL_DISC_PRICE}
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE), 4) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY yr
+    ORDER BY yr
+    """,
+)
+def q57_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional revenue share with a broadcast
+    part join; both sums exact-decimal, one final double division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", _disc_price()).otherwise(
+            F.lit(0).cast("decimal(18,2)")
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.year("l_shipdate").cast("bigint").alias("yr"))
+        .agg(
+            F.round(
+                F.lit(100.0) * promo.cast("double")
+                / F.sum(_disc_price()).cast("double"),
+                4,
+            ).alias("promo_pct")
+        )
+        .orderBy("yr")
+    )
+
+
+@register(
+    "q58_small_quantity_revenue",
+    oracle="""
+    WITH avg_qty AS (
+      SELECT l_partkey AS pk,
+             ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*), 4) AS aq
+      FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+                  JOIN avg_qty ON pk = l_partkey
+    WHERE p_brand = 'Brand#11' AND l_quantity < 0.5 * aq
+    """,
+)
+def q58_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: fact-derived per-key average re-joined against
+    the fact (self-join aggregate), brand-filtered."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.round(
+            F.sum(_dec("l_quantity")).cast("double") / F.count("*"), 4
+        ).alias("aq")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_qty, F.col("pk") == li.l_partkey)
+        .filter(F.col("l_quantity") < 0.5 * F.col("aq"))
+        .agg(
+            F.sum(_dec("l_extendedprice")).cast("double").alias("small_revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q59_disjunctive_filter",
+    oracle=f"""
+    SELECT CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS revenue, COUNT(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q59_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides — Catalyst
+    pushes the per-side disjunction residue below the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return joined.filter(cond).agg(
+        F.sum(_disc_price()).cast("double").alias("revenue"),
+        F.count("*").alias("n"),
+    )

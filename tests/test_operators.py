@@ -102,3 +102,48 @@ def test_cosine_topk_bruteforce_and_bucketed(spark):
     ).collect()
     # bucketed results are a subset of each query's full ranking by construction
     assert all(-1.0 <= r.cosine <= 1.0 + 1e-9 for r in bucketed)
+
+
+def test_salted_aggregate_equals_plain(spark):
+    from pyspark.sql import functions as F
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.operators import salted_aggregate
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    got = salted_aggregate(
+        li,
+        ["l_returnflag"],
+        aggs=lambda: [
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("psum"),
+            F.count("*").alias("pcnt"),
+        ],
+        merge=lambda: [
+            F.sum("psum").cast("double").alias("sum_qty"),
+            F.sum("pcnt").alias("n"),
+        ],
+    )
+    exp = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+
+def test_salted_join_equals_plain(spark):
+    from pyspark.sql import functions as F
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.operators import salted_join
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_orderpriority")
+    got = (
+        salted_join(li, orders, on=[("l_orderkey", "o_orderkey")], n_salts=4)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    exp = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
