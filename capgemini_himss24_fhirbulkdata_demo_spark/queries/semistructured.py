@@ -253,3 +253,45 @@ def q66_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.map_keys("m")).alias("keys_sorted"),
         F.size(F.map_keys("m")).cast("bigint").alias("n_keys"),
     ).orderBy("n_nationkey")
+
+
+@register(
+    "q67_hof_predicates",
+    oracle="""
+    SELECT n_nationkey,
+           LIST_HAS_ANY(a, [3]) AS any_3,
+           LEN(LIST_FILTER(a, x -> x % 2 = 0)) = LEN(a) AS all_even,
+           LIST_TRANSFORM(LIST_ZIP(a, LIST_REVERSE(a)),
+                          p -> CAST(p[1] + p[2] AS BIGINT)) AS zip_sums,
+           LIST_SORT(FLATTEN([a, LIST_TRANSFORM(a, x -> x * 10)])) AS flat
+    FROM (SELECT n_nationkey,
+                 RANGE(CAST(2 AS BIGINT), CAST((n_nationkey % 4) * 2 + 4 AS BIGINT)) AS a
+          FROM nation)
+    ORDER BY n_nationkey
+    """,
+)
+def q67_hof_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order predicates + zip: exists / forall / zip_with /
+    flatten (SURVEY §2B Array row — completes the HOF battery).
+
+    DuckDB twins: exists → LIST_HAS_ANY, forall → filter-length
+    identity, zip_with → LIST_TRANSFORM over LIST_ZIP (struct fields
+    p[1], p[2]).
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    df = nation.select(
+        "n_nationkey",
+        _seq(2, (F.col("n_nationkey") % 4) * 2 + 3).alias("a"),
+    )
+    a = F.col("a")
+    return df.select(
+        "n_nationkey",
+        F.exists(a, lambda x: x == 3).alias("any_3"),
+        F.forall(a, lambda x: x % 2 == 0).alias("all_even"),
+        F.zip_with(a, F.reverse(a), lambda x, y: (x + y).cast("bigint")).alias(
+            "zip_sums"
+        ),
+        F.sort_array(
+            F.flatten(F.array(a, F.transform(a, lambda x: x * 10)))
+        ).alias("flat"),
+    ).orderBy("n_nationkey")
