@@ -1,0 +1,178 @@
+"""Training-data preparation pipeline (north-star composition).
+
+Chains the extension operators into the standard LLM-corpus prep
+flow, one narrow/bounded-shuffle stage each:
+
+  quality gate → language filter → exact dedup → MinHash near-dup
+  removal → (optional) embedding near-dup removal → token budget cut
+
+Every stage is deterministic (first-wins keeps the smallest doc id)
+and reports row counts via a single ``observe``-free count per stage
+boundary (stats are part of the contract, as in any production prep
+job).
+
+Scale notes: stages 1–3 are scans + one fingerprint shuffle; stage 4
+is the LSH banded self-join (operators/dedup.py); stage 5 is the
+hyperplane-bucket join (operators/similarity.py); stage 6 is a
+running-sum window over a deliberate single ordering key — the only
+intentionally-global step, applied last when the corpus is already
+reduced (budget cuts are inherently sequential; at 100 TB this runs
+per-shard with budget split across shards).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .operators.dedup import dedup_first_wins, near_dup_pairs
+from .operators.similarity import hyperplanes, lsh_bucket, cosine_dot, vector_norm
+
+
+@dataclass
+class PrepStats:
+    stages: list[tuple[str, int]] = field(default_factory=list)
+
+    def record(self, name: str, df: DataFrame) -> DataFrame:
+        self.stages.append((name, df.count()))
+        return df
+
+
+def quality_gate(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    min_avg_token_len: float = 2.0,
+) -> DataFrame:
+    toks = F.split(F.col(text_col), " ")
+    n_tokens = F.size(toks)
+    n_nonspace = F.length(F.replace(F.col(text_col), F.lit(" "), F.lit("")))
+    return docs.filter(
+        n_tokens.between(min_tokens, max_tokens)
+        & (n_nonspace >= min_avg_token_len * n_tokens)
+    )
+
+
+def language_filter(
+    docs: DataFrame, langs: tuple[str, ...], lang_col: str = "lang"
+) -> DataFrame:
+    """Filter by language label (or the x21 heuristic's prediction
+    column when labels are absent)."""
+    return docs.filter(F.col(lang_col).isin(*langs))
+
+
+def remove_near_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_jaccard: float = 0.8,
+) -> DataFrame:
+    """Drop the larger id of every near-dup pair (keep-min policy).
+
+    Not full connected-component clustering: transitive chains keep
+    their minimum representative per *pair*, which for dedup purposes
+    over-removes never and under-removes only on A~B~C where A!~C —
+    the standard production tradeoff (one pass, no iteration).
+    """
+    pairs = near_dup_pairs(docs, id_col, text_col, min_jaccard=min_jaccard)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return docs.join(F.broadcast(losers), id_col, "left_anti")
+
+
+def remove_embedding_dups(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.95,
+    n_planes: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-dup removal via LSH sign buckets: pairs in
+    the same bucket with cosine ≥ threshold lose their larger id."""
+    planes = hyperplanes(n_planes, embeddings.select(F.size(vec_col)).first()[0])
+    b = embeddings.select(
+        F.col(vec_id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        lsh_bucket(F.col(vec_col), planes).alias("__b"),
+        vector_norm(F.col(vec_col)).alias("__n"),
+    )
+    a, c = b.alias("a"), b.alias("b")
+    cos = cosine_dot(F.col("a.__v"), F.col("b.__v")) / (
+        F.col("a.__n") * F.col("b.__n")
+    )
+    losers = (
+        a.join(
+            c,
+            (F.col("a.__b") == F.col("b.__b"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .filter(cos >= min_cosine)
+        .select(F.col("b.__id").alias(id_col))
+        .distinct()
+    )
+    return docs.join(F.broadcast(losers), id_col, "left_anti")
+
+
+def token_budget_cut(
+    docs: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep documents in id order until the whitespace-token budget is
+    exhausted (the document crossing the budget is excluded)."""
+    n_tokens = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        docs.withColumn("__cum", F.sum(n_tokens).over(w))
+        .filter(F.col("__cum") <= budget_tokens)
+        .drop("__cum")
+    )
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    embeddings: DataFrame | None = None,
+    langs: tuple[str, ...] = ("en",),
+    min_tokens: int = 5,
+    min_jaccard: float = 0.8,
+    min_cosine: float = 0.95,
+    budget_tokens: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, PrepStats]:
+    """The full prep chain; returns (clean corpus, per-stage counts)."""
+    stats = PrepStats()
+    stats.record("input", docs)
+    cur = stats.record("quality", quality_gate(docs, text_col, min_tokens=min_tokens))
+    cur = stats.record("language", language_filter(cur, langs))
+    cur = stats.record(
+        "exact_dedup",
+        dedup_first_wins(
+            cur.withColumn(
+                "__fp",
+                F.md5(
+                    F.lower(F.regexp_replace(text_col, r"\s+", " ")).cast("binary")
+                ),
+            ),
+            ["__fp"],
+            [id_col],
+        ).drop("__fp"),
+    )
+    cur = stats.record(
+        "near_dedup", remove_near_dups(cur, id_col, text_col, min_jaccard)
+    )
+    if embeddings is not None:
+        cur = stats.record(
+            "embedding_dedup",
+            remove_embedding_dups(cur, embeddings, id_col, min_cosine=min_cosine),
+        )
+    if budget_tokens is not None:
+        cur = stats.record(
+            "token_budget", token_budget_cut(cur, budget_tokens, id_col, text_col)
+        )
+    return cur, stats

@@ -199,3 +199,29 @@ def x23_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm.cast("binary")).alias("fp_full"),
         F.md5(F.substring(norm, 1, 64).cast("binary")).alias("fp_prefix64"),
     ).orderBy("doc_id")
+
+
+@register("x40_prepare_corpus")  # rows-only: multi-stage LSH pipeline, not SQL-expressible
+def x40_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep (dataprep.prepare_corpus):
+    quality gate -> language filter -> exact dedup -> MinHash near-dup
+    removal -> embedding near-dup removal -> token budget. Returns the
+    deterministic per-stage count table (the pipeline's contract).
+    """
+    from ..catalog import load_table as _lt
+    from ..dataprep import prepare_corpus
+
+    docs = _lt(spark, sf_dir, "documents")
+    emb = _lt(spark, sf_dir, "embeddings")
+    _clean, stats = prepare_corpus(
+        docs,
+        embeddings=emb,
+        langs=("en", "de"),
+        min_jaccard=0.6,
+        min_cosine=0.9,
+        budget_tokens=20_000,
+    )
+    return spark.createDataFrame(
+        [(i, name, n) for i, (name, n) in enumerate(stats.stages)],
+        "stage_idx INT, stage STRING, n_docs BIGINT",
+    )

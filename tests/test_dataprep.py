@@ -1,0 +1,101 @@
+"""Training-data prep pipeline tests: per-stage behavior on crafted
+rows plus an end-to-end run on the documents/embeddings fixtures."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from capgemini_himss24_fhirbulkdata_demo_spark.catalog import load_table
+from capgemini_himss24_fhirbulkdata_demo_spark.dataprep import (
+    prepare_corpus,
+    quality_gate,
+    remove_near_dups,
+    token_budget_cut,
+)
+
+from .conftest import SF_DIR
+
+DOCS_SCHEMA = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, DOCS_SCHEMA)
+
+
+def test_quality_gate(spark):
+    rows = [
+        (1, "one two three four five six", "en", "s", 27),  # pass
+        (2, "too short", "en", "s", 9),  # < 5 tokens
+        (3, "a b c d e f", "en", "s", 11),  # avg token len 1 < 2
+    ]
+    got = sorted(r.doc_id for r in quality_gate(_docs(spark, rows)).collect())
+    assert got == [1]
+
+
+def test_near_dup_keep_min(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (10, base, "en", "s", len(base)),
+        (20, base + " extra", "en", "s", len(base) + 6),  # near-dup of 10
+        (30, "completely different words describing unrelated things entirely here", "en", "s", 60),
+    ]
+    got = sorted(
+        r.doc_id for r in remove_near_dups(_docs(spark, rows), min_jaccard=0.5).collect()
+    )
+    assert got == [10, 30]  # 20 loses to 10 (keep-min)
+
+
+def test_token_budget_cut(spark):
+    rows = [
+        (1, "a b c", "en", "s", 5),  # 3 tokens, cum 3
+        (2, "d e f g", "en", "s", 7),  # 4 tokens, cum 7
+        (3, "h i", "en", "s", 3),  # 2 tokens, cum 9
+    ]
+    got = sorted(r.doc_id for r in token_budget_cut(_docs(spark, rows), 7).collect())
+    assert got == [1, 2]
+    got2 = sorted(r.doc_id for r in token_budget_cut(_docs(spark, rows), 6).collect())
+    assert got2 == [1]
+
+
+def test_prepare_corpus_end_to_end(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    emb = load_table(spark, SF_DIR, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    clean, stats = prepare_corpus(
+        docs,
+        embeddings=emb.withColumnRenamed("doc_id", "vec_id"),
+        langs=("en", "de"),
+        min_jaccard=0.6,
+        min_cosine=0.9,
+        budget_tokens=5000,
+    )
+    names = [n for n, _ in stats.stages]
+    counts = dict(stats.stages)
+    assert names == [
+        "input",
+        "quality",
+        "language",
+        "exact_dedup",
+        "near_dedup",
+        "embedding_dedup",
+        "token_budget",
+    ]
+    # monotone non-increasing counts, ending within budget
+    vals = [c for _, c in stats.stages]
+    assert all(a >= b for a, b in zip(vals, vals[1:])), stats.stages
+    assert counts["language"] < counts["input"]  # en+de only
+    total_tokens = clean.select(
+        F.sum(F.size(F.split("text", " "))).alias("t")
+    ).first().t
+    assert total_tokens is not None and total_tokens <= 5000
+    # deterministic across runs
+    clean2, _ = prepare_corpus(
+        docs,
+        embeddings=emb.withColumnRenamed("doc_id", "vec_id"),
+        langs=("en", "de"),
+        min_jaccard=0.6,
+        min_cosine=0.9,
+        budget_tokens=5000,
+    )
+    assert sorted(r.doc_id for r in clean.select("doc_id").collect()) == sorted(
+        r.doc_id for r in clean2.select("doc_id").collect()
+    )
