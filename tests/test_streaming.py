@@ -225,3 +225,60 @@ def test_foreach_batch_import_sink(spark, tmp_path):
     q2 = run_foreach_batch_import(stream2, ck, commit)
     q2.awaitTermination(120)
     assert committed == []
+
+
+def test_stateful_rapid_fire_flags(spark, tmp_path):
+    """applyInPandasWithState: per-user lifetime sequence numbers and
+    rapid-fire flags carry across micro-batches via GroupState."""
+    from capgemini_himss24_fhirbulkdata_demo_spark.streaming.stateful import (
+        rapid_fire_flags,
+    )
+
+    import datetime as dt
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    ck = str(tmp_path / "ck")
+    t0 = dt.datetime(2024, 6, 1, 0, 0, 0)
+
+    collected: list[tuple] = []
+
+    def run_batchfile(rows):
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+        stream = read_parquet_stream(spark, landing, EVENTS_SCHEMA).select(
+            "user_id", "event_id", "ts"
+        )
+        flags = rapid_fire_flags(stream, min_gap_s=60.0)
+
+        def commit(batch_df, batch_id):
+            collected.extend(tuple(r) for r in batch_df.collect())
+
+        q = (
+            flags.writeStream.foreachBatch(commit)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: two events 10s apart (rapid), one other user
+    run_batchfile(
+        [
+            (1, t0, 7, "click", 1.0, "{}"),
+            (2, t0 + dt.timedelta(seconds=10), 7, "click", 1.0, "{}"),
+            (3, t0, 9, "view", 1.0, "{}"),
+        ]
+    )
+    # batch 2: state must survive the restart — seq_no continues, gap
+    # computed against batch 1's last event
+    run_batchfile([(4, t0 + dt.timedelta(seconds=30), 7, "click", 1.0, "{}")])
+
+    by_event = {r[1]: r for r in collected}
+    assert by_event[1][2] == 1 and by_event[1][4] is False  # first: no gap
+    assert by_event[2][2] == 2 and by_event[2][3] == 10.0 and by_event[2][4] is True
+    assert by_event[3][2] == 1  # other user independent
+    assert by_event[4][2] == 3  # lifetime count carried across batches
+    assert by_event[4][3] == 20.0 and by_event[4][4] is True
