@@ -147,3 +147,45 @@ def test_salted_join_equals_plain(spark):
         .agg(F.count("*").alias("n"))
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+
+def test_pandas_udf_cosine_matches_builtin(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.operators.pandas_udfs import (
+        centroid_per_group,
+        cosine_to_query_udf,
+        vector_norm_udf,
+    )
+    from capgemini_himss24_fhirbulkdata_demo_spark.operators.similarity import (
+        cosine_dot,
+        vector_norm,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").limit(50)
+    qvec = [r for r in emb.filter(F.col("vec_id") == 0).collect()][0].embedding
+
+    got = emb.select(
+        "vec_id",
+        cosine_to_query_udf(list(qvec))(F.col("embedding")).alias("c_udf"),
+        vector_norm_udf(F.col("embedding")).alias("n_udf"),
+    )
+    qcol = F.array(*[F.lit(float(x)) for x in qvec])
+    exp = emb.select(
+        "vec_id",
+        (cosine_dot(F.col("embedding"), qcol)
+         / (vector_norm(F.col("embedding")) * vector_norm(qcol))).alias("c_ref"),
+        vector_norm(F.col("embedding")).alias("n_ref"),
+    )
+    joined = {r.vec_id: r for r in got.join(exp, "vec_id").collect()}
+    for r in joined.values():
+        assert math.isclose(r.c_udf, r.c_ref, rel_tol=1e-9), (r.c_udf, r.c_ref)
+        assert math.isclose(r.n_udf, r.n_ref, rel_tol=1e-9)
+
+    cents = centroid_per_group(
+        load_table(spark, SF_DIR, "embeddings"), "label", "embedding"
+    ).collect()
+    assert len(cents) >= 2
+    assert all(len(r.centroid) == 64 for r in cents)
