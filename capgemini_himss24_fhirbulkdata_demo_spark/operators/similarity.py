@@ -97,3 +97,113 @@ def cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_lists: int | None = None,
+    list_col: str = "ivf_list",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: deterministic centroid build + assignment.
+
+    Training an exact k-means is overkill for the contract; the engine
+    seeds centroids from hyperplane-LSH buckets (deterministic, data-
+    dependent) and computes each bucket's centroid with exact decimal
+    sums (order-insensitive) — so the index build is reproducible
+    bit-for-bit. Returns (assigned vectors, centroid table).
+
+    Scale: centroid build is one groupBy over the bucket key; the
+    assignment is a broadcast of n_lists centroids against the vector
+    table (narrow). Queries then search only their probe list(s).
+    """
+    dim = vectors.select(F.size(vec_col)).first()[0]
+    n_planes = max(2, (n_lists or 8).bit_length() - 1)
+    planes = hyperplanes(n_planes, dim)
+    bucketed = vectors.withColumn("__b", lsh_bucket(F.col(vec_col), planes))
+
+    # exact-decimal per-dimension mean -> deterministic centroids
+    sums = [
+        F.sum(
+            F.element_at(F.col(vec_col), i + 1).cast("double").cast("decimal(28,12)")
+        ).alias(f"__s{i}")
+        for i in range(dim)
+    ]
+    cent = (
+        bucketed.groupBy("__b")
+        .agg(F.count("*").alias("__n"), *sums)
+        .select(
+            F.col("__b").alias(list_col),
+            F.array(
+                *[(F.col(f"__s{i}").cast("double") / F.col("__n")) for i in range(dim)]
+            ).alias("centroid"),
+        )
+    )
+    assigned = bucketed.withColumnRenamed("__b", list_col)
+    return assigned, cent
+
+
+def ivf_topk(
+    queries: DataFrame,
+    assigned: DataFrame,
+    centroids: DataFrame,
+    query_id: str,
+    cand_id: str,
+    query_vec: str,
+    cand_vec: str,
+    k: int = 10,
+    n_probe: int = 1,
+    list_col: str = "ivf_list",
+) -> DataFrame:
+    """IVF search: route each query to its ``n_probe`` nearest
+    centroid lists, exact cosine only within those lists.
+
+    Probe selection and scoring both use the deterministic fold dot
+    product. Output: (query_id, neighbor_id, cosine, rank).
+    """
+    q = queries.select(
+        F.col(query_id).alias("__qid"),
+        F.col(query_vec).alias("__qv"),
+        vector_norm(F.col(query_vec)).alias("__qn"),
+    )
+    probes = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            "__qid",
+            "__qv",
+            "__qn",
+            F.col(list_col),
+            (
+                cosine_dot(F.col("__qv"), F.col("centroid"))
+                / (F.col("__qn") * vector_norm(F.col("centroid")))
+            ).alias("__csim"),
+        )
+    )
+    w = Window.partitionBy("__qid").orderBy(F.desc("__csim"), list_col)
+    probes = (
+        probes.withColumn("__pr", F.row_number().over(w))
+        .filter(F.col("__pr") <= n_probe)
+        .select("__qid", "__qv", "__qn", list_col)
+    )
+    c = assigned.select(
+        F.col(cand_id).alias("__cid"),
+        F.col(cand_vec).alias("__cv"),
+        vector_norm(F.col(cand_vec)).alias("__cn"),
+        F.col(list_col),
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(c, [list_col])
+        .filter(F.col("__qid") != F.col("__cid"))
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.col("__cid").alias("neighbor_id"),
+            (cosine_dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return scored.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)

@@ -295,3 +295,53 @@ def q67_hof_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.flatten(F.array(a, F.transform(a, lambda x: x * 10)))
         ).alias("flat"),
     ).orderBy("n_nationkey")
+
+
+@register(
+    "q68_map_transform",
+    oracle="""
+    WITH base AS (
+      SELECT n_nationkey,
+             MAP(['a', 'b'], [CAST(n_nationkey AS BIGINT),
+                              CAST(n_regionkey AS BIGINT)]) AS m
+      FROM nation)
+    SELECT n_nationkey,
+           LIST_TRANSFORM(MAP_ENTRIES(m), e -> e.key) AS doubled_keys,
+           LIST_TRANSFORM(MAP_ENTRIES(m),
+                          e -> CAST(e.value * 2 AS BIGINT)) AS doubled_values,
+           LIST_SORT(LIST_TRANSFORM(
+               LIST_FILTER(MAP_ENTRIES(m), e -> e.value % 2 = 0),
+               e -> CAST(e.value AS BIGINT))) AS even_values,
+           CAST(CARDINALITY(MAP_CONCAT(m, MAP(['c'], [CAST(100 AS BIGINT)])))
+                AS BIGINT) AS n_after_concat,
+           CAST(MAP_FROM_ENTRIES(MAP_ENTRIES(m))['a'][1] AS BIGINT) AS rebuilt_a
+    FROM base
+    ORDER BY n_nationkey
+    """,
+)
+def q68_map_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map HOFs: transform_values / map_filter / map_concat /
+    map_from_entries / map_entries (SURVEY §2B Map row — completes the
+    battery). Maps surface as entry arrays (struct<key,value>) because
+    raw MAP wire formats differ between engines."""
+    nation = load_table(spark, sf_dir, "nation")
+    m = F.create_map(
+        F.lit("a"), F.col("n_nationkey").cast("bigint"),
+        F.lit("b"), F.col("n_regionkey").cast("bigint"),
+    )
+    df = nation.select("n_nationkey", m.alias("m"))
+    doubled = F.map_entries(F.transform_values(F.col("m"), lambda k, v: v * 2))
+    return df.select(
+        "n_nationkey",
+        F.transform(doubled, lambda e: e.key).alias("doubled_keys"),
+        F.transform(doubled, lambda e: e.value).alias("doubled_values"),
+        F.sort_array(
+            F.map_values(F.map_filter(F.col("m"), lambda k, v: v % 2 == 0))
+        ).alias("even_values"),
+        F.size(
+            F.map_concat(F.col("m"), F.create_map(F.lit("c"), F.lit(100).cast("bigint")))
+        ).cast("bigint").alias("n_after_concat"),
+        F.element_at(
+            F.map_from_entries(F.map_entries(F.col("m"))), "a"
+        ).alias("rebuilt_a"),
+    ).orderBy("n_nationkey")

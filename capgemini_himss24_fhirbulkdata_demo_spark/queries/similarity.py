@@ -231,3 +231,22 @@ def x11_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "c_id", "c_label", F.round("cos_raw", 6).alias("cosine"), "rnk")
         .orderBy("q_id", "rnk")
     )
+
+
+@register("x12_knn_ivf")  # rows-only: IVF index build + probe search
+def x12_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (operators/similarity.py): hyperplane-seeded coarse
+    quantizer with exact-decimal centroids, 2-probe search, exact
+    cosine within probed lists. Deterministic end-to-end; recall vs
+    the x10 brute-force baseline is asserted in tests.
+    """
+    from ..catalog import load_table as _lt
+    from ..operators.similarity import ivf_assign, ivf_topk
+
+    emb = _lt(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_assign(emb, "vec_id", "embedding", n_lists=8)
+    q = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return ivf_topk(
+        q, assigned, centroids, "vec_id", "vec_id", "embedding", "embedding",
+        k=_TOP_K, n_probe=2,
+    ).orderBy("query_id", "rank")

@@ -61,6 +61,10 @@ def _norm(v):
         return v.isoformat()
     if isinstance(v, bytes):
         return v
+    # pyspark Row is a tuple subclass — struct-normalize before the
+    # generic sequence branch
+    if hasattr(v, "asDict"):
+        return _norm(v.asDict())
     if isinstance(v, (list, tuple)):
         return tuple(_norm(x) for x in v)
     if isinstance(v, dict):

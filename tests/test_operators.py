@@ -189,3 +189,27 @@ def test_pandas_udf_cosine_matches_builtin(spark):
     ).collect()
     assert len(cents) >= 2
     assert all(len(r.centroid) == 64 for r in cents)
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    from pyspark.sql import functions as F
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.queries import QUERIES
+
+    brute = QUERIES["x10_knn_bruteforce"](spark, SF_DIR).collect()
+    ivf = QUERIES["x12_knn_ivf"](spark, SF_DIR).collect()
+    brute_sets = {}
+    for r in brute:
+        brute_sets.setdefault(r.q_id, set()).add(r.c_id)
+    ivf_sets = {}
+    for r in ivf:
+        ivf_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    # every query answered; probe search finds a nonempty neighbor set
+    assert set(ivf_sets) == set(brute_sets)
+    # 2-probe recall over a 3-bit quantizer: expect meaningful overlap
+    hits = sum(len(ivf_sets[q] & brute_sets[q]) for q in brute_sets)
+    total = sum(len(brute_sets[q]) for q in brute_sets)
+    assert hits / total >= 0.2, f"recall {hits}/{total}"
+    # deterministic across runs
+    ivf2 = QUERIES["x12_knn_ivf"](spark, SF_DIR).collect()
+    assert sorted(map(tuple, ivf)) == sorted(map(tuple, ivf2))
