@@ -241,3 +241,41 @@ def q54_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_regionkey")
     )
+
+
+@register(
+    "q55_misc_scalars",
+    oracle="""
+    SELECT c_custkey,
+           (NULLIF(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM
+            NULLIF(c_mktsegment, 'AUTOMOBILE')) AS nullsafe_eq,
+           REGEXP_MATCHES(c_name, 'Customer#0*1[0-9]$') AS rlike_hit,
+           TRANSLATE(c_mktsegment, 'AEIOU', 'aeiou') AS translated,
+           PRINTF('%s|%05d', c_mktsegment, c_custkey) AS formatted
+    FROM customer
+    WHERE c_custkey <= 60
+    ORDER BY c_custkey
+    """,
+)
+def q55_misc_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining declared scalar surface: null-safe equality (<=>),
+    rlike, translate, format_string (SURVEY §2B Filter + Scalar rows).
+
+    The null-safe operand pair is NULL on exactly one side for
+    BUILDING/AUTOMOBILE customers — exercising the NULL<=>NULL=true
+    and NULL<=>x=false branches the plain = operator can't.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    left = F.nullif("c_mktsegment", F.lit("BUILDING"))
+    right = F.nullif("c_mktsegment", F.lit("AUTOMOBILE"))
+    return (
+        cust.filter(F.col("c_custkey") <= 60)
+        .select(
+            "c_custkey",
+            left.eqNullSafe(right).alias("nullsafe_eq"),
+            F.col("c_name").rlike("Customer#0*1[0-9]$").alias("rlike_hit"),
+            F.translate("c_mktsegment", "AEIOU", "aeiou").alias("translated"),
+            F.format_string("%s|%05d", "c_mktsegment", "c_custkey").alias("formatted"),
+        )
+        .orderBy("c_custkey")
+    )

@@ -282,3 +282,45 @@ def test_stateful_rapid_fire_flags(spark, tmp_path):
     assert by_event[3][2] == 1  # other user independent
     assert by_event[4][2] == 3  # lifetime count carried across batches
     assert by_event[4][3] == 20.0 and by_event[4][4] is True
+
+
+def test_complete_and_update_output_modes(spark, tmp_path):
+    """Streaming agg in complete mode re-emits the full result table
+    each batch; update mode emits only changed keys (SURVEY §2B
+    Streaming row: output modes)."""
+    import datetime as dt
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    t0 = dt.datetime(2024, 6, 1)
+
+    def land(rows):
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+    def run(mode, name, ck):
+        stream = read_parquet_stream(spark, landing, EVENTS_SCHEMA)
+        agg = stream.groupBy("event_type").count()
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {(r.event_type, r["count"]) for r in spark.table(name).collect()}
+
+    land([(1, t0, 1, "click", 1.0, "{}"), (2, t0, 1, "view", 1.0, "{}")])
+    got1 = run("complete", "complete_out", "ck_c")
+    assert got1 == {("click", 1), ("view", 1)}
+
+    land([(3, t0, 2, "click", 1.0, "{}")])
+    got2 = run("complete", "complete_out2", "ck_c")  # resumes checkpoint
+    assert got2 == {("click", 2), ("view", 1)}  # full table re-emitted
+
+    # update mode from scratch over all files: emits current counts
+    got3 = run("update", "update_out", "ck_u")
+    assert ("click", 2) in got3 and ("view", 1) in got3
