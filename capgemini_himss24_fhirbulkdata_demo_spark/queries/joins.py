@@ -366,3 +366,23 @@ def q28_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_Q28_SQL)
+
+
+@register(
+    "q49_right_join",
+    oracle="""
+    SELECT s_suppkey, s_name, n_name
+    FROM nation RIGHT JOIN supplier ON s_nationkey = n_nationkey
+    ORDER BY s_suppkey
+    """,
+)
+def q49_right_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join (SURVEY §2B Joins row; planner mirrors it to a
+    left join with sides swapped)."""
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        nation.join(supp, supp.s_nationkey == nation.n_nationkey, "right")
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )

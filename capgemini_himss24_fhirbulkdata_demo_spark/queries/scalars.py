@@ -279,3 +279,28 @@ def q55_misc_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@register("q70_engine_hashes")  # rows-only: hash values are engine-specific
+def q70_engine_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native hash battery (SURVEY §2B Hash/misc row):
+    xxhash64 / hash / crc32 / monotonically_increasing_id. Values are
+    Spark-specific by design (no cross-engine oracle); the check is
+    rows-only plus the structural invariants asserted here as columns
+    (distinct counts = row count -> hashes collide nowhere on this key
+    space; mono ids unique)."""
+    region = load_table(spark, sf_dir, "region")
+    hashed = region.select(
+        "r_regionkey",
+        F.xxhash64("r_name").alias("xx"),
+        F.hash("r_name").alias("h32"),
+        F.crc32(F.col("r_name").cast("binary")).alias("crc"),
+        F.monotonically_increasing_id().alias("mono"),
+    )
+    return hashed.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("xx").alias("n_xx"),
+        F.countDistinct("h32").alias("n_h32"),
+        F.countDistinct("crc").alias("n_crc"),
+        F.countDistinct("mono").alias("n_mono"),
+    )

@@ -87,3 +87,27 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_glob_scan_and_input_file_name(spark, tmp_path):
+    """Directory + glob scans with input_file_name provenance
+    (SURVEY §2B Scans row; reference type-from-filename `:218`)."""
+    import json
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.sources import read_ndjson
+    from capgemini_himss24_fhirbulkdata_demo_spark.transforms.schemas import (
+        PATIENT_SCHEMA,
+    )
+
+    d = tmp_path / "landing"
+    d.mkdir()
+    (d / "Patient-a-1.json").write_text(json.dumps({"resourceType": "Patient", "id": "p1"}))
+    (d / "Patient-b-2.json").write_text(json.dumps({"resourceType": "Patient", "id": "p2"}))
+    (d / "ignore.txt").write_text("not json")
+
+    df = read_ndjson(spark, str(d / "Patient-*.json"), PATIENT_SCHEMA, with_input_file=True)
+    rows = df.select("id", "_input_file").collect()
+    assert sorted(r.id for r in rows) == ["p1", "p2"]
+    by_id = {r.id: r._input_file for r in rows}
+    assert by_id["p1"].endswith("Patient-a-1.json")
+    assert by_id["p2"].endswith("Patient-b-2.json")
