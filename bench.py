@@ -62,7 +62,21 @@ def main() -> None:
     from capgemini_himss24_fhirbulkdata_demo_spark.queries import QUERIES
     from capgemini_himss24_fhirbulkdata_demo_spark.session import get_spark
 
-    spark = get_spark(master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
+    # Local-fixture scan tuning: the sf0.1 files are 0.1–11 MB, far
+    # below the 128 MB default split, so scans would run 1–3 tasks.
+    # Shrinking openCost/maxPartitionBytes spreads them over the 32
+    # cores (10–35% per-query win). At cluster scale (multi-GB files)
+    # the defaults are correct — this is bench-harness config, not
+    # engine policy.
+    spark = get_spark(
+        master=f"local[{CPUS}]",
+        shuffle_partitions=int(CPUS),
+        extra_conf={
+            "spark.sql.files.openCostInBytes": "262144",
+            "spark.sql.files.maxPartitionBytes": "2097152",
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
