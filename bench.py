@@ -68,9 +68,10 @@ def main() -> None:
     # cores (10–35% per-query win). At cluster scale (multi-GB files)
     # the defaults are correct — this is bench-harness config, not
     # engine policy.
+    n_shuffle = int(CPUS) if CPUS.isdigit() else (os.cpu_count() or 8)
     spark = get_spark(
         master=f"local[{CPUS}]",
-        shuffle_partitions=int(CPUS),
+        shuffle_partitions=n_shuffle,
         extra_conf={
             "spark.sql.files.openCostInBytes": "262144",
             "spark.sql.files.maxPartitionBytes": "2097152",
