@@ -27,6 +27,10 @@ if _REPO_ROOT not in sys.path:
 def _configure(spark: SparkSession) -> SparkSession:
     """Apply engine session policy to a driver-provided session."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Engine policy: permissive semantics (null-on-miss element_at),
+    # matching the reference's tolerant handling; Spark 4 defaults
+    # ANSI on, and the driver hands us its own session.
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:

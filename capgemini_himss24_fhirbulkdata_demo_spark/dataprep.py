@@ -36,6 +36,10 @@ class PrepStats:
     stages: list[tuple[str, int]] = field(default_factory=list)
 
     def record(self, name: str, df: DataFrame) -> DataFrame:
+        # persist at the stage boundary: the count action AND the next
+        # stage both read this frame — without it every stage recomputes
+        # the whole upstream chain (the LSH self-join several times over)
+        df = df.persist()
         self.stages.append((name, df.count()))
         return df
 
@@ -72,14 +76,18 @@ def remove_near_dups(
 ) -> DataFrame:
     """Drop the larger id of every near-dup pair (keep-min policy).
 
-    Not full connected-component clustering: transitive chains keep
-    their minimum representative per *pair*, which for dedup purposes
-    over-removes never and under-removes only on A~B~C where A!~C —
-    the standard production tradeoff (one pass, no iteration).
+    Not full connected-component clustering: it never under-removes
+    (every pair's larger id is dropped) but can over-remove on
+    transitive chains A~B~C with A!~C (C goes even though its only
+    near-dup B is also gone) — the standard one-pass production
+    tradeoff vs iterative union-find.
+
+    The loser set is data-dependent and unbounded, so the anti-join is
+    left to the planner (AQE broadcasts it when it is actually small).
     """
     pairs = near_dup_pairs(docs, id_col, text_col, min_jaccard=min_jaccard)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    return docs.join(F.broadcast(losers), id_col, "left_anti")
+    return docs.join(losers, id_col, "left_anti")
 
 
 def remove_embedding_dups(
@@ -92,9 +100,17 @@ def remove_embedding_dups(
     n_planes: int = 6,
 ) -> DataFrame:
     """Embedding-cosine near-dup removal via LSH sign buckets: pairs in
-    the same bucket with cosine ≥ threshold lose their larger id."""
+    the same bucket with cosine ≥ threshold lose their larger id.
+
+    Only embeddings of *currently surviving* docs participate — a doc
+    must not lose to a twin that upstream stages already removed (that
+    would delete both copies of the content).
+    """
+    surviving = embeddings.join(
+        docs.select(F.col(id_col).alias(vec_id_col)), vec_id_col, "left_semi"
+    )
     planes = hyperplanes(n_planes, embeddings.select(F.size(vec_col)).first()[0])
-    b = embeddings.select(
+    b = surviving.select(
         F.col(vec_id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
         lsh_bucket(F.col(vec_col), planes).alias("__b"),
@@ -114,7 +130,7 @@ def remove_embedding_dups(
         .select(F.col("b.__id").alias(id_col))
         .distinct()
     )
-    return docs.join(F.broadcast(losers), id_col, "left_anti")
+    return docs.join(losers, id_col, "left_anti")
 
 
 def token_budget_cut(

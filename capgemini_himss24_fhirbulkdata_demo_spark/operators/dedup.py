@@ -26,17 +26,25 @@ def dedup_first_wins(
 
 
 def shingle(text_col: Column, n: int = 2) -> Column:
-    """Distinct word n-gram shingles of a text column (codegen'd)."""
+    """Distinct word n-gram shingles of a text column (codegen'd).
+
+    Documents with fewer than ``n`` tokens shingle to an empty array —
+    Spark's ``sequence(1, 0)`` counts DOWN ([1, 0]), so the short-doc
+    case must be guarded explicitly, not ranged.
+    """
     toks = F.split(text_col, " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(n)]
-            ),
-        )
-    )
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(n)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def minhash_signatures(
@@ -80,6 +88,11 @@ def lsh_candidate_pairs(
     Bands are concatenations of ``band_size`` adjacent minhashes; the
     self-join shuffles on the band value (uniform, skew-free).
     """
+    if n_hashes % band_size != 0:
+        raise ValueError(
+            f"n_hashes={n_hashes} must be divisible by band_size={band_size} "
+            "(trailing minhashes would be silently unused)"
+        )
     n_bands = n_hashes // band_size
     banded = sigs.select(
         F.col(id_col),

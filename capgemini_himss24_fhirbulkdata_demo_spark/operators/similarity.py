@@ -112,14 +112,17 @@ def ivf_assign(
     seeds centroids from hyperplane-LSH buckets (deterministic, data-
     dependent) and computes each bucket's centroid with exact decimal
     sums (order-insensitive) — so the index build is reproducible
-    bit-for-bit. Returns (assigned vectors, centroid table).
+    bit-for-bit. ``n_lists`` rounds UP to the next power of two (the
+    bucket space is 2^planes). Returns (assigned, centroid table).
 
     Scale: centroid build is one groupBy over the bucket key; the
     assignment is a broadcast of n_lists centroids against the vector
     table (narrow). Queries then search only their probe list(s).
     """
     dim = vectors.select(F.size(vec_col)).first()[0]
-    n_planes = max(2, (n_lists or 8).bit_length() - 1)
+    # lists are sign-bucket cells: 2^n_planes of them; round the
+    # request UP to the next power of two (documented behavior)
+    n_planes = max(2, ((n_lists or 8) - 1).bit_length())
     planes = hyperplanes(n_planes, dim)
     bucketed = vectors.withColumn("__b", lsh_bucket(F.col(vec_col), planes))
 

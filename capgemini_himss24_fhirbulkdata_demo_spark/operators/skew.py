@@ -58,8 +58,16 @@ def salted_join(
     deterministic within a run); the small side explodes one row per
     salt value; the join key becomes (key, salt) so a hot key spreads
     over ``n_salts`` partitions. Row multiplicity is preserved
-    exactly (each skewed row matches exactly its own salt replica).
+    exactly for inner/left/semi/anti joins (each skewed row matches
+    exactly its own salt replica). Right/full outer are rejected:
+    an unmatched small-side row exists once per replica and would be
+    emitted ``n_salts`` times.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join does not preserve multiplicity for how={how!r}; "
+            "use inner/left/left_semi/left_anti"
+        )
     s = skewed.withColumn(
         "__salt", (F.monotonically_increasing_id() % n_salts).cast("int")
     )

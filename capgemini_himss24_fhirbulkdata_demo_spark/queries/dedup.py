@@ -88,15 +88,19 @@ def _sql_shingles() -> str:
 
 
 def _spark_shingles():
+    # single-token docs shingle to [] (sequence(1,0) would count DOWN)
     toks = F.split("text", " ")
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        )
-    )
+    return F.when(
+        F.size(toks) >= 2,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 # Hash family: two md5 digests per shingle (d1 = md5(s), d2 =

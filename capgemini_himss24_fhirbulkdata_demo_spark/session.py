@@ -37,6 +37,10 @@ def get_spark(
     b = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.session.timeZone", "UTC")
+        # Permissive (non-ANSI) semantics: null-on-miss element_at /
+        # casts, matching the reference's tolerant, schemaless handling
+        # (FetchBulkData/__init__.py:425-428). Spark 4 defaults ANSI on.
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -200,7 +200,13 @@ def bcda_explanation_of_benefit(df: DataFrame, rxnav: DataFrame) -> DataFrame:
     fail_name = ndc_exists(lambda c: is_ndc(c) & c.display.isNull() & (name_of(c) == ""))
 
     keep = (
-        (F.col("patient.reference") == C.BCDA_DEMO_PATIENT_REF)
+        # coalesce: a null reference must land on the removed list
+        # (reference: None != demo_ref -> removed), not vanish into
+        # three-valued logic where ~NULL filters the row out of BOTH
+        # the removed set and nothing else
+        F.coalesce(
+            F.col("patient.reference") == C.BCDA_DEMO_PATIENT_REF, F.lit(False)
+        )
         & (F.coalesce(claim_type, F.lit("")) == "pharmacy")
         & (F.coalesce(serviced_date, F.lit("")) >= C.SERVICED_DATE_MIN)  # lexical ISO
         & ~fail_rxnorm

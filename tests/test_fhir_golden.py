@@ -249,3 +249,39 @@ def test_roundtrip_untouched_fields(spark, tmp_path):
             with open(os.path.join(out_dir, name)) as f:
                 got.extend(json.loads(line) for line in f if line.strip())
     assert _canon(got) == _canon(PATIENTS_EPIC)
+
+
+def test_null_patient_reference_removed(spark, tmp_path):
+    """Regression: a null/missing patient.reference must land on the
+    removed list (reference semantics: None != demo ref), not slip
+    through three-valued logic."""
+    rows = [
+        {**_eob("eob-null-patient"), "patient": {}},
+        _eob("eob-kept"),
+    ]
+    in_path = os.path.join(tmp_path, "ExplanationOfBenefit-c-9.json")
+    with open(in_path, "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows))
+    df = read_ndjson(spark, in_path, RESOURCE_SCHEMAS["ExplanationOfBenefit"])
+    out = get_transform("https://bcda.x", "ExplanationOfBenefit")(df, _rxnav_df(spark))
+    ids = [r.id for r in out.select("id").collect()]
+    assert ids == ["eob-kept"]
+
+
+def test_eob_without_claim_type_or_items_removed(spark, tmp_path):
+    """Regression: rows with no claim-type coding or an empty item
+    array are removed (null-on-miss semantics), not crashed on
+    (ANSI-off policy; the reference would NameError/KeyError here —
+    removal is the engine's documented tolerant divergence)."""
+    rows = [
+        {**_eob("eob-no-claimtype"), "type": {"coding": [{"system": "other", "code": "x"}]}},
+        {**_eob("eob-empty-items"), "item": []},
+        _eob("eob-kept2"),
+    ]
+    in_path = os.path.join(tmp_path, "ExplanationOfBenefit-c-10.json")
+    with open(in_path, "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows))
+    df = read_ndjson(spark, in_path, RESOURCE_SCHEMAS["ExplanationOfBenefit"])
+    out = get_transform("https://bcda.x", "ExplanationOfBenefit")(df, _rxnav_df(spark))
+    ids = [r.id for r in out.select("id").collect()]
+    assert ids == ["eob-kept2"]

@@ -213,3 +213,28 @@ def test_ivf_recall_vs_bruteforce(spark):
     # deterministic across runs
     ivf2 = QUERIES["x12_knn_ivf"](spark, SF_DIR).collect()
     assert sorted(map(tuple, ivf)) == sorted(map(tuple, ivf2))
+
+
+def test_shingle_short_docs(spark):
+    from pyspark.sql import functions as F
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.operators.dedup import shingle
+
+    df = spark.createDataFrame(
+        [(1, "one"), (2, "two words"), (3, "a b c")], "id INT, text STRING"
+    )
+    got = {r.id: r.sh for r in df.select("id", shingle(F.col("text"), 2).alias("sh")).collect()}
+    assert got[1] == []  # single token -> empty, not a crash
+    assert got[2] == ["two words"]
+    assert sorted(got[3]) == ["a b", "b c"]
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest as _pytest
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.operators import salted_join
+
+    a = spark.createDataFrame([(1, 1.0)], "k INT, v DOUBLE")
+    b = spark.createDataFrame([(1, 2.0)], "k2 INT, w DOUBLE")
+    with _pytest.raises(ValueError, match="multiplicity"):
+        salted_join(a, b, on=[("k", "k2")], how="full")
