@@ -160,11 +160,18 @@ class FhirBulkConnector:
         elif client_secret is not None:
             if client_id is None:
                 raise ValueError("client_secret requires client_id")
-            basic = b64url_encode_py(f"{client_id}:{client_secret}".encode())
+            # RFC 7617 Basic auth: STANDARD base64 with padding (the
+            # reference's padding-stripped urlsafe form, __init__.py:144,
+            # is rejected by compliant servers); RFC 6749 §4.4.2 further
+            # requires grant_type in the body.
+            import base64 as _b64
+
+            basic = _b64.b64encode(f"{client_id}:{client_secret}".encode()).decode()
             r = self.transport(
                 "POST",
                 token_url,
                 headers={"Authorization": f"Basic {basic}", "accept": "application/json"},
+                data={"grant_type": "client_credentials"},
             )
         else:
             raise ValueError("need one of signed_jwt or client_secret")
@@ -194,6 +201,10 @@ class FhirBulkConnector:
                 "Authorization": f"Bearer {token}",
             },
         )
+        if not (r.ok and "Content-Location" in r.headers):
+            raise RuntimeError(
+                f"export kickoff failed: {r.status_code} {r.content[:200]!r}"
+            )
         return r.headers["Content-Location"]
 
     def poll_status(self, status_url: str, token: str) -> bytes:
@@ -222,6 +233,27 @@ class FhirBulkConnector:
         )
         return r.content
 
+    def _download_to(self, data_url: str, token: str, dest_path: str) -> None:
+        """Chunk-stream a file to disk when running on the default
+        requests transport (multi-GB export files must not buffer in
+        driver memory); injected transports fall back to the in-memory
+        interface (tests, small fixtures)."""
+        if self.transport is not _requests_transport:
+            with open(dest_path, "wb") as f:
+                f.write(self.fetch_export_file(data_url, token))
+            return
+        import requests
+
+        with requests.get(
+            data_url,
+            headers={"Authorization": f"Bearer {token}", "Accept": NDJSON_CONTENT_TYPE},
+            stream=True,
+        ) as r:
+            r.raise_for_status()
+            with open(dest_path, "wb") as f:
+                for chunk in r.iter_content(chunk_size=1 << 20):
+                    f.write(chunk)
+
     def land_export(
         self, manifest: dict, token: str, landing_dir: str, client_id: str = "export"
     ) -> list[str]:
@@ -236,11 +268,9 @@ class FhirBulkConnector:
         os.makedirs(landing_dir, exist_ok=True)
         out = []
         for entry in manifest.get("output", []):
-            data = self.fetch_export_file(entry["url"], token)
             name = f"{entry['type']}-{client_id}-{uuid.uuid4()}.json"
             path = os.path.join(landing_dir, name)
-            with open(path, "wb") as f:
-                f.write(data)
+            self._download_to(entry["url"], token, path)
             out.append(path)
         return out
 

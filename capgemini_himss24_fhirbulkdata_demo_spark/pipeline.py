@@ -74,8 +74,12 @@ def transform_landed_file(
         df = fn(df, rxnav)
     obs_out = Observation(f"out:{os.path.basename(path)}")
     df = df.observe(obs_out, F.count(F.lit(1)).alias("n"))
-    out = os.path.join(out_dir, os.path.splitext(os.path.basename(path))[0])
-    write_ndjson(df, out)
+    # one NDJSON FILE per export file: $import urls must point at a
+    # single application/fhir+ndjson blob, not a part-file directory
+    out = os.path.join(
+        out_dir, os.path.splitext(os.path.basename(path))[0] + ".ndjson"
+    )
+    write_ndjson(df, out, single_file=True)
     logger.info(
         "%s: %s/%s resources will be loaded",
         os.path.basename(path),
@@ -102,10 +106,14 @@ def run_bulk_import(
     """The full export → transform → import → archive flow."""
     res = PipelineResult()
     since = state.get(server_url, group_id) if state else None
-    run_started = datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%S")
+    # Fallback cursor only — a FHIR _since must carry a timezone
+    # (YYYY-MM-DDThh:mm:ss+zz:zz); the manifest's transactionTime (the
+    # server-side high-water mark) is preferred when present.
+    run_started = datetime.now(timezone.utc).isoformat(timespec="seconds")
 
     status_url = connector.kickoff_export(server_url, group_id, token, since=since)
     manifest = json.loads(connector.poll_status(status_url, token))
+    next_cursor = manifest.get("transactionTime") or run_started
 
     landing = os.path.join(work_dir, "landing")
     res.landed = connector.land_export(manifest, token, landing, client_id=client_id)
@@ -125,8 +133,8 @@ def run_bulk_import(
 
     res.archived = connector.archive_files(res.landed, os.path.join(work_dir, "archive"))
     if state is not None:
-        state.advance(server_url, group_id, run_started)
-        res.since_advanced_to = run_started
+        state.advance(server_url, group_id, next_cursor)
+        res.since_advanced_to = next_cursor
     return res
 
 

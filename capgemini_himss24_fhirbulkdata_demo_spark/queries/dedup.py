@@ -364,9 +364,13 @@ def x04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash path (x02) replaces enumeration.
     """
     docs = load_table(spark, sf_dir, "documents")
-    grams = F.array_distinct(
-        F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
-    )
+    # short-text guard: sequence(1, len-2) counts DOWN for len < 3
+    grams = F.when(
+        F.length("text") >= 3,
+        F.array_distinct(
+            F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     g = docs.select(
         "doc_id",
         "source",

@@ -83,7 +83,7 @@ def q50_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            STRFTIME(o_orderdate - INTERVAL 1 MONTH, '%Y-%m-%d') AS minus1m,
            STRFTIME(LAST_DAY(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
            DATEDIFF('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_95,
-           EPOCH(o_orderdate) AS epoch_s,
+           CAST(EPOCH(o_orderdate) AS BIGINT) AS epoch_s,
            STRFTIME(MAKE_DATE(CAST(EXTRACT(YEAR FROM o_orderdate) AS INT), 1, 1),
                     '%Y-%m-%d') AS year_start
     FROM orders

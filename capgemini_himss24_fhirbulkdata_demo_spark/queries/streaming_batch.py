@@ -104,7 +104,7 @@ def x31_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     marked AS (
       SELECT user_id, ts,
              CASE WHEN prev_ts IS NULL
-                       OR ts - prev_ts > INTERVAL 5 MINUTE THEN 1 ELSE 0 END
+                       OR ts - prev_ts >= INTERVAL 5 MINUTE THEN 1 ELSE 0 END
                AS new_session
       FROM ordered),
     numbered AS (

@@ -45,15 +45,36 @@ def read_ndjson(
     return df
 
 
-def write_ndjson(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+def write_ndjson(
+    df: DataFrame, path: str, mode: str = "overwrite", single_file: bool = False
+) -> str:
     """Write a DataFrame as NDJSON (one JSON object per line).
 
     ``to_json`` omits null fields, matching the reference's output of
     plain ``json.dumps`` on dicts that never contained those keys.
+
+    ``single_file=True`` produces exactly one NDJSON *file* at
+    ``path`` (coalesce(1) + part-file promotion) — the shape a FHIR
+    ``$import`` url must point at (one blob per manifest entry,
+    ``__init__.py:351-355``). Parallelism then comes from processing
+    many export files concurrently, not from splitting one.
+    Returns the written path.
     """
-    df.select(
+    serialized = df.select(
         F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value")
-    ).write.mode(mode).text(path)
+    )
+    if not single_file:
+        serialized.write.mode(mode).text(path)
+        return path
+    import shutil
+
+    tmp = path + ".__tmp__"
+    serialized.coalesce(1).write.mode("overwrite").text(tmp)
+    part = next(n for n in sorted(os.listdir(tmp)) if n.startswith("part-"))
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    os.replace(os.path.join(tmp, part), path)
+    shutil.rmtree(tmp)
+    return path
 
 
 def resource_type_from_name(blob_name: str) -> str:

@@ -56,11 +56,16 @@ class FakeServer:
         raise AssertionError(url)
 
 
-def _read_out(out_dir):
+def _read_out(out_path):
+    """Read pipeline NDJSON output: a single file (the $import-ready
+    shape) or a part-file directory."""
+    if os.path.isfile(out_path):
+        with open(out_path) as f:
+            return [json.loads(line) for line in f if line.strip()]
     rows = []
-    for name in sorted(os.listdir(out_dir)):
+    for name in sorted(os.listdir(out_path)):
         if name.startswith("part-"):
-            with open(os.path.join(out_dir, name)) as f:
+            with open(os.path.join(out_path, name)) as f:
                 rows.extend(json.loads(line) for line in f if line.strip())
     return rows
 
@@ -148,3 +153,22 @@ def test_reset_and_seed(tmp_path):
     names = sorted(os.path.basename(p) for p in out["seeded"])
     assert names == ["Condition-client-777.json", "Patient-client-777.json"]
     assert ("DELETE", "https://cg/$bulk-delete") in calls
+
+
+def test_transformed_outputs_are_single_ndjson_files(spark, tmp_path):
+    """$import urls must point at one NDJSON blob each, not a Spark
+    part-file directory."""
+    server = FakeServer()
+    conn = FhirBulkConnector(transport=server, sleep=lambda s: None)
+    rx = spark.createDataFrame([("1", "n", "r")], RXNAV_LOOKUP_SCHEMA)
+    res = run_bulk_import(
+        spark, conn, "https://fhir.epic.example", "g1", "tok",
+        "https://cg", "itok", str(tmp_path / "run"), rxnav=rx,
+    )
+    for out in res.transformed.values():
+        assert os.path.isfile(out), out
+        assert out.endswith(".ndjson")
+    # the manifest's valueUris reference those single files
+    uris = [p["part"][1]["valueUri"]
+            for p in server.import_bodies[-1]["parameter"] if p["name"] == "input"]
+    assert all(u.endswith(".ndjson") for u in uris)
