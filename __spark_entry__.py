@@ -34,7 +34,20 @@ def _configure(spark: SparkSession) -> SparkSession:
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
-        pass  # static conf on some builds; catalog handles long ts anyway
+        # If the conf is static on this build AND not already true, the
+        # events.parquet scan (TIMESTAMP NANOS) will fail at read time —
+        # warn loudly now instead of surfacing opaque per-query errors.
+        import warnings
+
+        current = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+        if str(current).lower() != "true":
+            warnings.warn(
+                "could not set spark.sql.legacy.parquet.nanosAsLong=true; "
+                "queries over the events table will fail on the NANOS "
+                "timestamp column (create the session with this conf)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return spark
 
 

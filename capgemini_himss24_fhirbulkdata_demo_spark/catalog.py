@@ -70,7 +70,7 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         p = table_path(sf_dir, name)
         if not os.path.exists(p):
             continue
-        df = spark.read.parquet(p)
+        df = load_table(spark, sf_dir, name)  # incl. nanos re-typing
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

@@ -64,10 +64,14 @@ class FhirBulkReader(DataSourceReader):
         return out
 
     def read(self, partition: _ManifestEntry):
+        if partition is None:
+            # PySpark substitutes [None] for an empty partitions() list;
+            # an empty manifest selection is an empty result, not a crash
+            return
         url = partition.url
         if url.startswith("file://"):
             with open(url[len("file://") :], "rb") as f:
-                data = f.read()
+                lines = f.read().decode("utf-8").splitlines()
         elif url.startswith(("http://", "https://")):
             import requests
 
@@ -75,11 +79,20 @@ class FhirBulkReader(DataSourceReader):
             token = self.options.get("token")
             if token:
                 headers["Authorization"] = f"Bearer {token}"
-            data = requests.get(url, headers=headers).content
+            # stream + status check: an OperationOutcome error body must
+            # not be ingested as resources, a hung server must not hang
+            # the task forever, and a multi-GB file must not be held
+            # 3x in executor memory
+            with requests.get(url, headers=headers, stream=True, timeout=300) as r:
+                r.raise_for_status()
+                lines = [
+                    ln.decode("utf-8")
+                    for ln in r.iter_lines()  # strips \n and \r\n alike
+                ]
         else:
             raise ValueError(f"unsupported url scheme: {url}")
-        text = data.decode("utf-8").rstrip("\r\n")
-        for i, line in enumerate(text.split("\n")):
+        for i, line in enumerate(lines):
+            line = line.rstrip("\r")  # interior CRLF from local files
             if line.strip():
                 yield (partition.resource_type, url, i, line)
 

@@ -68,11 +68,22 @@ def write_ndjson(
         return path
     import shutil
 
+    # honor mode semantics on the destination FILE (the temp dir write
+    # below is always overwrite — it's scratch space)
+    exists = os.path.exists(path)
+    if exists and mode in ("error", "errorifexists"):
+        raise FileExistsError(path)
+    if exists and mode == "ignore":
+        return path
     tmp = path + ".__tmp__"
     serialized.coalesce(1).write.mode("overwrite").text(tmp)
     part = next(n for n in sorted(os.listdir(tmp)) if n.startswith("part-"))
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    os.replace(os.path.join(tmp, part), path)
+    if exists and mode == "append":
+        with open(path, "ab") as dst, open(os.path.join(tmp, part), "rb") as src:
+            dst.write(src.read())
+    else:
+        os.replace(os.path.join(tmp, part), path)
     shutil.rmtree(tmp)
     return path
 

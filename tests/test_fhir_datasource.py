@@ -82,3 +82,28 @@ def test_missing_manifest_option_errors(spark):
     fhir_datasource.register(spark)
     with pytest.raises(Exception, match="manifest"):
         spark.read.format("fhirbulk").load().collect()
+
+
+def test_fully_pruned_manifest_yields_empty(spark, manifest):
+    """allowedTypes matching nothing must give an empty DataFrame, not
+    a read(None) crash (PySpark substitutes [None] for empty
+    partitions())."""
+    fhir_datasource.register(spark)
+    df = (
+        spark.read.format("fhirbulk")
+        .option("manifest", manifest)
+        .option("allowedTypes", "Observation")
+        .load()
+    )
+    assert df.count() == 0
+
+
+def test_crlf_lines_stripped(spark, tmp_path):
+    f = tmp_path / "p.ndjson"
+    f.write_bytes(b'{"resourceType":"Patient","id":"a"}\r\n{"resourceType":"Patient","id":"b"}\r\n')
+    m = tmp_path / "m.json"
+    m.write_text(json.dumps({"output": [{"type": "Patient", "url": f"file://{f}"}]}))
+    fhir_datasource.register(spark)
+    rows = spark.read.format("fhirbulk").option("manifest", str(m)).load().collect()
+    assert all(not r.resource_json.endswith("\r") for r in rows)
+    assert sorted(json.loads(r.resource_json)["id"] for r in rows) == ["a", "b"]
