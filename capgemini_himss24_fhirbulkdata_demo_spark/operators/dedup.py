@@ -142,13 +142,40 @@ def near_dup_pairs(
     band_size: int = 2,
     shingle_n: int = 2,
     min_jaccard: float = 0.3,
+    min_agree: int = 4,
 ) -> DataFrame:
-    """Full near-dup pipeline → (id_a, id_b, jaccard) above threshold."""
+    """Full near-dup pipeline → (id_a, id_b, jaccard) above threshold.
+
+    ``min_agree`` is the estimate-then-verify gate: banded candidates
+    must agree on that many of the ``n_hashes`` minhashes (banding
+    alone guarantees ``band_size``) before the exact-Jaccard join —
+    E[agreement | banded] = band_size + (n-band_size)·jaccard. Prunes
+    the band-collision tail cheaply; set to ``band_size`` to disable.
+    """
     sh = docs.select(
         F.col(id_col), shingle(F.col(text_col), shingle_n).alias("sh")
     ).persist()
-    sigs = minhash_signatures(sh, id_col, "sh", n_hashes)
+    sigs = minhash_signatures(sh, id_col, "sh", n_hashes).persist()
     cand = lsh_candidate_pairs(sigs, id_col, n_hashes, band_size)
+    if min_agree > band_size:
+        g1 = sigs.select(
+            F.col(id_col).alias("id_a"),
+            *[F.col(f"h{i}").alias(f"__ha{i}") for i in range(n_hashes)],
+        )
+        g2 = sigs.select(
+            F.col(id_col).alias("id_b"),
+            *[F.col(f"h{i}").alias(f"__hb{i}") for i in range(n_hashes)],
+        )
+        agree = None
+        for i in range(n_hashes):
+            t = F.when(F.col(f"__ha{i}") == F.col(f"__hb{i}"), 1).otherwise(0)
+            agree = t if agree is None else agree + t
+        cand = (
+            cand.join(F.broadcast(g1), "id_a")
+            .join(F.broadcast(g2), "id_b")
+            .filter(agree >= min_agree)
+            .select("id_a", "id_b")
+        )
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     return (
