@@ -102,6 +102,8 @@ def decode_images(media: DataFrame) -> DataFrame:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 w, h, frames = _decode_fake(bytes(payload))
+                if not frames:
+                    continue  # zero-frame payload: nothing to decode
                 px = frames[0]
                 hist = [0.0] * 8
                 total = 0
@@ -130,6 +132,8 @@ def extract_patch_features(media: DataFrame, patch: int = 8) -> DataFrame:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 w, h, frames = _decode_fake(bytes(payload))
+                if not frames:
+                    continue  # zero-frame payload
                 px = frames[0]
                 pid = 0
                 for py in range(0, h, patch):

@@ -38,7 +38,10 @@ def _flag_rapid_fire(min_gap_s: float, idle_timeout_ms: int):
             return
         n, last_us = state.get if state.exists else (0, None)
         out = []
-        batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        batch = pd.concat(list(pdfs))
+        # null event times (NaT) carry INT64_MIN in .value — they would
+        # poison last_ts_us and every subsequent gap; drop them
+        batch = batch[batch["ts"].notna()].sort_values(["ts", "event_id"])
         for _, row in batch.iterrows():
             ts_us = int(row["ts"].value // 1000)  # pandas ns -> us
             n += 1

@@ -71,17 +71,20 @@ def _eob_claim_type(r: dict) -> str | None:
 def _bcda_eob(resources: list[dict], rxnav: dict[str, dict]) -> list[dict]:
     removed: list[str] = []
     out: list[dict] = []
-    for r in resources:
-        r = copy.deepcopy(r)
-        if r["patient"]["reference"] != C.BCDA_DEMO_PATIENT_REF:
+    for r in resources:  # process() already deep-copied
+        # engine-divergence policy (documented in transforms/fhir.py):
+        # shapes the reference would crash on (missing patient.reference,
+        # empty item[], no claim-type coding) are REMOVED, not raised —
+        # the oracle mirrors the engine here, not the reference's crash.
+        if (r.get("patient") or {}).get("reference") != C.BCDA_DEMO_PATIENT_REF:
             removed.append(r["id"])
         elif _eob_claim_type(r) != "pharmacy":
             removed.append(r["id"])
         else:
             serviced = None
-            for item in r["item"]:
-                serviced = item["servicedDate"]  # last item wins
-            if serviced < C.SERVICED_DATE_MIN:
+            for item in r.get("item") or []:
+                serviced = item.get("servicedDate")  # last item wins
+            if serviced is None or serviced < C.SERVICED_DATE_MIN:
                 removed.append(r["id"])
             else:
                 special = r["id"] == C.BCDA_SPECIAL_EOB_ID
@@ -100,7 +103,7 @@ def _bcda_eob(resources: list[dict], rxnav: dict[str, dict]) -> list[dict]:
                         if info["rxnorm"] == "":
                             removed.append(r["id"])
                             continue
-                        if "display" not in code:
+                        if code.get("display") is None:  # absent OR null
                             if info["name"] == "":
                                 removed.append(r["id"])
                             else:

@@ -48,6 +48,11 @@ def _norm(v):
     if v is None:
         return None
     if isinstance(v, Decimal):
+        # integral decimals (DuckDB HUGEINT sums) must compare exactly
+        # against Spark's bigint — float() would lose precision > 2^53
+        # and sort differently ('5' vs '5.0')
+        if v == v.to_integral_value():
+            return int(v)
         return float(v)
     if isinstance(v, bool):
         return v
@@ -75,9 +80,6 @@ def _norm(v):
         return _norm(v.tolist())
     if hasattr(v, "item"):
         return _norm(v.item())
-    # pyspark Row (struct)
-    if hasattr(v, "asDict"):
-        return _norm(v.asDict())
     return v
 
 
