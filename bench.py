@@ -58,6 +58,61 @@ HEADLINE += [
 ]
 
 
+def bench_fhir_pipeline(spark, n_records: int = 100_000) -> dict:
+    """Reference-workload throughput: the BCDA EOB transform (the
+    reference's heaviest branch) over synthetic NDJSON, Spark pipeline
+    vs the reference-equivalent single-threaded Python loop on the
+    SAME data — the goal's 'matches-or-beats single-node throughput'
+    measured directly.
+    """
+    import tempfile
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.sources import read_ndjson, write_ndjson
+    from capgemini_himss24_fhirbulkdata_demo_spark.transforms import get_transform
+    from capgemini_himss24_fhirbulkdata_demo_spark.transforms.benchdata import (
+        RXNAV_BENCH,
+        make_eob,
+        write_eob_ndjson,
+    )
+    from capgemini_himss24_fhirbulkdata_demo_spark.transforms.schemas import (
+        RESOURCE_SCHEMAS,
+        RXNAV_LOOKUP_SCHEMA,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="fhirbench_")
+    src = write_eob_ndjson(os.path.join(tmp, "eobs.ndjson"), n_records)
+    rx = spark.createDataFrame(
+        [(k, v["name"], v["rxnorm"]) for k, v in sorted(RXNAV_BENCH.items())],
+        RXNAV_LOOKUP_SCHEMA,
+    )
+    fn = get_transform("https://bcda.example", "ExplanationOfBenefit")
+
+    t0 = time.perf_counter()
+    df = read_ndjson(spark, src, RESOURCE_SCHEMAS["ExplanationOfBenefit"])
+    write_ndjson(fn(df, rx), os.path.join(tmp, "out"))
+    spark_sec = time.perf_counter() - t0
+
+    # single-threaded reference-equivalent loop (tests/fhir_oracle.py
+    # semantics) on a 1/10 sample, extrapolated — running 100k records
+    # row-at-a-time takes minutes, which is itself the finding
+    sys.path.insert(0, os.path.join(REPO_ROOT, "tests"))
+    import fhir_oracle
+
+    sample = max(n_records // 10, 1)
+    docs = [make_eob(i) for i in range(sample)]
+    t0 = time.perf_counter()
+    fhir_oracle.process("https://bcda.example", "ExplanationOfBenefit", docs, RXNAV_BENCH)
+    python_sec = (time.perf_counter() - t0) * (n_records / sample)
+
+    return {
+        "fhir_eob_records": n_records,
+        "fhir_eob_spark_sec": round(spark_sec, 3),
+        "fhir_eob_spark_rec_per_sec": round(n_records / spark_sec),
+        "fhir_eob_python_sec_extrapolated": round(python_sec, 3),
+        "fhir_eob_speedup_vs_single_thread": round(python_sec / spark_sec, 2),
+    }
+
+
 def main() -> None:
     from capgemini_himss24_fhirbulkdata_demo_spark.queries import QUERIES
     from capgemini_himss24_fhirbulkdata_demo_spark.session import get_spark
@@ -94,6 +149,8 @@ def main() -> None:
         per_query[name] = round(time.perf_counter() - t0, 3)
     total = round(time.perf_counter() - t_all, 3)
 
+    fhir = bench_fhir_pipeline(spark)
+
     print(
         json.dumps(
             {
@@ -101,6 +158,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "fhir_pipeline": fhir,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
