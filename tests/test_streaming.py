@@ -324,3 +324,56 @@ def test_complete_and_update_output_modes(spark, tmp_path):
     # update mode from scratch over all files: emits current counts
     got3 = run("update", "update_out", "ck_u")
     assert ("click", 2) in got3 and ("view", 1) in got3
+
+
+def test_streaming_fhir_import(spark, tmp_path):
+    """Incremental FHIR import: files landing over time flow through
+    the transform into single-file NDJSON blobs + idempotent commits."""
+    import json as _json
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.streaming.fhir_import import (
+        start_streaming_import,
+    )
+    from capgemini_himss24_fhirbulkdata_demo_spark.transforms.schemas import (
+        RXNAV_LOOKUP_SCHEMA,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out_dir = str(tmp_path / "out")
+    os.makedirs(out_dir)
+    ck = str(tmp_path / "ck")
+    rx = spark.createDataFrame([("1", "n", "r")], RXNAV_LOOKUP_SCHEMA)
+    commits: list[tuple[int, list[str]]] = []
+
+    def commit(paths, batch_id):
+        commits.append((batch_id, paths))
+
+    def run():
+        q = start_streaming_import(
+            spark, str(landing), "Patient", "https://fhir.epic.example",
+            out_dir, ck, commit, rxnav=rx,
+        )
+        q.awaitTermination(120)
+
+    (landing / "Patient-c-1.json").write_text(_json.dumps(
+        {"resourceType": "Patient", "id": "egqBHVfQlt4Bw3XGXoxVxHg3",
+         "identifier": [{"system": "old", "value": "X"}]}))
+    run()
+    assert len(commits) == 1
+    path = commits[0][1][0]
+    assert os.path.isfile(path) and path.endswith(".ndjson")
+    rec = _json.loads(open(path).read().strip())
+    assert rec["identifier"][0]["value"] == "1S00E00AA27"  # transform applied
+
+    # second landing: new batch id, only the new file processed
+    (landing / "Patient-c-2.json").write_text(
+        _json.dumps({"resourceType": "Patient", "id": "p2"}))
+    run()
+    assert [c[0] for c in commits] == [0, 1]
+    rec2 = [_json.loads(l) for l in open(commits[1][1][0]) if l.strip()]
+    assert [r["id"] for r in rec2] == ["p2"]
+
+    # replay with no new data: no re-commit
+    run()
+    assert len(commits) == 2
