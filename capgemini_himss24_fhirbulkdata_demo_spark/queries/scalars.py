@@ -223,7 +223,8 @@ def q53_conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT r_regionkey,
            MD5(r_name) AS name_md5,
            SHA256(r_name) AS name_sha256,
-           TO_BASE64(ENCODE(r_name)) AS name_b64
+           TO_BASE64(ENCODE(r_name)) AS name_b64,
+           DECODE(FROM_BASE64(TO_BASE64(ENCODE(r_name)))) AS b64_roundtrip
     FROM region
     ORDER BY r_regionkey
     """,
@@ -238,6 +239,9 @@ def q54_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.col("r_name").cast("binary")).alias("name_md5"),
             F.sha2(F.col("r_name").cast("binary"), 256).alias("name_sha256"),
             F.base64(F.col("r_name").cast("binary")).alias("name_b64"),
+            F.decode(
+                F.unbase64(F.base64(F.col("r_name").cast("binary"))), "UTF-8"
+            ).alias("b64_roundtrip"),
         )
         .orderBy("r_regionkey")
     )
