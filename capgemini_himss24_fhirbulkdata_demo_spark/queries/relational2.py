@@ -410,3 +410,46 @@ def q59_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_disc_price()).cast("double").alias("revenue"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "q71_returned_item_revenue",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+           n_name,
+           CAST(c_acctbal AS DOUBLE) AS acctbal
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY c_custkey, c_name, n_name, c_acctbal
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q71_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20 —
+    fact↔fact join with pushed returnflag/date filters, broadcast dims."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .select(
+            "c_custkey", "c_name", "revenue", "n_name",
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
