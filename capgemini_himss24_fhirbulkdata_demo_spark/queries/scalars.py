@@ -142,7 +142,8 @@ def q51_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SIGN(l_quantity - 25) AS DOUBLE) AS sgn,
            GREATEST(l_quantity, 25.0) AS gq,
            LEAST(l_quantity, 25.0) AS lq,
-           CAST(l_quantity AS BIGINT) % 7 AS mod7
+           CAST(l_quantity AS BIGINT) % 7 AS mod7,
+           ROUND_EVEN(l_quantity / 2, 0) AS bround_halfq
     FROM lineitem
     WHERE l_orderkey <= 40
     ORDER BY l_orderkey, l_linenumber
@@ -171,6 +172,7 @@ def q52_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(q, F.lit(25.0)).alias("gq"),
             F.least(q, F.lit(25.0)).alias("lq"),
             (q.cast("bigint") % 7).alias("mod7"),
+            F.bround(q / 2, 0).alias("bround_halfq"),
         )
         .orderBy("l_orderkey", "l_linenumber")
     )

@@ -142,7 +142,9 @@ def q62_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            CAST(props ->> '$.k' AS BIGINT) AS k_val,
-           CASE WHEN props ->> '$.k' IS NULL THEN 0 ELSE 1 END AS has_k
+           CASE WHEN props ->> '$.k' IS NULL THEN 0 ELSE 1 END AS has_k,
+           props ->> '$.k' AS k_str,
+           props ->> '$.missing' AS missing_str
     FROM events
     WHERE event_id <= 200
     ORDER BY event_id
@@ -159,6 +161,8 @@ def q63_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             k.cast("bigint").alias("k_val"),
             F.when(k.isNull(), 0).otherwise(1).alias("has_k"),
+            # json_tuple: multi-field extraction in one pass
+            F.json_tuple("props", "k", "missing").alias("k_str", "missing_str"),
         )
         .orderBy("event_id")
     )

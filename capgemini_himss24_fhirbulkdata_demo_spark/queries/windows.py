@@ -90,7 +90,14 @@ def q31_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS running_value,
            COUNT(*) OVER (
                 PARTITION BY user_id ORDER BY event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far,
+           FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+                PARTITION BY user_id ORDER BY event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / COUNT(*) OVER (
+                PARTITION BY user_id ORDER BY event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000) / 10000
+             AS running_avg
     FROM events
     WHERE user_id <= 25
     ORDER BY user_id, event_id
@@ -114,6 +121,17 @@ def q32_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "running_value"
             ),
             F.count("*").over(w).alias("n_so_far"),
+            # floor-truncate, not round: sum/count lands on exact .5
+            # rounding ties (e.g. 532.43/8) where HALF_UP engines
+            # disagree; floor of the identical double is bit-stable
+            (
+                F.floor(
+                    F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+                    / F.count("*").over(w)
+                    * 10000
+                )
+                / 10000
+            ).alias("running_avg"),
         )
         .orderBy("user_id", "event_id")
     )
