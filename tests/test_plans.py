@@ -140,3 +140,34 @@ def test_fhir_eob_join_strategies(spark, tmp_path):
     assert "BroadcastNestedLoopJoin" in text or "BroadcastHashJoin" in text
     strategies = join_strategies(out)
     assert "CartesianProduct" not in strategies, strategies
+
+
+def test_q16_dims_broadcast(spark):
+    strategies = join_strategies(_plan(spark, "q16_nation_trade_pairs"))
+    assert strategies.count("BroadcastHashJoin") >= 4, strategies
+    assert "CartesianProduct" not in strategies
+
+
+def test_q71_filters_pushed(spark):
+    df = _plan(spark, "q71_returned_item_revenue")
+    pf = " ".join(pushed_filters(df))
+    assert "l_returnflag" in pf and "o_orderdate" in pf, pf
+    assert "CartesianProduct" not in join_strategies(df)
+
+
+def test_q57_part_broadcast(spark):
+    strategies = join_strategies(_plan(spark, "q57_promo_revenue"))
+    assert "BroadcastHashJoin" in strategies
+    assert "CartesianProduct" not in strategies
+
+
+def test_x02_gated_pipeline_no_cartesian(spark):
+    # estimate gate adds two joins; none may degenerate
+    assert_no_cartesian_product(_plan(spark, "x02_dedup_minhash"))
+
+
+def test_pushed_filter_entries_are_whole(spark):
+    # regression for the comma-fragmentation bug in the plan parser
+    df = _plan(spark, "q01_pricing_summary")
+    for entry in pushed_filters(df):
+        assert entry.count("(") == entry.count(")"), entry
