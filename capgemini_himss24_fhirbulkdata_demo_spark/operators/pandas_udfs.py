@@ -36,10 +36,17 @@ def cosine_to_query_udf(query_vec: list[float]):
     return _cos
 
 
-@pandas_udf("double")
-def vector_norm_udf(emb: pd.Series) -> pd.Series:
-    m = np.stack(emb.to_numpy()).astype(np.float64)
-    return pd.Series(np.linalg.norm(m, axis=1))
+def vector_norm_udf():
+    """Factory (not a module-level UDF: ``@pandas_udf`` needs an
+    active SparkSession, so decorating at import time breaks any
+    import that precedes session creation)."""
+
+    @pandas_udf("double")
+    def _norm(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy()).astype(np.float64)
+        return pd.Series(np.linalg.norm(m, axis=1))
+
+    return _norm
 
 
 def centroid_per_group(df: DataFrame, group_col: str, vec_col: str) -> DataFrame:
@@ -52,3 +59,32 @@ def centroid_per_group(df: DataFrame, group_col: str, vec_col: str) -> DataFrame
         return m.mean(axis=0).tolist()
 
     return df.groupBy(group_col).agg(_centroid(F.col(vec_col)).alias("centroid"))
+
+
+def zscore_per_group(
+    df: DataFrame, group_col: str, value_col: str, out_col: str = "zscore"
+) -> DataFrame:
+    """Grouped-map applyInPandas: per-group z-score normalization —
+    the feature-normalization shape (whole group materialized as one
+    pandas frame, numpy-vectorized, returned with an added column).
+
+    Completes the UDF surface (SURVEY §2B UDF row): scalar pandas_udf,
+    grouped-agg pandas_udf, mapInPandas, applyInPandasWithState, and
+    this grouped-map applyInPandas.
+
+    Scale: one shuffle on ``group_col``; each group must fit in one
+    executor's memory (the applyInPandas contract) — for unbounded
+    groups use the two-pass join form (groupBy stats + broadcast join)
+    instead.
+    """
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {out_col} double"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf[value_col].to_numpy(dtype=np.float64)
+        sd = v.std(ddof=1) if len(v) > 1 else 0.0
+        z = (v - v.mean()) / sd if sd > 0 else np.zeros_like(v)
+        return pdf.assign(**{out_col: z})
+
+    return df.groupBy(group_col).applyInPandas(fn, out_schema)

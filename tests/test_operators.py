@@ -170,7 +170,7 @@ def test_pandas_udf_cosine_matches_builtin(spark):
     got = emb.select(
         "vec_id",
         cosine_to_query_udf(list(qvec))(F.col("embedding")).alias("c_udf"),
-        vector_norm_udf(F.col("embedding")).alias("n_udf"),
+        vector_norm_udf()(F.col("embedding")).alias("n_udf"),
     )
     qcol = F.array(*[F.lit(float(x)) for x in qvec])
     exp = emb.select(
@@ -238,3 +238,31 @@ def test_salted_join_rejects_outer(spark):
     b = spark.createDataFrame([(1, 2.0)], "k2 INT, w DOUBLE")
     with _pytest.raises(ValueError, match="multiplicity"):
         salted_join(a, b, on=[("k", "k2")], how="full")
+
+
+def test_zscore_per_group_matches_builtin(spark):
+    import math
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.operators.pandas_udfs import (
+        zscore_per_group,
+    )
+
+    cust = load_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    got = {r.c_custkey: r.zscore for r in zscore_per_group(
+        cust, "c_nationkey", "c_acctbal").collect()}
+    w = Window.partitionBy("c_nationkey")
+    exp_df = cust.select(
+        "c_custkey",
+        ((F.col("c_acctbal") - F.avg("c_acctbal").over(w))
+         / F.stddev_samp("c_acctbal").over(w)).alias("z"),
+    )
+    exp = {r.c_custkey: r.z for r in exp_df.collect()}
+    assert set(got) == set(exp)
+    for k in got:
+        e = exp[k] if exp[k] is not None else 0.0
+        assert math.isclose(got[k], e, rel_tol=1e-9, abs_tol=1e-12), (k, got[k], e)
