@@ -365,6 +365,8 @@ def q12_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n,
            ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
            ROUND(VAR_SAMP(l_quantity), 4) AS var_qty,
+           ROUND(STDDEV_POP(l_quantity), 4) AS sdp_qty,
+           ROUND(VAR_POP(l_quantity), 4) AS varp_qty,
            ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) / COUNT(*), 6) AS avg_disc
     FROM lineitem
     GROUP BY l_returnflag
@@ -384,6 +386,8 @@ def q13_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
             F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.round(F.stddev_pop("l_quantity"), 4).alias("sdp_qty"),
+            F.round(F.var_pop("l_quantity"), 4).alias("varp_qty"),
             F.round(
                 F.sum(F.col("l_discount").cast("decimal(8,4)")).cast("double") / F.count("*"),
                 6,

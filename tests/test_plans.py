@@ -171,3 +171,20 @@ def test_pushed_filter_entries_are_whole(spark):
     df = _plan(spark, "q01_pricing_summary")
     for entry in pushed_filters(df):
         assert entry.count("(") == entry.count(")"), entry
+
+
+def test_split_top_level_parser():
+    from capgemini_himss24_fhirbulkdata_demo_spark.plans.inspect import (
+        _split_top_level,
+    )
+
+    assert _split_top_level("IsNotNull(a), LessThanOrEqual(b,2000-01-01)") == [
+        "IsNotNull(a)",
+        "LessThanOrEqual(b,2000-01-01)",
+    ]
+    assert _split_top_level("In(c, [x,y,z]), Eq(d,1)") == ["In(c, [x,y,z])", "Eq(d,1)"]
+    assert _split_top_level("a:struct<b:int,c:int>,d:decimal(12,2)") == [
+        "a:struct<b:int,c:int>",
+        "d:decimal(12,2)",
+    ]
+    assert _split_top_level("") == []
