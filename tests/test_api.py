@@ -1,0 +1,109 @@
+"""API-layer tests (SURVEY §2A O1/O2/S4/K6): route dispatch,
+validation envelopes, static serving, error envelope."""
+
+from __future__ import annotations
+
+import json
+
+from capgemini_himss24_fhirbulkdata_demo_spark.api import (
+    ApiResponse,
+    handle_request,
+    serve_static,
+    validate_import_request,
+)
+
+VALID_BODY = {
+    "server-url": "https://fhir.example",
+    "smart-url": "https://fhir.example/.well-known/smart-configuration",
+    "client-id": "cid",
+    "group-id": "g1",
+}
+
+
+def _dispatch(method, datatype, period, body=None, **kw):
+    calls = {}
+
+    def run_latest(b):
+        calls["latest"] = b
+        return {"import_status_code": 200, "import_details": "ok"}
+
+    def run_initial(b):
+        calls["initial"] = b
+        return {"seeded": 2}
+
+    resp = handle_request(
+        method, datatype, period, body,
+        run_latest=run_latest, run_initial=run_initial,
+        get_token=kw.get("get_token"),
+    )
+    return resp, calls
+
+
+def test_latest_route_validates_and_runs():
+    resp, calls = _dispatch("POST", "bulkimport", "latest", VALID_BODY)
+    assert resp.status_code == 200
+    assert json.loads(resp.body)["import_status_code"] == 200
+    assert calls["latest"] == VALID_BODY
+
+
+def test_missing_params_400():
+    bad = {k: v for k, v in VALID_BODY.items() if k != "client-id"}
+    resp, calls = _dispatch("POST", "bulkimport", "latest", bad)
+    assert resp.status_code == 400
+    assert "client-id" in json.loads(resp.body)["error"]
+    assert not calls  # pipeline never invoked
+
+    no_discovery = {k: v for k, v in VALID_BODY.items() if k != "smart-url"}
+    resp, _ = _dispatch("POST", "bulkimport", "latest", no_discovery)
+    assert resp.status_code == 400
+    assert "smart-url or token-url" in json.loads(resp.body)["error"]
+
+
+def test_token_url_accepted_instead_of_smart_url():
+    body = {k: v for k, v in VALID_BODY.items() if k != "smart-url"}
+    body["token-url"] = "https://idp/token"
+    assert validate_import_request(body) == []
+
+
+def test_initial_route():
+    resp, calls = _dispatch("POST", "bulkimport", "initial", {})
+    assert resp.status_code == 200 and json.loads(resp.body) == {"seeded": 2}
+    assert "initial" in calls
+
+
+def test_report_and_token_routes():
+    resp, _ = _dispatch("GET", "analytics", "report")
+    assert resp.status_code == 200
+    assert resp.headers["Content-Type"] == "text/html"
+    assert b"queries()" in resp.body
+
+    resp, _ = _dispatch("GET", "token", "fhir", get_token=lambda: "tok-9")
+    assert json.loads(resp.body) == {"access_token": "tok-9"}
+
+
+def test_unknown_route_and_error_envelope():
+    resp, _ = _dispatch("DELETE", "bulkimport", "latest")
+    assert resp.status_code == 400
+
+    def boom(b):
+        raise RuntimeError("kaput")
+
+    resp = handle_request(
+        "POST", "bulkimport", "latest", VALID_BODY,
+        run_latest=boom, run_initial=lambda b: {},
+    )
+    assert resp.status_code == 500
+    assert json.loads(resp.body) == {"error": "kaput"}
+
+
+def test_serve_static(tmp_path):
+    f = tmp_path / "report.html"
+    f.write_text("<html>hi</html>")
+    resp = serve_static(str(f))
+    assert resp.status_code == 200 and resp.headers["Content-Type"] == "text/html"
+    assert serve_static(str(tmp_path / "nope.html")).status_code == 404
+
+
+def test_json_envelope():
+    r = ApiResponse.json({"a": 1})
+    assert r.status_code == 200 and json.loads(r.body) == {"a": 1}
