@@ -84,6 +84,8 @@ def q50_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            STRFTIME(LAST_DAY(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
            DATEDIFF('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_95,
            CAST(EPOCH(o_orderdate) AS BIGINT) AS epoch_s,
+           STRFTIME(TO_TIMESTAMP(CAST(EPOCH(o_orderdate) AS BIGINT)),
+                    '%Y-%m-%d %H:%M:%S') AS from_epoch,
            STRFTIME(MAKE_DATE(CAST(EXTRACT(YEAR FROM o_orderdate) AS INT), 1, 1),
                     '%Y-%m-%d') AS year_start
     FROM orders
@@ -118,6 +120,7 @@ def q51_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("o_orderdate"), F.lit("1995-01-01").cast("date")
             ).cast("bigint").alias("days_since_95"),
             F.unix_timestamp("o_orderdate").alias("epoch_s"),
+            F.from_unixtime(F.unix_timestamp("o_orderdate")).alias("from_epoch"),
             F.date_format(
                 F.make_date(F.year("o_orderdate"), F.lit(1), F.lit(1)), "yyyy-MM-dd"
             ).alias("year_start"),
