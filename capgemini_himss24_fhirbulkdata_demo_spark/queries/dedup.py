@@ -53,7 +53,7 @@ _AGREE_MIN = 4
     SELECT fp_head8,
            COUNT(*) AS n_docs,
            MIN(doc_id) AS canonical_doc,
-           LIST_SORT(LIST(doc_id)) AS member_docs
+           ARRAY_TO_STRING(LIST_SORT(LIST(doc_id)), ',') AS member_docs
     FROM fp
     GROUP BY fp_head8
     HAVING COUNT(*) > 1
@@ -77,7 +77,11 @@ def x01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.min("doc_id").alias("canonical_doc"),
-            F.sort_array(F.collect_list("doc_id")).alias("member_docs"),
+            # arrays surface as ','-joined strings: the driver harness
+            # hashes cells through pandas, which can't hash list cells
+            F.array_join(
+                F.sort_array(F.collect_list("doc_id")).cast("array<string>"), ","
+            ).alias("member_docs"),
         )
         .filter(F.col("n_docs") > 1)
         .orderBy("fp_head8")

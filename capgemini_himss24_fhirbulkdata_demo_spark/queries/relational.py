@@ -401,7 +401,7 @@ def q13_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_collect_agg",
     oracle="""
     SELECT n_regionkey,
-           LIST(n_name ORDER BY n_name) AS nations,
+           ARRAY_TO_STRING(LIST(n_name ORDER BY n_name), ',') AS nations,
            COUNT(*) AS n
     FROM nation
     GROUP BY n_regionkey
@@ -410,12 +410,20 @@ def q13_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q14_collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_list made deterministic with sort_array (SURVEY §2B agg;
-    reference anchor: manifest build collect ``__init__.py:216-238``)."""
+    reference anchor: manifest build collect ``__init__.py:216-238``).
+
+    The collected array surfaces as a ','-joined string: the driver
+    harness hashes cells via pandas and cannot hash list cells, so
+    every registered query serializes non-scalar outputs (collect
+    semantics are unchanged — sort_array still canonicalizes order).
+    """
     nation = load_table(spark, sf_dir, "nation")
     return (
         nation.groupBy("n_regionkey")
         .agg(
-            F.sort_array(F.collect_list("n_name")).alias("nations"),
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
             F.count("*").alias("n"),
         )
         .orderBy("n_regionkey")

@@ -27,20 +27,33 @@ def _seq(start, stop_incl):
     return F.sequence(F.lit(start).cast("bigint"), stop_incl.cast("bigint"))
 
 
+def _aj(col):
+    """Serialize an array column to a ','-joined string.
+
+    The driver harness canonicalizes result cells through pandas, which
+    cannot hash list cells — every registered query therefore surfaces
+    arrays as deterministic strings (the array op under test is
+    unchanged; only the output surface is stringified). DuckDB twin:
+    ``ARRAY_TO_STRING(..., ',')``.
+    """
+    return F.array_join(col.cast("array<string>"), ",")
+
+
 @register(
     "q60_array_hof",
     oracle="""
     SELECT n_nationkey,
-           rng AS seq,
+           ARRAY_TO_STRING(rng, ',') AS seq,
            LEN(rng) AS seq_size,
            CAST(LIST_SUM(rng) AS BIGINT) AS seq_sum,
-           LIST_TRANSFORM(rng, x -> x * 2) AS doubled,
-           LIST_FILTER(rng, x -> x % 2 = 0) AS evens,
+           ARRAY_TO_STRING(LIST_TRANSFORM(rng, x -> x * 2), ',') AS doubled,
+           COALESCE(ARRAY_TO_STRING(LIST_FILTER(rng, x -> x % 2 = 0), ','), '')
+             AS evens,
            CAST(LIST_SUM(LIST_TRANSFORM(rng, x -> x * x)) AS BIGINT) AS sum_sq,
            rng[1] AS first_elem,
            rng[-1] AS last_elem,
            LIST_CONTAINS(rng, 3) AS has_3,
-           LIST_REVERSE(LIST_SORT(rng)) AS desc_sorted
+           ARRAY_TO_STRING(LIST_REVERSE(LIST_SORT(rng)), ',') AS desc_sorted
     FROM (SELECT n_nationkey,
                  RANGE(CAST(1 AS BIGINT), CAST((n_nationkey % 5) + 3 AS BIGINT)) AS rng
           FROM nation)
@@ -57,18 +70,18 @@ def q60_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = F.col("seq")
     return df.select(
         "n_nationkey",
-        "seq",
+        _aj(s).alias("seq"),
         F.size(s).cast("bigint").alias("seq_size"),
         F.aggregate(s, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("seq_sum"),
-        F.transform(s, lambda x: x * 2).alias("doubled"),
-        F.filter(s, lambda x: x % 2 == 0).alias("evens"),
+        _aj(F.transform(s, lambda x: x * 2)).alias("doubled"),
+        _aj(F.filter(s, lambda x: x % 2 == 0)).alias("evens"),
         F.aggregate(
             F.transform(s, lambda x: x * x), F.lit(0).cast("bigint"), lambda a, x: a + x
         ).alias("sum_sq"),
         F.element_at(s, 1).alias("first_elem"),
         F.element_at(s, -1).alias("last_elem"),
         F.array_contains(s, F.lit(3).cast("bigint")).alias("has_3"),
-        F.reverse(F.sort_array(s)).alias("desc_sorted"),
+        _aj(F.reverse(F.sort_array(s))).alias("desc_sorted"),
     ).orderBy("n_nationkey")
 
 
@@ -76,11 +89,13 @@ def q60_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q61_array_setops",
     oracle="""
     SELECT n_nationkey,
-           LIST_SORT(LIST_DISTINCT(a || b)) AS union_ab,
-           LIST_SORT(LIST_INTERSECT(a, b)) AS intersect_ab,
-           LIST_SORT(LIST_FILTER(LIST_DISTINCT(a), x -> NOT LIST_CONTAINS(b, x)))
-             AS except_ab,
-           a || b AS concat_ab
+           ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(a || b)), ',') AS union_ab,
+           COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST_INTERSECT(a, b)), ','), '')
+             AS intersect_ab,
+           COALESCE(ARRAY_TO_STRING(
+             LIST_SORT(LIST_FILTER(LIST_DISTINCT(a), x -> NOT LIST_CONTAINS(b, x))),
+             ','), '') AS except_ab,
+           ARRAY_TO_STRING(a || b, ',') AS concat_ab
     FROM (SELECT n_nationkey,
                  RANGE(CAST(1 AS BIGINT), CAST((n_nationkey % 4) + 3 AS BIGINT)) AS a,
                  RANGE(CAST(2 AS BIGINT), CAST((n_nationkey % 3) + 4 AS BIGINT)) AS b
@@ -100,10 +115,10 @@ def q61_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = F.col("a"), F.col("b")
     return df.select(
         "n_nationkey",
-        F.sort_array(F.array_union(a, b)).alias("union_ab"),
-        F.sort_array(F.array_intersect(a, b)).alias("intersect_ab"),
-        F.sort_array(F.array_except(a, b)).alias("except_ab"),
-        F.concat(a, b).alias("concat_ab"),
+        _aj(F.sort_array(F.array_union(a, b))).alias("union_ab"),
+        _aj(F.sort_array(F.array_intersect(a, b))).alias("intersect_ab"),
+        _aj(F.sort_array(F.array_except(a, b))).alias("except_ab"),
+        _aj(F.concat(a, b)).alias("concat_ab"),
     ).orderBy("n_nationkey")
 
 
@@ -236,7 +251,7 @@ def q65_to_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n_nationkey,
            CAST(m['nk'][1] AS BIGINT) AS nk_val,
-           LIST_SORT(MAP_KEYS(m)) AS keys_sorted,
+           ARRAY_TO_STRING(LIST_SORT(MAP_KEYS(m)), ',') AS keys_sorted,
            CAST(CARDINALITY(m) AS BIGINT) AS n_keys
     FROM (SELECT n_nationkey,
                  MAP(['nk', 'rk'], [n_nationkey, n_regionkey]) AS m
@@ -254,7 +269,7 @@ def q66_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "n_nationkey",
         F.element_at("m", "nk").cast("bigint").alias("nk_val"),
-        F.sort_array(F.map_keys("m")).alias("keys_sorted"),
+        _aj(F.sort_array(F.map_keys("m"))).alias("keys_sorted"),
         F.size(F.map_keys("m")).cast("bigint").alias("n_keys"),
     ).orderBy("n_nationkey")
 
@@ -265,9 +280,10 @@ def q66_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n_nationkey,
            LIST_HAS_ANY(a, [3]) AS any_3,
            LEN(LIST_FILTER(a, x -> x % 2 = 0)) = LEN(a) AS all_even,
-           LIST_TRANSFORM(LIST_ZIP(a, LIST_REVERSE(a)),
-                          p -> CAST(p[1] + p[2] AS BIGINT)) AS zip_sums,
-           LIST_SORT(FLATTEN([a, LIST_TRANSFORM(a, x -> x * 10)])) AS flat
+           ARRAY_TO_STRING(LIST_TRANSFORM(LIST_ZIP(a, LIST_REVERSE(a)),
+                          p -> CAST(p[1] + p[2] AS BIGINT)), ',') AS zip_sums,
+           ARRAY_TO_STRING(
+             LIST_SORT(FLATTEN([a, LIST_TRANSFORM(a, x -> x * 10)])), ',') AS flat
     FROM (SELECT n_nationkey,
                  RANGE(CAST(2 AS BIGINT), CAST((n_nationkey % 4) * 2 + 4 AS BIGINT)) AS a
           FROM nation)
@@ -292,11 +308,11 @@ def q67_hof_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey",
         F.exists(a, lambda x: x == 3).alias("any_3"),
         F.forall(a, lambda x: x % 2 == 0).alias("all_even"),
-        F.zip_with(a, F.reverse(a), lambda x, y: (x + y).cast("bigint")).alias(
+        _aj(F.zip_with(a, F.reverse(a), lambda x, y: (x + y).cast("bigint"))).alias(
             "zip_sums"
         ),
-        F.sort_array(
-            F.flatten(F.array(a, F.transform(a, lambda x: x * 10)))
+        _aj(
+            F.sort_array(F.flatten(F.array(a, F.transform(a, lambda x: x * 10))))
         ).alias("flat"),
     ).orderBy("n_nationkey")
 
@@ -310,12 +326,13 @@ def q67_hof_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
                               CAST(n_regionkey AS BIGINT)]) AS m
       FROM nation)
     SELECT n_nationkey,
-           LIST_TRANSFORM(MAP_ENTRIES(m), e -> e.key) AS doubled_keys,
-           LIST_TRANSFORM(MAP_ENTRIES(m),
-                          e -> CAST(e.value * 2 AS BIGINT)) AS doubled_values,
-           LIST_SORT(LIST_TRANSFORM(
+           ARRAY_TO_STRING(LIST_TRANSFORM(MAP_ENTRIES(m), e -> e.key), ',')
+             AS doubled_keys,
+           ARRAY_TO_STRING(LIST_TRANSFORM(MAP_ENTRIES(m),
+                          e -> CAST(e.value * 2 AS BIGINT)), ',') AS doubled_values,
+           COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST_TRANSFORM(
                LIST_FILTER(MAP_ENTRIES(m), e -> e.value % 2 = 0),
-               e -> CAST(e.value AS BIGINT))) AS even_values,
+               e -> CAST(e.value AS BIGINT))), ','), '') AS even_values,
            CAST(CARDINALITY(MAP_CONCAT(m, MAP(['c'], [CAST(100 AS BIGINT)])))
                 AS BIGINT) AS n_after_concat,
            CAST(MAP_FROM_ENTRIES(MAP_ENTRIES(m))['a'][1] AS BIGINT) AS rebuilt_a
@@ -337,10 +354,12 @@ def q68_map_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubled = F.map_entries(F.transform_values(F.col("m"), lambda k, v: v * 2))
     return df.select(
         "n_nationkey",
-        F.transform(doubled, lambda e: e.key).alias("doubled_keys"),
-        F.transform(doubled, lambda e: e.value).alias("doubled_values"),
-        F.sort_array(
-            F.map_values(F.map_filter(F.col("m"), lambda k, v: v % 2 == 0))
+        _aj(F.transform(doubled, lambda e: e.key)).alias("doubled_keys"),
+        _aj(F.transform(doubled, lambda e: e.value)).alias("doubled_values"),
+        _aj(
+            F.sort_array(
+                F.map_values(F.map_filter(F.col("m"), lambda k, v: v % 2 == 0))
+            )
         ).alias("even_values"),
         F.size(
             F.map_concat(F.col("m"), F.create_map(F.lit("c"), F.lit(100).cast("bigint")))

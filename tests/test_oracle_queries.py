@@ -14,6 +14,22 @@ ALL = sorted(q.QUERIES)
 
 
 @pytest.mark.parametrize("name", ALL)
+def test_query_output_is_scalar_only(name, spark):
+    """The driver harness canonicalizes result cells through pandas,
+    which cannot hash list/map/struct cells (round-1 q14 failure) —
+    every registered query must surface only atomic columns."""
+    from pyspark.sql.types import AtomicType
+
+    df = q.QUERIES[name](spark, SF_DIR)
+    bad = [
+        (f.name, f.dataType.simpleString())
+        for f in df.schema.fields
+        if not isinstance(f.dataType, AtomicType)
+    ]
+    assert not bad, f"non-scalar output columns break the driver harness: {bad}"
+
+
+@pytest.mark.parametrize("name", ALL)
 def test_query_matches_oracle(name, spark):
     fn = q.QUERIES[name]
     sql = q.ORACLE_SQL.get(name)
