@@ -81,21 +81,40 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str, n_hashes: int = 8, band_size: int = 2
+    sigs: DataFrame,
+    id_col: str,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    min_agree: int | None = None,
 ) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing at least one LSH band.
 
     Bands are concatenations of ``band_size`` adjacent minhashes; the
     self-join shuffles on the band value (uniform, skew-free).
+
+    ``min_agree`` (optional) is the estimate-then-verify gate: the
+    h0..h{n-1} signature columns are carried through the band explode
+    (they are already in the banded frame's lineage) so full-signature
+    agreement is computed *inside* the candidate join — no re-join
+    against an O(corpus) signature table, no broadcast. Memory stays
+    O(rows per band bucket) regardless of corpus size.
     """
     if n_hashes % band_size != 0:
         raise ValueError(
             f"n_hashes={n_hashes} must be divisible by band_size={band_size} "
             "(trailing minhashes would be silently unused)"
         )
+    if min_agree is not None and min_agree > n_hashes:
+        raise ValueError(
+            f"min_agree={min_agree} can never hold with n_hashes={n_hashes}"
+        )
     n_bands = n_hashes // band_size
+    # banding alone already guarantees band_size agreements
+    carry = min_agree is not None and min_agree > band_size
+    sig_cols = [f"h{i}" for i in range(n_hashes)] if carry else []
     banded = sigs.select(
         F.col(id_col),
+        *sig_cols,
         F.explode(
             F.array(
                 *[
@@ -109,20 +128,23 @@ def lsh_candidate_pairs(
                 ]
             )
         ).alias("bv"),
-    ).select(id_col, "bv.band_idx", "bv.band_val")
+    ).select(id_col, *sig_cols, "bv.band_idx", "bv.band_val")
     a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
+    joined = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_val") == F.col("b.band_val"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
     )
+    if carry:
+        agree = None
+        for i in range(n_hashes):
+            t = F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0)
+            agree = t if agree is None else agree + t
+        joined = joined.filter(agree >= min_agree)
+    return joined.select(
+        F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+    ).distinct()
 
 
 def jaccard(a: Column, b: Column, scale: int = 4) -> Column:
@@ -151,36 +173,26 @@ def near_dup_pairs(
     alone guarantees ``band_size``) before the exact-Jaccard join —
     E[agreement | banded] = band_size + (n-band_size)·jaccard. Prunes
     the band-collision tail cheaply; set to ``band_size`` to disable.
+    The gate is evaluated inside the LSH self-join (signatures ride
+    the band explode), so no stage holds O(corpus) rows in memory.
+
+    No ``persist()``: the band self-join reuses its shuffle exchange
+    (identical subplans), and the shingle recompute for the verify
+    joins is a narrow projection. At 100 TB, shingles/signatures
+    would be materialized as columnar tables between stages instead
+    of cached — callers owning a real pipeline should write
+    ``sh``/``sigs`` out and re-read them, not cache them.
 
     Measured scaling on local[32]: 5k docs → 5.3 s, 50k docs (10×,
     with 245k additional true near-dup pairs) → 6.9 s — wall time
     tracks parallel resources, not corpus size, because every stage is
     a narrow pass or a uniform-key shuffle (the 100 TB contract).
     """
-    sh = docs.select(
-        F.col(id_col), shingle(F.col(text_col), shingle_n).alias("sh")
-    ).persist()
-    sigs = minhash_signatures(sh, id_col, "sh", n_hashes).persist()
-    cand = lsh_candidate_pairs(sigs, id_col, n_hashes, band_size)
-    if min_agree > band_size:
-        g1 = sigs.select(
-            F.col(id_col).alias("id_a"),
-            *[F.col(f"h{i}").alias(f"__ha{i}") for i in range(n_hashes)],
-        )
-        g2 = sigs.select(
-            F.col(id_col).alias("id_b"),
-            *[F.col(f"h{i}").alias(f"__hb{i}") for i in range(n_hashes)],
-        )
-        agree = None
-        for i in range(n_hashes):
-            t = F.when(F.col(f"__ha{i}") == F.col(f"__hb{i}"), 1).otherwise(0)
-            agree = t if agree is None else agree + t
-        cand = (
-            cand.join(F.broadcast(g1), "id_a")
-            .join(F.broadcast(g2), "id_b")
-            .filter(agree >= min_agree)
-            .select("id_a", "id_b")
-        )
+    sh = docs.select(F.col(id_col), shingle(F.col(text_col), shingle_n).alias("sh"))
+    sigs = minhash_signatures(sh, id_col, "sh", n_hashes)
+    cand = lsh_candidate_pairs(
+        sigs, id_col, n_hashes, band_size, min_agree=min_agree
+    )
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     return (

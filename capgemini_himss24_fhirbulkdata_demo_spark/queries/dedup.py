@@ -204,69 +204,63 @@ def x02_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: signatures are a narrow scan; the self-join shuffles on
     uniformly-distributed band hashes; Jaccard verification touches
-    only candidate pairs (LSH's point). The shingle sets re-join by
-    doc_id — at 100 TB they'd be persisted columnar alongside the
-    signature table rather than recomputed.
+    only candidate pairs (LSH's point). The estimate gate
+    (>= _AGREE_MIN of _N_HASHES minhashes agreeing) is evaluated
+    INSIDE the band self-join — signatures ride the band explode, so
+    no stage joins or broadcasts an O(corpus) signature table
+    (memory stays O(band bucket), not O(corpus)).
+
+    Local-mode specifics: the documents fixture is one small parquet
+    file (one input split), so the md5-heavy signature expansion is
+    repartitioned across cores first — compute here is large relative
+    to input bytes, the same reason this repartition is cheap at any
+    scale. sh/sigs are persisted because three plan branches read
+    them (band explode, jaccard A, jaccard B); at 100 TB a real
+    pipeline materializes them columnar between stages instead
+    (see operators.dedup.near_dup_pairs for the cache-free form).
     """
-    docs = load_table(spark, sf_dir, "documents")
-    # Persist shingles + signatures: three plan branches read them
-    # (signature build, jaccard join A, jaccard join B) — at 100 TB
-    # these are materialized columnar tables, locally a cache.
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism * 2
+    )
     sh = docs.select("doc_id", _spark_shingles().alias("sh")).persist()
     dg = sh.select("doc_id", "sh", *_spark_digests())
     sigs = dg.select(
         "doc_id", *[_spark_minhash(i).alias(f"h{i}") for i in range(_N_HASHES)]
-    ).persist()
-    banded = sigs.select(
-        "doc_id",
-        *[
-            F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")).alias(f"band{b}")
-            for b in range(_N_BANDS)
-        ],
     )
-    bands = banded.select(
+    hcols = [f"h{i}" for i in range(_N_HASHES)]
+    bands = sigs.select(
         "doc_id",
+        *hcols,
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_val")
+                        F.lit(b).alias("band_idx"),
+                        F.concat(
+                            F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")
+                        ).alias("band_val"),
                     )
                     for b in range(_N_BANDS)
                 ]
             )
         ).alias("bv"),
-    ).select("doc_id", "bv.band_idx", "bv.band_val")
+    ).select("doc_id", *hcols, "bv.band_idx", "bv.band_val")
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    agree = None
+    for i in range(_N_HASHES):
+        t = F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0)
+        agree = t if agree is None else agree + t
+    gated = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(agree >= _AGREE_MIN)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
-    )
-    # Estimate gate (see _AGREE_MIN): join the tiny signature table to
-    # both pair sides and require >= _AGREE_MIN matching minhashes
-    # before touching the heavy shingle arrays.
-    g1 = sigs.select(
-        F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"ha{i}") for i in range(_N_HASHES)]
-    )
-    g2 = sigs.select(
-        F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"hb{i}") for i in range(_N_HASHES)]
-    )
-    agree = None
-    for i in range(_N_HASHES):
-        t = F.when(F.col(f"ha{i}") == F.col(f"hb{i}"), 1).otherwise(0)
-        agree = t if agree is None else agree + t
-    gated = (
-        cand.join(F.broadcast(g1), "doc_a")
-        .join(F.broadcast(g2), "doc_b")
-        .filter(agree >= _AGREE_MIN)
-        .select("doc_a", "doc_b")
     )
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
