@@ -28,12 +28,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .operators.dedup import dedup_first_wins, near_dup_pairs
-from .operators.similarity import hyperplanes, lsh_bucket, cosine_dot, vector_norm
+from .operators.similarity import (
+    cosine_dot,
+    hyperplanes,
+    lsh_bucket,
+    probe_dim,
+    vector_norm,
+)
 
 
 @dataclass
 class PrepStats:
     stages: list[tuple[str, int]] = field(default_factory=list)
+    _cached: list[DataFrame] = field(default_factory=list)
 
     def record(self, name: str, df: DataFrame) -> DataFrame:
         # persist at the stage boundary: the count action AND the next
@@ -41,7 +48,18 @@ class PrepStats:
         # the whole upstream chain (the LSH self-join several times over)
         df = df.persist()
         self.stages.append((name, df.count()))
+        # the count() just materialized df, so the PREVIOUS stage's
+        # cache is no longer read by anything — release it immediately
+        # instead of pinning executor storage for the job's lifetime
+        if self._cached:
+            self._cached.pop().unpersist()
+        self._cached.append(df)
         return df
+
+    def release(self) -> None:
+        """Unpersist the final stage frame (counts are already taken)."""
+        while self._cached:
+            self._cached.pop().unpersist()
 
 
 def quality_gate(
@@ -98,6 +116,7 @@ def remove_embedding_dups(
     vec_col: str = "embedding",
     min_cosine: float = 0.95,
     n_planes: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup removal via LSH sign buckets: pairs in
     the same bucket with cosine ≥ threshold lose their larger id.
@@ -109,7 +128,7 @@ def remove_embedding_dups(
     surviving = embeddings.join(
         docs.select(F.col(id_col).alias(vec_id_col)), vec_id_col, "left_semi"
     )
-    planes = hyperplanes(n_planes, embeddings.select(F.size(vec_col)).first()[0])
+    planes = hyperplanes(n_planes, dim if dim is not None else probe_dim(embeddings, vec_col))
     b = surviving.select(
         F.col(vec_id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
@@ -160,8 +179,17 @@ def prepare_corpus(
     budget_tokens: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    dim: int | None = None,
 ) -> tuple[DataFrame, PrepStats]:
-    """The full prep chain; returns (clean corpus, per-stage counts)."""
+    """The full prep chain; returns (clean corpus, per-stage counts).
+
+    Stage frames are persisted only while the next stage materializes
+    and released on exit — nothing stays cached after return (pinning
+    executor storage for the job's lifetime is the 100 TB failure
+    mode). Counts in ``stats`` are final; consuming the returned frame
+    (normally one write) recomputes the chain once — callers wanting a
+    hot copy persist or write it themselves.
+    """
     stats = PrepStats()
     stats.record("input", docs)
     cur = stats.record("quality", quality_gate(docs, text_col, min_tokens=min_tokens))
@@ -185,10 +213,13 @@ def prepare_corpus(
     if embeddings is not None:
         cur = stats.record(
             "embedding_dedup",
-            remove_embedding_dups(cur, embeddings, id_col, min_cosine=min_cosine),
+            remove_embedding_dups(
+                cur, embeddings, id_col, min_cosine=min_cosine, dim=dim
+            ),
         )
     if budget_tokens is not None:
         cur = stats.record(
             "token_budget", token_budget_cut(cur, budget_tokens, id_col, text_col)
         )
+    stats.release()
     return cur, stats

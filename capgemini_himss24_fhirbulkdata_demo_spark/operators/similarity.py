@@ -99,12 +99,29 @@ def cosine_topk(
     )
 
 
+def probe_dim(vectors: DataFrame, vec_col: str) -> int:
+    """Read the embedding dimension from one row (guarded driver probe).
+
+    Prefer passing ``dim`` explicitly from schema metadata — this probe
+    is a driver-side action and belongs at pipeline setup, never inside
+    plan construction.
+    """
+    row = vectors.select(F.size(vec_col).alias("__d")).limit(1).collect()
+    if not row:
+        raise ValueError(
+            f"cannot infer embedding dim from empty table (column {vec_col!r}); "
+            "pass dim= explicitly"
+        )
+    return row[0]["__d"]
+
+
 def ivf_assign(
     vectors: DataFrame,
     id_col: str,
     vec_col: str,
     n_lists: int | None = None,
     list_col: str = "ivf_list",
+    dim: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer: deterministic centroid build + assignment.
 
@@ -115,32 +132,47 @@ def ivf_assign(
     bit-for-bit. ``n_lists`` rounds UP to the next power of two (the
     bucket space is 2^planes). Returns (assigned, centroid table).
 
-    Scale: centroid build is one groupBy over the bucket key; the
-    assignment is a broadcast of n_lists centroids against the vector
-    table (narrow). Queries then search only their probe list(s).
+    ``dim`` comes from the caller (schema metadata); omitted, it is
+    probed from one row with a clear empty-table error.
+
+    Scale: the centroid build is posexplode → groupBy(bucket, pos) →
+    sum → reassemble — two shuffles of skinny (bucket, pos, sum) rows
+    and a plan whose width is O(1) in ``dim`` (a per-dimension
+    aggregate column would blow up codegen at dim 768+). Assignment is
+    a narrow projection; queries then search only their probe list(s).
     """
-    dim = vectors.select(F.size(vec_col)).first()[0]
+    if dim is None:
+        dim = probe_dim(vectors, vec_col)
     # lists are sign-bucket cells: 2^n_planes of them; round the
     # request UP to the next power of two (documented behavior)
     n_planes = max(2, ((n_lists or 8) - 1).bit_length())
     planes = hyperplanes(n_planes, dim)
     bucketed = vectors.withColumn("__b", lsh_bucket(F.col(vec_col), planes))
 
-    # exact-decimal per-dimension mean -> deterministic centroids
-    sums = [
-        F.sum(
-            F.element_at(F.col(vec_col), i + 1).cast("double").cast("decimal(28,12)")
-        ).alias(f"__s{i}")
-        for i in range(dim)
-    ]
+    # exact-decimal per-(bucket, dimension) mean -> deterministic
+    # centroids, constant plan width in dim
     cent = (
-        bucketed.groupBy("__b")
-        .agg(F.count("*").alias("__n"), *sums)
+        bucketed.select(
+            "__b", F.posexplode(F.col(vec_col)).alias("__pos", "__val")
+        )
+        .groupBy("__b", "__pos")
+        .agg(
+            (
+                F.sum(F.col("__val").cast("double").cast("decimal(28,12)")).cast(
+                    "double"
+                )
+                / F.count("*")
+            ).alias("__m")
+        )
+        .groupBy("__b")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__pos"), F.col("__m")))
+            ).alias("__pm")
+        )
         .select(
             F.col("__b").alias(list_col),
-            F.array(
-                *[(F.col(f"__s{i}").cast("double") / F.col("__n")) for i in range(dim)]
-            ).alias("centroid"),
+            F.transform(F.col("__pm"), lambda s: s["__m"]).alias("centroid"),
         )
     )
     assigned = bucketed.withColumnRenamed("__b", list_col)

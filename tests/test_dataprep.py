@@ -60,6 +60,7 @@ def test_token_budget_cut(spark):
 def test_prepare_corpus_end_to_end(spark):
     docs = load_table(spark, SF_DIR, "documents")
     emb = load_table(spark, SF_DIR, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    cached_before = spark.sparkContext._jsc.getPersistentRDDs().size()
     clean, stats = prepare_corpus(
         docs,
         embeddings=emb.withColumnRenamed("doc_id", "vec_id"),
@@ -68,6 +69,8 @@ def test_prepare_corpus_end_to_end(spark):
         min_cosine=0.9,
         budget_tokens=5000,
     )
+    # stage caches are released at pipeline exit — nothing stays pinned
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == cached_before
     names = [n for n, _ in stats.stages]
     counts = dict(stats.stages)
     assert names == [

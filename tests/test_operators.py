@@ -215,6 +215,28 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert sorted(map(tuple, ivf)) == sorted(map(tuple, ivf2))
 
 
+def test_ivf_dim_param_and_empty_guard(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.operators.similarity import (
+        ivf_assign,
+        probe_dim,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    # passing dim from metadata matches the probed build bit-for-bit
+    _, cent_probed = ivf_assign(emb, "vec_id", "embedding", n_lists=8)
+    _, cent_given = ivf_assign(emb, "vec_id", "embedding", n_lists=8, dim=64)
+    assert sorted(map(tuple, cent_probed.collect())) == sorted(
+        map(tuple, cent_given.collect())
+    )
+    # empty table: clear error, not an opaque TypeError mid-plan-build
+    empty = emb.filter(F.lit(False))
+    with pytest.raises(ValueError, match="empty"):
+        probe_dim(empty, "embedding")
+
+
 def test_shingle_short_docs(spark):
     from pyspark.sql import functions as F
 
