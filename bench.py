@@ -87,6 +87,13 @@ def bench_fhir_pipeline(spark, n_records: int = 100_000) -> dict:
     )
     fn = get_transform("https://bcda.example", "ExplanationOfBenefit")
 
+    # Warmup: the EOB struct schema has its own codegen/JIT footprint
+    # the query-sweep warmup never touches — without this the first
+    # timed run measures compilation (~7 s), not throughput.
+    warm_src = write_eob_ndjson(os.path.join(tmp, "warm.ndjson"), 2_000)
+    warm = read_ndjson(spark, warm_src, RESOURCE_SCHEMAS["ExplanationOfBenefit"])
+    write_ndjson(fn(warm, rx), os.path.join(tmp, "warm_out"))
+
     t0 = time.perf_counter()
     df = read_ndjson(spark, src, RESOURCE_SCHEMAS["ExplanationOfBenefit"])
     write_ndjson(fn(df, rx), os.path.join(tmp, "out"))
@@ -138,8 +145,16 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     names = [n for n in HEADLINE if n in QUERIES]
 
-    # Warmup: prime codegen + parquet footer caches with the flagship.
-    QUERIES["q01_pricing_summary"](spark, SF_DIR).collect()
+    # Warmup: run every headline query once at the smallest fixture so
+    # whole-stage-codegen JIT is primed per plan shape — the timed
+    # sweep then measures steady-state execution, not compilation
+    # (cold-vs-warm is ~2x on the heavier plans). Falls back to the
+    # target dir when sf0.001 is absent.
+    warm_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = SF_DIR
+    for name in names:
+        QUERIES[name](spark, warm_dir).collect()
 
     per_query: dict[str, float] = {}
     t_all = time.perf_counter()
