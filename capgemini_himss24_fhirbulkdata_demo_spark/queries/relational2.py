@@ -297,6 +297,38 @@ def q56_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q72_percentiles_approx")  # no SQL oracle: sketch-based by design
+def q72_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile twin of q29 (rows-only check; the estimate's
+    exact value is engine-specific). q29's exact ``percentile`` is a
+    sort-based aggregate — the whole group's values sort on one
+    reducer — which is the right answer only when the oracle demands
+    exactness. This Greenwald-Khanna sketch is the 100 TB path: fixed
+    memory per group, mergeable partials, one ordinary shuffle.
+    Accuracy 10000 bounds rank error at N/10000; the pytest twin
+    asserts closeness to q29 on the fixtures."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)"
+            ).alias("q"),
+            F.expr("approx_percentile(l_extendedprice, 0.9, 10000)")
+            .cast("double")
+            .alias("p90_price"),
+        )
+        .select(
+            "l_returnflag",
+            F.element_at("q", 2).cast("double").alias("median_qty"),
+            F.element_at("q", 1).cast("double").alias("p25_qty"),
+            F.element_at("q", 3).cast("double").alias("p75_qty"),
+            "p90_price",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 @register(
     "q57_promo_revenue",
     oracle=f"""

@@ -41,3 +41,18 @@ def test_query_matches_oracle(name, spark):
     duck_res = run_duck(sql, SF_DIR)
     errs = compare(name, spark_res, duck_res)
     assert not errs, "\n".join(errs)
+
+
+def test_approx_percentiles_track_exact(spark):
+    """q72 (GK sketch, the 100 TB path) stays within sketch tolerance
+    of q29 (exact sort-based percentile, the oracle path)."""
+    exact = {r.l_returnflag: r for r in q.QUERIES["q29_percentiles"](spark, SF_DIR).collect()}
+    approx = {r.l_returnflag: r for r in q.QUERIES["q72_percentiles_approx"](spark, SF_DIR).collect()}
+    assert set(exact) == set(approx)
+    for flag, e in exact.items():
+        a = approx[flag]
+        for col in ("median_qty", "p25_qty", "p75_qty", "p90_price"):
+            ev, av = float(e[col]), float(a[col])
+            # accuracy=10000 on <=60k-row fixtures: rank error <= N/10000
+            # translates to a tight value band on these distributions
+            assert abs(av - ev) <= max(0.05 * abs(ev), 1.0), (flag, col, ev, av)
