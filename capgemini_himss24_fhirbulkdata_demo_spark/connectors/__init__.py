@@ -13,3 +13,7 @@ from .fhir_bulk import (  # noqa: F401
     build_import_manifest,
     build_jwt_assertion,
 )
+from .identity import (  # noqa: F401
+    ManagedIdentityCredential,
+    get_fhir_server_access_token,
+)

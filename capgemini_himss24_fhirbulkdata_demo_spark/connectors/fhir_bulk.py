@@ -178,7 +178,12 @@ class FhirBulkConnector:
         if not r.ok:
             raise RuntimeError(f"token exchange failed: {r.status_code}")
         body = r.json()
-        expires = datetime.now() + timedelta(seconds=int(body["expires_in"]))
+        # timezone-aware UTC: a naive expiry compares as TypeError
+        # against the module's aware datetimes and skews by the host's
+        # UTC offset
+        expires = datetime.now(tz=timezone.utc) + timedelta(
+            seconds=int(body["expires_in"])
+        )
         return body["access_token"], expires
 
     # ---- export (O3/O4/O5, S1) ----

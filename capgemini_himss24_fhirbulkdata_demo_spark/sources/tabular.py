@@ -55,6 +55,53 @@ def write_parquet(
     w.parquet(path)
 
 
+def delta_available() -> bool:
+    """True when the delta-spark package is importable (the container
+    this engine develops in does not ship it; any real deployment
+    would — BASELINE's Spark approach names Parquet/Delta)."""
+    try:
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _require_delta() -> None:
+    if not delta_available():
+        raise ImportError(
+            "Delta Lake support requires the delta-spark package "
+            "(pip install delta-spark) and a session built with "
+            "delta.configure_spark_with_delta_pip"
+        )
+
+
+def read_delta(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """Delta scan (optionally time-traveled to ``version``). Same
+    predicate-pushdown/column-pruning behavior as the parquet scan —
+    Delta is parquet + a transaction log."""
+    _require_delta()
+    reader = spark.read.format("delta")
+    if version is not None:
+        reader = reader.option("versionAsOf", version)
+    return reader.load(path)
+
+
+def write_delta(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Delta sink; ACID append/overwrite with the same partition
+    layout contract as ``write_parquet``."""
+    _require_delta()
+    w = df.write.format("delta").mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

@@ -235,6 +235,13 @@ def bcda_explanation_of_benefit(df: DataFrame, rxnav: DataFrame) -> DataFrame:
     )
 
     # T12/T13/T15: display fill, RxNorm append, quantity writes.
+    # Known quirk divergence: the reference gates on key ABSENCE
+    # ('display' not in code.keys(), __init__.py:498), so a malformed
+    # record carrying an explicit "display": null is left untouched
+    # there but filled here — the struct schema collapses absent and
+    # explicit-null (both read as NULL). Exact fidelity on such
+    # records would need a presence boolean parsed at ingest; no
+    # valid FHIR producer emits JSON nulls, so we accept the collapse.
     def fill_display(c):
         return F.when(
             is_ndc(c) & c.display.isNull(), c.withField("display", name_of(c))

@@ -148,3 +148,96 @@ def test_poll_error_raises():
     conn = FhirBulkConnector(transport=transport, sleep=lambda s: None)
     with pytest.raises(RuntimeError, match="poll failed: 500"):
         conn.poll_status("https://x/status", "tok")
+
+
+# ---- O10: managed-identity token provider (reference :244-251) ----
+
+
+def _imds_transport(log):
+    def transport(method, url, headers=None, data=None, params=None):
+        log.append((method, url, dict(headers or {}), dict(params or {})))
+        return HttpResponse(
+            200,
+            content=json.dumps(
+                {"access_token": f"tok-{len(log)}", "expires_on": "4102444800"}
+            ).encode(),
+        )
+
+    return transport
+
+
+def test_managed_identity_imds_flow():
+    import datetime as dt
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.connectors import (
+        ManagedIdentityCredential,
+        get_fhir_server_access_token,
+    )
+    from capgemini_himss24_fhirbulkdata_demo_spark.connectors.identity import (
+        IMDS_ENDPOINT,
+    )
+
+    log = []
+    cred = ManagedIdentityCredential(
+        transport=_imds_transport(log),
+        env={},
+        now=lambda: dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc),
+    )
+    # reference-parity helper: scope form {server}/.default
+    tok = get_fhir_server_access_token("https://fhir.example", credential=cred)
+    assert tok == "tok-1"
+    method, url, headers, params = log[0]
+    assert (method, url) == ("GET", IMDS_ENDPOINT)
+    assert headers == {"Metadata": "true"}
+    # /.default scope suffix stripped to the bare resource URI
+    assert params["resource"] == "https://fhir.example"
+    assert params["api-version"] == "2018-02-01"
+    # cached until expiry: second call makes no request
+    assert cred.get_token("https://fhir.example/.default") == "tok-1"
+    assert len(log) == 1
+
+
+def test_managed_identity_app_service_endpoint_and_errors():
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.connectors import (
+        ManagedIdentityCredential,
+    )
+
+    log = []
+    cred = ManagedIdentityCredential(
+        transport=_imds_transport(log),
+        client_id="user-assigned-123",
+        env={"IDENTITY_ENDPOINT": "http://localhost:8081/msi", "IDENTITY_HEADER": "sek"},
+        now=lambda: dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc),
+    )
+    cred.get_token("https://vault.example")
+    method, url, headers, params = log[0]
+    assert url == "http://localhost:8081/msi"
+    assert headers == {"X-IDENTITY-HEADER": "sek"}
+    assert params["client_id"] == "user-assigned-123"
+    assert params["api-version"] == "2019-08-01"
+
+    def err_transport(method, url, headers=None, data=None, params=None):
+        return HttpResponse(400, content=b"no identity")
+
+    bad = ManagedIdentityCredential(transport=err_transport, env={})
+    with _pytest.raises(RuntimeError, match="managed identity token request failed"):
+        bad.get_token("https://fhir.example")
+
+
+def test_access_token_expiry_is_timezone_aware():
+    import datetime as dt
+
+    def transport(method, url, headers=None, data=None, params=None):
+        return HttpResponse(
+            200, content=json.dumps({"access_token": "t", "expires_in": 3600}).encode()
+        )
+
+    conn = FhirBulkConnector(transport=transport)
+    _, expires = conn.get_access_token("https://idp/token", signed_jwt="jwt")
+    assert expires.tzinfo is not None
+    # comparable against aware datetimes without TypeError
+    assert expires > dt.datetime.now(dt.timezone.utc)

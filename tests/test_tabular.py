@@ -138,3 +138,31 @@ def test_write_ndjson_single_file_modes(spark, tmp_path):
     assert read_ids() == [1, 2]
     write_ndjson(df2, path, mode="overwrite", single_file=True)
     assert read_ids() == [2]
+
+
+def test_delta_roundtrip_when_available(spark, tmp_path):
+    """Delta read/write through the tabular paths. Skipped when
+    delta-spark is absent (this container); the gate itself — a clear
+    ImportError, not an opaque ClassNotFound from the JVM — is
+    asserted either way."""
+    import pytest as _pytest
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.sources.tabular import (
+        delta_available,
+        read_delta,
+        write_delta,
+    )
+
+    if not delta_available():
+        with _pytest.raises(ImportError, match="delta-spark"):
+            write_delta(load_table(spark, SF_DIR, "region"), str(tmp_path / "d"))
+        with _pytest.raises(ImportError, match="delta-spark"):
+            read_delta(spark, str(tmp_path / "d"))
+        _pytest.skip("delta-spark not installed in this container")
+    path = str(tmp_path / "delta_region")
+    region = load_table(spark, SF_DIR, "region")
+    write_delta(region, path, partition_by=["r_regionkey"])
+    back = read_delta(spark, path)
+    assert sorted(r.r_name for r in back.collect()) == sorted(
+        r.r_name for r in region.collect()
+    )
