@@ -250,3 +250,79 @@ def x12_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         q, assigned, centroids, "vec_id", "vec_id", "embedding", "embedding",
         k=_TOP_K, n_probe=2,
     ).orderBy("query_id", "rank")
+
+
+# ---- x06: embedding-cosine near-dup pairs (dedup north-star) ----
+
+_COS_DUP_MIN = 0.3  # fixtures are a random corpus (max same-bucket
+# cosine ~0.47): the production threshold (0.95+) is a parameter of
+# the same plan; 0.3 surfaces the closest-candidate tail so the
+# operator has non-trivial output to verify.
+
+_X06_SQL = f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             CAST({_SQL_BUCKET} AS BIGINT) AS bucket,
+             SQRT({_sql_dot('embedding', 'embedding')}) AS norm
+      FROM embeddings),
+    pairs AS (
+      SELECT a.bucket,
+             a.vec_id AS dup_a, c.vec_id AS dup_b,
+             {_sql_dot('a.embedding', 'c.embedding')} / (a.norm * c.norm) AS cos_raw
+      FROM b a JOIN b c
+        ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+    SELECT bucket, dup_a, dup_b, ROUND(cos_raw, 6) AS cosine,
+           ROW_NUMBER() OVER (PARTITION BY bucket
+                              ORDER BY cos_raw DESC, dup_a, dup_b) AS rnk
+    FROM pairs
+    WHERE cos_raw >= {_COS_DUP_MIN}
+    ORDER BY bucket, rnk
+    """
+
+
+@register("x06_dedup_embedding", oracle=_X06_SQL)
+def x06_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (the last of the dedup family:
+    exact x01, MinHash x02, SimHash x03/x05, n-gram Jaccard x04).
+    Same-sign-bucket pairs scored with the exact fold cosine, kept at
+    ``cosine >= threshold``, ranked within bucket.
+
+    Scale: identical shape to x11 — the self-join shuffles on the
+    uniform bucket id, candidate sets are per-bucket, never all-pairs;
+    dedup consumes the pair list as a keep-min anti-join
+    (dataprep.remove_embedding_dups is the pipeline form).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket = None
+    for p in range(_N_PLANES):
+        term = F.when(_proj(F.col("embedding"), _PLANES[p]) > 0, F.lit(1 << p)).otherwise(
+            F.lit(0)
+        )
+        bucket = term if bucket is None else bucket + term
+    b = emb.select(
+        "vec_id",
+        "embedding",
+        bucket.cast("bigint").alias("bucket"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    )
+    a, c = b.alias("a"), b.alias("c")
+    pairs = a.join(
+        c,
+        (F.col("a.bucket") == F.col("c.bucket"))
+        & (F.col("a.vec_id") < F.col("c.vec_id")),
+    ).select(
+        F.col("a.bucket").alias("bucket"),
+        F.col("a.vec_id").alias("dup_a"),
+        F.col("c.vec_id").alias("dup_b"),
+        (
+            _dot(F.col("a.embedding"), F.col("c.embedding"))
+            / (F.col("a.norm") * F.col("c.norm"))
+        ).alias("cos_raw"),
+    )
+    w = Window.partitionBy("bucket").orderBy(F.desc("cos_raw"), "dup_a", "dup_b")
+    return (
+        pairs.filter(F.col("cos_raw") >= _COS_DUP_MIN)
+        .withColumn("rnk", F.row_number().over(w))
+        .select("bucket", "dup_a", "dup_b", F.round("cos_raw", 6).alias("cosine"), "rnk")
+        .orderBy("bucket", "rnk")
+    )
