@@ -17,6 +17,7 @@ from . import (  # noqa: F401
     similarity,
     textstats,
     streaming_batch,
+    multimodal,
 )
 
 QUERIES = registry.QUERIES
