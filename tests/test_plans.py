@@ -166,6 +166,22 @@ def test_x02_gated_pipeline_no_cartesian(spark):
     assert_no_cartesian_product(_plan(spark, "x02_dedup_minhash"))
 
 
+def test_x02_no_forced_broadcast_of_signature_table(spark):
+    """The agree-gate must ride the band self-join; the round-1
+    scale-killer was HINT-forced broadcasts of the O(corpus) signature
+    table. Stats-based broadcasts of genuinely-small sides are fine
+    (and correct at fixture scale) — so discriminate by disabling the
+    size threshold: statistics broadcasts vanish, hinted ones would
+    remain."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = explain_str(_plan(spark, "x02_dedup_minhash"))
+        assert "BroadcastExchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_pushed_filter_entries_are_whole(spark):
     # regression for the comma-fragmentation bug in the plan parser
     df = _plan(spark, "q01_pricing_summary")
