@@ -225,3 +225,70 @@ def x40_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, name, n) for i, (name, n) in enumerate(stats.stages)],
         "stage_idx INT, stage STRING, n_docs BIGINT",
     )
+
+
+# ---- x52: grouped-map applyInPandas surfaced on the driver gate ----
+
+# Cross-engine float determinism: every aggregate is an exact integer
+# (sum, sum-of-squares over BIGINT n_chars), converted to double once
+# and combined in an expression tree mirrored token-for-token in the
+# oracle — identical IEEE op order => identical bits => stable hash.
+
+_X52_SQL = """
+    WITH g AS (
+      SELECT lang,
+             COUNT(*) AS n,
+             CAST(SUM(n_chars) AS BIGINT) AS s,
+             CAST(SUM(n_chars * n_chars) AS BIGINT) AS ss
+      FROM documents GROUP BY lang)
+    SELECT d.doc_id, d.lang,
+           ROUND(CASE WHEN g.n > 1 AND g.n * g.ss > g.s * g.s
+                 THEN CAST(d.n_chars * g.n - g.s AS DOUBLE)
+                      / (CAST(g.n AS DOUBLE)
+                         * SQRT(CAST(g.n * g.ss - g.s * g.s AS DOUBLE)
+                                / CAST(g.n * (g.n - 1) AS DOUBLE)))
+                 ELSE 0.0 END, 6) AS len_zscore
+    FROM documents d JOIN g ON d.lang = g.lang
+    ORDER BY d.doc_id
+    """
+
+
+@register("x52_udf_zscore", oracle=_X52_SQL)
+def x52_udf_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language z-score of document length via grouped-map
+    ``applyInPandas`` (operators/pandas_udfs.py's shape) — the UDF
+    surface driver-checked, not pytest-only.
+
+    The group aggregates are exact Python ints inside the UDF; the
+    double expression tree matches the oracle's token-for-token, so
+    the scores hash-match despite crossing a Python boundary.
+
+    Scale: one shuffle on lang; each group materializes as one pandas
+    frame (the applyInPandas contract — for unbounded groups use the
+    two-pass groupBy-stats + broadcast-join form instead).
+    """
+    import math
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        xs = [int(v) for v in pdf["n_chars"]]
+        n, s = len(xs), sum(xs)
+        ss = sum(x * x for x in xs)
+        if n > 1 and n * ss > s * s:
+            sd = math.sqrt(float(n * ss - s * s) / float(n * (n - 1)))
+            z = [float(x * n - s) / (float(n) * sd) for x in xs]
+        else:
+            z = [0.0] * n
+        return pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "lang": pdf["lang"], "len_zscore": z}
+        )
+
+    out = docs.groupBy("lang").applyInPandas(
+        fn, "doc_id BIGINT, lang STRING, len_zscore DOUBLE"
+    )
+    return out.select(
+        "doc_id", "lang", F.round("len_zscore", 6).alias("len_zscore")
+    ).orderBy("doc_id")
