@@ -49,10 +49,12 @@ HEADLINE += [
     "x01_dedup_exact",
     "x02_dedup_minhash",
     "x03_simhash",
+    "x06_dedup_embedding",
     "x10_knn_bruteforce",
     "x11_knn_lsh",
     "x20_text_quality",
     "x23_fingerprint",
+    "x25_tfidf",
     "x30_tumbling_window",
     "x32_session_window",
 ]

@@ -12,7 +12,7 @@ with whatever dedup/similarity stage follows at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -292,3 +292,114 @@ def x52_udf_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "lang", F.round("len_zscore", 6).alias("len_zscore")
     ).orderBy("doc_id")
+
+
+# ---- x24: deterministic hash-gated sampling ----
+
+_X24_SQL = """
+    SELECT doc_id, lang,
+           SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket
+    FROM documents
+    WHERE SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+       OR (lang = 'en'
+           AND SUBSTR(MD5('en#' || CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3'))
+    ORDER BY doc_id
+    """
+
+
+@register("x24_hash_sample", oracle=_X24_SQL)
+def x24_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sampling: an md5 gate on the row key gives a
+    reproducible ~12.5% global sample (first hex digit in {0,1}) plus
+    a stratified ~25% boost for one language (salted key) — the
+    production alternative to engine-RNG ``sample()``, which is not
+    reproducible across engines, retries, or partition layouts.
+
+    Scale: a narrow filter — no shuffle, no RNG state, pushes past
+    any partitioning; the same gate expression selects the same rows
+    on any engine (the property RNG sampling can't give you).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.col("doc_id").cast("string"))
+    salted = F.md5(F.concat(F.lit("en#"), F.col("doc_id").cast("string")))
+    gate = F.substring(key, 1, 1).isin("0", "1") | (
+        (F.col("lang") == "en")
+        & F.substring(salted, 1, 1).isin("0", "1", "2", "3")
+    )
+    return (
+        docs.filter(gate)
+        .select("doc_id", "lang", F.substring(key, 1, 1).alias("bucket"))
+        .orderBy("doc_id")
+    )
+
+
+# ---- x25: TF-IDF term scoring ----
+
+# idf is the *linear* reciprocal-df form (N/df, one exact-integer
+# division) rather than ln(N/df): libm log differs across engines in
+# the last ulp, which the hash gate would surface; the ranking is
+# identical for any monotone idf.
+
+_X25_TOP = 3
+
+_X25_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS term
+      FROM documents),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM toks WHERE term <> '' GROUP BY doc_id, term),
+    df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks
+      WHERE term <> '' GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(CAST(tf.tf * n.n_docs AS DOUBLE) / df.df, 6) AS score
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, term, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rnk
+      FROM scored)
+    SELECT doc_id, term, score, rnk
+    FROM ranked WHERE rnk <= {_X25_TOP}
+    ORDER BY doc_id, rnk
+    """
+
+
+@register("x25_tfidf", oracle=_X25_SQL)
+def x25_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_X25_TOP} TF-IDF terms per document: explode to tokens,
+    per-(doc,term) counts, document frequency, linear idf, window
+    top-k.
+
+    Scale: two shuffles (doc,term) and (term) — both uniform keys;
+    the corpus-size scalar joins in as a broadcast literal, and the
+    final top-k is a WindowGroupLimit, never a global sort of the
+    scored stream.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _X25_TOP)
+        .orderBy("doc_id", "rnk")
+    )
