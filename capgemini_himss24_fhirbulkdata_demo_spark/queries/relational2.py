@@ -485,3 +485,143 @@ def q71_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "q73_correlation",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+             SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+             SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           n,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr_qty_price,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS covar_pop
+    FROM s ORDER BY l_returnflag
+    """,
+)
+def q73_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + population covariance per group.
+
+    Built-in ``corr``/``covar_pop`` use engine-specific co-moment
+    update orders (never bit-identical across engines), so the exact
+    sufficient statistics are aggregated as decimals (order-free) and
+    the closed form is evaluated in a double expression tree mirrored
+    token-for-token in the oracle. decimal(18,2)² sums cap at
+    decimal(38,4) — fine to ~1e15 rows/group; beyond that widen scale.
+
+    Scale: one shuffle on the group key with map-side partials, same
+    cost as the built-in — exactness is free here.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    dx = F.col("l_quantity").cast("decimal(18,2)")
+    dy = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(dx).alias("sx"),
+        F.sum(dy).alias("sy"),
+        F.sum(dx * dx).alias("sxx"),
+        F.sum(dy * dy).alias("syy"),
+        F.sum(dx * dy).alias("sxy"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d, sy_d = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx_d, syy_d = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy_d = F.col("sxy").cast("double")
+    num = n_d * sxy_d - sx_d * sy_d
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(
+            num / (F.sqrt(n_d * sxx_d - sx_d * sx_d) * F.sqrt(n_d * syy_d - sy_d * sy_d)),
+            6,
+        ).alias("corr_qty_price"),
+        F.round(num / (n_d * n_d), 6).alias("covar_pop"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "q74_modern_aggs",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT_IF(o_totalprice > 150000) AS n_big,
+           BOOL_AND(o_totalprice > 0) AS all_positive,
+           BOOL_OR(o_orderstatus = 'P') AS any_pending,
+           MAX_BY(o_orderkey,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) * 100000000 + o_orderkey)
+             AS top_order,
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q74_modern_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_if / bool_and / bool_or / max_by battery.
+
+    ``max_by`` is nondeterministic on ordering ties in both engines;
+    the ordering key is the price scaled to exact cents (2-dp doubles)
+    composed with the unique order key — deterministic argmax without
+    a window. Key fits BIGINT to ~1e8 orders per 1e8-cent price;
+    beyond that use the struct-max form.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    tiekey = (
+        F.round(F.col("o_totalprice") * 100).cast("bigint") * F.lit(100000000)
+        + F.col("o_orderkey")
+    )
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.expr("count_if(o_totalprice > 150000)").alias("n_big"),
+            F.expr("bool_and(o_totalprice > 0)").alias("all_positive"),
+            F.expr("bool_or(o_orderstatus = 'P')").alias("any_pending"),
+            F.max_by("o_orderkey", tiekey).alias("top_order"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q75_lateral_join",
+    oracle="""
+    SELECT r.r_name, t.n_name, t.n_nationkey
+    FROM region r JOIN LATERAL (
+      SELECT n_name, n_nationkey FROM nation
+      WHERE n_regionkey = r.r_regionkey
+      ORDER BY n_nationkey LIMIT 2) t ON TRUE
+    ORDER BY r_name, n_nationkey
+    """,
+)
+def q75_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-2 nations per region by key).
+
+    Declared-surface row for lateral joins; Catalyst rewrites
+    DomainJoin→window-or-join, so the plan degenerates to the same
+    shape as q31's WindowGroupLimit — the point is the SQL surface
+    parses and optimizes, not a new physical operator.
+    """
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("q75_region")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("q75_nation")
+    return spark.sql(
+        """
+        SELECT r.r_name, t.n_name, t.n_nationkey
+        FROM q75_region r JOIN LATERAL (
+          SELECT n_name, n_nationkey FROM q75_nation
+          WHERE n_regionkey = r.r_regionkey
+          ORDER BY n_nationkey LIMIT 2) t
+        ORDER BY r_name, n_nationkey
+        """
+    )
