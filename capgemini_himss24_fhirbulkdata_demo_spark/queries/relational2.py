@@ -625,3 +625,42 @@ def q75_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY r_name, n_nationkey
         """
     )
+
+
+@register(
+    "x60_skew_salted_join",
+    oracle="""
+    SELECT c.c_nationkey AS nationkey,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_nationkey
+    ORDER BY nationkey
+    """,
+)
+def x60_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join (operators/skew.py): the fact side carries a
+    row-derived salt, the dim side replicates once per salt, and the
+    join key becomes (key, salt) so a hot key spreads over n_salts
+    partitions. The oracle is the PLAIN join — the whole point is
+    that salting changes the partitioning, never the result, and the
+    driver's value-hash gate proves it.
+
+    Scale: this is the plan-level fallback when AQE skew-join can't
+    help (broadcast-ineligible dim, hash join already chosen);
+    replication cost is n_salts x |dim|, amortized across the hot
+    key's partitions.
+    """
+    from ..operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    joined = salted_join(ev, cust, on=[("user_id", "c_custkey")], n_salts=8)
+    return (
+        joined.groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("nationkey")
+    )
