@@ -664,3 +664,77 @@ def x60_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+@register(
+    "q76_exists_subqueries",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'P')
+    ORDER BY c_custkey
+    """,
+)
+def q76_exists_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + NOT EXISTS (Catalyst decorrelates into a
+    left-semi and a left-anti join on o_custkey — same physical shape
+    as q04/q20, declared here as the SQL surface)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("q76_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q76_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM q76_customer c
+        WHERE EXISTS (SELECT 1 FROM q76_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM q76_orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'P')
+        ORDER BY c_custkey
+        """
+    )
+
+
+@register(
+    "q77_recursive_cte",
+    oracle="""
+    WITH RECURSIVE buckets(b_idx, lo, hi) AS (
+      SELECT 0, CAST(0 AS DOUBLE), CAST(1024 AS DOUBLE)
+      UNION ALL
+      SELECT b_idx + 1, hi, hi * 2 FROM buckets WHERE b_idx < 9)
+    SELECT b.b_idx, CAST(b.lo AS BIGINT) AS lo, CAST(b.hi AS BIGINT) AS hi,
+           COUNT(o.o_orderkey) AS n_orders
+    FROM buckets b LEFT JOIN orders o
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.b_idx, b.lo, b.hi
+    ORDER BY b.b_idx
+    """,
+)
+def q77_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): a doubling price ladder
+    built iteratively, then an exponential histogram of orders by
+    range join against it. The recursion is driver-bounded (10 steps)
+    — the iterative plan is the declared surface; the data-touching
+    part stays one bounded range join.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q77_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE buckets(b_idx, lo, hi) AS (
+          SELECT 0, CAST(0 AS DOUBLE), CAST(1024 AS DOUBLE)
+          UNION ALL
+          SELECT b_idx + 1, hi, hi * 2 FROM buckets WHERE b_idx < 9)
+        SELECT b.b_idx, CAST(b.lo AS BIGINT) AS lo, CAST(b.hi AS BIGINT) AS hi,
+               COUNT(o.o_orderkey) AS n_orders
+        FROM buckets b LEFT JOIN q77_orders o
+          ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+        GROUP BY b.b_idx, b.lo, b.hi
+        ORDER BY b.b_idx
+        """
+    )

@@ -143,3 +143,49 @@ def x32_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@register(
+    "x33_interval_join",
+    oracle="""
+    SELECT a.user_id,
+           a.event_id AS view_id, b.event_id AS purchase_id,
+           CAST(DATE_DIFF('second', a.ts, b.ts) AS BIGINT) AS lag_sec
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'view' AND b.event_type = 'purchase'
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    ORDER BY a.user_id, view_id, purchase_id
+    """,
+)
+def x33_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, batch twin: view→purchase
+    attribution within a 1-hour window. Under readStream this is the
+    watermarked stream-stream join (both sides bounded by the interval
+    condition so state is evictable); in batch it is a plain
+    range-bounded self-join shuffled on user_id.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id"), F.col("event_id").alias("view_id"), F.col("ts").alias("ts_a")
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("user_b"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("ts_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("user_b"))
+            & (F.col("ts_b") > F.col("ts_a"))
+            & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            "user_id",
+            "view_id",
+            "purchase_id",
+            (F.unix_timestamp("ts_b") - F.unix_timestamp("ts_a")).alias("lag_sec"),
+        )
+        .orderBy("user_id", "view_id", "purchase_id")
+    )
