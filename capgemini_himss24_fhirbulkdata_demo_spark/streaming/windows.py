@@ -81,6 +81,43 @@ def session_agg(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    max_lag: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked stream-stream interval join (batch twin: x33).
+
+    Both sides carry a watermark and the join condition bounds
+    right.ts within (left.ts, left.ts + max_lag] — exactly the
+    conditions Spark needs to evict join state (left rows older than
+    watermark+max_lag, right rows older than watermark). Output
+    columns are renamed to the x33 contract.
+    """
+    l = left.withWatermark(ts_col, watermark).select(
+        F.col(key), F.col("event_id").alias("view_id"), F.col(ts_col).alias("ts_a")
+    )
+    r = right.withWatermark(ts_col, watermark).select(
+        F.col(key).alias("__rk"),
+        F.col("event_id").alias("purchase_id"),
+        F.col(ts_col).alias("ts_b"),
+    )
+    return l.join(
+        r,
+        (F.col(key) == F.col("__rk"))
+        & (F.col("ts_b") > F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr(f"INTERVAL {max_lag}")),
+    ).select(
+        key,
+        "view_id",
+        "purchase_id",
+        (F.unix_timestamp("ts_b") - F.unix_timestamp("ts_a")).alias("lag_sec"),
+    )
+
+
 def streaming_dedup(
     events: DataFrame,
     keys: list[str],

@@ -377,3 +377,32 @@ def test_streaming_fhir_import(spark, tmp_path):
     # replay with no new data: no re-commit
     run()
     assert len(commits) == 2
+
+
+def test_interval_join_stream_equals_batch(spark, landed_events, tmp_path):
+    """Watermarked stream-stream interval join == x33 batch twin on a
+    replayed complete source (modulo the unfinalizable watermark
+    tail, which on availableNow is empty: all state drains when both
+    sources are exhausted)."""
+    from capgemini_himss24_fhirbulkdata_demo_spark.queries import QUERIES
+    from capgemini_himss24_fhirbulkdata_demo_spark.streaming import interval_join
+
+    left = read_parquet_stream(spark, landed_events, EVENTS_SCHEMA).filter(
+        F.col("event_type") == "view"
+    )
+    right = read_parquet_stream(spark, landed_events, EVENTS_SCHEMA).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = interval_join(left, right)
+    _run_to_memory(joined, "ij_out", str(tmp_path / "ck_ij"), mode="append")
+    got = {
+        tuple(r)
+        for r in spark.table("ij_out")
+        .select("user_id", "view_id", "purchase_id", "lag_sec")
+        .collect()
+    }
+    exp = {tuple(r) for r in QUERIES["x33_interval_join"](spark, SF_DIR).collect()}
+    # stream-stream inner join emits matches as they resolve; on a
+    # drained availableNow source every batch pair must have appeared
+    assert got == exp
+    assert len(exp) > 0
