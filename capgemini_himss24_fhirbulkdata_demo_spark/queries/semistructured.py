@@ -368,3 +368,42 @@ def q68_map_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.map_from_entries(F.map_entries(F.col("m"))), "a"
         ).alias("rebuilt_a"),
     ).orderBy("n_nationkey")
+
+
+@register(
+    "q78_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) AS k,
+           JSON_EXTRACT_STRING(props, '$.missing') AS missing_key,
+           CASE WHEN CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) >= 50
+                THEN 'high' ELSE 'low' END AS k_band
+    FROM events
+    WHERE CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) IS NOT NULL
+    ORDER BY event_id
+    """,
+)
+def q78_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT surface: parse_json -> variant_get typed
+    extraction + try_variant_get null-on-miss, banded downstream. The
+    oracle reads the same paths with DuckDB's JSON extractors —
+    variant is Spark's binary-encoded answer to the same
+    semi-structured access pattern (shredded, no per-row re-parse).
+
+    Scale: variant parse happens once per row in the scan projection;
+    at 100 TB the parsed column would be materialized (or arrive as
+    parquet VARIANT) so path access is O(paths), not O(re-parse).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "bigint")
+    return (
+        ev.select(
+            "event_id",
+            k.alias("k"),
+            F.try_variant_get(v, "$.missing", "string").alias("missing_key"),
+            F.when(k >= 50, F.lit("high")).otherwise(F.lit("low")).alias("k_band"),
+        )
+        .filter(F.col("k").isNotNull())
+        .orderBy("event_id")
+    )
