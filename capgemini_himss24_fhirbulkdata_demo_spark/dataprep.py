@@ -27,7 +27,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .operators.dedup import dedup_first_wins, near_dup_pairs
+from .operators.dedup import dedup_first_wins, near_dup_pairs, release_cached_deps
 from .operators.similarity import (
     cosine_dot,
     hyperplanes,
@@ -46,15 +46,17 @@ class PrepStats:
         # persist at the stage boundary: the count action AND the next
         # stage both read this frame — without it every stage recomputes
         # the whole upstream chain (the LSH self-join several times over)
-        df = df.persist()
-        self.stages.append((name, df.count()))
-        # the count() just materialized df, so the PREVIOUS stage's
-        # cache is no longer read by anything — release it immediately
-        # instead of pinning executor storage for the job's lifetime
+        out = df.persist()
+        self.stages.append((name, out.count()))
+        # the count() just materialized the stage, so the PREVIOUS
+        # stage's cache and any operator intermediates riding this
+        # frame (e.g. near_dup_pairs' shingles) are no longer read —
+        # release them instead of pinning executor storage
         if self._cached:
             self._cached.pop().unpersist()
-        self._cached.append(df)
-        return df
+        release_cached_deps(df)
+        self._cached.append(out)
+        return out
 
     def release(self) -> None:
         """Unpersist the final stage frame (counts are already taken)."""
@@ -105,7 +107,11 @@ def remove_near_dups(
     """
     pairs = near_dup_pairs(docs, id_col, text_col, min_jaccard=min_jaccard)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    return docs.join(losers, id_col, "left_anti")
+    out = docs.join(losers, id_col, "left_anti")
+    # thread the operator's persisted intermediates to the stage
+    # boundary (PrepStats.record releases them after materializing)
+    out._cached_deps = getattr(pairs, "_cached_deps", [])
+    return out
 
 
 def remove_embedding_dups(

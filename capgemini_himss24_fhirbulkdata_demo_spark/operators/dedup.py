@@ -92,12 +92,16 @@ def lsh_candidate_pairs(
     Bands are concatenations of ``band_size`` adjacent minhashes; the
     self-join shuffles on the band value (uniform, skew-free).
 
-    ``min_agree`` (optional) is the estimate-then-verify gate: the
-    h0..h{n-1} signature columns are carried through the band explode
-    (they are already in the banded frame's lineage) so full-signature
-    agreement is computed *inside* the candidate join — no re-join
-    against an O(corpus) signature table, no broadcast. Memory stays
-    O(rows per band bucket) regardless of corpus size.
+    ``min_agree`` (optional) is the estimate-then-verify gate: banded
+    candidate pairs must agree on that many of the full signature's
+    minhashes. The gate joins the (distinct, already LSH-pruned)
+    candidate pairs back to the signature table with PLAIN joins — no
+    broadcast hints: AQE broadcasts the build side only when it is
+    actually small, and at corpus scale they are ordinary shuffled
+    hash joins keyed on id (never an O(corpus) forced broadcast).
+    Carrying h0..h7 through the band explode instead was measured 2×
+    slower — it multiplies the band shuffle's bytes by the signature
+    width on both self-join sides.
     """
     if n_hashes % band_size != 0:
         raise ValueError(
@@ -109,12 +113,8 @@ def lsh_candidate_pairs(
             f"min_agree={min_agree} can never hold with n_hashes={n_hashes}"
         )
     n_bands = n_hashes // band_size
-    # banding alone already guarantees band_size agreements
-    carry = min_agree is not None and min_agree > band_size
-    sig_cols = [f"h{i}" for i in range(n_hashes)] if carry else []
     banded = sigs.select(
         F.col(id_col),
-        *sig_cols,
         F.explode(
             F.array(
                 *[
@@ -128,23 +128,41 @@ def lsh_candidate_pairs(
                 ]
             )
         ).alias("bv"),
-    ).select(id_col, *sig_cols, "bv.band_idx", "bv.band_val")
+    ).select(id_col, "bv.band_idx", "bv.band_val")
     a, b = banded.alias("a"), banded.alias("b")
-    joined = a.join(
-        b,
-        (F.col("a.band_idx") == F.col("b.band_idx"))
-        & (F.col("a.band_val") == F.col("b.band_val"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
     )
-    if carry:
+    # banding alone already guarantees band_size agreements
+    if min_agree is not None and min_agree > band_size:
+        g1 = sigs.select(
+            F.col(id_col).alias("id_a"),
+            *[F.col(f"h{i}").alias(f"__ha{i}") for i in range(n_hashes)],
+        )
+        g2 = sigs.select(
+            F.col(id_col).alias("id_b"),
+            *[F.col(f"h{i}").alias(f"__hb{i}") for i in range(n_hashes)],
+        )
         agree = None
         for i in range(n_hashes):
-            t = F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0)
+            t = F.when(F.col(f"__ha{i}") == F.col(f"__hb{i}"), 1).otherwise(0)
             agree = t if agree is None else agree + t
-        joined = joined.filter(agree >= min_agree)
-    return joined.select(
-        F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-    ).distinct()
+        cand = (
+            cand.join(g1, "id_a")
+            .join(g2, "id_b")
+            .filter(agree >= min_agree)
+            .select("id_a", "id_b")
+        )
+    return cand
 
 
 def jaccard(a: Column, b: Column, scale: int = 4) -> Column:
@@ -156,6 +174,14 @@ def jaccard(a: Column, b: Column, scale: int = 4) -> Column:
     return F.round(inter.cast("double") / (F.size(a) + F.size(b) - inter), scale)
 
 
+def release_cached_deps(df: DataFrame) -> None:
+    """Unpersist intermediates an operator attached to ``df``
+    (``_cached_deps``). Call once the result is materialized (written
+    / counted / cached downstream) so nothing stays pinned."""
+    for dep in getattr(df, "_cached_deps", []):
+        dep.unpersist()
+
+
 def near_dup_pairs(
     docs: DataFrame,
     id_col: str,
@@ -165,6 +191,7 @@ def near_dup_pairs(
     shingle_n: int = 2,
     min_jaccard: float = 0.3,
     min_agree: int = 4,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """Full near-dup pipeline → (id_a, id_b, jaccard) above threshold.
 
@@ -176,28 +203,40 @@ def near_dup_pairs(
     The gate is evaluated inside the LSH self-join (signatures ride
     the band explode), so no stage holds O(corpus) rows in memory.
 
-    No ``persist()``: the band self-join reuses its shuffle exchange
-    (identical subplans), and the shingle recompute for the verify
-    joins is a narrow projection. At 100 TB, shingles/signatures
-    would be materialized as columnar tables between stages instead
-    of cached — callers owning a real pipeline should write
-    ``sh``/``sigs`` out and re-read them, not cache them.
+    Three plan branches read the shingle arrays (signature build +
+    both verify-join sides) and three read the signatures (band
+    explode + both gate-join sides): recomputing them tripled wall
+    time at 50k docs, so both persist by default, attached to the
+    result as ``_cached_deps`` — callers release them via
+    ``release_cached_deps(result)`` once the result is materialized
+    (``dataprep.PrepStats`` does this at stage boundaries). At 100 TB
+    pass ``persist_shingles=False`` and materialize the shingle and
+    signature tables as columnar storage between stages instead of
+    executor memory.
 
-    Measured scaling on local[32]: 5k docs → 5.3 s, 50k docs (10×,
-    with 245k additional true near-dup pairs) → 6.9 s — wall time
-    tracks parallel resources, not corpus size, because every stage is
-    a narrow pass or a uniform-key shuffle (the 100 TB contract).
+    Measured scaling on local[32]: 5k docs / 256 true pairs → ~4.6 s;
+    50k docs (10× input, 250,600 true pairs = ~1000× output) → ~19 s,
+    of which ~6 s is the Jaccard verify join over those 250k pairs —
+    cost tracks input + emitted-pair volume, never corpus² (the
+    100 TB contract: every stage is a narrow pass, a uniform-key
+    shuffle, or output-proportional).
     """
     sh = docs.select(F.col(id_col), shingle(F.col(text_col), shingle_n).alias("sh"))
+    if persist_shingles:
+        sh = sh.persist()
     sigs = minhash_signatures(sh, id_col, "sh", n_hashes)
+    if persist_shingles:
+        sigs = sigs.persist()
     cand = lsh_candidate_pairs(
         sigs, id_col, n_hashes, band_size, min_agree=min_agree
     )
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    return (
+    out = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
         .filter(F.col("jaccard") >= min_jaccard)
     )
+    out._cached_deps = [sh, sigs] if persist_shingles else []
+    return out

@@ -203,21 +203,23 @@ def x02_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard(shingles) ≥ threshold.
 
     Scale: signatures are a narrow scan; the self-join shuffles on
-    uniformly-distributed band hashes; Jaccard verification touches
-    only candidate pairs (LSH's point). The estimate gate
-    (>= _AGREE_MIN of _N_HASHES minhashes agreeing) is evaluated
-    INSIDE the band self-join — signatures ride the band explode, so
-    no stage joins or broadcasts an O(corpus) signature table
-    (memory stays O(band bucket), not O(corpus)).
+    uniformly-distributed band hashes (skinny rows — carrying the
+    signature columns through the explode doubles wall time by
+    multiplying the shuffle's bytes on both self-join sides). The
+    estimate gate (>= _AGREE_MIN of _N_HASHES minhashes agreeing)
+    joins the distinct candidate pairs back to the signature table
+    with PLAIN joins — no broadcast hints; AQE broadcasts only a
+    genuinely-small side, and at corpus scale these are ordinary
+    shuffled hash joins keyed on doc_id.
 
     Local-mode specifics: the documents fixture is one small parquet
     file (one input split), so the md5-heavy signature expansion is
     repartitioned across cores first — compute here is large relative
     to input bytes, the same reason this repartition is cheap at any
     scale. sh/sigs are persisted because three plan branches read
-    them (band explode, jaccard A, jaccard B); at 100 TB a real
-    pipeline materializes them columnar between stages instead
-    (see operators.dedup.near_dup_pairs for the cache-free form).
+    each (signatures / band explode + gate A + gate B); at 100 TB a
+    real pipeline materializes them columnar between stages instead
+    (operators.dedup.near_dup_pairs: persist_shingles=False).
     """
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism * 2
@@ -226,11 +228,9 @@ def x02_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     dg = sh.select("doc_id", "sh", *_spark_digests())
     sigs = dg.select(
         "doc_id", *[_spark_minhash(i).alias(f"h{i}") for i in range(_N_HASHES)]
-    )
-    hcols = [f"h{i}" for i in range(_N_HASHES)]
+    ).persist()
     bands = sigs.select(
         "doc_id",
-        *hcols,
         F.explode(
             F.array(
                 *[
@@ -244,23 +244,36 @@ def x02_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bv"),
-    ).select("doc_id", *hcols, "bv.band_idx", "bv.band_val")
+    ).select("doc_id", "bv.band_idx", "bv.band_val")
     a = bands.alias("a")
     b = bands.alias("b")
-    agree = None
-    for i in range(_N_HASHES):
-        t = F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0)
-        agree = t if agree is None else agree + t
-    gated = (
+    cand = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .filter(agree >= _AGREE_MIN)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+    )
+    g1 = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"ha{i}") for i in range(_N_HASHES)],
+    )
+    g2 = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"hb{i}") for i in range(_N_HASHES)],
+    )
+    agree = None
+    for i in range(_N_HASHES):
+        t = F.when(F.col(f"ha{i}") == F.col(f"hb{i}"), 1).otherwise(0)
+        agree = t if agree is None else agree + t
+    gated = (
+        cand.join(g1, "doc_a")
+        .join(g2, "doc_b")
+        .filter(agree >= _AGREE_MIN)
+        .select("doc_a", "doc_b")
     )
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
