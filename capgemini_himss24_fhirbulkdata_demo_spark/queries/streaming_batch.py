@@ -189,3 +189,53 @@ def x33_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "view_id", "purchase_id")
     )
+
+
+@register(
+    "q79_gap_fill",
+    oracle="""
+    WITH c AS (
+      SELECT DATE_TRUNC('hour', ts) AS hb, COUNT(*) AS n_events
+      FROM events WHERE event_type = 'click' GROUP BY hb),
+    s AS (
+      SELECT UNNEST(GENERATE_SERIES((SELECT MIN(hb) FROM c),
+                                    (SELECT MAX(hb) FROM c),
+                                    INTERVAL '1 hour')) AS hb)
+    SELECT STRFTIME(s.hb, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           COALESCE(c.n_events, 0) AS n_events
+    FROM s LEFT JOIN c ON s.hb = c.hb
+    ORDER BY hour_start
+    """,
+)
+def q79_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densify + zero-fill: hourly click counts with every
+    missing hour materialized (the resample/gap-fill op reporting and
+    feature pipelines need before window functions make sense).
+
+    The dense hour spine comes from sequence() over the observed
+    min/max — a 1-row aggregate exploded, never a driver action. At
+    100 TB the spine is tiny (hours, not rows); the left join
+    broadcasts it.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(F.date_trunc("hour", "ts").alias("hb"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    spine = (
+        c.agg(F.min("hb").alias("lo"), F.max("hb").alias("hi"))
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hb")
+        )
+    )
+    return (
+        spine.join(c, "hb", "left")
+        .select(
+            F.date_format("hb", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+        .orderBy("hour_start")
+    )
