@@ -240,3 +240,54 @@ def near_dup_pairs(
     )
     out._cached_deps = [sh, sigs] if persist_shingles else []
     return out
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected pair graph →
+    (vertex, component) with component = min vertex id reachable.
+
+    Min-label propagation (the Pregel/GraphFrames pattern expressed in
+    plain DataFrames): every vertex starts labeled with itself; each
+    round takes the min of its own label and its neighbors' labels;
+    converges in graph-diameter rounds. Near-dup graphs are unions of
+    small cliques (diameter 1-2), so 2-3 rounds in practice.
+
+    Scale notes: each round is one shuffle (edges join labels, keyed
+    on vertex) + one groupBy min; ``localCheckpoint`` truncates the
+    lineage per round (an iterative loop's plan otherwise doubles
+    every round). Convergence is detected by the strictly-decreasing
+    label sum — one tiny aggregate action per round, not a row-wise
+    diff. This is the cluster-representative step real dedup needs
+    after pair generation (drop all but MIN(doc) per component).
+    """
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = fwd.unionAll(
+        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    ).distinct().localCheckpoint()
+    labels = edges.select(F.col("src").alias("v")).distinct().select(
+        "v", F.col("v").alias("label")
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iter):
+        msgs = (
+            edges.join(labels, edges.dst == labels.v)
+            .groupBy("src")
+            .agg(F.min("label").alias("nl"))
+        )
+        labels = (
+            labels.join(msgs, labels.v == msgs.src, "left")
+            .select(
+                "v", F.least(F.col("label"), F.coalesce("nl", "label")).alias("label")
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("v"), F.col("label").alias("component"))

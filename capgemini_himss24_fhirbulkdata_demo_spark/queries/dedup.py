@@ -159,8 +159,8 @@ _SQL_BAND_UNION = " UNION ALL ".join(
     for b in range(_N_BANDS)
 )
 
-_X02_SQL = f"""
-    WITH sh AS (
+# CTE chain shared by x02 (pairs) and x07 (components over pairs)
+_X02_CTES = f"""sh AS (
       SELECT doc_id, {_sql_shingles()} AS sh FROM documents),
     dg AS (
       SELECT doc_id, sh, {_sql_digests()} FROM sh),
@@ -185,10 +185,15 @@ _X02_SQL = f"""
                    / (LEN(sa.sh) + LEN(sb.sh)
                       - LEN(LIST_INTERSECT(sa.sh, sb.sh))), 4) AS jaccard
       FROM gated JOIN sh sa ON sa.doc_id = doc_a
-                 JOIN sh sb ON sb.doc_id = doc_b)
+                 JOIN sh sb ON sb.doc_id = doc_b),
+    pairs AS (
+      SELECT doc_a, doc_b, jaccard FROM scored
+      WHERE jaccard >= {_JACCARD_MIN})"""
+
+_X02_SQL = f"""
+    WITH {_X02_CTES}
     SELECT doc_a, doc_b, jaccard
-    FROM scored
-    WHERE jaccard >= {_JACCARD_MIN}
+    FROM pairs
     ORDER BY doc_a, doc_b
     """
 
@@ -528,3 +533,48 @@ def x05_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _HAMMING_MAX)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------- components over pairs
+
+_X07_SQL = f"""
+    WITH RECURSIVE {_X02_CTES},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+    FROM reach GROUP BY a
+    ORDER BY doc_id
+    """
+
+
+@register("x07_dedup_components", oracle=_X07_SQL)
+def x07_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the x02 near-dup pair graph — the
+    cluster-representative step real dedup runs after pair generation
+    (keep MIN(doc_id) per component, drop the rest; one-pass pair
+    dropping over-removes on transitive chains, see
+    dataprep.remove_near_dups).
+
+    Spark side: iterative min-label propagation
+    (operators.dedup.connected_components) — one shuffle per round,
+    lineage truncated via localCheckpoint, converges in
+    graph-diameter rounds. Oracle side: DuckDB recursive-CTE
+    transitive closure. An iterative distributed algorithm
+    hash-matched against declarative recursion.
+    """
+    from ..operators.dedup import connected_components, release_cached_deps
+
+    pairs = x02_dedup_minhash(spark, sf_dir)
+    out = (
+        connected_components(pairs, "doc_a", "doc_b")
+        .select(F.col("v").alias("doc_id"), "component")
+        .orderBy("doc_id")
+    )
+    release_cached_deps(pairs)
+    return out

@@ -288,3 +288,24 @@ def test_zscore_per_group_matches_builtin(spark):
     for k in got:
         e = exp[k] if exp[k] is not None else 0.0
         assert math.isclose(got[k], e, rel_tol=1e-9, abs_tol=1e-12), (k, got[k], e)
+
+
+def test_connected_components_chain_graph(spark):
+    """Multi-hop chain (diameter 4) forces several propagation rounds;
+    two separate components plus an isolated pair."""
+    from capgemini_himss24_fhirbulkdata_demo_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (20, 21)],
+        "id_a BIGINT, id_b BIGINT",
+    )
+    got = {
+        r.v: r.component for r in connected_components(pairs, "id_a", "id_b").collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
