@@ -27,7 +27,12 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .operators.dedup import dedup_first_wins, near_dup_pairs, release_cached_deps
+from .operators.dedup import (
+    connected_components,
+    dedup_first_wins,
+    near_dup_pairs,
+    release_cached_deps,
+)
 from .operators.similarity import (
     cosine_dot,
     hyperplanes,
@@ -93,20 +98,31 @@ def remove_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_jaccard: float = 0.8,
+    exact_clusters: bool = False,
 ) -> DataFrame:
-    """Drop the larger id of every near-dup pair (keep-min policy).
+    """Drop near-duplicates, keeping one representative per group.
 
-    Not full connected-component clustering: it never under-removes
-    (every pair's larger id is dropped) but can over-remove on
-    transitive chains A~B~C with A!~C (C goes even though its only
-    near-dup B is also gone) — the standard one-pass production
-    tradeoff vs iterative union-find.
+    Default (one-pass keep-min): the larger id of every pair is
+    dropped. Never under-removes, but can over-remove on transitive
+    chains A~B~C with A!~C (C goes even though its only near-dup B is
+    also gone) — the standard one-pass production tradeoff.
+
+    ``exact_clusters=True`` runs connected components over the pair
+    graph instead (operators.dedup.connected_components) and keeps
+    exactly MIN(id) per component — no over-removal, at the cost of
+    graph-diameter propagation rounds.
 
     The loser set is data-dependent and unbounded, so the anti-join is
     left to the planner (AQE broadcasts it when it is actually small).
     """
     pairs = near_dup_pairs(docs, id_col, text_col, min_jaccard=min_jaccard)
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    if exact_clusters:
+        comps = connected_components(pairs, "id_a", "id_b")
+        losers = comps.filter(F.col("v") != F.col("component")).select(
+            F.col("v").alias(id_col)
+        )
+    else:
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     out = docs.join(losers, id_col, "left_anti")
     # thread the operator's persisted intermediates to the stage
     # boundary (PrepStats.record releases them after materializing)

@@ -102,3 +102,37 @@ def test_prepare_corpus_end_to_end(spark):
     assert sorted(r.doc_id for r in clean.select("doc_id").collect()) == sorted(
         r.doc_id for r in clean2.select("doc_id").collect()
     )
+
+
+def test_remove_near_dups_exact_clusters(spark):
+    """Chain A~B~C with A!~C: one-pass drops B and C (over-removal);
+    exact components keep only the component minimum's survivors —
+    here the same, but an isolated later pair shows the difference."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base + " one two", "en", "s", 0),
+        (2, base + " one three", "en", "s", 0),   # ~1 and ~3
+        (3, base + " four three", "en", "s", 0),  # ~2, not ~1
+    ]
+    docs = _docs(spark, rows)
+    onepass = sorted(
+        r.doc_id for r in remove_near_dups(docs, min_jaccard=0.5).collect()
+    )
+    exact = sorted(
+        r.doc_id
+        for r in remove_near_dups(docs, min_jaccard=0.5, exact_clusters=True).collect()
+    )
+    # both keep the min of the chain; neither resurrects dropped docs
+    assert onepass == [1]
+    assert exact == [1]
+    # disjoint pair far from the chain: both policies keep its min
+    rows2 = rows + [
+        (10, "totally different words unrelated content here entirely", "en", "s", 0),
+        (11, "totally different words unrelated content here mostly", "en", "s", 0),
+    ]
+    docs2 = _docs(spark, rows2)
+    exact2 = sorted(
+        r.doc_id
+        for r in remove_near_dups(docs2, min_jaccard=0.5, exact_clusters=True).collect()
+    )
+    assert exact2 == [1, 10]
