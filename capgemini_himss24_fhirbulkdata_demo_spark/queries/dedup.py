@@ -296,11 +296,14 @@ def x02_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
-    return (
+    out = (
         scored.filter(F.col("jaccard") >= _JACCARD_MIN)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
+    # releasable by composing queries (x07) via release_cached_deps
+    out._cached_deps = [sh, sigs]
+    return out
 
 
 # ------------------------------------------------------------- simhash
