@@ -9,12 +9,21 @@ wrappers over these.
 
 from .asof import asof_join  # noqa: F401
 from .dedup import (  # noqa: F401
+    connected_components,
     dedup_first_wins,
     lsh_candidate_pairs,
     minhash_signatures,
     near_dup_pairs,
+    release_cached_deps,
     shingle,
 )
-from .similarity import cosine_dot, cosine_topk, lsh_bucket  # noqa: F401
+from .similarity import (  # noqa: F401
+    cosine_dot,
+    cosine_topk,
+    ivf_assign,
+    ivf_topk,
+    lsh_bucket,
+    probe_dim,
+)
 from .skew import salted_aggregate, salted_join  # noqa: F401
 from .topk import top_k_per_group  # noqa: F401
