@@ -204,3 +204,18 @@ def test_split_top_level_parser():
         "d:decimal(12,2)",
     ]
     assert _split_top_level("") == []
+
+
+def test_x25_tfidf_topk_is_window_group_limit(spark):
+    # rank<=3 after row_number must fold to WindowGroupLimit, not a
+    # full sort of the scored stream
+    plan = explain_str(_plan(spark, "x25_tfidf"))
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q79_gap_fill_spine_is_broadcast(spark):
+    # the dense hour spine is tiny (one row per hour) — its join against
+    # hourly counts must broadcast, never shuffle the spine
+    strategies = join_strategies(_plan(spark, "q79_gap_fill"))
+    assert "BroadcastHashJoin" in strategies, strategies

@@ -117,3 +117,50 @@ def test_ndjson_roundtrip_identity(spark, tmp_path_factory, patients):
                 got.extend(json.loads(line) for line in f if line.strip())
     canon = lambda rows: sorted(json.dumps(r, sort_keys=True) for r in rows)  # noqa: E731
     assert canon(got) == canon(patients)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_connected_components_match_union_find(spark, edges):
+    """Distributed min-label propagation == classic union-find on
+    arbitrary small graphs (chains, cycles, stars, multi-edges)."""
+    from capgemini_himss24_fhirbulkdata_demo_spark.operators.dedup import (
+        connected_components,
+    )
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    exp = {v: find(v) for v in parent}
+
+    pairs = spark.createDataFrame(edges, "id_a BIGINT, id_b BIGINT")
+    got = {
+        r.v: r.component
+        for r in connected_components(pairs, "id_a", "id_b").collect()
+    }
+    assert got == exp, (edges, got, exp)
