@@ -309,3 +309,26 @@ def test_connected_components_chain_graph(spark):
         10: 10, 11: 10, 12: 10,
         20: 20, 21: 20,
     }
+
+
+def test_ivf_full_probe_equals_bruteforce(spark):
+    """Probing every list makes IVF search exhaustive — results must
+    equal brute-force cosine top-k exactly (same fold arithmetic)."""
+    from capgemini_himss24_fhirbulkdata_demo_spark.operators.similarity import (
+        cosine_topk,
+        ivf_assign,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    assigned, cents = ivf_assign(emb, "vec_id", "embedding", n_lists=8, dim=64)
+    n_lists = cents.count()
+    q = emb.filter(F.col("vec_id") < 5)
+    ivf = ivf_topk(
+        q, assigned, cents, "vec_id", "vec_id", "embedding", "embedding",
+        k=3, n_probe=n_lists,
+    ).collect()
+    brute = cosine_topk(q, emb, "vec_id", "vec_id", "embedding", "embedding", k=3).collect()
+    assert sorted((r.query_id, r.neighbor_id, r.rank) for r in ivf) == sorted(
+        (r.query_id, r.neighbor_id, r.rank) for r in brute
+    )
