@@ -122,6 +122,7 @@ def ivf_assign(
     n_lists: int | None = None,
     list_col: str = "ivf_list",
     dim: int | None = None,
+    train_fraction: float = 1.0,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer: deterministic centroid build + assignment.
 
@@ -140,6 +141,14 @@ def ivf_assign(
     and a plan whose width is O(1) in ``dim`` (a per-dimension
     aggregate column would blow up codegen at dim 768+). Assignment is
     a narrow projection; queries then search only their probe list(s).
+    ``train_fraction`` < 1 builds centroids on a deterministic
+    md5-gated sample (standard IVF practice: at 50 B docs × 768 dims
+    the full posexplode is ~4·10¹³ skinny rows; a 1 % training sample
+    is statistically identical for bucket means) — assignment always
+    covers the FULL table. A bucket entirely absent from the sample
+    gets no centroid and is never probed (its members drop from
+    recall) — the usual IVF sampling tradeoff; size the fraction so
+    every occupied cell is hit (P(miss) ≈ exp(-f·|bucket|)).
     """
     if dim is None:
         dim = probe_dim(vectors, vec_col)
@@ -149,10 +158,24 @@ def ivf_assign(
     planes = hyperplanes(n_planes, dim)
     bucketed = vectors.withColumn("__b", lsh_bucket(F.col(vec_col), planes))
 
+    train = bucketed
+    if not (0 < train_fraction <= 1):
+        raise ValueError(f"train_fraction must be in (0, 1], got {train_fraction}")
+    if train_fraction < 1:
+        # deterministic hash gate (not RNG sample(): reproducible
+        # across engines, retries, and partition layouts)
+        bound = int(train_fraction * 0xFFFF)
+        gate = (
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
+            .cast("bigint")
+            <= bound
+        )
+        train = bucketed.filter(gate)
+
     # exact-decimal per-(bucket, dimension) mean -> deterministic
     # centroids, constant plan width in dim
     cent = (
-        bucketed.select(
+        train.select(
             "__b", F.posexplode(F.col(vec_col)).alias("__pos", "__val")
         )
         .groupBy("__b", "__pos")

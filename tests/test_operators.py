@@ -332,3 +332,31 @@ def test_ivf_full_probe_equals_bruteforce(spark):
     assert sorted((r.query_id, r.neighbor_id, r.rank) for r in ivf) == sorted(
         (r.query_id, r.neighbor_id, r.rank) for r in brute
     )
+
+
+def test_ivf_sampled_training(spark):
+    """train_fraction builds centroids on a hash-gated sample;
+    assignment still covers the full table, results deterministic."""
+    from capgemini_himss24_fhirbulkdata_demo_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    assigned, cents = ivf_assign(
+        emb, "vec_id", "embedding", n_lists=8, dim=64, train_fraction=0.5
+    )
+    # full-table assignment regardless of the training sample
+    assert assigned.count() == emb.count()
+    # fixtures have large buckets: half-sample still covers every cell
+    full_cells = {r.ivf_list for r in ivf_assign(emb, "vec_id", "embedding",
+                                                 n_lists=8, dim=64)[1].collect()}
+    samp_cells = {r.ivf_list for r in cents.collect()}
+    assert samp_cells == full_cells
+    q = emb.filter(F.col("vec_id") < 3)
+    out1 = ivf_topk(q, assigned, cents, "vec_id", "vec_id", "embedding",
+                    "embedding", k=3, n_probe=2).collect()
+    out2 = ivf_topk(q, assigned, cents, "vec_id", "vec_id", "embedding",
+                    "embedding", k=3, n_probe=2).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    assert {r.query_id for r in out1} == {0, 1, 2}
