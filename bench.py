@@ -155,14 +155,23 @@ def main() -> None:
     warm_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
     if not os.path.isdir(warm_dir):
         warm_dir = SF_DIR
+
+    def run_once(name: str, sf: str) -> None:
+        df = QUERIES[name](spark, sf)
+        df.collect()
+        # queries that persist intermediates attach them for release —
+        # a 27-query sweep must not accumulate cached frames
+        for dep in getattr(df, "_cached_deps", []):
+            dep.unpersist()
+
     for name in names:
-        QUERIES[name](spark, warm_dir).collect()
+        run_once(name, warm_dir)
 
     per_query: dict[str, float] = {}
     t_all = time.perf_counter()
     for name in names:
         t0 = time.perf_counter()
-        QUERIES[name](spark, SF_DIR).collect()
+        run_once(name, SF_DIR)
         per_query[name] = round(time.perf_counter() - t0, 3)
     total = round(time.perf_counter() - t_all, 3)
 

@@ -213,35 +213,42 @@ def prepare_corpus(
     hot copy persist or write it themselves.
     """
     stats = PrepStats()
-    stats.record("input", docs)
-    cur = stats.record("quality", quality_gate(docs, text_col, min_tokens=min_tokens))
-    cur = stats.record("language", language_filter(cur, langs))
-    cur = stats.record(
-        "exact_dedup",
-        dedup_first_wins(
-            cur.withColumn(
-                "__fp",
-                F.md5(
-                    F.lower(F.regexp_replace(text_col, r"\s+", " ")).cast("binary")
+    # finally-guarded: a mid-chain failure (analysis error, empty-table
+    # probe) must not leave the last stage frame or operator deps
+    # pinned for the session lifetime
+    try:
+        stats.record("input", docs)
+        cur = stats.record(
+            "quality", quality_gate(docs, text_col, min_tokens=min_tokens)
+        )
+        cur = stats.record("language", language_filter(cur, langs))
+        cur = stats.record(
+            "exact_dedup",
+            dedup_first_wins(
+                cur.withColumn(
+                    "__fp",
+                    F.md5(
+                        F.lower(F.regexp_replace(text_col, r"\s+", " ")).cast("binary")
+                    ),
                 ),
-            ),
-            ["__fp"],
-            [id_col],
-        ).drop("__fp"),
-    )
-    cur = stats.record(
-        "near_dedup", remove_near_dups(cur, id_col, text_col, min_jaccard)
-    )
-    if embeddings is not None:
-        cur = stats.record(
-            "embedding_dedup",
-            remove_embedding_dups(
-                cur, embeddings, id_col, min_cosine=min_cosine, dim=dim
-            ),
+                ["__fp"],
+                [id_col],
+            ).drop("__fp"),
         )
-    if budget_tokens is not None:
         cur = stats.record(
-            "token_budget", token_budget_cut(cur, budget_tokens, id_col, text_col)
+            "near_dedup", remove_near_dups(cur, id_col, text_col, min_jaccard)
         )
-    stats.release()
+        if embeddings is not None:
+            cur = stats.record(
+                "embedding_dedup",
+                remove_embedding_dups(
+                    cur, embeddings, id_col, min_cosine=min_cosine, dim=dim
+                ),
+            )
+        if budget_tokens is not None:
+            cur = stats.record(
+                "token_budget", token_budget_cut(cur, budget_tokens, id_col, text_col)
+            )
+    finally:
+        stats.release()
     return cur, stats

@@ -200,8 +200,9 @@ def near_dup_pairs(
     alone guarantees ``band_size``) before the exact-Jaccard join —
     E[agreement | banded] = band_size + (n-band_size)·jaccard. Prunes
     the band-collision tail cheaply; set to ``band_size`` to disable.
-    The gate is evaluated inside the LSH self-join (signatures ride
-    the band explode), so no stage holds O(corpus) rows in memory.
+    The gate is computed by UNhinted joins of the distinct candidates
+    back to the signature table (see ``lsh_candidate_pairs`` for why
+    that beats carrying signatures through the band explode).
 
     Three plan branches read the shingle arrays (signature build +
     both verify-join sides) and three read the signatures (band
@@ -264,6 +265,11 @@ def connected_components(
     label sum — one tiny aggregate action per round, not a row-wise
     diff. This is the cluster-representative step real dedup needs
     after pair generation (drop all but MIN(doc) per component).
+
+    Raises ``RuntimeError`` if the labels have not converged after
+    ``max_iter`` rounds (graph diameter > max_iter) — an unconverged
+    result silently splits components, which downstream dedup would
+    read as "keep several representatives of one duplicate cluster".
     """
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = fwd.unionAll(
@@ -273,6 +279,7 @@ def connected_components(
         "v", F.col("v").alias("label")
     ).localCheckpoint()
     prev_sum = labels.agg(F.sum("label")).first()[0]
+    converged = prev_sum is None  # empty graph is trivially converged
     for _ in range(max_iter):
         msgs = (
             edges.join(labels, edges.dst == labels.v)
@@ -288,6 +295,12 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter} "
+            "rounds (graph diameter exceeds it); raise max_iter"
+        )
     return labels.select(F.col("v"), F.col("label").alias("component"))

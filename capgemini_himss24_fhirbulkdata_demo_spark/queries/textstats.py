@@ -234,13 +234,16 @@ def x40_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and combined in an expression tree mirrored token-for-token in the
 # oracle — identical IEEE op order => identical bits => stable hash.
 
+# lang IS NOT NULL on BOTH sides: Spark's groupBy would emit a NULL
+# group that the oracle's equi-join silently drops — pin the
+# semantics instead of depending on the fixtures having no NULLs
 _X52_SQL = """
     WITH g AS (
       SELECT lang,
              COUNT(*) AS n,
              CAST(SUM(n_chars) AS BIGINT) AS s,
              CAST(SUM(n_chars * n_chars) AS BIGINT) AS ss
-      FROM documents GROUP BY lang)
+      FROM documents WHERE lang IS NOT NULL GROUP BY lang)
     SELECT d.doc_id, d.lang,
            ROUND(CASE WHEN g.n > 1 AND g.n * g.ss > g.s * g.s
                  THEN CAST(d.n_chars * g.n - g.s AS DOUBLE)
@@ -249,6 +252,7 @@ _X52_SQL = """
                                 / CAST(g.n * (g.n - 1) AS DOUBLE)))
                  ELSE 0.0 END, 6) AS len_zscore
     FROM documents d JOIN g ON d.lang = g.lang
+    WHERE d.lang IS NOT NULL
     ORDER BY d.doc_id
     """
 
@@ -271,7 +275,11 @@ def x52_udf_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .filter(F.col("lang").isNotNull())
+    )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         xs = [int(v) for v in pdf["n_chars"]]
@@ -370,7 +378,7 @@ _X25_SQL = f"""
 
 @register("x25_tfidf", oracle=_X25_SQL)
 def x25_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{_X25_TOP} TF-IDF terms per document: explode to tokens,
+    """Top-3 (_X25_TOP) TF-IDF terms per document: explode to tokens,
     per-(doc,term) counts, document frequency, linear idf, window
     top-k.
 

@@ -94,6 +94,10 @@ def run_spark(fn, spark, sf_dir):
     df = fn(spark, sf_dir)
     cols = list(df.columns)
     rows = [tuple(r) for r in df.collect()]
+    # release intermediates a query persisted and attached (mirrors
+    # how a well-behaved driver would consume the contract)
+    for dep in getattr(df, "_cached_deps", []):
+        dep.unpersist()
     return cols, rows
 
 

@@ -360,3 +360,17 @@ def test_ivf_sampled_training(spark):
                     "embedding", k=3, n_probe=2).collect()
     assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
     assert {r.query_id for r in out1} == {0, 1, 2}
+
+
+def test_connected_components_unconverged_raises(spark):
+    import pytest
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.operators.dedup import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 7)], "id_a BIGINT, id_b BIGINT"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, "id_a", "id_b", max_iter=2)
