@@ -233,22 +233,104 @@ def x11_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("x12_knn_ivf")  # rows-only: IVF index build + probe search
+# IVF mirror: ivf_assign(n_lists=8) uses 3 hyperplanes (next power of
+# two), md5-derived exactly like operators.similarity.hyperplanes.
+_IVF_N_PROBE = 2
+
+
+def _ivf_planes() -> list[list[int]]:
+    import hashlib as _h
+
+    return [
+        [1 if _h.md5(f"{p}:{i}".encode()).digest()[0] & 1 else -1 for i in range(_DIM)]
+        for p in range(3)
+    ]
+
+
+_SQL_IVF_BUCKET = " + ".join(
+    f"(CASE WHEN {_sql_proj('embedding', _ivf_planes()[p])} > 0 THEN {1 << p} ELSE 0 END)"
+    for p in range(3)
+)
+
+
+def _sql_dot_lists(a: str, b: str) -> str:
+    """Fold dot product over two list expressions (same op order as
+    the Spark sequential fold)."""
+    return (
+        f"LIST_REDUCE(LIST_TRANSFORM(RANGE(1, {_DIM} + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+        f"(x, y) -> x + y)"
+    )
+
+
+_X12_SQL = f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             CAST({_SQL_IVF_BUCKET} AS BIGINT) AS ivf_list,
+             SQRT({_sql_dot('embedding', 'embedding')}) AS norm
+      FROM embeddings),
+    cent_long AS (
+      SELECT ivf_list, i.i AS pos,
+             CAST(SUM(CAST(CAST(embedding[i.i] AS DOUBLE) AS DECIMAL(28,12)))
+                  AS DOUBLE) / COUNT(*) AS m
+      FROM b, (SELECT UNNEST(RANGE(1, {_DIM} + 1)) AS i) i
+      GROUP BY ivf_list, i.i),
+    cent AS (
+      SELECT ivf_list, LIST(m ORDER BY pos) AS centroid FROM cent_long
+      GROUP BY ivf_list),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm
+      FROM b WHERE vec_id < {_N_QUERIES}),
+    probe_scored AS (
+      SELECT q.query_id, q.q_emb, q.q_norm, c.ivf_list,
+             {_sql_dot_lists('q_emb', 'c.centroid')}
+               / (q.q_norm * SQRT({_sql_dot_lists('c.centroid', 'c.centroid')}))
+               AS csim
+      FROM q CROSS JOIN cent c),
+    probes AS (
+      SELECT query_id, q_emb, q_norm, ivf_list
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY csim DESC, ivf_list) AS pr
+            FROM probe_scored)
+      WHERE pr <= {_IVF_N_PROBE}),
+    scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             {_sql_dot_lists('p.q_emb', 'c.embedding')} / (p.q_norm * c.norm)
+               AS cos_raw
+      FROM probes p JOIN b c ON p.ivf_list = c.ivf_list
+      WHERE p.query_id <> c.vec_id)
+    SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine, rank
+    FROM (SELECT query_id, neighbor_id, cos_raw,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos_raw DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= {_TOP_K}
+    ORDER BY query_id, rank
+    """
+
+
+@register("x12_knn_ivf", oracle=_X12_SQL)
 def x12_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (operators/similarity.py): hyperplane-seeded coarse
     quantizer with exact-decimal centroids, 2-probe search, exact
-    cosine within probed lists. Deterministic end-to-end; recall vs
-    the x10 brute-force baseline is asserted in tests.
+    cosine within probed lists. Deterministic end-to-end — the entire
+    index build + probe + search hash-matches a declarative DuckDB
+    twin (centroid means from order-free decimal sums, probe routing
+    and scoring via the same sequential folds); recall vs the x10
+    brute-force baseline is asserted in tests.
     """
     from ..catalog import load_table as _lt
     from ..operators.similarity import ivf_assign, ivf_topk
 
     emb = _lt(spark, sf_dir, "embeddings")
-    assigned, centroids = ivf_assign(emb, "vec_id", "embedding", n_lists=8)
+    assigned, centroids = ivf_assign(emb, "vec_id", "embedding", n_lists=8, dim=_DIM)
     q = emb.filter(F.col("vec_id") < _N_QUERIES)
-    return ivf_topk(
+    out = ivf_topk(
         q, assigned, centroids, "vec_id", "vec_id", "embedding", "embedding",
-        k=_TOP_K, n_probe=2,
+        k=_TOP_K, n_probe=_IVF_N_PROBE,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
     ).orderBy("query_id", "rank")
 
 
