@@ -201,12 +201,107 @@ def x23_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register("x40_prepare_corpus")  # rows-only: multi-stage LSH pipeline, not SQL-expressible
+def _x40_sql() -> str:
+    """Declarative twin of prepare_corpus: every stage chained as a
+    CTE with the SAME hash family / banding / gates as the operators
+    (imports the shared dialect pieces from queries.dedup and
+    queries.similarity)."""
+    from .dedup import _sql_shingles
+    from .similarity import _SQL_BUCKET, _sql_dot
+
+    # minhash pairs over the exact-dedup survivors (s3), mirror of
+    # operators.dedup.near_dup_pairs defaults: 8 hashes from 2 sliced
+    # digests, 4 bands x 2, agree >= 4, ROUND(jaccard,4) >= 0.6
+    hashes = ", ".join(
+        f"LIST_MIN(LIST_TRANSFORM({'d1' if i < 4 else 'd2'}, "
+        f"x -> SUBSTR(x, {1 + 8 * (i % 4)}, 8))) AS h{i}"
+        for i in range(8)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, h{2 * b} || h{2 * b + 1} AS band_val "
+        "FROM n_sigs"
+        for b in range(4)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(8)
+    )
+    return f"""
+    WITH s1 AS (
+      SELECT * FROM documents
+      WHERE LEN(STRING_SPLIT(text, ' ')) BETWEEN 5 AND 100000
+        AND LEN(REPLACE(text, ' ', '')) >= 2.0 * LEN(STRING_SPLIT(text, ' '))),
+    s2 AS (SELECT * FROM s1 WHERE lang IN ('en', 'de')),
+    fp AS (
+      SELECT *, MD5(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS __fp
+      FROM s2),
+    s3 AS (
+      SELECT * EXCLUDE (__fp) FROM
+        (SELECT *, ROW_NUMBER() OVER (PARTITION BY __fp ORDER BY doc_id) AS __rn
+         FROM fp)
+      WHERE __rn = 1),
+    n_sh AS (SELECT doc_id, {_sql_shingles()} AS sh FROM s3),
+    n_dg AS (SELECT doc_id, sh,
+                    LIST_TRANSFORM(sh, s -> MD5(s)) AS d1,
+                    LIST_TRANSFORM(sh, s -> MD5('#' || s)) AS d2
+             FROM n_sh),
+    n_sigs AS (SELECT doc_id, {hashes} FROM n_dg),
+    n_bands AS ({band_union}),
+    n_cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM n_bands a JOIN n_bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id),
+    n_gated AS (
+      SELECT id_a, id_b FROM n_cand
+        JOIN n_sigs sa ON sa.doc_id = id_a
+        JOIN n_sigs sb ON sb.doc_id = id_b
+      WHERE {agree} >= 4),
+    n_losers AS (
+      SELECT DISTINCT id_b AS doc_id
+      FROM n_gated JOIN n_sh sha ON sha.doc_id = id_a
+                   JOIN n_sh shb ON shb.doc_id = id_b
+      WHERE ROUND(CAST(LEN(LIST_INTERSECT(sha.sh, shb.sh)) AS DOUBLE)
+                  / (LEN(sha.sh) + LEN(shb.sh)
+                     - LEN(LIST_INTERSECT(sha.sh, shb.sh))), 4) >= 0.6),
+    s4 AS (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM n_losers)),
+    e_b AS (
+      SELECT e.vec_id AS __id, e.embedding AS __v,
+             CAST({_SQL_BUCKET.replace('embedding', 'e.embedding')} AS BIGINT) AS __b,
+             SQRT({_sql_dot('e.embedding', 'e.embedding')}) AS __n
+      FROM embeddings e WHERE e.vec_id IN (SELECT doc_id FROM s4)),
+    e_losers AS (
+      SELECT DISTINCT b.__id AS doc_id
+      FROM e_b a JOIN e_b b ON a.__b = b.__b AND a.__id < b.__id
+      WHERE {_sql_dot('a.__v', 'b.__v')} / (a.__n * b.__n) >= 0.9),
+    s5 AS (SELECT * FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM e_losers)),
+    s6 AS (
+      SELECT * FROM
+        (SELECT *, SUM(CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT))
+                     OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS __cum
+         FROM s5)
+      WHERE __cum <= 20000)
+    SELECT * FROM (
+      SELECT 0 AS stage_idx, 'input' AS stage,
+             (SELECT COUNT(*) FROM documents) AS n_docs
+      UNION ALL SELECT 1, 'quality', (SELECT COUNT(*) FROM s1)
+      UNION ALL SELECT 2, 'language', (SELECT COUNT(*) FROM s2)
+      UNION ALL SELECT 3, 'exact_dedup', (SELECT COUNT(*) FROM s3)
+      UNION ALL SELECT 4, 'near_dedup', (SELECT COUNT(*) FROM s4)
+      UNION ALL SELECT 5, 'embedding_dedup', (SELECT COUNT(*) FROM s5)
+      UNION ALL SELECT 6, 'token_budget', (SELECT COUNT(*) FROM s6))
+    ORDER BY stage_idx
+    """
+
+
+@register("x40_prepare_corpus", oracle=_x40_sql())
 def x40_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data prep (dataprep.prepare_corpus):
     quality gate -> language filter -> exact dedup -> MinHash near-dup
     removal -> embedding near-dup removal -> token budget. Returns the
-    deterministic per-stage count table (the pipeline's contract).
+    deterministic per-stage count table (the pipeline's contract) —
+    differentially verified against a declarative DuckDB twin that
+    chains every stage as a CTE with the same hash family, banding,
+    gates, and window semantics.
     """
     from ..catalog import load_table as _lt
     from ..dataprep import prepare_corpus
