@@ -138,6 +138,44 @@ def run_bulk_import(
     return res
 
 
+def compact_landing_dir(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict[str, int]:
+    """Compact a small-files NDJSON landing zone, per resource type.
+
+    Bulk exports land one file per manifest entry — at 100 TB that is
+    easily 10^5 files of KB–MB size, and every downstream scan pays a
+    task per file plus namenode/listing pressure. Compaction reads
+    each resource type's files through the curated schema and rewrites
+    them as ceil(bytes / target) NDJSON files via ``coalesce`` (a
+    narrow, shuffle-free merge of input splits — ``repartition`` would
+    shuffle the full payload for nothing).
+
+    Returns {resource_type: n_output_files}. Unknown resource types
+    (no curated schema) are skipped — compaction must never touch data
+    it cannot round-trip.
+    """
+    by_type: dict[str, list[str]] = {}
+    for name in sorted(os.listdir(src_dir)):
+        p = os.path.join(src_dir, name)
+        if not os.path.isfile(p):
+            continue
+        rt = resource_type_from_name(name)
+        if rt in RESOURCE_SCHEMAS:
+            by_type.setdefault(rt, []).append(p)
+    out: dict[str, int] = {}
+    for rt, files in by_type.items():
+        total = sum(os.path.getsize(p) for p in files)
+        n_out = max(1, -(-total // target_file_bytes))
+        df = read_ndjson(spark, files, RESOURCE_SCHEMAS[rt]).coalesce(n_out)
+        write_ndjson(df, os.path.join(out_dir, rt))
+        out[rt] = n_out
+    return out
+
+
 def restamp_seed_name(name: str, timestamp: int) -> str:
     """K5: replace every digit run in a seed blob name with a fresh
     epoch stamp (``re.sub('\\d+', ts)`` copy+delete,

@@ -172,3 +172,35 @@ def test_transformed_outputs_are_single_ndjson_files(spark, tmp_path):
     uris = [p["part"][1]["valueUri"]
             for p in server.import_bodies[-1]["parameter"] if p["name"] == "input"]
     assert all(u.endswith(".ndjson") for u in uris)
+
+
+def test_compact_landing_dir(spark, tmp_path):
+    """Many small NDJSON export files -> ceil(bytes/target) compacted
+    files per resource type, rows preserved exactly."""
+    import json as _json
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.pipeline import compact_landing_dir
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    rows = []
+    for i in range(6):
+        recs = [
+            {"resourceType": "Patient", "id": f"p{i}-{j}", "gender": "other"}
+            for j in range(3)
+        ]
+        rows += [r["id"] for r in recs]
+        (src / f"Patient-{i}.ndjson").write_text(
+            "\n".join(_json.dumps(r) for r in recs) + "\n"
+        )
+    # a file with no curated schema must be skipped untouched
+    (src / "Mystery-1.ndjson").write_text('{"resourceType": "Mystery"}\n')
+    out = tmp_path / "compacted"
+    result = compact_landing_dir(spark, str(src), str(out), target_file_bytes=10**9)
+    assert result == {"Patient": 1}
+    files = [
+        f for f in (out / "Patient").iterdir() if f.name.startswith("part-")
+    ]
+    assert len(files) == 1
+    back = spark.read.json(str(out / "Patient"))
+    assert sorted(r.id for r in back.collect()) == sorted(rows)
