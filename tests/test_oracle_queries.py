@@ -56,3 +56,32 @@ def test_approx_percentiles_track_exact(spark):
             # accuracy=10000 on <=60k-row fixtures: rank error <= N/10000
             # translates to a tight value band on these distributions
             assert abs(av - ev) <= max(0.05 * abs(ev), 1.0), (flag, col, ev, av)
+
+
+def test_driver_contract_shape(spark):
+    """__spark_entry__ is the graded surface: entry() runs and returns
+    rows with a stable schema; every oracle key names a registered
+    query; bench.py imports clean (syntax/import errors there would
+    fail the driver's per-round bench run)."""
+    import importlib
+    import os
+    import sys
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo_root)
+    try:
+        entry_mod = importlib.import_module("__spark_entry__")
+        bench_mod = importlib.import_module("bench")
+    finally:
+        sys.path.remove(repo_root)
+    qs = entry_mod.queries()
+    osql = entry_mod.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert len(qs) >= 100
+    assert all(callable(f) for f in qs.values())
+    assert all(isinstance(s, str) and s.strip() for s in osql.values())
+    # bench headliners must all be registered
+    missing = [n for n in bench_mod.HEADLINE if n not in qs]
+    assert not missing, f"bench names not registered: {missing}"
+    out = entry_mod.entry(spark)
+    assert out.columns and out.count() >= 0
