@@ -738,3 +738,148 @@ def q77_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY b.b_idx
         """
     )
+
+
+@register(
+    "q80_product_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation, EXTRACT(YEAR FROM o.o_orderdate) AS yr,
+           CAST(ROUND(SUM({_SQL_DISC_PRICE}
+                 - CAST(ROUND(p.p_retailprice * 0.1, 2) AS DECIMAL(18,2))
+                   * CAST(l_quantity AS DECIMAL(18,2))), 4) AS DOUBLE) AS profit
+    FROM lineitem
+      JOIN orders o ON l_orderkey = o.o_orderkey
+      JOIN part p ON l_partkey = p.p_partkey
+      JOIN supplier s ON l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY nation, yr
+    ORDER BY nation, yr DESC
+    """,
+)
+def q80_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (profit per supplier-nation per year). The
+    fixtures carry no partsupp, so supply cost is proxied as 10% of
+    p_retailprice — rounded to exact cents BEFORE the decimal
+    multiply, keeping the whole aggregate in order-free decimal
+    arithmetic (a three-way decimal product would hit precision-clamp
+    differences between engines).
+
+    Scale: one fact shuffle (orders join); part/supplier/nation
+    broadcast; the aggregate is partial+final on (nation, yr).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cost_unit = F.round(F.col("p_retailprice") * 0.1, 2).cast("decimal(18,2)")
+    amount = _disc_price() - cost_unit * _dec("l_quantity")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+        )
+        .agg(F.round(F.sum(amount), 4).cast("double").alias("profit"))
+        .orderBy("nation", F.desc("yr"))
+    )
+
+
+@register(
+    "q81_waiting_supplier",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM lineitem l1
+      JOIN orders o ON l1.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    """,
+)
+def q81_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the sole late supplier on multi-supplier
+    finalized orders. The fixtures carry no receipt/commit dates, so
+    'late' is ship > order date + 60 days; the semantics exercised —
+    EXISTS + correlated NOT EXISTS on the same fact table, both
+    decorrelated by Catalyst into semi/anti joins — are Q21's.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("q81_lineitem")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q81_orders")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("q81_supplier")
+    return spark.sql(
+        """
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM q81_lineitem l1
+          JOIN q81_orders o ON l1.l_orderkey = o.o_orderkey
+          JOIN q81_supplier s ON l1.l_suppkey = s.s_suppkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM q81_lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM q81_lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        """
+    )
+
+
+@register(
+    "q82_dormant_customers",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*) AS ab
+      FROM customer WHERE c_acctbal > 0.0)
+    SELECT c.c_nationkey AS nationkey,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.ab
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+    ORDER BY nationkey
+    """,
+)
+def q82_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balance
+    and no orders at all (the fixtures have no phone column, so the
+    country-code filter is dropped; the Q22 machinery — scalar
+    subquery average + anti-join + aggregate — is intact). The average
+    is an exact decimal sum divided once in double, mirrored
+    token-for-token.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("q82_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q82_orders")
+    return spark.sql(
+        """
+        WITH avg_bal AS (
+          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*) AS ab
+          FROM q82_customer WHERE c_acctbal > 0.0)
+        SELECT c.c_nationkey AS nationkey,
+               COUNT(*) AS numcust,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        FROM q82_customer c, avg_bal
+        WHERE c.c_acctbal > avg_bal.ab
+          AND NOT EXISTS (SELECT 1 FROM q82_orders o
+                          WHERE o.o_custkey = c.c_custkey)
+        GROUP BY c.c_nationkey
+        ORDER BY nationkey
+        """
+    )
