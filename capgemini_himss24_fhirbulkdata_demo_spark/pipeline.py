@@ -148,31 +148,33 @@ def compact_landing_dir(
 
     Bulk exports land one file per manifest entry — at 100 TB that is
     easily 10^5 files of KB–MB size, and every downstream scan pays a
-    task per file plus namenode/listing pressure. Compaction reads
-    each resource type's files through the curated schema and rewrites
-    them as ceil(bytes / target) NDJSON files via ``coalesce`` (a
-    narrow, shuffle-free merge of input splits — ``repartition`` would
+    task per file plus namenode/listing pressure. Compaction merges
+    each resource type's files at the TEXT-LINE level (`spark.read.
+    text` → ``coalesce`` → text sink): lines are moved byte-for-byte,
+    never parsed, so no field can be pruned and no malformed line can
+    be rewritten — schema-aware parsing happens downstream where
+    errors are surfaced, not silently baked into the landing zone.
+    ``coalesce`` is a narrow split merge (``repartition`` would
     shuffle the full payload for nothing).
 
-    Returns {resource_type: n_output_files}. Unknown resource types
-    (no curated schema) are skipped — compaction must never touch data
-    it cannot round-trip.
+    Returns {resource_type: n_output_files} (the ACTUAL written file
+    count — coalesce cannot increase partition count, so one huge
+    non-splittable input still yields one output file).
     """
     by_type: dict[str, list[str]] = {}
     for name in sorted(os.listdir(src_dir)):
         p = os.path.join(src_dir, name)
         if not os.path.isfile(p):
             continue
-        rt = resource_type_from_name(name)
-        if rt in RESOURCE_SCHEMAS:
-            by_type.setdefault(rt, []).append(p)
+        by_type.setdefault(resource_type_from_name(name), []).append(p)
     out: dict[str, int] = {}
     for rt, files in by_type.items():
         total = sum(os.path.getsize(p) for p in files)
         n_out = max(1, -(-total // target_file_bytes))
-        df = read_ndjson(spark, files, RESOURCE_SCHEMAS[rt]).coalesce(n_out)
-        write_ndjson(df, os.path.join(out_dir, rt))
-        out[rt] = n_out
+        df = spark.read.text(files).coalesce(n_out)
+        n_actual = df.rdd.getNumPartitions()
+        df.write.mode("overwrite").text(os.path.join(out_dir, rt))
+        out[rt] = n_actual
     return out
 
 

@@ -745,7 +745,7 @@ def q77_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT n.n_name AS nation, EXTRACT(YEAR FROM o.o_orderdate) AS yr,
            CAST(ROUND(SUM({_SQL_DISC_PRICE}
-                 - CAST(ROUND(p.p_retailprice * 0.1, 2) AS DECIMAL(18,2))
+                 - CAST(FLOOR(p.p_retailprice * 10) / 100.0 AS DECIMAL(18,2))
                    * CAST(l_quantity AS DECIMAL(18,2))), 4) AS DOUBLE) AS profit
     FROM lineitem
       JOIN orders o ON l_orderkey = o.o_orderkey
@@ -759,10 +759,13 @@ def q77_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q80_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape (profit per supplier-nation per year). The
     fixtures carry no partsupp, so supply cost is proxied as 10% of
-    p_retailprice — rounded to exact cents BEFORE the decimal
-    multiply, keeping the whole aggregate in order-free decimal
-    arithmetic (a three-way decimal product would hit precision-clamp
-    differences between engines).
+    p_retailprice — truncated to exact cents via FLOOR (tie-free:
+    ROUND on a double differs between engines exactly at half-cent
+    ties; FLOOR has no tie) BEFORE the decimal multiply, keeping the
+    whole aggregate in order-free decimal arithmetic (a three-way
+    decimal product would hit precision-clamp differences between
+    engines). n/100.0 for integer n is exactly representable as a
+    2-dp decimal, so the double→decimal cast agrees bit-for-bit.
 
     Scale: one fact shuffle (orders join); part/supplier/nation
     broadcast; the aggregate is partial+final on (nation, yr).
@@ -772,7 +775,7 @@ def q80_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
-    cost_unit = F.round(F.col("p_retailprice") * 0.1, 2).cast("decimal(18,2)")
+    cost_unit = (F.floor(F.col("p_retailprice") * 10) / 100.0).cast("decimal(18,2)")
     amount = _disc_price() - cost_unit * _dec("l_quantity")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)

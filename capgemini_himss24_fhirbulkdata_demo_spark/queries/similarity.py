@@ -234,33 +234,14 @@ def x11_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # IVF mirror: ivf_assign(n_lists=8) uses 3 hyperplanes (next power of
-# two), md5-derived exactly like operators.similarity.hyperplanes.
+# two), seeded identically to the module's _PLANES — slice, don't
+# recompute (this is determinism-critical shared state).
 _IVF_N_PROBE = 2
 
-
-def _ivf_planes() -> list[list[int]]:
-    import hashlib as _h
-
-    return [
-        [1 if _h.md5(f"{p}:{i}".encode()).digest()[0] & 1 else -1 for i in range(_DIM)]
-        for p in range(3)
-    ]
-
-
 _SQL_IVF_BUCKET = " + ".join(
-    f"(CASE WHEN {_sql_proj('embedding', _ivf_planes()[p])} > 0 THEN {1 << p} ELSE 0 END)"
+    f"(CASE WHEN {_sql_proj('embedding', _PLANES[p])} > 0 THEN {1 << p} ELSE 0 END)"
     for p in range(3)
 )
-
-
-def _sql_dot_lists(a: str, b: str) -> str:
-    """Fold dot product over two list expressions (same op order as
-    the Spark sequential fold)."""
-    return (
-        f"LIST_REDUCE(LIST_TRANSFORM(RANGE(1, {_DIM} + 1), "
-        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
-        f"(x, y) -> x + y)"
-    )
 
 
 _X12_SQL = f"""
@@ -283,8 +264,8 @@ _X12_SQL = f"""
       FROM b WHERE vec_id < {_N_QUERIES}),
     probe_scored AS (
       SELECT q.query_id, q.q_emb, q.q_norm, c.ivf_list,
-             {_sql_dot_lists('q_emb', 'c.centroid')}
-               / (q.q_norm * SQRT({_sql_dot_lists('c.centroid', 'c.centroid')}))
+             {_sql_dot('q_emb', 'c.centroid')}
+               / (q.q_norm * SQRT({_sql_dot('c.centroid', 'c.centroid')}))
                AS csim
       FROM q CROSS JOIN cent c),
     probes AS (
@@ -295,7 +276,7 @@ _X12_SQL = f"""
       WHERE pr <= {_IVF_N_PROBE}),
     scored AS (
       SELECT p.query_id, c.vec_id AS neighbor_id,
-             {_sql_dot_lists('p.q_emb', 'c.embedding')} / (p.q_norm * c.norm)
+             {_sql_dot('p.q_emb', 'c.embedding')} / (p.q_norm * c.norm)
                AS cos_raw
       FROM probes p JOIN b c ON p.ivf_list = c.ivf_list
       WHERE p.query_id <> c.vec_id)

@@ -203,27 +203,23 @@ def x23_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _x40_sql() -> str:
     """Declarative twin of prepare_corpus: every stage chained as a
-    CTE with the SAME hash family / banding / gates as the operators
-    (imports the shared dialect pieces from queries.dedup and
-    queries.similarity)."""
-    from .dedup import _sql_shingles
+    CTE built from the SAME dialect pieces the dedup/similarity
+    queries export (one source of truth for hash family, slicing,
+    banding, and gates — a default change there flows here)."""
+    from .dedup import _AGREE_MIN, _N_BANDS, _N_HASHES, _sql_digests, _sql_minhash, _sql_shingles
     from .similarity import _SQL_BUCKET, _sql_dot
 
-    # minhash pairs over the exact-dedup survivors (s3), mirror of
-    # operators.dedup.near_dup_pairs defaults: 8 hashes from 2 sliced
-    # digests, 4 bands x 2, agree >= 4, ROUND(jaccard,4) >= 0.6
-    hashes = ", ".join(
-        f"LIST_MIN(LIST_TRANSFORM({'d1' if i < 4 else 'd2'}, "
-        f"x -> SUBSTR(x, {1 + 8 * (i % 4)}, 8))) AS h{i}"
-        for i in range(8)
-    )
+    # minhash pairs over the exact-dedup survivors (s3): shared
+    # digest/minhash/band expressions; jaccard threshold is x40's own
+    # parameter (0.6, the prepare_corpus call site)
+    hashes = ", ".join(f"{_sql_minhash(i)} AS h{i}" for i in range(_N_HASHES))
     band_union = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_idx, h{2 * b} || h{2 * b + 1} AS band_val "
         "FROM n_sigs"
-        for b in range(4)
+        for b in range(_N_BANDS)
     )
     agree = " + ".join(
-        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(8)
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(_N_HASHES)
     )
     return f"""
     WITH s1 AS (
@@ -240,10 +236,7 @@ def _x40_sql() -> str:
          FROM fp)
       WHERE __rn = 1),
     n_sh AS (SELECT doc_id, {_sql_shingles()} AS sh FROM s3),
-    n_dg AS (SELECT doc_id, sh,
-                    LIST_TRANSFORM(sh, s -> MD5(s)) AS d1,
-                    LIST_TRANSFORM(sh, s -> MD5('#' || s)) AS d2
-             FROM n_sh),
+    n_dg AS (SELECT doc_id, sh, {_sql_digests()} FROM n_sh),
     n_sigs AS (SELECT doc_id, {hashes} FROM n_dg),
     n_bands AS ({band_union}),
     n_cand AS (
@@ -255,7 +248,7 @@ def _x40_sql() -> str:
       SELECT id_a, id_b FROM n_cand
         JOIN n_sigs sa ON sa.doc_id = id_a
         JOIN n_sigs sb ON sb.doc_id = id_b
-      WHERE {agree} >= 4),
+      WHERE {agree} >= {_AGREE_MIN}),
     n_losers AS (
       SELECT DISTINCT id_b AS doc_id
       FROM n_gated JOIN n_sh sha ON sha.doc_id = id_a
@@ -308,6 +301,8 @@ def x40_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _lt(spark, sf_dir, "documents")
     emb = _lt(spark, sf_dir, "embeddings")
+    from .similarity import _DIM
+
     _clean, stats = prepare_corpus(
         docs,
         embeddings=emb,
@@ -315,6 +310,7 @@ def x40_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_jaccard=0.6,
         min_cosine=0.9,
         budget_tokens=20_000,
+        dim=_DIM,  # schema metadata — skips the driver-side dim probe
     )
     return spark.createDataFrame(
         [(i, name, n) for i, (name, n) in enumerate(stats.stages)],

@@ -84,4 +84,4 @@ def test_driver_contract_shape(spark):
     missing = [n for n in bench_mod.HEADLINE if n not in qs]
     assert not missing, f"bench names not registered: {missing}"
     out = entry_mod.entry(spark)
-    assert out.columns and out.count() >= 0
+    assert out.columns and out.count() > 0

@@ -175,32 +175,40 @@ def test_transformed_outputs_are_single_ndjson_files(spark, tmp_path):
 
 
 def test_compact_landing_dir(spark, tmp_path):
-    """Many small NDJSON export files -> ceil(bytes/target) compacted
-    files per resource type, rows preserved exactly."""
+    """Many small NDJSON export files -> compacted files per resource
+    type, lines preserved BYTE-EXACTLY (fields outside any curated
+    schema and even malformed lines must survive — compaction never
+    parses)."""
     import json as _json
 
     from capgemini_himss24_fhirbulkdata_demo_spark.pipeline import compact_landing_dir
 
     src = tmp_path / "landing"
     src.mkdir()
-    rows = []
+    lines = []
     for i in range(6):
         recs = [
-            {"resourceType": "Patient", "id": f"p{i}-{j}", "gender": "other"}
+            {
+                "resourceType": "Patient",
+                "id": f"p{i}-{j}",
+                "gender": "other",
+                # field no curated schema knows about
+                "address": [{"city": "Boston"}],
+            }
             for j in range(3)
         ]
-        rows += [r["id"] for r in recs]
-        (src / f"Patient-{i}.ndjson").write_text(
-            "\n".join(_json.dumps(r) for r in recs) + "\n"
-        )
-    # a file with no curated schema must be skipped untouched
-    (src / "Mystery-1.ndjson").write_text('{"resourceType": "Mystery"}\n')
+        txt = [_json.dumps(r) for r in recs]
+        lines += txt
+        (src / f"Patient-{i}.ndjson").write_text("\n".join(txt) + "\n")
+    # unknown resource type and a malformed (truncated) line: both
+    # must pass through unmodified
+    (src / "Mystery-1.ndjson").write_text('{"resourceType": "Mystery", "x": 1\n')
     out = tmp_path / "compacted"
     result = compact_landing_dir(spark, str(src), str(out), target_file_bytes=10**9)
-    assert result == {"Patient": 1}
-    files = [
-        f for f in (out / "Patient").iterdir() if f.name.startswith("part-")
-    ]
+    assert result == {"Mystery": 1, "Patient": 1}
+    files = [f for f in (out / "Patient").iterdir() if f.name.startswith("part-")]
     assert len(files) == 1
-    back = spark.read.json(str(out / "Patient"))
-    assert sorted(r.id for r in back.collect()) == sorted(rows)
+    back = sorted(r.value for r in spark.read.text(str(out / "Patient")).collect())
+    assert back == sorted(lines)  # byte-exact, address field intact
+    myst = [r.value for r in spark.read.text(str(out / "Mystery")).collect()]
+    assert myst == ['{"resourceType": "Mystery", "x": 1']
