@@ -55,6 +55,24 @@ def write_parquet(
     w.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan (built into Spark; same pushdown/pruning contract as
+    parquet — both are columnar with predicate-capable readers)."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def delta_available() -> bool:
     """True when the delta-spark package is importable (the container
     this engine develops in does not ship it; any real deployment

@@ -166,3 +166,23 @@ def test_delta_roundtrip_when_available(spark, tmp_path):
     assert sorted(r.r_name for r in back.collect()) == sorted(
         r.r_name for r in region.collect()
     )
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from capgemini_himss24_fhirbulkdata_demo_spark.sources.tabular import (
+        read_orc,
+        write_orc,
+    )
+
+    path = str(tmp_path / "orc_nation")
+    nation = load_table(spark, SF_DIR, "nation")
+    write_orc(nation, path, partition_by=["n_regionkey"])
+    back = read_orc(spark, path)
+    assert sorted(r.n_name for r in back.collect()) == sorted(
+        r.n_name for r in nation.collect()
+    )
+    # partition pruning reaches the ORC scan
+    pruned = back.filter(F.col("n_regionkey") == 0)
+    plan = explain_str(pruned)
+    assert pruned.count() == nation.filter(F.col("n_regionkey") == 0).count()
+    assert "n_regionkey" in plan
