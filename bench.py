@@ -41,6 +41,7 @@ HEADLINE = [
     "q25_asof_join",
     "q29_percentiles",
     "q31_topk_per_group",
+    "q83_market_share",
     "q37_dedup_first_wins",
     "q64_from_json_map",
 ]
@@ -55,6 +56,7 @@ HEADLINE += [
     "x20_text_quality",
     "x23_fingerprint",
     "x25_tfidf",
+    "x26_vocabulary",
     "x30_tumbling_window",
     "x32_session_window",
 ]

@@ -8,6 +8,7 @@ from . import (  # noqa: F401
     registry,
     relational,
     relational2,
+    relational3,
     joins,
     windows,
     setops,

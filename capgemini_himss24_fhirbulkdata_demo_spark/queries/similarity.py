@@ -389,3 +389,51 @@ def x06_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bucket", "dup_a", "dup_b", F.round("cos_raw", 6).alias("cosine"), "rnk")
         .orderBy("bucket", "rnk")
     )
+
+
+# ---- x13: ANN recall evaluation (x11 LSH vs x10 exact) ----
+
+_X13_SQL = f"""
+    WITH exact AS ({_X10_SQL}),
+    ann AS ({_X11_SQL})
+    SELECT e.q_id,
+           CAST(COUNT(a.c_id) AS BIGINT) AS n_hits,
+           ROUND(CAST(COUNT(a.c_id) AS DOUBLE) / {_TOP_K}, 4) AS recall_at_k
+    FROM exact e LEFT JOIN ann a ON e.q_id = a.q_id AND e.c_id = a.c_id
+    GROUP BY e.q_id
+    ORDER BY e.q_id
+    """
+
+
+@register("x13_ann_recall", oracle=_X13_SQL)
+def x13_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH index (x11) against exact brute force
+    (x10): per query, how many of the true top-k the bucketed search
+    returned. The eval loop every ANN deployment runs after an index
+    build or a plane-count change — here as one declarative join of
+    the two registered queries (no collected ground truth).
+
+    Scale: both inputs are already top-k-truncated (k rows per
+    query), so the eval join is tiny regardless of corpus size; the
+    cost is the two searches themselves, which run in parallel
+    branches of one plan.
+    """
+    exact = x10_knn_bruteforce(spark, sf_dir).select("q_id", "c_id")
+    ann = x11_knn_lsh(spark, sf_dir).select(
+        F.col("q_id").alias("a_q"), F.col("c_id").alias("a_c")
+    )
+    return (
+        exact.join(
+            ann,
+            (F.col("q_id") == F.col("a_q")) & (F.col("c_id") == F.col("a_c")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.count("a_c").alias("n_hits"),
+            F.round(F.count("a_c").cast("double") / F.lit(_TOP_K), 4).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("q_id")
+    )

@@ -502,3 +502,214 @@ def x25_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _X25_TOP)
         .orderBy("doc_id", "rnk")
     )
+
+
+# ---- x26/x27: corpus vocabulary statistics ----
+
+
+@register(
+    "x26_vocabulary",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
+      FROM documents),
+    vocab AS (
+      SELECT term,
+             COUNT(DISTINCT doc_id) AS df,
+             COUNT(*) AS cf
+      FROM toks WHERE term <> '' GROUP BY term)
+    SELECT term, df, cf
+    FROM vocab
+    ORDER BY df DESC, term
+    LIMIT 50
+    """,
+)
+def x26_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: document frequency + collection frequency
+    per term, top-50 by df (term-asc tiebreak keeps the LIMIT set
+    stable). The df/cf table is the substrate for tokenizer vocab
+    selection and stopword induction over a training corpus.
+
+    Scale: one explode (narrow) + one shuffle on term — term keys are
+    Zipf-skewed, which is exactly what partial (map-side) aggregation
+    absorbs: each task emits one row per distinct term, so the shuffle
+    carries vocab-sized data, not token-sized. The top-50 is a
+    TakeOrderedAndProject, never a global sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count("*").alias("cf"),
+        )
+        .orderBy(F.desc("df"), "term")
+        .limit(50)
+    )
+
+
+@register(
+    "x27_bigrams",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT doc_id,
+             UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t)),
+                                   i -> t[i] || ' ' || t[i + 1])) AS bigram
+      FROM toks)
+    SELECT bigram,
+           COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM grams
+    GROUP BY bigram
+    ORDER BY n_occurrences DESC, bigram
+    LIMIT 30
+    """,
+)
+def x27_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram extraction + frequency: adjacent token pairs via an
+    index-sequence transform (no self-join), top-30 by occurrence.
+    N-gram tables feed contamination checks and phrase-vocab builds.
+
+    Determinism guard: ``sequence(1, n-1)`` COUNTS DOWN when n < 2
+    (Spark yields ``[1, 0]``), so the index array is gated behind a
+    ``when(n >= 2, ...)`` — single-token docs contribute no bigrams,
+    matching DuckDB's end-exclusive ``RANGE(1, 1) = []``.
+
+    Scale: same shape as x26 — narrow gram generation, one Zipf-keyed
+    shuffle tamed by partial aggregation, top-k via ordered take.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    n = F.size(t)
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", F.element_at(t, i), F.element_at(t, i + 1)
+                ),
+            )
+        ).alias("bigram"),
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "bigram")
+        .limit(30)
+    )
+
+
+# ---- x28: table profiling ----
+
+
+@register(
+    "x28_doc_profile",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT lang) AS n_langs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_en,
+           ROUND(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 4) AS en_share
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def x28_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profiling per source: row/distinct counts, min/max/avg
+    length, language share — the ANALYZE-style summary a pipeline
+    emits before/after each prep stage (and the stats AQE-style
+    planning feeds on). Ratios are exact-int sums with one final
+    double division.
+
+    Scale: single partial-aggregated shuffle on the (low-cardinality)
+    source key; no row ever leaves the executors un-aggregated.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    en = F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.count("*"), 4
+            ).alias("avg_chars"),
+            F.sum(en).cast("bigint").alias("n_en"),
+            F.round(F.sum(en).cast("double") / F.count("*"), 4).alias(
+                "en_share"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# ---- x41 companion: stratified train/val/test split ----
+
+
+@register(
+    "x41_train_split",
+    oracle="""
+    WITH assigned AS (
+      SELECT lang, n_chars,
+             CASE WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1)
+                       IN ('c', 'd') THEN 'val'
+                  WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1)
+                       IN ('e', 'f') THEN 'test'
+                  ELSE 'train' END AS split
+      FROM documents)
+    SELECT lang, split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM assigned
+    GROUP BY lang, split
+    ORDER BY lang, split
+    """,
+)
+def x41_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (75/12.5/12.5 by the first
+    md5 hex digit of the row key) summarized per language — the
+    reproducible alternative to ``randomSplit``, whose assignment
+    changes with partition layout and seed handling. The same gate
+    expression lands every doc in the same split on any engine, any
+    retry, any repartitioning.
+
+    Scale: narrow assignment (no shuffle), then one tiny aggregate;
+    writing the actual splits is ``partitionBy(split)`` on the same
+    expression — still shuffle-free.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(digit.isin("c", "d"), F.lit("val"))
+        .when(digit.isin("e", "f"), F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return (
+        docs.select("lang", "n_chars", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("lang", "split")
+    )
