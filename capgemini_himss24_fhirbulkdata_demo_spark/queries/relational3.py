@@ -273,3 +273,67 @@ def q88_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY s_suppkey
         """
     )
+
+
+@register(
+    "q89_revenue_share",
+    oracle=f"""
+    WITH nat AS (
+      SELECT n.n_regionkey AS regionkey, n.n_name AS nation,
+             SUM({_SQL_DISC_PRICE}) AS rev_dec
+      FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n ON s_nationkey = n.n_nationkey
+      GROUP BY regionkey, nation)
+    SELECT r_name AS region, nation,
+           CAST(rev_dec AS DOUBLE) AS revenue,
+           FLOOR(CAST(rev_dec AS DOUBLE)
+                 / CAST(SUM(rev_dec) OVER (PARTITION BY regionkey) AS DOUBLE)
+                 * 1e6) / 1e6 AS region_share
+    FROM nat JOIN region ON regionkey = r_regionkey
+    ORDER BY region, nation
+    """,
+)
+def q89_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total: a window SUM over an aggregate's output (the
+    BI share-of-region shape). The window input is the exact decimal
+    per-nation sum, so the partition total is exact too; one double
+    division, floor-truncated.
+
+    Scale: the expensive part is the base aggregate (one lineitem
+    shuffle); the window then runs over nation-cardinality rows —
+    cheap regardless of fact size.
+    """
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    nat = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_regionkey").alias("regionkey"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(F.sum(_disc_price()).alias("rev_dec"))
+    )
+    w = Window.partitionBy("regionkey")
+    return (
+        nat.join(F.broadcast(region), F.col("regionkey") == F.col("r_regionkey"))
+        .select(
+            F.col("r_name").alias("region"),
+            "nation",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            (
+                F.floor(
+                    F.col("rev_dec").cast("double")
+                    / F.sum("rev_dec").over(w).cast("double")
+                    * F.lit(1e6)
+                )
+                / F.lit(1e6)
+            ).alias("region_share"),
+        )
+        .orderBy("region", "nation")
+    )

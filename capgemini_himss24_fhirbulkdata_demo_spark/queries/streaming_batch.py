@@ -239,3 +239,100 @@ def q79_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_start")
     )
+
+
+@register(
+    "x35_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id),
+    n AS (SELECT (SELECT COUNT(*) FROM v) AS n1,
+                 (SELECT COUNT(*) FROM c) AS n2,
+                 (SELECT COUNT(*) FROM p) AS n3)
+    SELECT '1_view' AS step, CAST(n1 AS BIGINT) AS n_users,
+           CAST(NULL AS DOUBLE) AS conv_from_prev FROM n
+    UNION ALL
+    SELECT '2_click', CAST(n2 AS BIGINT),
+           FLOOR(CAST(n2 AS DOUBLE) / n1 * 1e4) / 1e4 FROM n
+    UNION ALL
+    SELECT '3_purchase', CAST(n3 AS BIGINT),
+           FLOOR(CAST(n3 AS DOUBLE) / n2 * 1e4) / 1e4 FROM n
+    ORDER BY step
+    """,
+)
+def x35_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): per user, each step
+    counts only events strictly AFTER that user's previous step's
+    first event — the product-analytics conversion query. Step
+    conversion = n_step / n_prev, floor-truncated.
+
+    Implementation is stepwise min-aggregates re-joined forward (no
+    correlated subquery per row, no window over the full event
+    stream): each stage is one shuffle on user_id over an
+    already-filtered event subset; step tables shrink monotonically,
+    and the final stack is three scalar counts.
+
+    Streaming form: the same shape runs incrementally with
+    ``applyInPandasWithState`` keyed by user (state = first-seen ts
+    per step), which :mod:`..streaming.stateful` provides.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n = (
+        v.agg(F.count("*").alias("n1"))
+        .crossJoin(c.agg(F.count("*").alias("n2")))
+        .crossJoin(p.agg(F.count("*").alias("n3")))
+    )
+    conv2 = F.floor(F.col("n2").cast("double") / F.col("n1") * F.lit(1e4)) / F.lit(1e4)
+    conv3 = F.floor(F.col("n3").cast("double") / F.col("n2") * F.lit(1e4)) / F.lit(1e4)
+    steps = n.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("1_view").alias("step"),
+                    F.col("n1").alias("n_users"),
+                    F.lit(None).cast("double").alias("conv_from_prev"),
+                ),
+                F.struct(
+                    F.lit("2_click").alias("step"),
+                    F.col("n2").alias("n_users"),
+                    conv2.alias("conv_from_prev"),
+                ),
+                F.struct(
+                    F.lit("3_purchase").alias("step"),
+                    F.col("n3").alias("n_users"),
+                    conv3.alias("conv_from_prev"),
+                ),
+            )
+        ).alias("s")
+    )
+    return steps.select("s.step", "s.n_users", "s.conv_from_prev").orderBy("step")

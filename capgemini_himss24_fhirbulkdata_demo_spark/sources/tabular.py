@@ -138,3 +138,70 @@ def write_bucketed_table(
     if sort_col:
         w = w.sortBy(sort_col)
     w.saveAsTable(table)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """XML scan (built into Spark 4 — the former spark-xml package).
+    ``row_tag`` names the repeated element that becomes one row.
+    Schema'd reads skip inference, same contract as ``read_csv``.
+    """
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> None:
+    """XML sink (one ``row_tag`` element per row under ``root_tag``)."""
+    (
+        df.write.format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .mode(mode)
+        .save(path)
+    )
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """True when the spark-avro jar is on the session's classpath.
+    Avro is an *external* Spark module (`org.apache.spark:spark-avro`,
+    added via ``--packages``); this container does not ship it."""
+    try:
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", spark._jsparkSession.sessionState().conf()
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _require_avro(spark: SparkSession) -> None:
+    if not avro_available(spark):
+        raise ImportError(
+            "Avro support requires the spark-avro package on the "
+            "classpath (spark-submit --packages "
+            "org.apache.spark:spark-avro_2.13:<spark-version>)"
+        )
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro scan (row-oriented; the interchange format of choice for
+    Kafka/ingest edges — land to parquet before analytics)."""
+    _require_avro(spark)
+    return spark.read.format("avro").load(path)
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    _require_avro(df.sparkSession)
+    df.write.format("avro").mode(mode).save(path)

@@ -374,3 +374,48 @@ def test_connected_components_unconverged_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, "id_a", "id_b", max_iter=2)
+
+
+def test_udtf_ngram_spans_matches_declarative(spark):
+    """Spark-4 Python UDTF (1 row → N typed rows, usable in FROM /
+    LATERAL): bigram output must equal the declarative
+    sequence+transform form the registry uses (x27) — the UDTF is
+    API-surface coverage, not an alternative result."""
+    from capgemini_himss24_fhirbulkdata_demo_spark.operators.udtf import register_udtfs
+
+    register_udtfs(spark)
+    docs = load_table(spark, SF_DIR, "documents").limit(20)
+    docs.createOrReplaceTempView("udtf_docs")
+    got = spark.sql(
+        """
+        SELECT d.doc_id, g.gram, g.start_tok
+        FROM udtf_docs d, LATERAL ngram_spans(d.text, '2') g
+        """
+    ).collect()
+    t = F.split(F.col("text"), " ")
+    n = F.size(t)
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    want = (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    idx,
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(t, i), F.element_at(t, i + 1)
+                    ),
+                )
+            ).alias("pos", "gram"),
+        )
+    ).collect()
+    assert sorted((r.doc_id, r.gram, r.start_tok) for r in got) == sorted(
+        (r.doc_id, r.gram, r.pos) for r in want
+    )
+    # trigram sizes parameter: spot-check one doc
+    tri = spark.sql(
+        "SELECT COUNT(*) AS n FROM udtf_docs d, LATERAL ngram_spans(d.text, '3') g"
+    ).collect()[0].n
+    n_toks = [len([w for w in r.text.split(" ") if w]) for r in docs.collect()]
+    assert tri == sum(max(k - 2, 0) for k in n_toks)

@@ -219,3 +219,42 @@ def test_q79_gap_fill_spine_is_broadcast(spark):
     # hourly counts must broadcast, never shuffle the spine
     strategies = join_strategies(_plan(spark, "q79_gap_fill"))
     assert "BroadcastHashJoin" in strategies, strategies
+
+
+def test_q83_single_fact_shuffle_dims_broadcast(spark):
+    # lineitem is the only fact; orders/supplier/nation must all join
+    # broadcast so one scan+shuffle survives at 100 TB
+    df = _plan(spark, "q83_market_share")
+    strategies = join_strategies(df)
+    assert strategies.count("BroadcastHashJoin") >= 3, strategies
+    assert "CartesianProduct" not in strategies
+
+
+def test_q87_not_in_is_broadcast_anti_not_nested_loop(spark):
+    # NOT IN over the small supplier exclusion list must plan as a
+    # null-aware BroadcastHashJoin LeftAnti, never a nested loop over
+    # the fact
+    plan = explain_str(_plan(spark, "q87_supplier_cnt_by_part"))
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_x26_topk_is_ordered_take(spark):
+    # vocabulary top-50 must be TakeOrderedAndProject (reducer-local
+    # heaps), never a global sort of the term table
+    plan = explain_str(_plan(spark, "x26_vocabulary"), "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_x35_funnel_no_cartesian(spark):
+    # the three scalar counts combine via crossJoin of 1-row frames —
+    # legal; but no unbounded cartesian may appear
+    df = _plan(spark, "x35_funnel")
+    plan = explain_str(df, "simple")
+    # step joins on user_id must be hash joins
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_x13_recall_join_no_cartesian(spark):
+    df = _plan(spark, "x13_ann_recall")
+    assert "CartesianProduct" not in join_strategies(df)

@@ -186,3 +186,54 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     plan = explain_str(pruned)
     assert pruned.count() == nation.filter(F.col("n_regionkey") == 0).count()
     assert "n_regionkey" in plan
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    """XML read/write (built into Spark 4): row-per-element roundtrip
+    with an explicit schema on the read side (no inference pass)."""
+    from capgemini_himss24_fhirbulkdata_demo_spark.sources.tabular import read_xml, write_xml
+
+    nation = load_table(spark, SF_DIR, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = str(tmp_path / "nation_xml")
+    write_xml(nation, path, row_tag="nation", root_tag="nations")
+    back = read_xml(
+        spark,
+        path,
+        row_tag="nation",
+        schema="n_nationkey INT, n_name STRING, n_regionkey INT",
+    )
+    assert back.schema.simpleString() == (
+        "struct<n_nationkey:int,n_name:string,n_regionkey:int>"
+    )
+    assert sorted((r.n_nationkey, r.n_name) for r in back.collect()) == sorted(
+        (r.n_nationkey, r.n_name) for r in nation.collect()
+    )
+
+
+def test_avro_gate_when_unavailable(spark, tmp_path):
+    """Avro is an external Spark module; without the jar the wrappers
+    must fail with a clear ImportError naming the remedy, never an
+    opaque ClassNotFoundException. Roundtrips when present."""
+    import pytest as _pytest
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.sources.tabular import (
+        avro_available,
+        read_avro,
+        write_avro,
+    )
+
+    region = load_table(spark, SF_DIR, "region")
+    if not avro_available(spark):
+        with _pytest.raises(ImportError, match="spark-avro"):
+            write_avro(region, str(tmp_path / "a"))
+        with _pytest.raises(ImportError, match="spark-avro"):
+            read_avro(spark, str(tmp_path / "a"))
+        _pytest.skip("spark-avro not on the classpath in this container")
+    path = str(tmp_path / "region_avro")
+    write_avro(region, path)
+    back = read_avro(spark, path)
+    assert sorted(r.r_name for r in back.collect()) == sorted(
+        r.r_name for r in region.collect()
+    )
