@@ -57,6 +57,7 @@ HEADLINE += [
     "x23_fingerprint",
     "x25_tfidf",
     "x26_vocabulary",
+    "x42_decontamination",
     "x30_tumbling_window",
     "x32_session_window",
 ]

@@ -713,3 +713,316 @@ def x41_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "split")
     )
+
+
+# ---- x29: repetition signals (Gopher-style quality filters) ----
+
+
+@register(
+    "x29_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+    tok AS (SELECT doc_id, UNNEST(t) AS term FROM toks),
+    tc AS (
+      SELECT doc_id, term, COUNT(*) AS c
+      FROM tok GROUP BY doc_id, term),
+    tstats AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(MAX(c) AS BIGINT) AS top_token_n
+      FROM tc GROUP BY doc_id),
+    grams AS (
+      SELECT doc_id,
+             UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t)),
+                                   i -> t[i] || ' ' || t[i + 1])) AS bigram
+      FROM toks),
+    bc AS (
+      SELECT doc_id, bigram, COUNT(*) AS c
+      FROM grams GROUP BY doc_id, bigram),
+    bstats AS (
+      SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_n
+      FROM bc GROUP BY doc_id)
+    SELECT ts.doc_id, n_tokens, n_distinct, top_token_n,
+           COALESCE(top_bigram_n, CAST(0 AS BIGINT)) AS top_bigram_n,
+           FLOOR(n_distinct * 10000.0 / n_tokens) / 10000
+             AS distinct_ratio,
+           FLOOR(top_token_n * 10000.0 / n_tokens) / 10000
+             AS top_token_share,
+           CASE WHEN n_tokens >= 2
+                THEN FLOOR(COALESCE(top_bigram_n, 0) * 10000.0
+                           / (n_tokens - 1)) / 10000
+                ELSE 0.0 END AS top_bigram_share,
+           CASE WHEN FLOOR(n_distinct * 10000.0 / n_tokens) / 10000 < 0.3
+                  OR (n_tokens >= 2 AND
+                      FLOOR(COALESCE(top_bigram_n, 0) * 10000.0
+                            / (n_tokens - 1)) / 10000 > 0.2)
+                THEN 1 ELSE 0 END AS repetitive
+    FROM tstats ts LEFT JOIN bstats bs ON ts.doc_id = bs.doc_id
+    ORDER BY ts.doc_id
+    """,
+)
+def x29_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals per document — the Gopher-rules family of
+    quality filters (distinct-token ratio, most-frequent-token share,
+    most-frequent-bigram share) plus the resulting gate flag.
+
+    Determinism: every share is exact-integer ``count * 10000 / n``
+    in one double division, then FLOOR-truncated (tie-free across
+    engines, unlike ROUND at half-ulp .5s); the flag compares the
+    already-truncated values so both engines gate identically.
+
+    Scale: token and bigram counts partial-aggregate on (doc_id, term)
+    before the shuffle, the per-doc rollups shuffle on doc_id only,
+    and the final join is doc_id-to-doc_id (co-partitioned after the
+    rollups). Nothing is corpus-global — the whole plan is linear in
+    tokens and embarrassingly parallel across documents.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+
+    tok = docs.select("doc_id", F.explode(t).alias("term"))
+    tc = tok.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    tstats = tc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.max("c").cast("bigint").alias("top_token_n"),
+    )
+
+    n = F.size(t)
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", F.element_at(t, i), F.element_at(t, i + 1)
+                ),
+            )
+        ).alias("bigram"),
+    )
+    bc = grams.groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))
+    bstats = bc.groupBy("doc_id").agg(
+        F.max("c").cast("bigint").alias("top_bigram_n")
+    )
+
+    joined = tstats.join(bstats, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "top_token_n",
+        F.coalesce("top_bigram_n", F.lit(0).cast("bigint")).alias(
+            "top_bigram_n"
+        ),
+    )
+    distinct_ratio = (
+        F.floor(F.col("n_distinct") * 10000.0 / F.col("n_tokens")) / 10000
+    )
+    top_token_share = (
+        F.floor(F.col("top_token_n") * 10000.0 / F.col("n_tokens")) / 10000
+    )
+    top_bigram_share = F.when(
+        F.col("n_tokens") >= 2,
+        F.floor(
+            F.col("top_bigram_n") * 10000.0 / (F.col("n_tokens") - 1)
+        )
+        / 10000,
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "top_token_n",
+        "top_bigram_n",
+        distinct_ratio.alias("distinct_ratio"),
+        top_token_share.alias("top_token_share"),
+        top_bigram_share.alias("top_bigram_share"),
+        F.when(
+            (distinct_ratio < 0.3) | (top_bigram_share > 0.2), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("repetitive"),
+    ).orderBy("doc_id")
+
+
+# ---- x42: train/eval decontamination (8-gram collision scan) ----
+
+_X42_NGRAM = 8
+
+
+def _x42_sql() -> str:
+    g = _X42_NGRAM
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1) AS d,
+             STRING_SPLIT(text, ' ') AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id, d,
+             UNNEST(LIST_TRANSFORM(
+               RANGE(1, GREATEST(LEN(t) - {g - 1}, 0) + 1),
+               i -> ARRAY_TO_STRING(t[i:i + {g - 1}], ' '))) AS gram
+      FROM toks),
+    tg AS (
+      SELECT DISTINCT doc_id, gram FROM grams WHERE d NOT IN ('e', 'f')),
+    eg AS (SELECT DISTINCT gram FROM grams WHERE d IN ('e', 'f')),
+    tot AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+      FROM tg GROUP BY doc_id),
+    hit AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+      FROM tg WHERE gram IN (SELECT gram FROM eg) GROUP BY doc_id)
+    SELECT tot.doc_id, n_grams,
+           COALESCE(n_hit, CAST(0 AS BIGINT)) AS n_hit,
+           FLOOR(COALESCE(n_hit, 0) * 10000.0 / n_grams) / 10000
+             AS hit_share,
+           CASE WHEN COALESCE(n_hit, 0) > 0 THEN 1 ELSE 0 END
+             AS contaminated
+    FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+    ORDER BY tot.doc_id
+    """
+
+
+@register("x42_decontamination", oracle=_x42_sql())
+def x42_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: flag training documents sharing any
+    8-token n-gram with the held-out split (the x41 'test' hash gate,
+    md5 first hex digit in {e, f}) — the standard pre-training scan
+    that keeps benchmark text out of the training corpus.
+
+    Per train doc: distinct 8-gram count, how many collide with the
+    eval side, the FLOOR-truncated collision share, and the 0/1 flag.
+
+    Scale: n-grams are generated narrowly (index-sequence transform,
+    no self-join), de-duplicated per doc with a partial-aggregated
+    shuffle on (doc_id, gram), and the collision test is a left-semi
+    join on the gram key — Zipf-skewed but bounded by the *eval*
+    side's distinct grams, which is the small side by construction
+    (hash gate keeps ~12.5%) and broadcastable under AQE. No stage is
+    quadratic in corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    g = _X42_NGRAM
+    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    t = F.split(F.col("text"), " ")
+    n = F.size(t)
+    idx = F.when(n >= g, F.sequence(F.lit(1), n - (g - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = docs.select(
+        "doc_id",
+        digit.alias("d"),
+        F.explode(
+            F.transform(idx, lambda i: F.array_join(F.slice(t, i, g), " "))
+        ).alias("gram"),
+    )
+    tg = (
+        grams.filter(~F.col("d").isin("e", "f"))
+        .select("doc_id", "gram")
+        .distinct()
+    )
+    eg = grams.filter(F.col("d").isin("e", "f")).select("gram").distinct()
+    tot = tg.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_grams"))
+    hit = (
+        tg.join(eg, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_hit"))
+    )
+    n_hit = F.coalesce("n_hit", F.lit(0).cast("bigint"))
+    return (
+        tot.join(hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            n_hit.alias("n_hit"),
+            (F.floor(n_hit * 10000.0 / F.col("n_grams")) / 10000).alias(
+                "hit_share"
+            ),
+            F.when(n_hit > 0, F.lit(1)).otherwise(F.lit(0)).alias(
+                "contaminated"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---- x45: sequence packing into fixed token-budget bins ----
+
+_X45_BUDGET = 512
+
+
+@register(
+    "x45_pack_sequences",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, source,
+             CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    packed AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(FLOOR(
+               (SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_tokens)
+               / {_X45_BUDGET}.0) AS BIGINT) AS bin_id
+      FROM sized)
+    SELECT source, bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM packed
+    GROUP BY source, bin_id
+    ORDER BY source, bin_id
+    """,
+)
+def x45_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed token-budget bins
+    (``_X45_BUDGET`` = 512 tokens) per source — the batch form of training
+    sample packing, where short documents are concatenated up to the
+    model context length. Bin id = cumulative tokens before the doc,
+    integer-divided by the budget (deterministic streaming first-fit
+    in doc_id order); output is per-bin occupancy stats.
+
+    Scale: ONE shuffle on the source key for the running-sum window,
+    then a partial-aggregated rollup on (source, bin_id). The window
+    is per-source, not global — packing parallelizes across sources
+    (at 100 TB you'd sub-shard the partition key, e.g. by
+    (source, doc_id div N), accepting one straddling bin per shard
+    boundary; the per-source form here is the exact contract).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = sized.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / float(_X45_BUDGET)
+        )
+        .cast("bigint")
+        .alias("bin_id"),
+    )
+    return (
+        packed.groupBy("source", "bin_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+        )
+        .orderBy("source", "bin_id")
+    )
