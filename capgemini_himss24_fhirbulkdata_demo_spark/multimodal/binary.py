@@ -29,6 +29,7 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 MEDIA_SCHEMA = (
     "media_id BIGINT, kind STRING, payload BINARY, "
@@ -167,3 +168,66 @@ def sample_frames(media: DataFrame, every: int = 2) -> DataFrame:
             yield pd.DataFrame(out, columns=["media_id", "frame_idx", "frame_mean"])
 
     return media.select("media_id", "payload").mapInPandas(fn, FRAMES_SCHEMA)
+
+
+def write_fake_files(directory: str, n: int, kind: str = "image") -> list[str]:
+    """Materialize n synthetic FAKE-container payloads as individual
+    files (``<media_id>.fake``) — the on-disk landing layout the
+    ``binaryFile`` ingestion path reads."""
+    import os
+
+    os.makedirs(directory, exist_ok=True)
+    paths = []
+    for i in range(n):
+        w = 16 + (i % 4) * 8
+        h = 16 + (i % 3) * 8
+        nf = 1 if kind == "image" else 2 + (i % 3)
+        p = os.path.join(directory, f"{i}.fake")
+        with open(p, "wb") as fh:
+            fh.write(encode_fake(i, kind, w, h, nf))
+        paths.append(p)
+    return paths
+
+
+def read_media_dir(spark: SparkSession, path: str) -> DataFrame:
+    """Ingest a directory of media files through Spark's built-in
+    ``binaryFile`` source into the engine's media schema: payload
+    bytes + typed meta struct parsed from the container header
+    entirely with JVM-side expressions (hex/conv on binary
+    substrings — no Python in the scan path).
+
+    Scale: binaryFile scans parallelize per file (one row per file,
+    split-aware listing); meta lives in its own struct column so
+    downstream filters/joins on dimensions prune the payload column
+    out of the scan entirely. For payloads beyond a few hundred MB,
+    flip to a path-column + ranged-read layout (the documented
+    alternative in the module header).
+    """
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.fake")
+        .load(path)
+    )
+    content = F.col("content")
+
+    def u16(off: int):
+        # container header ints are big-endian u16: hex() the 2-byte
+        # slice and base-convert JVM-side (binary substring is 1-based)
+        return F.conv(F.hex(F.substring(content, off, 2)), 16, 10).cast("int")
+
+    kind = F.when(
+        F.substring(content, 5, 1).cast("string") == "I", F.lit("image")
+    ).otherwise(F.lit("video"))
+    return raw.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.fake$", 1)
+        .cast("bigint")
+        .alias("media_id"),
+        kind.alias("kind"),
+        content.alias("payload"),
+        F.struct(
+            F.lit("FAKE").alias("format"),
+            u16(6).alias("width"),
+            u16(8).alias("height"),
+            u16(10).alias("n_frames"),
+        ).alias("meta"),
+    )

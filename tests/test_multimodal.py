@@ -78,3 +78,31 @@ def test_fake_container_layout():
     assert b[:4] == b"FAKE" and b[4:5] == b"I"
     assert len(b) == 11 + 16 * 16
     assert encode_fake(7, "image", 16, 16, 1) == b  # deterministic
+
+
+def test_binaryfile_ingestion_roundtrip(spark, tmp_path):
+    """binaryFile source ingestion: files written to a landing dir
+    come back with payload bytes intact and the meta struct parsed
+    JVM-side, matching the in-memory synthesized table exactly."""
+    from capgemini_himss24_fhirbulkdata_demo_spark.multimodal.binary import (
+        read_media_dir,
+        write_fake_files,
+    )
+
+    d = str(tmp_path / "media")
+    write_fake_files(d, 7, kind="video")
+    got = read_media_dir(spark, d)
+    ref = synthesize_media(spark, 7, kind="video")
+
+    g = {r.media_id: r for r in got.collect()}
+    r = {r.media_id: r for r in ref.collect()}
+    assert set(g) == set(r) == set(range(7))
+    for i in range(7):
+        assert bytes(g[i].payload) == bytes(r[i].payload)
+        assert g[i].kind == r[i].kind == "video"
+        assert g[i].meta.asDict() == r[i].meta.asDict()
+
+    # the parsed meta feeds the same downstream decoders
+    decoded = {row.media_id: row for row in decode_images(got).collect()}
+    assert decoded[0].width == g[0].meta.width
+    assert decoded[0].n_frames == g[0].meta.n_frames
