@@ -125,6 +125,59 @@ def bench_fhir_pipeline(spark, n_records: int = 100_000) -> dict:
     }
 
 
+def bench_streaming(spark) -> dict:
+    """Structured Streaming throughput: land the sf events table as
+    parquet files, drain a watermarked tumbling-window aggregation
+    with trigger(availableNow) through a foreachBatch sink, and report
+    events/sec over the drain wall-clock. Measures the streaming
+    execution path (file-source listing, micro-batch planning,
+    stateful window store), not just the batch operators.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.catalog import load_table
+    from capgemini_himss24_fhirbulkdata_demo_spark.streaming import (
+        read_parquet_stream,
+        tumbling_agg,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="streambench_")
+    landing = os.path.join(tmp, "landing")
+    ck = os.path.join(tmp, "ck")
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    n_events = ev.count()
+    # 8 files -> several list/plan cycles without file-per-row overhead
+    ev.repartition(8).write.mode("overwrite").parquet(landing)
+    schema = spark.read.parquet(landing).schema
+
+    sink_rows = []
+
+    def commit(batch_df, batch_id):
+        sink_rows.append(batch_df.count())
+
+    t0 = time.perf_counter()
+    q = (
+        tumbling_agg(read_parquet_stream(spark, landing, schema, max_files_per_trigger=2))
+        .writeStream.foreachBatch(commit)
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    wall = time.perf_counter() - t0
+    return {
+        "streaming_events": n_events,
+        "streaming_drain_sec": round(wall, 3),
+        "streaming_events_per_sec": round(n_events / wall),
+        "streaming_output_rows": int(sum(sink_rows)),
+    }
+
+
 def main() -> None:
     from capgemini_himss24_fhirbulkdata_demo_spark.queries import QUERIES
     from capgemini_himss24_fhirbulkdata_demo_spark.session import get_spark
@@ -185,6 +238,7 @@ def main() -> None:
     total = round(sum(per_query.values()), 3)
 
     fhir = bench_fhir_pipeline(spark)
+    streaming = bench_streaming(spark)
 
     print(
         json.dumps(
@@ -194,6 +248,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "fhir_pipeline": fhir,
+                "streaming": streaming,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -258,3 +258,41 @@ def test_x35_funnel_no_cartesian(spark):
 def test_x13_recall_join_no_cartesian(spark):
     df = _plan(spark, "x13_ann_recall")
     assert "CartesianProduct" not in join_strategies(df)
+
+
+def test_x42_no_forced_broadcast_and_no_cartesian(spark):
+    """Decontamination's gram semi-join must rely on stats/AQE for
+    broadcast (the eval side is small by the hash gate, but only by
+    statistics — a hint would pin O(corpus) bytes at real scale)."""
+    assert_no_cartesian_product(_plan(spark, "x42_decontamination"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = explain_str(_plan(spark, "x42_decontamination"))
+        assert "BroadcastExchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_x29_partial_aggregation_before_shuffle(spark):
+    """Repetition counts must map-side combine: every Exchange is fed
+    by a partial HashAggregate, so the shuffle carries (doc, term)
+    groups, not raw tokens."""
+    plan = explain_str(_plan(spark, "x29_repetition"))
+    import re
+
+    n_exchanges = len(re.findall(r"hashpartitioning\(", plan))
+    n_partial = len(re.findall(r"partial_", plan))
+    assert n_exchanges >= 2 and n_partial >= 2, plan
+
+
+def test_x45_single_shuffle_window_then_rollup(spark):
+    """Packing is ONE hash exchange: the per-source window shuffle,
+    whose partitioning the (source, bin_id) rollup then REUSES (rows
+    of one source are already co-located) — Catalyst inserts no
+    second exchange before the aggregate."""
+    plan = explain_str(_plan(spark, "x45_pack_sequences"))
+    import re
+
+    assert len(re.findall(r"hashpartitioning\(", plan)) == 1, plan
+    assert "Window" in plan, plan
