@@ -285,3 +285,89 @@ def q37_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("l_orderkey")
     )
+
+
+@register(
+    "q90_interpolate",
+    oracle="""
+    WITH series AS (
+      SELECT user_id, event_id,
+             EPOCH_US(ts) AS ts_us,
+             (event_type = 'view') AS masked,
+             CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v,
+             CASE WHEN event_type = 'view' THEN NULL
+                  ELSE EPOCH_US(ts) END AS tv
+      FROM events),
+    bracketed AS (
+      SELECT user_id, event_id, ts_us, masked,
+             LAST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+             LAST_VALUE(tv IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pts,
+             FIRST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+             FIRST_VALUE(tv IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nts
+      FROM series)
+    SELECT user_id, event_id, ts_us, pv, nv,
+           pv + (nv - pv) * (CAST(ts_us - pts AS DOUBLE)
+                             / CAST(nts - pts AS DOUBLE)) AS interp
+    FROM bracketed
+    WHERE masked AND pv IS NOT NULL AND nv IS NOT NULL
+    ORDER BY user_id, event_id
+    """,
+)
+def q90_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of masked points in a per-user time
+    series — the IGNORE NULLS window surface (last/first with
+    ignorenulls over asymmetric frames), the standard gap-repair op
+    time-series stores ship as ``interpolate()``. 'view' events play
+    the masked points; each gets pv/nv (bracketing observed values)
+    and the time-weighted linear fill.
+
+    Determinism: pv/nv are raw parquet doubles and the fill is the
+    same IEEE op sequence on both engines (one int subtraction pair,
+    one double division, one multiply, one add) — bit-identical, no
+    rounding step needed.
+
+    Scale: ONE shuffle on user_id serves all four window functions
+    (same partitioning + frame family); series length per user is
+    bounded, so no skew beyond the key distribution itself.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    masked = F.col("event_type") == "view"
+    series = ev.select(
+        "user_id",
+        "event_id",
+        ts_us.alias("ts_us"),
+        masked.alias("masked"),
+        F.when(~masked, F.col("value")).alias("v"),
+        F.when(~masked, ts_us).alias("tv"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wp = w.rowsBetween(Window.unboundedPreceding, -1)
+    wn = w.rowsBetween(1, Window.unboundedFollowing)
+    br = series.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        "masked",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last("tv", ignorenulls=True).over(wp).alias("pts"),
+        F.first("v", ignorenulls=True).over(wn).alias("nv"),
+        F.first("tv", ignorenulls=True).over(wn).alias("nts"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        (F.col("ts_us") - F.col("pts")).cast("double")
+        / (F.col("nts") - F.col("pts")).cast("double")
+    )
+    return (
+        br.filter(F.col("masked") & F.col("pv").isNotNull() & F.col("nv").isNotNull())
+        .select("user_id", "event_id", "ts_us", "pv", "nv", interp.alias("interp"))
+        .orderBy("user_id", "event_id")
+    )
