@@ -437,3 +437,169 @@ def x13_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+# ---- x14: MMR diversity re-rank over the brute-force candidates ----
+
+_X14_NQ = 3
+_X14_K = 8
+_X14_M = 3
+_X14_LAMB = 0.7
+# NOT computed as 1 - _X14_LAMB: that float is 0.30000000000000004 in
+# IEEE — both dialects and the Python kernel must use the literal 0.3
+_X14_MU = 0.3
+
+
+def _x14_sql() -> str:
+    return f"""
+    WITH RECURSIVE
+    q AS (SELECT vec_id AS qid, embedding AS qv,
+                 SQRT({_sql_dot('embedding', 'embedding')}) AS qn
+          FROM embeddings WHERE vec_id < {_X14_NQ}),
+    c AS (SELECT vec_id AS cid, embedding AS cv,
+                 SQRT({_sql_dot('embedding', 'embedding')}) AS cn
+          FROM embeddings),
+    rel0 AS (
+      SELECT qid, cid, {_sql_dot('qv', 'cv')} / (qn * cn) AS rel
+      FROM q JOIN c ON qid <> cid),
+    rel AS (
+      SELECT qid, cid, rel FROM (
+        SELECT qid, cid, rel,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY rel DESC, cid) AS rnk
+        FROM rel0) WHERE rnk <= {_X14_K}),
+    cand AS (
+      SELECT r.qid, r.cid, c.cv, c.cn FROM rel r JOIN c ON r.cid = c.cid),
+    simp AS (
+      SELECT a.qid, a.cid AS a, b.cid AS b,
+             {_sql_dot('a.cv', 'b.cv')} / (a.cn * b.cn) AS s
+      FROM cand a JOIN cand b ON a.qid = b.qid AND a.cid <> b.cid),
+    sel(qid, step, cid, score, chosen) AS (
+      (SELECT qid, 1, cid, {_X14_LAMB} * rel, [cid]
+       FROM (SELECT qid, cid, rel,
+                    ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY rel DESC, cid) AS rn
+             FROM rel) WHERE rn = 1)
+      UNION ALL
+      SELECT s.qid, s.step + 1, p.cid, p.score, LIST_APPEND(s.chosen, p.cid)
+      FROM sel s, LATERAL (
+        SELECT r.cid,
+               {_X14_LAMB} * r.rel - {_X14_MU} * (
+                 SELECT MAX(sp.s) FROM simp sp
+                 WHERE sp.qid = s.qid AND sp.a = r.cid
+                   AND LIST_CONTAINS(s.chosen, sp.b)) AS score
+        FROM rel r
+        WHERE r.qid = s.qid AND NOT LIST_CONTAINS(s.chosen, r.cid)
+        ORDER BY score DESC, r.cid
+        LIMIT 1) p
+      WHERE s.step < {_X14_M})
+    SELECT qid, step, cid, score FROM sel ORDER BY qid, step
+    """
+
+
+@register("x14_mmr_rerank", oracle=_x14_sql())
+def x14_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR (maximal-marginal-relevance) diversity re-rank: greedily
+    pick M of the top-K brute-force candidates per query, trading
+    relevance against max similarity to the already-picked set
+    (score = 0.7·rel − 0.3·max_sim) — the diversity-aware selection
+    step training-data samplers run after ANN retrieval.
+
+    Split of labor: Spark computes ALL similarities declaratively
+    (sequential-fold cosines — bit-identical to the oracle), then a
+    COGROUPED ``applyInPandas`` runs the inherently sequential greedy
+    selection per query over the two small frames (K rel rows, K·K-K
+    sim rows). The Python kernel does only IEEE multiply/subtract/max
+    on engine-produced doubles, so scores hash-match the DuckDB
+    recursive-CTE twin exactly.
+
+    Scale: candidate generation is the x10/x11 shape (the only
+    corpus-sized stage); the cogroup shuffles K + K² skinny rows per
+    query key, and each group's greedy loop is O(M·K) on
+    constant-size data — embarrassingly parallel across queries.
+    """
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    q = emb.filter(F.col("vec_id") < _X14_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        norm.alias("qn"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv"),
+        norm.alias("cn"),
+    )
+    rel0 = (
+        F.broadcast(q)
+        .join(c, F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("rel"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("rel"), "cid")
+    rel = (
+        rel0.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _X14_K)
+        .select("qid", "cid", "rel")
+    )
+    cand = rel.join(c, "cid").select("qid", "cid", "cv", "cn")
+    ca, cb = cand.alias("A"), cand.alias("B")
+    simp = (
+        ca.join(
+            cb,
+            (F.col("A.qid") == F.col("B.qid")) & (F.col("A.cid") != F.col("B.cid")),
+        )
+        .select(
+            F.col("A.qid").alias("qid"),
+            F.col("A.cid").alias("a"),
+            F.col("B.cid").alias("b"),
+            (
+                _dot(F.col("A.cv"), F.col("B.cv"))
+                / (F.col("A.cn") * F.col("B.cn"))
+            ).alias("s"),
+        )
+    )
+
+    lamb, mu, m_pick = _X14_LAMB, _X14_MU, _X14_M
+
+    def mmr(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(columns=["qid", "step", "cid", "score"])
+        qid = int(left["qid"].iloc[0])
+        rels = dict(zip((int(x) for x in left["cid"]), (float(x) for x in left["rel"])))
+        sims = {
+            (int(ra), int(rb)): float(rs)
+            for ra, rb, rs in zip(right["a"], right["b"], right["s"])
+        }
+        chosen: list[int] = []
+        rows = []
+        for step in range(1, m_pick + 1):
+            best_cid, best_score = None, None
+            for cid in sorted(rels):
+                if cid in chosen:
+                    continue
+                if not chosen:
+                    score = lamb * rels[cid]
+                else:
+                    score = lamb * rels[cid] - mu * max(
+                        sims[(cid, b_)] for b_ in chosen
+                    )
+                if best_score is None or score > best_score:
+                    best_cid, best_score = cid, score
+            if best_cid is None:
+                break
+            chosen.append(best_cid)
+            rows.append((qid, step, best_cid, best_score))
+        return pd.DataFrame(rows, columns=["qid", "step", "cid", "score"])
+
+    out = (
+        rel.groupBy("qid")
+        .cogroup(simp.groupBy("qid"))
+        .applyInPandas(mmr, "qid BIGINT, step INT, cid BIGINT, score DOUBLE")
+    )
+    return out.orderBy("qid", "step")
