@@ -603,3 +603,97 @@ def x14_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(mmr, "qid BIGINT, step INT, cid BIGINT, score DOUBLE")
     )
     return out.orderBy("qid", "step")
+
+
+# ---- x15: int8 scalar quantization + reconstruction error ----
+
+
+def _x15_sql() -> str:
+    qexpr = (
+        "LIST_TRANSFORM(embedding, x -> LEAST(255.0, GREATEST(0.0, "
+        "FLOOR((CAST(x AS DOUBLE) - lo) / scale + 0.5))))"
+    )
+    return f"""
+    WITH rng AS (
+      SELECT vec_id, embedding,
+             CAST(LIST_MIN(embedding) AS DOUBLE) AS lo,
+             CAST(LIST_MAX(embedding) AS DOUBLE) AS hi
+      FROM embeddings),
+    scaled AS (
+      SELECT vec_id, embedding, lo, hi,
+             CASE WHEN hi > lo THEN (hi - lo) / 255.0 ELSE 1.0 END AS scale
+      FROM rng),
+    quant AS (
+      SELECT vec_id, embedding, lo, hi, scale, {qexpr} AS q
+      FROM scaled),
+    err AS (
+      SELECT vec_id, lo, hi,
+             CAST(LIST_REDUCE(q, (a, b) -> a + b) AS BIGINT) AS code_sum,
+             LIST_REDUCE(
+               LIST_TRANSFORM(RANGE(1, {_DIM} + 1),
+                 i -> (CAST(embedding[i] AS DOUBLE) - (lo + q[i] * scale))
+                      * (CAST(embedding[i] AS DOUBLE) - (lo + q[i] * scale))),
+               (a, b) -> a + b) AS sq_sum
+      FROM quant)
+    SELECT vec_id, lo, hi, code_sum, sq_sum / {_DIM}.0 AS mse
+    FROM err
+    ORDER BY vec_id
+    """
+
+
+@register("x15_quantize_int8", oracle=_x15_sql())
+def x15_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization (the 4× memory-compression
+    path for ANN indexes at 100 TB): min/max-scale each embedding to
+    0..255 codes, then measure reconstruction MSE against the
+    original floats — all with array HOFs, zero Python.
+
+    Determinism: codes come from one FLOOR((x−lo)/scale+0.5) per
+    element (identical IEEE sequence both engines); the error sum is
+    a sequential left fold; the only division is the final /dim.
+
+    Scale: narrow per-row compute, no shuffle at all (the final
+    ORDER BY is presentation); pipelines with any scan. The q codes
+    column is what you'd actually persist (64 bytes vs 256) — this
+    query surfaces the audit stats, not the payload.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    lo = F.array_min(e).cast("double")
+    hi = F.array_max(e).cast("double")
+    stage1 = emb.select("vec_id", "embedding", lo.alias("lo"), hi.alias("hi"))
+    scale = F.when(F.col("hi") > F.col("lo"), (F.col("hi") - F.col("lo")) / 255.0).otherwise(
+        F.lit(1.0)
+    )
+    stage2 = stage1.select("vec_id", "embedding", "lo", "hi", scale.alias("scale"))
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.least(
+            F.lit(255.0),
+            F.greatest(
+                F.lit(0.0),
+                F.floor((x.cast("double") - F.col("lo")) / F.col("scale") + 0.5).cast(
+                    "double"
+                ),
+            ),
+        ),
+    )
+    stage3 = stage2.select("vec_id", "embedding", "lo", "hi", "scale", q.alias("q"))
+    diff = F.zip_with(
+        F.col("embedding"),
+        F.col("q"),
+        lambda x, qq: (x.cast("double") - (F.col("lo") + qq * F.col("scale")))
+        * (x.cast("double") - (F.col("lo") + qq * F.col("scale"))),
+    )
+    sq_sum = F.aggregate(diff, F.lit(0.0), lambda a, b: a + b)
+    code_sum = F.aggregate(F.col("q"), F.lit(0.0), lambda a, b: a + b).cast("bigint")
+    return (
+        stage3.select(
+            "vec_id",
+            "lo",
+            "hi",
+            code_sum.alias("code_sum"),
+            (sq_sum / float(_DIM)).alias("mse"),
+        )
+        .orderBy("vec_id")
+    )

@@ -1026,3 +1026,83 @@ def x45_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bin_id")
     )
+
+
+# ---- x43: corpus mix rebalancing (per-source sampling weights) ----
+
+
+@register(
+    "x43_mix_rebalance",
+    oracle="""
+    WITH counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    target AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(1 + (ASCII(SUBSTRING(MD5(source), 1, 1)) % 4) AS BIGINT)
+               AS target_parts
+      FROM counts),
+    tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+             CAST(SUM(target_parts) AS BIGINT) AS tot_parts
+      FROM target)
+    SELECT source, n_docs, n_tokens,
+           FLOOR(n_tokens * 10000.0 / tot_tokens) / 10000 AS actual_share,
+           FLOOR(target_parts * 10000.0 / tot_parts) / 10000
+             AS target_share,
+           FLOOR((target_parts * 10000.0 / tot_parts)
+                 / (CAST(n_tokens AS DOUBLE) / tot_tokens) * 10000.0)
+             / 10000 AS sampling_weight
+    FROM target CROSS JOIN tot
+    ORDER BY source
+    """,
+)
+def x43_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mix rebalancing: per-source token counts vs a target
+    mix, emitting the sampling weight (target share / actual share)
+    each source needs to hit the recipe — the knob LLM data recipes
+    (web/books/code ratios) turn before sampling. Target parts are
+    hash-derived from the source name (deterministic stand-in for a
+    config table; in production this CTE is the recipe file).
+
+    Determinism: shares and weights are exact-int ratios through one
+    or two double divisions in identical order, FLOOR-truncated.
+
+    Scale: one partial-aggregated shuffle on the low-cardinality
+    source key; the totals row is a broadcast scalar. The follow-on
+    sampler is x24's hash gate with these weights as thresholds —
+    still shuffle-free.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("n_tokens"),
+    )
+    target_parts = (
+        1 + F.ascii(F.substring(F.md5(F.col("source")), 1, 1)) % 4
+    ).cast("bigint")
+    target = counts.select("source", "n_docs", "n_tokens", target_parts.alias("target_parts"))
+    tot = target.agg(
+        F.sum("n_tokens").cast("bigint").alias("tot_tokens"),
+        F.sum("target_parts").cast("bigint").alias("tot_parts"),
+    )
+    joined = target.crossJoin(F.broadcast(tot))
+    actual_share = F.floor(F.col("n_tokens") * 10000.0 / F.col("tot_tokens")) / 10000
+    target_share = F.floor(F.col("target_parts") * 10000.0 / F.col("tot_parts")) / 10000
+    weight = (
+        F.floor(
+            (F.col("target_parts") * 10000.0 / F.col("tot_parts"))
+            / (F.col("n_tokens").cast("double") / F.col("tot_tokens"))
+            * 10000.0
+        )
+        / 10000
+    )
+    return joined.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        actual_share.alias("actual_share"),
+        target_share.alias("target_share"),
+        weight.alias("sampling_weight"),
+    ).orderBy("source")
