@@ -220,8 +220,12 @@ def main() -> None:
         for dep in getattr(df, "_cached_deps", []):
             dep.unpersist()
 
+    t_warm = time.perf_counter()
     for name in names:
+        t0 = time.perf_counter()
         run_once(name, warm_dir)
+        print(f"[bench] warmup {name}: {time.perf_counter()-t0:.2f}s", file=sys.stderr)
+    print(f"[bench] warmup total: {time.perf_counter()-t_warm:.1f}s", file=sys.stderr)
 
     # Best-of-2 per query: one timed run can catch a GC pause or an
     # unrelated load spike on a shared box; the min of two back-to-back
@@ -235,10 +239,15 @@ def main() -> None:
             run_once(name, SF_DIR)
             best = min(best, time.perf_counter() - t0)
         per_query[name] = round(best, 3)
+        print(f"[bench] timed {name}: {best:.2f}s", file=sys.stderr)
     total = round(sum(per_query.values()), 3)
 
+    t0 = time.perf_counter()
     fhir = bench_fhir_pipeline(spark)
+    print(f"[bench] fhir pipeline: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    t0 = time.perf_counter()
     streaming = bench_streaming(spark)
+    print(f"[bench] streaming: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
     print(
         json.dumps(

@@ -9,6 +9,7 @@ from . import (  # noqa: F401
     relational,
     relational2,
     relational3,
+    relational4,
     joins,
     windows,
     setops,

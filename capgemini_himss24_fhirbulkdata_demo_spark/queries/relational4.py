@@ -1,0 +1,367 @@
+"""TPC-H hard shapes, part 4 (SURVEY §2B aggregation/join breadth):
+min-cost supplier with a correlated-MIN equality (Q2), nation-pair
+volume shipping (Q7), returned-item customer ranking (Q10), promo
+revenue share (Q14), small-quantity correlated-AVG filter (Q17), and
+a disjunctive OR-of-ANDs predicate sum (Q19) — adapted to the fixture
+schema (lineitem is the part↔supplier link; no partsupp/shipmode).
+
+Cross-engine determinism (see registry docstring): money math stays in
+exact decimals end-to-end; equality/threshold comparisons happen on
+exact decimals or on doubles derived from them in one operation;
+ratios are a single double division floor-truncated to 6 digits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import register
+from .relational import _SQL_DISC_PRICE, _dec, _disc_price
+
+
+def _views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+@register(
+    "q91_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS supply_cost
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_size = 7 AND p_type = 'SMALL'
+      GROUP BY partkey, suppkey)
+    SELECT p_partkey, p_name, s_suppkey, s_name, n_name,
+           CAST(supply_cost AS DOUBLE) AS supply_cost
+    FROM cost
+      JOIN part ON partkey = p_partkey
+      JOIN supplier ON suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+    WHERE supply_cost = (SELECT MIN(c2.supply_cost) FROM cost c2
+                         WHERE c2.partkey = cost.partkey)
+    ORDER BY p_partkey, s_suppkey
+    """,
+)
+def q91_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per part, keep the supplier(s) achieving the
+    minimum supply cost — a correlated scalar-MIN equality, expressed
+    as the decorrelated plan Catalyst would produce anyway: per-part
+    MIN aggregate joined back on (partkey, cost). Equality is on exact
+    decimal sums, so ties resolve identically in both engines.
+
+    Scale: the filtered part dim is broadcast into the fact scan; one
+    shuffle builds the (part, supplier) cost table; the per-part MIN is
+    a second agg over that already-small table, then a co-partitioned
+    join (same key) — AQE keeps it shuffle-local.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    small = part.filter((F.col("p_size") == 7) & (F.col("p_type") == "SMALL"))
+    cost = (
+        li.join(F.broadcast(small), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(F.sum(_dec("l_extendedprice")).alias("supply_cost"))
+    )
+    min_cost = cost.groupBy("partkey").agg(
+        F.min("supply_cost").alias("min_cost")
+    )
+    return (
+        cost.join(
+            min_cost,
+            (cost.partkey == min_cost.partkey)
+            & (cost.supply_cost == min_cost.min_cost),
+        )
+        .drop(min_cost.partkey)
+        .join(F.broadcast(small), F.col("partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            F.col("supply_cost").cast("double").alias("supply_cost"),
+        )
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
+@register(
+    "q92_nation_pair_volume",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           EXTRACT(YEAR FROM l_shipdate) AS yr,
+           CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS volume,
+           COUNT(*) AS n_lines
+    FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1999-01-01'
+    GROUP BY supp_nation, cust_nation, yr
+    ORDER BY supp_nation, cust_nation, yr
+    """,
+)
+def q92_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between a nation pair, per
+    direction and ship year — a two-sided dimension chain (supplier
+    nation and customer nation joined independently) with a symmetric
+    pair predicate.
+
+    Scale: the fact joins orders on its own key (one shuffle pair);
+    customer/supplier/nation are broadcast, and the nation-pair filter
+    prunes to two nations *before* the aggregate, so the grouped state
+    is tiny. The date window pushes down to the lineitem scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("yr"),
+        )
+        .agg(
+            F.sum(_disc_price()).cast("double").alias("volume"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("supp_nation", "cust_nation", "yr")
+    )
+
+
+@register(
+    "q93_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+           CAST(c_acctbal AS DOUBLE) AS acctbal
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-07-01'
+    GROUP BY c_custkey, c_name, n_name, acctbal
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q93_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue from returned
+    items in a two-quarter window. Revenue is the exact decimal sum
+    (tie-stable ordering) with c_custkey as the total tiebreaker, so
+    the LIMIT selects an identical set in both engines.
+
+    Scale: order-date window prunes orders before the fact join;
+    returnflag pushes into the lineitem scan; customer/nation
+    broadcast. TakeOrderedAndProject caps driver results at 20 rows.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            _dec("c_acctbal").cast("double").alias("acctbal"),
+        )
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "n_name", "revenue", "acctbal")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q94_promo_revenue",
+    oracle=f"""
+    SELECT EXTRACT(YEAR FROM l_shipdate) AS yr,
+           FLOOR(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                               THEN {_SQL_DISC_PRICE}
+                               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) * 1e8) / 1e6
+             AS promo_pct,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY yr
+    ORDER BY yr
+    """,
+)
+def q94_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: percentage of revenue from PROMO-type parts,
+    per ship year. Conditional decimal sum over total decimal sum, one
+    double division scaled to percent, floor-truncated to 6 digits.
+
+    Scale: part is the only dim — broadcast into the fact scan; the
+    aggregate groups on ~7 year keys, so partial aggregation collapses
+    nearly all rows map-side.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    zero = F.lit(0).cast("decimal(18,2)")
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", _disc_price()).otherwise(zero)
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.year("l_shipdate").cast("bigint").alias("yr"))
+        .agg(
+            (
+                F.floor(
+                    promo.cast("double")
+                    / F.sum(_disc_price()).cast("double")
+                    * F.lit(1e8)
+                )
+                / F.lit(1e6)
+            ).alias("promo_pct"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("yr")
+    )
+
+
+@register(
+    "q95_small_qty_orders",
+    oracle="""
+    WITH avg_qty AS (
+      SELECT l_partkey AS partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS avg_q
+      FROM lineitem
+      GROUP BY partkey)
+    SELECT p_brand,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS small_qty_revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN avg_qty ON l_partkey = partkey
+    WHERE CAST(l_quantity AS DOUBLE) < 0.5 * avg_q
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def q95_small_qty_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: lines whose quantity is below half the
+    per-part average — the correlated-AVG filter, decorrelated into a
+    per-part aggregate joined back to the fact (the plan Catalyst
+    produces for the correlated form). The average is one double
+    division of an exact decimal sum by an exact count; the 0.5×
+    threshold is a single double multiply — bit-identical across
+    engines.
+
+    Scale: two shuffles on the same key (l_partkey) — AQE reuses the
+    exchange; part is broadcast. Grouped output is brand-cardinality.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        (
+            F.sum(_dec("l_quantity")).cast("double") / F.count("*")
+        ).alias("avg_q")
+    )
+    return (
+        li.join(avg_qty, F.col("l_partkey") == F.col("partkey"))
+        .filter(F.col("l_quantity").cast("double") < F.lit(0.5) * F.col("avg_q"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.sum(_dec("l_extendedprice")).cast("double").alias("small_qty_revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "q96_disjunctive_predicate",
+    oracle=f"""
+    SELECT CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND CAST(l_quantity AS DOUBLE) BETWEEN 1 AND 21)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND CAST(l_quantity AS DOUBLE) BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND CAST(l_quantity AS DOUBLE) BETWEEN 20 AND 40)
+    """,
+)
+def q96_disjunctive_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of three ANDed
+    brand/size/quantity envelopes — the disjunctive-predicate join
+    (each disjunct touches both sides, so it can't split into a plain
+    pre-filter; Catalyst still pushes the brand/size union down to the
+    part scan via constraint propagation).
+
+    Scale: part broadcast; one pass over the fact, global agg (1 row).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    qty = F.col("l_quantity").cast("double")
+
+    def envelope(brand: str, size_hi: int, q_lo: int, q_hi: int):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, size_hi)
+            & qty.between(q_lo, q_hi)
+        )
+
+    cond = (
+        envelope("Brand#1", 15, 1, 21)
+        | envelope("Brand#2", 25, 10, 30)
+        | envelope("Brand#3", 35, 20, 40)
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.sum(_disc_price()).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )

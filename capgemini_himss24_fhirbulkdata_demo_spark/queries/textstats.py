@@ -1106,3 +1106,93 @@ def x43_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         target_share.alias("target_share"),
         weight.alias("sampling_weight"),
     ).orderBy("source")
+
+
+# ---- x44: PII redaction (email/IP/phone scrub + audit counts) ----
+
+# The fixture corpus is PII-free word soup, so the query splices a
+# deterministic synthetic contact string onto each document (varied by
+# doc_id so counts differ per row) and then runs the real scrub —
+# exercising the redaction regexes on realistic surrounding text while
+# staying fully oracle-checkable.
+_X44_AUG_SQL = """
+    text || CASE
+      WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                               || '@example.com now'
+      WHEN doc_id % 3 = 1 THEN ' call 555-'
+                               || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                               || ' today'
+      ELSE ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+           || CAST((doc_id * 7) % 256 AS VARCHAR)
+    END
+"""
+
+
+def _x44_sql() -> str:
+    from ..operators.pii import PII_PATTERNS
+
+    (_, email, email_tag), (_, ip, ip_tag), (_, phone, phone_tag) = PII_PATTERNS
+    return f"""
+    WITH aug AS (
+      SELECT doc_id, {_X44_AUG_SQL} AS t0 FROM documents),
+    s1 AS (SELECT doc_id, t0,
+                  REGEXP_REPLACE(t0, '{email}', '{email_tag}', 'g') AS t1
+           FROM aug),
+    s2 AS (SELECT doc_id, t0, t1,
+                  REGEXP_REPLACE(t1, '{ip}', '{ip_tag}', 'g') AS t2
+           FROM s1)
+    SELECT doc_id,
+           CAST(LEN(REGEXP_EXTRACT_ALL(t0, '{email}')) AS BIGINT) AS n_email,
+           CAST(LEN(REGEXP_EXTRACT_ALL(t1, '{ip}')) AS BIGINT) AS n_ip,
+           CAST(LEN(REGEXP_EXTRACT_ALL(t2, '{phone}')) AS BIGINT) AS n_phone,
+           MD5(REGEXP_REPLACE(t2, '{phone}', '{phone_tag}', 'g')) AS redacted_md5
+    FROM s2
+    ORDER BY doc_id
+    """
+
+
+@register("x44_pii_redaction", oracle=_x44_sql())
+def x44_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (C4/CCNet-style): redact emails, IPv4s, and phone
+    numbers with ``regexp_replace`` built-ins, auditing per-kind match
+    counts. Patterns stay in the RE2-compatible subset so Spark (Java
+    regex) and DuckDB (RE2) agree byte-for-byte; the scrubbed text is
+    surfaced as an md5 so the oracle hashes a scalar.
+
+    Scale: narrow per-row map, zero shuffle — pipelines with the
+    quality gate in ``prepare_corpus`` at 100 TB. Operator:
+    ``operators/pii.py`` (``redact_pii``/``pii_counts``/``scrub_text``).
+    """
+    from ..operators.pii import pii_counts, redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    id_s = did.cast("string")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" contact user"), id_s, F.lit("@example.com now")),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+                F.lit(" today"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit(" from 10."),
+                (did % 256).cast("string"),
+                F.lit(".0."),
+                ((did * 7) % 256).cast("string"),
+            )
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        *pii_counts(aug),
+        F.md5(redact_pii(aug)).alias("redacted_md5"),
+    ).orderBy("doc_id")
