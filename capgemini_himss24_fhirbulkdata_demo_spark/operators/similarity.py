@@ -202,6 +202,41 @@ def ivf_assign(
     return assigned, cent
 
 
+def assign_nearest_centroid(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    list_col: str = "ivf_list",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid by cosine — the
+    k-means-style assignment SemDeDup-shaped cluster-scoped dedup
+    needs (``ivf_assign`` buckets by the *seeding* sign cell; this
+    re-buckets by actual centroid proximity, so clusters follow the
+    data even where sign cells are ragged).
+
+    Scale: centroids are k rows — broadcast; scoring is a narrow map
+    over the vector table (k fold-dot-products per row, plan width
+    O(1) in dim); the argmax is a per-row ``row_number`` over k scored
+    copies, i.e. one shuffle of n·k skinny rows partitioned by the
+    uniform vector id. Ties break toward the lowest list id, which
+    keeps the assignment deterministic across engines.
+    """
+    v = vectors.withColumn("__vn", vector_norm(F.col(vec_col)))
+    scored = v.crossJoin(F.broadcast(centroids)).withColumn(
+        "__csim",
+        cosine_dot(F.col(vec_col), F.col("centroid"))
+        / (F.col("__vn") * vector_norm(F.col("centroid"))),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__csim"), F.col(list_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*vectors.columns, F.col(list_col).alias(out_col))
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     assigned: DataFrame,

@@ -697,3 +697,127 @@ def x15_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---- x16: SemDeDup (cluster-scoped semantic dedup) ----
+
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
+# embeddings, compare pairs ONLY within a cluster, drop all but one of
+# each semantic-duplicate group. The cluster scope is what makes it
+# tractable at corpus scale — candidate sets shrink from O(n^2) to
+# sum of per-cluster squares, and the per-cluster work is independent.
+
+_X16_SQL = f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             CAST({_SQL_IVF_BUCKET} AS BIGINT) AS ivf_list,
+             SQRT({_sql_dot('embedding', 'embedding')}) AS norm
+      FROM embeddings),
+    cent_long AS (
+      SELECT ivf_list, i.i AS pos,
+             CAST(SUM(CAST(CAST(embedding[i.i] AS DOUBLE) AS DECIMAL(28,12)))
+                  AS DOUBLE) / COUNT(*) AS m
+      FROM b, (SELECT UNNEST(RANGE(1, {_DIM} + 1)) AS i) i
+      GROUP BY ivf_list, i.i),
+    cent AS (
+      SELECT ivf_list, LIST(m ORDER BY pos) AS centroid FROM cent_long
+      GROUP BY ivf_list),
+    assign_scored AS (
+      SELECT b.vec_id, b.embedding, b.norm, c.ivf_list,
+             {_sql_dot('b.embedding', 'c.centroid')}
+               / (b.norm * SQRT({_sql_dot('c.centroid', 'c.centroid')})) AS csim
+      FROM b CROSS JOIN cent c),
+    assigned AS (
+      SELECT vec_id, embedding, norm, ivf_list AS cluster
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY csim DESC, ivf_list) AS rn
+            FROM assign_scored)
+      WHERE rn = 1),
+    dup AS (
+      SELECT a.cluster, a.vec_id AS id_a, c.vec_id AS id_b
+      FROM assigned a JOIN assigned c
+        ON a.cluster = c.cluster AND a.vec_id < c.vec_id
+      WHERE {_sql_dot('a.embedding', 'c.embedding')} / (a.norm * c.norm)
+            >= {_COS_DUP_MIN}),
+    members AS (SELECT cluster, COUNT(*) AS n_members FROM assigned
+                GROUP BY cluster),
+    dup_stats AS (
+      SELECT cluster, COUNT(*) AS n_dup_pairs,
+             COUNT(DISTINCT id_b) AS n_removed
+      FROM dup GROUP BY cluster)
+    SELECT m.cluster, m.n_members,
+           CAST(COALESCE(d.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+           CAST(COALESCE(d.n_removed, 0) AS BIGINT) AS n_removed,
+           m.n_members - CAST(COALESCE(d.n_removed, 0) AS BIGINT) AS n_kept
+    FROM members m LEFT JOIN dup_stats d ON m.cluster = d.cluster
+    ORDER BY m.cluster
+    """
+
+
+@register("x16_semdedup", oracle=_X16_SQL)
+def x16_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped cluster-scoped dedup: deterministic IVF
+    centroids (operators/similarity.py ivf_assign), every vector
+    re-assigned to its NEAREST centroid (assign_nearest_centroid —
+    real k-means-style clusters, not the seeding sign cells), then
+    near-duplicate pairs computed only inside a cluster and collapsed
+    keep-min (a vector is removed iff it is the greater id of an
+    above-threshold pair). Output is the per-cluster audit: members,
+    dup pairs, removed, kept.
+
+    Scale: centroids broadcast (k rows); assignment is a narrow map +
+    one skinny argmax shuffle; the pair join shuffles on the cluster
+    id so candidate work is sum of per-cluster squares — the SemDeDup
+    recipe's tractability argument, verbatim.
+    """
+    from ..operators.similarity import assign_nearest_centroid, ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, cent = ivf_assign(emb, "vec_id", "embedding", n_lists=8, dim=_DIM)
+    assigned = assign_nearest_centroid(
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+        ),
+        cent,
+        "vec_id",
+        "embedding",
+    )
+    a, c = assigned.alias("a"), assigned.alias("c")
+    dup = (
+        a.join(
+            c,
+            (F.col("a.cluster") == F.col("c.cluster"))
+            & (F.col("a.vec_id") < F.col("c.vec_id")),
+        )
+        .filter(
+            _dot(F.col("a.embedding"), F.col("c.embedding"))
+            / (F.col("a.norm") * F.col("c.norm"))
+            >= _COS_DUP_MIN
+        )
+        .select(
+            F.col("a.cluster").alias("cluster"),
+            F.col("a.vec_id").alias("id_a"),
+            F.col("c.vec_id").alias("id_b"),
+        )
+    )
+    members = assigned.groupBy("cluster").agg(F.count("*").alias("n_members"))
+    dup_stats = dup.groupBy("cluster").agg(
+        F.count("*").alias("n_dup_pairs"),
+        F.countDistinct("id_b").alias("n_removed"),
+    )
+    return (
+        members.join(dup_stats, "cluster", "left")
+        .select(
+            "cluster",
+            "n_members",
+            F.coalesce(F.col("n_dup_pairs"), F.lit(0)).cast("bigint").alias("n_dup_pairs"),
+            F.coalesce(F.col("n_removed"), F.lit(0)).cast("bigint").alias("n_removed"),
+            (
+                F.col("n_members")
+                - F.coalesce(F.col("n_removed"), F.lit(0)).cast("bigint")
+            ).alias("n_kept"),
+        )
+        .orderBy("cluster")
+    )

@@ -419,3 +419,50 @@ def test_udtf_ngram_spans_matches_declarative(spark):
     ).collect()[0].n
     n_toks = [len([w for w in r.text.split(" ") if w]) for r in docs.collect()]
     assert tri == sum(max(k - 2, 0) for k in n_toks)
+
+
+def test_scrub_text_redacts_and_counts(spark):
+    from capgemini_himss24_fhirbulkdata_demo_spark.operators.pii import scrub_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@sub.example.org thanks"),
+            (2, "server 192.168.1.254 then call 555-0199 twice 555-0200"),
+            (3, "clean row with no contact info"),
+            (4, "a@b.io and 10.0.0.1"),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r for r in scrub_text(df).collect()}
+    assert out[1]["text"] == "mail me at <EMAIL> thanks"
+    assert (out[1]["n_email"], out[1]["n_ip"], out[1]["n_phone"]) == (1, 0, 0)
+    assert out[2]["text"] == "server <IP> then call <PHONE> twice <PHONE>"
+    assert (out[2]["n_email"], out[2]["n_ip"], out[2]["n_phone"]) == (0, 1, 2)
+    assert out[3]["text"] == "clean row with no contact info"
+    assert (out[3]["n_email"], out[3]["n_ip"], out[3]["n_phone"]) == (0, 0, 0)
+    # the email host's dots must not be half-eaten by the IP pattern
+    assert out[4]["text"] == "<EMAIL> and <IP>"
+    assert (out[4]["n_email"], out[4]["n_ip"], out[4]["n_phone"]) == (1, 1, 0)
+    # schema keeps original columns and appends the audit counts
+    assert scrub_text(df).columns == ["id", "text", "n_email", "n_ip", "n_phone"]
+
+
+def test_assign_nearest_centroid_small(spark):
+    from capgemini_himss24_fhirbulkdata_demo_spark.operators.similarity import (
+        assign_nearest_centroid,
+    )
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [-0.1, 0.8])],
+        "id long, v array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "ivf_list long, centroid array<double>",
+    )
+    out = assign_nearest_centroid(vecs, cents, "id", "v")
+    got = {r["id"]: r["cluster"] for r in out.collect()}
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1}
+    # exactly one row per input vector, original columns preserved
+    assert out.count() == 4
+    assert out.columns == ["id", "v", "cluster"]
