@@ -313,3 +313,89 @@ def q70_engine_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("crc").alias("n_crc"),
         F.countDistinct("mono").alias("n_mono"),
     )
+
+
+@register(
+    "q97_try_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_totalprice AS DOUBLE) / NULLIF(o_orderkey % 5, 0) AS safe_div,
+           TRY_CAST(o_orderpriority AS INTEGER) AS bad_int,
+           TRY_CAST(SUBSTRING(o_orderpriority, 1, 1) AS INTEGER) AS prio_digit,
+           TRY_CAST(o_orderdate AS DATE) AS ok_date,
+           CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                ELSE CAST(o_totalprice AS DECIMAL(18,2)) END
+             + CAST(1 AS DECIMAL(18,2)) AS null_prop_add
+    FROM orders
+    WHERE o_orderkey <= 500
+    ORDER BY o_orderkey
+    """,
+)
+def q97_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic: ``try_divide`` (NULL on /0 instead of an
+    error — mirrored as NULLIF-guarded division in the oracle),
+    ``try_cast`` of malformed / well-formed strings, and NULL
+    propagation through decimal addition (reference tolerant-missing
+    semantics ``__init__.py:425-428`` lifted to arithmetic)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    return (
+        orders.select(
+            "o_orderkey",
+            F.try_divide(
+                F.col("o_totalprice").cast("double"), F.col("o_orderkey") % 5
+            ).alias("safe_div"),
+            F.col("o_orderpriority").try_cast("int").alias("bad_int"),
+            F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_digit"),
+            F.col("o_orderdate").try_cast("date").alias("ok_date"),
+            (
+                F.when(F.col("o_orderkey") % 3 == 0, F.lit(None))
+                .otherwise(F.col("o_totalprice"))
+                .cast("decimal(18,2)")
+                + F.lit(1).cast("decimal(18,2)")
+            ).alias("null_prop_add"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q98_bitwise",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(BIT_AND(l_partkey) AS BIGINT) AS and_part,
+           CAST(BIT_OR(l_partkey) AS BIGINT) AS or_part,
+           CAST(BIT_XOR(l_partkey) AS BIGINT) AS xor_part,
+           CAST(SUM(BIT_COUNT(l_partkey)) AS BIGINT) AS popcount_sum,
+           CAST(MIN(l_partkey << 2) AS BIGINT) AS min_shl,
+           CAST(MAX(l_partkey >> 1) AS BIGINT) AS max_shr,
+           CAST(MIN(l_partkey & 255) AS BIGINT) AS min_low_byte,
+           CAST(MAX(l_partkey | 4096) AS BIGINT) AS max_with_flag,
+           CAST(MIN(xor(l_partkey, l_suppkey)) AS BIGINT) AS min_xor_pair
+    FROM lineitem
+    WHERE l_orderkey <= 200
+    GROUP BY l_orderkey
+    ORDER BY l_orderkey
+    """,
+)
+def q98_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise battery: scalar shifts/and/or/xor/popcount plus the
+    ``bit_and``/``bit_or``/``bit_xor`` aggregates (engine-surface
+    completeness; both engines define identical two's-complement
+    semantics on 64-bit ints)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    pk = F.col("l_partkey")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.bit_and(pk).alias("and_part"),
+            F.bit_or(pk).alias("or_part"),
+            F.bit_xor(pk).alias("xor_part"),
+            F.sum(F.bit_count(pk)).cast("bigint").alias("popcount_sum"),
+            F.min(F.shiftleft(pk, 2)).cast("bigint").alias("min_shl"),
+            F.max(F.shiftright(pk, 1)).cast("bigint").alias("max_shr"),
+            F.min(pk.bitwiseAND(F.lit(255))).cast("bigint").alias("min_low_byte"),
+            F.max(pk.bitwiseOR(F.lit(4096))).cast("bigint").alias("max_with_flag"),
+            F.min(pk.bitwiseXOR(F.col("l_suppkey"))).cast("bigint").alias("min_xor_pair"),
+        )
+        .orderBy("l_orderkey")
+    )
