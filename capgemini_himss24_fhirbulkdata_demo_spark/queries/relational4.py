@@ -365,3 +365,44 @@ def q96_disjunctive_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+@register(
+    "q99_pipe_syntax",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY o_orderpriority
+    HAVING COUNT(*) > 100
+    ORDER BY o_orderpriority
+    """,
+)
+def q99_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax (`|>`): the same scan → filter → join →
+    aggregate → post-agg filter → order chain as its ANSI twin, but
+    written as sequential pipe stages — Catalyst parses both to the
+    identical logical plan, so this verifies the modern SQL surface
+    end-to-end rather than adding a new operator.
+    """
+    _views(spark, sf_dir, "lineitem", "orders")
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+        |> JOIN orders ON l_orderkey = o_orderkey
+        |> AGGREGATE
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))))
+                  AS DOUBLE) AS revenue,
+             COUNT(*) AS n_lines
+           GROUP BY o_orderpriority
+        |> WHERE n_lines > 100
+        |> ORDER BY o_orderpriority
+        |> SELECT o_orderpriority, revenue, n_lines
+        """
+    )
