@@ -3,8 +3,9 @@
 Chains the extension operators into the standard LLM-corpus prep
 flow, one narrow/bounded-shuffle stage each:
 
-  quality gate → language filter → exact dedup → MinHash near-dup
-  removal → (optional) embedding near-dup removal → token budget cut
+  quality gate → language filter → (optional) PII scrub → exact dedup
+  → MinHash near-dup removal → (optional) embedding near-dup removal
+  → token budget cut
 
 Every stage is deterministic (first-wins keeps the smallest doc id)
 and reports row counts via a single ``observe``-free count per stage
@@ -33,6 +34,7 @@ from .operators.dedup import (
     near_dup_pairs,
     release_cached_deps,
 )
+from .operators.pii import redact_pii
 from .operators.similarity import (
     cosine_dot,
     hyperplanes,
@@ -202,6 +204,7 @@ def prepare_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     dim: int | None = None,
+    scrub_pii: bool = False,
 ) -> tuple[DataFrame, PrepStats]:
     """The full prep chain; returns (clean corpus, per-stage counts).
 
@@ -222,6 +225,13 @@ def prepare_corpus(
             "quality", quality_gate(docs, text_col, min_tokens=min_tokens)
         )
         cur = stats.record("language", language_filter(cur, langs))
+        if scrub_pii:
+            # scrub BEFORE dedup: redaction canonicalizes contact
+            # strings, so two docs differing only in PII dedup as the
+            # copies they are (and removed text never reaches training)
+            cur = stats.record(
+                "pii_scrub", cur.withColumn(text_col, redact_pii(F.col(text_col)))
+            )
         cur = stats.record(
             "exact_dedup",
             dedup_first_wins(

@@ -136,3 +136,23 @@ def test_remove_near_dups_exact_clusters(spark):
         for r in remove_near_dups(docs2, min_jaccard=0.5, exact_clusters=True).collect()
     )
     assert exact2 == [1, 10]
+
+
+def test_prepare_corpus_pii_scrub_stage(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox email me a.b@example.com please thanks", "en", "s"),
+            (2, "totally clean document with several proper tokens here", "en", "s"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    out, stats = prepare_corpus(docs, langs=("en",), scrub_pii=True)
+    names = [n for n, _ in stats.stages]
+    assert "pii_scrub" in names and names.index("pii_scrub") < names.index("exact_dedup")
+    texts = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert "<EMAIL>" in texts[1] and "a.b@example.com" not in texts[1]
+    assert texts[2] == "totally clean document with several proper tokens here"
+    # default stays scrub-free (x40 oracle depends on it)
+    out2, stats2 = prepare_corpus(docs, langs=("en",))
+    assert "pii_scrub" not in [n for n, _ in stats2.stages]
+    assert "a.b@example.com" in {r["doc_id"]: r["text"] for r in out2.collect()}[1]
