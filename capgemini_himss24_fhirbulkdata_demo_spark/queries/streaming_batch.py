@@ -337,3 +337,116 @@ def x35_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s")
     )
     return steps.select("s.step", "s.n_users", "s.conv_from_prev").orderBy("step")
+
+
+@register(
+    "x34_time_rollup",
+    oracle="""
+    SELECT COALESCE(STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+           COALESCE(STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S'), 'ALL')
+             AS hour,
+           CAST(GROUPING(DATE_TRUNC('day', ts)) * 2
+                + GROUPING(DATE_TRUNC('hour', ts)) AS BIGINT) AS grain,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE user_id <= 200
+    GROUP BY GROUPING SETS ((DATE_TRUNC('day', ts), DATE_TRUNC('hour', ts),
+                             event_type),
+                            (DATE_TRUNC('day', ts), event_type),
+                            (event_type))
+    ORDER BY grain, day, hour, event_type
+    """,
+)
+def x34_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: hour, day, and total
+    grains of the same aggregate in ONE grouping-sets pass (one fact
+    shuffle feeds every resolution — at 100 TB this replaces three
+    separate scans with one, the continuous-aggregate pattern).
+    ``grain`` disambiguates levels via GROUPING() exactly like q09.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 200)
+    ev.createOrReplaceTempView("__x34_events")
+    return spark.sql(
+        """
+        SELECT COALESCE(DATE_FORMAT(DATE_TRUNC('day', ts), 'yyyy-MM-dd'), 'ALL')
+                 AS day,
+               COALESCE(DATE_FORMAT(DATE_TRUNC('hour', ts),
+                                    'yyyy-MM-dd HH:mm:ss'), 'ALL') AS hour,
+               CAST(GROUPING(DATE_TRUNC('day', ts)) * 2
+                    + GROUPING(DATE_TRUNC('hour', ts)) AS BIGINT) AS grain,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM __x34_events
+        GROUP BY GROUPING SETS ((DATE_TRUNC('day', ts), DATE_TRUNC('hour', ts),
+                                 event_type),
+                                (DATE_TRUNC('day', ts), event_type),
+                                (event_type))
+        ORDER BY grain, day, hour, event_type
+        """
+    )
+
+
+@register(
+    "x36_ewma",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, LIST(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+      FROM events
+      WHERE user_id <= 50 AND event_type = 'click'
+      GROUP BY user_id)
+    SELECT user_id,
+           CAST(LEN(vals) AS BIGINT) AS n_obs,
+           ROUND(LIST_REDUCE(vals, (acc, x) -> acc * 0.5 + x * 0.5), 6)
+             AS ewma_half
+    FROM ordered
+    ORDER BY user_id
+    """,
+)
+def x36_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user (alpha = 0.5),
+    computed as a SEQUENTIAL fold over the time-ordered value list —
+    the recurrence acc*(1-a) + x*a is order-sensitive, so it cannot be
+    a plain window SUM; the ordered collect + fold makes evaluation
+    order explicit and bit-identical across engines (0.5 is a binary-
+    exact coefficient; both engines fold left-to-right over the same
+    IEEE doubles).
+
+    Scale: one shuffle on user_id; per-user state is that user's
+    event list — the same per-key-bounded shape the streaming layer's
+    applyInPandasWithState form keeps incrementally. Streaming twin:
+    the stateful fold carries (acc) per user across micro-batches.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter((F.col("user_id") <= 50) & (F.col("event_type") == "click"))
+    )
+    ordered = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("ts"),
+                    F.col("event_id"),
+                    F.col("value").cast("double").alias("value"),
+                )
+            )
+        ).alias("seq")
+    )
+    vals = F.transform(F.col("seq"), lambda s: s["value"])
+    # seed with the first observation (DuckDB's LIST_REDUCE convention,
+    # and the standard EWMA init: s_0 = x_0), fold the rest
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: acc * F.lit(0.5) + x * F.lit(0.5),
+    )
+    return (
+        ordered.select(
+            "user_id",
+            F.size(vals).cast("bigint").alias("n_obs"),
+            F.round(ewma, 6).alias("ewma_half"),
+        )
+        .orderBy("user_id")
+    )
