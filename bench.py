@@ -60,6 +60,11 @@ HEADLINE += [
     "x42_decontamination",
     "x30_tumbling_window",
     "x32_session_window",
+    "x16_semdedup",
+    "x44_pii_redaction",
+    "x34_time_rollup",
+    "q92_nation_pair_volume",
+    "q96_disjunctive_predicate",
 ]
 
 

@@ -707,10 +707,15 @@ def x15_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tractable at corpus scale — candidate sets shrink from O(n^2) to
 # sum of per-cluster squares, and the per-cluster work is independent.
 
+_SQL_SEMDEDUP_BUCKET = " + ".join(
+    f"(CASE WHEN {_sql_proj('embedding', _PLANES[p])} > 0 THEN {1 << p} ELSE 0 END)"
+    for p in range(5)
+)
+
 _X16_SQL = f"""
     WITH b AS (
       SELECT vec_id, embedding,
-             CAST({_SQL_IVF_BUCKET} AS BIGINT) AS ivf_list,
+             CAST({_SQL_SEMDEDUP_BUCKET} AS BIGINT) AS ivf_list,
              SQRT({_sql_dot('embedding', 'embedding')}) AS norm
       FROM embeddings),
     cent_long AS (
@@ -773,7 +778,7 @@ def x16_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import assign_nearest_centroid, ivf_assign
 
     emb = load_table(spark, sf_dir, "embeddings")
-    _, cent = ivf_assign(emb, "vec_id", "embedding", n_lists=8, dim=_DIM)
+    _, cent = ivf_assign(emb, "vec_id", "embedding", n_lists=32, dim=_DIM)
     assigned = assign_nearest_centroid(
         emb.select(
             "vec_id",
