@@ -406,3 +406,55 @@ def q99_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT o_orderpriority, revenue, n_lines
         """
     )
+
+
+@register(
+    "q100_histogram",
+    oracle="""
+    WITH bucketed AS (
+      SELECT CAST(FLOOR(CAST(o_totalprice AS DOUBLE) / 25000.0) AS BIGINT)
+               AS bucket
+      FROM orders)
+    SELECT bucket,
+           bucket * 25000.0 AS lo,
+           (bucket + 1) * 25000.0 AS hi,
+           COUNT(*) AS n_orders,
+           FLOOR(COUNT(*) * 1e6 / SUM(COUNT(*)) OVER ()) / 1e4 AS pct
+    FROM bucketed
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def q100_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order value (the BI distribution
+    shape): one double division + floor per row for the bucket, counts
+    per bucket, percent-of-total via a window over the aggregate
+    output (integer-exact until the one floored division).
+
+    Scale: map-side combine collapses the fact to bucket cardinality
+    before the shuffle; the percent window runs over ~40 rows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice").cast("double") / F.lit(25000.0)).cast(
+        "bigint"
+    )
+    from pyspark.sql import Window as W
+
+    return (
+        orders.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_orders"))
+        .select(
+            "bucket",
+            (F.col("bucket") * 25000.0).alias("lo"),
+            ((F.col("bucket") + 1) * 25000.0).alias("hi"),
+            "n_orders",
+            (
+                F.floor(
+                    F.col("n_orders") * F.lit(1e6) / F.sum("n_orders").over(W.partitionBy())
+                )
+                / F.lit(1e4)
+            ).alias("pct"),
+        )
+        .orderBy("bucket")
+    )

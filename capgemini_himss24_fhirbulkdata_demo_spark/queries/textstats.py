@@ -1196,3 +1196,116 @@ def x44_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         *pii_counts(aug),
         F.md5(redact_pii(aug)).alias("redacted_md5"),
     ).orderBy("doc_id")
+
+
+# ---- x47: BM25 search scoring (fixed query, rational idf) ----
+
+_BM25_TERMS = ("spark", "window", "join")
+_BM25_K1 = "1.2"
+_BM25_B = "0.75"
+
+
+def _x47_sql() -> str:
+    tf_cols = ", ".join(
+        f"CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t = '{t}')) AS DOUBLE)"
+        f" AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    term_score = " + ".join(
+        f"((n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * (tf_{i} * ({_BM25_K1} + 1.0))"
+        f" / (tf_{i} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+    WITH tf AS (
+      SELECT doc_id, {tf_cols},
+             CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS dl
+      FROM documents),
+    stats AS (
+      SELECT {df_cols}, CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             SUM(dl) / COUNT(*) AS avgdl
+      FROM tf),
+    scored AS (
+      SELECT doc_id, {term_score} AS score
+      FROM tf CROSS JOIN stats)
+    SELECT doc_id, ROUND(score, 6) AS bm25
+    FROM (SELECT doc_id, score,
+                 ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 20
+    ORDER BY bm25 DESC, doc_id
+    """
+
+
+@register("x47_bm25_search", oracle=_x47_sql())
+def x47_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for a fixed conjunctive query ({terms}) — the
+    classic search-ranking composition over the same tf/df/doclen
+    statistics x25's TF-IDF uses. The idf factor is the *rational*
+    Robertson form (N-df+0.5)/(df+0.5) WITHOUT the log: ln() is the
+    one primitive whose last-ulp behavior differs across libm
+    implementations, and the log is monotone, so dropping it preserves
+    the ranking while keeping every arithmetic step bit-identical
+    across engines. Term scores are summed in fixed expression order
+    (no fp-order-sensitive aggregate).
+
+    Scale: tf/dl is a narrow per-row pass; the corpus stats are a
+    one-row global aggregate broadcast back (same shape as q84's
+    scalar HAVING); scoring is narrow; top-20 is
+    TakeOrderedAndProject. One shuffle total (the global stats).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    k1, b = float(_BM25_K1), float(_BM25_B)
+    def tf_expr(term: str):
+        # NB: a `lambda x, t=term:` default would flip pyspark into the
+        # two-argument (element, index) HOF form — bind via closure
+        return F.size(F.filter(toks, lambda x: x == F.lit(term))).cast("double")
+
+    tf = docs.select(
+        "doc_id",
+        *[tf_expr(t).alias(f"tf_{i}") for i, t in enumerate(_BM25_TERMS)],
+        F.size(toks).cast("double").alias("dl"),
+    )
+    stats = tf.agg(
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0))
+            .cast("double")
+            .alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl") / F.count("*")).alias("avgdl"),
+    )
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        idf = (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5)) / (
+            F.col(f"df_{i}") + F.lit(0.5)
+        )
+        term = (
+            idf
+            * (F.col(f"tf_{i}") * F.lit(k1 + 1.0))
+            / (
+                F.col(f"tf_{i}")
+                + F.lit(k1)
+                * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        score = term if score is None else score + term
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    return (
+        tf.crossJoin(F.broadcast(stats))
+        .select("doc_id", score.alias("score"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("doc_id", F.round("score", 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+    )
+
+
+x47_bm25_search.__doc__ = x47_bm25_search.__doc__.format(terms=", ".join(_BM25_TERMS))

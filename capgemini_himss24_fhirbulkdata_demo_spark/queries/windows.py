@@ -371,3 +371,46 @@ def q90_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", "ts_us", "pv", "nv", interp.alias("interp"))
         .orderBy("user_id", "event_id")
     )
+
+
+@register(
+    "x37_rolling_median",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(MEDIAN(CAST(value AS DOUBLE))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
+             AS med5
+    FROM events
+    WHERE user_id <= 50 AND event_type = 'view'
+    ORDER BY user_id, event_id
+    """,
+)
+def x37_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact median over the trailing 5-row frame. Spark has
+    no MEDIAN window function, so the engine collects the frame into
+    an array, sorts it, and takes the middle (averaging the two
+    middles on even frames — DuckDB's interpolation convention). The
+    frame is O(1) rows, so the collect is bounded per row; at scale
+    this is the standard small-frame pattern (a true streaming median
+    would use the stateful applyInPandasWithState path).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("user_id") <= 50) & (F.col("event_type") == "view")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list(F.col("value").cast("double")).over(w))
+    n = F.size(arr)
+    mid_hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    med = (
+        F.when(n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int")))
+        .otherwise((F.element_at(arr, (n / 2).cast("int")) + mid_hi) / 2)
+    )
+    return (
+        ev.select("user_id", "event_id", F.round(med, 6).alias("med5"))
+        .orderBy("user_id", "event_id")
+    )
