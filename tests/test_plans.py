@@ -296,3 +296,39 @@ def test_x45_single_shuffle_window_then_rollup(spark):
 
     assert len(re.findall(r"hashpartitioning\(", plan)) == 1, plan
     assert "Window" in plan, plan
+
+
+def test_q92_dims_broadcast_no_cartesian(spark):
+    # Q7 shape: the only shuffled join is lineitem↔orders; the four
+    # dimension joins (customer, supplier, nation×2) all broadcast.
+    df = _plan(spark, "q92_nation_pair_volume")
+    strategies = join_strategies(df)
+    assert strategies.count("BroadcastHashJoin") >= 4, strategies
+    assert "CartesianProduct" not in strategies
+
+
+def test_x47_bm25_topk_and_stats_broadcast(spark):
+    # corpus stats are one row — broadcast back to the scoring pass;
+    # top-20 must fold into TakeOrderedAndProject, never a global sort
+    df = _plan(spark, "x47_bm25_search")
+    assert "BroadcastNestedLoopJoin" in join_strategies(df) or (
+        "BroadcastHashJoin" in join_strategies(df)
+    )
+    simple = explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in simple or "WindowGroupLimit" in simple, simple
+
+
+def test_x16_semdedup_cluster_join_is_hash(spark):
+    # the intra-cluster pair join must key on the cluster id (hash or
+    # sort-merge), never degenerate to a nested loop over all pairs
+    df = _plan(spark, "x16_semdedup")
+    strategies = join_strategies(df)
+    assert "BroadcastHashJoin" in strategies or "SortMergeJoin" in strategies, strategies
+    assert "CartesianProduct" not in strategies
+
+
+def test_x44_pii_scrub_is_narrow(spark):
+    # redaction is a pure per-row map: no joins, no shuffle beyond the
+    # final presentation sort
+    df = _plan(spark, "x44_pii_redaction")
+    assert join_strategies(df) == [], join_strategies(df)
