@@ -414,3 +414,110 @@ def x37_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("user_id", "event_id", F.round(med, 6).alias("med5"))
         .orderBy("user_id", "event_id")
     )
+
+
+@register(
+    "x38_scd2_intervals",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderpriority AS prio, o_orderdate AS ts, o_orderkey,
+             LAG(o_orderpriority) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey) AS prev
+      FROM orders WHERE o_custkey <= 200),
+    chg AS (
+      SELECT o_custkey, prio, ts, o_orderkey FROM seq
+      WHERE prev IS NULL OR prio <> prev),
+    iv AS (
+      SELECT o_custkey, prio, ts AS f,
+             LEAD(ts) OVER (PARTITION BY o_custkey
+                            ORDER BY ts, o_orderkey) AS t,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY ts, o_orderkey) AS version
+      FROM chg)
+    SELECT o_custkey, version, prio AS priority,
+           STRFTIME(f, '%Y-%m-%d') AS eff_from,
+           COALESCE(STRFTIME(t, '%Y-%m-%d'), 'CURRENT') AS eff_to
+    FROM iv
+    ORDER BY o_custkey, version
+    """,
+)
+def x38_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 dimension build from an event log: collapse each
+    customer's order stream to its priority *change points* (lag
+    compare), then stitch validity intervals (effective_from = change
+    date, effective_to = next change, open tail = 'CURRENT') with a
+    version counter — the standard warehouse change-capture shape,
+    expressed as two windows over one shuffle on the natural key.
+
+    Scale: one shuffle on o_custkey serves the lag, the lead, and the
+    version rank (same partitioning, Catalyst reuses the sort); change
+    points shrink the stream before the interval pass.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    chg = (
+        orders.select(
+            "o_custkey",
+            F.col("o_orderpriority").alias("prio"),
+            F.col("o_orderdate").alias("ts"),
+            "o_orderkey",
+            F.lag("o_orderpriority").over(w).alias("prev"),
+        )
+        .filter(F.col("prev").isNull() | (F.col("prio") != F.col("prev")))
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("ts", "o_orderkey")
+    return (
+        chg.select(
+            "o_custkey",
+            F.row_number().over(w2).alias("version"),
+            F.col("prio").alias("priority"),
+            F.date_format("ts", "yyyy-MM-dd").alias("eff_from"),
+            F.coalesce(
+                F.date_format(F.lead("ts").over(w2), "yyyy-MM-dd"), F.lit("CURRENT")
+            ).alias("eff_to"),
+        )
+        .orderBy("o_custkey", "version")
+    )
+
+
+@register(
+    "q101_null_ordering",
+    oracle="""
+    SELECT c_custkey,
+           NULLIF(c_mktsegment, 'BUILDING') AS seg,
+           ROW_NUMBER() OVER (ORDER BY NULLIF(c_mktsegment, 'BUILDING')
+                              ASC NULLS FIRST, c_custkey) AS rn_nulls_first,
+           ROW_NUMBER() OVER (ORDER BY NULLIF(c_mktsegment, 'BUILDING')
+                              DESC NULLS LAST, c_custkey) AS rn_nulls_last,
+           CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END)
+                OVER () AS BIGINT) AS n_null
+    FROM customer
+    WHERE c_custkey <= 300
+    ORDER BY c_custkey
+    """,
+)
+def q101_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-ordering semantics made observable: ranks under ASC NULLS
+    FIRST vs DESC NULLS LAST (engines DISAGREE on defaults — Spark
+    puts nulls first ascending, DuckDB last — so the engine surface
+    always spells the placement explicitly), plus a windowed count of
+    the nulled rows.
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300)
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    base = cust.select("c_custkey", seg.alias("seg"))
+    w_nf = Window.orderBy(F.col("seg").asc_nulls_first(), "c_custkey")
+    w_nl = Window.orderBy(F.col("seg").desc_nulls_last(), "c_custkey")
+    return (
+        base.select(
+            "c_custkey",
+            "seg",
+            F.row_number().over(w_nf).alias("rn_nulls_first"),
+            F.row_number().over(w_nl).alias("rn_nulls_last"),
+            F.sum(F.when(F.col("seg").isNull(), 1).otherwise(0))
+            .over(Window.partitionBy())
+            .cast("bigint")
+            .alias("n_null"),
+        )
+        .orderBy("c_custkey")
+    )
