@@ -458,3 +458,40 @@ def q100_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "q103_robust_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(MEDIAN(CAST(l_extendedprice AS DOUBLE)), 6) AS med_price,
+           ROUND(MAD(CAST(l_extendedprice AS DOUBLE)), 6) AS mad_price,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q103_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust statistics: per-group exact median and median absolute
+    deviation. Spark has no MAD aggregate, so the engine runs the
+    two-pass form — group medians, broadcast back, median of absolute
+    deviations — which is also the scale shape (each pass is one
+    sort-based exact percentile per group; swap in approx_percentile
+    at 100 TB as with q29/q72). Both engines interpolate even-count
+    medians identically ((a+b)/2 on the same IEEE doubles).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").cast("double").alias("p")
+    )
+    med = li.groupBy("l_returnflag").agg(F.median("p").alias("med"))
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.first("med"), 6).alias("med_price"),
+            F.round(F.median(F.abs(F.col("p") - F.col("med"))), 6).alias("mad_price"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("l_returnflag")
+    )

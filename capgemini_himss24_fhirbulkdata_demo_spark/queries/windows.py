@@ -521,3 +521,40 @@ def q101_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "q102_running_distinct",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           CAST(COUNT(DISTINCT c_mktsegment)
+                  OVER (PARTITION BY c_nationkey ORDER BY c_custkey)
+                AS BIGINT) AS segs_seen
+    FROM customer
+    ORDER BY c_nationkey, c_custkey
+    """,
+)
+def q102_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count over an ordered window. Spark forbids
+    DISTINCT aggregates in windows, so the engine uses the standard
+    rewrite: mark each (partition, value)'s first occurrence with a
+    per-value row_number, then running-sum the marks — same one
+    shuffle on the partition key, no extra pass. (DuckDB runs the
+    native DISTINCT window as the oracle.)
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    w_first = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy("c_custkey")
+    w_run = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("c_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    first_seen = (F.row_number().over(w_first) == 1).cast("bigint")
+    return (
+        cust.select(
+            "c_custkey",
+            "c_nationkey",
+            F.sum(first_seen).over(w_run).alias("segs_seen"),
+        )
+        .orderBy("c_nationkey", "c_custkey")
+    )
