@@ -18,12 +18,15 @@ from .dedup import (  # noqa: F401
     shingle,
 )
 from .similarity import (  # noqa: F401
+    assign_nearest_centroid,
     cosine_dot,
     cosine_topk,
     ivf_assign,
     ivf_topk,
     lsh_bucket,
     probe_dim,
+    semdedup,
+    semdedup_n_lists,
 )
 from .skew import salted_aggregate, salted_join  # noqa: F401
 from .topk import top_k_per_group  # noqa: F401

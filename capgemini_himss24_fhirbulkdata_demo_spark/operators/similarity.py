@@ -60,13 +60,23 @@ def cosine_topk(
     cand_vec: str,
     k: int = 10,
     bucket_col: str | None = None,
+    broadcast_queries: bool = False,
 ) -> DataFrame:
     """Top-k candidates per query by cosine → (query_id, neighbor_id,
     cosine, rank) with fixed output names (inputs may share a name).
 
-    Brute-force when ``bucket_col`` is None (queries broadcast against
-    all candidates — the reranker shape); bucketed hash join when both
+    Brute-force when ``bucket_col`` is None (every query scores every
+    candidate — the reranker shape); bucketed equi-join when both
     sides carry a ``bucket_col`` (the ANN scale path).
+
+    ``broadcast_queries`` is OPT-IN: the API does not bound the size
+    of ``queries``, so a hint here would force an O(|queries|)
+    broadcast on whatever frame the caller passes (the same
+    hint-on-unbounded-frame class as round 1's x02 near-dup bug). Left
+    off, Catalyst/AQE pick the strategy from statistics — a genuinely
+    small query side still broadcasts, a large one shuffles. Set it
+    only when the caller KNOWS the query frame is bounded (e.g. a
+    fixed rerank batch).
     """
     q = queries.select(
         F.col(query_id).alias("__qid"),
@@ -74,6 +84,8 @@ def cosine_topk(
         vector_norm(F.col(query_vec)).alias("__qn"),
         *([F.col(bucket_col).alias("__qb")] if bucket_col else []),
     )
+    if broadcast_queries:
+        q = F.broadcast(q)
     c = candidates.select(
         F.col(cand_id).alias("__cid"),
         F.col(cand_vec).alias("__cv"),
@@ -82,9 +94,9 @@ def cosine_topk(
     )
     cond = F.col("__qid") != F.col("__cid")
     if bucket_col:
-        joined = F.broadcast(q).join(c, (F.col("__qb") == F.col("__cb")) & cond)
+        joined = q.join(c, (F.col("__qb") == F.col("__cb")) & cond)
     else:
-        joined = F.broadcast(q).join(c, cond)
+        joined = q.join(c, cond)
     scored = joined.select(
         F.col("__qid").alias("query_id"),
         F.col("__cid").alias("neighbor_id"),
@@ -146,9 +158,15 @@ def ivf_assign(
     the full posexplode is ~4·10¹³ skinny rows; a 1 % training sample
     is statistically identical for bucket means) — assignment always
     covers the FULL table. A bucket entirely absent from the sample
-    gets no centroid and is never probed (its members drop from
-    recall) — the usual IVF sampling tradeoff; size the fraction so
-    every occupied cell is hit (P(miss) ≈ exp(-f·|bucket|)).
+    gets no centroid; members of such orphan buckets are reassigned
+    to the nearest EXISTING centroid via ``assign_nearest_centroid``
+    so every vector stays searchable (no silent recall loss). The
+    orphan split is two joins against the broadcast k-row centroid-id
+    list (semi/anti, narrow); the nearest-centroid scoring runs only
+    over the orphans, which P(miss) ≈ exp(-f·|bucket|) keeps to a
+    vanishing fraction at scale. Degenerate edge: an EMPTY training
+    sample (tiny table × tiny fraction) yields zero centroids and an
+    empty index — size ``train_fraction`` ≥ ~100/|table|.
     """
     if dim is None:
         dim = probe_dim(vectors, vec_col)
@@ -199,6 +217,18 @@ def ivf_assign(
         )
     )
     assigned = bucketed.withColumnRenamed("__b", list_col)
+    if train_fraction < 1:
+        # sampled train: some seed buckets may lack a centroid; route
+        # their members to the nearest existing centroid instead of
+        # silently dropping them from every probe
+        known_lists = cent.select(list_col)
+        kept = assigned.join(F.broadcast(known_lists), [list_col], "left_semi")
+        orphans = assigned.join(F.broadcast(known_lists), [list_col], "left_anti")
+        reassigned = assign_nearest_centroid(
+            orphans.drop(list_col), cent, id_col, vec_col,
+            list_col=list_col, out_col=list_col,
+        )
+        assigned = kept.unionByName(reassigned.select(*kept.columns))
     return assigned, cent
 
 
@@ -235,6 +265,89 @@ def assign_nearest_centroid(
         .filter(F.col("__rn") == 1)
         .select(*vectors.columns, F.col(list_col).alias(out_col))
     )
+
+
+def semdedup_n_lists(
+    corpus_rows: int,
+    target_cluster_rows: int = 1_000_000,
+    max_lists: int = 1 << 16,
+) -> int:
+    """SemDeDup cluster-count budget rule, executable form of the
+    SCALE.md prose: intra-cluster pair work is Σ per-cluster n², so
+    the cluster count k must grow with the corpus to hold clusters at
+    a target size — k ≈ corpus / target (SemDeDup paper's
+    tractability argument). Clamped at ``max_lists`` (the broadcast
+    ceiling: k centroids ship to every executor; 2^16 × 768 dims ×
+    8 B ≈ 0.4 GB). ``ivf_assign`` rounds the result up to the next
+    power of two.
+    """
+    if corpus_rows < 0:
+        raise ValueError(f"corpus_rows must be >= 0, got {corpus_rows}")
+    if target_cluster_rows <= 0:
+        raise ValueError(
+            f"target_cluster_rows must be > 0, got {target_cluster_rows}"
+        )
+    k = max(1, -(-corpus_rows // target_cluster_rows))
+    return min(max_lists, k)
+
+
+def semdedup(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_lists: int | None = None,
+    corpus_rows: int | None = None,
+    target_cluster_rows: int = 1_000_000,
+    dim: int | None = None,
+    train_fraction: float = 1.0,
+) -> tuple[DataFrame, DataFrame]:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings, compare pairs
+    only within a cluster, report above-threshold duplicate pairs.
+    Returns ``(assigned, dup_pairs)`` — ``assigned`` is the input plus
+    ``cluster`` and ``norm``; ``dup_pairs`` is (cluster, id_a, id_b)
+    with id_a < id_b. Keep-min collapse / audits compose on top.
+
+    Cluster count: pass ``n_lists`` explicitly, or pass ``corpus_rows``
+    (known from table stats or a setup-time count — never counted here:
+    plan construction stays action-free) and the budget rule
+    ``semdedup_n_lists`` derives it. The pair join shuffles on the
+    cluster id; ragged clusters are the expected skew shape, handled by
+    AQE skew-join splitting (session policy ``adaptive.skewJoin``) —
+    the join must stay a shuffled hash/sort-merge join, asserted in
+    tests/test_plans.py.
+    """
+    if n_lists is None:
+        if corpus_rows is None:
+            raise ValueError("pass n_lists or corpus_rows (for the budget rule)")
+        n_lists = semdedup_n_lists(corpus_rows, target_cluster_rows)
+    _, cent = ivf_assign(
+        vectors, id_col, vec_col, n_lists=n_lists, dim=dim,
+        train_fraction=train_fraction,
+    )
+    assigned = assign_nearest_centroid(
+        vectors.withColumn("norm", vector_norm(F.col(vec_col))),
+        cent, id_col, vec_col,
+    )
+    a, c = assigned.alias("a"), assigned.alias("c")
+    dup = (
+        a.join(
+            c,
+            (F.col("a.cluster") == F.col("c.cluster"))
+            & (F.col(f"a.{id_col}") < F.col(f"c.{id_col}")),
+        )
+        .filter(
+            cosine_dot(F.col(f"a.{vec_col}"), F.col(f"c.{vec_col}"))
+            / (F.col("a.norm") * F.col("c.norm"))
+            >= threshold
+        )
+        .select(
+            F.col("a.cluster").alias("cluster"),
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"c.{id_col}").alias("id_b"),
+        )
+    )
+    return assigned, dup
 
 
 def ivf_topk(

@@ -773,39 +773,19 @@ def x16_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: centroids broadcast (k rows); assignment is a narrow map +
     one skinny argmax shuffle; the pair join shuffles on the cluster
     id so candidate work is sum of per-cluster squares — the SemDeDup
-    recipe's tractability argument, verbatim.
+    recipe's tractability argument, verbatim. The composition lives in
+    ``operators.similarity.semdedup``, whose cluster count derives
+    from a max-cluster-size budget (``semdedup_n_lists``, the
+    executable form of SCALE.md's k ≈ corpus/10⁶ rule) when the
+    caller passes ``corpus_rows``; here it is pinned to the oracle's
+    32 cells — the fixture-scale instance of that budget.
     """
-    from ..operators.similarity import assign_nearest_centroid, ivf_assign
+    from ..operators.similarity import semdedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    _, cent = ivf_assign(emb, "vec_id", "embedding", n_lists=32, dim=_DIM)
-    assigned = assign_nearest_centroid(
-        emb.select(
-            "vec_id",
-            "embedding",
-            F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
-        ),
-        cent,
-        "vec_id",
-        "embedding",
-    )
-    a, c = assigned.alias("a"), assigned.alias("c")
-    dup = (
-        a.join(
-            c,
-            (F.col("a.cluster") == F.col("c.cluster"))
-            & (F.col("a.vec_id") < F.col("c.vec_id")),
-        )
-        .filter(
-            _dot(F.col("a.embedding"), F.col("c.embedding"))
-            / (F.col("a.norm") * F.col("c.norm"))
-            >= _COS_DUP_MIN
-        )
-        .select(
-            F.col("a.cluster").alias("cluster"),
-            F.col("a.vec_id").alias("id_a"),
-            F.col("c.vec_id").alias("id_b"),
-        )
+    assigned, dup = semdedup(
+        emb.select("vec_id", "embedding"), "vec_id", "embedding",
+        threshold=_COS_DUP_MIN, n_lists=32, dim=_DIM,
     )
     members = assigned.groupBy("cluster").agg(F.count("*").alias("n_members"))
     dup_stats = dup.groupBy("cluster").agg(

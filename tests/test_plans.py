@@ -332,3 +332,59 @@ def test_x44_pii_scrub_is_narrow(spark):
     # final presentation sort
     df = _plan(spark, "x44_pii_redaction")
     assert join_strategies(df) == [], join_strategies(df)
+
+
+def test_cosine_topk_no_forced_broadcast_by_default(spark):
+    """cosine_topk's API does not bound the query frame, so the
+    operator must not HINT-broadcast it (round-2 verdict item: the
+    last hint-on-unbounded-frame in the package). Discriminate hinted
+    from stats-based broadcasts by disabling the size threshold:
+    statistics broadcasts vanish, a hint would remain."""
+    from pyspark.sql import functions as F
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.operators import cosine_topk
+    from capgemini_himss24_fhirbulkdata_demo_spark.operators.similarity import (
+        hyperplanes,
+        lsh_bucket,
+    )
+    from capgemini_himss24_fhirbulkdata_demo_spark.catalog import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    planes = hyperplanes(4, 64)
+    b = emb.withColumn("bucket", lsh_bucket(F.col("embedding"), planes))
+    qb = b.filter(F.col("vec_id") < 3)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        unhinted = cosine_topk(
+            qb, b, "vec_id", "vec_id", "embedding", "embedding",
+            k=2, bucket_col="bucket",
+        )
+        assert "BroadcastExchange" not in explain_str(unhinted), explain_str(unhinted)
+        hinted = cosine_topk(
+            qb, b, "vec_id", "vec_id", "embedding", "embedding",
+            k=2, bucket_col="bucket", broadcast_queries=True,
+        )
+        assert "BroadcastExchange" in explain_str(hinted)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_semdedup_skew_guard(spark):
+    """The intra-cluster pair join shuffles on the cluster id; ragged
+    clusters are the expected skew shape. Guard: session policy keeps
+    AQE skew-join splitting ON, and the pair join is a shuffled
+    hash/sort-merge join (never a nested loop) even with a
+    budget-derived cluster count."""
+    from capgemini_himss24_fhirbulkdata_demo_spark.catalog import load_table
+    from capgemini_himss24_fhirbulkdata_demo_spark.operators import semdedup
+
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    _, dup = semdedup(
+        emb, "vec_id", "embedding", threshold=0.95,
+        corpus_rows=1_000_000, target_cluster_rows=62_500, dim=64,
+    )
+    strategies = join_strategies(dup)
+    assert "CartesianProduct" not in strategies, strategies
+    assert any(s in strategies for s in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")), strategies
