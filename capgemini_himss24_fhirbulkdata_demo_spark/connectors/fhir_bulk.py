@@ -212,19 +212,36 @@ class FhirBulkConnector:
             )
         return r.headers["Content-Location"]
 
-    def poll_status(self, status_url: str, token: str) -> bytes:
+    def poll_status(
+        self,
+        status_url: str,
+        token: str,
+        on_progress: Callable[[str], None] | None = None,
+    ) -> bytes:
         """Poll with linear-growth backoff (sleep 2·n, n→cap) until 200
-        (reference ``:282-326``); raises on error statuses."""
+        (reference ``:282-326``); raises on error statuses.
+
+        Servers report export progress via the ``X-Progress`` header on
+        202 responses (reference surfaces it at ``__init__.py:298``);
+        each observed value is handed to ``on_progress`` and kept on
+        ``self.last_progress`` so long waits are observable.
+        """
         headers = {
             "Authorization": f"Bearer {token}",
             "Prefer": "respond-async",
             "Accept": "application/fhir+json",
         }
+        self.last_progress: str | None = None
         for n in range(1, self.max_poll_attempts + 1):
             r = self.transport("GET", status_url, headers=headers)
             if r.status_code == 200:
                 return r.content
             if r.status_code == 202:
+                progress = r.headers.get("X-Progress")
+                if progress is not None:
+                    self.last_progress = progress
+                    if on_progress is not None:
+                        on_progress(progress)
                 self.sleep(2 * n)
                 continue
             raise RuntimeError(f"poll failed: {r.status_code} {r.content[:200]!r}")

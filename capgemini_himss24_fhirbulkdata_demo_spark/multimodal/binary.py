@@ -10,9 +10,13 @@ Design for 100 TB of media:
   not per row; ``spark.sql.execution.arrow.maxRecordsPerBatch`` and
   ``maxPartitionBytes`` bound executor memory against payload size;
 - decode is deterministic & dependency-gated: the synthetic ``FAKE``
-  container decodes with numpy only; real formats raise
-  NotImplementedError unless PIL is importable (it is not baked into
-  this container).
+  container, uncompressed BMP (24-bit / 8-bit paletted), and binary
+  PNM (P5 pgm / P6 ppm) decode with pure stdlib code — no imaging
+  library needed; any other format (PNG/JPEG/...) falls through to
+  PIL when importable and raises NotImplementedError otherwise (PIL
+  is not baked into this container). Color decodes to 8-bit luma via
+  integer BT.601 weights ((299 r + 587 g + 114 b) // 1000) so stats
+  are bit-identical across hosts.
 
 FAKE container layout (deterministic from a seed id):
   b"FAKE" | kind:1 (I/V) | width:u16 | height:u16 | n_frames:u16 |
@@ -66,19 +70,147 @@ def encode_fake(media_id: int, kind: str, width: int, height: int, n_frames: int
     return header + pixels
 
 
-def _decode_fake(payload: bytes):
-    if payload[:4] != _MAGIC:
-        raise NotImplementedError(
-            "real media decoding requires PIL/ffmpeg (not in this container); "
-            "only the FAKE container format is decodable here"
+def _luma(r: int, g: int, b: int) -> int:
+    # integer BT.601 — deterministic across hosts, no float rounding
+    return (299 * r + 587 * g + 114 * b) // 1000
+
+
+def encode_bmp24(width: int, height: int, rgb_rows) -> bytes:
+    """Minimal uncompressed 24-bit BMP writer (bottom-up rows, 4-byte
+    row padding) — fixture twin of ``_decode_bmp``."""
+    row_size = (width * 3 + 3) & ~3
+    pixel_data = bytearray()
+    for y in range(height - 1, -1, -1):
+        row = bytearray()
+        for r, g, b in rgb_rows[y]:
+            row += bytes((b, g, r))
+        row += b"\x00" * (row_size - len(row))
+        pixel_data += row
+    pixel_off = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", pixel_off + len(pixel_data), 0, 0, pixel_off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0
+    )
+    return bytes(header + dib + pixel_data)
+
+
+def encode_pnm(width: int, height: int, pixels, rgb: bool = False) -> bytes:
+    """Binary PNM writer: P6 from (r,g,b) tuples or P5 from luma
+    bytes — fixture twin of ``_decode_pnm``."""
+    if rgb:
+        return f"P6\n{width} {height}\n255\n".encode() + bytes(
+            v for px in pixels for v in px
         )
-    width, height, n_frames = struct.unpack(">HHH", payload[5:11])
-    frames = []
-    off = 11
-    for _ in range(n_frames):
-        frames.append(payload[off : off + width * height])
-        off += width * height
-    return width, height, frames
+    return f"P5\n{width} {height}\n255\n".encode() + bytes(pixels)
+
+
+def _decode_bmp(payload: bytes):
+    """Uncompressed BMP (BITMAPINFOHEADER, 24-bit BGR or 8-bit
+    paletted) → (width, height, [luma frame]). Pure stdlib."""
+    pixel_off = struct.unpack("<I", payload[10:14])[0]
+    hdr_size = struct.unpack("<I", payload[14:18])[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs are not supported")
+    width, height = struct.unpack("<ii", payload[18:26])
+    bpp = struct.unpack("<H", payload[28:30])[0]
+    compression = struct.unpack("<I", payload[30:34])[0]
+    if compression != 0 or bpp not in (8, 24):
+        raise NotImplementedError(
+            f"only uncompressed 8/24-bit BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    top_down = height < 0
+    height = abs(height)
+    palette = None
+    if bpp == 8:
+        n_colors = struct.unpack("<I", payload[46:50])[0] or 256
+        pal_off = 14 + hdr_size
+        palette = [
+            _luma(payload[pal_off + 4 * i + 2], payload[pal_off + 4 * i + 1],
+                  payload[pal_off + 4 * i])
+            for i in range(n_colors)
+        ]
+    bytes_per_px = bpp // 8
+    row_size = (width * bytes_per_px + 3) & ~3  # rows pad to 4 bytes
+    px = bytearray(width * height)
+    for y in range(height):
+        src_y = y if top_down else height - 1 - y
+        row = payload[pixel_off + src_y * row_size :][: width * bytes_per_px]
+        if bpp == 24:
+            for x in range(width):
+                b, g, r = row[3 * x], row[3 * x + 1], row[3 * x + 2]
+                px[y * width + x] = _luma(r, g, b)
+        else:
+            for x in range(width):
+                px[y * width + x] = palette[row[x]]
+    return width, height, [bytes(px)]
+
+
+def _decode_pnm(payload: bytes):
+    """Binary PNM (P5 grayscale / P6 RGB, maxval ≤ 255) →
+    (width, height, [luma frame]). Pure stdlib."""
+    magic = payload[:2]
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:  # width, height, maxval; '#' comments legal
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval, then raster
+    width, height, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PNM not supported")
+    if magic == b"P5":
+        return width, height, [payload[pos : pos + width * height]]
+    raster = payload[pos : pos + 3 * width * height]
+    px = bytes(
+        _luma(raster[3 * i], raster[3 * i + 1], raster[3 * i + 2])
+        for i in range(width * height)
+    )
+    return width, height, [px]
+
+
+def _decode_pil(payload: bytes):
+    """Everything else (PNG/JPEG/...) needs PIL; clean gate when the
+    library is absent (it is not baked into this container)."""
+    try:
+        from PIL import Image
+    except ImportError as e:
+        raise NotImplementedError(
+            "real media decoding of this format requires PIL/ffmpeg (not in "
+            "this container); FAKE, uncompressed BMP, and binary PNM decode "
+            "dependency-free"
+        ) from e
+    import io
+
+    img = Image.open(io.BytesIO(payload)).convert("L")
+    return img.width, img.height, [img.tobytes()]
+
+
+def _decode_fake(payload: bytes):
+    """Container dispatch by magic bytes → (width, height, frames of
+    w·h luma bytes). FAKE/BMP/PNM are dependency-free; the rest gate
+    on PIL."""
+    if payload[:4] == _MAGIC:
+        width, height, n_frames = struct.unpack(">HHH", payload[5:11])
+        frames = []
+        off = 11
+        for _ in range(n_frames):
+            frames.append(payload[off : off + width * height])
+            off += width * height
+        return width, height, frames
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:2] in (b"P5", b"P6"):
+        return _decode_pnm(payload)
+    return _decode_pil(payload)
 
 
 def synthesize_media(spark: SparkSession, n: int, kind: str = "image") -> DataFrame:

@@ -102,8 +102,19 @@ def run_bulk_import(
     state: HighWaterMark | None = None,
     client_id: str = "client",
     blob_base_url: str = "file://",
+    max_parallel_files: int = 8,
 ) -> PipelineResult:
-    """The full export → transform → import → archive flow."""
+    """The full export → transform → import → archive flow.
+
+    Landed files transform as CONCURRENT Spark jobs (driver-side
+    thread pool — the standard multi-job submission pattern): each
+    file's job is narrow and its single-blob NDJSON write is one task
+    (``write_ndjson(single_file=True)``), so a sequential loop would
+    execute the whole stage nearly single-threaded. The reference
+    loops sequentially (``__init__.py:644``); SURVEY §4.3.4 calls for
+    independent parallel loads. ``max_parallel_files`` bounds
+    concurrent jobs (scheduler pressure), not correctness.
+    """
     res = PipelineResult()
     since = state.get(server_url, group_id) if state else None
     # Fallback cursor only — a FHIR _since must carry a timezone
@@ -119,10 +130,18 @@ def run_bulk_import(
     res.landed = connector.land_export(manifest, token, landing, client_id=client_id)
 
     out_dir = os.path.join(work_dir, "export")
-    for path in res.landed:
-        res.transformed[path] = transform_landed_file(
-            spark, path, server_url, out_dir, rxnav
-        )
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=max(1, max_parallel_files)) as pool:
+        futures = {
+            path: pool.submit(
+                transform_landed_file, spark, path, server_url, out_dir, rxnav
+            )
+            for path in res.landed
+        }
+        # dict insertion order == landed order: deterministic result map
+        for path, fut in futures.items():
+            res.transformed[path] = fut.result()
 
     entries = [
         (p, f"{blob_base_url}{res.transformed[p]}") for p in res.landed

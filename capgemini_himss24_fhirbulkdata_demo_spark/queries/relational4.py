@@ -495,3 +495,46 @@ def q103_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q104_filter_clause",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_all,
+           COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+           CAST(SUM(CAST(l_quantity AS BIGINT))
+                FILTER (WHERE l_discount = 0) AS BIGINT) AS qty_no_disc,
+           COUNT(DISTINCT l_suppkey) FILTER (WHERE l_returnflag = 'R')
+             AS supp_returned,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                      FILTER (WHERE l_linestatus = 'F') AS DOUBLE),
+                 2) AS price_f_status
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q104_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI aggregate FILTER clause — per-aggregate predicates in one
+    grouped pass (the conditional-aggregation surface both engines
+    parse natively; one hash-agg, no self-joins or CASE pyramids).
+    """
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n_all,
+               COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+               SUM(CAST(l_quantity AS BIGINT))
+                 FILTER (WHERE l_discount = 0) AS qty_no_disc,
+               COUNT(DISTINCT l_suppkey) FILTER (WHERE l_returnflag = 'R')
+                 AS supp_returned,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                          FILTER (WHERE l_linestatus = 'F')
+                          AS DOUBLE), 2) AS price_f_status
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )

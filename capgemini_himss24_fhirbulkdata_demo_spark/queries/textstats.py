@@ -1309,3 +1309,93 @@ def x47_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 x47_bm25_search.__doc__ = x47_bm25_search.__doc__.format(terms=", ".join(_BM25_TERMS))
+
+
+# ---- x46: corpus bigram LM quality score (CCNet-style) ----
+
+# CCNet (Wenzek et al. 2020) filters corpus documents by language-model
+# perplexity. Without shipping a trained LM, the engine-native analog
+# is an add-one-smoothed token-bigram model ESTIMATED FROM THE CORPUS
+# ITSELF and scored back over every document — the classic
+# self-perplexity quality signal (low avg log-prob = atypical text).
+#
+# Determinism note: each bigram's log-prob is ln of one exact-integer
+# ratio, computed identically in both engines (libm ln differs by at
+# most ~1 ulp); the per-doc AVG accumulates ≤1e-13 of reorder error on
+# values of magnitude ~1e1, five orders below the ROUND(6) grain.
+
+_X46_SQL = """
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+    uni AS (
+      SELECT u.tok AS tok, COUNT(*) AS c
+      FROM toks, UNNEST(t) AS u(tok) GROUP BY u.tok),
+    vocab AS (SELECT COUNT(*) AS v FROM uni),
+    dbg AS (
+      SELECT doc_id, t[r.i] AS a, t[r.i + 1] AS b
+      FROM toks, UNNEST(RANGE(1, LEN(t))) AS r(i)),
+    bgc AS (SELECT a, b, COUNT(*) AS cab FROM dbg GROUP BY a, b),
+    scored AS (
+      SELECT d.doc_id,
+             LN(CAST(g.cab + 1 AS DOUBLE) / CAST(u.c + vocab.v AS DOUBLE)) AS lp
+      FROM dbg d
+      JOIN bgc g ON d.a = g.a AND d.b = g.b
+      JOIN uni u ON u.tok = d.a
+      CROSS JOIN vocab)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(lp), 6) AS avg_logp
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@register("x46_lm_score", oracle=_X46_SQL)
+def x46_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self bigram LM scoring: add-one-smoothed token-bigram
+    probabilities estimated over the whole corpus, each document
+    scored by its average bigram log-prob (the CCNet perplexity-filter
+    shape with the LM built in-engine).
+
+    Scale: bigram generation is a narrow map; the model build is one
+    uniform-key partial-agg shuffle on (a, b); scoring joins document
+    bigrams to the model on the same key — stopword-pair skew is AQE
+    skew-join territory, the same class as x42's gram join. Vocabulary
+    size is a 1-row broadcast. Nothing is per-row Python.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    vocab = uni.agg(F.count("*").alias("v"))
+    dbg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))"
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.a").alias("a"), F.col("g.b").alias("b"))
+    bgc = dbg.groupBy("a", "b").agg(F.count("*").alias("cab"))
+    scored = (
+        dbg.join(bgc, ["a", "b"])
+        .join(uni.withColumnRenamed("tok", "a"), ["a"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("cab") + F.lit(1)).cast("double")
+                / (F.col("c") + F.col("v")).cast("double")
+            ).alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(F.avg("lp"), 6).alias("avg_logp"),
+        )
+        .orderBy("doc_id")
+    )

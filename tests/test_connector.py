@@ -241,3 +241,25 @@ def test_access_token_expiry_is_timezone_aware():
     assert expires.tzinfo is not None
     # comparable against aware datetimes without TypeError
     assert expires > dt.datetime.now(dt.timezone.utc)
+
+
+def test_poll_status_surfaces_x_progress():
+    """Long export waits are observable: every X-Progress header seen
+    on a 202 is handed to on_progress and kept on last_progress
+    (reference surfaces the header at __init__.py:298)."""
+    seen = []
+    calls = {"n": 0}
+
+    def transport(method, url, headers=None, data=None, params=None):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            return HttpResponse(
+                202, headers={"X-Progress": f"{calls['n'] * 40}% complete"}
+            )
+        return HttpResponse(200, content=b'{"output": []}')
+
+    c = FhirBulkConnector(transport=transport, sleep=lambda s: None)
+    body = c.poll_status("https://fhir/status", "tok", on_progress=seen.append)
+    assert body == b'{"output": []}'
+    assert seen == ["40% complete", "80% complete"]
+    assert c.last_progress == "80% complete"

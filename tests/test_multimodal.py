@@ -106,3 +106,90 @@ def test_binaryfile_ingestion_roundtrip(spark, tmp_path):
     decoded = {row.media_id: row for row in decode_images(got).collect()}
     assert decoded[0].width == g[0].meta.width
     assert decoded[0].n_frames == g[0].meta.n_frames
+
+
+def test_bmp_decodes_dependency_free(spark):
+    """Real-format decode without PIL: uncompressed 24-bit BMP runs
+    through the same mapInPandas path as FAKE payloads, with exact
+    integer-luma stats."""
+    from capgemini_himss24_fhirbulkdata_demo_spark.multimodal.binary import (
+        encode_bmp24,
+    )
+
+    w, h = 5, 3  # odd width exercises row padding
+    rgb_rows = [
+        [((x * 50) % 256, (y * 80) % 256, (x * y * 30) % 256) for x in range(w)]
+        for y in range(h)
+    ]
+    lumas = [
+        (299 * r + 587 * g + 114 * b) // 1000 for row in rgb_rows for (r, g, b) in row
+    ]
+    payload = encode_bmp24(w, h, rgb_rows)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(payload),
+          {"format": "bmp", "width": w, "height": h, "n_frames": 1})],
+        "media_id BIGINT, kind STRING, payload BINARY, "
+        "meta STRUCT<format: STRING, width: INT, height: INT, n_frames: INT>",
+    )
+    row = decode_images(df).collect()[0]
+    assert (row.width, row.height, row.n_frames) == (w, h, 1)
+    assert row.mean_pixel == sum(lumas) / len(lumas)
+    hist = [0.0] * 8
+    for v in lumas:
+        hist[v >> 5] += 1
+    assert row.histogram == [c / len(lumas) for c in hist]
+
+
+def test_pnm_decodes_dependency_free(spark):
+    from capgemini_himss24_fhirbulkdata_demo_spark.multimodal.binary import (
+        encode_pnm,
+    )
+
+    w, h = 4, 2
+    gray = list(range(0, 256, 32))  # 8 pixels
+    p5 = encode_pnm(w, h, gray)
+    rgb = [(v, 0, 255 - v) for v in gray]
+    p6 = encode_pnm(w, h, rgb, rgb=True)
+    lumas6 = [(299 * r + 587 * g + 114 * b) // 1000 for (r, g, b) in rgb]
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(p5),
+          {"format": "pgm", "width": w, "height": h, "n_frames": 1}),
+         (2, "image", bytearray(p6),
+          {"format": "ppm", "width": w, "height": h, "n_frames": 1})],
+        "media_id BIGINT, kind STRING, payload BINARY, "
+        "meta STRUCT<format: STRING, width: INT, height: INT, n_frames: INT>",
+    )
+    rows = {r.media_id: r for r in decode_images(df).collect()}
+    assert rows[1].mean_pixel == sum(gray) / len(gray)
+    assert rows[2].mean_pixel == sum(lumas6) / len(lumas6)
+    # comment + 8-bit-paletted headers stay parseable
+    commented = b"P5\n# a comment\n4 2\n255\n" + bytes(gray)
+    from capgemini_himss24_fhirbulkdata_demo_spark.multimodal.binary import (
+        _decode_pnm,
+    )
+
+    assert _decode_pnm(commented) == (4, 2, [bytes(gray)])
+
+
+def test_bmp_8bit_paletted(spark):
+    """8-bit paletted BMP: indices map through the palette's luma."""
+    import struct as _struct
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.multimodal.binary import (
+        _decode_bmp,
+    )
+
+    w, h = 3, 2
+    # palette: entry i = (B,G,R,0) = (i, i, i, 0) → luma i
+    palette = b"".join(bytes((i, i, i, 0)) for i in range(256))
+    row_size = (w + 3) & ~3
+    idx_rows = [[10, 20, 30], [40, 50, 60]]
+    pixel_data = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        pixel_data += bytes(idx_rows[y]) + b"\x00" * (row_size - w)
+    pixel_off = 14 + 40 + len(palette)
+    hdr = b"BM" + _struct.pack("<IHHI", pixel_off + len(pixel_data), 0, 0, pixel_off)
+    dib = _struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(pixel_data),
+                       2835, 2835, 256, 0)
+    got = _decode_bmp(hdr + dib + palette + pixel_data)
+    assert got == (w, h, [bytes([10, 20, 30, 40, 50, 60])])
