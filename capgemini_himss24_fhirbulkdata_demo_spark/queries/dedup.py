@@ -306,6 +306,137 @@ def x02_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+
+_SQL_AGREE = " + ".join(
+    f"(CASE WHEN sa2.h{i} = sb2.h{i} THEN 1 ELSE 0 END)" for i in range(_N_HASHES)
+)
+
+_X08_SQL = f"""
+    WITH {_X02_CTES},
+    est AS (
+      SELECT doc_a, doc_b,
+             ROUND(CAST({_SQL_AGREE} AS DOUBLE) / {_N_HASHES}, 4) AS est_jaccard
+      FROM cand JOIN sigs sa2 ON sa2.doc_id = doc_a
+                JOIN sigs sb2 ON sb2.doc_id = doc_b),
+    exct AS (
+      SELECT doc_a, doc_b,
+             ROUND(CAST(LEN(LIST_INTERSECT(sa.sh, sb.sh)) AS DOUBLE)
+                   / (LEN(sa.sh) + LEN(sb.sh)
+                      - LEN(LIST_INTERSECT(sa.sh, sb.sh))), 4) AS exact_jaccard
+      FROM cand JOIN sh sa ON sa.doc_id = doc_a
+                JOIN sh sb ON sb.doc_id = doc_b)
+    SELECT e.doc_a, e.doc_b, e.est_jaccard, x.exact_jaccard,
+           ROUND(ABS(e.est_jaccard - x.exact_jaccard), 4) AS abs_err
+    FROM est e JOIN exct x ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b
+    ORDER BY e.doc_a, e.doc_b
+    """
+
+
+@register("x08_sketch_accuracy", oracle=_X08_SQL)
+def x08_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality eval for the MinHash pipeline (the dedup-family
+    twin of x13's ANN recall eval): for every UNGATED banded-LSH
+    candidate pair, the signature-agreement Jaccard estimate
+    (agreeing minhashes / {n}) next to the exact shingle Jaccard and
+    the absolute error — the number that justifies the x02 gate
+    threshold empirically.
+
+    Determinism: the estimate is an exact small-int ratio (division
+    by {n} is a power of two); the exact Jaccard is x02's
+    intersection arithmetic; the error subtracts two already-ROUNDed
+    doubles. Scale: identical shuffle shape to x02 minus the gate —
+    band self-join on uniform keys, pair joins keyed on doc_id.
+    """
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism * 2
+    )
+    sh = docs.select("doc_id", _spark_shingles().alias("sh")).persist()
+    dg = sh.select("doc_id", "sh", *_spark_digests())
+    sigs = dg.select(
+        "doc_id", *[_spark_minhash(i).alias(f"h{i}") for i in range(_N_HASHES)]
+    ).persist()
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.concat(
+                            F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")
+                        ).alias("band_val"),
+                    )
+                    for b in range(_N_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "bv.band_idx", "bv.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    g1 = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"ha{i}") for i in range(_N_HASHES)],
+    )
+    g2 = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"hb{i}") for i in range(_N_HASHES)],
+    )
+    agree = None
+    for i in range(_N_HASHES):
+        t = F.when(F.col(f"ha{i}") == F.col(f"hb{i}"), 1).otherwise(0)
+        agree = t if agree is None else agree + t
+    est = (
+        cand.join(g1, "doc_a")
+        .join(g2, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree.cast("double") / _N_HASHES, 4).alias("est_jaccard"),
+        )
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    exact = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter), 4
+            ).alias("exact_jaccard"),
+        )
+    )
+    out = (
+        est.join(exact, ["doc_a", "doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            "exact_jaccard",
+            F.round(
+                F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 4
+            ).alias("abs_err"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+    out._cached_deps = [sh, sigs]
+    return out
+
+
+x08_sketch_accuracy.__doc__ = x08_sketch_accuracy.__doc__.format(n=_N_HASHES)
+
+
 # ------------------------------------------------------------- simhash
 
 _SIM_BITS = 16

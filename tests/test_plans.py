@@ -388,3 +388,21 @@ def test_semdedup_skew_guard(spark):
     strategies = join_strategies(dup)
     assert "CartesianProduct" not in strategies, strategies
     assert any(s in strategies for s in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")), strategies
+
+
+def test_x46_lm_model_build_is_partial_agg(spark):
+    """The bigram model build must partial-aggregate map-side (stopword
+    pairs would otherwise hot-spot single reducers), and the scoring
+    join must never degenerate to a nested loop."""
+    df = _plan(spark, "x46_lm_score")
+    plan = explain_str(df)
+    assert "partial_count" in plan or "Partial" in plan, plan
+    assert_no_cartesian_product(df)
+
+
+def test_q104_filter_clause_single_scan_no_join(spark):
+    """FILTER-clause aggregates compile to one scan and hash
+    aggregation — no self-joins, no CASE-pyramid extra projects."""
+    df = _plan(spark, "q104_filter_clause")
+    assert join_strategies(df) == [], join_strategies(df)
+    assert len(read_schemas(df)) == 1, read_schemas(df)
