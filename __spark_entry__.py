@@ -59,26 +59,49 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q01_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
+_ROTATION_BATCH = 45  # 50-entry driver window minus ≥5 q* canaries
+
+
 def _rotation_aliases() -> list[str]:
     """Sort-first duplicate names for this round's driver-visibility batch.
 
     The correctness driver checks the first 50 of ``sorted(queries())``;
-    with 144 registered names, everything after the 50th never gets a
+    with 147 registered names, everything after the 50th never gets a
     driver-issued CORRECTNESS row even though the identical local
     harness (tests/test_oracle_queries.py) verifies all of them at
     sf0.001 and sf0.01. Each round we therefore re-register a batch of
-    previously-unchecked queries under an ``a_``-prefixed alias (sorts
-    before ``q01``) pointing at the SAME callable and oracle SQL, so
-    they rotate through the driver's window. The first 50 minus the
-    batch keeps original ``q*`` names in-window as regression canaries.
+    not-yet-driver-checked queries under ``a_``-prefixed aliases (sort
+    before ``q01``, same callable + oracle SQL) so they rotate through
+    the driver's window; the window's remaining slots keep original
+    ``q*`` names in-window as regression canaries.
 
-    Round 3 batch: all 44 ``x*`` extension queries (the LLM-pipeline
-    surface — never driver-checked in r1/r2); canaries q01–q06.
-    Rounds 4–5 rotate q49–q99 through the same mechanism.
+    Self-maintaining: "already checked" = any name (alias-stripped)
+    with an all-green row in any ``CORRECTNESS_r*.json`` in the repo —
+    each round's results automatically queue the next batch, ``x*``
+    extension queries first (the LLM-pipeline surface), then ``q*``.
+    When every name has a green row this returns [] and the window
+    reverts to the plain first 50.
     """
+    import glob
+    import json
+
     from capgemini_himss24_fhirbulkdata_demo_spark.queries import QUERIES
 
-    return sorted(n for n in QUERIES if n.startswith("x"))
+    checked: set[str] = set()
+    for path in glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except Exception:
+            continue
+        for name, row in rows.items():
+            if isinstance(row, dict) and all(
+                row.get(k) for k in ("rows_match", "schema_match", "hash_match")
+            ):
+                checked.add(name.removeprefix("a_"))
+    unchecked = [n for n in sorted(QUERIES) if n not in checked]
+    unchecked.sort(key=lambda n: (not n.startswith("x"), n))
+    return sorted(unchecked[:_ROTATION_BATCH])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -16,7 +16,13 @@ from pyspark.sql import functions as F
 
 
 def cosine_dot(a: Column, b: Column) -> Column:
-    """Sequential-fold dot product of two array<float|double> columns."""
+    """Sequential-fold dot product of two array<float|double> columns.
+
+    Measured note (round 3): unrolling the fold into a flat
+    left-associated element_at chain (same IEEE op order, codegen-able)
+    is 2.6× SLOWER warmed — 64 element_at navigations beat the single
+    aggregate loop's cost. The fold stays.
+    """
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),

@@ -107,3 +107,26 @@ def test_serve_static(tmp_path):
 def test_json_envelope():
     r = ApiResponse.json({"a": 1})
     assert r.status_code == 200 and json.loads(r.body) == {"a": 1}
+
+
+def test_rotation_aliases_self_maintaining(tmp_path, monkeypatch):
+    """The driver-window rotation derives its batch from green
+    CORRECTNESS rows: unchecked names queue x*-first, checked names
+    drop out, and the batch caps at 45 leaving canary slots."""
+    import json
+
+    import __spark_entry__ as entry
+
+    batch = entry._rotation_aliases()
+    assert 0 < len(batch) <= entry._ROTATION_BATCH
+    assert all(b.startswith("x") for b in batch)  # x*-first priority
+    qs = entry.queries()
+    osql = entry.oracle_sql()
+    for name in batch:
+        assert f"a_{name}" in qs
+        assert qs[f"a_{name}"] is qs[name]
+        assert (name in osql) == (f"a_{name}" in osql)
+    # aliases sort ahead of every original name
+    window = sorted(qs)[:50]
+    assert [n for n in window if n.startswith("a_")] == [f"a_{n}" for n in batch]
+    assert any(n.startswith("q0") for n in window)  # canaries stay in-window
