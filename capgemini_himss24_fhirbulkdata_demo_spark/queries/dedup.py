@@ -712,3 +712,92 @@ def x07_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     release_cached_deps(pairs)
     return out
+
+
+# ------------------------------------------- paragraph-level dedup
+
+# Sub-document dedup (the C4 three-sentence / Dolma paragraph rule):
+# chunk every document into fixed token windows, find chunks whose
+# normalized text occurs in MORE THAN ONE document corpus-wide, and
+# report each document's duplicated-chunk share — the per-doc gate a
+# prep pipeline uses to drop boilerplate-heavy pages. Fixture text is
+# whitespace-tokenized, so the window is a 10-token chunk.
+
+_CHUNK_TOKENS = 10
+
+_X18_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+    chunks AS (
+      SELECT doc_id, (r.i - 1) // {_CHUNK_TOKENS} AS chunk_idx,
+             STRING_AGG(t[r.i], ' ' ORDER BY r.i) AS chunk
+      FROM toks, UNNEST(RANGE(1, LEN(t) + 1)) AS r(i)
+      GROUP BY doc_id, (r.i - 1) // {_CHUNK_TOKENS}),
+    freq AS (
+      SELECT chunk, COUNT(DISTINCT doc_id) AS n_docs
+      FROM chunks GROUP BY chunk),
+    flagged AS (
+      SELECT c.doc_id, c.chunk_idx,
+             CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END AS dup
+      FROM chunks c JOIN freq f ON c.chunk = f.chunk)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(dup) AS BIGINT) AS n_dup_chunks,
+           ROUND(CAST(SUM(dup) AS DOUBLE) / COUNT(*), 4) AS dup_share
+    FROM flagged
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """
+
+
+@register("x18_paragraph_dedup", oracle=_X18_SQL)
+def x18_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (paragraph-level) dedup audit: {n}-token chunks,
+    a chunk is duplicated when its text occurs in >1 document, each
+    doc reports its duplicated-chunk share.
+
+    Scale: chunking is a narrow map (slice + concat_ws — no
+    per-token explode); the frequency pass is one uniform-key
+    partial-agg shuffle on the chunk hash; the flag join keys on the
+    same chunk value. Identical shape to x42's gram join. The actual
+    REMOVAL pipeline is this plus a filter on chunk dup flags before
+    reassembly — the audit is the oracle-checkable core.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    n_chunks_expr = (F.size("t") + F.lit(_CHUNK_TOKENS - 1)) / F.lit(_CHUNK_TOKENS)
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks_expr.cast("int") - 1),
+                lambda i: F.struct(
+                    i.alias("chunk_idx"),
+                    F.concat_ws(
+                        " ", F.slice(F.col("t"), i * _CHUNK_TOKENS + 1, _CHUNK_TOKENS)
+                    ).alias("chunk"),
+                ),
+            )
+        ).alias("c"),
+    ).select("doc_id", "c.chunk_idx", "c.chunk")
+    freq = chunks.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    flagged = chunks.join(freq, "chunk").select(
+        "doc_id",
+        F.when(F.col("n_docs") > 1, 1).otherwise(0).alias("dup"),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.sum("dup").cast("bigint").alias("n_dup_chunks"),
+            F.round(
+                F.sum("dup").cast("double") / F.count("*"), 4
+            ).alias("dup_share"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+x18_paragraph_dedup.__doc__ = x18_paragraph_dedup.__doc__.format(n=_CHUNK_TOKENS)

@@ -156,3 +156,38 @@ def test_prepare_corpus_pii_scrub_stage(spark):
     out2, stats2 = prepare_corpus(docs, langs=("en",))
     assert "pii_scrub" not in [n for n, _ in stats2.stages]
     assert "a.b@example.com" in {r["doc_id"]: r["text"] for r in out2.collect()}[1]
+
+
+def test_write_training_shards_deterministic(spark, tmp_path):
+    from capgemini_himss24_fhirbulkdata_demo_spark.catalog import load_table
+    from capgemini_himss24_fhirbulkdata_demo_spark.dataprep import (
+        write_training_shards,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = str(tmp_path / "shards")
+    m1 = write_training_shards(docs, out, "doc_id", n_shards=4)
+    assert m1["total_rows"] == docs.count()
+    assert m1["n_shards"] >= 2  # range partitioner may merge tiny ranges
+    assert sum(s["rows"] for s in m1["shards"]) == m1["total_rows"]
+    import json
+    import os as _os
+
+    with open(_os.path.join(out, "_training_manifest.json")) as f:
+        assert json.load(f) == m1
+    # shards are key-ranged: per-file (min,max) doc_id ranges don't overlap
+    from pyspark.sql import functions as F
+
+    ranges = sorted(
+        (r["mn"], r["mx"])
+        for r in spark.read.parquet(out)
+        .groupBy(F.input_file_name())
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .collect()
+    )
+    for (a_mn, a_mx), (b_mn, b_mx) in zip(ranges, ranges[1:]):
+        assert a_mx < b_mn
+    # re-export is byte-stable at the manifest level
+    out2 = str(tmp_path / "shards2")
+    m2 = write_training_shards(docs, out2, "doc_id", n_shards=4)
+    assert [s["rows"] for s in m2["shards"]] == [s["rows"] for s in m1["shards"]]
