@@ -307,6 +307,7 @@ def semdedup(
     target_cluster_rows: int = 1_000_000,
     dim: int | None = None,
     train_fraction: float = 1.0,
+    persist_assigned: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """SemDeDup (Abbas et al. 2023): cluster embeddings, compare pairs
     only within a cluster, report above-threshold duplicate pairs.
@@ -335,6 +336,12 @@ def semdedup(
         vectors.withColumn("norm", vector_norm(F.col(vec_col))),
         cent, id_col, vec_col,
     )
+    if persist_assigned:
+        # the assignment subtree (broadcast-centroid scoring + argmax
+        # shuffle) feeds both pair-join sides and any caller-side
+        # audit — persist so it computes once; the caller releases
+        # (at 100 TB, materialize columnar between stages instead)
+        assigned = assigned.persist()
     a, c = assigned.alias("a"), assigned.alias("c")
     dup = (
         a.join(

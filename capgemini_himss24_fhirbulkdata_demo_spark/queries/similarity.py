@@ -362,12 +362,15 @@ def x06_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0)
         )
         bucket = term if bucket is None else bucket + term
+    # bucket+norm are 17 fold-aggregates per row and feed BOTH
+    # self-join sides — persist so the signature pass computes once
+    # (released by the caller via _cached_deps, as x02 does)
     b = emb.select(
         "vec_id",
         "embedding",
         bucket.cast("bigint").alias("bucket"),
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
-    )
+    ).persist()
     a, c = b.alias("a"), b.alias("c")
     pairs = a.join(
         c,
@@ -383,12 +386,14 @@ def x06_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cos_raw"),
     )
     w = Window.partitionBy("bucket").orderBy(F.desc("cos_raw"), "dup_a", "dup_b")
-    return (
+    out = (
         pairs.filter(F.col("cos_raw") >= _COS_DUP_MIN)
         .withColumn("rnk", F.row_number().over(w))
         .select("bucket", "dup_a", "dup_b", F.round("cos_raw", 6).alias("cosine"), "rnk")
         .orderBy("bucket", "rnk")
     )
+    out._cached_deps = [b]
+    return out
 
 
 # ---- x13: ANN recall evaluation (x11 LSH vs x10 exact) ----
@@ -785,14 +790,14 @@ def x16_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     assigned, dup = semdedup(
         emb.select("vec_id", "embedding"), "vec_id", "embedding",
-        threshold=_COS_DUP_MIN, n_lists=32, dim=_DIM,
+        threshold=_COS_DUP_MIN, n_lists=32, dim=_DIM, persist_assigned=True,
     )
     members = assigned.groupBy("cluster").agg(F.count("*").alias("n_members"))
     dup_stats = dup.groupBy("cluster").agg(
         F.count("*").alias("n_dup_pairs"),
         F.countDistinct("id_b").alias("n_removed"),
     )
-    return (
+    out = (
         members.join(dup_stats, "cluster", "left")
         .select(
             "cluster",
@@ -806,3 +811,5 @@ def x16_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+    out._cached_deps = [assigned]
+    return out

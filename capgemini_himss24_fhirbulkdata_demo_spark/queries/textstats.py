@@ -921,6 +921,10 @@ def x42_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(idx, lambda i: F.array_join(F.slice(t, i, g), " "))
         ).alias("gram"),
     )
+    # the training-side distinct feeds both the totals agg and the
+    # collision semi-join; measured: Spark's ReusedExchange already
+    # shares its shuffle across the consumers, so persisting it is
+    # neutral-to-worse (cache write cost) — left unpersisted
     tg = (
         grams.filter(~F.col("d").isin("e", "f"))
         .select("doc_id", "gram")
@@ -934,7 +938,7 @@ def x42_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_hit"))
     )
     n_hit = F.coalesce("n_hit", F.lit(0).cast("bigint"))
-    return (
+    out = (
         tot.join(hit, "doc_id", "left")
         .select(
             "doc_id",
@@ -949,6 +953,7 @@ def x42_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+    return out
 
 
 # ---- x45: sequence packing into fixed token-budget bins ----
