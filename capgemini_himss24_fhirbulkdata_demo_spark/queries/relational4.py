@@ -538,3 +538,35 @@ def q104_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_returnflag
         """
     )
+
+
+@register(
+    "q105_listagg",
+    oracle="""
+    SELECT n_regionkey,
+           STRING_AGG(n_name, '|' ORDER BY n_name) AS nations,
+           STRING_AGG(DISTINCT SUBSTRING(n_name, 1, 1), ''
+                      ORDER BY SUBSTRING(n_name, 1, 1)) AS initials
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+)
+def q105_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native LISTAGG ... WITHIN GROUP (Spark 4.0 SQL:2023 surface) —
+    ordered and DISTINCT-ordered string aggregation (q38 carries the
+    portable sort_array(collect_list) form; this locks the standard
+    function itself).
+    """
+    _views(spark, sf_dir, "nation")
+    return spark.sql(
+        """
+        SELECT n_regionkey,
+               LISTAGG(n_name, '|') WITHIN GROUP (ORDER BY n_name) AS nations,
+               LISTAGG(DISTINCT SUBSTRING(n_name, 1, 1), '')
+                 WITHIN GROUP (ORDER BY SUBSTRING(n_name, 1, 1)) AS initials
+        FROM nation
+        GROUP BY n_regionkey
+        ORDER BY n_regionkey
+        """
+    )

@@ -1404,3 +1404,66 @@ def x46_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---- x53: Arrow-native batch transform (mapInArrow) ----
+
+_X53_SQL = """
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+           ROUND(CAST(LENGTH(text) - (LEN(STRING_SPLIT(text, ' ')) - 1)
+                      AS DOUBLE) / LEN(STRING_SPLIT(text, ' ')), 4)
+             AS avg_token_chars
+    FROM documents
+    ORDER BY doc_id
+    """
+
+
+@register("x53_arrow_stats", oracle=_X53_SQL)
+def x53_arrow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token stats computed ENTIRELY in pyarrow compute
+    kernels via ``mapInArrow`` — the Arrow-native UDF surface
+    (RecordBatch in/out, no pandas materialization; the zero-copy
+    complement to x52's applyInPandas and x50's mapInPandas).
+
+    Arithmetic is exact ints plus one rounded double division, so the
+    batch boundary cannot perturb values. Scale: embarrassingly
+    parallel batch map; Arrow batch size bounds executor memory via
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def fn(batches):
+        for batch in batches:
+            text = batch.column(1)
+            n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+            n_tokens = pc.cast(
+                pc.list_value_length(pc.split_pattern(text, " ")), pa.int64()
+            )
+            # round_mode: pyarrow defaults to half-to-even; Spark and
+            # DuckDB ROUND are half-away-from-zero. half_towards_infinity
+            # matches them on this column (values are always positive;
+            # pyarrow has no half_away_from_zero mode)
+            avg = pc.round(
+                pc.divide(
+                    pc.cast(
+                        pc.subtract(n_chars, pc.subtract(n_tokens, 1)), pa.float64()
+                    ),
+                    pc.cast(n_tokens, pa.float64()),
+                ),
+                ndigits=4,
+                round_mode="half_towards_infinity",
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), n_chars, n_tokens, avg],
+                ["doc_id", "n_chars", "n_tokens", "avg_token_chars"],
+            )
+
+    return docs.mapInArrow(
+        fn,
+        "doc_id BIGINT, n_chars BIGINT, n_tokens BIGINT, avg_token_chars DOUBLE",
+    ).orderBy("doc_id")
