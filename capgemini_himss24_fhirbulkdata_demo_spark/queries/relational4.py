@@ -570,3 +570,33 @@ def q105_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n_regionkey
         """
     )
+
+
+@register(
+    "q106_group_order_all",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+)
+def q106_group_order_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL (the DuckDB-popularized shorthand,
+    in Spark 4 SQL): grouping keys inferred from the non-aggregate
+    select list, total order over the full output row — same plan as
+    the explicit form.
+    """
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
