@@ -406,3 +406,36 @@ def test_q104_filter_clause_single_scan_no_join(spark):
     df = _plan(spark, "q104_filter_clause")
     assert join_strategies(df) == [], join_strategies(df)
     assert len(read_schemas(df)) == 1, read_schemas(df)
+
+
+def test_x18_chunk_join_shapes(spark):
+    """Chunk frequency pass partial-aggregates; the flag join keys on
+    the chunk value — never a nested loop."""
+    df = _plan(spark, "x18_paragraph_dedup")
+    plan = explain_str(df)
+    assert "partial" in plan.lower(), plan
+    assert_no_cartesian_product(df)
+
+
+def test_q106_plan_matches_explicit_form(spark):
+    """GROUP BY ALL / ORDER BY ALL must optimize to the same logical
+    plan as the spelled-out grouping and ordering."""
+    from .conftest import SF_DIR as _SF
+
+    df_all = _plan(spark, "q106_group_order_all")
+    from capgemini_himss24_fhirbulkdata_demo_spark.queries.relational4 import _views
+
+    _views(spark, _SF, "lineitem")
+    df_explicit = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus, sum_qty, n_lines
+        """
+    )
+    p1 = df_all._jdf.queryExecution().optimizedPlan().canonicalized().toString()
+    p2 = df_explicit._jdf.queryExecution().optimizedPlan().canonicalized().toString()
+    assert p1 == p2, f"{p1}\n!=\n{p2}"

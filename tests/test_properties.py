@@ -164,3 +164,63 @@ def test_connected_components_match_union_find(spark, edges):
         for r in connected_components(pairs, "id_a", "id_b").collect()
     }
     assert got == exp, (edges, got, exp)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=40, deadline=None)
+def test_bmp24_roundtrip_luma(w, h, seed):
+    """encode_bmp24 -> _decode_bmp reproduces exact integer BT.601
+    luma for arbitrary sizes (row padding included)."""
+    import hashlib
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.multimodal.binary import (
+        _decode_bmp,
+        encode_bmp24,
+    )
+
+    def px(x, y, c):
+        return hashlib.md5(f"{seed}:{x}:{y}:{c}".encode()).digest()[0]
+
+    rows = [[(px(x, y, 0), px(x, y, 1), px(x, y, 2)) for x in range(w)]
+            for y in range(h)]
+    dw, dh, frames = _decode_bmp(encode_bmp24(w, h, rows))
+    assert (dw, dh, len(frames)) == (w, h, 1)
+    expect = bytes(
+        (299 * r + 587 * g + 114 * b) // 1000 for row in rows for (r, g, b) in row
+    )
+    assert frames[0] == expect
+
+
+@given(
+    w=st.integers(min_value=1, max_value=16),
+    h=st.integers(min_value=1, max_value=16),
+    rgb=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=40, deadline=None)
+def test_pnm_roundtrip(w, h, rgb, seed):
+    import hashlib
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.multimodal.binary import (
+        _decode_pnm,
+        encode_pnm,
+    )
+
+    def b(i):
+        return hashlib.md5(f"{seed}:{i}".encode()).digest()[0]
+
+    if rgb:
+        pixels = [(b(3 * i), b(3 * i + 1), b(3 * i + 2)) for i in range(w * h)]
+        expect = bytes(
+            (299 * r + 587 * g + 114 * bl) // 1000 for (r, g, bl) in pixels
+        )
+    else:
+        pixels = [b(i) for i in range(w * h)]
+        expect = bytes(pixels)
+    dw, dh, frames = _decode_pnm(encode_pnm(w, h, pixels, rgb=rgb))
+    assert (dw, dh) == (w, h)
+    assert frames[0] == expect
