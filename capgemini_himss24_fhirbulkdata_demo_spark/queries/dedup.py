@@ -654,7 +654,7 @@ def x05_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sims.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
     sb = sims.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
-    return (
+    out = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
@@ -667,6 +667,8 @@ def x05_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _HAMMING_MAX)
         .orderBy("doc_a", "doc_b")
     )
+    out._cached_deps = [sims]
+    return out
 
 
 # ---------------------------------------------- components over pairs

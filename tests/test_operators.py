@@ -571,3 +571,27 @@ def test_semdedup_budget_path_matches_explicit(spark):
 
     with _pytest.raises(ValueError, match="n_lists or corpus_rows"):
         semdedup(emb, "vec_id", "embedding", threshold=0.9)
+
+
+def test_persisting_queries_attach_cached_deps(spark):
+    """No-leak discipline: every query that persists an intermediate
+    must hand it back via _cached_deps so sweeps can release it.
+    Guard: after running each known-persisting query and releasing
+    its deps, the session holds no cached RDDs."""
+    from capgemini_himss24_fhirbulkdata_demo_spark.queries import QUERIES
+
+    for name in (
+        "x02_dedup_minhash",
+        "x05_simhash_pairs",
+        "x06_dedup_embedding",
+        "x08_sketch_accuracy",
+        "x16_semdedup",
+    ):
+        df = QUERIES[name](spark, SF_DIR)
+        df.limit(1).collect()
+        deps = getattr(df, "_cached_deps", [])
+        assert deps, f"{name} persists but attaches no _cached_deps"
+        for dep in deps:
+            dep.unpersist(blocking=True)
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() == 0
