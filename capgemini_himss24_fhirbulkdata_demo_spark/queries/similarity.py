@@ -813,3 +813,90 @@ def x16_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out._cached_deps = [assigned]
     return out
+
+
+# ---- x57: per-label centroid vs corpus centroid (domain drift) ----
+
+_X57_SQL = f"""
+    WITH lab_long AS (
+      SELECT label, i.i AS pos,
+             CAST(SUM(CAST(CAST(embedding[i.i] AS DOUBLE)
+                           AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+      FROM embeddings, (SELECT UNNEST(RANGE(1, {_DIM} + 1)) AS i) i
+      GROUP BY label, i.i),
+    lab_cent AS (
+      SELECT label, LIST(m ORDER BY pos) AS c FROM lab_long GROUP BY label),
+    glob_long AS (
+      SELECT i.i AS pos,
+             CAST(SUM(CAST(CAST(embedding[i.i] AS DOUBLE)
+                           AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+      FROM embeddings, (SELECT UNNEST(RANGE(1, {_DIM} + 1)) AS i) i
+      GROUP BY i.i),
+    glob_cent AS (SELECT LIST(m ORDER BY pos) AS g FROM glob_long),
+    counts AS (SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label)
+    SELECT c.label, CAST(n.n_vecs AS BIGINT) AS n_vecs,
+           ROUND({_sql_dot('c.c', 'g.g')}
+                 / (SQRT({_sql_dot('c.c', 'c.c')})
+                    * SQRT({_sql_dot('g.g', 'g.g')})), 6) AS cos_to_global
+    FROM lab_cent c CROSS JOIN glob_cent g
+    JOIN counts n ON n.label = c.label
+    ORDER BY c.label
+    """
+
+
+@register("x57_label_centroid_drift", oracle=_X57_SQL)
+def x57_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space domain diagnostic: each label's exact-decimal
+    mean vector scored by cosine against the corpus mean — the
+    compactness/drift number data-mixing work reads before reweighting
+    a source (x43's recipe input).
+
+    Scale: both centroid builds are the x16 posexplode shape — skinny
+    (key, pos, sum) shuffles, plan width O(1) in dim; the global
+    centroid is one row, broadcast; per-label work never touches raw
+    pairs.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    long = emb.select("label", F.posexplode("embedding").alias("__pos", "__val"))
+    dec = F.sum(F.col("__val").cast("double").cast("decimal(28,12)")).cast(
+        "double"
+    ) / F.count("*")
+    lab_cent = (
+        long.groupBy("label", "__pos")
+        .agg(dec.alias("__m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__m"))),
+                lambda s: s["__m"],
+            ).alias("c")
+        )
+    )
+    glob_cent = (
+        long.groupBy("__pos")
+        .agg(dec.alias("__m"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__m"))),
+                lambda s: s["__m"],
+            ).alias("g")
+        )
+    )
+    counts = emb.groupBy("label").agg(F.count("*").cast("bigint").alias("n_vecs"))
+    return (
+        lab_cent.crossJoin(F.broadcast(glob_cent))
+        .join(counts, "label")
+        .select(
+            "label",
+            "n_vecs",
+            F.round(
+                _dot(F.col("c"), F.col("g"))
+                / (
+                    F.sqrt(_dot(F.col("c"), F.col("c")))
+                    * F.sqrt(_dot(F.col("g"), F.col("g")))
+                ),
+                6,
+            ).alias("cos_to_global"),
+        )
+        .orderBy("label")
+    )

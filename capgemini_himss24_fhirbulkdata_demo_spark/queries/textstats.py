@@ -1467,3 +1467,63 @@ def x53_arrow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         fn,
         "doc_id BIGINT, n_chars BIGINT, n_tokens BIGINT, avg_token_chars DOUBLE",
     ).orderBy("doc_id")
+
+
+# ---- x55: blocklist (badword) filter audit ----
+
+# C4 removed any page containing a word from a blocklist. The engine
+# form: word-boundary regex match per document, per-source removal
+# counts + retention share — the audit a prep pipeline runs before
+# enabling the gate. The fixture corpus is synthetic word soup, so
+# the "blocklist" is a deterministic set of ordinary tokens; the
+# operator shape (anchored rlike over the scan, one partial-agg
+# rollup) is what matters.
+
+_X55_BLOCKLIST = ("merge", "spill", "panic")
+_X55_RE = "|".join(_X55_BLOCKLIST)
+
+
+@register(
+    "x55_blocklist_filter",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT source,
+             CASE WHEN REGEXP_MATCHES(text, '(^| )({_X55_RE})( |$)')
+                  THEN 1 ELSE 0 END AS hit
+      FROM documents)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(hit) AS BIGINT) AS n_blocked,
+           ROUND(CAST(COUNT(*) - SUM(hit) AS DOUBLE) / COUNT(*), 4)
+             AS retention
+    FROM flagged
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def x55_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist gate audit (the C4 badwords rule): documents
+    containing any blocklisted token (word-boundary anchored) are
+    flagged; per-source blocked counts and retention share.
+
+    Scale: narrow anchored-regex scan (RE2-safe alternation — no
+    backtracking class) + one partial-agg rollup on source. The
+    enforcement form is ``docs.filter(~hit)`` fused into the same
+    scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hit = F.when(
+        F.col("text").rlike(f"(^| )({_X55_RE})( |$)"), 1
+    ).otherwise(0)
+    return (
+        docs.select("source", hit.alias("hit"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("hit").cast("bigint").alias("n_blocked"),
+            F.round(
+                (F.count("*") - F.sum("hit")).cast("double") / F.count("*"), 4
+            ).alias("retention"),
+        )
+        .orderBy("source")
+    )
