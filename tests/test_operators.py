@@ -576,10 +576,14 @@ def test_semdedup_budget_path_matches_explicit(spark):
 def test_persisting_queries_attach_cached_deps(spark):
     """No-leak discipline: every query that persists an intermediate
     must hand it back via _cached_deps so sweeps can release it.
-    Guard: after running each known-persisting query and releasing
-    its deps, the session holds no cached RDDs."""
+    Guard: running each known-persisting query and releasing its deps
+    leaves the session's cached-RDD count unchanged (delta, not
+    absolute zero — other tests in the shared session may hold their
+    own caches)."""
     from capgemini_himss24_fhirbulkdata_demo_spark.queries import QUERIES
 
+    jsc = spark.sparkContext._jsc.sc()
+    baseline = jsc.getPersistentRDDs().size()
     for name in (
         "x02_dedup_minhash",
         "x05_simhash_pairs",
@@ -593,5 +597,4 @@ def test_persisting_queries_attach_cached_deps(spark):
         assert deps, f"{name} persists but attaches no _cached_deps"
         for dep in deps:
             dep.unpersist(blocking=True)
-    jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getPersistentRDDs().size() == 0
+    assert jsc.getPersistentRDDs().size() <= baseline
