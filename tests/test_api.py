@@ -126,7 +126,25 @@ def test_rotation_aliases_self_maintaining(tmp_path, monkeypatch):
         assert f"a_{name}" in qs
         assert qs[f"a_{name}"] is qs[name]
         assert (name in osql) == (f"a_{name}" in osql)
-    # aliases sort ahead of every original name
-    window = sorted(qs)[:50]
-    assert [n for n in window if n.startswith("a_")] == [f"a_{n}" for n in batch]
-    assert any(n.startswith("q0") for n in window)  # canaries stay in-window
+    # THE driver model (proven vs CORRECTNESS_r03): first 50 in dict
+    # INSERTION order. The batch aliases must occupy the head of the
+    # dict, followed only by previously-green canaries.
+    insertion_window = list(qs)[:entry._WINDOW]
+    assert insertion_window[: len(batch)] == [f"a_{n}" for n in batch]
+    green = entry._green_names()
+    canaries = insertion_window[len(batch) :]
+    assert len(canaries) == entry._WINDOW - len(batch)
+    assert all(c in green and not c.startswith("a_") for c in canaries)
+    # canaries rotate: they are not simply the lexicographic prefix
+    # unless the rotation offset happens to land there
+    assert canaries == entry._canary_names(entry._WINDOW - len(batch))
+    # belt-and-braces: a sorted-order driver also sees every alias
+    sorted_window = sorted(qs)[: entry._WINDOW]
+    assert [n for n in sorted_window if n.startswith("a_")] == [
+        f"a_{n}" for n in batch
+    ]
+    assert any(not n.startswith("a_") for n in sorted_window)
+    # oracle_sql mirrors the insertion order: all a_* aliases first
+    osql_names = list(osql)
+    n_alias = sum(1 for n in osql_names if n.startswith("a_"))
+    assert all(n.startswith("a_") for n in osql_names[:n_alias])
