@@ -1374,12 +1374,17 @@ def x46_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c"))
     )
     vocab = uni.agg(F.count("*").alias("v"))
+    # sequence(1, 0) counts DOWN to [1, 0] and element_at(t, 0) throws
+    # INVALID_INDEX_OF_ZERO, so 1-token docs must be gated to an empty
+    # array before the transform (same hazard class as x27/x36/x42).
     dbg = toks.select(
         "doc_id",
         F.explode(
             F.expr(
+                "CASE WHEN size(t) >= 2 THEN "
                 "transform(sequence(1, size(t) - 1), "
-                "i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))"
+                "i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b)) "
+                "ELSE array() END"
             )
         ).alias("g"),
     ).select("doc_id", F.col("g.a").alias("a"), F.col("g.b").alias("b"))

@@ -598,3 +598,32 @@ def test_persisting_queries_attach_cached_deps(spark):
         for dep in deps:
             dep.unpersist(blocking=True)
     assert jsc.getPersistentRDDs().size() <= baseline
+
+
+def test_x46_short_docs_no_crash(spark, tmp_path):
+    """1-token and empty docs must not crash x46's bigram transform:
+    ``sequence(1, 0)`` counts DOWN to [1, 0] and ``element_at(t, 0)``
+    throws INVALID_INDEX_OF_ZERO unless gated (ADVICE r3). Short docs
+    simply contribute no bigrams, matching the DuckDB oracle's
+    end-exclusive RANGE semantics."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.queries import QUERIES
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["solo", "", "two tokens here"], pa.string()),
+            "lang": pa.array(["en"] * 3, pa.string()),
+            "source": pa.array(["t"] * 3, pa.string()),
+            "n_chars": pa.array([4, 0, 15], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["x46_lm_score"](spark, str(tmp_path)).collect()
+    }
+    assert 1 not in out and 2 not in out  # no bigrams -> no scored rows
+    assert out[3]["n_bigrams"] == 2

@@ -439,3 +439,52 @@ def test_q106_plan_matches_explicit_form(spark):
     p1 = df_all._jdf.queryExecution().optimizedPlan().canonicalized().toString()
     p2 = df_explicit._jdf.queryExecution().optimizedPlan().canonicalized().toString()
     assert p1 == p2, f"{p1}\n!=\n{p2}"
+
+
+def test_x46_stopword_skew_shuffle_join_and_oracle(spark, tmp_path):
+    """Stopword-skew contract for x46's scoring join (verdict r3 #4):
+    on a corpus where one bigram ('the the') dominates ~90% of mass,
+    the (a, b) model join must stay a shuffle join — the shape AQE
+    skew-join can split at runtime (session policy enables
+    ``adaptive.skewJoin``); never a cartesian, and the big per-token
+    side must not be broadcast. Results must still match the DuckDB
+    oracle bit-for-bit on the same skewed corpus."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .oracle import compare, run_duck, run_spark
+
+    hot = "the " * 200 + "the"  # 200 'the the' bigrams in one doc
+    docs = [hot] * 18 + ["cat sat on the mat", "dog ran fast today"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+            "lang": pa.array(["en"] * len(docs), pa.string()),
+            "source": pa.array(["t"] * len(docs), pa.string()),
+            "n_chars": pa.array([len(d) for d in docs], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    # tiny fixtures auto-broadcast everything; disable the threshold to
+    # expose the at-scale join shape (same device as the x02/x10
+    # contracts) — only the 1-row vocab broadcast may survive
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = q.QUERIES["x46_lm_score"](spark, str(tmp_path))
+        strategies = join_strategies(df)
+        assert "CartesianProduct" not in strategies, strategies
+        assert any(
+            s in strategies for s in ("SortMergeJoin", "ShuffledHashJoin")
+        ), f"scoring join must be shuffle-based (AQE-splittable): {strategies}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    errs = compare(
+        "x46_skewed",
+        run_spark(q.QUERIES["x46_lm_score"], spark, str(tmp_path)),
+        run_duck(q.ORACLE_SQL["x46_lm_score"], str(tmp_path)),
+    )
+    assert not errs, "\n".join(errs)
