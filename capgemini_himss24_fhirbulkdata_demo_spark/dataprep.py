@@ -283,10 +283,15 @@ def write_training_shards(
     and a loader can map shard → key range. Rows are sorted by the
     key within each shard (``sortWithinPartitions``, no extra
     shuffle) for stable on-disk order. The manifest's per-shard row
-    counts come from parquet footer metadata (a count() over the
-    written files reads footers, not data).
+    counts are read directly from each file's parquet footer
+    (``pyarrow.parquet.ParquetFile(...).metadata.num_rows``) — no
+    data pages are scanned to build the manifest, so its cost is
+    O(n_shards) footer reads regardless of corpus size.
     """
+    import glob as _glob
     import json as _json
+
+    import pyarrow.parquet as _pq
 
     (
         df.repartitionByRange(n_shards, F.col(shard_key))
@@ -295,15 +300,9 @@ def write_training_shards(
         .option("compression", compression)
         .parquet(path)
     )
-    spark = df.sparkSession
-    written = spark.read.parquet(path)
     per_file = {
-        os.path.basename(r["file"]): r["n"]
-        for r in written.groupBy(
-            F.input_file_name().alias("file")
-        )
-        .agg(F.count("*").alias("n"))
-        .collect()
+        os.path.basename(p): _pq.ParquetFile(p).metadata.num_rows
+        for p in _glob.glob(os.path.join(path, "*.parquet"))
     }
     manifest = {
         "format": "parquet",

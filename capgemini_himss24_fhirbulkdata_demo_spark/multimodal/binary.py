@@ -106,7 +106,13 @@ def encode_pnm(width: int, height: int, pixels, rgb: bool = False) -> bytes:
 
 def _decode_bmp(payload: bytes):
     """Uncompressed BMP (BITMAPINFOHEADER, 24-bit BGR or 8-bit
-    paletted) → (width, height, [luma frame]). Pure stdlib."""
+    paletted) → (width, height, [luma frame]). Pure stdlib.
+
+    Truncated payloads raise ValueError instead of silently decoding
+    short frames (downstream stats divide by width*height, so a short
+    raster would yield wrong values, not an error)."""
+    if len(payload) < 34:
+        raise ValueError(f"truncated BMP header: {len(payload)} bytes")
     pixel_off = struct.unpack("<I", payload[10:14])[0]
     hdr_size = struct.unpack("<I", payload[14:18])[0]
     if hdr_size < 40:
@@ -123,8 +129,15 @@ def _decode_bmp(payload: bytes):
     height = abs(height)
     palette = None
     if bpp == 8:
+        if len(payload) < 50:
+            raise ValueError(f"truncated BMP header: {len(payload)} bytes")
         n_colors = struct.unpack("<I", payload[46:50])[0] or 256
         pal_off = 14 + hdr_size
+        if pal_off + 4 * n_colors > len(payload):
+            raise ValueError(
+                f"truncated BMP palette: need {pal_off + 4 * n_colors} "
+                f"bytes, have {len(payload)}"
+            )
         palette = [
             _luma(payload[pal_off + 4 * i + 2], payload[pal_off + 4 * i + 1],
                   payload[pal_off + 4 * i])
@@ -132,6 +145,11 @@ def _decode_bmp(payload: bytes):
         ]
     bytes_per_px = bpp // 8
     row_size = (width * bytes_per_px + 3) & ~3  # rows pad to 4 bytes
+    if pixel_off + height * row_size > len(payload):
+        raise ValueError(
+            f"truncated BMP raster: need {pixel_off + height * row_size} "
+            f"bytes, have {len(payload)}"
+        )
     px = bytearray(width * height)
     for y in range(height):
         src_y = y if top_down else height - 1 - y
@@ -167,6 +185,12 @@ def _decode_pnm(payload: bytes):
     width, height, maxval = fields
     if maxval > 255:
         raise NotImplementedError("16-bit PNM not supported")
+    need = (1 if magic == b"P5" else 3) * width * height
+    if pos + need > len(payload):
+        raise ValueError(
+            f"truncated {magic.decode()} raster: need {need} bytes after "
+            f"header, have {len(payload) - pos}"
+        )
     if magic == b"P5":
         return width, height, [payload[pos : pos + width * height]]
     raster = payload[pos : pos + 3 * width * height]
@@ -199,7 +223,14 @@ def _decode_fake(payload: bytes):
     w·h luma bytes). FAKE/BMP/PNM are dependency-free; the rest gate
     on PIL."""
     if payload[:4] == _MAGIC:
+        if len(payload) < 11:
+            raise ValueError(f"truncated FAKE header: {len(payload)} bytes")
         width, height, n_frames = struct.unpack(">HHH", payload[5:11])
+        if 11 + n_frames * width * height > len(payload):
+            raise ValueError(
+                f"truncated FAKE payload: need "
+                f"{11 + n_frames * width * height} bytes, have {len(payload)}"
+            )
         frames = []
         off = 11
         for _ in range(n_frames):

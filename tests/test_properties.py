@@ -10,6 +10,7 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -224,3 +225,41 @@ def test_pnm_roundtrip(w, h, rgb, seed):
     dw, dh, frames = _decode_pnm(encode_pnm(w, h, pixels, rgb=rgb))
     assert (dw, dh) == (w, h)
     assert frames[0] == expect
+
+
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    rgb=st.booleans(),
+    cut=st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=40, deadline=None)
+def test_truncated_payloads_raise_not_short_frames(w, h, rgb, cut):
+    """Any truncation of a valid BMP/PNM/FAKE payload raises
+    ValueError — never a silently short frame that would skew
+    mean_pixel/histogram denominators (ADVICE r3)."""
+    from capgemini_himss24_fhirbulkdata_demo_spark.multimodal.binary import (
+        _decode_bmp,
+        _decode_fake,
+        _decode_pnm,
+        encode_bmp24,
+        encode_fake,
+        encode_pnm,
+    )
+
+    rows = [[(x % 256, y % 256, (x + y) % 256) for x in range(w)]
+            for y in range(h)]
+    bmp = encode_bmp24(w, h, rows)
+    if rgb:
+        pnm = encode_pnm(w, h, [(1, 2, 3)] * (w * h), rgb=True)
+    else:
+        pnm = encode_pnm(w, h, [7] * (w * h))
+    fake = encode_fake(3, "image", w, h, 1)
+    for payload, decode in ((bmp, _decode_bmp), (pnm, _decode_pnm),
+                            (fake, _decode_fake)):
+        # full payload decodes fine
+        dw, dh, frames = decode(payload)
+        assert (dw, dh) == (w, h) and len(frames[0]) == w * h
+        short = payload[: len(payload) - min(cut, len(payload) - 1)]
+        with pytest.raises((ValueError, NotImplementedError)):
+            decode(short)
