@@ -111,11 +111,15 @@ def bench_fhir_pipeline(spark, n_records: int = 100_000) -> dict:
     # the min as the steady-state number
     spark.sparkContext._jvm.System.gc()
     spark_sec = float("inf")
+    first_run_sec = None
     for trial in range(3):
         t0 = time.perf_counter()
         df = read_ndjson(spark, src, RESOURCE_SCHEMAS["ExplanationOfBenefit"])
         write_ndjson(fn(df, rx), os.path.join(tmp, f"out{trial}"))
-        spark_sec = min(spark_sec, time.perf_counter() - t0)
+        elapsed = time.perf_counter() - t0
+        if first_run_sec is None:
+            first_run_sec = elapsed  # old (r2) single-run basis
+        spark_sec = min(spark_sec, elapsed)
 
     # single-threaded reference-equivalent loop (tests/fhir_oracle.py
     # semantics) on a 1/10 sample, extrapolated — running 100k records
@@ -133,6 +137,10 @@ def bench_fhir_pipeline(spark, n_records: int = 100_000) -> dict:
         "fhir_eob_records": n_records,
         "fhir_eob_spark_sec": round(spark_sec, 3),
         "fhir_eob_spark_rec_per_sec": round(n_records / spark_sec),
+        # old-basis (r2: single timed run) number for cross-round
+        # comparability — best-of-3 changed the measurement basis
+        "fhir_eob_spark_sec_single_run_basis": round(first_run_sec, 3),
+        "fhir_eob_rec_per_sec_single_run_basis": round(n_records / first_run_sec),
         "fhir_eob_python_sec_extrapolated": round(python_sec, 3),
         "fhir_eob_speedup_vs_single_thread": round(python_sec / spark_sec, 2),
     }
@@ -178,6 +186,28 @@ def bench_streaming(spark) -> dict:
     # cost dominated the drain (15.7k ev/s in r2; 3x that at 8). Size
     # state partitions to state volume, not to the batch shuffle
     # default — same rule at cluster scale, just a bigger right-size.
+    def drain(checkpoint: str) -> float:
+        t0 = time.perf_counter()
+        q = (
+            tumbling_agg(
+                read_parquet_stream(spark, landing, schema, max_files_per_trigger=2)
+            )
+            .writeStream.foreachBatch(commit)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return time.perf_counter() - t0
+
+    # Old-basis (r2: session-default 32 state partitions, no-data
+    # micro-batch included) drain first, for cross-round comparability
+    # — the tuned basis below changed the measurement methodology.
+    wall_default = drain(os.path.join(tmp, "ck_default"))
+    default_rows = int(sum(sink_rows))
+    sink_rows.clear()
+
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     # availableNow appends a trailing no-data batch purely to advance
@@ -186,19 +216,7 @@ def bench_streaming(spark) -> dict:
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     spark.sparkContext._jvm.System.gc()
     try:
-        t0 = time.perf_counter()
-        q = (
-            tumbling_agg(
-                read_parquet_stream(spark, landing, schema, max_files_per_trigger=2)
-            )
-            .writeStream.foreachBatch(commit)
-            .outputMode("update")
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-        wall = time.perf_counter() - t0
+        wall = drain(ck)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
@@ -206,8 +224,67 @@ def bench_streaming(spark) -> dict:
         "streaming_events": n_events,
         "streaming_drain_sec": round(wall, 3),
         "streaming_events_per_sec": round(n_events / wall),
+        "streaming_events_per_sec_default_basis": round(n_events / wall_default),
         "streaming_output_rows": int(sum(sink_rows)),
+        "streaming_output_rows_default_basis": default_rows,
     }
+
+
+def bench_training_shards(spark) -> dict:
+    """Training-handoff export throughput: shard the sf documents
+    table with ``write_training_shards`` (range-partitioned, sorted,
+    footer-counted manifest) and report docs/sec plus the shard-size
+    spread (max/min rows — range partitioning should keep shards
+    balanced on the uniform doc_id key)."""
+    import shutil
+    import tempfile
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.catalog import load_table
+    from capgemini_himss24_fhirbulkdata_demo_spark.dataprep import (
+        write_training_shards,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="shardbench_")
+    docs = load_table(spark, SF_DIR, "documents")
+    n_docs = docs.count()
+    try:
+        spark.sparkContext._jvm.System.gc()
+        best = float("inf")
+        manifest = None
+        for trial in range(2):
+            out = os.path.join(tmp, f"shards{trial}")
+            t0 = time.perf_counter()
+            manifest = write_training_shards(docs, out, "doc_id", n_shards=8)
+            best = min(best, time.perf_counter() - t0)
+        rows = [s["rows"] for s in manifest["shards"]]
+        return {
+            "shards_docs": n_docs,
+            "shards_n": manifest["n_shards"],
+            "shards_write_sec": round(best, 3),
+            "shards_docs_per_sec": round(n_docs / best),
+            "shards_rows_min": min(rows),
+            "shards_rows_max": max(rows),
+            "shards_spread": round(max(rows) / max(min(rows), 1), 3),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# Measurement-basis version, reported in the output JSON so rounds are
+# comparable (ADVICE r3): v2 = r3's basis (best-of-2 sweep after
+# sf0.001 warmup; FHIR gc + best-of-3; streaming tuned confs).
+# v3 adds: System.gc() before the timed sweep (warm-up parity for the
+# first timed query), old-basis companions (FHIR single-run,
+# streaming default-conf drain run BEFORE the tuned one), and the
+# training-shards section.
+METHODOLOGY = {
+    "version": 3,
+    "query_sweep": "sf0.001 warmup per plan, System.gc(), best-of-2 at target sf",
+    "fhir": "warmup + System.gc(), best-of-3; single-run basis also reported",
+    "streaming": "default-conf drain first (old basis), then gc + "
+                 "state-partitions=8, noDataMicroBatches off",
+    "shards": "best-of-2 write_training_shards, 8 shards on doc_id",
+}
 
 
 def main() -> None:
@@ -259,6 +336,12 @@ def main() -> None:
         print(f"[bench] warmup {name}: {time.perf_counter()-t0:.2f}s", file=sys.stderr)
     print(f"[bench] warmup total: {time.perf_counter()-t_warm:.1f}s", file=sys.stderr)
 
+    # Warm-up parity for the first timed query (r3's q01 +24%
+    # regression): the warmup pass leaves the heap full of young
+    # garbage whose collection otherwise lands on whichever query runs
+    # first — same System.gc() the FHIR/streaming sections already do.
+    spark.sparkContext._jvm.System.gc()
+
     # Best-of-2 per query: one timed run can catch a GC pause or an
     # unrelated load spike on a shared box; the min of two back-to-back
     # runs is the steady-state number (plans are already JIT-warmed by
@@ -280,6 +363,9 @@ def main() -> None:
     t0 = time.perf_counter()
     streaming = bench_streaming(spark)
     print(f"[bench] streaming: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    t0 = time.perf_counter()
+    shards = bench_training_shards(spark)
+    print(f"[bench] training shards: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
     print(
         json.dumps(
@@ -290,6 +376,8 @@ def main() -> None:
                 "queries": per_query,
                 "fhir_pipeline": fhir,
                 "streaming": streaming,
+                "training_shards": shards,
+                "methodology": METHODOLOGY,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
