@@ -141,6 +141,53 @@ def _canary_names(k: int) -> list[str]:
     return rotated[:k]
 
 
+def write_coverage_md(path: str | None = None) -> dict[str, str]:
+    """Generate COVERAGE.md: per registered query, the first driver
+    round with an all-green CORRECTNESS row (alias-stripped), or
+    'pending'. The same scan ``_rotation_aliases`` uses, surfaced as
+    an auditable ledger of the driver-visibility rotation's progress.
+    Returns {name: 'r01' | ... | 'pending'}.
+    """
+    import json
+    import re
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.queries import QUERIES
+
+    first_green: dict[str, str] = {}
+    for p in _correctness_files():
+        m = re.search(r"CORRECTNESS_(r\d+)\.json$", p)
+        rnd = m.group(1) if m else os.path.basename(p)
+        try:
+            with open(p) as f:
+                rows = json.load(f)
+        except Exception:
+            continue
+        for name, row in rows.items():
+            if isinstance(row, dict) and all(
+                row.get(k) for k in ("rows_match", "schema_match", "hash_match")
+            ):
+                first_green.setdefault(name.removeprefix("a_"), rnd)
+    ledger = {n: first_green.get(n, "pending") for n in sorted(QUERIES)}
+    n_green = sum(1 for v in ledger.values() if v != "pending")
+    lines = [
+        "# Driver CORRECTNESS coverage ledger",
+        "",
+        "Generated from `CORRECTNESS_r*.json` (the same scan the",
+        "driver-window rotation in `__spark_entry__.py` runs); do not",
+        "edit by hand. A row is green when rows+schema+hash all match.",
+        "",
+        f"**{n_green} green / {len(ledger) - n_green} pending** "
+        f"of {len(ledger)} registered queries.",
+        "",
+        "| query | first green round |",
+        "|---|---|",
+    ]
+    lines += [f"| {n} | {v} |" for n, v in ledger.items()]
+    with open(path or os.path.join(_REPO_ROOT, "COVERAGE.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return ledger
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 

@@ -291,6 +291,15 @@ def main() -> None:
     from capgemini_himss24_fhirbulkdata_demo_spark.queries import QUERIES
     from capgemini_himss24_fhirbulkdata_demo_spark.session import get_spark
 
+    # Refresh the driver-coverage ledger (pre-bench hook: the driver
+    # runs bench every round, so COVERAGE.md tracks CORRECTNESS_r*)
+    try:
+        import __spark_entry__
+
+        __spark_entry__.write_coverage_md()
+    except Exception as e:  # ledger is advisory; never fail the bench
+        print(f"[bench] coverage ledger skipped: {e}", file=sys.stderr)
+
     # Local-fixture scan tuning: the sf0.1 files are 0.1–11 MB, far
     # below the 128 MB default split, so scans would run 1–3 tasks.
     # Shrinking openCost/maxPartitionBytes spreads them over the 32

@@ -148,3 +148,21 @@ def test_rotation_aliases_self_maintaining(tmp_path, monkeypatch):
     osql_names = list(osql)
     n_alias = sum(1 for n in osql_names if n.startswith("a_"))
     assert all(n.startswith("a_") for n in osql_names[:n_alias])
+
+
+def test_coverage_ledger_matches_rotation_scan(tmp_path):
+    """COVERAGE.md derives from the same CORRECTNESS scan the rotation
+    uses: green count == |_green_names() ∩ QUERIES|, pending names ==
+    the rotation's unchecked pool."""
+    import __spark_entry__ as entry
+    from capgemini_himss24_fhirbulkdata_demo_spark.queries import QUERIES
+
+    out = tmp_path / "COVERAGE.md"
+    ledger = entry.write_coverage_md(str(out))
+    assert set(ledger) == set(QUERIES)
+    green = {n for n, v in ledger.items() if v != "pending"}
+    assert green == {n for n in entry._green_names() if n in QUERIES}
+    text = out.read_text()
+    assert f"**{len(green)} green / {len(ledger) - len(green)} pending**" in text
+    for name in list(ledger)[:3]:
+        assert name in text
