@@ -177,6 +177,66 @@ def remove_embedding_dups(
     return docs.join(losers, id_col, "left_anti")
 
 
+def remove_dup_paragraphs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Sub-document duplicate REMOVAL (the C4 three-sentence / Dolma
+    paragraph rule; x18_paragraph_dedup is the audit twin of this
+    operator): chunk each doc into ``chunk_tokens``-token windows,
+    drop every occurrence of a chunk that appears in ≥ ``min_docs``
+    documents EXCEPT the one in the smallest doc id (keep-first, so
+    the content survives exactly once), and reassemble each doc from
+    its kept chunks in order. Docs whose every chunk is removed drop
+    out entirely.
+
+    Scale: chunking is a narrow slice+concat_ws map (no per-token
+    explode); the frequency pass is one uniform-key partial-agg
+    shuffle on the chunk text; the keep-filter joins on the same key;
+    reassembly is one groupBy(doc) with an in-group sort — all
+    bounded by input + chunk count, never corpus².
+    """
+    toks = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__t"))
+    n_chunks = (F.size("__t") + F.lit(chunk_tokens - 1)) / F.lit(chunk_tokens)
+    chunks = toks.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+                lambda i: F.struct(
+                    i.alias("chunk_idx"),
+                    F.concat_ws(
+                        " ", F.slice(F.col("__t"), i * chunk_tokens + 1, chunk_tokens)
+                    ).alias("chunk"),
+                ),
+            )
+        ).alias("c"),
+    ).select(id_col, "c.chunk_idx", "c.chunk")
+    freq = chunks.groupBy("chunk").agg(
+        F.countDistinct(id_col).alias("__nd"), F.min(id_col).alias("__first")
+    )
+    kept = chunks.join(freq, "chunk").filter(
+        (F.col("__nd") < min_docs) | (F.col(id_col) == F.col("__first"))
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("__clean")
+    )
+    return (
+        docs.join(rebuilt, id_col)
+        .withColumn(text_col, F.col("__clean"))
+        .drop("__clean")
+    )
+
+
 def token_budget_cut(
     docs: DataFrame,
     budget_tokens: int,
@@ -206,6 +266,7 @@ def prepare_corpus(
     text_col: str = "text",
     dim: int | None = None,
     scrub_pii: bool = False,
+    dedup_paragraphs: bool = False,
 ) -> tuple[DataFrame, PrepStats]:
     """The full prep chain; returns (clean corpus, per-stage counts).
 
@@ -246,6 +307,13 @@ def prepare_corpus(
                 [id_col],
             ).drop("__fp"),
         )
+        if dedup_paragraphs:
+            # after exact dedup (full-copy docs are gone, so chunk
+            # frequency reflects real cross-doc boilerplate), before
+            # near-dup so MinHash runs on boilerplate-free text
+            cur = stats.record(
+                "paragraph_dedup", remove_dup_paragraphs(cur, id_col, text_col)
+            )
         cur = stats.record(
             "near_dedup", remove_near_dups(cur, id_col, text_col, min_jaccard)
         )

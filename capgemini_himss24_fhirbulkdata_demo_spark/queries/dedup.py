@@ -803,3 +803,59 @@ def x18_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 x18_paragraph_dedup.__doc__ = x18_paragraph_dedup.__doc__.format(n=_CHUNK_TOKENS)
+
+
+_X19_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+    chunks AS (
+      SELECT doc_id, (r.i - 1) // {_CHUNK_TOKENS} AS chunk_idx,
+             STRING_AGG(t[r.i], ' ' ORDER BY r.i) AS chunk
+      FROM toks, UNNEST(RANGE(1, LEN(t) + 1)) AS r(i)
+      GROUP BY doc_id, (r.i - 1) // {_CHUNK_TOKENS}),
+    freq AS (
+      SELECT chunk, COUNT(DISTINCT doc_id) AS nd, MIN(doc_id) AS first_doc
+      FROM chunks GROUP BY chunk),
+    kept AS (
+      SELECT c.doc_id, c.chunk_idx, c.chunk
+      FROM chunks c JOIN freq f ON c.chunk = f.chunk
+      WHERE f.nd < 2 OR c.doc_id = f.first_doc),
+    rebuilt AS (
+      SELECT doc_id, STRING_AGG(chunk, ' ' ORDER BY chunk_idx) AS clean
+      FROM kept GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(LENGTH(clean) AS BIGINT) AS clean_chars,
+           CAST(LEN(STRING_SPLIT(clean, ' ')) AS BIGINT) AS clean_tokens,
+           MD5(clean) AS clean_md5
+    FROM rebuilt ORDER BY doc_id
+    """
+
+
+@register("x19_paragraph_removal", oracle=_X19_SQL)
+def x19_paragraph_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document duplicate REMOVAL (x18 is the audit; this is the
+    act): dataprep.remove_dup_paragraphs drops every cross-doc
+    duplicated {n}-token chunk except its first-doc occurrence and
+    reassembles documents from kept chunks in order. The query
+    fingerprints each surviving doc (length, token count, md5 of the
+    rebuilt text) so reassembly order and keep-first semantics are
+    hash-checked against the declarative DuckDB twin.
+
+    Scale: see remove_dup_paragraphs — chunk-keyed shuffles bounded
+    by input size, one per-doc regroup for reassembly.
+    """
+    from ..dataprep import remove_dup_paragraphs
+
+    docs = load_table(spark, sf_dir, "documents")
+    clean = remove_dup_paragraphs(docs, "doc_id", "text", _CHUNK_TOKENS)
+    return clean.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("clean_chars"),
+        F.size(F.split("text", " ")).cast("bigint").alias("clean_tokens"),
+        F.md5(F.col("text").cast("binary")).alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+x19_paragraph_removal.__doc__ = x19_paragraph_removal.__doc__.format(
+    n=_CHUNK_TOKENS
+)

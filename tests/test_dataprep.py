@@ -191,3 +191,40 @@ def test_write_training_shards_deterministic(spark, tmp_path):
     out2 = str(tmp_path / "shards2")
     m2 = write_training_shards(docs, out2, "doc_id", n_shards=4)
     assert [s["rows"] for s in m2["shards"]] == [s["rows"] for s in m1["shards"]]
+
+
+def test_remove_dup_paragraphs_keep_first(spark):
+    """A chunk duplicated across docs survives only in the smallest
+    doc id; unique chunks always survive; a doc made entirely of
+    later-occurrence dup chunks drops out; survivors reassemble in
+    chunk order."""
+    from capgemini_himss24_fhirbulkdata_demo_spark.dataprep import (
+        prepare_corpus,
+        remove_dup_paragraphs,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(10))  # one full chunk
+    uniq_a = " ".join(f"ua{i}" for i in range(10))
+    uniq_c = " ".join(f"uc{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} {uniq_a}", "en"),
+            (2, boiler, "en"),  # only a dup chunk -> whole doc drops
+            (3, f"{uniq_c} {boiler}", "en"),
+        ],
+        "doc_id BIGINT, text STRING, lang STRING",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_dup_paragraphs(docs, "doc_id", "text", 10).collect()
+    }
+    assert out == {1: f"{boiler} {uniq_a}", 3: uniq_c}
+
+    # wired as an optional prepare_corpus stage with its own count
+    clean, stats = prepare_corpus(
+        docs, langs=("en",), min_tokens=1, dedup_paragraphs=True
+    )
+    names = [n for n, _ in stats.stages]
+    assert "paragraph_dedup" in names
+    counts = dict(stats.stages)
+    assert counts["paragraph_dedup"] == 2
