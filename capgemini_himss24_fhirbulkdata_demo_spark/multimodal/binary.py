@@ -10,13 +10,16 @@ Design for 100 TB of media:
   not per row; ``spark.sql.execution.arrow.maxRecordsPerBatch`` and
   ``maxPartitionBytes`` bound executor memory against payload size;
 - decode is deterministic & dependency-gated: the synthetic ``FAKE``
-  container, uncompressed BMP (24-bit / 8-bit paletted), and binary
-  PNM (P5 pgm / P6 ppm) decode with pure stdlib code — no imaging
-  library needed; any other format (PNG/JPEG/...) falls through to
-  PIL when importable and raises NotImplementedError otherwise (PIL
-  is not baked into this container). Color decodes to 8-bit luma via
-  integer BT.601 weights ((299 r + 587 g + 114 b) // 1000) so stats
-  are bit-identical across hosts.
+  container, uncompressed BMP (24-bit / 8-bit paletted), binary PNM
+  (P5 pgm / P6 ppm), and PNG (8-bit non-interlaced gray / RGB /
+  palette / gray+alpha / RGBA, all five row filters, inflate via
+  stdlib zlib) decode with pure stdlib code — no imaging library
+  needed; anything else (JPEG, 16-bit/interlaced PNG, ...) falls
+  through to PIL when importable and raises NotImplementedError
+  otherwise (PIL is not baked into this container). Color decodes to
+  8-bit luma via integer BT.601 weights
+  ((299 r + 587 g + 114 b) // 1000) so stats are bit-identical
+  across hosts.
 
 FAKE container layout (deterministic from a seed id):
   b"FAKE" | kind:1 (I/V) | width:u16 | height:u16 | n_frames:u16 |
@@ -201,6 +204,158 @@ def _decode_pnm(payload: bytes):
     return width, height, [px]
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+# channels per PNG color type (bit depth 8 only)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def encode_png(width: int, height: int, rows, color_type: int = 0,
+               palette: list[tuple[int, int, int]] | None = None,
+               filter_type: int = 0) -> bytes:
+    """Minimal PNG writer (8-bit, non-interlaced) — fixture twin of
+    ``_decode_png``. ``rows`` is a list of per-row byte sequences in
+    raw channel order; ``filter_type`` applies that PNG filter to
+    every row so decoder filter paths (0=None 1=Sub 2=Up 3=Average
+    4=Paeth) are individually exercisable."""
+    import zlib
+
+    ch = _PNG_CHANNELS[color_type]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    prev = bytes(width * ch)
+    for row in rows:
+        row = bytes(row)
+        filt = bytearray(len(row))
+        for i, x in enumerate(row):
+            a = row[i - ch] if i >= ch else 0  # left
+            b = prev[i]  # up
+            c = prev[i - ch] if i >= ch else 0  # up-left
+            if filter_type == 0:
+                filt[i] = x
+            elif filter_type == 1:
+                filt[i] = (x - a) & 0xFF
+            elif filter_type == 2:
+                filt[i] = (x - b) & 0xFF
+            elif filter_type == 3:
+                filt[i] = (x - (a + b) // 2) & 0xFF
+            else:  # 4: Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                filt[i] = (x - pred) & 0xFF
+        raw += bytes((filter_type,)) + bytes(filt)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    out = _PNG_MAGIC + chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        out += chunk(b"PLTE", b"".join(bytes(p) for p in palette))
+    return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+
+def _decode_png(payload: bytes):
+    """Pure-stdlib PNG decode (8-bit, non-interlaced, color types
+    0/2/3/4/6; all five row filters) → (width, height, [luma frame]).
+    zlib does the inflate; alpha is ignored for luma stats. 16-bit
+    and interlaced PNGs fall through to the PIL gate. Truncated or
+    corrupt streams raise ValueError (same contract as BMP/PNM)."""
+    import zlib
+
+    if len(payload) < 8 + 25:
+        raise ValueError(f"truncated PNG: {len(payload)} bytes")
+    pos = 8
+    ihdr = None
+    palette = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,), tag = struct.unpack(">I", payload[pos : pos + 4]), payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) < length:
+            raise ValueError("truncated PNG chunk")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            palette = [
+                _luma(body[3 * i], body[3 * i + 1], body[3 * i + 2])
+                for i in range(len(body) // 3)
+            ]
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length  # len + tag + body + crc
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    width, height, depth, color_type, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced PNG decodes dependency-free "
+            f"(depth={depth}, color_type={color_type}, "
+            f"interlace={interlace}); others need PIL"
+        )
+    if not idat:
+        raise ValueError("PNG missing IDAT")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+    ch = _PNG_CHANNELS[color_type]
+    stride = width * ch
+    if len(raw) != height * (1 + stride):
+        raise ValueError(
+            f"PNG raster size mismatch: need {height * (1 + stride)} "
+            f"bytes, inflated {len(raw)}"
+        )
+    px = bytearray(width * height)
+    prev = bytearray(stride)
+    for y in range(height):
+        f = raw[y * (1 + stride)]
+        row = bytearray(raw[y * (1 + stride) + 1 : (y + 1) * (1 + stride)])
+        if f == 1:  # Sub
+            for i in range(ch, stride):
+                row[i] = (row[i] + row[i - ch]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = row[i - ch] if i >= ch else 0
+                row[i] = (row[i] + (a + prev[i]) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - ch] if i >= ch else 0
+                c = prev[i - ch] if i >= ch else 0
+                b = prev[i]
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"invalid PNG row filter {f}")
+        for x in range(width):
+            if color_type == 0:
+                v = row[x]
+            elif color_type == 2:
+                v = _luma(row[3 * x], row[3 * x + 1], row[3 * x + 2])
+            elif color_type == 3:
+                if palette is None:
+                    raise ValueError("paletted PNG missing PLTE")
+                v = palette[row[x]]
+            elif color_type == 4:
+                v = row[2 * x]
+            else:  # 6: RGBA
+                v = _luma(row[4 * x], row[4 * x + 1], row[4 * x + 2])
+            px[y * width + x] = v
+        prev = row
+    return width, height, [bytes(px)]
+
+
 def _decode_pil(payload: bytes):
     """Everything else (PNG/JPEG/...) needs PIL; clean gate when the
     library is absent (it is not baked into this container)."""
@@ -241,6 +396,11 @@ def _decode_fake(payload: bytes):
         return _decode_bmp(payload)
     if payload[:2] in (b"P5", b"P6"):
         return _decode_pnm(payload)
+    if payload[:8] == _PNG_MAGIC:
+        try:
+            return _decode_png(payload)
+        except NotImplementedError:
+            return _decode_pil(payload)  # 16-bit / interlaced variants
     return _decode_pil(payload)
 
 

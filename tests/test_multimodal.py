@@ -193,3 +193,28 @@ def test_bmp_8bit_paletted(spark):
                        2835, 2835, 256, 0)
     got = _decode_bmp(hdr + dib + palette + pixel_data)
     assert got == (w, h, [bytes([10, 20, 30, 40, 50, 60])])
+
+
+def test_decode_images_handles_png_payloads(spark):
+    """A PNG payload decodes through the mapInPandas stats path
+    exactly like FAKE/BMP/PNM — the in-sandbox compressed-format
+    story (stdlib zlib inflate, no PIL)."""
+    from capgemini_himss24_fhirbulkdata_demo_spark.multimodal.binary import (
+        decode_images,
+        encode_png,
+    )
+
+    rows = [bytes((x * 7 + y * 3) % 256 for x in range(8)) for y in range(4)]
+    png = encode_png(8, 4, rows, color_type=0, filter_type=2)
+    media = spark.createDataFrame(
+        [(7, "image", bytearray(png),
+          {"format": "PNG", "width": 8, "height": 4, "n_frames": 1})],
+        "media_id BIGINT, kind STRING, payload BINARY, "
+        "meta STRUCT<format: STRING, width: INT, height: INT, n_frames: INT>",
+    )
+    out = decode_images(media).collect()
+    assert len(out) == 1
+    r = out[0]
+    flat = b"".join(rows)
+    assert (r["width"], r["height"], r["n_frames"]) == (8, 4, 1)
+    assert r["mean_pixel"] == sum(flat) / len(flat)

@@ -263,3 +263,88 @@ def test_truncated_payloads_raise_not_short_frames(w, h, rgb, cut):
         short = payload[: len(payload) - min(cut, len(payload) - 1)]
         with pytest.raises((ValueError, NotImplementedError)):
             decode(short)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=10),
+    h=st.integers(min_value=1, max_value=10),
+    color_type=st.sampled_from([0, 2, 3, 4, 6]),
+    filter_type=st.integers(min_value=0, max_value=4),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_all_filters_and_color_types(
+    w, h, color_type, filter_type, seed
+):
+    """encode_png -> _decode_png reproduces exact BT.601 luma for
+    every 8-bit color type under every PNG row filter (the inverse
+    filters are the error-prone part of a PNG decoder)."""
+    import hashlib
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.multimodal.binary import (
+        _PNG_CHANNELS,
+        _decode_png,
+        encode_png,
+    )
+
+    ch = _PNG_CHANNELS[color_type]
+
+    def b(i):
+        return hashlib.md5(f"{seed}:{i}".encode()).digest()[0]
+
+    rows = [bytes(b(y * w * ch + i) for i in range(w * ch)) for y in range(h)]
+    palette = [(b(1000 + 3 * i), b(2000 + 3 * i), b(3000 + 3 * i))
+               for i in range(256)]
+    png = encode_png(w, h, rows, color_type,
+                     palette if color_type == 3 else None, filter_type)
+    dw, dh, frames = _decode_png(png)
+    assert (dw, dh) == (w, h)
+
+    def luma(r, g, bl):
+        return (299 * r + 587 * g + 114 * bl) // 1000
+
+    expect = bytearray()
+    for row in rows:
+        for x in range(w):
+            if color_type == 0:
+                expect.append(row[x])
+            elif color_type == 2:
+                expect.append(luma(row[3 * x], row[3 * x + 1], row[3 * x + 2]))
+            elif color_type == 3:
+                expect.append(luma(*palette[row[x]]))
+            elif color_type == 4:
+                expect.append(row[2 * x])
+            else:
+                expect.append(luma(row[4 * x], row[4 * x + 1], row[4 * x + 2]))
+    assert frames[0] == bytes(expect)
+
+
+@given(
+    cut=st.integers(min_value=1, max_value=80),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=30, deadline=None)
+def test_png_truncation_raises(cut, seed):
+    """Truncating or corrupting a PNG raises ValueError, never a short
+    frame (same contract as the BMP/PNM decoders)."""
+    import hashlib
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.multimodal.binary import (
+        _decode_fake,
+        _decode_png,
+        encode_png,
+    )
+
+    rows = [bytes(hashlib.md5(f"{seed}:{y}:{i}".encode()).digest()[0]
+                  for i in range(8 * 3)) for y in range(6)]
+    png = encode_png(8, 6, rows, color_type=2, filter_type=4)
+    dw, dh, frames = _decode_fake(png)  # dispatches on the PNG magic
+    assert (dw, dh, len(frames[0])) == (8, 6, 48)
+    # the trailing 16 bytes (IEND chunk + IDAT crc) carry no pixel
+    # data — losing only those still decodes the complete frame
+    short = png[: len(png) - min(cut, len(png) - 9)]
+    if cut <= 16:
+        assert _decode_png(short)[2][0] == frames[0]
+    else:
+        with pytest.raises((ValueError, NotImplementedError)):
+            _decode_png(short)
