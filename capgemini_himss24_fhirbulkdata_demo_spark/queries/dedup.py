@@ -859,3 +859,164 @@ def x19_paragraph_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 x19_paragraph_removal.__doc__ = x19_paragraph_removal.__doc__.format(
     n=_CHUNK_TOKENS
 )
+
+
+_X17_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+    chunks AS (
+      SELECT doc_id, (r.i - 1) // {_CHUNK_TOKENS} AS chunk_idx,
+             STRING_AGG(t[r.i], ' ' ORDER BY r.i) AS chunk
+      FROM toks, UNNEST(RANGE(1, LEN(t) + 1)) AS r(i)
+      GROUP BY doc_id, (r.i - 1) // {_CHUNK_TOKENS}),
+    kept AS (
+      SELECT doc_id, chunk, MIN(chunk_idx) AS chunk_idx
+      FROM chunks GROUP BY doc_id, chunk),
+    rebuilt AS (
+      SELECT doc_id, STRING_AGG(chunk, ' ' ORDER BY chunk_idx) AS clean,
+             COUNT(*) AS n_after
+      FROM kept GROUP BY doc_id),
+    before AS (
+      SELECT doc_id, COUNT(*) AS n_before FROM chunks GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(b.n_before AS BIGINT) AS n_chunks,
+           CAST(r.n_after AS BIGINT) AS n_kept_chunks,
+           MD5(r.clean) AS clean_md5
+    FROM before b JOIN rebuilt r ON b.doc_id = r.doc_id
+    ORDER BY b.doc_id
+    """
+
+
+@register("x17_repetition_removal", oracle=_X17_SQL)
+def x17_repetition_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repetition removal (the Gopher/C4 repeated-
+    paragraph trim; x29 audits repetition, this removes it): a {n}-
+    token chunk repeated inside the same document keeps only its
+    first occurrence, and the doc reassembles from kept chunks in
+    original order. Complements x19, which removes CROSS-document
+    duplicates. Every doc retains >=1 chunk, so none drop out.
+
+    Scale: chunking is the same narrow slice+concat_ws map as
+    x18/x19; the keep-first pass is one (doc_id, chunk)-keyed
+    partial-agg shuffle (key cardinality is bounded by total chunk
+    count); reassembly is one per-doc regroup with an in-group sort.
+    Nothing is corpus-squared, nothing leaves the JVM.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    n_chunks_expr = (F.size("t") + F.lit(_CHUNK_TOKENS - 1)) / F.lit(_CHUNK_TOKENS)
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks_expr.cast("int") - 1),
+                lambda i: F.struct(
+                    i.alias("chunk_idx"),
+                    F.concat_ws(
+                        " ", F.slice(F.col("t"), i * _CHUNK_TOKENS + 1, _CHUNK_TOKENS)
+                    ).alias("chunk"),
+                ),
+            )
+        ).alias("c"),
+    ).select("doc_id", "c.chunk_idx", "c.chunk")
+    kept = chunks.groupBy("doc_id", "chunk").agg(
+        F.min("chunk_idx").alias("chunk_idx")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean"),
+        F.count("*").cast("bigint").alias("n_kept_chunks"),
+    )
+    before = chunks.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_chunks")
+    )
+    return (
+        before.join(rebuilt, "doc_id")
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_kept_chunks",
+            F.md5(F.col("clean").cast("binary")).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+x17_repetition_removal.__doc__ = x17_repetition_removal.__doc__.format(
+    n=_CHUNK_TOKENS
+)
+
+
+_X56_SQL = f"""
+    WITH RECURSIVE {_X02_CTES},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    comp AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+      FROM reach GROUP BY a),
+    sizes AS (SELECT component, COUNT(*) AS csize FROM comp GROUP BY component),
+    prof AS (SELECT csize, COUNT(*) AS n_clusters FROM sizes GROUP BY csize),
+    singles AS (
+      SELECT 1 AS csize,
+             (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM comp)
+               AS n_clusters)
+    SELECT csize AS cluster_size,
+           CAST(SUM(n_clusters) AS BIGINT) AS n_clusters,
+           CAST(SUM(csize * n_clusters) AS BIGINT) AS n_docs
+    FROM (SELECT * FROM prof UNION ALL SELECT * FROM singles)
+    GROUP BY csize ORDER BY csize
+    """
+
+
+@register("x56_dup_cluster_profile", oracle=_X56_SQL)
+def x56_dup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution: connected components over
+    the x02 pair graph, bucketed by component size, with docs in no
+    pair counted as size-1 clusters — the dedup-health diagnostic a
+    prep pipeline watches (a fat tail of giant clusters means
+    boilerplate or template spam; the expected removal rate is
+    sum(csize - 1 clusters) / corpus).
+
+    Scale: the component step inherits x02/x07's bounded shapes; the
+    profile itself is two skinny aggregates over (component) then
+    (csize) — rows bounded by cluster count — plus two 1-row counts
+    combined via a broadcast-size cross join.
+    """
+    from ..operators.dedup import connected_components, release_cached_deps
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = x02_dedup_minhash(spark, sf_dir)
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    sizes = comp.groupBy("component").agg(F.count("*").alias("csize"))
+    prof = sizes.groupBy("csize").agg(F.count("*").alias("n_clusters"))
+    singles = (
+        docs.agg(F.count("*").alias("__total"))
+        .crossJoin(comp.agg(F.count("*").alias("__in_comp")))
+        .select(
+            F.lit(1).alias("csize"),
+            (F.col("__total") - F.col("__in_comp")).alias("n_clusters"),
+        )
+    )
+    out = (
+        prof.unionByName(singles)
+        .groupBy("csize")
+        .agg(
+            F.sum("n_clusters").cast("bigint").alias("n_clusters"),
+            F.sum(F.col("csize") * F.col("n_clusters")).cast("bigint").alias("n_docs"),
+        )
+        .select(F.col("csize").alias("cluster_size"), "n_clusters", "n_docs")
+        .orderBy("cluster_size")
+    )
+    release_cached_deps(pairs)
+    return out

@@ -488,3 +488,23 @@ def test_x46_stopword_skew_shuffle_join_and_oracle(spark, tmp_path):
         run_duck(q.ORACLE_SQL["x46_lm_score"], str(tmp_path)),
     )
     assert not errs, "\n".join(errs)
+
+
+def test_paragraph_ops_scale_shapes(spark):
+    """x17/x19/x56 plan contracts: chunk-keyed joins stay hash/merge
+    (AQE-splittable), never cartesian; the x19 chunk scan reads only
+    doc_id + text."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name in ("x17_repetition_removal", "x19_paragraph_removal"):
+            df = _plan(spark, name)
+            assert_no_cartesian_product(df)
+            strategies = join_strategies(df)
+            assert all(
+                s in ("SortMergeJoin", "ShuffledHashJoin") for s in strategies
+            ), (name, strategies)
+        for scan in read_schemas(_plan(spark, "x19_paragraph_removal")):
+            assert set(scan) <= {"doc_id", "text"}, scan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
