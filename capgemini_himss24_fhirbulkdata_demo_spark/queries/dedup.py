@@ -1020,3 +1020,92 @@ def x56_dup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     release_cached_deps(pairs)
     return out
+
+
+_X58_SQL = f"""
+    WITH {_X02_CTES},
+    contain AS (
+      SELECT doc_a, doc_b,
+             LEN(LIST_INTERSECT(sa.sh, sb.sh)) AS n_inter,
+             ROUND(CAST(LEN(LIST_INTERSECT(sa.sh, sb.sh)) AS DOUBLE)
+                   / LEAST(LEN(sa.sh), LEN(sb.sh)), 4) AS containment
+      FROM cand JOIN sh sa ON sa.doc_id = doc_a
+                JOIN sh sb ON sb.doc_id = doc_b
+      WHERE LEAST(LEN(sa.sh), LEN(sb.sh)) > 0)
+    SELECT doc_a, doc_b,
+           CAST(n_inter AS BIGINT) AS n_shared_shingles,
+           containment
+    FROM contain
+    WHERE containment >= 0.5
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register("x58_containment_pairs", oracle=_X58_SQL)
+def x58_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-CONTAINMENT pairs: |A∩B| / min(|A|, |B|) over the
+    banded-LSH candidates — catches the asymmetric near-dups Jaccard
+    misses (a short doc embedded verbatim in a much longer one scores
+    low Jaccard but containment ~1; the quote-inclusion / page-
+    boilerplate case). Candidate recall is the minhash banding's
+    (Jaccard-biased — a true containment index bands the smaller
+    side's hashes); containment re-scores those candidates.
+
+    Scale: identical shuffle shape to x02/x08 — skinny band self-join
+    on uniform keys, shingle joins keyed on doc_id; the min in the
+    denominator is per-row arithmetic. Nothing new shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism * 2
+    )
+    sh = docs.select("doc_id", _spark_shingles().alias("sh")).persist()
+    dg = sh.select("doc_id", "sh", *_spark_digests())
+    sigs = dg.select(
+        "doc_id", *[_spark_minhash(i).alias(f"h{i}") for i in range(_N_HASHES)]
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.concat(
+                            F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")
+                        ).alias("band_val"),
+                    )
+                    for b in range(_N_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "bv.band_idx", "bv.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    nmin = F.least(F.size("sh_a"), F.size("sh_b"))
+    out = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(nmin > 0)
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.cast("bigint").alias("n_shared_shingles"),
+            F.round(inter.cast("double") / nmin, 4).alias("containment"),
+        )
+        .filter(F.col("containment") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    )
+    out._cached_deps = [sh]
+    return out

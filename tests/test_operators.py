@@ -590,6 +590,7 @@ def test_persisting_queries_attach_cached_deps(spark):
         "x06_dedup_embedding",
         "x08_sketch_accuracy",
         "x16_semdedup",
+        "x58_containment_pairs",
     ):
         df = QUERIES[name](spark, SF_DIR)
         df.limit(1).collect()
