@@ -900,3 +900,51 @@ def x57_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---- x59: IVF recall evaluation (x12 IVF vs x10 exact) ----
+
+_X59_SQL = f"""
+    WITH exact AS ({_X10_SQL}),
+    ivf AS ({_X12_SQL})
+    SELECT e.q_id,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+           ROUND(CAST(COUNT(a.neighbor_id) AS DOUBLE) / {_TOP_K}, 4)
+             AS recall_at_k
+    FROM exact e LEFT JOIN ivf a
+      ON e.q_id = a.query_id AND e.c_id = a.neighbor_id
+    GROUP BY e.q_id
+    ORDER BY e.q_id
+    """
+
+
+@register("x59_ivf_recall", oracle=_X59_SQL)
+def x59_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF index (x12, 2-probe) against exact brute
+    force (x10) — completes the eval pairing (x13 covers the LSH
+    index): the number that tells you whether n_probe/n_lists are
+    sized right before a 100 TB index build.
+
+    Scale: both inputs are top-k-truncated (k rows per query), so
+    the eval join is O(queries·k) regardless of corpus size; the two
+    searches run as parallel branches of one plan.
+    """
+    exact = x10_knn_bruteforce(spark, sf_dir).select("q_id", "c_id")
+    ivf = x12_knn_ivf(spark, sf_dir).select(
+        F.col("query_id").alias("a_q"), F.col("neighbor_id").alias("a_c")
+    )
+    return (
+        exact.join(
+            ivf,
+            (F.col("q_id") == F.col("a_q")) & (F.col("c_id") == F.col("a_c")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.count("a_c").cast("bigint").alias("n_hits"),
+            F.round(F.count("a_c").cast("double") / F.lit(_TOP_K), 4).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("q_id")
+    )
