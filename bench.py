@@ -67,6 +67,11 @@ HEADLINE += [
     "q92_nation_pair_volume",
     "q96_disjunctive_predicate",
 ]
+# Round-4 additions (sub-document dedup family).
+HEADLINE += [
+    "x19_paragraph_removal",
+    "x17_repetition_removal",
+]
 
 
 def bench_fhir_pipeline(spark, n_records: int = 100_000) -> dict:
