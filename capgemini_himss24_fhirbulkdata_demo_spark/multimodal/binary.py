@@ -13,8 +13,11 @@ Design for 100 TB of media:
   container, uncompressed BMP (24-bit / 8-bit paletted), binary PNM
   (P5 pgm / P6 ppm), and PNG (8-bit non-interlaced gray / RGB /
   palette / gray+alpha / RGBA, all five row filters, inflate via
-  stdlib zlib) decode with pure stdlib code — no imaging library
-  needed; anything else (JPEG, 16-bit/interlaced PNG, ...) falls
+  stdlib zlib) and baseline sequential JPEG (8-bit, Huffman, DRI/RST;
+  Y-channel reconstruction — chroma entropy is decoded to advance the
+  stream but not IDCT'd, since stats are luma-based) decode with pure
+  stdlib code — no imaging library needed; anything else
+  (progressive/arithmetic JPEG, 16-bit/interlaced PNG, ...) falls
   through to PIL when importable and raises NotImplementedError
   otherwise (PIL is not baked into this container). Color decodes to
   8-bit luma via integer BT.601 weights
@@ -356,6 +359,408 @@ def _decode_png(payload: bytes):
     return width, height, [bytes(px)]
 
 
+# ---- baseline JPEG (pure stdlib) ----
+
+# Annex K.1 luminance quantization table (JPEG spec), natural order.
+_JPEG_QTABLE_K1 = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+# zig-zag scan order: index i of the scan -> natural position
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K.3 typical Huffman tables for luminance (BITS, HUFFVAL)
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _huff_codes(bits, vals):
+    """Canonical Huffman (JPEG C.2): {(length, code): value}."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _idct2d(coef):
+    """Direct 2-D inverse DCT-III on one 8x8 block (float; exact IEEE
+    ops in fixed order — deterministic across hosts). O(N^4) per
+    block is fine for test/stub-scale media; real deployments hand
+    decode to a native library behind the same interface."""
+    import math
+
+    out = [0.0] * 64
+    # separable: rows then columns
+    tmp = [0.0] * 64
+    c = [math.sqrt(0.5)] + [1.0] * 7
+    cos = [[math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)] for x in range(8)]
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for u in range(8):
+                s += c[u] * coef[y * 8 + u] * cos[x][u]
+            tmp[y * 8 + x] = s / 2.0
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for v in range(8):
+                s += c[v] * tmp[v * 8 + x] * cos[y][v]
+            out[y * 8 + x] = s / 2.0
+    return out
+
+
+def _fdct2d(block):
+    """Forward 2-D DCT-II of one 8x8 spatial block (encoder twin)."""
+    import math
+
+    c = [math.sqrt(0.5)] + [1.0] * 7
+    cos = [[math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)] for x in range(8)]
+    tmp = [0.0] * 64
+    out = [0.0] * 64
+    for y in range(8):
+        for u in range(8):
+            s = 0.0
+            for x in range(8):
+                s += block[y * 8 + x] * cos[x][u]
+            tmp[y * 8 + u] = s * c[u] / 2.0
+    for u in range(8):
+        for v in range(8):
+            s = 0.0
+            for y in range(8):
+                s += tmp[y * 8 + u] * cos[y][v]
+            out[v * 8 + u] = s * c[v] / 2.0
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code, length):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            byte = (self.acc >> self.n) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+
+    def flush(self):
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # 1-pad per spec
+
+
+def encode_jpeg(width: int, height: int, luma_rows, quant: int = 1) -> bytes:
+    """Minimal baseline GRAYSCALE JPEG writer — fixture twin of
+    ``_decode_jpeg``. ``quant`` scales a flat quantization table
+    (1 = near-lossless: error is DCT rounding only, a few grey
+    levels); Annex-K.3 Huffman tables."""
+    qtab = [max(1, min(255, quant))] * 64
+    dc = _huff_codes(_DC_BITS, _DC_VALS)
+    ac = _huff_codes(_AC_BITS, _AC_VALS)
+    # invert to value -> (length, code)
+    dc_enc = {v: lc for lc, v in dc.items()}
+    ac_enc = {v: lc for lc, v in ac.items()}
+
+    def marker(tag, body):
+        return bytes((0xFF, tag)) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += marker(0xDB, bytes([0]) + bytes(qtab[_ZIGZAG[i]] for i in range(64)))
+    out += marker(
+        0xC0, struct.pack(">BHHB", 8, height, width, 1) + bytes((1, 0x11, 0))
+    )
+    out += marker(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += marker(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    out += marker(0xDA, bytes((1, 1, 0x00, 0, 63, 0)))
+
+    w = _BitWriter()
+    prev_dc = 0
+    bh = (height + 7) // 8
+    bw = (width + 7) // 8
+    for by in range(bh):
+        for bx in range(bw):
+            block = [0.0] * 64
+            for y in range(8):
+                for x in range(8):
+                    sy = min(by * 8 + y, height - 1)
+                    sx = min(bx * 8 + x, width - 1)
+                    block[y * 8 + x] = luma_rows[sy][sx] - 128.0
+            coef = _fdct2d(block)
+            q = [int(round(coef[_ZIGZAG[i]] / qtab[_ZIGZAG[i]])) for i in range(64)]
+            # DC
+            diff = q[0] - prev_dc
+            prev_dc = q[0]
+            mag, size = (diff, 0) if diff == 0 else (diff, diff.bit_length() if diff > 0 else (-diff).bit_length())
+            length, code = dc_enc[size]
+            w.write(code, length)
+            if size:
+                w.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+            # AC with run-lengths
+            run = 0
+            for i in range(1, 64):
+                v = q[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    length, code = ac_enc[0xF0]  # ZRL
+                    w.write(code, length)
+                    run -= 16
+                size = v.bit_length() if v > 0 else (-v).bit_length()
+                length, code = ac_enc[(run << 4) | size]
+                w.write(code, length)
+                w.write(v if v > 0 else v + (1 << size) - 1, size)
+                run = 0
+            if run:
+                length, code = ac_enc[0x00]  # EOB
+                w.write(code, length)
+    w.flush()
+    out += w.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data, pos):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self):
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG scan data")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG scan data")
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed byte
+            elif nxt == 0xD9:  # EOI reached while needing bits
+                raise ValueError("truncated JPEG scan data (hit EOI)")
+            elif 0xD0 <= nxt <= 0xD7:  # RST marker
+                self.pos += 1
+                self.acc = 0
+                self.n = 0
+                return self._fill()
+            else:
+                raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self):
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k):
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table):
+        length = 0
+        code = 0
+        while length < 16:
+            code = (code << 1) | self.bit()
+            length += 1
+            if (length, code) in table:
+                return table[(length, code)]
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v, size):
+    # JPEG F.2.2.1 EXTEND: low values encode negatives
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _decode_jpeg(payload: bytes):
+    """Baseline sequential JPEG → (width, height, [luma frame]),
+    pure stdlib. Decodes every component's entropy stream (the MCUs
+    interleave) but reconstructs pixels only for the luma (Y)
+    channel — the engine's media stats are luma-based, so chroma
+    IDCTs would be wasted work. Progressive/12-bit/arithmetic JPEGs
+    raise NotImplementedError (PIL gate); truncated or corrupt
+    streams raise ValueError."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtabs = {}
+    dc_tabs = {}
+    ac_tabs = {}
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        tag = payload[pos + 1]
+        if tag == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if tag == 0xDB:  # DQT
+            p = 0
+            while p < len(body):
+                prec = body[p] >> 4
+                tid = body[p] & 0x0F
+                if prec != 0:
+                    raise NotImplementedError("16-bit quant tables need PIL")
+                zz = body[p + 1 : p + 65]
+                if len(zz) < 64:
+                    raise ValueError("truncated DQT")
+                tab = [0] * 64
+                for i in range(64):
+                    tab[_ZIGZAG[i]] = zz[i]
+                qtabs[tid] = tab
+                p += 65
+        elif tag in (0xC0, 0xC1):  # SOF0/1 baseline
+            prec, h, wdt, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG decodes here")
+            comps = []
+            for i in range(nc):
+                cid, samp, qid = body[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": samp >> 4, "v": samp & 0x0F, "q": qid})
+            frame = {"w": wdt, "h": h, "comps": comps}
+        elif tag in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("non-baseline JPEG (progressive/arithmetic) needs PIL")
+        elif tag == 0xC4:  # DHT
+            p = 0
+            while p < len(body):
+                cls = body[p] >> 4
+                tid = body[p] & 0x0F
+                bits = list(body[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(body[p + 17 : p + 17 + n])
+                if len(vals) < n:
+                    raise ValueError("truncated DHT")
+                (dc_tabs if cls == 0 else ac_tabs)[tid] = _huff_codes(bits, vals)
+                p += 17 + n
+        elif tag == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif tag == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            scan = []
+            for i in range(ns):
+                cs, tt = body[1 + 2 * i], body[2 + 2 * i]
+                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                scan.append((comp, tt >> 4, tt & 0x0F))
+            return _decode_jpeg_scan(
+                payload, pos + 2 + seglen, frame, scan, qtabs, dc_tabs, ac_tabs,
+                restart_interval,
+            )
+        pos += 2 + seglen
+    raise ValueError("JPEG has no scan data")
+
+
+def _decode_jpeg_scan(data, pos, frame, scan, qtabs, dc_tabs, ac_tabs, dri):
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    r = _BitReader(data, pos)
+    luma = frame["comps"][0]
+    lw, lh = mcux * 8 * luma["h"], mcuy * 8 * luma["v"]
+    plane = bytearray(lw * lh)
+    pred = {c["id"]: 0 for c in frame["comps"]}
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and n_mcu and n_mcu % dri == 0:
+                # RST markers are consumed inside the bit reader; DC
+                # predictors reset at each restart interval
+                pred = {c["id"]: 0 for c in frame["comps"]}
+            n_mcu += 1
+            for comp, dct, act in scan:
+                qt = qtabs.get(comp["q"])
+                if qt is None:
+                    raise ValueError("missing quant table")
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        coef = [0.0] * 64
+                        size = r.huff(dc_tabs[dct])
+                        diff = _extend(r.bits(size), size) if size else 0
+                        pred[comp["id"]] += diff
+                        coef[0] = pred[comp["id"]] * qt[0]
+                        i = 1
+                        while i < 64:
+                            rs = r.huff(ac_tabs[act])
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                i += 16
+                                continue
+                            i += rs >> 4
+                            if i > 63:
+                                raise ValueError("AC coefficient overrun")
+                            sz = rs & 0x0F
+                            coef[_ZIGZAG[i]] = _extend(r.bits(sz), sz) * qt[_ZIGZAG[i]]
+                            i += 1
+                        if comp is luma:
+                            px = _idct2d(coef)
+                            ox = (mx * luma["h"] + bx) * 8
+                            oy = (my * luma["v"] + by) * 8
+                            for y in range(8):
+                                row_off = (oy + y) * lw + ox
+                                for x in range(8):
+                                    v = int(round(px[y * 8 + x])) + 128
+                                    plane[row_off + x] = 0 if v < 0 else (255 if v > 255 else v)
+    out = bytearray(w * h)
+    for y in range(h):
+        out[y * w : (y + 1) * w] = plane[y * lw : y * lw + w]
+    return w, h, [bytes(out)]
+
+
 def _decode_pil(payload: bytes):
     """Everything else (PNG/JPEG/...) needs PIL; clean gate when the
     library is absent (it is not baked into this container)."""
@@ -401,6 +806,11 @@ def _decode_fake(payload: bytes):
             return _decode_png(payload)
         except NotImplementedError:
             return _decode_pil(payload)  # 16-bit / interlaced variants
+    if payload[:2] == b"\xff\xd8":
+        try:
+            return _decode_jpeg(payload)
+        except NotImplementedError:
+            return _decode_pil(payload)  # progressive / 12-bit / arithmetic
     return _decode_pil(payload)
 
 

@@ -218,3 +218,28 @@ def test_decode_images_handles_png_payloads(spark):
     flat = b"".join(rows)
     assert (r["width"], r["height"], r["n_frames"]) == (8, 4, 1)
     assert r["mean_pixel"] == sum(flat) / len(flat)
+
+
+def test_decode_images_handles_jpeg_payloads(spark):
+    """A baseline JPEG payload decodes through the mapInPandas stats
+    path (stdlib Huffman+IDCT, no PIL); mean_pixel stays within the
+    near-lossless quant=1 error band of the source."""
+    from capgemini_himss24_fhirbulkdata_demo_spark.multimodal.binary import (
+        decode_images,
+        encode_jpeg,
+    )
+
+    rows = [[(x * 11 + y * 5) % 256 for x in range(16)] for y in range(8)]
+    jp = encode_jpeg(16, 8, rows, quant=1)
+    media = spark.createDataFrame(
+        [(9, "image", bytearray(jp),
+          {"format": "JPEG", "width": 16, "height": 8, "n_frames": 1})],
+        "media_id BIGINT, kind STRING, payload BINARY, "
+        "meta STRUCT<format: STRING, width: INT, height: INT, n_frames: INT>",
+    )
+    out = decode_images(media).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["width"], r["height"], r["n_frames"]) == (16, 8, 1)
+    true_mean = sum(v for row in rows for v in row) / (16 * 8)
+    assert abs(r["mean_pixel"] - true_mean) <= 3.0

@@ -348,3 +348,65 @@ def test_png_truncation_raises(cut, seed):
     else:
         with pytest.raises((ValueError, NotImplementedError)):
             _decode_png(short)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=20),
+    h=st.integers(min_value=1, max_value=20),
+    quant=st.sampled_from([1, 2, 8]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_roundtrip_bounded_error(w, h, quant, seed):
+    """encode_jpeg -> _decode_jpeg reconstructs within the
+    quantization error bound for arbitrary (non-8-aligned) sizes:
+    per-coefficient error <= quant/2 through the IDCT bounds spatial
+    error by ~8*quant; quant=1 is near-lossless (DCT rounding only)."""
+    import hashlib
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.multimodal.binary import (
+        _decode_jpeg,
+        encode_jpeg,
+    )
+
+    rows = [
+        [hashlib.md5(f"{seed}:{y}:{x}".encode()).digest()[0] for x in range(w)]
+        for y in range(h)
+    ]
+    dw, dh, frames = _decode_jpeg(encode_jpeg(w, h, rows, quant=quant))
+    assert (dw, dh) == (w, h)
+    px = frames[0]
+    err = max(
+        abs(px[y * w + x] - rows[y][x]) for y in range(h) for x in range(w)
+    )
+    assert err <= (3 if quant == 1 else 8 * quant + 3), err
+
+
+@given(
+    cut=st.integers(min_value=3, max_value=120),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_truncation_raises(cut, seed):
+    """Truncating a JPEG mid-scan raises ValueError (bit reader hits
+    EOI/EOF needing bits) — never a silent short/garbage frame."""
+    import hashlib
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.multimodal.binary import (
+        _decode_fake,
+        _decode_jpeg,
+        encode_jpeg,
+    )
+
+    rows = [
+        [hashlib.md5(f"{seed}:{y}:{x}".encode()).digest()[0] for x in range(16)]
+        for y in range(16)
+    ]
+    png_free = encode_jpeg(16, 16, rows, quant=1)
+    dw, dh, frames = _decode_fake(png_free)  # dispatch via ffd8 magic
+    assert (dw, dh, len(frames[0])) == (16, 16, 256)
+    # cut must reach into the entropy-coded scan: strip EOI (2 bytes)
+    # plus at least one scan byte
+    short = png_free[: len(png_free) - cut]
+    with pytest.raises((ValueError, NotImplementedError)):
+        _decode_jpeg(short)
