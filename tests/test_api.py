@@ -166,3 +166,50 @@ def test_coverage_ledger_matches_rotation_scan(tmp_path):
     assert f"**{len(green)} green / {len(ledger) - len(green)} pending**" in text
     for name in list(ledger)[:3]:
         assert name in text
+
+
+def test_rotation_advances_across_simulated_rounds(tmp_path, monkeypatch):
+    """Simulate future driver rounds: when a CORRECTNESS file marks
+    this round's whole alias batch green, the next batch excludes
+    those names (x*-first until exhausted, then q*), and the canary
+    rotation offset advances with the file count."""
+    import json
+    import os
+
+    import __spark_entry__ as entry
+    from capgemini_himss24_fhirbulkdata_demo_spark.queries import QUERIES
+
+    batch_now = entry._rotation_aliases()
+    green_now = entry._green_names()
+    canaries_now = entry._canary_names(5)
+
+    # copy the real files, then append a synthetic round marking the
+    # current batch green
+    real = entry._correctness_files()
+    for p in real:
+        (tmp_path / os.path.basename(p)).write_text(open(p).read())
+    row = {"rows_match": True, "schema_match": True, "hash_match": True,
+           "spark_rows": 1, "oracle_rows": 1, "err": None}
+    (tmp_path / "CORRECTNESS_r99.json").write_text(
+        json.dumps({f"a_{n}": row for n in batch_now})
+    )
+    monkeypatch.setattr(entry, "_REPO_ROOT", str(tmp_path))
+
+    nxt = entry._rotation_aliases()
+    assert not set(nxt) & set(batch_now)  # green names dropped out
+    # x* still pending queue before q*; once x* are exhausted the
+    # batch fills with unchecked plain names
+    pending = [n for n in sorted(QUERIES)
+               if n not in green_now | set(batch_now)]
+    pending.sort(key=lambda n: (not n.startswith("x"), n))
+    assert nxt == sorted(pending[: entry._ROTATION_BATCH])
+    # canary offset moved with the extra round file
+    assert entry._green_names() > green_now
+    rotated = entry._canary_names(5)
+    assert len(rotated) == 5
+    assert rotated != canaries_now
+    # window invariant holds in the simulated state too
+    qs = entry.queries()
+    window = list(qs)[: entry._WINDOW]
+    assert window[: len(nxt)] == [f"a_{n}" for n in nxt]
+    assert all(not c.startswith("a_") for c in window[len(nxt):])
