@@ -284,7 +284,8 @@ def bench_training_shards(spark) -> dict:
 # training-shards section.
 METHODOLOGY = {
     "version": 3,
-    "query_sweep": "sf0.001 warmup per plan, System.gc(), best-of-2 at target sf",
+    "query_sweep": "sf0.001 warmup per plan, System.gc(), untimed "
+                   "target-sf primer of the first query, best-of-2 at target sf",
     "fhir": "warmup + System.gc(), best-of-3; single-run basis also reported",
     "streaming": "default-conf drain first (old basis), then gc + "
                  "state-partitions=8, noDataMicroBatches off",
@@ -354,7 +355,16 @@ def main() -> None:
     # regression): the warmup pass leaves the heap full of young
     # garbage whose collection otherwise lands on whichever query runs
     # first — same System.gc() the FHIR/streaming sections already do.
+    # Additionally, one untimed TARGET-scale primer of the first
+    # query: the sf0.001 warmup runs 1–2 tiny tasks and does not push
+    # the vectorized-reader/agg loops over C2's invocation thresholds,
+    # so the first target-scale execution still pays JIT ramp
+    # (measured: 1.9 → 1.3 s over consecutive q01 runs in a fresh
+    # session). The primer absorbs that ramp; best-of-2 then measures
+    # steady state.
     spark.sparkContext._jvm.System.gc()
+    if names:
+        run_once(names[0], SF_DIR)
 
     # Best-of-2 per query: one timed run can catch a GC pause or an
     # unrelated load spike on a shared box; the min of two back-to-back
