@@ -490,11 +490,14 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # 1-pad per spec
 
 
-def encode_jpeg(width: int, height: int, luma_rows, quant: int = 1) -> bytes:
+def encode_jpeg(width: int, height: int, luma_rows, quant: int = 1,
+                restart_interval: int = 0) -> bytes:
     """Minimal baseline GRAYSCALE JPEG writer — fixture twin of
     ``_decode_jpeg``. ``quant`` scales a flat quantization table
     (1 = near-lossless: error is DCT rounding only, a few grey
-    levels); Annex-K.3 Huffman tables."""
+    levels); Annex-K.3 Huffman tables. ``restart_interval`` emits a
+    DRI segment plus RSTn markers every N MCUs (exercises the
+    decoder's resync + DC-predictor-reset path)."""
     qtab = [max(1, min(255, quant))] * 64
     dc = _huff_codes(_DC_BITS, _DC_VALS)
     ac = _huff_codes(_AC_BITS, _AC_VALS)
@@ -512,14 +515,24 @@ def encode_jpeg(width: int, height: int, luma_rows, quant: int = 1) -> bytes:
     )
     out += marker(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
     out += marker(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    if restart_interval:
+        out += marker(0xDD, struct.pack(">H", restart_interval))
     out += marker(0xDA, bytes((1, 1, 0x00, 0, 63, 0)))
 
     w = _BitWriter()
     prev_dc = 0
     bh = (height + 7) // 8
     bw = (width + 7) // 8
+    n_mcu = 0
     for by in range(bh):
         for bx in range(bw):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                w.flush()
+                out += w.buf
+                w = _BitWriter()
+                out += bytes((0xFF, 0xD0 + (n_mcu // restart_interval - 1) % 8))
+                prev_dc = 0
+            n_mcu += 1
             block = [0.0] * 64
             for y in range(8):
                 for x in range(8):
@@ -590,6 +603,18 @@ class _BitReader:
                 raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
         self.acc = (self.acc << 8) | b
         self.n += 8
+
+    def restart(self):
+        """Byte-align at a restart boundary: drop the previous MCU's
+        pad bits and consume the expected RSTn marker."""
+        self.acc = 0
+        self.n = 0
+        if (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
 
     def bit(self):
         if self.n == 0:
@@ -717,8 +742,8 @@ def _decode_jpeg_scan(data, pos, frame, scan, qtabs, dc_tabs, ac_tabs, dri):
     for my in range(mcuy):
         for mx in range(mcux):
             if dri and n_mcu and n_mcu % dri == 0:
-                # RST markers are consumed inside the bit reader; DC
-                # predictors reset at each restart interval
+                # byte-align + skip the RSTn marker, reset DC predictors
+                r.restart()
                 pred = {c["id"]: 0 for c in frame["comps"]}
             n_mcu += 1
             for comp, dct, act in scan:

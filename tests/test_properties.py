@@ -410,3 +410,30 @@ def test_jpeg_truncation_raises(cut, seed):
     short = png_free[: len(png_free) - cut]
     with pytest.raises((ValueError, NotImplementedError)):
         _decode_jpeg(short)
+
+
+@given(
+    w=st.integers(min_value=9, max_value=32),
+    h=st.integers(min_value=9, max_value=32),
+    dri=st.integers(min_value=1, max_value=5),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_restart_markers_roundtrip(w, h, dri, seed):
+    """DRI/RSTn streams round-trip identically to marker-free ones:
+    the decoder byte-aligns at each restart, skips the marker, and
+    resets DC predictors exactly where the encoder did."""
+    import hashlib
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.multimodal.binary import (
+        _decode_jpeg,
+        encode_jpeg,
+    )
+
+    rows = [
+        [hashlib.md5(f"{seed}:{y}:{x}".encode()).digest()[0] for x in range(w)]
+        for y in range(h)
+    ]
+    plain = _decode_jpeg(encode_jpeg(w, h, rows, quant=1))
+    rst = _decode_jpeg(encode_jpeg(w, h, rows, quant=1, restart_interval=dri))
+    assert plain == rst
