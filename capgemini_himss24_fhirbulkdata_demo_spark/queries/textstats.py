@@ -1532,3 +1532,95 @@ def x55_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---- x09: per-source dedup rate (corpus-health by provenance) ----
+
+_X09_SQL = """
+    WITH fp AS (
+      SELECT source,
+             MD5(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS fp
+      FROM documents)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+           ROUND(1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*), 4)
+             AS dup_rate
+    FROM fp GROUP BY source ORDER BY source
+    """
+
+
+@register("x09_source_dedup_rate", oracle=_X09_SQL)
+def x09_source_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate per source: the provenance-level corpus
+    health number a prep pipeline watches to decide which feeds need
+    upstream fixing (x01 lists the dup groups; this rolls the damage
+    up by origin, x28's profiling shape applied to dedup).
+
+    Scale: one narrow fingerprint map + a (source, fp) count-distinct
+    — Spark plans it as two partial-agg shuffles keyed (source, fp)
+    then (source); both keys are uniform (md5) or low-cardinality.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.lower(F.regexp_replace("text", r"\s+", " ")).cast("binary")
+    )
+    return (
+        docs.select("source", fp.alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("fp").cast("bigint").alias("n_unique"),
+            F.round(
+                F.lit(1.0)
+                - F.countDistinct("fp").cast("double") / F.count("*"),
+                4,
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---- x61: sequence-length histogram (packing pre-flight) ----
+
+_X61_BUCKET = 50
+
+_X61_SQL = f"""
+    WITH lens AS (
+      SELECT (LEN(STRING_SPLIT(text, ' ')) // {_X61_BUCKET}) * {_X61_BUCKET}
+               AS bucket_lo,
+             LEN(STRING_SPLIT(text, ' ')) AS n_tokens
+      FROM documents)
+    SELECT bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM lens GROUP BY bucket_lo ORDER BY bucket_lo
+    """
+
+
+@register("x61_length_histogram", oracle=_X61_SQL)
+def x61_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length histogram ({n}-token buckets, doc + token mass
+    per bucket): the pre-flight x45's packer needs — bucket mass
+    tells you the bin size that minimizes padding waste and which
+    tail to truncate. Integer bucket arithmetic (n - n % {n})
+    matches DuckDB's // exactly; no float binning.
+
+    Scale: narrow per-row token count + one low-cardinality
+    partial-agg shuffle on the bucket key. Nothing else moves.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split("text", " "))
+    bucket = (n - n % _X61_BUCKET).cast("bigint")
+    return (
+        docs.select(bucket.alias("bucket_lo"), n.alias("n_tokens"))
+        .groupBy("bucket_lo")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("bucket_lo")
+    )
+
+
+x61_length_histogram.__doc__ = x61_length_histogram.__doc__.format(n=_X61_BUCKET)
