@@ -558,3 +558,46 @@ def q102_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "c_custkey")
     )
+
+
+@register(
+    "q107_interval_range",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+    FROM events
+    WHERE user_id <= 25
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+)
+def q107_interval_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE window frame (the trailing-hour rolling
+    aggregate): per user, events and decimal-exact value sum within
+    the hour ending at each event — the frame type ROWS can't express
+    (peers at equal ts are included; gaps widen/narrow the frame).
+
+    Scale: one shuffle on user_id, in-partition ordered scan with a
+    sliding frame — the same plan shape as every keyed window here;
+    decimal sum keeps the rolling total order-of-evaluation-proof.
+    """
+    frame = (
+        "PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW"
+    )
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") <= 25)
+        .select(
+            "event_id",
+            "user_id",
+            F.expr(f"COUNT(*) OVER ({frame})").alias("n_1h"),
+            F.expr(
+                "CAST(SUM(CAST(value AS DECIMAL(18,6))) "
+                f"OVER ({frame}) AS DOUBLE)"
+            ).alias("sum_1h"),
+        )
+        .orderBy("event_id")
+    )
