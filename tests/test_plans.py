@@ -508,3 +508,27 @@ def test_paragraph_ops_scale_shapes(spark):
             assert set(scan) <= {"doc_id", "text"}, scan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_round4_scalar_rollups_single_scan(spark):
+    """x09/x61 are scan → partial-agg rollups: no joins, one scan,
+    only the referenced columns read. q107's interval-RANGE window is
+    one keyed shuffle (no join, no extra exchange per aggregate)."""
+    for name, cols in (
+        ("x09_source_dedup_rate", {"source", "text"}),
+        ("x61_length_histogram", {"text"}),
+    ):
+        df = _plan(spark, name)
+        assert join_strategies(df) == [], (name, join_strategies(df))
+        scans = read_schemas(df)
+        assert len(scans) == 1 and set(scans[0]) <= cols, (name, scans)
+    q107 = _plan(spark, "q107_interval_range")
+    assert join_strategies(q107) == []
+    import re
+
+    plan = explain_str(q107)
+    # formatted plans list each node in tree AND detail sections —
+    # count the numbered detail entries: one user_id partition
+    # exchange + one final global order, nothing per-aggregate
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges <= 2, plan

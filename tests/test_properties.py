@@ -437,3 +437,60 @@ def test_jpeg_restart_markers_roundtrip(w, h, dri, seed):
     plain = _decode_jpeg(encode_jpeg(w, h, rows, quant=1))
     rst = _decode_jpeg(encode_jpeg(w, h, rows, quant=1, restart_interval=dri))
     assert plain == rst
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(st.integers(0, 3), min_size=1, max_size=9).map(
+            lambda toks: " ".join(f"w{t}" for t in toks)
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_remove_dup_paragraphs_matches_python_reference(spark, docs):
+    """dataprep.remove_dup_paragraphs == a direct python model of the
+    keep-first rule on arbitrary tiny corpora (3-token chunks over a
+    4-word alphabet force heavy chunk collisions, all-dup docs, and
+    single-chunk edge cases)."""
+    from capgemini_himss24_fhirbulkdata_demo_spark.dataprep import (
+        remove_dup_paragraphs,
+    )
+
+    chunk_tokens = 3
+    # python reference: chunk, count distinct docs + first doc per
+    # chunk text, keep-first filter, reassemble in order
+    chunks = {}
+    per_doc = []
+    for i, text in enumerate(docs):
+        toks = text.split(" ")
+        cs = [
+            " ".join(toks[j : j + chunk_tokens])
+            for j in range(0, len(toks), chunk_tokens)
+        ]
+        per_doc.append(cs)
+        for c in cs:
+            info = chunks.setdefault(c, {"docs": set(), "first": i})
+            info["docs"].add(i)
+            info["first"] = min(info["first"], i)
+    expect = {}
+    for i, cs in enumerate(per_doc):
+        kept = [
+            c for c in cs
+            if len(chunks[c]["docs"]) < 2 or chunks[c]["first"] == i
+        ]
+        if kept:
+            expect[i] = " ".join(kept)
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id BIGINT, text STRING"
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in remove_dup_paragraphs(
+            df, "doc_id", "text", chunk_tokens
+        ).collect()
+    }
+    assert got == expect, (docs, got, expect)
