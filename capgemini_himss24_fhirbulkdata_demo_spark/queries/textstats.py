@@ -1624,3 +1624,59 @@ def x61_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 x61_length_histogram.__doc__ = x61_length_histogram.__doc__.format(n=_X61_BUCKET)
+
+
+# ---- x62: grouped-agg pandas UDAF (decile-trimmed mean) ----
+
+_X62_SQL = """
+    WITH ranked AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4)
+             AS trimmed_mean_chars
+    FROM ranked
+    WHERE rn > n // 10 AND rn <= n - n // 10
+    GROUP BY source ORDER BY source
+    """
+
+
+@register("x62_trimmed_mean_udaf", oracle=_X62_SQL)
+def x62_trimmed_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust per-source length profile via a GROUPED_AGG
+    ``pandas_udf`` — the UDAF member of the UDF surface (scalar /
+    grouped-map / cogrouped / mapInPandas / mapInArrow / UDTF are
+    covered by x50–x53, x14; this is the aggregating form): each
+    source's decile-trimmed mean of n_chars, kernel-side sort + trim,
+    engine-side grouping. The trim bound (n//10 off each end) is
+    integer arithmetic, so the DuckDB twin reproduces the exact kept
+    set and the single rounded division matches bit-for-bit.
+
+    Scale: grouped-agg pandas UDFs aggregate per group on the
+    executor (Arrow batch in, scalar out) after one shuffle on the
+    group key — group size bounds kernel memory (sources are
+    few-and-large here; a high-cardinality key would bound it the
+    other way). n_kept is declarative count arithmetic on the same
+    shuffle, no second pass.
+    """
+    from ..operators.pandas_udfs import trimmed_mean_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    # Spark rejects GROUPED_AGG pandas UDFs mixed with plain
+    # aggregates in one agg() (INVALID_PANDAS_UDF_PLACEMENT) — two
+    # aggregations over the same key; the grouping exchange is reused
+    tm = docs.groupBy("source").agg(
+        trimmed_mean_udf()(F.col("n_chars")).alias("trimmed_mean_chars")
+    )
+    n = F.count("*")
+    cnt = docs.groupBy("source").agg(
+        (n - 2 * F.floor(n / 10)).cast("bigint").alias("n_kept")
+    )
+    return (
+        cnt.join(tm, "source")
+        .select("source", "n_kept", "trimmed_mean_chars")
+        .orderBy("source")
+    )
