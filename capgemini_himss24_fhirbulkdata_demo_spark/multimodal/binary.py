@@ -13,7 +13,9 @@ Design for 100 TB of media:
   container, uncompressed BMP (24-bit / 8-bit paletted), binary PNM
   (P5 pgm / P6 ppm), and PNG (8-bit non-interlaced gray / RGB /
   palette / gray+alpha / RGBA, all five row filters, inflate via
-  stdlib zlib) and baseline sequential JPEG (8-bit, Huffman, DRI/RST;
+  stdlib zlib), multi-frame GIF87a/89a (LZW, global/local palettes,
+  full-canvas frames — the real-format path for frame sampling),
+  and baseline sequential JPEG (8-bit, Huffman, DRI/RST;
   Y-channel reconstruction — chroma entropy is decoded to advance the
   stream but not IDCT'd, since stats are luma-based) decode with pure
   stdlib code — no imaging library needed; anything else
@@ -786,6 +788,235 @@ def _decode_jpeg_scan(data, pos, frame, scan, qtabs, dc_tabs, ac_tabs, dri):
     return w, h, [bytes(out)]
 
 
+# ---- GIF (pure stdlib) — the real multi-frame container ----
+
+_GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def _lzw_compress(indices, min_code_size):
+    """GIF-variant LZW: variable-width codes (LSB-first packing),
+    clear/EOI codes, dictionary reset at 4096."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code, width):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    buf = ()
+    for idx in indices:
+        cand = buf + (idx,)
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], width)
+        table[cand] = next_code
+        next_code += 1
+        # EARLY bump (the canonical GIF pairing): grow width as soon
+        # as the next assignable code reaches 2^width — the decoder's
+        # dictionary lags by one entry, so its matching check fires at
+        # len(table) == 2^width - 1 (see _lzw_decompress)
+        if next_code >= (1 << width):
+            if width < 12:
+                width += 1
+            else:
+                emit(clear, width)
+                table = {(i,): i for i in range(clear)}
+                next_code = eoi + 1
+                width = min_code_size + 1
+        buf = (idx,)
+    if buf:
+        emit(table[buf], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data, min_code_size, expect_n):
+    """Inverse of ``_lzw_compress``; raises ValueError on a corrupt
+    or truncated code stream."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = 0
+    acc = 0
+    nbits = 0
+    width = min_code_size + 1
+    table = [bytes((i,)) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev = None
+
+    def read_code():
+        nonlocal pos, acc, nbits
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    while True:
+        code = read_code()
+        if code == clear:
+            table = [bytes((i,)) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("invalid initial GIF LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("invalid GIF LZW code")
+        out += entry
+        prev = entry
+        # mirror of the encoder's early bump, offset by the one-entry
+        # dictionary lag: the encoder bumped after assigning code
+        # len(table)+1, i.e. exactly when our table holds 2^width - 1
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+        if len(out) > expect_n:
+            raise ValueError("GIF LZW stream overruns raster size")
+    if len(out) != expect_n:
+        raise ValueError(
+            f"GIF raster size mismatch: expected {expect_n}, got {len(out)}"
+        )
+    return bytes(out)
+
+
+def encode_gif(width: int, height: int, frames, palette) -> bytes:
+    """Minimal multi-frame GIF89a writer (full-canvas frames, global
+    palette, no interlace) — fixture twin of ``_decode_gif``.
+    ``frames`` is a list of per-frame palette-index sequences (row-
+    major, width*height each); ``palette`` is up to 256 (r, g, b)."""
+    n = max(2, (max(1, len(palette) - 1)).bit_length())
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | ((n - 1) & 7) << 4 | (n - 1), 0, 0)
+    for i in range(1 << n):
+        r, g, b = palette[i] if i < len(palette) else (0, 0, 0)
+        out += bytes((r, g, b))
+    for frame in frames:
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        out.append(n)  # LZW min code size
+        data = _lzw_compress(list(frame), n)
+        for off in range(0, len(data), 255):
+            chunk = data[off : off + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)  # block terminator
+    out += b"\x3b"  # trailer
+    return bytes(out)
+
+
+def _decode_gif(payload: bytes):
+    """Multi-frame GIF → (width, height, [luma frames]) — the real-
+    format path for ``sample_frames``. Full-canvas non-interlaced
+    frames with global or local palettes decode pure-stdlib;
+    interlaced or sub-rectangle frames raise NotImplementedError
+    (PIL gate). Truncated/corrupt streams raise ValueError."""
+    if payload[:6] not in _GIF_MAGICS:
+        raise ValueError("not a GIF")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    width, height, flags, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    global_pal = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        raw = payload[pos : pos + 3 * n]
+        if len(raw) < 3 * n:
+            raise ValueError("truncated GIF global palette")
+        global_pal = [
+            _luma(raw[3 * i], raw[3 * i + 1], raw[3 * i + 2]) for i in range(n)
+        ]
+        pos += 3 * n
+    frames = []
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("truncated GIF extension")
+                sz = payload[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                pos += sz
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02X}")
+        if pos + 10 > len(payload):
+            raise ValueError("truncated GIF image descriptor")
+        left, top, fw, fh, iflags = struct.unpack("<HHHHB", payload[pos + 1 : pos + 10])
+        pos += 10
+        if (left, top, fw, fh) != (0, 0, width, height) or iflags & 0x40:
+            raise NotImplementedError(
+                "sub-rectangle or interlaced GIF frames need PIL"
+            )
+        pal = global_pal
+        if iflags & 0x80:
+            n = 2 << (iflags & 7)
+            raw = payload[pos : pos + 3 * n]
+            if len(raw) < 3 * n:
+                raise ValueError("truncated GIF local palette")
+            pal = [
+                _luma(raw[3 * i], raw[3 * i + 1], raw[3 * i + 2])
+                for i in range(n)
+            ]
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF frame has no palette")
+        if pos >= len(payload):
+            raise ValueError("truncated GIF frame")
+        min_code = payload[pos]
+        pos += 1
+        data = bytearray()
+        while True:
+            if pos >= len(payload):
+                raise ValueError("truncated GIF frame data")
+            sz = payload[pos]
+            pos += 1
+            if sz == 0:
+                break
+            chunk = payload[pos : pos + sz]
+            if len(chunk) < sz:
+                raise ValueError("truncated GIF data sub-block")
+            data += chunk
+            pos += sz
+        idx = _lzw_decompress(bytes(data), min_code, width * height)
+        frames.append(bytes(pal[i] if i < len(pal) else 0 for i in idx))
+    if not frames:
+        raise ValueError("GIF has no image frames")
+    return width, height, frames
+
+
 def _decode_pil(payload: bytes):
     """Everything else (PNG/JPEG/...) needs PIL; clean gate when the
     library is absent (it is not baked into this container)."""
@@ -836,6 +1067,11 @@ def _decode_fake(payload: bytes):
             return _decode_jpeg(payload)
         except NotImplementedError:
             return _decode_pil(payload)  # progressive / 12-bit / arithmetic
+    if payload[:6] in _GIF_MAGICS:
+        try:
+            return _decode_gif(payload)
+        except NotImplementedError:
+            return _decode_pil(payload)  # sub-rectangle / interlaced frames
     return _decode_pil(payload)
 
 

@@ -243,3 +243,30 @@ def test_decode_images_handles_jpeg_payloads(spark):
     assert (r["width"], r["height"], r["n_frames"]) == (16, 8, 1)
     true_mean = sum(v for row in rows for v in row) / (16 * 8)
     assert abs(r["mean_pixel"] - true_mean) <= 3.0
+
+
+def test_sample_frames_on_real_gif(spark):
+    """Frame sampling works on a REAL multi-frame container: a 4-frame
+    GIF flows through the mapInPandas sample_frames path (every 2nd
+    frame) with exact per-frame means."""
+    from capgemini_himss24_fhirbulkdata_demo_spark.multimodal.binary import (
+        _luma,
+        encode_gif,
+        sample_frames,
+    )
+
+    pal = [((i * 5) % 256, (i * 11) % 256, (i * 3) % 256) for i in range(16)]
+    frames = [[(f * 7 + i) % 16 for i in range(12 * 6)] for f in range(4)]
+    gif = encode_gif(12, 6, frames, pal)
+    media = spark.createDataFrame(
+        [(4, "video", bytearray(gif),
+          {"format": "GIF", "width": 12, "height": 6, "n_frames": 4})],
+        "media_id BIGINT, kind STRING, payload BINARY, "
+        "meta STRUCT<format: STRING, width: INT, height: INT, n_frames: INT>",
+    )
+    out = {r["frame_idx"]: r["frame_mean"]
+           for r in sample_frames(media, every=2).collect()}
+    assert sorted(out) == [0, 2]
+    for f in (0, 2):
+        lumas = [_luma(*pal[i]) for i in frames[f]]
+        assert out[f] == sum(lumas) / len(lumas)

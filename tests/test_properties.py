@@ -494,3 +494,47 @@ def test_remove_dup_paragraphs_matches_python_reference(spark, docs):
         ).collect()
     }
     assert got == expect, (docs, got, expect)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    nf=st.integers(min_value=1, max_value=4),
+    npal=st.sampled_from([4, 64, 256]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=30, deadline=None)
+def test_gif_multiframe_roundtrip(w, h, nf, npal, seed):
+    """encode_gif -> _decode_gif reproduces exact palette luma for
+    every frame across palette sizes (LZW width growth, dictionary
+    resets, and multi-frame sequencing)."""
+    import hashlib
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.multimodal.binary import (
+        _decode_fake,
+        _decode_gif,
+        encode_gif,
+    )
+
+    def b(tag, i):
+        return hashlib.md5(f"{seed}:{tag}:{i}".encode()).digest()[0]
+
+    pal = [(b("r", i), b("g", i), b("b", i)) for i in range(npal)]
+    frames = [
+        [b(f, i) % npal for i in range(w * h)] for f in range(nf)
+    ]
+    gif = encode_gif(w, h, frames, pal)
+    dw, dh, got = _decode_gif(gif)
+    assert (dw, dh, len(got)) == (w, h, nf)
+    for f in range(nf):
+        expect = bytes(
+            (299 * pal[i][0] + 587 * pal[i][1] + 114 * pal[i][2]) // 1000
+            for i in frames[f]
+        )
+        assert got[f] == expect
+    # container dispatch sees the same frames
+    assert _decode_fake(gif)[2] == got
+    # any truncation into frame data raises, never yields short frames
+    short = gif[: max(13, len(gif) - max(2, len(gif) // 3))]
+    with pytest.raises((ValueError, NotImplementedError)):
+        _decode_gif(short)
