@@ -102,6 +102,46 @@ def encode_bmp24(width: int, height: int, rgb_rows) -> bytes:
     return bytes(header + dib + pixel_data)
 
 
+def encode_wav(samples: bytes, framerate: int = 8000) -> bytes:
+    """8-bit mono PCM RIFF/WAVE container via the stdlib ``wave``
+    writer — the audio leg of the media path (fixture twin of
+    ``decode_wav``). One byte per sample, unsigned."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(framerate)
+        w.writeframes(samples)
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes):
+    """Parse a RIFF/WAVE container with the stdlib ``wave`` reader →
+    ((channels, sampwidth, framerate, n_frames), sample bytes).
+    Truncated payloads (header frame count exceeding the data chunk)
+    raise ValueError, matching the other decoders' contract."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            meta = (
+                w.getnchannels(),
+                w.getsampwidth(),
+                w.getframerate(),
+                w.getnframes(),
+            )
+            frames = w.readframes(meta[3])
+    except wave.Error as e:
+        raise ValueError(f"bad WAV payload: {e}") from e
+    if len(frames) != meta[0] * meta[1] * meta[3]:
+        raise ValueError("truncated WAV payload")
+    return meta, frames
+
+
 def encode_pnm(width: int, height: int, pixels, rgb: bool = False) -> bytes:
     """Binary PNM writer: P6 from (r,g,b) tuples or P5 from luma
     bytes — fixture twin of ``_decode_pnm``."""

@@ -20,6 +20,7 @@ from . import (  # noqa: F401
     textstats,
     streaming_batch,
     multimodal,
+    features,
 )
 
 QUERIES = registry.QUERIES

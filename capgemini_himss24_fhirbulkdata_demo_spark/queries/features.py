@@ -1,0 +1,97 @@
+"""Feature-engineering queries over ``documents`` (SURVEY brief:
+training-data pipeline ops) — the hashing-trick family.
+
+The hashing trick (Weinberger et al., ICML'09) maps an unbounded
+token vocabulary into a fixed number of feature buckets via a hash,
+so downstream models take fixed-width input without a vocabulary
+build. Cross-engine determinism comes from the repo's portable
+md5-hex→BIGINT bridge (Spark ``conv(substr(md5, 1, 15), 16, 10)`` ↔
+DuckDB ``CAST('0x' || SUBSTR(MD5, 1, 15) AS BIGINT)``), already used
+by the simhash/sampling family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from .registry import register
+
+_N_BUCKETS = 64
+
+_SQL_BUCKET = f"CAST(('0x' || SUBSTR(MD5(t), 1, 15)) AS BIGINT) % {_N_BUCKETS}"
+
+_X65_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents),
+    b AS (
+      SELECT doc_id, {_SQL_BUCKET} AS bucket FROM tok),
+    c AS (
+      SELECT doc_id, bucket, COUNT(*) AS cnt FROM b GROUP BY doc_id, bucket),
+    r AS (
+      SELECT doc_id, bucket, cnt,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY cnt DESC, bucket) AS rn,
+             SUM(cnt) OVER (PARTITION BY doc_id) AS n_tokens,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_buckets
+      FROM c)
+    SELECT doc_id, bucket AS top_bucket, CAST(cnt AS BIGINT) AS top_count,
+           CAST(n_buckets AS BIGINT) AS n_buckets,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM r WHERE rn = 1
+    ORDER BY doc_id
+    """
+
+
+@register("x65_hashed_features", oracle=_X65_SQL)
+def x65_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick bag-of-tokens: every token maps to one of
+    {n} feature buckets via the portable md5 bridge; per document the
+    query reports the dominant bucket (ties → lowest bucket id), how
+    many distinct buckets fired, and total token mass — the summary a
+    fixed-width featurizer would emit per example.
+
+    Scale: explode(tokens) stays narrow; the only shuffles are one
+    uniform-key partial-agg on (doc_id, bucket) — map-side combine
+    collapses each document's tokens to ≤{n} rows before the exchange
+    — and the per-doc window, which reuses the same doc_id
+    partitioning. Bucket count is a constant, so shuffle width is
+    bounded per document regardless of document length.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("t").cast("binary")), 1, 15), 16, 10)
+        .cast("bigint")
+        % _N_BUCKETS
+    )
+    counts = tok.select("doc_id", bucket.alias("bucket")).groupBy(
+        "doc_id", "bucket"
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("doc_id")
+    ranked = counts.select(
+        "doc_id",
+        "bucket",
+        "cnt",
+        F.row_number()
+        .over(w.orderBy(F.desc("cnt"), F.asc("bucket")))
+        .alias("rn"),
+        F.sum("cnt").over(w).alias("n_tokens"),
+        F.count("*").over(w).alias("n_buckets"),
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("bucket").alias("top_bucket"),
+            F.col("cnt").alias("top_count"),
+            F.col("n_buckets").cast("bigint").alias("n_buckets"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+x65_hashed_features.__doc__ = x65_hashed_features.__doc__.format(n=_N_BUCKETS)

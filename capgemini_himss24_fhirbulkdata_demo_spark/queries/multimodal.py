@@ -116,3 +116,155 @@ def x51_multimodal_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id BIGINT, patch_id INT, patch_bytes BIGINT, patch_digest STRING"
     )
     return payloads.mapInPandas(fn, schema).orderBy("doc_id", "patch_id")
+
+
+# ------------------------------------------------------ audio (WAV)
+
+_SR = 8000  # fixture sample rate
+
+# DuckDB twin computes over the raw ASCII bytes the WAV samples are
+# built from: unicode(char) == byte value for the ASCII fixture text
+# (byte-exactness already asserted by x50's md5 match).
+_CHARS = "string_split(text, '')"
+_X63_SQL = f"""
+    SELECT doc_id,
+           CAST({_SR} AS INT) AS sample_rate,
+           CAST(STRLEN(text) AS BIGINT) AS n_samples,
+           CAST(COALESCE(list_sum(list_transform({_CHARS},
+                x -> unicode(x))), 0) AS BIGINT) AS sum_amp,
+           CAST(COALESCE(list_sum(list_transform({_CHARS},
+                x -> unicode(x) * unicode(x))), 0) AS BIGINT) AS sum_sq,
+           MD5(text) AS digest
+    FROM documents
+    ORDER BY doc_id
+    """
+
+
+@register("x63_audio_stats", oracle=_X63_SQL)
+def x63_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode path: each document's bytes become an 8-bit mono
+    PCM RIFF/WAVE container (real stdlib ``wave`` writer), and the
+    mapInPandas stage parses the container back (``decode_wav``, real
+    header walk + frame read) before computing per-clip stats —
+    sample count, amplitude sums (exact integers: no float-order
+    hazard), content digest. The oracle recomputes the stats from the
+    source bytes, so a digest match proves the container round-trip
+    and the stats are independently hash-checked.
+
+    Scale: 1→1 skinny output (five scalars per clip); payload bytes
+    cross the Python boundary once per Arrow batch and never shuffle
+    — the same shape as real audio feature extraction (loudness /
+    clipping / duration screens) over a 100 TB media lake.
+    """
+    from ..multimodal.binary import decode_wav, encode_wav
+
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                wav = encode_wav(bytes(payload), _SR)
+                (_ch, _sw, rate, n), samples = decode_wav(wav)
+                out.append(
+                    (
+                        int(did),
+                        rate,
+                        n,
+                        sum(samples),
+                        sum(s * s for s in samples),
+                        hashlib.md5(samples).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "sample_rate", "n_samples",
+                    "sum_amp", "sum_sq", "digest",
+                ],
+            )
+
+    schema = (
+        "doc_id BIGINT, sample_rate INT, n_samples BIGINT, "
+        "sum_amp BIGINT, sum_sq BIGINT, digest STRING"
+    )
+    return payloads.mapInPandas(fn, schema).orderBy("doc_id")
+
+
+# ------------------------------------------- video frame sampling (GIF)
+
+_FRAME_W = 8
+_FRAME_H = 8
+_FRAME_BYTES = _FRAME_W * _FRAME_H
+_MAX_FRAMES = 4
+_SAMPLE_EVERY = 2
+
+_X64_SQL = f"""
+    WITH f AS (
+      SELECT doc_id, CAST(g.f AS INT) AS frame_id,
+             SUBSTR(text, g.f * {_FRAME_BYTES} + 1, {_FRAME_BYTES}) AS chunk
+      FROM documents,
+           (SELECT UNNEST(RANGE(0, {_MAX_FRAMES})) AS f) g
+      WHERE STRLEN(text) >= (g.f + 1) * {_FRAME_BYTES}
+        AND g.f % {_SAMPLE_EVERY} = 0)
+    SELECT doc_id, frame_id, MD5(chunk) AS frame_digest,
+           CAST(list_sum(list_transform(string_split(chunk, ''),
+                x -> unicode(x))) AS BIGINT) AS sum_luma
+    FROM f
+    ORDER BY doc_id, frame_id
+    """
+
+
+@register("x64_frame_sample", oracle=_X64_SQL)
+def x64_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling path: the document's bytes become pixel
+    indices of a real multi-frame GIF89a (grayscale palette, in-repo
+    LZW codec), the mapInPandas stage decodes the animation back
+    (``_decode_gif``, real LZW + palette walk), samples every
+    {every}-th frame, and emits per-sampled-frame digest + exact luma
+    sum. The grayscale palette makes decoded luma == source byte, so
+    the DuckDB twin recomputes both from the text slices — a frame
+    digest match proves the whole encode→LZW→decode round trip.
+
+    Scale: 1→N skinny rows (one per sampled frame), the canonical
+    keyframe-extraction shape; full frames never leave the Python
+    worker, and payload columns prune out of any plan not selecting
+    them.
+    """
+    from ..multimodal.binary import _decode_gif, encode_gif
+
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    palette = [(i, i, i) for i in range(256)]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = min(len(b) // _FRAME_BYTES, _MAX_FRAMES)
+                if n_frames == 0:
+                    continue
+                frames = [
+                    b[i * _FRAME_BYTES : (i + 1) * _FRAME_BYTES]
+                    for i in range(n_frames)
+                ]
+                gif = encode_gif(_FRAME_W, _FRAME_H, frames, palette)
+                _w, _h, decoded = _decode_gif(gif)
+                for fid in range(0, n_frames, _SAMPLE_EVERY):
+                    fr = decoded[fid]
+                    out.append(
+                        (int(did), fid, hashlib.md5(fr).hexdigest(), sum(fr))
+                    )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "frame_id", "frame_digest", "sum_luma"]
+            )
+
+    schema = (
+        "doc_id BIGINT, frame_id INT, frame_digest STRING, sum_luma BIGINT"
+    )
+    return payloads.mapInPandas(fn, schema).orderBy("doc_id", "frame_id")
+
+
+x64_frame_sample.__doc__ = x64_frame_sample.__doc__.format(every=_SAMPLE_EVERY)

@@ -600,3 +600,101 @@ def q106_group_order_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ALL
         """
     )
+
+
+@register(
+    "q108_central_tendency",
+    oracle="""
+    WITH mode_m AS (
+      SELECT l_returnflag, mo AS mode_month FROM (
+        SELECT l_returnflag, CAST(MONTH(l_shipdate) AS INT) AS mo,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY COUNT(*) DESC, mo ASC) AS rn
+        FROM lineitem GROUP BY l_returnflag, mo) WHERE rn = 1),
+    stats AS (
+      SELECT l_returnflag,
+             ROUND(MEDIAN(l_quantity), 2) AS med_qty,
+             ROUND(QUANTILE_DISC(l_extendedprice, 0.25), 2) AS p25_price
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT s.l_returnflag, s.med_qty, s.p25_price, m.mode_month
+    FROM stats s JOIN mode_m m USING (l_returnflag)
+    ORDER BY l_returnflag
+    """,
+)
+def q108_central_tendency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact central-tendency aggregate battery: MEDIAN (interpolating
+    exact median), PERCENTILE_DISC ... WITHIN GROUP (discrete quantile
+    — always an actual data value, so no float interpolation hazard),
+    and deterministic MODE (Spark's ``mode(col, true)`` resolves ties
+    to the lowest value; the DuckDB twin spells the same argmax out
+    with an explicit window, since its ``mode()`` tie-break is
+    unspecified).
+
+    Scale: all three are single-pass sort-based aggregates per group
+    over one uniform-key shuffle; MEDIAN/PERCENTILE_DISC buffer per
+    group — bounded here by group count (3 return flags), the shape to
+    watch at 100 TB is per-group cardinality, for which the approx
+    variants (q72) are the escape hatch.
+    """
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               ROUND(MEDIAN(l_quantity), 2) AS med_qty,
+               ROUND(PERCENTILE_DISC(0.25)
+                     WITHIN GROUP (ORDER BY l_extendedprice), 2) AS p25_price,
+               MODE(CAST(MONTH(l_shipdate) AS INT), true) AS mode_month
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
+
+
+@register(
+    "q109_sql_udf",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(ROUND(SUM({_SQL_DISC_PRICE}
+                * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))), 4)
+                AS DOUBLE) AS sum_charge,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_discount > 0.05
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q109_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scalar UDF (Spark 4 ``CREATE TEMPORARY FUNCTION ... RETURN
+    expr``): the TPC-H charge formula packaged as a catalog function
+    and used inside an aggregate. SQL UDFs inline into the plan at
+    analysis time — the optimized plan is identical to writing the
+    expression inline (no Python boundary, full codegen), which is
+    exactly why they're the preferred reuse mechanism over Python UDFs.
+    The oracle inlines the same expression; money math stays decimal
+    end-to-end so the SUM is order-insensitive.
+    """
+    _views(spark, sf_dir, "lineitem")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION eng_charge(
+            price DOUBLE, disc DOUBLE, tax DOUBLE)
+        RETURNS DECIMAL(28,10)
+        RETURN CAST(price AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(6,4)) - CAST(disc AS DECIMAL(6,4)))
+               * (CAST(1 AS DECIMAL(6,4)) + CAST(tax AS DECIMAL(6,4)))
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(ROUND(SUM(eng_charge(l_extendedprice, l_discount, l_tax)), 4)
+                    AS DOUBLE) AS sum_charge,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        WHERE l_discount > 0.05
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
