@@ -1109,3 +1109,89 @@ def x58_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out._cached_deps = [sh]
     return out
+
+
+# ---- x66: incremental batch-vs-corpus dedup (the ingest-time form) ----
+
+# Deterministic ~75/25 split: first md5 hex digit of the doc key in
+# 0..b = already-ingested corpus, c..f = the arriving batch. Same
+# portable gate family as x24's sampling.
+_X66_GATE = "SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) BETWEEN 'c' AND 'f'"
+
+_X66_SQL = f"""
+    WITH corpus AS (
+      SELECT DISTINCT MD5(text) AS fp FROM documents
+      WHERE NOT ({_X66_GATE})),
+    batch AS (
+      SELECT doc_id, MD5(text) AS fp FROM documents
+      WHERE {_X66_GATE}),
+    flagged AS (
+      SELECT b.doc_id, b.fp,
+             CASE WHEN c.fp IS NOT NULL THEN 1 ELSE 0 END AS in_corpus,
+             CASE WHEN b.doc_id = MIN(b.doc_id) OVER (PARTITION BY b.fp)
+                  THEN 1 ELSE 0 END AS first_in_batch
+      FROM batch b LEFT JOIN corpus c ON b.fp = c.fp)
+    SELECT doc_id, in_corpus, first_in_batch,
+           CASE WHEN in_corpus = 0 AND first_in_batch = 1
+                THEN 'keep' ELSE 'drop' END AS verdict
+    FROM flagged
+    ORDER BY doc_id
+    """
+
+
+@register("x66_incremental_dedup", oracle=_X66_SQL)
+def x66_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (ingest-time) exact dedup: an arriving batch is
+    checked against the already-ingested corpus' fingerprint set AND
+    against itself (keep-first within the batch) — the production
+    shape for continuous corpus growth, where re-running x01 over the
+    full corpus per ingest would be quadratic over time. The 75/25
+    corpus/batch split is a deterministic md5 gate on the doc key.
+
+    Scale: one uniform-key (fingerprint) left join bounded by batch
+    size — the corpus side prunes to its fingerprint column (skinny
+    scan) and at 100 TB lives as a bucketed/Z-ordered fingerprint
+    table so the join co-locates without reshuffling the corpus; the
+    within-batch keep-first window shuffles only the batch. Nothing
+    ever touches corpus text.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    gate = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).between(
+        "c", "f"
+    )
+    fp = F.md5(F.col("text").cast("binary")).alias("fp")
+    corpus = docs.filter(~gate).select(fp).distinct()
+    batch = docs.filter(gate).select("doc_id", fp)
+    flagged = (
+        batch.join(
+            corpus.withColumn("__hit", F.lit(1)), "fp", "left"
+        )
+        .select(
+            "doc_id",
+            "fp",
+            F.when(F.col("__hit").isNotNull(), 1).otherwise(0).alias("in_corpus"),
+            F.when(
+                F.col("doc_id")
+                == F.min("doc_id").over(Window.partitionBy("fp")),
+                1,
+            )
+            .otherwise(0)
+            .alias("first_in_batch"),
+        )
+    )
+    return (
+        flagged.select(
+            "doc_id",
+            "in_corpus",
+            "first_in_batch",
+            F.when(
+                (F.col("in_corpus") == 0) & (F.col("first_in_batch") == 1),
+                "keep",
+            )
+            .otherwise("drop")
+            .alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )

@@ -948,3 +948,68 @@ def x59_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+
+
+# ---- x67: embedding QA screen (pre-index data-quality audit) ----
+
+_X67_SQL = f"""
+    WITH n AS (
+      SELECT label,
+             LEN(embedding) AS dim,
+             SQRT({_sql_dot('embedding', 'embedding')}) AS norm
+      FROM embeddings)
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(CASE WHEN dim <> {_DIM} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bad_dim,
+           CAST(SUM(CASE WHEN norm < 1e-6 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_zero,
+           ROUND(MIN(norm), 6) AS min_norm,
+           ROUND(MAX(norm), 6) AS max_norm,
+           ROUND(CAST(SUM(CAST(norm AS DECIMAL(28,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_norm
+    FROM n
+    GROUP BY label
+    ORDER BY label
+    """
+
+
+@register("x67_embedding_qa", oracle=_X67_SQL)
+def x67_embedding_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QA screen — the audit run before any index build or
+    similarity pass: per label, vector count, dimension violations,
+    zero/near-zero vectors (cosine-undefined), and the norm range.
+    MIN/MAX are order-insensitive; the mean norm sums exact decimals
+    (x57's convention) so the only float steps are the per-row
+    deterministic fold + one final division.
+
+    Scale: a single narrow map (fold per row) into one uniform-key
+    partial-agg shuffle — the cheapest possible full-corpus screen;
+    no joins, no pairs, plan width O(1) in dim.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.select(
+        "label",
+        F.size("embedding").alias("dim"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    )
+    return (
+        n.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(F.when(F.col("dim") != _DIM, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_bad_dim"),
+            F.sum(F.when(F.col("norm") < 1e-6, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_zero"),
+            F.round(F.min("norm"), 6).alias("min_norm"),
+            F.round(F.max("norm"), 6).alias("max_norm"),
+            F.round(
+                F.sum(F.col("norm").cast("decimal(28,12)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_norm"),
+        )
+        .orderBy("label")
+    )

@@ -538,3 +538,32 @@ def test_gif_multiframe_roundtrip(w, h, nf, npal, seed):
     short = gif[: max(13, len(gif) - max(2, len(gif) // 3))]
     with pytest.raises((ValueError, NotImplementedError)):
         _decode_gif(short)
+
+
+@given(
+    n=st.integers(min_value=0, max_value=400),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip(n, rate, seed):
+    """encode_wav -> decode_wav round-trips arbitrary 8-bit sample
+    streams and header metadata exactly; truncating the data chunk
+    raises ValueError (never yields short samples)."""
+    import hashlib
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.multimodal.binary import (
+        decode_wav,
+        encode_wav,
+    )
+
+    samples = bytes(
+        hashlib.md5(f"{seed}:{i}".encode()).digest()[0] for i in range(n)
+    )
+    wav = encode_wav(samples, rate)
+    (ch, sw, fr, nf), got = decode_wav(wav)
+    assert (ch, sw, fr, nf) == (1, 1, rate, n)
+    assert got == samples
+    if n >= 2:
+        with pytest.raises(ValueError):
+            decode_wav(wav[:-1])
