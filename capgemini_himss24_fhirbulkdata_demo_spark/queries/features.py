@@ -95,3 +95,47 @@ def x65_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 x65_hashed_features.__doc__ = x65_hashed_features.__doc__.format(n=_N_BUCKETS)
+
+
+_X68_QUOTA = 20
+
+_X68_SQL = f"""
+    WITH r AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    SELECT lang, doc_id, rn
+    FROM r WHERE rn <= {_X68_QUOTA}
+    ORDER BY lang, rn
+    """
+
+
+@register("x68_balanced_sample", oracle=_X68_SQL)
+def x68_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced deterministic downsampling: exactly {quota}
+    documents per language, chosen by md5 rank on the doc key — the
+    eval-set construction rule (equal per-class quotas, reproducible
+    across engines/retries/partition layouts, unlike RNG sampling).
+    Complements x24 (rate-based gate) and x41 (hash split): this one
+    guarantees exact per-class COUNTS.
+
+    Scale: one (lang)-keyed window; per-class top-k via rank means
+    Spark can use the WindowGroupLimit pushdown shape (as q31), so
+    each partition keeps only k rows before the final sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rn = F.row_number().over(
+        Window.partitionBy("lang").orderBy(
+            F.md5(F.col("doc_id").cast("string")), "doc_id"
+        )
+    )
+    return (
+        docs.select("lang", "doc_id", rn.alias("rn"))
+        .filter(F.col("rn") <= _X68_QUOTA)
+        .orderBy("lang", "rn")
+    )
+
+
+x68_balanced_sample.__doc__ = x68_balanced_sample.__doc__.format(quota=_X68_QUOTA)

@@ -698,3 +698,109 @@ def q109_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_returnflag
         """
     )
+
+
+@register(
+    "q110_grouping_id",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+           COALESCE(l_linestatus, 'ALL') AS ls,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+           CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY gid, rf, ls
+    """,
+)
+def q110_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING()/GROUPING_ID() over ROLLUP: the functions that let a
+    consumer tell a real NULL key from a subtotal row — both engines
+    agree on the bit order (first argument = most significant), which
+    this query pins down cross-engine.
+    """
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+               COALESCE(l_linestatus, 'ALL') AS ls,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+               CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY gid, rf, ls
+        """
+    )
+
+
+@register(
+    "q111_named_window",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           RANK() OVER w AS rnk,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w, 2)
+                AS DOUBLE) AS run_spend
+    FROM orders
+    WHERE o_custkey < 50
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q111_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named WINDOW clause (SQL:2003 `WINDOW w AS (...)`): one spec
+    shared by several window functions — the analyzer expands it, so
+    the plan is identical to repeating the inline spec, and a single
+    Window physical operator computes both functions in one pass over
+    one (o_custkey)-keyed shuffle. Running sum in exact decimals;
+    (o_orderdate, o_orderkey) is a total order so ties can't flake.
+    """
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               RANK() OVER w AS rnk,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w, 2)
+                    AS DOUBLE) AS run_spend
+        FROM orders
+        WHERE o_custkey < 50
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, o_orderkey
+        """
+    )
+
+
+@register(
+    "q112_cluster_by",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS total_spend
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q112_cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's physical-layout SQL surface: the inner `CLUSTER BY`
+    (= DISTRIBUTE BY + SORT BY) hash-partitions and sorts by the key,
+    and the outer aggregate reuses that distribution (no second hash
+    exchange — verified: 2 exchanges total, the cluster-by hash + the
+    final ORDER BY range). The trade-off to know at 100 TB: the
+    forced distribution shuffles FULL rows before aggregating, where
+    a plain groupBy shuffles map-side partials — so this layout only
+    pays when several same-key operations share the one exchange.
+    Results are layout-invariant (oracle = plain aggregate);
+    determinism comes from the final ORDER BY, never physical order.
+    """
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+                   AS total_spend
+        FROM (SELECT * FROM orders CLUSTER BY o_orderpriority)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )

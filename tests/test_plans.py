@@ -532,3 +532,38 @@ def test_round4_scalar_rollups_single_scan(spark):
     # exchange + one final global order, nothing per-aggregate
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
     assert n_exchanges <= 2, plan
+
+
+def test_x68_window_group_limit_and_q112_exchange_reuse(spark):
+    # x68: per-class top-k via rank must fold into WindowGroupLimit
+    # (each partition keeps <= quota rows before the final sort)
+    p = explain_str(_plan(spark, "x68_balanced_sample"))
+    assert "WindowGroupLimit" in p, p
+    # q112: the aggregate must reuse CLUSTER BY's hash distribution —
+    # exactly 2 exchanges (cluster-by hash + final ORDER BY range),
+    # never a third for the aggregate itself
+    import re
+
+    p2 = explain_str(_plan(spark, "q112_cluster_by"))
+    # formatted explain lists each node twice (tree + detail): count
+    # distinct "(n) Exchange" detail headers
+    assert len(re.findall(r"^\(\d+\) Exchange", p2, re.M)) == 2, p2
+
+
+def test_x66_incremental_dedup_batch_bounded(spark):
+    # the corpus side must prune to its fingerprint input column —
+    # corpus text is read only to fingerprint, and the join key is
+    # the fingerprint (uniform), never raw text
+    df = _plan(spark, "x66_incremental_dedup")
+    assert_no_cartesian_product(df)
+    p = explain_str(df)
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p, p
+
+
+def test_x65_hashed_features_single_agg_shuffle(spark):
+    # tokenize stays narrow; (doc_id, bucket) partial agg + per-doc
+    # window — no joins at all
+    df = _plan(spark, "x65_hashed_features")
+    p = explain_str(df)
+    assert "Join" not in p, p
+    assert "partial_count" in p or "partial" in p.lower(), p
