@@ -1195,3 +1195,46 @@ def x66_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---- x70: cross-source duplicate-overlap matrix ----
+
+_X70_SQL = """
+    WITH fp AS (
+      SELECT DISTINCT source, MD5(text) AS fp FROM documents)
+    SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(*) AS n_shared
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY source_a, source_b
+    ORDER BY source_a, source_b
+    """
+
+
+@register("x70_source_overlap", oracle=_X70_SQL)
+def x70_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate-overlap matrix: for every source pair,
+    how many distinct fingerprints both carry — the provenance
+    diagnostic behind dedup-priority and mixing decisions (e.g. a
+    web-scrape source that is 40% contained in another is mostly
+    re-crawl, and x43's recipe should know).
+
+    Scale: fingerprints dedup per source first (one uniform-key
+    partial-agg shuffle), then self-join on the fingerprint key —
+    candidate sets are per-fingerprint (sources sharing that text),
+    so the join emits O(shared-pairs), never sources² × corpus. The
+    output matrix is at most |sources|² rows — driver-safe.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "source", F.md5(F.col("text").cast("binary")).alias("fp")
+    ).distinct()
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .orderBy("source_a", "source_b")
+    )

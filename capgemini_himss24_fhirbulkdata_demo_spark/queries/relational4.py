@@ -804,3 +804,37 @@ def q112_cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderpriority
         """
     )
+
+
+@register(
+    "q113_offset_pagination",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 40
+    """,
+)
+def q113_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT ... OFFSET pagination (page 3 of a spend-ranked list)
+    over a total order (price DESC, key tiebreak — OFFSET over a
+    non-total order would be nondeterministic and uncheckable).
+
+    Scale: Spark folds this into TakeOrderedAndProject with the
+    offset applied after the per-partition top-(limit+offset) merge —
+    each task keeps 60 rows, no global sort materializes. Deep pages
+    degrade as offset grows (every task must carry limit+offset
+    rows); keyset pagination (WHERE key > last_seen) is the 100 TB
+    pattern, which is plain filtered top-k (q03's shape).
+    """
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20 OFFSET 40
+        """
+    )
