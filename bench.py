@@ -67,10 +67,12 @@ HEADLINE += [
     "q92_nation_pair_volume",
     "q96_disjunctive_predicate",
 ]
-# Round-4 additions (sub-document dedup family).
+# Round-4 additions (sub-document dedup family; media/ingest paths).
 HEADLINE += [
     "x19_paragraph_removal",
     "x17_repetition_removal",
+    "x64_frame_sample",
+    "x66_incremental_dedup",
 ]
 
 

@@ -450,3 +450,56 @@ def x36_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "x71_interval_left_join",
+    oracle="""
+    SELECT a.user_id,
+           a.event_id AS view_id, b.event_id AS purchase_id,
+           CASE WHEN b.event_id IS NULL THEN 0 ELSE 1 END AS matched
+    FROM (SELECT * FROM events WHERE event_type = 'view') a
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    ORDER BY a.user_id, view_id, purchase_id NULLS FIRST
+    """,
+)
+def x71_interval_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join, batch twin: every view
+    appears — attributed to each purchase within the hour, or with a
+    NULL purchase once the window closes empty. This is the streaming
+    semantics where unmatched rows can only be emitted after the
+    watermark passes the interval bound (state eviction = the NULL
+    emission point); the batch form is the plain left range join.
+
+    Scale: shuffles on user_id like x33; the left-outer adds no state
+    beyond the inner form — in streaming both sides' state is still
+    evictable at watermark - interval, in batch AQE sizes the join
+    sides the same as the inner query.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("ts_a")
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("user_b"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("ts_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("user_b"))
+            & (F.col("ts_b") > F.col("ts_a"))
+            & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 1 HOUR")),
+            "left",
+        )
+        .select(
+            "user_id",
+            "view_id",
+            "purchase_id",
+            F.when(F.col("purchase_id").isNull(), 0).otherwise(1).alias("matched"),
+        )
+        .orderBy("user_id", "view_id", F.asc_nulls_first("purchase_id"))
+    )

@@ -88,14 +88,22 @@ def interval_join(
     max_lag: str = "1 hour",
     watermark: str = "2 hours",
     ts_col: str = "ts",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream interval join (batch twin: x33).
+    """Watermarked stream-stream interval join (batch twins: x33
+    inner, x71 left-outer).
 
     Both sides carry a watermark and the join condition bounds
     right.ts within (left.ts, left.ts + max_lag] — exactly the
     conditions Spark needs to evict join state (left rows older than
     watermark+max_lag, right rows older than watermark). Output
-    columns are renamed to the x33 contract.
+    columns are renamed to the x33 contract. With ``how='left'``,
+    an unmatched left row is emitted with NULL right columns only
+    once the watermark passes its interval bound (state eviction IS
+    the NULL-emission point) — so on a drained finite source, the
+    tail of left rows younger than max-event-time − watermark −
+    max_lag stays unemitted; the live test asserts exactly that
+    bounded divergence from the batch twin.
     """
     l = left.withWatermark(ts_col, watermark).select(
         F.col(key), F.col("event_id").alias("view_id"), F.col(ts_col).alias("ts_a")
@@ -110,6 +118,7 @@ def interval_join(
         (F.col(key) == F.col("__rk"))
         & (F.col("ts_b") > F.col("ts_a"))
         & (F.col("ts_b") <= F.col("ts_a") + F.expr(f"INTERVAL {max_lag}")),
+        how,
     ).select(
         key,
         "view_id",

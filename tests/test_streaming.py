@@ -557,3 +557,62 @@ def test_transform_with_state_twin_matches_group_state(spark, tmp_path):
     flags = {(r[0], r[1]): r[4] for r in base}
     assert flags[(7, 2)] is True  # 10s gap < 60s
     assert flags[(7, 4)] is False  # 290s gap
+
+
+def test_interval_left_join_stream_equals_batch_modulo_tail(
+    spark, landed_events, tmp_path
+):
+    """Watermarked stream-stream LEFT OUTER interval join vs the x71
+    batch twin: matched rows must agree exactly; NULL (unmatched)
+    rows are emitted only when the watermark passes the view's
+    interval bound, so the live result's NULL set is the batch twin's
+    NULL set minus the unfinalizable tail (views younger than
+    max_ts - watermark - max_lag). Asserts both directions of that
+    containment, so the test fails if eviction stops emitting NULLs
+    OR if rows are emitted that the batch semantics forbid."""
+    import datetime as dt
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.queries import QUERIES
+    from capgemini_himss24_fhirbulkdata_demo_spark.streaming import interval_join
+
+    left = read_parquet_stream(spark, landed_events, EVENTS_SCHEMA).filter(
+        F.col("event_type") == "view"
+    )
+    right = read_parquet_stream(spark, landed_events, EVENTS_SCHEMA).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = interval_join(left, right, how="left")
+    _run_to_memory(joined, "ij_left_out", str(tmp_path / "ck_ijl"), mode="append")
+    got = {
+        tuple(r)
+        for r in spark.table("ij_left_out")
+        .select("user_id", "view_id", "purchase_id")
+        .collect()
+    }
+    batch = QUERIES["x71_interval_left_join"](spark, SF_DIR).collect()
+    exp_matched = {
+        (r.user_id, r.view_id, r.purchase_id) for r in batch if r.matched == 1
+    }
+    exp_null = {(r.user_id, r.view_id, None) for r in batch if r.matched == 0}
+    got_matched = {t for t in got if t[2] is not None}
+    got_null = {t for t in got if t[2] is None}
+    assert got_matched == exp_matched
+    assert len(exp_matched) > 0
+    # the live NULL set is bounded by the batch NULL set...
+    assert got_null <= exp_null
+    # ...and must contain every view old enough that its state was
+    # provably evicted (1 extra hour of safety margin on the bound)
+    ev = load_table(spark, SF_DIR, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    cutoff = max_ts - dt.timedelta(hours=4)  # watermark 2h + lag 1h + 1h margin
+    views = {
+        (r.user_id, r.event_id): r.ts
+        for r in ev.filter(F.col("event_type") == "view").collect()
+    }
+    must_emit = {
+        (u, v, None)
+        for (u, v, ts) in ((u, v, ts) for (u, v), ts in views.items())
+        if (u, v, None) in exp_null and ts < cutoff
+    }
+    assert must_emit <= got_null
+    assert len(must_emit) > 0
