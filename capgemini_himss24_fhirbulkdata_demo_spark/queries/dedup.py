@@ -1238,3 +1238,86 @@ def x70_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared"))
         .orderBy("source_a", "source_b")
     )
+
+
+# ---- x72: end-to-end near-dup removal retention (pairs → CC → keep-min) ----
+
+_X72_SQL = f"""
+    WITH RECURSIVE {_X02_CTES},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    comp AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+      FROM reach GROUP BY a),
+    removed AS (
+      SELECT doc_id FROM comp WHERE doc_id <> component)
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_removed,
+           CAST(COUNT(*) - SUM(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           ROUND(CAST(COUNT(*) - SUM(CASE WHEN r.doc_id IS NOT NULL
+                                          THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 4) AS retention
+    FROM documents d LEFT JOIN removed r ON d.doc_id = r.doc_id
+    GROUP BY d.source
+    ORDER BY d.source
+    """
+
+
+@register("x72_dedup_retention", oracle=_X72_SQL)
+def x72_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup pipeline end to end, as one driver-checked
+    number per source: MinHash-LSH pairs (x02) → connected components
+    (x07's iterative min-label propagation) → keep MIN(doc_id) per
+    component → per-source removal counts and retention rate. This is
+    the report a corpus-prep run actually publishes — and the whole
+    chain (banding, gating, exact-Jaccard verify, transitive closure,
+    keep-min, per-source rollup) is hash-matched against a single
+    declarative recursive-CTE DuckDB twin.
+
+    Scale: every stage inherits its own budget (x02's skinny band
+    shuffle, x07's per-round label shuffle with localCheckpoint); the
+    removed set joins back as a (doc_id)-keyed anti-side bounded by
+    the duplicate count, and the rollup is one partial-agg shuffle on
+    source.
+    """
+    from ..operators.dedup import connected_components, release_cached_deps
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = x02_dedup_minhash(spark, sf_dir)
+    comps = connected_components(pairs, "doc_a", "doc_b")
+    removed = comps.filter(F.col("v") != F.col("component")).select(
+        F.col("v").alias("doc_id"), F.lit(1).alias("__rm")
+    )
+    out = (
+        docs.join(removed, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce(F.col("__rm"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_removed",
+            (F.col("n_docs") - F.col("n_removed")).cast("bigint").alias("n_kept"),
+            F.round(
+                (F.col("n_docs") - F.col("n_removed")).cast("double")
+                / F.col("n_docs"),
+                4,
+            ).alias("retention"),
+        )
+        .orderBy("source")
+    )
+    release_cached_deps(pairs)
+    return out
