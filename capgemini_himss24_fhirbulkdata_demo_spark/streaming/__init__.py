@@ -14,6 +14,7 @@ plus sleep-based polling (``:282-326``). Here that becomes:
 
 from .sources import read_ndjson_stream, read_parquet_stream  # noqa: F401
 from .windows import (  # noqa: F401
+    enrich_with_static,
     interval_join,
     session_agg,
     sliding_agg,

@@ -142,3 +142,28 @@ def streaming_dedup(
     backstop — the standard lambda-free two-tier design).
     """
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def enrich_with_static(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "left",
+    hint_broadcast: bool = True,
+) -> DataFrame:
+    """Stream-static equi join — the enrichment pattern (each
+    micro-batch joins against the static side as of that batch's
+    planning, so a dim table refreshed between batches is picked up
+    without restarting the query). Stream-static joins are stateless:
+    no watermark is needed and no join state accumulates, which is
+    what makes this the cheap half of the join family — reach for it
+    before a stream-stream join whenever one side is a slowly
+    changing dimension.
+
+    ``hint_broadcast=True`` (default) marks the dim for broadcast —
+    the right call for bounded dimensions (the RxNav map shape,
+    SURVEY §4.3.1); pass False for large static sides and let the
+    planner shuffle the batch instead.
+    """
+    d = F.broadcast(dim) if hint_broadcast else dim
+    return stream.join(d, key, how)

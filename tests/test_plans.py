@@ -567,3 +567,17 @@ def test_x65_hashed_features_single_agg_shuffle(spark):
     p = explain_str(df)
     assert "Join" not in p, p
     assert "partial_count" in p or "partial" in p.lower(), p
+
+
+def test_q111_single_window_q113_ordered_limit(spark):
+    import re
+
+    # q111: the shared named-window spec must compile to ONE Window
+    # physical operator evaluating both functions in a single pass
+    p = explain_str(_plan(spark, "q111_named_window"))
+    assert len(re.findall(r"^\(\d+\) Window", p, re.M)) == 1, p
+    # q113: LIMIT+OFFSET over a total order must fold into
+    # TakeOrderedAndProject (no global sort materialization)
+    p2 = explain_str(_plan(spark, "q113_offset_pagination"))
+    assert "TakeOrderedAndProject" in p2, p2
+    assert "Sort " not in p2.split("TakeOrderedAndProject")[0], p2

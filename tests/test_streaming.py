@@ -616,3 +616,29 @@ def test_interval_left_join_stream_equals_batch_modulo_tail(
     }
     assert must_emit <= got_null
     assert len(must_emit) > 0
+
+
+def test_stream_static_enrichment_equals_batch(spark, landed_events, tmp_path):
+    """Stream-static join: every micro-batch row enriched from the
+    static dim exactly as the batch join would — stateless, no
+    watermark, dim broadcast (the streaming form of the RxNav
+    enrichment shape)."""
+    from capgemini_himss24_fhirbulkdata_demo_spark.streaming import (
+        enrich_with_static,
+    )
+
+    dim = spark.createDataFrame(
+        [(i, f"segment_{i % 3}") for i in range(200)], ["user_id", "segment"]
+    )
+    stream = read_parquet_stream(spark, landed_events, EVENTS_SCHEMA).select(
+        "event_id", "user_id"
+    )
+    out = enrich_with_static(stream, dim, "user_id")
+    _run_to_memory(out, "enrich_out", str(tmp_path / "ck_enrich"), mode="append")
+    got = {tuple(r) for r in spark.table("enrich_out").collect()}
+    batch = load_table(spark, SF_DIR, "events").select("event_id", "user_id")
+    exp = {tuple(r) for r in batch.join(dim, "user_id", "left")
+           .select("event_id", "user_id", "segment").collect()}
+    # the join moves the key first in the streaming output — reorder
+    assert {(e, u, s) for (u, e, s) in got} == exp
+    assert len(exp) > 0
