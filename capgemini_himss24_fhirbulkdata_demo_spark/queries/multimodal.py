@@ -268,3 +268,83 @@ def x64_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 x64_frame_sample.__doc__ = x64_frame_sample.__doc__.format(every=_SAMPLE_EVERY)
+
+
+# ------------------------------------- audio autocorrelation (pitch)
+
+_MAX_LAG = 4
+
+_X73_LAGS = ", ".join(
+    f"""CAST(COALESCE(list_sum(list_transform(
+          RANGE(1, GREATEST(CAST(STRLEN(text) AS BIGINT) - {k}, 0) + 1),
+          i -> unicode(SUBSTR(text, CAST(i AS INT), 1))
+               * unicode(SUBSTR(text, CAST(i AS INT) + {k}, 1)))), 0)
+        AS BIGINT) AS r{k}"""
+    for k in range(1, _MAX_LAG + 1)
+)
+
+_X73_BEST = (
+    "CASE "
+    + " ".join(
+        f"WHEN r{k} >= GREATEST({', '.join(f'r{j}' for j in range(1, _MAX_LAG + 1))})"
+        f" THEN {k}"
+        for k in range(1, _MAX_LAG + 1)
+    )
+    + " END"
+)
+
+_X73_SQL = f"""
+    WITH r AS (
+      SELECT doc_id, {_X73_LAGS} FROM documents)
+    SELECT doc_id, r1, r2, r3, r4,
+           CAST({_X73_BEST} AS INT) AS best_lag
+    FROM r
+    ORDER BY doc_id
+    """
+
+
+@register("x73_audio_autocorr", oracle=_X73_SQL)
+def x73_audio_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio periodicity screen: per clip, the raw autocorrelation at
+    lags 1..{maxlag} over the decoded 8-bit samples plus the
+    strongest lag (ties → smallest) — the integer core of a
+    pitch/periodicity detector, kept in exact int64 so the DuckDB
+    twin (per-character products over the same bytes) is bit-exact.
+    The clip goes through the real WAV container round trip
+    (encode_wav → decode_wav) before the numpy lag products, so the
+    audio decode path is exercised end to end again.
+
+    Scale: same 1→1 mapInPandas envelope as x63 — vectorized numpy
+    per Arrow batch, O(samples · {maxlag}) per clip, five scalars
+    out; nothing shuffles but the final skinny frame.
+    """
+    import numpy as np
+
+    from ..multimodal.binary import decode_wav, encode_wav
+
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _meta, samples = decode_wav(encode_wav(bytes(payload)))
+                s = np.frombuffer(samples, dtype=np.uint8).astype(np.int64)
+                rs = [
+                    int((s[:-k] * s[k:]).sum()) if len(s) > k else 0
+                    for k in range(1, _MAX_LAG + 1)
+                ]
+                best = 1 + max(range(_MAX_LAG), key=lambda i: (rs[i], -i))
+                out.append((int(did), *rs, best))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "r1", "r2", "r3", "r4", "best_lag"]
+            )
+
+    schema = (
+        "doc_id BIGINT, r1 BIGINT, r2 BIGINT, r3 BIGINT, r4 BIGINT, best_lag INT"
+    )
+    return payloads.mapInPandas(fn, schema).orderBy("doc_id")
+
+
+x73_audio_autocorr.__doc__ = x73_audio_autocorr.__doc__.format(maxlag=_MAX_LAG)
