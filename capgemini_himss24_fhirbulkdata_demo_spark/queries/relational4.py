@@ -838,3 +838,40 @@ def q113_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 20 OFFSET 40
         """
     )
+
+
+@register("x74_hll_rollup")  # no SQL oracle: DataSketches HLL binary format
+def x74_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (Spark 3.5+ DataSketches HLL): build
+    one HLL sketch of distinct customers per nation, then UNION the
+    nation sketches up to the region grain and estimate — the pattern
+    that makes 100 TB distinct-count rollups cheap: partials are
+    built once at the fine grain and re-aggregated at every coarser
+    grain without rescanning the facts (a COUNT(DISTINCT) per grain
+    would rescan + reshuffle raw keys each time). HLL register-merge
+    is max-per-register, so estimates are order- and
+    partitioning-insensitive — deterministic, but not reproducible in
+    DuckDB (different sketch implementation), hence rows-only.
+    Closeness to exact is asserted in tests/test_operators.py.
+    """
+    _views(spark, sf_dir, "customer", "nation", "region", "orders")
+    cust = spark.sql(
+        """
+        SELECT r_name, n_name, o_custkey
+        FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        """
+    )
+    nation_sketch = cust.groupBy("r_name", "n_name").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    return (
+        nation_sketch.groupBy("r_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_nations"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_customers"),
+        )
+        .orderBy("r_name")
+    )

@@ -628,3 +628,35 @@ def test_x46_short_docs_no_crash(spark, tmp_path):
     }
     assert 1 not in out and 2 not in out  # no bigrams -> no scored rows
     assert out[3]["n_bigrams"] == 2
+
+
+def test_x74_hll_rollup_close_to_exact(spark):
+    """The re-aggregated (nation→region) HLL estimate must sit within
+    HLL_4/lgK=12 error (<2% at these cardinalities) of the exact
+    distinct count — proving sketch partials survive the union step."""
+    from capgemini_himss24_fhirbulkdata_demo_spark.queries import QUERIES
+
+    got = {
+        r.r_name: r.approx_customers
+        for r in QUERIES["x74_hll_rollup"](spark, SF_DIR).collect()
+    }
+    from capgemini_himss24_fhirbulkdata_demo_spark.catalog import load_table
+
+    orders = load_table(spark, SF_DIR, "orders")
+    cust = load_table(spark, SF_DIR, "customer")
+    nation = load_table(spark, SF_DIR, "nation")
+    region = load_table(spark, SF_DIR, "region")
+    from pyspark.sql import functions as F
+
+    exact = {
+        r.r_name: r.n
+        for r in orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact) and len(got) > 0
+    for k, est in got.items():
+        assert abs(est - exact[k]) <= max(2, 0.02 * exact[k]), (k, est, exact[k])
