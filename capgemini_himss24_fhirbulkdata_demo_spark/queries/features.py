@@ -139,3 +139,46 @@ def x68_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 x68_balanced_sample.__doc__ = x68_balanced_sample.__doc__.format(quota=_X68_QUOTA)
+
+
+_X75_K = 5
+
+_X75_SQL = f"""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size
+      FROM customer GROUP BY c_nationkey, c_mktsegment)
+    SELECT c_nationkey, c_mktsegment, CAST(group_size AS BIGINT) AS group_size,
+           CASE WHEN group_size < {_X75_K} THEN 1 ELSE 0 END AS below_k
+    FROM g
+    ORDER BY c_nationkey, c_mktsegment
+    """
+
+
+@register("x75_k_anonymity", oracle=_X75_SQL)
+def x75_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifier columns (nation ×
+    market segment, k={k}): every equivalence class with its size and
+    a below-k flag — the privacy gate run before releasing or
+    training on user-adjacent data (classes below k need suppression
+    or generalization; x44's PII scrub is the column-level
+    complement, this is the row-group-level one).
+
+    Scale: one uniform-key partial-agg shuffle over the
+    quasi-identifier tuple; output is bounded by the QI-space
+    cardinality, not the corpus.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").cast("bigint").alias("group_size"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "group_size",
+            F.when(F.col("group_size") < _X75_K, 1).otherwise(0).alias("below_k"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+x75_k_anonymity.__doc__ = x75_k_anonymity.__doc__.format(k=_X75_K)

@@ -875,3 +875,45 @@ def x74_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name")
     )
+
+
+@register(
+    "q115_multicol_in",
+    oracle="""
+    -- DuckDB's binder rejects row-value IN subqueries, so the twin
+    -- spells out the identical semantics as a correlated EXISTS over
+    -- the same grouped subquery (both plan as a compound-key semi join)
+    SELECT l.l_orderkey, l.l_partkey, l.l_suppkey,
+           CAST(l.l_quantity AS BIGINT) AS qty
+    FROM lineitem l
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem g
+      WHERE g.l_partkey = l.l_partkey AND g.l_suppkey = l.l_suppkey
+      GROUP BY g.l_partkey, g.l_suppkey
+      HAVING COUNT(*) >= 4)
+    ORDER BY l.l_orderkey, l.l_partkey, l.l_suppkey, qty
+    """,
+)
+def q115_multicol_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column IN subquery — `(a, b) IN (SELECT a, b ...)`: all
+    lineitems whose (part, supplier) pairing recurs ≥4 times. Both
+    engines plan the row-value IN as a left-semi join on the compound
+    key; Catalyst rewrites it without a manual struct() workaround.
+
+    Scale: the subquery is a partial-agg over the same (partkey,
+    suppkey) key the semi-join then uses, so AQE lines both up on one
+    uniform compound key — no row-value comparison ever materializes.
+    """
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_partkey, l_suppkey,
+               CAST(l_quantity AS BIGINT) AS qty
+        FROM lineitem
+        WHERE (l_partkey, l_suppkey) IN (
+          SELECT l_partkey, l_suppkey FROM lineitem
+          GROUP BY l_partkey, l_suppkey
+          HAVING COUNT(*) >= 4)
+        ORDER BY l_orderkey, l_partkey, l_suppkey, qty
+        """
+    )

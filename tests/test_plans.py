@@ -581,3 +581,38 @@ def test_q111_single_window_q113_ordered_limit(spark):
     p2 = explain_str(_plan(spark, "q113_offset_pagination"))
     assert "TakeOrderedAndProject" in p2, p2
     assert "Sort " not in p2.split("TakeOrderedAndProject")[0], p2
+
+
+def test_runtime_bloom_filter_injects_on_selective_dim_join(spark):
+    """Spark's runtime bloom-filter injection (the shuffle-pruning
+    row-group skipper for selective dim joins at scale): with the
+    size thresholds scaled down to fixture size (defaults are 10 GB
+    application-side / 10 MB creation-side — i.e. the 100 TB regime),
+    the optimizer must inject a might_contain() semi-filter on the
+    fact side, built from the filtered dim. This is the 'free'
+    Catalyst feature SURVEY §4.2 counts on for selective star joins —
+    the contract here is that our plain equi-join shapes stay
+    eligible for it (no manual rewrite disqualifies them)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        from capgemini_himss24_fhirbulkdata_demo_spark.catalog import load_table
+
+        li = load_table(spark, SF_DIR, "lineitem")
+        pt = load_table(spark, SF_DIR, "part").filter("p_size = 7")
+        j = li.join(pt, li.l_partkey == pt.p_partkey).groupBy("p_size").count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan.lower(), plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
