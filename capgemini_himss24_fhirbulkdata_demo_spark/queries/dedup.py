@@ -1321,3 +1321,103 @@ def x72_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     release_cached_deps(pairs)
     return out
+
+
+# ---- x76: fuzzy (near-dup) train/eval decontamination ----
+
+# Same deterministic 75/25 split gate as x66: md5 first hex digit
+# c..f = eval, else train.
+_X76_SQL = f"""
+    WITH {_X02_CTES},
+    split AS (
+      SELECT doc_id, source,
+             CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1)
+                       BETWEEN 'c' AND 'f'
+                  THEN 'eval' ELSE 'train' END AS part
+      FROM documents),
+    cross_hits AS (
+      SELECT DISTINCT CASE WHEN sa.part = 'eval' THEN p.doc_a
+                           ELSE p.doc_b END AS eval_doc
+      FROM pairs p
+        JOIN split sa ON sa.doc_id = p.doc_a
+        JOIN split sb ON sb.doc_id = p.doc_b
+      WHERE sa.part <> sb.part)
+    SELECT s.source,
+           COUNT(*) AS n_eval,
+           CAST(SUM(CASE WHEN c.eval_doc IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           ROUND(CAST(SUM(CASE WHEN c.eval_doc IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 4) AS contamination_rate
+    FROM split s LEFT JOIN cross_hits c ON s.doc_id = c.eval_doc
+    WHERE s.part = 'eval'
+    GROUP BY s.source
+    ORDER BY s.source
+    """
+
+
+@register("x76_fuzzy_decontamination", oracle=_X76_SQL)
+def x76_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy train/eval decontamination: an eval document is
+    contaminated when it has a MinHash-LSH near-dup (x02's full
+    pipeline: banding + agree gate + exact-Jaccard verify) on the
+    *other* side of the split — the near-dup complement of x42's
+    exact 8-gram scan, which is what leaderboard decontamination
+    actually requires (benchmark text rarely survives scraping
+    byte-identical). Reported per source as eval counts and
+    contamination rate.
+
+    Scale: inherits x02's budget (skinny band shuffle, candidate-
+    bounded verify); the split classification is a narrow map joined
+    onto the pair list by doc_id, and the rollup shuffles only eval
+    rows on source.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    split = docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).between(
+                "c", "f"
+            ),
+            "eval",
+        )
+        .otherwise("train")
+        .alias("part"),
+    )
+    pairs = x02_dedup_minhash(spark, sf_dir)
+    sa = split.select(F.col("doc_id").alias("doc_a"), F.col("part").alias("pa"))
+    sb = split.select(F.col("doc_id").alias("doc_b"), F.col("part").alias("pb"))
+    cross_hits = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("pa") != F.col("pb"))
+        .select(
+            F.when(F.col("pa") == "eval", F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("eval_doc")
+        )
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    out = (
+        split.filter(F.col("part") == "eval")
+        .join(cross_hits, split.doc_id == cross_hits.eval_doc, "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_eval"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_contaminated"),
+        )
+        .select(
+            "source",
+            "n_eval",
+            "n_contaminated",
+            F.round(
+                F.col("n_contaminated").cast("double") / F.col("n_eval"), 4
+            ).alias("contamination_rate"),
+        )
+        .orderBy("source")
+    )
+    out._cached_deps = getattr(pairs, "_cached_deps", [])
+    return out
