@@ -182,3 +182,63 @@ def x75_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 x75_k_anonymity.__doc__ = x75_k_anonymity.__doc__.format(k=_X75_K)
+
+
+_X77_SQL = """
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+@register("x77_arrow_grouped_stats", oracle=_X77_SQL)
+def x77_arrow_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map Arrow UDF (`applyInArrow`, Spark 4): per-source
+    stats computed entirely in pyarrow compute kernels on the
+    zero-copy group Table — no pandas materialization, the lowest-
+    overhead Python-boundary form for columnar group work. Completes
+    the Arrow surface next to x53 (`mapInArrow`) and the pandas
+    grouped forms (x52 applyInPandas, x62 grouped-agg). Exact-integer
+    outputs, so the DuckDB twin is a plain aggregate.
+
+    Scale: one uniform-key (source) shuffle; each group crosses the
+    boundary once as Arrow record batches. Per-group memory is the
+    group's columnar footprint — for skewed group sizes, prefer
+    mapInArrow + two-level agg (x53's shape) or pre-salt (x60).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+
+    # NOTE: no type annotations on fn — PySpark's group-arrow eval-
+    # type inference raises UnboundLocalError on unresolvable string
+    # hints (group_ops.py:936); unannotated functions take the
+    # documented default path.
+    def fn(key, table):
+        src = key[0].as_py() if hasattr(key[0], "as_py") else key[0]
+        nc = table.column("n_chars")
+        return pa.table(
+            {
+                "source": [src],
+                "n_docs": [table.num_rows],
+                "sum_chars": [pc.sum(nc).as_py()],
+                "min_chars": [pc.min(nc).as_py()],
+                "max_chars": [pc.max(nc).as_py()],
+                "first_doc": [pc.min(table.column("doc_id")).as_py()],
+            }
+        )
+
+    schema = (
+        "source STRING, n_docs BIGINT, sum_chars BIGINT, "
+        "min_chars BIGINT, max_chars BIGINT, first_doc BIGINT"
+    )
+    return docs.groupBy("source").applyInArrow(fn, schema).orderBy("source")
