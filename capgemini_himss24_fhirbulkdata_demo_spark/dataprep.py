@@ -339,10 +339,19 @@ def write_training_shards(
     shard_key: str,
     n_shards: int,
     compression: str = "zstd",
+    fmt: str = "parquet",
 ) -> dict:
     """Export a prepared corpus as size-balanced, deterministic
-    parquet shards plus a JSON manifest — the hand-off format a
-    training loader consumes (shard list + row counts + total).
+    shards plus a JSON manifest — the hand-off format a training
+    loader consumes (shard list + row counts + total).
+
+    ``fmt='parquet'`` (default) or ``'jsonl'`` — many training
+    loaders stream gzip/zstd JSON-lines rather than parquet; the
+    JSONL path serializes each row with ``to_json(struct(*))`` (the
+    K1 NDJSON sink shape) and counts rows per shard with one
+    ``input_file_name()`` aggregate (text files have no footer
+    metadata to read, so this is the honest O(rows) count — noted,
+    not hidden).
 
     Scale/determinism: ``repartitionByRange(n_shards, shard_key)``
     range-partitions on the key (one shuffle; sampled range bounds
@@ -361,19 +370,41 @@ def write_training_shards(
 
     import pyarrow.parquet as _pq
 
-    (
-        df.repartitionByRange(n_shards, F.col(shard_key))
-        .sortWithinPartitions(shard_key)
-        .write.mode("overwrite")
-        .option("compression", compression)
-        .parquet(path)
+    if fmt not in ("parquet", "jsonl"):
+        raise ValueError(f"unsupported shard format: {fmt!r}")
+    sharded = df.repartitionByRange(n_shards, F.col(shard_key)).sortWithinPartitions(
+        shard_key
     )
-    per_file = {
-        os.path.basename(p): _pq.ParquetFile(p).metadata.num_rows
-        for p in _glob.glob(os.path.join(path, "*.parquet"))
-    }
+    if fmt == "parquet":
+        (
+            sharded.write.mode("overwrite")
+            .option("compression", compression)
+            .parquet(path)
+        )
+        per_file = {
+            os.path.basename(p): _pq.ParquetFile(p).metadata.num_rows
+            for p in _glob.glob(os.path.join(path, "*.parquet"))
+        }
+    else:
+        (
+            sharded.select(
+                F.to_json(F.struct(*df.columns)).alias("value")
+            )
+            .write.mode("overwrite")
+            .option("compression", "gzip" if compression == "zstd" else compression)
+            .text(path)
+        )
+        spark = df.sparkSession
+        per_file = {
+            os.path.basename(r["f"]): r["n"]
+            for r in spark.read.text(path)
+            .select(F.input_file_name().alias("f"))
+            .groupBy("f")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
     manifest = {
-        "format": "parquet",
+        "format": fmt,
         "compression": compression,
         "shard_key": shard_key,
         "n_shards": len(per_file),

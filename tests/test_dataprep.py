@@ -228,3 +228,36 @@ def test_remove_dup_paragraphs_keep_first(spark):
     assert "paragraph_dedup" in names
     counts = dict(stats.stages)
     assert counts["paragraph_dedup"] == 2
+
+
+def test_write_training_shards_jsonl(spark, tmp_path):
+    """JSONL shard export: manifest counts match, every line parses
+    as a JSON object with the source columns, and rows round-trip to
+    the same (doc_id, text) set as the input."""
+    import glob
+    import gzip
+    import json
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.catalog import load_table
+    from capgemini_himss24_fhirbulkdata_demo_spark.dataprep import (
+        write_training_shards,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    out = str(tmp_path / "shards_jsonl")
+    m = write_training_shards(docs, out, "doc_id", n_shards=3, fmt="jsonl")
+    assert m["format"] == "jsonl"
+    assert m["total_rows"] == docs.count()
+    assert sum(s["rows"] for s in m["shards"]) == m["total_rows"]
+    rows = []
+    for p in glob.glob(out + "/*.txt.gz") + glob.glob(out + "/*.gz"):
+        with gzip.open(p, "rt") as f:
+            rows += [json.loads(line) for line in f if line.strip()]
+    got = {(r["doc_id"], r["text"]) for r in rows}
+    exp = {(r.doc_id, r.text) for r in docs.collect()}
+    assert got == exp
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        write_training_shards(docs, out, "doc_id", n_shards=3, fmt="orc2")
