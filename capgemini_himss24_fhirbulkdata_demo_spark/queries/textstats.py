@@ -1329,8 +1329,7 @@ x47_bm25_search.__doc__ = x47_bm25_search.__doc__.format(terms=", ".join(_BM25_T
 # most ~1 ulp); the per-doc AVG accumulates ≤1e-13 of reorder error on
 # values of magnitude ~1e1, five orders below the ROUND(6) grain.
 
-_X46_SQL = """
-    WITH toks AS (
+_X46_CTES = """toks AS (
       SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
     uni AS (
       SELECT u.tok AS tok, COUNT(*) AS c
@@ -1346,10 +1345,16 @@ _X46_SQL = """
       FROM dbg d
       JOIN bgc g ON d.a = g.a AND d.b = g.b
       JOIN uni u ON u.tok = d.a
-      CROSS JOIN vocab)
-    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           ROUND(AVG(lp), 6) AS avg_logp
-    FROM scored GROUP BY doc_id ORDER BY doc_id
+      CROSS JOIN vocab),
+    lm AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             ROUND(AVG(lp), 6) AS avg_logp
+      FROM scored GROUP BY doc_id)"""
+
+_X46_SQL = f"""
+    WITH {_X46_CTES}
+    SELECT doc_id, n_bigrams, avg_logp
+    FROM lm ORDER BY doc_id
     """
 
 
@@ -1679,4 +1684,69 @@ def x62_trimmed_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt.join(tm, "source")
         .select("source", "n_kept", "trimmed_mean_chars")
         .orderBy("source")
+    )
+
+
+# ---- x78: CCNet head/middle/tail quality partition ----
+
+_X78_SQL = f"""
+    WITH {_X46_CTES},
+    j AS (
+      SELECT d.source, lm.doc_id, lm.avg_logp
+      FROM lm JOIN documents d ON d.doc_id = lm.doc_id),
+    nt AS (
+      SELECT source, doc_id, avg_logp,
+             NTILE(3) OVER (PARTITION BY source
+                            ORDER BY avg_logp DESC, doc_id) AS tercile
+      FROM j)
+    SELECT source,
+           CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           COUNT(*) AS n_docs,
+           ROUND(MIN(avg_logp), 6) AS min_score,
+           ROUND(MAX(avg_logp), 6) AS max_score
+    FROM nt
+    GROUP BY source, bucket
+    ORDER BY source, bucket
+    """
+
+
+@register("x78_ccnet_partition", oracle=_X78_SQL)
+def x78_ccnet_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's final step: partition each source's documents into
+    head/middle/tail terciles by LM quality score (x46's corpus
+    bigram log-prob standing in for the wiki-LM perplexity), with
+    per-bucket counts and score ranges — head goes to training,
+    middle is kept-if-needed, tail is dropped. Tercile assignment
+    orders by the ROUNDED score with a doc_id tiebreak, so the
+    cut-points are cross-engine deterministic.
+
+    Scale: everything up to the per-doc score inherits x46's budget;
+    the tercile is one window over (source), and the rollup reuses
+    the same key — two skinny shuffles beyond the scoring join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    lm = x46_lm_score(spark, sf_dir)
+    j = lm.join(docs.select("doc_id", "source"), "doc_id")
+    nt = j.select(
+        "source",
+        "avg_logp",
+        F.ntile(3)
+        .over(Window.partitionBy("source").orderBy(F.desc("avg_logp"), "doc_id"))
+        .alias("tercile"),
+    )
+    return (
+        nt.groupBy(
+            "source",
+            F.when(F.col("tercile") == 1, "head")
+            .when(F.col("tercile") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.min("avg_logp"), 6).alias("min_score"),
+            F.round(F.max("avg_logp"), 6).alias("max_score"),
+        )
+        .orderBy("source", "bucket")
     )
