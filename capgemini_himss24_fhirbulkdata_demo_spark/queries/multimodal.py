@@ -54,6 +54,9 @@ def x50_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     multimodal/binary.py behind its dependency gate; this is the
     driver-checked form of the same plumbing."""
     docs = load_table(spark, sf_dir, "documents")
+    # measured: repartitioning here LOSES (shuffling payload bytes
+    # costs more than the cheap per-item work saves) — only x64's
+    # LZW codec stage is compute-heavy enough to split; see there
     payloads = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -94,6 +97,9 @@ def x51_multimodal_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted as a skinny (doc_id, patch_id, size, digest) row — the
     resize/crop/frame-sample plumbing over a text-backed payload."""
     docs = load_table(spark, sf_dir, "documents")
+    # measured: repartitioning here LOSES (shuffling payload bytes
+    # costs more than the cheap per-item work saves) — only x64's
+    # LZW codec stage is compute-heavy enough to split; see there
     payloads = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -159,6 +165,9 @@ def x63_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.binary import decode_wav, encode_wav
 
     docs = load_table(spark, sf_dir, "documents")
+    # measured: repartitioning here LOSES (shuffling payload bytes
+    # costs more than the cheap per-item work saves) — only x64's
+    # LZW codec stage is compute-heavy enough to split; see there
     payloads = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -235,7 +244,13 @@ def x64_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.binary import _decode_gif, encode_gif
 
     docs = load_table(spark, sf_dir, "documents")
-    payloads = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    # the fixture is one parquet file = one input split; the
+    # per-item codec work is large relative to input bytes, so split
+    # the narrow stage across cores first (same rationale as x02's
+    # signature expansion — cheap at any scale for compute-bound maps)
+    payloads = docs.select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    ).repartition(spark.sparkContext.defaultParallelism)
     palette = [(i, i, i) for i in range(256)]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -323,6 +338,9 @@ def x73_audio_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.binary import decode_wav, encode_wav
 
     docs = load_table(spark, sf_dir, "documents")
+    # measured: repartitioning here LOSES (shuffling payload bytes
+    # costs more than the cheap per-item work saves) — only x64's
+    # LZW codec stage is compute-heavy enough to split; see there
     payloads = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
