@@ -242,3 +242,65 @@ def x77_arrow_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_chars BIGINT, max_chars BIGINT, first_doc BIGINT"
     )
     return docs.groupBy("source").applyInArrow(fn, schema).orderBy("source")
+
+
+_X79_SQL = """
+    WITH fp AS (
+      SELECT MD5(text) AS f, COUNT(*) AS c FROM documents GROUP BY f)
+    SELECT
+      (SELECT COUNT(*) FROM documents) AS n_docs,
+      (SELECT COUNT(DISTINCT source) FROM documents) AS n_sources,
+      (SELECT COUNT(DISTINCT lang) FROM documents) AS n_langs,
+      (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents) AS total_chars,
+      (SELECT CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT)
+       FROM documents) AS total_tokens,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM fp) AS n_unique_texts,
+      (SELECT CAST(SUM(c - 1) AS BIGINT) FROM fp) AS n_exact_dups,
+      (SELECT ROUND(CAST(SUM(c - 1) AS DOUBLE)
+                    / (SELECT COUNT(*) FROM documents), 4)
+       FROM fp) AS dup_rate
+    """
+
+
+@register("x79_dataset_card", oracle=_X79_SQL)
+def x79_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card summary row: corpus size (docs / sources /
+    languages / chars / whitespace tokens), unique-text count, exact
+    duplicates and dup rate — the numbers a release README publishes
+    and the sanity check run before and after every prep pipeline
+    (x40's PrepStats is the per-stage view; this is the one-row
+    corpus view).
+
+    Scale: each statistic is a full-scan aggregate with map-side
+    partials — Catalyst collapses the scalar subqueries over the same
+    table into shared scans where possible, and the fingerprint
+    distinct is the only real shuffle (uniform md5 key). Output is
+    one row.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.groupBy(F.md5(F.col("text").cast("binary")).alias("f")).agg(
+        F.count("*").alias("c")
+    )
+    card = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("total_tokens"),
+    )
+    dup = fp.agg(
+        F.count("*").cast("bigint").alias("n_unique_texts"),
+        F.sum(F.col("c") - 1).cast("bigint").alias("n_exact_dups"),
+    )
+    return card.crossJoin(F.broadcast(dup)).select(
+        "n_docs",
+        "n_sources",
+        "n_langs",
+        "total_chars",
+        "total_tokens",
+        "n_unique_texts",
+        "n_exact_dups",
+        F.round(
+            F.col("n_exact_dups").cast("double") / F.col("n_docs"), 4
+        ).alias("dup_rate"),
+    )
