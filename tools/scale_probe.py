@@ -1,0 +1,113 @@
+"""Empirical scaling probe: time representative queries at 1x and 2x
+rows under IDENTICAL file layout, and report the slope t(2x)/t(1x).
+
+Why layout-matched: the driver fixtures are single parquet files, so
+a naively doubled copy written as N files gains parallelism and the
+slope reads as <1. This probe rewrites BOTH scales with the same
+partition counts so the slope isolates data volume.
+
+The 2x corpus doubles fact tables with offset keys; the second
+documents copy gets a perturbed leading token so fingerprints and
+shingles differ (otherwise every doc acquires an exact dup and the
+dedup families measure a different problem).
+
+Usage:  python tools/scale_probe.py [sf_dir]   (default sf0.1)
+Writes probe datasets under /tmp/scale_probe_sf0{1,2} and prints a
+table. Ideal linear slope is <=2.0; fixed overhead pulls observed
+slopes down; anything >2 flags super-linear candidate growth.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import sys
+import time
+
+QUERIES = [
+    "q01_pricing_summary",
+    "q03_top_revenue_orders",
+    "q37_dedup_first_wins",
+    "x02_dedup_minhash",
+    "x16_semdedup",
+    "x42_decontamination",
+    "x64_frame_sample",
+    "x46_lm_score",
+]
+
+_PARTS = {"lineitem": 8, "orders": 4, "documents": 4, "embeddings": 4, "events": 4}
+_DIMS = ("region", "nation", "customer", "supplier", "part")
+
+
+def build(spark, src: str, dst: str, double: bool) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(dst, exist_ok=True)
+    for t in _DIMS:
+        shutil.copy(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
+    keys = {
+        "lineitem": "l_orderkey",
+        "orders": "o_orderkey",
+        "documents": "doc_id",
+        "embeddings": "vec_id",
+        "events": "event_id",
+    }
+    for t, n in _PARTS.items():
+        df = spark.read.parquet(f"{src}/{t}.parquet")
+        if double:
+            k = keys[t]
+            off = df.agg(F.max(k)).collect()[0][0] + 1
+            second = df.withColumn(k, F.col(k) + off)
+            if t == "documents":
+                second = second.withColumn(
+                    "text", F.concat(F.lit("cpyB "), F.col("text"))
+                )
+            df = df.unionByName(second)
+        out = f"{dst}/{t}.parquet"
+        if os.path.isdir(out):
+            shutil.rmtree(out)
+        df.repartition(n).write.mode("overwrite").parquet(out + "_d")
+        os.rename(out + "_d", out)
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry
+
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = (
+        SparkSession.builder.master(f"local[{os.cpu_count()}]")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.shuffle.partitions", "32")
+        .getOrCreate()
+    )
+    d1, d2 = "/tmp/scale_probe_sf01", "/tmp/scale_probe_sf02"
+    build(spark, src, d1, double=False)
+    build(spark, src, d2, double=True)
+    qs = entry.queries()
+    for d in (d1, d2):
+        for n in QUERIES:
+            qs[n](spark, d).collect()  # warm
+    print(f"{'query':28s} {'t1x':>6s} {'t2x':>6s} {'slope':>6s}")
+    for n in QUERIES:
+        best = {}
+        for d in (d1, d2):
+            ts = []
+            for _ in range(2):
+                t0 = time.time()
+                qs[n](spark, d).collect()
+                ts.append(time.time() - t0)
+            best[d] = min(ts)
+        print(
+            f"{n:28s} {best[d1]:6.2f} {best[d2]:6.2f} {best[d2] / best[d1]:6.2f}"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
