@@ -917,3 +917,35 @@ def q115_multicol_in(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_orderkey, l_partkey, l_suppkey, qty
         """
     )
+
+
+@register(
+    "q116_parameterized_sql",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_totalprice > 100000.0 AND o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q116_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (`spark.sql(query, args=...)`, Spark 3.4+):
+    named `:param` markers bound server-side as typed literals — the
+    injection-safe form of templated queries (string-formatted SQL is
+    the anti-pattern this API retires). The binder folds the
+    parameters into the plan exactly as literals, so pushdown and
+    constant folding see them (the price predicate reaches the scan
+    as a pushed filter, same as q01's literal).
+    """
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_totalprice > :min_price AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={"min_price": 100000.0, "status": "O"},
+    )
