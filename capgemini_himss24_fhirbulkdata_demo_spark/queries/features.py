@@ -304,3 +304,147 @@ def x79_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_exact_dups").cast("double") / F.col("n_docs"), 4
         ).alias("dup_rate"),
     )
+
+
+# ---- x80: BPE merge application (subword segmentation) ----
+
+# Fixed 8-rule merge table (rank order), the apply step of a trained
+# BPE tokenizer: char-split each token, then greedily merge each
+# pair rule left-to-right (single pass per rule, standard REPLACE
+# non-overlapping semantics — identical in Spark and DuckDB).
+_BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("a", "t"),
+]
+
+
+def _bpe_expr(tok: str, duck: bool) -> str:
+    flag = ", 'g'" if duck else ""
+    rep = "\\1 " if duck else "$1 "
+    e = f"concat(' ', trim(regexp_replace({tok}, '(.)', '{rep}'{flag})), ' ')"
+    for a, b in _BPE_MERGES:
+        e = f"replace({e}, ' {a} {b} ', ' {a}{b} ')"
+    return e
+
+
+_X80_SQL = f"""
+    WITH seg AS (
+      SELECT doc_id,
+             list_transform(STRING_SPLIT(text, ' '),
+               tok -> LEN(STRING_SPLIT(TRIM({_bpe_expr('tok', True)}), ' ')))
+               AS pieces
+      FROM documents)
+    SELECT doc_id,
+           CAST(LEN(pieces) AS BIGINT) AS n_tokens,
+           CAST(list_sum(pieces) AS BIGINT) AS n_pieces,
+           ROUND(CAST(list_sum(pieces) AS DOUBLE) / LEN(pieces), 4)
+             AS pieces_per_token
+    FROM seg
+    ORDER BY doc_id
+    """
+
+
+@register("x80_bpe_segment", oracle=_X80_SQL)
+def x80_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword segmentation (the apply step of a trained BPE
+    tokenizer, {n} merge rules in rank order): per document, token
+    count, BPE piece count, and pieces/token — the fertility number
+    that decides real token budgets (x22's whitespace counts are the
+    upper bound; packing (x45) and budget cuts should use subword
+    counts). Merge application is nested non-overlapping REPLACE over
+    the char-split token — bit-identical across engines.
+
+    Scale: entirely narrow — a higher-order transform per row, no
+    explode, no shuffle except the final sort; the merge table is a
+    compile-time constant folded into the expression tree (a real
+    vocab's thousands of merges would move to a broadcast map +
+    pandas UDF, trading codegen for table lookup).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = F.expr(
+        "transform(split(text, ' '), tok -> "
+        f"size(split(trim({_bpe_expr('tok', False)}), ' ')))"
+    )
+    seg = docs.select("doc_id", pieces.alias("pieces"))
+    return seg.select(
+        "doc_id",
+        F.size("pieces").cast("bigint").alias("n_tokens"),
+        F.aggregate("pieces", F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
+            "n_pieces"
+        ),
+        F.round(
+            F.aggregate(
+                "pieces", F.lit(0).cast("bigint"), lambda a, x: a + x
+            ).cast("double")
+            / F.size("pieces"),
+            4,
+        ).alias("pieces_per_token"),
+    ).orderBy("doc_id")
+
+
+x80_bpe_segment.__doc__ = x80_bpe_segment.__doc__.format(n=len(_BPE_MERGES))
+
+
+# ---- x81: RAG chunking (fixed token windows with overlap) ----
+
+_CHUNK_W = 10   # tokens per chunk
+_CHUNK_STRIDE = 5  # 50% overlap
+
+_X81_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+    w AS (
+      SELECT doc_id, CAST(r.i AS INT) AS chunk_idx,
+             array_to_string(
+               toks[r.i * {_CHUNK_STRIDE} + 1 :
+                    r.i * {_CHUNK_STRIDE} + {_CHUNK_W}], ' ') AS chunk,
+             LEN(toks[r.i * {_CHUNK_STRIDE} + 1 :
+                      r.i * {_CHUNK_STRIDE} + {_CHUNK_W}]) AS n_tokens
+      FROM t, UNNEST(RANGE(0, CAST(CEIL(LEN(toks) / {_CHUNK_STRIDE}.0)
+                                   AS BIGINT))) AS r(i))
+    SELECT doc_id, chunk_idx, MD5(chunk) AS chunk_digest,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM w
+    ORDER BY doc_id, chunk_idx
+    """
+
+
+@register("x81_rag_chunks", oracle=_X81_SQL)
+def x81_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval (RAG) chunking: {w}-token windows at stride
+    {s} (50% overlap) — the standard embedding-prep segmentation,
+    where overlap keeps sentence context that hard boundaries (x18's
+    disjoint chunks) lose. Emits the skinny (doc, idx, digest,
+    length) stream an embedding stage consumes.
+
+    Scale: chunk generation is a narrow slice/join per row (no
+    per-token explode — same trick as x18); output is ~2× input
+    tokens due to overlap, which is the knob to watch: stride =
+    window kills the duplication at the cost of boundary context.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    w = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(toks) / {_CHUNK_STRIDE}.0) "
+                f"as int) - 1), i -> struct(i AS idx, "
+                f"slice(toks, i * {_CHUNK_STRIDE} + 1, {_CHUNK_W}) AS win))"
+            )
+        ).alias("c"),
+    ).select(
+        "doc_id",
+        F.col("c.idx").alias("chunk_idx"),
+        F.array_join("c.win", " ").alias("chunk"),
+        F.size("c.win").cast("bigint").alias("n_tokens"),
+    )
+    return w.select(
+        "doc_id",
+        "chunk_idx",
+        F.md5(F.col("chunk").cast("binary")).alias("chunk_digest"),
+        "n_tokens",
+    ).orderBy("doc_id", "chunk_idx")
+
+
+x81_rag_chunks.__doc__ = x81_rag_chunks.__doc__.format(w=_CHUNK_W, s=_CHUNK_STRIDE)
