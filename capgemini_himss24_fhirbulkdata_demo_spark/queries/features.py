@@ -448,3 +448,76 @@ def x81_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 x81_rag_chunks.__doc__ = x81_rag_chunks.__doc__.format(w=_CHUNK_W, s=_CHUNK_STRIDE)
+
+
+# ---- x82: vocabulary coverage / OOV rate ----
+
+_X82_VOCAB_K = 500  # top-K corpus tokens = the "tokenizer vocab"
+
+_X82_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents),
+    freq AS (
+      SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+    vocab AS (
+      SELECT t FROM freq
+      ORDER BY c DESC, t
+      LIMIT {_X82_VOCAB_K}),
+    flagged AS (
+      SELECT tok.doc_id,
+             CASE WHEN v.t IS NULL THEN 1 ELSE 0 END AS oov
+      FROM tok LEFT JOIN vocab v ON tok.t = v.t)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           ROUND(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 4) AS oov_rate
+    FROM flagged
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """
+
+
+@register("x82_oov_rate", oracle=_X82_SQL)
+def x82_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage: build the top-{k} corpus token vocab
+    (count desc, token tiebreak — deterministic cut) and report each
+    document's out-of-vocabulary token share — the coverage check run
+    before committing to a tokenizer vocab (high OOV → fertility
+    blow-up in x80's terms).
+
+    Scale: one uniform-key token-frequency shuffle builds the vocab;
+    the top-K cut is a TakeOrdered over the type space (small); the
+    membership join broadcasts the K-row vocab into the token stream
+    — the corpus-side cost is one explode + one doc_id rollup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "t")
+        .limit(_X82_VOCAB_K)
+        .select("t", F.lit(1).alias("__in_vocab"))
+    )
+    flagged = tok.join(F.broadcast(vocab), "t", "left")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov").cast("double") / F.col("n_tokens"), 4).alias(
+                "oov_rate"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+x82_oov_rate.__doc__ = x82_oov_rate.__doc__.format(k=_X82_VOCAB_K)

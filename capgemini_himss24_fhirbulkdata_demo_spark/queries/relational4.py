@@ -949,3 +949,33 @@ def q116_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_price": 100000.0, "status": "O"},
     )
+
+
+@register(
+    "q117_collation",
+    oracle="""
+    SELECT n_name, COUNT(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_mktsegment COLLATE NOCASE = 'building'
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def q117_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collated comparison (Spark 4 collations): a case-insensitive
+    segment filter via `COLLATE UTF8_LCASE` (DuckDB twin: NOCASE) —
+    the declarative alternative to LOWER()-wrapping both sides, which
+    keeps the predicate sargable for collation-aware sources. Output
+    groups by the uncollated nation key, so no representative-value
+    nondeterminism leaks into the result.
+    """
+    _views(spark, sf_dir, "customer", "nation")
+    return spark.sql(
+        """
+        SELECT n_name, COUNT(*) AS n_customers
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_mktsegment COLLATE UTF8_LCASE = 'building'
+        GROUP BY n_name
+        ORDER BY n_name
+        """
+    )
