@@ -616,3 +616,27 @@ def test_runtime_bloom_filter_injects_on_selective_dim_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_x80_x81_narrow_no_shuffle(spark):
+    import re
+
+    # x80: HOF segmentation is entirely narrow — the only exchange is
+    # the final ORDER BY range partition
+    p = explain_str(_plan(spark, "x80_bpe_segment"))
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1, p
+    assert "Join" not in p, p
+    # x81: slice-based chunking — no per-token explode-shuffle, no join;
+    # one generate + the final sort exchange
+    p2 = explain_str(_plan(spark, "x81_rag_chunks"))
+    assert len(re.findall(r"^\(\d+\) Exchange", p2, re.M)) == 1, p2
+    assert "Join" not in p2, p2
+
+
+def test_x82_vocab_is_broadcast(spark):
+    # the K-row vocab must broadcast into the token stream — the
+    # corpus-side token explode must never shuffle for the membership
+    # probe (only the vocab build and the doc rollup shuffle)
+    p = explain_str(_plan(spark, "x82_oov_rate"))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
