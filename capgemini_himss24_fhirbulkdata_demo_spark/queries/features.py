@@ -521,3 +521,88 @@ def x82_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 x82_oov_rate.__doc__ = x82_oov_rate.__doc__.format(k=_X82_VOCAB_K)
+
+
+# ---- x83: temperature-smoothed source mixing weights ----
+
+_MIX_ALPHA = 0.3  # the multilingual-sampling exponent (0<alpha<1
+# upsamples small sources; alpha=1 is proportional sampling)
+
+# Determinism: share = one int/int division; w = one POWER call (libm
+# pow may differ by ~1 ulp across engines — five orders below the
+# ROUND(6) grain, same acceptance as x46's LN); the weight-sum folds
+# an ORDER BY source list so accumulation order is identical.
+_X83_SQL = f"""
+    WITH tok AS (
+      SELECT source,
+             CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM tok),
+    w AS (
+      SELECT source, n_tokens,
+             POWER(CAST(n_tokens AS DOUBLE) / total, {_MIX_ALPHA}) AS pw
+      FROM tok CROSS JOIN tot),
+    s AS (
+      SELECT list_reduce(LIST(pw ORDER BY source), (a, b) -> a + b) AS wsum
+      FROM w)
+    SELECT w.source, w.n_tokens,
+           ROUND(CAST(w.n_tokens AS DOUBLE)
+                 / (SELECT total FROM tot), 6) AS share,
+           ROUND(w.pw / s.wsum, 6) AS mix_weight
+    FROM w CROSS JOIN s
+    ORDER BY w.source
+    """
+
+
+@register("x83_mix_temperature", oracle=_X83_SQL)
+def x83_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed source sampling weights (the multilingual
+    alpha-sampling rule, alpha={a}): each source's mix weight is its
+    token share raised to alpha, renormalized — upsampling small
+    sources so they aren't drowned by the head. This produces the
+    recipe x43's rebalancer consumes; x57's centroid drift says which
+    sources deserve the boost.
+
+    Scale: one uniform-key token-count shuffle (map-side combined),
+    then all arithmetic happens on the ≤|sources|-row summary —
+    driver-safe by construction; the weight sum folds an ordered
+    list so float accumulation order is engine-invariant.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens")
+    )
+    tot = tok.agg(F.sum("n_tokens").cast("bigint").alias("total"))
+    w = tok.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        "total",
+        F.pow(F.col("n_tokens").cast("double") / F.col("total"), _MIX_ALPHA).alias(
+            "pw"
+        ),
+    )
+    s = w.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("source", "pw"))),
+                lambda x: x["pw"],
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("wsum")
+    )
+    return (
+        w.crossJoin(F.broadcast(s))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(F.col("n_tokens").cast("double") / F.col("total"), 6).alias(
+                "share"
+            ),
+            F.round(F.col("pw") / F.col("wsum"), 6).alias("mix_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+x83_mix_temperature.__doc__ = x83_mix_temperature.__doc__.format(a=_MIX_ALPHA)
