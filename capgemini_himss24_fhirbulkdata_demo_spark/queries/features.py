@@ -606,3 +606,148 @@ def x83_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 x83_mix_temperature.__doc__ = x83_mix_temperature.__doc__.format(a=_MIX_ALPHA)
+
+
+# ---- x84: lexicon sentiment scoring ----
+
+# Lexicon-based scoring (the EDBT'16 "Large Scale Sentiment Analysis
+# on Twitter with Spark" method class): fixed positive/negative word
+# lists, score = (pos - neg) / tokens. Lists drawn from the fixture
+# vocabulary so the signal is non-trivial.
+_POS_WORDS = ("fast", "small", "value")
+_NEG_WORDS = ("slow", "filter", "error")
+
+
+def _sql_in(words) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+_X84_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             LEN(toks) AS n_tokens,
+             LEN(LIST_FILTER(toks, x -> x IN ({_sql_in(_POS_WORDS)}))) AS n_pos,
+             LEN(LIST_FILTER(toks, x -> x IN ({_sql_in(_NEG_WORDS)}))) AS n_neg
+      FROM t)
+    SELECT doc_id,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_neg AS BIGINT) AS n_neg,
+           ROUND(CAST(n_pos - n_neg AS DOUBLE) / n_tokens, 4) AS polarity,
+           CASE WHEN n_pos > n_neg THEN 'positive'
+                WHEN n_neg > n_pos THEN 'negative'
+                ELSE 'neutral' END AS label
+    FROM s
+    ORDER BY doc_id
+    """
+
+
+@register("x84_sentiment", oracle=_X84_SQL)
+def x84_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based sentiment scoring (the Spark sentiment-at-scale
+    recipe of EDBT'16): positive/negative hit counts via higher-order
+    LIST filters, polarity = (pos − neg)/tokens, three-way label.
+    With a real lexicon (thousands of terms) the IN-list becomes a
+    broadcast join against the exploded token stream (x82's shape);
+    the HOF form shown here keeps small lexicons entirely narrow.
+
+    Scale: zero shuffles except the final sort — per-row HOF filters
+    inside whole-stage codegen.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    pos_set = ", ".join(f"'{w}'" for w in _POS_WORDS)
+    neg_set = ", ".join(f"'{w}'" for w in _NEG_WORDS)
+    s = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.expr(f"filter(split(text, ' '), x -> x IN ({pos_set}))")).alias(
+            "n_pos"
+        ),
+        F.size(F.expr(f"filter(split(text, ' '), x -> x IN ({neg_set}))")).alias(
+            "n_neg"
+        ),
+    )
+    return s.select(
+        "doc_id",
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.col("n_neg").cast("bigint").alias("n_neg"),
+        F.round(
+            (F.col("n_pos") - F.col("n_neg")).cast("double") / F.col("n_tokens"), 4
+        ).alias("polarity"),
+        F.when(F.col("n_pos") > F.col("n_neg"), "positive")
+        .when(F.col("n_neg") > F.col("n_pos"), "negative")
+        .otherwise("neutral")
+        .alias("label"),
+    ).orderBy("doc_id")
+
+
+# ---- x85: edit-distance similarity join (length-blocked) ----
+
+_EDIT_MAX = 2  # levenshtein threshold
+
+_X85_SQL = f"""
+    WITH vocab AS (
+      SELECT DISTINCT UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents),
+    buckets AS (
+      SELECT t, LEN(t) + b.o AS bucket
+      FROM vocab, (SELECT UNNEST([-1, 0, 1]) AS o) b),
+    cand AS (
+      SELECT DISTINCT a.t AS tok_a, c.t AS tok_b
+      FROM buckets a JOIN buckets c
+        ON a.bucket = c.bucket AND a.t < c.t)
+    SELECT tok_a, tok_b,
+           CAST(levenshtein(tok_a, tok_b) AS INT) AS dist
+    FROM cand
+    WHERE levenshtein(tok_a, tok_b) <= {_EDIT_MAX}
+    ORDER BY tok_a, tok_b
+    """
+
+
+@register("x85_typo_pairs", oracle=_X85_SQL)
+def x85_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity join over the corpus vocabulary
+    (string-similarity-join literature, e.g. ICDE'22 compressed
+    string-similarity indexes): token pairs within levenshtein
+    {d} found via LENGTH BLOCKING — each token posts to buckets
+    len−1..len+1, candidates share a bucket (sound for |len diff| ≤ 2
+    by the triangle of bucket overlap), then the exact distance
+    verifies. The spell-variant miner used to normalize vocab before
+    counting (x26) or vocab cuts (x82).
+
+    Scale: the all-pairs space never materializes — candidates are
+    per-bucket, the type space (vocabulary) is orders smaller than
+    the corpus, and levenshtein runs only on survivors; the same
+    block-then-verify discipline as x02/x04.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = docs.select(
+        F.explode(F.array_distinct(F.split("text", " "))).alias("t")
+    ).distinct()
+    buckets = vocab.select(
+        "t",
+        F.explode(
+            F.array(
+                F.length("t") - 1, F.length("t"), F.length("t") + 1
+            )
+        ).alias("bucket"),
+    )
+    a, c = buckets.alias("a"), buckets.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("c.bucket"))
+            & (F.col("a.t") < F.col("c.t")),
+        )
+        .select(F.col("a.t").alias("tok_a"), F.col("c.t").alias("tok_b"))
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("tok_a", "tok_b").cast("int"))
+        .filter(F.col("dist") <= _EDIT_MAX)
+        .orderBy("tok_a", "tok_b")
+    )
+
+
+x85_typo_pairs.__doc__ = x85_typo_pairs.__doc__.format(d=_EDIT_MAX)
