@@ -751,3 +751,80 @@ def x85_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 x85_typo_pairs.__doc__ = x85_typo_pairs.__doc__.format(d=_EDIT_MAX)
+
+
+# ---- x86: parquet storage audit (per-column compression stats) ----
+
+
+@register("x86_parquet_storage_audit")  # rows-only: needs file paths,
+# which the driver's pre-registered DATA views cannot express; the
+# DuckDB cross-check (parquet_metadata over the same files) runs in
+# tests/test_operators.py instead.
+def x86_parquet_storage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-layer audit: per column of the lineitem table, chunk
+    count, compressed/uncompressed byte totals and compression ratio,
+    read from parquet FOOTERS only (never data pages) — the
+    compression-awareness check (cf. MorphStore's thesis that
+    encoding choice drives scan cost) run before tuning encodings,
+    row-group sizing, or column ordering.
+
+    Scale: the file list becomes a DataFrame and each executor reads
+    only its files' footers via pyarrow inside mapInPandas —
+    O(files) metadata reads distributed across the cluster, the same
+    discipline as write_training_shards' manifest; the rollup
+    shuffles one skinny row per (file, column).
+    """
+    import glob as _glob
+    import os as _os
+
+    from collections.abc import Iterator as _Iter
+
+    import pandas as _pd
+
+    base = _os.path.join(sf_dir, "lineitem.parquet")
+    files = sorted(_glob.glob(_os.path.join(base, "*.parquet"))) or [base]
+    fdf = spark.createDataFrame([(p,) for p in files], "path STRING")
+
+    def fn(batches: "_Iter[_pd.DataFrame]") -> "_Iter[_pd.DataFrame]":
+        import pyarrow.parquet as _pq
+
+        for pdf in batches:
+            out = []
+            for p in pdf["path"]:
+                md = _pq.ParquetFile(p).metadata
+                for rg in range(md.num_row_groups):
+                    for ci in range(md.num_columns):
+                        c = md.row_group(rg).column(ci)
+                        out.append(
+                            (
+                                c.path_in_schema,
+                                c.total_compressed_size,
+                                c.total_uncompressed_size,
+                            )
+                        )
+            yield _pd.DataFrame(
+                out, columns=["column", "compressed", "uncompressed"]
+            )
+
+    schema = "column STRING, compressed BIGINT, uncompressed BIGINT"
+    return (
+        fdf.mapInPandas(fn, schema)
+        .groupBy("column")
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.sum("compressed").cast("bigint").alias("compressed_bytes"),
+            F.sum("uncompressed").cast("bigint").alias("uncompressed_bytes"),
+        )
+        .select(
+            "column",
+            "n_chunks",
+            "compressed_bytes",
+            "uncompressed_bytes",
+            F.round(
+                F.col("uncompressed_bytes").cast("double")
+                / F.col("compressed_bytes"),
+                4,
+            ).alias("ratio"),
+        )
+        .orderBy("column")
+    )

@@ -660,3 +660,37 @@ def test_x74_hll_rollup_close_to_exact(spark):
     assert set(got) == set(exact) and len(got) > 0
     for k, est in got.items():
         assert abs(est - exact[k]) <= max(2, 0.02 * exact[k]), (k, est, exact[k])
+
+
+def test_x86_storage_audit_matches_duckdb_metadata(spark):
+    """The footer-read storage audit must agree byte-for-byte with
+    DuckDB's parquet_metadata() over the same files — the cross-check
+    the driver's data-view oracle can't express (needs file paths)."""
+    import glob
+    import os
+
+    import duckdb
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.queries import QUERIES
+
+    got = {
+        r.column: (r.n_chunks, r.compressed_bytes, r.uncompressed_bytes)
+        for r in QUERIES["x86_parquet_storage_audit"](spark, SF_DIR).collect()
+    }
+    base = os.path.join(SF_DIR, "lineitem.parquet")
+    files = sorted(glob.glob(os.path.join(base, "*.parquet"))) or [base]
+    con = duckdb.connect()
+    exp = {}
+    for p in files:
+        for col, comp, unc, n in con.execute(
+            """SELECT path_in_schema, SUM(total_compressed_size),
+                      SUM(total_uncompressed_size), COUNT(*)
+               FROM parquet_metadata(?) GROUP BY path_in_schema""",
+            [p],
+        ).fetchall():
+            a = exp.setdefault(col, [0, 0, 0])
+            a[0] += n
+            a[1] += comp
+            a[2] += unc
+    assert got == {k: tuple(v) for k, v in exp.items()}
+    assert len(got) == 11  # every lineitem column audited
