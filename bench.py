@@ -408,6 +408,27 @@ def main() -> None:
             }
         )
     )
+    # Tail-capture hardening: the driver records only the last ~2000
+    # chars of stdout, which truncated BENCH_r04's big JSON line and
+    # lost the sweep total + first 8 query timings. A compact summary
+    # printed LAST keeps the headline parseable from the tail alone.
+    print(
+        "BENCH_SUMMARY "
+        + json.dumps(
+            {
+                "metric": "headline_query_sweep_sec",
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(per_query),
+                "fhir_rec_per_sec": fhir.get("fhir_eob_spark_rec_per_sec"),
+                "streaming_ev_per_sec": streaming.get(
+                    "streaming_events_per_sec"
+                ),
+                "methodology": METHODOLOGY,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

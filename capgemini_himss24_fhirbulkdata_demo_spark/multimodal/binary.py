@@ -879,6 +879,14 @@ def _lzw_compress(indices, min_code_size):
         buf = (idx,)
     if buf:
         emit(table[buf], width)
+        # The decoder appends a dictionary entry for this final code
+        # too (reconstructing the one assigned after the PREVIOUS
+        # emission) and applies its early width bump before reading
+        # EOI — mirror that here even though the encoder itself has
+        # nothing left to assign, or the decoder reads EOI one bit
+        # wide (boundary: final code lands the table at 2^width - 1).
+        if next_code + 1 >= (1 << width) and width < 12:
+            width += 1
     emit(eoi, width)
     if nbits:
         out.append(acc & 0xFF)
@@ -995,9 +1003,11 @@ def _decode_gif(payload: bytes):
         ]
         pos += 3 * n
     frames = []
+    saw_trailer = False
     while pos < len(payload):
         block = payload[pos]
         if block == 0x3B:  # trailer
+            saw_trailer = True
             break
         if block == 0x21:  # extension: label + sub-blocks
             pos += 2
@@ -1052,6 +1062,11 @@ def _decode_gif(payload: bytes):
             pos += sz
         idx = _lzw_decompress(bytes(data), min_code, width * height)
         frames.append(bytes(pal[i] if i < len(pal) else 0 for i in idx))
+    if not saw_trailer:
+        # A stream ending cleanly at a frame boundary (after a 0-size
+        # sub-block terminator, before the trailer) is still truncated:
+        # later frames may have been cut off.
+        raise ValueError("truncated GIF: missing trailer")
     if not frames:
         raise ValueError("GIF has no image frames")
     return width, height, frames

@@ -21,6 +21,7 @@ from . import (  # noqa: F401
     streaming_batch,
     multimodal,
     features,
+    corpus_stats,
 )
 
 QUERIES = registry.QUERIES

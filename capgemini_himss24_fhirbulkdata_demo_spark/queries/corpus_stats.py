@@ -1,0 +1,480 @@
+"""Corpus-statistics operators over ``documents`` — the round-5
+additions to the LLM-pipeline surface (SURVEY brief: training-data
+operations a 100 TB pretraining pipeline needs).
+
+- x87: DSIR importance weights (Xie et al., NeurIPS'23 "Data
+  Selection for Language Models via Importance Resampling") —
+  hashed-unigram bag features, per-document target-vs-raw
+  log-likelihood ratio.
+- x88: duplicated n-gram SPAN scan (Lee et al., ACL'22
+  "Deduplicating Training Data Makes Language Models Better") —
+  span-level (not whole-doc, not paragraph) cross-document exact
+  duplication, the granularity x01/x18 do not cover.
+- x89: Zipf rank-frequency slope per language — the corpus-health
+  diagnostic (a healthy natural-language corpus fits ~ -1; scraped
+  boilerplate or synthetic spam bends the curve).
+- x90: winnowing fingerprints (Schleimer et al., SIGMOD'03 "MOSS")
+  — windowed-min k-gram fingerprint selection, the
+  position-robust containment sketch (vs x23's whole-doc md5).
+
+Cross-engine determinism: the repo's portable md5-hex→BIGINT bridge
+(Spark ``conv(substr(md5, 1, 15), 16, 10)`` ↔ DuckDB ``CAST('0x' ||
+SUBSTR(MD5, 1, 15) AS BIGINT)``), exact-integer counts, and the x46
+precedent for ln(): each ln input is an exact integer ratio, outputs
+are ROUND(6)-ed doubles with value magnitudes orders above the fp
+summation-order noise floor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from .registry import register
+
+# ---- x87: DSIR hashed-ngram importance weights ----
+
+_X87_BUCKETS = 256
+
+_X87_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             UNNEST(STRING_SPLIT(text, ' ')) AS t
+      FROM documents),
+    b AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || SUBSTR(MD5(t), 1, 15)) AS BIGINT)
+               % {_X87_BUCKETS} AS bucket
+      FROM tok),
+    dc AS (
+      SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM b GROUP BY doc_id, bucket),
+    tgt AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ct
+      FROM b WHERE lang = 'en' GROUP BY bucket),
+    raw AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cr
+      FROM b GROUP BY bucket),
+    tots AS (
+      SELECT (SELECT SUM(ct) FROM tgt) AS t_tot,
+             (SELECT SUM(cr) FROM raw) AS r_tot),
+    lr AS (
+      SELECT raw.bucket,
+             LN(CAST((COALESCE(ct, 0) + 1) * (r_tot + {_X87_BUCKETS})
+                     AS DOUBLE)
+                / CAST((cr + 1) * (t_tot + {_X87_BUCKETS}) AS DOUBLE))
+               AS logratio
+      FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket, tots)
+    SELECT dc.doc_id,
+           CAST(SUM(dc.cnt) AS BIGINT) AS n_tokens,
+           ROUND(SUM(dc.cnt * lr.logratio) / SUM(dc.cnt), 6)
+             AS dsir_weight
+    FROM dc JOIN lr ON dc.bucket = lr.bucket
+    GROUP BY dc.doc_id
+    ORDER BY dc.doc_id
+    """
+
+
+@register("x87_dsir_weights", oracle=_X87_SQL)
+def x87_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al., NeurIPS'23): hashed
+    unigram bag features over {b} buckets; the target distribution is
+    estimated from the ``lang='en'`` slice, the raw distribution from
+    the whole corpus, both add-one smoothed; each document scores the
+    average per-token log-likelihood ratio ln(p_target/p_raw) — the
+    importance weight DSIR resamples by to shift a raw crawl toward a
+    target domain without training a classifier.
+
+    Scale: tokens explode narrowly; the only data-sized shuffle is
+    one uniform-key partial agg on (doc_id, bucket) — map-side
+    combine bounds each doc's contribution at {b} rows. The bucket
+    log-ratio table is exactly {b} rows and broadcasts into the
+    per-doc rollup; the two global bucket histograms are skinny
+    {b}-row aggregates. Nothing is quadratic; importance scoring at
+    100 TB is one pass + one broadcast join.
+
+    Determinism: every ln() input is an exact integer ratio; the
+    per-doc sum is fp-order-noisy at ~1e-15 relative, five-plus
+    orders below the ROUND(6) grain (x46 precedent).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("t").cast("binary")), 1, 15), 16, 10)
+        .cast("bigint")
+        % _X87_BUCKETS
+    )
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("t")
+    ).select("doc_id", "lang", bucket.alias("bucket"))
+    dc = tok.groupBy("doc_id", "bucket").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    tgt = (
+        tok.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("ct"))
+    )
+    raw = tok.groupBy("bucket").agg(F.count("*").cast("bigint").alias("cr"))
+    tots = raw.agg(F.sum("cr").alias("r_tot")).crossJoin(
+        tgt.agg(F.sum("ct").alias("t_tot"))
+    )
+    lr = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "bucket",
+            F.log(
+                ((F.coalesce("ct", F.lit(0)) + 1)
+                 * (F.col("r_tot") + _X87_BUCKETS)).cast("double")
+                / ((F.col("cr") + 1)
+                   * (F.col("t_tot") + _X87_BUCKETS)).cast("double")
+            ).alias("logratio"),
+        )
+    )
+    return (
+        dc.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("logratio")) / F.sum("cnt"), 6
+            ).alias("dsir_weight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+x87_dsir_weights.__doc__ = x87_dsir_weights.__doc__.format(b=_X87_BUCKETS)
+
+
+# ---- x88: duplicated n-gram SPAN scan (Lee et al. ACL'22) ----
+
+_X88_NGRAM = 8
+
+_X88_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+    spans AS (
+      SELECT doc_id,
+             UNNEST(LIST_TRANSFORM(
+               RANGE(1, GREATEST(LEN(t) - {_X88_NGRAM - 1}, 0) + 1),
+               i -> ARRAY_TO_STRING(t[i:i + {_X88_NGRAM - 1}], ' ')))
+               AS gram
+      FROM toks),
+    dup AS (
+      SELECT gram FROM spans
+      GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1),
+    tot AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans
+      FROM spans GROUP BY doc_id),
+    hit AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup
+      FROM spans WHERE gram IN (SELECT gram FROM dup)
+      GROUP BY doc_id)
+    SELECT tot.doc_id, n_spans,
+           COALESCE(n_dup, CAST(0 AS BIGINT)) AS n_dup,
+           FLOOR(COALESCE(n_dup, 0) * 10000.0 / n_spans) / 10000
+             AS dup_share,
+           CASE WHEN COALESCE(n_dup, 0) > 0 THEN 1 ELSE 0 END
+             AS has_dup_span
+    FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+    ORDER BY tot.doc_id
+    """
+
+
+@register("x88_dup_spans", oracle=_X88_SQL)
+def x88_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-duplication scan (Lee et al., ACL'22): every
+    {g}-token span position in every document, flagged when the
+    identical span text occurs in at least one OTHER document — the
+    granularity their suffix-array ExactSubstr dedup targets, which
+    whole-doc (x01) and paragraph (x18) dedup both miss. Per doc:
+    span positions, positions covered by a cross-doc duplicate span,
+    FLOOR-truncated duplicated share, and the 0/1 flag.
+
+    Scale: span generation is the same narrow index-sequence
+    transform as x42 (no self-join); the cross-doc test is one
+    partial-aggregated count per gram (approximated nowhere — exact
+    COUNT(DISTINCT doc_id) via the two-level (gram, doc_id) agg) and
+    a semi-join back on the gram key. Gram keys are Zipf-skewed; AQE
+    skew-join splits the hot buckets, and no stage is quadratic in
+    corpus size — cost ∝ total span positions, i.e. ∝ corpus tokens.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    g = _X88_NGRAM
+    t = F.split(F.col("text"), " ")
+    n = F.size(t)
+    idx = F.when(n >= g, F.sequence(F.lit(1), n - (g - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    spans = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(idx, lambda i: F.array_join(F.slice(t, i, g), " "))
+        ).alias("gram"),
+    )
+    dup = (
+        spans.select("gram", "doc_id")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gram")
+    )
+    tot = spans.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_spans")
+    )
+    hit = (
+        spans.join(dup, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_dup"))
+    )
+    n_dup = F.coalesce("n_dup", F.lit(0).cast("bigint"))
+    return (
+        tot.join(hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            n_dup.alias("n_dup"),
+            (F.floor(n_dup * 10000.0 / F.col("n_spans")) / 10000).alias(
+                "dup_share"
+            ),
+            F.when(n_dup > 0, F.lit(1)).otherwise(F.lit(0)).alias(
+                "has_dup_span"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+x88_dup_spans.__doc__ = x88_dup_spans.__doc__.format(g=_X88_NGRAM)
+
+
+# ---- x89: Zipf rank-frequency slope per language ----
+
+_X89_TOPK = 100
+
+_X89_SQL = f"""
+    WITH tok AS (
+      SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents),
+    freq AS (
+      SELECT lang, t, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY lang, t),
+    ranked AS (
+      SELECT lang, c,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY c DESC, t) AS rank,
+             COUNT(*) OVER (PARTITION BY lang) AS n_types
+      FROM freq),
+    pts AS (
+      SELECT lang, n_types,
+             LN(CAST(rank AS DOUBLE)) AS x,
+             LN(CAST(c AS DOUBLE)) AS y
+      FROM ranked WHERE rank <= {_X89_TOPK})
+    SELECT lang,
+           CAST(MAX(n_types) AS BIGINT) AS n_types,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+                 / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)), 6)
+             AS zipf_slope
+    FROM pts
+    GROUP BY lang
+    ORDER BY lang
+    """
+
+
+@register("x89_zipf_slope", oracle=_X89_SQL)
+def x89_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit per language: least-squares slope of
+    ln(freq) on ln(rank) over the top {k} token ranks (ties broken by
+    token text) — a natural corpus tracks ~ -1; template boilerplate,
+    dedup failures, or synthetic spam flatten or steepen it. The
+    one-number corpus-health gauge next to x26's raw vocabulary.
+
+    Scale: one uniform-key (lang, token) partial agg; ranking is a
+    per-lang window whose input is the type (not token) space; only
+    the top {k} rows per lang feed the regression, so the final agg
+    is tiny. Languages are few → the rank window could skew on one
+    giant lang at 100 TB; the (lang, token) pre-agg has already
+    collapsed to type granularity by then, and WindowGroupLimit
+    prunes rank > {k} before the shuffle's consumer.
+
+    Determinism: ln() inputs are exact integers; the ≤{k}-term sums
+    leave ~1e-14 fp-order noise vs a ROUND(6) output on O(1) values
+    (x46 precedent).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("lang", "t")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    w = Window.partitionBy("lang")
+    ranked = freq.select(
+        "lang",
+        "c",
+        F.row_number().over(w.orderBy(F.desc("c"), F.asc("t"))).alias("rank"),
+        F.count("*").over(w).alias("n_types"),
+    )
+    pts = ranked.filter(F.col("rank") <= _X89_TOPK).select(
+        "lang",
+        "n_types",
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    n = F.count("*")
+    return (
+        pts.groupBy("lang")
+        .agg(
+            F.max("n_types").cast("bigint").alias("n_types"),
+            n.cast("bigint").alias("n_points"),
+            F.round(
+                (n * F.sum(F.col("x") * F.col("y"))
+                 - F.sum("x") * F.sum("y"))
+                / (n * F.sum(F.col("x") * F.col("x"))
+                   - F.sum("x") * F.sum("x")),
+                6,
+            ).alias("zipf_slope"),
+        )
+        .orderBy("lang")
+    )
+
+
+x89_zipf_slope.__doc__ = x89_zipf_slope.__doc__.format(k=_X89_TOPK)
+
+
+# ---- x90: winnowing fingerprints (MOSS) ----
+
+_X90_K = 5  # tokens per k-gram
+_X90_W = 4  # hashes per winnowing window
+
+_X90_HASH = "CAST(('0x' || SUBSTR(MD5(gram), 1, 15)) AS BIGINT)"
+
+_X90_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT doc_id,
+             UNNEST(LIST_TRANSFORM(
+               RANGE(1, GREATEST(LEN(t) - {_X90_K - 1}, 0) + 1),
+               i -> ARRAY_TO_STRING(t[i:i + {_X90_K - 1}], ' ')))
+               AS gram,
+             UNNEST(RANGE(1, GREATEST(LEN(t) - {_X90_K - 1}, 0) + 1))
+               AS pos
+      FROM toks),
+    hashed AS (
+      SELECT doc_id, pos, {_X90_HASH} AS h,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+      FROM grams),
+    wins AS (
+      SELECT doc_id,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW
+                          AND {_X90_W - 1} FOLLOWING) AS fp
+      FROM hashed
+      WHERE pos <= GREATEST(n_grams - {_X90_W - 1}, 1)),
+    fps AS (SELECT DISTINCT doc_id, fp FROM wins),
+    shared AS (
+      SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) > 1),
+    tot AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp
+      FROM fps GROUP BY doc_id),
+    hit AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM fps WHERE fp IN (SELECT fp FROM shared)
+      GROUP BY doc_id)
+    SELECT tot.doc_id, n_fp,
+           COALESCE(n_shared, CAST(0 AS BIGINT)) AS n_shared,
+           FLOOR(COALESCE(n_shared, 0) * 10000.0 / n_fp) / 10000
+             AS shared_share
+    FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+    ORDER BY tot.doc_id
+    """
+
+
+@register("x90_winnowing", oracle=_X90_SQL)
+def x90_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash
+    every {k}-token gram, slide a window of {w} consecutive hashes,
+    keep each window's minimum — the fingerprint set is guaranteed to
+    detect any shared run of {k}+{w}-1 tokens while selecting ~2/(w+1)
+    of positions, position-robust unlike x23's whole-doc digest. Per
+    doc: distinct fingerprints, fingerprints shared with any other
+    doc, FLOOR-truncated shared share — the MOSS-style containment
+    signal feeding plagiarism/near-dup triage.
+
+    Scale: gram + hash generation is narrow; the windowed min is a
+    per-doc sort (doc_id partitioning, no cross-doc data motion);
+    fingerprint distinct + the shared test are uniform-key hash
+    partial aggs + a semi-join on the fingerprint key. Fingerprint
+    density is ~2/({w}+1) of token positions, so downstream volume is
+    a constant fraction of corpus size — the same block-then-verify
+    discipline as x02, with winnowing's selection guarantee instead
+    of minhash's probabilistic one.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    k, wlen = _X90_K, _X90_W
+    t = F.split(F.col("text"), " ")
+    n = F.size(t)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(idx, lambda i: F.array_join(F.slice(t, i, k), " "))
+        ).alias("pos0", "gram"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.conv(F.substring(F.md5(F.col("gram").cast("binary")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    wdoc = Window.partitionBy("doc_id")
+    hashed = grams.select(
+        "doc_id", "pos", "h", F.count("*").over(wdoc).alias("n_grams")
+    )
+    wmin = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, wlen - 1)
+    )
+    fps = (
+        hashed.filter(
+            F.col("pos") <= F.greatest(F.col("n_grams") - (wlen - 1), F.lit(1))
+        )
+        .select("doc_id", F.min("h").over(wmin).alias("fp"))
+        .distinct()
+    )
+    shared = (
+        fps.groupBy("fp").agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("fp")
+    )
+    tot = fps.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_fp")
+    )
+    hit = (
+        fps.join(shared, "fp", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    n_shared = F.coalesce("n_shared", F.lit(0).cast("bigint"))
+    return (
+        tot.join(hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_fp",
+            n_shared.alias("n_shared"),
+            (F.floor(n_shared * 10000.0 / F.col("n_fp")) / 10000).alias(
+                "shared_share"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+x90_winnowing.__doc__ = x90_winnowing.__doc__.format(k=_X90_K, w=_X90_W)

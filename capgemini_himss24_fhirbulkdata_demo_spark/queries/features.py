@@ -708,39 +708,127 @@ _X85_SQL = f"""
 @register("x85_typo_pairs", oracle=_X85_SQL)
 def x85_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance similarity join over the corpus vocabulary
-    (string-similarity-join literature, e.g. ICDE'22 compressed
-    string-similarity indexes): token pairs within levenshtein
-    {d} found via LENGTH BLOCKING — each token posts to buckets
-    len−1..len+1, candidates share a bucket (sound for |len diff| ≤ 2
-    by the triangle of bucket overlap), then the exact distance
-    verifies. The spell-variant miner used to normalize vocab before
-    counting (x26) or vocab cuts (x82).
+    (PassJoin / Ed-Join segment-signature family, VLDB'12): token
+    pairs within levenshtein {d} via POSITIONAL SEGMENT BLOCKING.
+    Each token is partitioned into d+1={n} even segments; by
+    pigeonhole, any token within edit distance d of it must contain
+    at least one of those segments VERBATIM, displaced by at most d
+    positions (an edit can shift later characters by at most one
+    each). So the index side posts (len, seg_idx, segment) for its
+    {n} segments, the probe side posts substrings of itself at the
+    aligned positions ±d for every candidate indexed length in
+    [len-d, len] (partition-the-shorter convention; equal lengths
+    probe both ways and dedup), and candidates share the FULL
+    (len, seg_idx, segment) key — an EXACT filter, not approximate.
+    Exact levenshtein then verifies survivors. The spell-variant
+    miner used to normalize vocab before counting (x26) or vocab
+    cuts (x82).
 
-    Scale: the all-pairs space never materializes — candidates are
-    per-bucket, the type space (vocabulary) is orders smaller than
-    the corpus, and levenshtein runs only on survivors; the same
-    block-then-verify discipline as x02/x04.
+    Scale: the old length-only blocking was near-quadratic per
+    length bucket (natural-language vocab concentrates in lengths
+    4–9, so 10^7-type web vocab ⇒ millions of candidates per
+    bucket). The segment key adds the actual characters to the join
+    key, so bucket population is driven by string content, not the
+    length histogram: signature volume is a constant ≤ {n} index +
+    ~(d+1)²·(2d+1) probe rows per type, the join is one skinny
+    shuffle on (len, seg_idx, segment), and levenshtein runs only
+    on survivors — the same block-then-verify discipline as
+    x02/x04, now with a high-selectivity key.
     """
+    d, nseg = _EDIT_MAX, _EDIT_MAX + 1
     docs = load_table(spark, sf_dir, "documents")
-    vocab = docs.select(
-        F.explode(F.array_distinct(F.split("text", " "))).alias("t")
-    ).distinct()
-    buckets = vocab.select(
-        "t",
-        F.explode(
-            F.array(
-                F.length("t") - 1, F.length("t"), F.length("t") + 1
-            )
-        ).alias("bucket"),
-    )
-    a, c = buckets.alias("a"), buckets.alias("c")
-    cand = (
-        a.join(
-            c,
-            (F.col("a.bucket") == F.col("c.bucket"))
-            & (F.col("a.t") < F.col("c.t")),
+    vocab = (
+        docs.select(
+            F.explode(F.array_distinct(F.split("text", " "))).alias("t")
         )
-        .select(F.col("a.t").alias("tok_a"), F.col("c.t").alias("tok_b"))
+        .distinct()
+        .select("t", F.length("t").alias("l"))
+    )
+    seg_idx = F.explode(F.array(*[F.lit(i) for i in range(nseg)])).alias("i")
+
+    def _bounds(length_col):
+        """Even-partition boundaries of a string of `length_col` chars
+        into nseg segments: first (l % nseg) segments get the extra
+        char. Returns (start0, seg_len) column pair for segment `i`."""
+        base = F.floor(length_col / nseg).cast("int")
+        rem = (length_col % nseg).cast("int")
+        seg_len = base + F.when(F.col("i") < rem, 1).otherwise(0)
+        start0 = F.col("i") * base + F.least(F.col("i"), rem)
+        return start0, seg_len
+
+    # Index side: each token's own nseg segments, keyed by its length.
+    s0, sl = _bounds(F.col("pl"))
+    idx = vocab.select(
+        F.col("t").alias("t_i"),
+        F.col("l").alias("pl"),
+        seg_idx,
+    ).select(
+        "t_i",
+        "pl",
+        "i",
+        F.col("t_i").substr(s0 + 1, sl).alias("seg"),
+    )
+
+    # Probe side: substrings of each token at the partition boundaries
+    # of every candidate indexed length pl in [m-d, m], shifted ±d.
+    probes = (
+        vocab.select(F.col("t").alias("t_p"), F.col("l").alias("m"))
+        .select(
+            "t_p",
+            "m",
+            F.explode(
+                F.array(*[F.lit(-k) for k in range(d + 1)])
+            ).alias("dl"),
+        )
+        .select("t_p", "m", (F.col("m") + F.col("dl")).alias("pl"))
+        .filter(F.col("pl") >= 1)
+        .select("t_p", "m", "pl", seg_idx)
+    )
+    p0, plen = _bounds(F.col("pl"))
+    probes = (
+        probes.select(
+            "t_p",
+            "m",
+            "pl",
+            "i",
+            p0.alias("start0"),
+            plen.alias("seg_len"),
+            F.explode(
+                F.array(*[F.lit(k) for k in range(-d, d + 1)])
+            ).alias("shift"),
+        )
+        .select(
+            "t_p",
+            "pl",
+            "i",
+            "seg_len",
+            (F.col("start0") + F.col("shift")).alias("p"),
+            F.col("m"),
+        )
+        .filter(
+            (F.col("p") >= 0) & (F.col("p") + F.col("seg_len") <= F.col("m"))
+        )
+        .select(
+            "t_p",
+            "pl",
+            "i",
+            F.col("t_p").substr(F.col("p") + 1, F.col("seg_len")).alias("sub"),
+        )
+        .distinct()
+    )
+
+    cand = (
+        idx.join(
+            probes,
+            (idx.pl == probes.pl)
+            & (idx.i == probes.i)
+            & (idx.seg == probes.sub)
+            & (idx.t_i != probes.t_p),
+        )
+        .select(
+            F.least("t_i", "t_p").alias("tok_a"),
+            F.greatest("t_i", "t_p").alias("tok_b"),
+        )
         .distinct()
     )
     return (
@@ -750,7 +838,9 @@ def x85_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-x85_typo_pairs.__doc__ = x85_typo_pairs.__doc__.format(d=_EDIT_MAX)
+x85_typo_pairs.__doc__ = x85_typo_pairs.__doc__.format(
+    d=_EDIT_MAX, n=_EDIT_MAX + 1
+)
 
 
 # ---- x86: parquet storage audit (per-column compression stats) ----

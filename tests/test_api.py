@@ -117,9 +117,21 @@ def test_rotation_aliases_self_maintaining(tmp_path, monkeypatch):
 
     import __spark_entry__ as entry
 
+    from capgemini_himss24_fhirbulkdata_demo_spark.queries import QUERIES
+
     batch = entry._rotation_aliases()
-    assert 0 < len(batch) <= entry._ROTATION_BATCH
-    assert all(b.startswith("x") for b in batch)  # x*-first priority
+    green = entry._green_names()
+    unchecked = [n for n in sorted(QUERIES) if n not in green]
+    if unchecked:
+        assert 0 < len(batch) <= entry._ROTATION_BATCH
+        # batch == head of the x*-first priority queue over *currently*
+        # unchecked names (stays true as CORRECTNESS files accumulate:
+        # once the x* pool drains below the batch size, q* names
+        # legitimately back-fill).
+        priority = sorted(unchecked, key=lambda n: (not n.startswith("x"), n))
+        assert batch == sorted(priority[: entry._ROTATION_BATCH])
+    else:
+        assert batch == []
     qs = entry.queries()
     osql = entry.oracle_sql()
     for name in batch:
@@ -148,6 +160,22 @@ def test_rotation_aliases_self_maintaining(tmp_path, monkeypatch):
     osql_names = list(osql)
     n_alias = sum(1 for n in osql_names if n.startswith("a_"))
     assert all(n.startswith("a_") for n in osql_names[:n_alias])
+    # Regime sweep via synthetic ledgers: the invariant must hold at
+    # every stage of the rotation's life, not just today's disk state.
+    all_names = sorted(QUERIES)
+    x_names = [n for n in all_names if n.startswith("x")]
+    regimes = {
+        "empty": set(),  # round 1: nothing checked, pure x*-first batch
+        "x_drained": set(x_names),  # x* pool gone → q* back-fill
+        "all_green": set(all_names),  # fully drained → canaries only
+    }
+    for label, synthetic_green in regimes.items():
+        monkeypatch.setattr(entry, "_green_names", lambda g=synthetic_green: g)
+        b = entry._rotation_aliases()
+        pool = [n for n in all_names if n not in synthetic_green]
+        pool.sort(key=lambda n: (not n.startswith("x"), n))
+        assert b == sorted(pool[: entry._ROTATION_BATCH]), label
+    monkeypatch.undo()
 
 
 def test_coverage_ledger_matches_rotation_scan(tmp_path):

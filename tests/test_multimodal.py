@@ -270,3 +270,45 @@ def test_sample_frames_on_real_gif(spark):
     for f in (0, 2):
         lumas = [_luma(*pal[i]) for i in frames[f]]
         assert out[f] == sum(lumas) / len(lumas)
+
+
+def test_gif_lzw_tail_width_boundary():
+    """Regression (r5): when the FINAL data code lands the decoder's
+    dictionary at exactly 2^width - 1, the decoder's early width bump
+    fires before reading EOI — the encoder must emit EOI at the
+    bumped width even though it assigns nothing after the last code
+    (63 pixels / 64-color palette hits the 127 == 2^7 - 1 boundary)."""
+    import hashlib
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.multimodal.binary import (
+        _decode_gif,
+        encode_gif,
+    )
+
+    def b(tag, i):
+        return hashlib.md5(f"0:{tag}:{i}".encode()).digest()[0]
+
+    pal = [(b("r", i), b("g", i), b("b", i)) for i in range(64)]
+    frames = [[b(0, i) % 64 for i in range(63)]]
+    w, h, got = _decode_gif(encode_gif(3, 21, frames, pal))
+    assert (w, h, len(got)) == (3, 21, 1)
+
+
+def test_gif_truncated_at_frame_boundary_raises():
+    """Regression (r5): a multi-frame GIF cut cleanly BETWEEN frames
+    (after a frame's 0-size sub-block terminator, before the next
+    image descriptor) must raise, not silently return fewer frames."""
+    import pytest
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.multimodal.binary import (
+        _decode_gif,
+        encode_gif,
+    )
+
+    pal = [(i, i, i) for i in range(4)]
+    frames = [[(f + i) % 4 for i in range(11)] for f in range(2)]
+    gif = encode_gif(1, 11, frames, pal)
+    # find the end of frame 1: second 0x2c starts frame 2
+    second = gif.index(b"\x2c", gif.index(b"\x2c") + 1)
+    with pytest.raises(ValueError, match="missing trailer"):
+        _decode_gif(gif[:second])

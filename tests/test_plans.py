@@ -640,3 +640,21 @@ def test_x82_vocab_is_broadcast(spark):
     p = explain_str(_plan(spark, "x82_oov_rate"))
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_x85_join_key_includes_segment(spark):
+    # PassJoin candidate generation: the equi-join key must include
+    # the segment STRING column (content blocking), not just length —
+    # length-only keys are near-quadratic per bucket at web-scale
+    # vocab (VERDICT r4 Performance audit). The non-equi residue is
+    # only the t_i != t_p self-pair guard.
+    df = _plan(spark, "x85_typo_pairs")
+    assert_no_cartesian_product(df)
+    jp = df._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    m = re.search(r"Join Inner, \(+(.*)", jp)
+    assert m, jp
+    cond = m.group(1)
+    assert re.search(r"seg#\d+ = sub#\d+", cond), cond
+    assert re.search(r"i#\d+ = i#\d+", cond), cond

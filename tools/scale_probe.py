@@ -34,6 +34,13 @@ QUERIES = [
     "x42_decontamination",
     "x64_frame_sample",
     "x46_lm_score",
+    # r5 additions (VERDICT r4 #7): the ops whose cost model is least
+    # obvious — composed dedup, fuzzy decontamination, the rewritten
+    # PassJoin typo join, and the footer-only storage audit.
+    "x72_dedup_retention",
+    "x76_fuzzy_decontamination",
+    "x85_typo_pairs",
+    "x86_parquet_storage_audit",
 ]
 
 _PARTS = {"lineitem": 8, "orders": 4, "documents": 4, "embeddings": 4, "events": 4}
