@@ -369,11 +369,14 @@ _X90_SQL = f"""
              COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
       FROM grams),
     wins AS (
-      SELECT doc_id,
-             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
-                          ROWS BETWEEN CURRENT ROW
-                          AND {_X90_W - 1} FOLLOWING) AS fp
-      FROM hashed
+      -- window FIRST, filter SECOND: a WHERE before the window would
+      -- shrink the tail windows to the surviving rows only
+      SELECT doc_id, fp FROM (
+        SELECT doc_id, pos, n_grams,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                            AND {_X90_W - 1} FOLLOWING) AS fp
+        FROM hashed)
       WHERE pos <= GREATEST(n_grams - {_X90_W - 1}, 1)),
     fps AS (SELECT DISTINCT doc_id, fp FROM wins),
     shared AS (
@@ -442,11 +445,20 @@ def x90_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pos")
         .rowsBetween(Window.currentRow, wlen - 1)
     )
+    # window FIRST, filter SECOND: filtering positions before the
+    # sliding min would shrink tail windows to the surviving rows
+    # (caught by the winnowing-guarantee property test)
     fps = (
-        hashed.filter(
+        hashed.select(
+            "doc_id",
+            "pos",
+            "n_grams",
+            F.min("h").over(wmin).alias("fp"),
+        )
+        .filter(
             F.col("pos") <= F.greatest(F.col("n_grams") - (wlen - 1), F.lit(1))
         )
-        .select("doc_id", F.min("h").over(wmin).alias("fp"))
+        .select("doc_id", "fp")
         .distinct()
     )
     shared = (
@@ -478,3 +490,204 @@ def x90_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 x90_winnowing.__doc__ = x90_winnowing.__doc__.format(k=_X90_K, w=_X90_W)
+
+
+# ---- x91: Heaps-law vocabulary growth curve ----
+
+_X91_BUCKET = 20  # docs per growth checkpoint
+
+_X91_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t
+      FROM documents),
+    first_seen AS (
+      SELECT t, MIN(doc_id) AS first_doc,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY t),
+    per_doc AS (
+      SELECT CAST(FLOOR(first_doc / {_X91_BUCKET}) AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS new_types
+      FROM first_seen GROUP BY bucket),
+    tokens_per_bucket AS (
+      SELECT CAST(FLOOR(doc_id / {_X91_BUCKET}) AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM tok GROUP BY bucket)
+    SELECT tb.bucket,
+           CAST(SUM(tb.n_tokens) OVER w AS BIGINT) AS cum_tokens,
+           CAST(SUM(COALESCE(pd.new_types, 0)) OVER w AS BIGINT)
+             AS cum_types
+    FROM tokens_per_bucket tb
+    LEFT JOIN per_doc pd ON tb.bucket = pd.bucket
+    WINDOW w AS (ORDER BY tb.bucket ROWS UNBOUNDED PRECEDING)
+    ORDER BY tb.bucket
+    """
+
+
+@register("x91_vocab_growth", oracle=_X91_SQL)
+def x91_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve: cumulative distinct types
+    vs cumulative tokens at checkpoints of {b} documents (doc_id
+    order). A natural corpus grows ~ K·n^β with β≈0.5; a flattening
+    curve means the crawl is exhausting its domain (more dedup, less
+    new text), a super-linear one flags OCR noise or random-string
+    spam inflating the type space — the companion gauge to x89's
+    Zipf slope and x26's static vocabulary.
+
+    Scale: "cumulative distinct" is computed without any running
+    distinct state: each type contributes exactly once at its FIRST
+    document (min(doc_id) per type — one uniform-key partial agg on
+    the token), then per-bucket new-type counts cumulate through a
+    window over the tiny bucket axis. Token volume per bucket is a
+    second uniform-key agg. Nothing holds a growing distinct set;
+    both shuffles are corpus-token-proportional with map-side
+    combine.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    bucket = F.floor(F.col("doc_id") / _X91_BUCKET).cast("bigint")
+    first_seen = tok.groupBy("t").agg(F.min("doc_id").alias("first_doc"))
+    new_types = (
+        first_seen.select(
+            F.floor(F.col("first_doc") / _X91_BUCKET)
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("new_types"))
+    )
+    tokens_per_bucket = (
+        tok.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n_tokens"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        tokens_per_bucket.join(new_types, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+            F.sum(F.coalesce("new_types", F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("cum_types"),
+        )
+        .orderBy("bucket")
+    )
+
+
+x91_vocab_growth.__doc__ = x91_vocab_growth.__doc__.format(b=_X91_BUCKET)
+
+
+# ---- x92: cross-source n-gram contamination matrix ----
+
+_X92_NGRAM = 8
+
+_X92_SQL = f"""
+    WITH toks AS (
+      SELECT source, STRING_SPLIT(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT DISTINCT source,
+             UNNEST(LIST_TRANSFORM(
+               RANGE(1, GREATEST(LEN(t) - {_X92_NGRAM - 1}, 0) + 1),
+               i -> ARRAY_TO_STRING(t[i:i + {_X92_NGRAM - 1}], ' ')))
+               AS gram
+      FROM toks),
+    per_src AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams
+      FROM grams GROUP BY source),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM grams a JOIN grams b
+        ON a.gram = b.gram AND a.source < b.source
+      GROUP BY source_a, source_b)
+    SELECT p.source_a, p.source_b, p.n_shared,
+           FLOOR(p.n_shared * 10000.0
+                 / LEAST(sa.n_grams, sb.n_grams)) / 10000
+             AS containment
+    FROM pairs p
+    JOIN per_src sa ON p.source_a = sa.source
+    JOIN per_src sb ON p.source_b = sb.source
+    ORDER BY p.source_a, p.source_b
+    """
+
+
+@register("x92_source_ngram_overlap", oracle=_X92_SQL)
+def x92_source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix at n-gram granularity (the
+    GPT-2/3 appendix-style {g}-gram overlap scan): for every source
+    pair, how many distinct {g}-token grams both carry, normalized by
+    the smaller side's gram count (containment) — x70 answers "do
+    these sources share whole documents", this answers "do they share
+    passages", which catches partial re-crawls and quote farms that
+    whole-doc fingerprints miss.
+
+    Scale: distinct (source, gram) is one uniform-key partial agg;
+    the pair join is keyed on the gram itself (high selectivity,
+    Zipf-skewed → AQE skew split), and emits only co-occurring
+    source pairs — with S sources the output is ≤ S², but the JOIN
+    cost is ∝ matching gram pairs, never |grams|². Per-source totals
+    are an S-row broadcast.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    g = _X92_NGRAM
+    t = F.split(F.col("text"), " ")
+    n = F.size(t)
+    idx = F.when(n >= g, F.sequence(F.lit(1), n - (g - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = (
+        docs.select(
+            "source",
+            F.explode(
+                F.transform(idx, lambda i: F.array_join(F.slice(t, i, g), " "))
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    per_src = grams.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_grams")
+    )
+    a = grams.alias("a")
+    b = grams.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    sa = per_src.select(
+        F.col("source").alias("source_a"), F.col("n_grams").alias("ga")
+    )
+    sb = per_src.select(
+        F.col("source").alias("source_b"), F.col("n_grams").alias("gb")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            (
+                F.floor(
+                    F.col("n_shared") * 10000.0 / F.least("ga", "gb")
+                )
+                / 10000
+            ).alias("containment"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+x92_source_ngram_overlap.__doc__ = x92_source_ngram_overlap.__doc__.format(
+    g=_X92_NGRAM
+)

@@ -658,3 +658,33 @@ def test_x85_join_key_includes_segment(spark):
     cond = m.group(1)
     assert re.search(r"seg#\d+ = sub#\d+", cond), cond
     assert re.search(r"i#\d+ = i#\d+", cond), cond
+
+
+def test_x87_model_is_broadcast(spark):
+    # the 256-row bucket log-ratio model must broadcast into the
+    # (doc, bucket) stream — the corpus-sized side never shuffles for
+    # the scoring join
+    df = _plan(spark, "x87_dsir_weights")
+    assert_no_cartesian_product(df)
+    p = explain_str(df)
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_x91_no_running_distinct(spark):
+    # cumulative distinct types via the first-occurrence trick: the
+    # plan is two uniform-key partial aggs + a tiny bucket-axis
+    # window — no join of token streams, no distinct over a growing
+    # prefix
+    df = _plan(spark, "x91_vocab_growth")
+    assert_no_cartesian_product(df)
+    p = explain_str(df)
+    assert "partial_min" in p or "partial" in p.lower(), p
+
+
+def test_x90_windowed_min_stays_per_doc(spark):
+    # winnowing's sliding min is a doc_id-partitioned window — no
+    # cross-document data motion in the fingerprint selection stage
+    df = _plan(spark, "x90_winnowing")
+    assert_no_cartesian_product(df)
+    p = explain_str(df)
+    assert "Window" in p, p

@@ -567,3 +567,103 @@ def test_wav_roundtrip(n, rate, seed):
     if n >= 2:
         with pytest.raises(ValueError):
             decode_wav(wav[:-1])
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(
+    vocab=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=9),
+        min_size=2,
+        max_size=14,
+        unique=True,
+    ),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_x85_passjoin_finds_all_pairs(spark, tmp_path_factory, vocab):
+    """PassJoin segment blocking is EXACT, not approximate: against a
+    random vocabulary (tiny alphabet → many near-collisions), x85
+    returns precisely the brute-force set of pairs with levenshtein
+    <= 2 — the pigeonhole signature never drops a true pair."""
+    from capgemini_himss24_fhirbulkdata_demo_spark.queries import QUERIES
+
+    d = tmp_path_factory.mktemp("x85prop")
+    rows = [
+        (i, t, "en", "src0", len(t)) for i, t in enumerate(sorted(vocab))
+    ]
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    got = {
+        (r["tok_a"], r["tok_b"], r["dist"])
+        for r in QUERIES["x85_typo_pairs"](spark, str(d)).collect()
+    }
+    toks = sorted(vocab)
+    expect = {
+        (a, b, _lev(a, b))
+        for i, a in enumerate(toks)
+        for b in toks[i + 1 :]
+        if _lev(a, b) <= 2
+    }
+    assert got == expect
+
+
+@given(
+    run_len=st.integers(min_value=8, max_value=12),  # >= K + W - 1 = 8
+    pad_a=st.integers(min_value=0, max_value=6),
+    pad_b=st.integers(min_value=0, max_value=6),
+    seed=st.integers(min_value=0, max_value=10**6),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_x90_winnowing_guarantee(spark, tmp_path_factory, run_len, pad_a, pad_b, seed):
+    """Winnowing's selection guarantee (Schleimer et al. §: any match
+    of length >= w+k-1 is caught): two documents sharing a run of
+    run_len >= K+W-1 tokens MUST both report n_shared >= 1, wherever
+    the run sits in each document."""
+    import hashlib
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.queries import QUERIES
+    from capgemini_himss24_fhirbulkdata_demo_spark.queries.corpus_stats import (
+        _X90_K,
+        _X90_W,
+    )
+
+    assert run_len >= _X90_K + _X90_W - 1
+
+    def tk(tag, i):
+        return "t" + hashlib.md5(f"{seed}:{tag}:{i}".encode()).hexdigest()[:6]
+
+    shared = [tk("s", i) for i in range(run_len)]
+    doc_a = [tk("a", i) for i in range(pad_a)] + shared
+    doc_b = shared + [tk("b", i) for i in range(pad_b)]
+    d = tmp_path_factory.mktemp("x90prop")
+    rows = [
+        (0, " ".join(doc_a), "en", "src0", len(" ".join(doc_a))),
+        (1, " ".join(doc_b), "en", "src1", len(" ".join(doc_b))),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    out = {
+        r["doc_id"]: r["n_shared"]
+        for r in QUERIES["x90_winnowing"](spark, str(d)).collect()
+    }
+    assert out[0] >= 1 and out[1] >= 1, out

@@ -41,6 +41,10 @@ QUERIES = [
     "x76_fuzzy_decontamination",
     "x85_typo_pairs",
     "x86_parquet_storage_audit",
+    # r5 corpus-stats additions with non-trivial join shapes: the
+    # gram-keyed span scan and the cross-source containment matrix.
+    "x88_dup_spans",
+    "x92_source_ngram_overlap",
 ]
 
 _PARTS = {"lineitem": 8, "orders": 4, "documents": 4, "embeddings": 4, "events": 4}
