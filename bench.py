@@ -74,6 +74,13 @@ HEADLINE += [
     "x64_frame_sample",
     "x66_incremental_dedup",
 ]
+# Round-5 additions (PassJoin similarity join; corpus statistics).
+HEADLINE += [
+    "x85_typo_pairs",
+    "x87_dsir_weights",
+    "x88_dup_spans",
+    "x92_source_ngram_overlap",
+]
 
 
 def bench_fhir_pipeline(spark, n_records: int = 100_000) -> dict:

@@ -1219,6 +1219,62 @@ def sample_frames(media: DataFrame, every: int = 2) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(fn, FRAMES_SCHEMA)
 
 
+def resize_frames(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Area-average (box-filter) resize of every frame to out_w×out_h
+    — the thumbnail/normalize stage of an image pipeline. Each output
+    pixel averages its covering input box (integer box edges by
+    even-partition, the same rule as numpy block-reduce on divisible
+    shapes); output is one row per frame with the resized luma raster
+    as an array<double> of exact box means.
+
+    Scale: pure mapInPandas (1 payload row → n_frames skinny rows,
+    raster bytes never shuffle); compute is O(pixels) per frame. For
+    compute-bound codecs upstream see x64's measured repartition.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, frames = _decode_fake(bytes(payload))
+                if w == 0 or h == 0:
+                    continue
+                # even-partition box edges (first rem boxes get +1)
+                def edges(n_in, n_out):
+                    base, rem = divmod(n_in, n_out)
+                    e, acc = [0], 0
+                    for i in range(n_out):
+                        acc += base + (1 if i < rem else 0)
+                        e.append(acc)
+                    return e
+                ex = edges(w, min(out_w, w))
+                ey = edges(h, min(out_h, h))
+                for fi, f in enumerate(frames):
+                    px = []
+                    for yi in range(len(ey) - 1):
+                        for xi in range(len(ex) - 1):
+                            s = cnt = 0
+                            for y in range(ey[yi], ey[yi + 1]):
+                                row = y * w
+                                for x in range(ex[xi], ex[xi + 1]):
+                                    s += f[row + x]
+                                    cnt += 1
+                            px.append(s / cnt)
+                    out.append(
+                        (int(mid), fi, len(ex) - 1, len(ey) - 1, px)
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "frame_idx", "out_w", "out_h", "pixels"],
+            )
+
+    schema = (
+        "media_id BIGINT, frame_idx INT, out_w INT, out_h INT, "
+        "pixels ARRAY<DOUBLE>"
+    )
+    return media.select("media_id", "payload").mapInPandas(fn, schema)
+
+
 def write_fake_files(directory: str, n: int, kind: str = "image") -> list[str]:
     """Materialize n synthetic FAKE-container payloads as individual
     files (``<media_id>.fake``) — the on-disk landing layout the

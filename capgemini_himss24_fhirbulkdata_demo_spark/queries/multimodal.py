@@ -366,3 +366,96 @@ def x73_audio_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 x73_audio_autocorr.__doc__ = x73_audio_autocorr.__doc__.format(maxlag=_MAX_LAG)
+
+
+# ------------------------------------------------------ resize (x93)
+
+_X93_ROW = 16  # raster width: payload bytes laid out row-major
+_X93_BOX = 4  # box-filter edge (16x? raster -> 4-wide block grid)
+
+_X93_SQL = f"""
+    WITH px AS (
+      SELECT doc_id,
+             UNNEST(LIST_TRANSFORM(RANGE(0, STRLEN(text)),
+               j -> STRUCT_PACK(idx := j,
+                                v := unicode(SUBSTR(text, j + 1, 1)))))
+               AS s
+      FROM documents),
+    blocks AS (
+      SELECT doc_id,
+             CAST((s.idx // {_X93_ROW}) // {_X93_BOX} AS INT) AS by,
+             CAST((s.idx % {_X93_ROW}) // {_X93_BOX} AS INT) AS bx,
+             s.v AS v
+      FROM px)
+    SELECT doc_id, by, bx,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 4) AS mean_luma
+    FROM blocks
+    GROUP BY doc_id, by, bx
+    ORDER BY doc_id, by, bx
+    """
+
+
+@register("x93_resize_grid", oracle=_X93_SQL)
+def x93_resize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Box-filter resize shape, driver-checked (1 row → block-grid
+    rows): the payload bytes form a {row}-wide row-major luma raster;
+    each {box}×{box} block averages to one output pixel — the
+    thumbnail/normalize stage of an image-ingest pipeline, surfaced
+    on the text-backed payload so the DuckDB twin is exact. The
+    real-raster form (decoded frames, uneven box edges) is
+    ``multimodal.binary.resize_frames``; this query hash-checks the
+    same mapInPandas plumbing and arithmetic on the driver contract.
+
+    Scale: mapInPandas emits skinny (doc, by, bx, n, sum) rows —
+    raster bytes cross the Arrow boundary once and never shuffle; the
+    block rollup happens inside the UDF (per-doc state only), so the
+    only exchange is the final ORDER BY. Mean = exact int sum ÷ count
+    with one ROUND(4) — the repo's float-determinism contract.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                agg: dict[tuple[int, int], list[int]] = {}
+                for j, v in enumerate(b):
+                    key = (
+                        (j // _X93_ROW) // _X93_BOX,
+                        (j % _X93_ROW) // _X93_BOX,
+                    )
+                    if key in agg:
+                        agg[key][0] += v
+                        agg[key][1] += 1
+                    else:
+                        agg[key] = [v, 1]
+                for (by, bx), (s, n) in agg.items():
+                    out.append((int(did), by, bx, n, s))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "by", "bx", "n_px", "sum_v"]
+            )
+
+    schema = "doc_id BIGINT, by INT, bx INT, n_px BIGINT, sum_v BIGINT"
+    return (
+        payloads.mapInPandas(fn, schema)
+        .select(
+            "doc_id",
+            "by",
+            "bx",
+            "n_px",
+            F.round(F.col("sum_v").cast("double") / F.col("n_px"), 4).alias(
+                "mean_luma"
+            ),
+        )
+        .orderBy("doc_id", "by", "bx")
+    )
+
+
+x93_resize_grid.__doc__ = x93_resize_grid.__doc__.format(
+    row=_X93_ROW, box=_X93_BOX
+)

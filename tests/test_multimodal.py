@@ -312,3 +312,54 @@ def test_gif_truncated_at_frame_boundary_raises():
     second = gif.index(b"\x2c", gif.index(b"\x2c") + 1)
     with pytest.raises(ValueError, match="missing trailer"):
         _decode_gif(gif[:second])
+
+
+def test_resize_frames_exact_box_means(spark):
+    """Area-average resize: a 6x4 raster resized to 3x2 produces the
+    exact 2x2-box means, per frame; uneven edges (5 -> 2) split 3+2."""
+    import struct
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.multimodal.binary import (
+        resize_frames,
+    )
+
+    def fake(w, h, frames):
+        return (
+            b"FAKE" + b"V" + struct.pack(">HHH", w, h, len(frames))
+            + b"".join(bytes(f) for f in frames)
+        )
+
+    w, h = 6, 4
+    frames = [[(f * 10 + i) % 251 for i in range(w * h)] for f in range(2)]
+    payload = fake(w, h, frames)
+    media = spark.createDataFrame(
+        [(7, bytearray(payload))], "media_id BIGINT, payload BINARY"
+    )
+    rows = {r["frame_idx"]: r for r in resize_frames(media, 3, 2).collect()}
+    assert sorted(rows) == [0, 1]
+    for fi, f in enumerate(frames):
+        r = rows[fi]
+        assert (r["out_w"], r["out_h"]) == (3, 2)
+        expect = []
+        for yi in (0, 2):
+            for xi in (0, 2, 4):
+                vals = [
+                    f[y * w + x]
+                    for y in range(yi, yi + 2)
+                    for x in range(xi, xi + 2)
+                ]
+                expect.append(sum(vals) / 4)
+        assert r["pixels"] == expect
+
+    # uneven split: 5 wide -> 2 boxes of 3+2 columns
+    w2, h2 = 5, 2
+    f2 = [list(range(w2 * h2))]
+    media2 = spark.createDataFrame(
+        [(8, bytearray(fake(w2, h2, f2)))],
+        "media_id BIGINT, payload BINARY",
+    )
+    r2 = resize_frames(media2, 2, 1).collect()[0]
+    assert (r2["out_w"], r2["out_h"]) == (2, 1)
+    left = [0, 1, 2, 5, 6, 7]
+    right = [3, 4, 8, 9]
+    assert r2["pixels"] == [sum(left) / 6, sum(right) / 4]
