@@ -237,6 +237,87 @@ def remove_dup_paragraphs(
     )
 
 
+def remove_dup_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style duplicate-span REMOVAL (Lee et al., ACL'22;
+    x88_dup_spans is the audit twin): every ``span_tokens``-token
+    SLIDING window (stride 1 — unlike remove_dup_paragraphs' disjoint
+    chunks) whose text occurs in ≥ ``min_docs`` distinct documents is
+    removed from every document EXCEPT the smallest-id one carrying
+    it (keep-first, content survives once); a token is dropped when
+    ANY removed span occurrence covers it, and each document is
+    reassembled from its surviving tokens in order. Docs losing every
+    token drop out entirely.
+
+    Scale: spans and their coverage explode by the constant factor
+    ``span_tokens``; the frequency pass is one uniform-key partial
+    agg on the span text (Zipf-skewed → AQE skew split); coverage →
+    token removal is a (doc, pos)-keyed anti-join — both sides
+    uniform; reassembly is one per-doc regroup. Every stage is
+    ∝ corpus tokens × k, never corpus².
+    """
+    k = span_tokens
+    toks = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__t"))
+    tok = toks.select(
+        id_col,
+        F.posexplode("__t").alias("__p0", "__tok"),
+    ).select(id_col, (F.col("__p0") + 1).alias("__pos"), "__tok")
+    n = F.size("__t")
+    starts = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    spans = toks.select(
+        id_col,
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    i.alias("start"),
+                    F.concat_ws(" ", F.slice(F.col("__t"), i, k)).alias(
+                        "gram"
+                    ),
+                ),
+            )
+        ).alias("s"),
+    ).select(id_col, "s.start", "s.gram")
+    freq = spans.groupBy("gram").agg(
+        F.countDistinct(id_col).alias("__nd"), F.min(id_col).alias("__first")
+    )
+    rm = (
+        spans.join(freq, "gram")
+        .filter(
+            (F.col("__nd") >= min_docs) & (F.col(id_col) != F.col("__first"))
+        )
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + (k - 1))
+            ).alias("__pos"),
+        )
+        .distinct()
+    )
+    kept = tok.join(rm, [id_col, "__pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
+                lambda s: s["__tok"],
+            ),
+            " ",
+        ).alias("__clean")
+    )
+    return (
+        docs.join(rebuilt, id_col)
+        .withColumn(text_col, F.col("__clean"))
+        .drop("__clean")
+    )
+
+
 def token_budget_cut(
     docs: DataFrame,
     budget_tokens: int,

@@ -691,3 +691,70 @@ def x92_source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 x92_source_ngram_overlap.__doc__ = x92_source_ngram_overlap.__doc__.format(
     g=_X92_NGRAM
 )
+
+
+# ---- x94: duplicate-span REMOVAL (x88 audits, this acts) ----
+
+_X94_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+    tok AS (
+      SELECT doc_id, r.i AS pos, t[r.i] AS tok
+      FROM toks, UNNEST(RANGE(1, LEN(t) + 1)) AS r(i)),
+    spans AS (
+      SELECT doc_id, r.i AS strt,
+             ARRAY_TO_STRING(t[r.i:r.i + {_X88_NGRAM - 1}], ' ') AS gram
+      FROM toks,
+           UNNEST(RANGE(1, GREATEST(LEN(t) - {_X88_NGRAM - 1}, 0) + 1))
+             AS r(i)),
+    freq AS (
+      SELECT gram, COUNT(DISTINCT doc_id) AS nd, MIN(doc_id) AS first
+      FROM spans GROUP BY gram),
+    rm AS (
+      SELECT DISTINCT s.doc_id, s.strt + o.o AS pos
+      FROM spans s
+      JOIN freq f ON s.gram = f.gram,
+           (SELECT UNNEST(RANGE(0, {_X88_NGRAM})) AS o) o
+      WHERE f.nd >= 2 AND s.doc_id <> f.first),
+    keep AS (
+      SELECT tok.doc_id, tok.pos, tok.tok
+      FROM tok LEFT JOIN rm
+        ON tok.doc_id = rm.doc_id AND tok.pos = rm.pos
+      WHERE rm.pos IS NULL),
+    rebuilt AS (
+      SELECT doc_id, STRING_AGG(tok, ' ' ORDER BY pos) AS clean,
+             CAST(COUNT(*) AS BIGINT) AS clean_tokens
+      FROM keep GROUP BY doc_id)
+    SELECT doc_id, clean_tokens, MD5(clean) AS clean_md5
+    FROM rebuilt
+    ORDER BY doc_id
+    """
+
+
+@register("x94_span_removal", oracle=_X94_SQL)
+def x94_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr duplicate-span REMOVAL (x88 is the audit; this is
+    the act): ``dataprep.remove_dup_spans`` drops every token covered
+    by a cross-document duplicated {g}-token sliding span except in
+    the span's smallest-id document, then reassembles survivors in
+    order. The query fingerprints each surviving doc (token count +
+    md5 of the rebuilt text) so coverage semantics, keep-first, and
+    reassembly order are hash-checked against the declarative DuckDB
+    twin.
+
+    Scale: see remove_dup_spans — constant-factor span/coverage
+    explode, one gram-keyed agg, (doc, pos) anti-join, per-doc
+    regroup.
+    """
+    from ..dataprep import remove_dup_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    clean = remove_dup_spans(docs, "doc_id", "text", _X88_NGRAM)
+    return clean.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("clean_tokens"),
+        F.md5(F.col("text").cast("binary")).alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+x94_span_removal.__doc__ = x94_span_removal.__doc__.format(g=_X88_NGRAM)

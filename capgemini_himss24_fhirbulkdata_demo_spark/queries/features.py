@@ -918,3 +918,230 @@ def x86_parquet_storage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("column")
     )
+
+
+# ---- x97: Count-Min sketch heavy hitters ----
+
+# CMS (Cormode & Muthukrishnan, J.Alg'05): D independent hash rows of
+# W counters; every token occurrence increments one counter per row;
+# a point estimate is the MIN over its D counters — always an
+# OVERestimate (collisions only add). The mergeable fixed-width
+# frequency sketch under streaming heavy-hitter pipelines (x74's HLL
+# is the cardinality sibling). Hashes are the portable md5 bridge
+# salted by the row id, so both engines build bit-identical sketches.
+_CMS_D = 4  # hash rows
+_CMS_W = 128  # counters per row
+_CMS_TOP = 20
+
+
+def _cms_sql_bucket(d: int) -> str:
+    return (
+        f"CAST(('0x' || SUBSTR(MD5('{d}:' || t), 1, 15)) AS BIGINT) "
+        f"% {_CMS_W}"
+    )
+
+
+_X97_SQL = f"""
+    WITH tok AS (
+      SELECT UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents),
+    tf AS (
+      SELECT t, COUNT(*) AS true_cnt FROM tok GROUP BY t),
+    hashed AS (
+      SELECT t, true_cnt, d.d AS d,
+             CASE d.d
+               {" ".join(f"WHEN {d} THEN {_cms_sql_bucket(d)}"
+                         for d in range(_CMS_D))}
+             END AS bucket
+      FROM tf, (SELECT UNNEST(RANGE(0, {_CMS_D})) AS d) d),
+    sketch AS (
+      SELECT d, bucket, SUM(true_cnt) AS cnt
+      FROM hashed GROUP BY d, bucket),
+    est AS (
+      SELECT h.t, h.true_cnt, MIN(s.cnt) AS cms_est
+      FROM hashed h JOIN sketch s ON h.d = s.d AND h.bucket = s.bucket
+      GROUP BY h.t, h.true_cnt),
+    top AS (
+      SELECT t, true_cnt, cms_est,
+             ROW_NUMBER() OVER (ORDER BY true_cnt DESC, t) AS rnk
+      FROM est)
+    SELECT rnk, t AS token, CAST(true_cnt AS BIGINT) AS true_cnt,
+           CAST(cms_est AS BIGINT) AS cms_est,
+           CAST(cms_est - true_cnt AS BIGINT) AS overcount
+    FROM top WHERE rnk <= {_CMS_TOP}
+    ORDER BY rnk
+    """
+
+
+@register("x97_cms_heavy_hitters", oracle=_X97_SQL)
+def x97_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan, J.Alg'05) heavy
+    hitters: a {d}×{w} counter sketch over the corpus token stream,
+    then the top-{k} tokens by TRUE frequency with their CMS point
+    estimates (min over {d} salted-md5 rows) and the overcount the
+    collisions cost — the accuracy audit x08 runs for MinHash, here
+    for the frequency sketch. All-integer arithmetic: bit-identical
+    sketches on both engines.
+
+    Scale: the token-frequency pass is one Zipf-skewed partial agg
+    (map-side combine collapses per-partition duplicates before the
+    exchange); the sketch itself is built from the DISTINCT-token
+    table — {d} rows per type, reduced to a constant {d}·{w}-row
+    sketch that broadcasts anywhere. Estimation joins the skinny type
+    table against the broadcast sketch; per-stream mergeability (sum
+    sketches counter-wise) is what makes this the streaming/
+    foreachBatch frequency primitive at 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("true_cnt"))
+    )
+
+    def bucket(d: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{d}:"), F.col("t")).cast("binary")),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _CMS_W
+        )
+
+    hashed = tf.select(
+        "t",
+        "true_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), bucket(d).alias("bucket")
+                    )
+                    for d in range(_CMS_D)
+                ]
+            )
+        ).alias("h"),
+    ).select("t", "true_cnt", "h.d", "h.bucket")
+    sketch = hashed.groupBy("d", "bucket").agg(
+        F.sum("true_cnt").alias("cnt")
+    )
+    est = (
+        hashed.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("t", "true_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    w = Window.orderBy(F.desc("true_cnt"), F.asc("t"))
+    return (
+        est.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _CMS_TOP)
+        .select(
+            "rnk",
+            F.col("t").alias("token"),
+            F.col("true_cnt").cast("bigint").alias("true_cnt"),
+            F.col("cms_est").cast("bigint").alias("cms_est"),
+            (F.col("cms_est") - F.col("true_cnt"))
+            .cast("bigint")
+            .alias("overcount"),
+        )
+        .orderBy("rnk")
+    )
+
+
+x97_cms_heavy_hitters.__doc__ = x97_cms_heavy_hitters.__doc__.format(
+    d=_CMS_D, w=_CMS_W, k=_CMS_TOP
+)
+
+
+# ---- x98: hashed linear quality score (fastText-style) ----
+
+# A fastText/VW-style hashed linear model scored in-engine: every
+# token looks up a weight from a FIXED hashed weight table (no
+# vocabulary build — the hashing trick again), and the document score
+# is the mean weight. Weights are integers in [-500, 500] derived
+# from the md5 bridge, so the per-doc accumulation is EXACT integer
+# math; the only float op is one final division (repo determinism
+# policy: single final float op). This is the quality-classifier
+# scoring pass (CCNet/DCLM-style) without the (offline) training.
+_X98_WSPAN = 1001  # weights in [-500, 500]
+
+
+_X98_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS t
+      FROM documents),
+    wtok AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || SUBSTR(MD5('w:' || t), 1, 15)) AS BIGINT)
+               % {_X98_WSPAN} - 500 AS w
+      FROM tok),
+    scored AS (
+      SELECT doc_id, lang, SUM(w) AS wsum, COUNT(*) AS n_tokens
+      FROM wtok GROUP BY doc_id, lang)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN wsum > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_positive,
+           ROUND(CAST(SUM(wsum) AS DOUBLE) / (500 * SUM(n_tokens)), 6)
+             AS mean_score
+    FROM scored
+    GROUP BY lang
+    ORDER BY lang
+    """
+
+
+@register("x98_hashed_linear_score", oracle=_X98_SQL)
+def x98_hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear classifier scoring (the fastText/Vowpal-Wabbit
+    serving pass): each token indexes a fixed hashed weight table
+    (integer weights in [-500, 500] via the salted md5 bridge), a
+    document's logit is its token-weight sum, and the per-language
+    report gives doc counts, positive-class counts (logit > 0) and
+    the corpus mean score in [-1, 1]. Integer accumulation end to
+    end; ONE final float division — bit-identical across engines.
+
+    Scale: token explode is narrow; the per-doc weight sum is one
+    uniform doc_id-keyed partial agg (map-side combine sums weights
+    before the exchange); the language rollup is a second skinny agg.
+    A trained weight vector would broadcast exactly like the hash
+    weights compute here — the pass stays fully map-side + two aggs
+    at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("t")
+    )
+    weight = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("w:"), F.col("t")).cast("binary")), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _X98_WSPAN
+        - 500
+    )
+    scored = (
+        tok.select("doc_id", "lang", weight.alias("w"))
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("w").alias("wsum"), F.count("*").alias("n_tokens"))
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("wsum") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_positive"),
+            F.round(
+                F.sum("wsum").cast("double")
+                / (500 * F.sum("n_tokens")),
+                6,
+            ).alias("mean_score"),
+        )
+        .orderBy("lang")
+    )

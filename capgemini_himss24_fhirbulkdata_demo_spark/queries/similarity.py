@@ -1013,3 +1013,465 @@ def x67_embedding_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---- x95: product quantization (PQ codebook + codes + recon error) ----
+
+# PQ (Jégou et al., TPAMI 2011 "Product Quantization for Nearest
+# Neighbor Search"): split the vector into M subspaces, quantize each
+# against its own K-entry codebook, store M small codes per vector —
+# the memory layer under IVF-PQ indexes at billion-vector scale
+# (x12's IVF is the routing layer; x15's int8 is the scalar
+# alternative). Codebooks here are seeded like ivf_assign: sign-LSH
+# buckets of the SUBvector (planes = _PLANES rows sliced to the
+# subspace dims — deterministic shared state), entries = exact-decimal
+# bucket means, then TRUE nearest-entry assignment (not own-bucket):
+# argmin over squared L2, ties to the lowest code id. d2 is the same
+# IEEE fold sequence on both engines (zip order + sequential reduce +
+# decimal-mean entries), so even near-ties are bit-identical and the
+# argmin is cross-engine deterministic.
+_PQ_M = 4  # subspaces
+_PQ_SD = _DIM // _PQ_M  # dims per subspace
+_PQ_NPLANES = 2  # 2 sign bits -> K = 4 entries per subspace
+
+
+def _pq_sql_proj(s: int, p: int) -> str:
+    coeffs = _PLANES[p][s * _PQ_SD : (s + 1) * _PQ_SD]
+    lit = "[" + ", ".join(str(c) for c in coeffs) + "]"
+    return (
+        f"LIST_REDUCE(LIST_TRANSFORM(RANGE(1, {_PQ_SD} + 1), "
+        f"i -> {lit}[i] * CAST(embedding[{s * _PQ_SD} + i] AS DOUBLE)), "
+        f"(x, y) -> x + y)"
+    )
+
+
+def _pq_sql_sub_block(s: int) -> str:
+    bkt = " + ".join(
+        f"(CASE WHEN {_pq_sql_proj(s, p)} > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(_PQ_NPLANES)
+    )
+    return (
+        f"SELECT vec_id, {s} AS sub_id, "
+        f"embedding[{s * _PQ_SD + 1}:{(s + 1) * _PQ_SD}] AS sv, "
+        f"CAST({bkt} AS INT) AS bkt FROM embeddings"
+    )
+
+
+def _pq_sql_d2(sv: str, entry: str) -> str:
+    """Squared L2 between a subvector and a codebook entry — the same
+    sequential fold on both engines (zip order + left reduce)."""
+    return (
+        f"LIST_REDUCE(LIST_TRANSFORM(RANGE(1, {_PQ_SD} + 1), "
+        f"i -> (CAST({sv}[i] AS DOUBLE) - {entry}[i]) "
+        f"* (CAST({sv}[i] AS DOUBLE) - {entry}[i])), "
+        f"(x, y) -> x + y)"
+    )
+
+
+# Shared CTE chain: subvectors -> codebooks -> nearest-entry codes.
+# x95 surfaces the codes; x96 reuses the identical index build for
+# the ADC search — the prefix must stay byte-identical between them
+# (same codebook == same codes == comparable distances).
+_PQ_BASE_CTES = f"""sub AS (
+      {" UNION ALL ".join(_pq_sql_sub_block(s) for s in range(_PQ_M))}),
+    cb_long AS (
+      SELECT sub_id, bkt, i.i AS pos,
+             CAST(SUM(CAST(CAST(sv[i.i] AS DOUBLE) AS DECIMAL(28,12)))
+                  AS DOUBLE) / COUNT(*) AS m
+      FROM sub, (SELECT UNNEST(RANGE(1, {_PQ_SD} + 1)) AS i) i
+      GROUP BY sub_id, bkt, i.i),
+    cb AS (
+      SELECT sub_id, bkt, LIST(m ORDER BY pos) AS entry
+      FROM cb_long GROUP BY sub_id, bkt),
+    scored AS (
+      SELECT s.vec_id, s.sub_id, c.bkt,
+             {_pq_sql_d2('s.sv', 'c.entry')} AS d2
+      FROM sub s JOIN cb c ON s.sub_id = c.sub_id),
+    best AS (
+      SELECT vec_id, sub_id, bkt, d2
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id
+                                         ORDER BY d2 ASC, bkt ASC) AS rn
+            FROM scored)
+      WHERE rn = 1)"""
+
+
+_X95_SQL = f"""
+    WITH {_PQ_BASE_CTES}
+    SELECT vec_id,
+           {", ".join(f"MAX(CASE WHEN sub_id = {s} THEN bkt END) AS c{s}"
+                      for s in range(_PQ_M))},
+           ROUND(LIST_REDUCE(LIST(d2 ORDER BY sub_id), (x, y) -> x + y)
+                 / {_DIM}, 6) AS pq_mse
+    FROM best
+    GROUP BY vec_id
+    ORDER BY vec_id
+    """
+
+
+def _pq_sub(emb: DataFrame) -> DataFrame:
+    """(vec_id, sub_id, sv, bkt): subvector slices + sign-LSH seed
+    bucket per subspace — one narrow constant-factor explode."""
+
+    def sv_col(s):
+        return F.slice(F.col("embedding"), s * _PQ_SD + 1, _PQ_SD)
+
+    def bkt_col(s):
+        sv = sv_col(s)
+        b = None
+        for p in range(_PQ_NPLANES):
+            coeffs = _PLANES[p][s * _PQ_SD : (s + 1) * _PQ_SD]
+            term = F.when(_proj(sv, coeffs) > 0, F.lit(1 << p)).otherwise(
+                F.lit(0)
+            )
+            b = term if b is None else b + term
+        return b
+
+    return emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub_id"),
+                        sv_col(s).alias("sv"),
+                        bkt_col(s).cast("int").alias("bkt"),
+                    )
+                    for s in range(_PQ_M)
+                ]
+            )
+        ).alias("x"),
+    ).select("vec_id", "x.sub_id", "x.sv", "x.bkt")
+
+
+def _pq_codebook(sub: DataFrame) -> DataFrame:
+    """(sub_id, bkt, entry): exact-decimal per-bucket means — one
+    skinny (sub, bkt, pos)-keyed shuffle; result is KB-sized."""
+    return (
+        sub.select("sub_id", "bkt", F.posexplode("sv").alias("pos", "val"))
+        .groupBy("sub_id", "bkt", "pos")
+        .agg(
+            (
+                F.sum(
+                    F.col("val").cast("double").cast("decimal(28,12)")
+                ).cast("double")
+                / F.count("*")
+            ).alias("m")
+        )
+        .groupBy("sub_id", "bkt")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+        )
+        .select(
+            "sub_id",
+            "bkt",
+            F.transform("pm", lambda s: s["m"]).alias("entry"),
+        )
+    )
+
+
+def _pq_d2(sv, entry):
+    """Squared L2, same sequential fold as the DuckDB twin."""
+    return F.aggregate(
+        F.zip_with(
+            sv,
+            entry,
+            lambda x, e: (x.cast("double") - e) * (x.cast("double") - e),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_assign(sub: DataFrame, cb: DataFrame) -> DataFrame:
+    """(vec_id, sub_id, bkt, d2): TRUE nearest-entry assignment —
+    broadcast codebook join, per-(vec, sub) argmin window on a
+    uniform key (ties to the lowest code id)."""
+    scored = sub.join(
+        F.broadcast(cb.withColumnRenamed("bkt", "cb_bkt")), "sub_id"
+    ).select(
+        "vec_id",
+        "sub_id",
+        F.col("cb_bkt").alias("bkt"),
+        _pq_d2(F.col("sv"), F.col("entry")).alias("d2"),
+    )
+    w = Window.partitionBy("vec_id", "sub_id").orderBy(
+        F.asc("d2"), F.asc("bkt")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register("x95_pq_codes", oracle=_X95_SQL)
+def x95_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al., TPAMI'11): the embedding
+    splits into {m} subspaces of {sd} dims; each subspace gets a
+    {k}-entry codebook (sign-LSH-seeded, exact-decimal means) and
+    every subvector is assigned to its NEAREST entry by squared L2
+    (ties → lowest code). Output per vector: the {m} codes (what an
+    IVF-PQ index would store — {m} bytes vs {dim} floats, {cx}×
+    compression) and the reconstruction MSE, the quality gauge
+    against x15's int8 scalar path.
+
+    Scale: codebook build = one skinny (sub, bkt, pos) decimal-sum
+    shuffle over the posexploded sample (sampled train_fraction would
+    bolt on exactly as in ivf_assign); assignment joins each
+    subvector against the ≤{m}·{k}-row broadcast codebook — per-row
+    work is M·K fold evaluations, no data-sized shuffle beyond the
+    per-(vec, sub) argmin window on a uniform key. At 100 TB the
+    codebook stays KB-sized and the pass is embarrassingly parallel.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    sub = _pq_sub(emb)
+    cb = _pq_codebook(sub)
+    best = _pq_assign(sub, cb)
+    mse = (
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub_id", "d2"))),
+                lambda s: s["d2"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / _DIM
+    )
+    return (
+        best.groupBy("vec_id")
+        .agg(
+            *[
+                F.max(
+                    F.when(F.col("sub_id") == s, F.col("bkt"))
+                ).alias(f"c{s}")
+                for s in range(_PQ_M)
+            ],
+            F.round(mse, 6).alias("pq_mse"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+x95_pq_codes.__doc__ = x95_pq_codes.__doc__.format(
+    m=_PQ_M,
+    sd=_PQ_SD,
+    k=1 << _PQ_NPLANES,
+    dim=_DIM,
+    cx=_DIM * 4 // _PQ_M,
+)
+
+
+# ---- x96: PQ asymmetric-distance (ADC) top-k search ----
+
+_X96_SQL = f"""
+    WITH {_PQ_BASE_CTES},
+    codes AS (SELECT vec_id, sub_id, bkt AS code FROM best),
+    q AS (SELECT vec_id AS q_id, sub_id, sv
+          FROM sub WHERE vec_id < {_N_QUERIES}),
+    dtab AS (
+      SELECT q.q_id, q.sub_id, c.bkt,
+             {_pq_sql_d2('q.sv', 'c.entry')} AS qd2
+      FROM q JOIN cb c ON q.sub_id = c.sub_id),
+    contrib AS (
+      SELECT d.q_id, co.vec_id AS c_id, d.sub_id, d.qd2
+      FROM codes co
+      JOIN dtab d ON co.sub_id = d.sub_id AND co.code = d.bkt
+      WHERE co.vec_id <> d.q_id),
+    summed AS (
+      SELECT q_id, c_id,
+             LIST_REDUCE(LIST(qd2 ORDER BY sub_id), (x, y) -> x + y) AS adc
+      FROM contrib GROUP BY q_id, c_id),
+    ranked AS (
+      SELECT q_id, c_id, adc,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY adc ASC, c_id) AS rnk
+      FROM summed)
+    SELECT q_id, c_id, ROUND(adc, 6) AS adc_d2, rnk
+    FROM ranked WHERE rnk <= {_TOP_K}
+    ORDER BY q_id, rnk
+    """
+
+
+@register("x96_pq_adc_search", oracle=_X96_SQL)
+def x96_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric distance computation (ADC — Jégou et al.,
+    TPAMI'11 §III.B): queries stay full-precision; each query
+    precomputes a {m}×{k} distance table (squared L2 of its subvector
+    to every codebook entry), and a candidate's approximate distance
+    is the sum of {m} table LOOKUPS over its stored codes — no
+    candidate vector is ever decoded. This is the scan an IVF-PQ
+    index runs inside probed lists (x12 routes, x95 stores, x96
+    scores), completing the family.
+
+    Determinism: table entries are the same IEEE fold on both
+    engines; the per-candidate sum folds in sub_id order; ranking on
+    the raw double with c_id tiebreak.
+
+    Scale: the distance table is Q·{m}·{k} rows — broadcast; the scan
+    touches only the codes table ({cx}× smaller than raw vectors),
+    map-side joins the table, and reduces on a uniform (q_id, c_id)
+    key. Per-query top-k is a WindowGroupLimit. At 100 TB this is the
+    memory-bound design point: the index fits where raw vectors
+    cannot.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    sub = _pq_sub(emb)
+    cb = _pq_codebook(sub)
+    codes = _pq_assign(sub, cb).select(
+        F.col("vec_id").alias("c_id"), "sub_id", F.col("bkt").alias("code")
+    )
+    q = sub.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "sub_id", "sv"
+    )
+    dtab = q.join(F.broadcast(cb), "sub_id").select(
+        "q_id",
+        "sub_id",
+        "bkt",
+        _pq_d2(F.col("sv"), F.col("entry")).alias("qd2"),
+    )
+    contrib = codes.join(
+        F.broadcast(dtab),
+        (codes["sub_id"] == dtab["sub_id"]) & (codes["code"] == dtab["bkt"]),
+    ).filter(F.col("c_id") != F.col("q_id"))
+    adc = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(codes["sub_id"], "qd2"))),
+            lambda s: s["qd2"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    summed = contrib.groupBy("q_id", "c_id").agg(adc.alias("adc"))
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("c_id"))
+    return (
+        summed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("q_id", "c_id", F.round("adc", 6).alias("adc_d2"), "rnk")
+        .orderBy("q_id", "rnk")
+    )
+
+
+x96_pq_adc_search.__doc__ = x96_pq_adc_search.__doc__.format(
+    m=_PQ_M, k=1 << _PQ_NPLANES, cx=_DIM * 4 // _PQ_M
+)
+
+
+# ---- x99: Matryoshka truncation recall ----
+
+# MRL (Kusupati et al., NeurIPS'22) trains embeddings whose PREFIX is
+# itself a usable embedding; serving stacks exploit it by searching
+# on a truncated prefix (cheaper index) and optionally reranking
+# full-dim. The eval that justifies the truncation is exactly this
+# query: recall@k of prefix-dim brute-force search against full-dim
+# search. Complements x13 (LSH recall) and x59 (IVF recall) with the
+# dimension-reduction axis.
+_MRL_DIM = 16  # prefix dims searched
+
+
+def _sql_dot_n(a: str, b: str, n: int) -> str:
+    return (
+        f"LIST_REDUCE(LIST_TRANSFORM(RANGE(1, {n} + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+        f"(x, y) -> x + y)"
+    )
+
+
+def _x99_search_sql(ndim: int) -> str:
+    """Brute-force cosine top-k CTE body on the first ``ndim`` dims."""
+    return f"""
+      SELECT q_id, c_id, rnk FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_sql_dot_n('q.embedding', 'c.embedding', ndim)}
+                   / (SQRT({_sql_dot_n('q.embedding', 'q.embedding', ndim)})
+                      * SQRT({_sql_dot_n('c.embedding', 'c.embedding', ndim)}))
+                   DESC, c.vec_id) AS rnk
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {_N_QUERIES})
+      WHERE rnk <= {_TOP_K}"""
+
+
+_X99_SQL = f"""
+    WITH full_k AS ({_x99_search_sql(_DIM)}),
+    trunc_k AS ({_x99_search_sql(_MRL_DIM)})
+    SELECT f.q_id,
+           CAST(COUNT(t.c_id) AS BIGINT) AS n_hit,
+           ROUND(CAST(COUNT(t.c_id) AS DOUBLE) / {_TOP_K}, 6) AS recall
+    FROM full_k f
+    LEFT JOIN trunc_k t ON f.q_id = t.q_id AND f.c_id = t.c_id
+    GROUP BY f.q_id
+    ORDER BY f.q_id
+    """
+
+
+def _x99_search(emb: DataFrame, ndim: int) -> DataFrame:
+    def dot_n(a, b):
+        return _dot(F.slice(a, 1, ndim), F.slice(b, 1, ndim))
+
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            (
+                dot_n(F.col("q_emb"), F.col("c_emb"))
+                / (
+                    F.sqrt(dot_n(F.col("q_emb"), F.col("q_emb")))
+                    * F.sqrt(dot_n(F.col("c_emb"), F.col("c_emb")))
+                )
+            ).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), "c_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("q_id", "c_id", "rnk")
+    )
+
+
+@register("x99_matryoshka_recall", oracle=_X99_SQL)
+def x99_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation eval (Kusupati et al., NeurIPS'22):
+    recall@{k} of brute-force search on the first {nd} of {dim} dims
+    against full-dim search — the measurement that licenses serving a
+    {r}× smaller index off an MRL prefix. Slicing is engine-native
+    (``slice``), both searches share the fold-determinism contract,
+    and the recall join is exact on (q_id, c_id).
+
+    Scale: both legs are the x10 broadcast-queries scan (the
+    correctness baseline — production would run the truncated leg on
+    an x11/x12-style index); the recall join touches only 2·Q·{k}
+    rows. The truncated leg reads the SAME parquet column but folds
+    {nd} instead of {dim} elements per row — compute drops ~{r}×
+    while the scan stays identical, which is precisely the trade MRL
+    buys at 100 TB.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    full_k = _x99_search(emb, _DIM)
+    trunc_k = _x99_search(emb, _MRL_DIM).withColumnRenamed("rnk", "t_rnk")
+    return (
+        full_k.join(trunc_k, ["q_id", "c_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count("t_rnk").cast("bigint").alias("n_hit"),
+            F.round(
+                F.count("t_rnk").cast("double") / _TOP_K, 6
+            ).alias("recall"),
+        )
+        .orderBy("q_id")
+    )
+
+
+x99_matryoshka_recall.__doc__ = x99_matryoshka_recall.__doc__.format(
+    k=_TOP_K, nd=_MRL_DIM, dim=_DIM, r=_DIM // _MRL_DIM
+)

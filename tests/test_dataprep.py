@@ -261,3 +261,49 @@ def test_write_training_shards_jsonl(spark, tmp_path):
 
     with pytest.raises(ValueError):
         write_training_shards(docs, out, "doc_id", n_shards=3, fmt="orc2")
+
+
+def test_remove_dup_spans_keep_first_and_coverage(spark):
+    """ExactSubstr removal semantics on a hand-built corpus with
+    span_tokens=3: doc 0 keeps its spans (smallest id); docs sharing
+    a 3-token run lose exactly the covered tokens; a doc whose every
+    token is covered drops out entirely."""
+    from capgemini_himss24_fhirbulkdata_demo_spark.dataprep import (
+        remove_dup_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # "a b c" is a shared span; doc 0 is keep-first
+            (0, "a b c x y"),
+            # doc 1 carries the span mid-text: loses a b c only
+            (1, "p q a b c r"),
+            # doc 2 IS the span exactly: loses everything, drops out
+            (2, "a b c"),
+            # doc 3 shares nothing duplicated
+            (3, "u v w z1 z2"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in remove_dup_spans(docs, "doc_id", "text", 3).collect()
+    }
+    assert got == {
+        0: "a b c x y",
+        1: "p q r",
+        3: "u v w z1 z2",
+    }
+
+    # overlapping duplicated spans union their coverage: "a b c d"
+    # in two docs duplicates spans (a b c) and (b c d); doc 5 loses
+    # all four tokens
+    docs2 = spark.createDataFrame(
+        [(4, "a b c d k"), (5, "m a b c d")],
+        "doc_id BIGINT, text STRING",
+    )
+    got2 = {
+        r["doc_id"]: r["text"]
+        for r in remove_dup_spans(docs2, "doc_id", "text", 3).collect()
+    }
+    assert got2 == {4: "a b c d k", 5: "m"}
