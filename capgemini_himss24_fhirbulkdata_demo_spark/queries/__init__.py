@@ -22,6 +22,7 @@ from . import (  # noqa: F401
     multimodal,
     features,
     corpus_stats,
+    graph,
 )
 
 QUERIES = registry.QUERIES

@@ -1,0 +1,238 @@
+"""Graph analytics over derived relational graphs (SURVEY §2B
+iterative-algorithm surface; x07 connected components is the dedup
+sibling in :mod:`.dedup`).
+
+x100 runs PageRank on the nation-level trade graph distilled from
+``lineitem ⋈ orders`` (supplier nation → customer nation edges).
+Determinism strategy for an ITERATIVE float algorithm: there are no
+floats — PageRank mass is fixed-point integer (scaled 1e12), spread
+with integer division and damped with integer arithmetic, so every
+iteration is bit-exact on both engines and the oracle is the same
+recurrence unrolled as CTEs. x101 is the cohort-retention matrix
+(week-granular) over ``events`` — all-integer week arithmetic
+anchored to the corpus epoch, one final ratio division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import register
+
+# ---- x100: PageRank on the nation trade graph ----
+
+_PR_SCALE = 10**12  # fixed-point scale for rank mass
+_PR_ITERS = 5
+_PR_D_NUM, _PR_D_DEN = 85, 100  # damping 0.85 as a rational
+
+
+_X100_EDGES_SQL = """
+    edges AS (
+      SELECT DISTINCT sn.n_nationkey AS src, cn.n_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey),
+    deg AS (
+      SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    nodes AS (
+      SELECT n_nationkey AS node FROM nation),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)"""
+
+
+def _x100_iter_sql(i: int) -> str:
+    prev = f"it{i - 1}"
+    return f"""
+    {prev}_c AS (
+      SELECT e.dst AS node,
+             SUM(p.pr // d.outdeg) AS contrib
+      FROM edges e
+      JOIN {prev} p ON e.src = p.node
+      JOIN deg d ON e.src = d.src
+      GROUP BY e.dst),
+    it{i} AS (
+      SELECT n.node,
+             ({_PR_SCALE} // (SELECT n FROM nn) * {_PR_D_DEN - _PR_D_NUM}
+              + {_PR_D_NUM} * COALESCE(c.contrib, 0)) // {_PR_D_DEN} AS pr
+      FROM nodes n LEFT JOIN {prev}_c c ON n.node = c.node)"""
+
+
+_X100_SQL = f"""
+    WITH {_X100_EDGES_SQL},
+    it0 AS (
+      SELECT node, {_PR_SCALE} // (SELECT n FROM nn) AS pr FROM nodes),
+    {",".join(_x100_iter_sql(i) for i in range(1, _PR_ITERS + 1))}
+    SELECT nat.n_name AS nation, CAST(r.pr AS BIGINT) AS pr_fixed,
+           CAST(ROW_NUMBER() OVER (ORDER BY r.pr DESC, nat.n_name)
+                AS BIGINT) AS rnk
+    FROM it{_PR_ITERS} r JOIN nation nat ON r.node = nat.n_nationkey
+    ORDER BY rnk
+    """
+
+
+@register("x100_pagerank_nations", oracle=_X100_SQL)
+def x100_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (fixed damping 0.85, {it} iterations) over the nation
+    trade graph: a DISTINCT supplier-nation → customer-nation edge
+    per trading relationship in ``lineitem ⋈ orders``. Rank mass is
+    FIXED-POINT INTEGER (scale 1e12) spread by integer division
+    (``DIV``/``//`` truncate identically on non-negative operands)
+    and damped rationally, so the iterative recurrence is bit-exact
+    cross-engine — the declarative twin unrolls the same {it} steps
+    as CTEs. Dangling mass is dropped (the simple variant); ranks
+    still order correctly since every node receives the same
+    teleport term.
+
+    Scale: edge DISTILLATION is the heavy stage — two fact-fact
+    shuffles on uniform keys (orderkey, then the dim joins broadcast)
+    and one distinct on the skinny (src, dst) pair; the ITERATION
+    then runs on the aggregated graph, which for an N-nation world is
+    broadcast-sized. For graphs that stay fact-sized (doc-doc link
+    graphs), each step is one shuffle join keyed on src — x07's
+    localCheckpoint pattern bounds the plan depth; {it} fixed
+    iterations keeps the lineage linear either way.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            supp["s_nationkey"].alias("src"),
+            cust["c_nationkey"].alias("dst"),
+        )
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    nodes = nation.select(F.col("n_nationkey").alias("node"))
+    n_nodes = nodes.count()  # dim-sized; a literal both engines share
+
+    base = _PR_SCALE // n_nodes
+    pr = nodes.withColumn("pr", F.lit(base).cast("bigint"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(pr.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select("dst", F.expr("pr DIV outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        pr = (
+            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    f"(CAST({base} AS BIGINT) * {_PR_D_DEN - _PR_D_NUM} "
+                    f"+ {_PR_D_NUM} * COALESCE(contrib, CAST(0 AS BIGINT))) "
+                    f"DIV {_PR_D_DEN}"
+                ).alias("pr"),
+            )
+        )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("pr_fixed"), F.asc("nation"))
+    return (
+        pr.join(F.broadcast(nation), pr["node"] == nation["n_nationkey"])
+        .select(F.col("n_name").alias("nation"), F.col("pr").alias("pr_fixed"))
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .orderBy("rnk")
+    )
+
+
+x100_pagerank_nations.__doc__ = x100_pagerank_nations.__doc__.format(
+    it=_PR_ITERS
+)
+
+
+# ---- x101: cohort retention matrix over events ----
+
+_X101_EPOCH = "2024-01-01"  # corpus epoch; week = days-since DIV 7
+
+
+_X101_SQL = f"""
+    WITH ev AS (
+      SELECT user_id,
+             CAST(DATEDIFF('day', DATE '{_X101_EPOCH}', CAST(ts AS DATE))
+                  AS BIGINT) // 7 AS week
+      FROM events),
+    cohort AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id),
+    active AS (
+      SELECT DISTINCT e.user_id, c.cohort_week,
+             e.week - c.cohort_week AS week_offset
+      FROM ev e JOIN cohort c ON e.user_id = c.user_id),
+    size AS (
+      SELECT cohort_week, COUNT(*) AS cohort_size
+      FROM cohort GROUP BY cohort_week)
+    SELECT a.cohort_week, a.week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / s.cohort_size, 6) AS retention
+    FROM active a JOIN size s ON a.cohort_week = s.cohort_week
+    GROUP BY a.cohort_week, a.week_offset, s.cohort_size
+    ORDER BY a.cohort_week, a.week_offset
+    """
+
+
+@register("x101_cohort_retention", oracle=_X101_SQL)
+def x101_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (the product-analytics classic): users
+    cohorted by first-activity week, then for every (cohort_week,
+    week_offset) cell the count of distinct users active that week
+    and the retention ratio against the cohort size. Weeks are
+    integer ``days-since-epoch DIV 7`` — no engine-specific week
+    truncation semantics to disagree on; the ratio is the single
+    final float op.
+
+    Scale: two uniform user_id-keyed aggs (first-week, then the
+    distinct (user, week) activity set — map-side combine collapses
+    repeat events per partition first) and one skinny join against
+    the per-user cohort table; the output matrix is
+    O(weeks²) — tiny. The cohort join is user_id-to-user_id, so at
+    100 TB both sides co-partition on the same key and AQE picks a
+    shuffle-free plan once events are bucketed by user_id.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            f"CAST(DATEDIFF(CAST(ts AS DATE), DATE '{_X101_EPOCH}') "
+            f"AS BIGINT) DIV 7"
+        ).alias("week"),
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = (
+        ev.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .distinct()
+    )
+    size = cohort.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    return (
+        active.groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_active"))
+        .join(size, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            F.col("n_active").cast("bigint").alias("n_active"),
+            F.col("cohort_size").cast("bigint").alias("cohort_size"),
+            F.round(
+                F.col("n_active").cast("double") / F.col("cohort_size"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
