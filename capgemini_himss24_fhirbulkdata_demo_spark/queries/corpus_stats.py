@@ -758,3 +758,98 @@ def x94_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 x94_span_removal.__doc__ = x94_span_removal.__doc__.format(g=_X88_NGRAM)
+
+
+# ---- x102: per-source unigram-distribution similarity ----
+
+_X102_SQL = """
+    WITH tok AS (
+      SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents),
+    sc AS (
+      SELECT source, t, COUNT(*) AS c FROM tok GROUP BY source, t),
+    corpus AS (
+      SELECT t, CAST(SUM(c) AS BIGINT) AS cc FROM sc GROUP BY t),
+    corpus_norm AS (
+      SELECT CAST(SUM(cc * cc) AS BIGINT) AS css FROM corpus),
+    per_source AS (
+      SELECT s.source,
+             CAST(SUM(s.c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS vocab,
+             CAST(SUM(s.c * g.cc) AS BIGINT) AS dot,
+             CAST(SUM(s.c * s.c) AS BIGINT) AS ss
+      FROM sc s JOIN corpus g ON s.t = g.t
+      GROUP BY s.source)
+    SELECT source, n_tokens, vocab,
+           ROUND(CAST(dot AS DOUBLE)
+                 / (SQRT(CAST(ss AS DOUBLE))
+                    * SQRT(CAST((SELECT css FROM corpus_norm) AS DOUBLE))),
+                 6) AS cosine_to_corpus,
+           ROUND(CAST(n_tokens * n_tokens - ss AS DOUBLE)
+                 / (n_tokens * n_tokens), 6) AS gini_diversity
+    FROM per_source
+    ORDER BY source
+    """
+
+
+@register("x102_source_unigram_cosine", oracle=_X102_SQL)
+def x102_source_unigram_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributional data-mixing diagnostic: per source, the cosine
+    similarity between its unigram COUNT vector and the corpus-wide
+    vector (how representative each source is of the mix — the
+    log-free companion to x87's DSIR log-ratios), plus the
+    Gini–Simpson diversity 1 − Σp² (probability two random tokens
+    differ; low = repetitive source). Every accumulation is exact
+    integer; the only float ops are the final IEEE sqrt/divide
+    sequence, identical on both engines.
+
+    Scale: one (source, token) partial agg (map-side combine soaks
+    the Zipf head), one token-keyed rollup to the corpus vector, one
+    same-key join back — all uniform-key; the output is one row per
+    source. Counts are BIGINT-safe to ~3·10⁹ corpus tokens per
+    squared term; beyond that the sums lift to DECIMAL(38,0) exactly
+    like the codebook means (same operand order → same totals).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sc = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count("*").alias("c"))
+    )
+    corpus = sc.groupBy("t").agg(F.sum("c").alias("cc"))
+    css = corpus.agg(
+        F.sum(F.col("cc") * F.col("cc")).cast("bigint").alias("css")
+    )
+    per_source = (
+        sc.join(corpus, "t")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("vocab"),
+            F.sum(F.col("c") * F.col("cc")).cast("bigint").alias("dot"),
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ss"),
+        )
+    )
+    return (
+        per_source.crossJoin(F.broadcast(css))
+        .select(
+            "source",
+            "n_tokens",
+            "vocab",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("ss").cast("double"))
+                    * F.sqrt(F.col("css").cast("double"))
+                ),
+                6,
+            ).alias("cosine_to_corpus"),
+            F.round(
+                (
+                    F.col("n_tokens") * F.col("n_tokens") - F.col("ss")
+                ).cast("double")
+                / (F.col("n_tokens") * F.col("n_tokens")),
+                6,
+            ).alias("gini_diversity"),
+        )
+        .orderBy("source")
+    )

@@ -688,3 +688,45 @@ def test_x90_windowed_min_stays_per_doc(spark):
     assert_no_cartesian_product(df)
     p = explain_str(df)
     assert "Window" in p, p
+
+
+def test_x96_codebook_and_dtable_broadcast(spark):
+    # ADC scan contract: both the codebook join (assignment) and the
+    # per-query distance-table join must be broadcasts — the
+    # data-sized codes table must never shuffle for a lookup against
+    # constant-sized state
+    df = _plan(spark, "x96_pq_adc_search")
+    assert_no_cartesian_product(df)
+    p = explain_str(df)
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_x97_sketch_probe_broadcast(spark):
+    # the D*W-row sketch broadcasts into the distinct-token estimate
+    # probe; the only data-sized shuffles are the token partial agg
+    # and the (d, bucket) sketch build
+    df = _plan(spark, "x97_cms_heavy_hitters")
+    p = explain_str(df)
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_x100_edge_distillation_broadcasts_dims(spark):
+    # PageRank edge distillation: supplier/customer dim joins must
+    # broadcast; the only fact-fact shuffle join is
+    # lineitem-orders on orderkey. No cartesian anywhere in the
+    # 5-iteration unrolled plan.
+    df = _plan(spark, "x100_pagerank_nations")
+    assert_no_cartesian_product(df)
+    p = explain_str(df)
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_x94_span_removal_anti_join(spark):
+    # token survival is a (doc, pos)-keyed LEFT ANTI join against the
+    # removed-coverage set — never a per-token membership UDF
+    df = _plan(spark, "x94_span_removal")
+    assert_no_cartesian_product(df)
+    p = explain_str(df)
+    assert "LeftAnti" in p, p

@@ -45,6 +45,14 @@ QUERIES = [
     # gram-keyed span scan and the cross-source containment matrix.
     "x88_dup_spans",
     "x92_source_ngram_overlap",
+    # r5 closing-batch additions: the sliding-span removal (heaviest
+    # explode in the repo), the PQ ADC scan, the CMS sketch build,
+    # and the iterative fixed-point PageRank (edge distillation is
+    # its fact-sized stage).
+    "x94_span_removal",
+    "x96_pq_adc_search",
+    "x97_cms_heavy_hitters",
+    "x100_pagerank_nations",
 ]
 
 _PARTS = {"lineitem": 8, "orders": 4, "documents": 4, "embeddings": 4, "events": 4}
