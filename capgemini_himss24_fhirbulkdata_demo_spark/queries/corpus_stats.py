@@ -195,12 +195,19 @@ def x88_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     FLOOR-truncated duplicated share, and the 0/1 flag.
 
     Scale: span generation is the same narrow index-sequence
-    transform as x42 (no self-join); the cross-doc test is one
-    partial-aggregated count per gram (approximated nowhere — exact
-    COUNT(DISTINCT doc_id) via the two-level (gram, doc_id) agg) and
-    a semi-join back on the gram key. Gram keys are Zipf-skewed; AQE
-    skew-join splits the hot buckets, and no stage is quadratic in
-    corpus size — cost ∝ total span positions, i.e. ∝ corpus tokens.
+    transform as x42 (no self-join). Round 5 perf rewrite (bench #1
+    offender at 3.6 s): (a) per-doc span totals are computed NARROWLY
+    (``n − g + 1`` from the token count — the explode branch that
+    re-scanned the corpus is gone); (b) spans shuffle as 128-bit md5
+    FINGERPRINTS, not gram text (~3× fewer shuffle bytes; collision
+    odds over a corpus of G distinct grams ≈ G²/2¹²⁹ — at 10¹²
+    grams that is <10⁻¹⁴, the same exactness budget x02's
+    fingerprints already spend); (c) the duplicate test is ONE
+    (fp, doc) partial agg + a same-key count window + the per-doc
+    rollup — the re-explode + gram-keyed semi-join of the first cut
+    collapsed into the window. Gram keys are Zipf-skewed; AQE splits
+    hot buckets, and no stage is quadratic in corpus size — cost ∝
+    total span positions, i.e. ∝ corpus tokens.
     """
     docs = load_table(spark, sf_dir, "documents")
     g = _X88_NGRAM
@@ -212,24 +219,26 @@ def x88_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = docs.select(
         "doc_id",
         F.explode(
-            F.transform(idx, lambda i: F.array_join(F.slice(t, i, g), " "))
-        ).alias("gram"),
+            F.transform(
+                idx,
+                lambda i: F.md5(
+                    F.array_join(F.slice(t, i, g), " ").cast("binary")
+                ),
+            )
+        ).alias("fp"),
     )
-    dup = (
-        spans.select("gram", "doc_id")
-        .distinct()
-        .groupBy("gram")
-        .agg(F.count("*").alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("gram")
+    # docs with <g tokens explode to zero spans and drop out — the
+    # narrow twin must exclude them the same way
+    tot = docs.filter(n >= g).select(
+        "doc_id", (n - (g - 1)).cast("bigint").alias("n_spans")
     )
-    tot = spans.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_spans")
-    )
+    gd = spans.groupBy("fp", "doc_id").agg(F.count("*").alias("cnt"))
+    wg = Window.partitionBy("fp")
     hit = (
-        spans.join(dup, "gram", "left_semi")
+        gd.withColumn("nd", F.count("*").over(wg))
+        .filter(F.col("nd") > 1)
         .groupBy("doc_id")
-        .agg(F.count("*").cast("bigint").alias("n_dup"))
+        .agg(F.sum("cnt").cast("bigint").alias("n_dup"))
     )
     n_dup = F.coalesce("n_dup", F.lit(0).cast("bigint"))
     return (
@@ -624,12 +633,17 @@ def x92_source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     passages", which catches partial re-crawls and quote farms that
     whole-doc fingerprints miss.
 
-    Scale: distinct (source, gram) is one uniform-key partial agg;
-    the pair join is keyed on the gram itself (high selectivity,
-    Zipf-skewed → AQE skew split), and emits only co-occurring
-    source pairs — with S sources the output is ≤ S², but the JOIN
-    cost is ∝ matching gram pairs, never |grams|². Per-source totals
-    are an S-row broadcast.
+    Scale: distinct (source, gram-fingerprint) is one uniform-key
+    partial agg (md5 fingerprints shuffle, not gram text — r5 perf
+    pass). The pair count then FOLDS each gram's source set once
+    (``collect_set`` ≤ S elements, S = #sources) and explodes the
+    ordered pairs narrowly — the gram-keyed self-join it replaces
+    shuffled the distinct gram set twice (verified: no
+    ReusedExchange), so this shape halves the pair-stage shuffle
+    volume at any scale; local sf0.1 timings are within noise of the
+    join (2.6 vs 2.4 s best-of-3 — both recorded, the shuffle
+    argument decides). Cost ∝ matching gram occurrences, never
+    |grams|². Per-source totals are an S-row broadcast.
     """
     docs = load_table(spark, sf_dir, "documents")
     g = _X92_NGRAM
@@ -638,11 +652,19 @@ def x92_source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = F.when(n >= g, F.sequence(F.lit(1), n - (g - 1))).otherwise(
         F.array().cast("array<int>")
     )
+    # r5 perf: distinct and self-join on 128-bit md5 fingerprints,
+    # not gram text (~3× fewer shuffle bytes; same collision budget
+    # as x88/x02 — ≈G²/2¹²⁹, negligible at any real corpus size)
     grams = (
         docs.select(
             "source",
             F.explode(
-                F.transform(idx, lambda i: F.array_join(F.slice(t, i, g), " "))
+                F.transform(
+                    idx,
+                    lambda i: F.md5(
+                        F.array_join(F.slice(t, i, g), " ").cast("binary")
+                    ),
+                )
             ).alias("gram"),
         )
         .distinct()
@@ -650,17 +672,29 @@ def x92_source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_src = grams.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_grams")
     )
-    a = grams.alias("a")
-    b = grams.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.source") < F.col("b.source")),
+    # r5 perf: instead of a gram-keyed SELF-JOIN (which re-shuffles
+    # the distinct gram set twice), fold each gram's source set once
+    # (sets are ≤S, S = #sources) and explode the ordered pairs
+    # narrowly — one data-sized shuffle fewer, identical counts
+    srcs = (
+        grams.groupBy("gram")
+        .agg(F.array_sort(F.collect_set("source")).alias("ss"))
+        .filter(F.size("ss") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ss"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ss"), i + 2, F.size(F.col("ss"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
+    )
+    pairs = (
+        srcs.select(F.explode(pair_structs).alias("p"))
         .groupBy(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
+            F.col("p.a").alias("source_a"),
+            F.col("p.b").alias("source_b"),
         )
         .agg(F.count("*").cast("bigint").alias("n_shared"))
     )
