@@ -81,6 +81,13 @@ HEADLINE += [
     "x88_dup_spans",
     "x92_source_ngram_overlap",
 ]
+# Round-5 closing batch (span removal; PQ serving; sketches; graph).
+HEADLINE += [
+    "x94_span_removal",
+    "x96_pq_adc_search",
+    "x97_cms_heavy_hitters",
+    "x100_pagerank_nations",
+]
 
 
 def bench_fhir_pipeline(spark, n_records: int = 100_000) -> dict:

@@ -111,6 +111,17 @@ def x100_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             cust["c_nationkey"].alias("dst"),
         )
         .distinct()
+        # the unrolled iteration references edges once per step: cut
+        # the lineage so the fact-fact distillation runs ONCE, not
+        # _PR_ITERS+1 times. localCheckpoint beats persist() here —
+        # a cached plan freezes its 32-partition layout and blocks
+        # AQE's small-stage coalescing (measured best-of-4 at sf0.1:
+        # no-reuse 2.2 s, persist 3.5 s, coalesce(1)+localCheckpoint
+        # 1.6 s). coalesce(1) is sound because the AGGREGATED graph
+        # is dim-sized (≤N² nation pairs); a fact-sized graph would
+        # keep its partitioning and still checkpoint.
+        .coalesce(1)
+        .localCheckpoint(eager=True)
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     nodes = nation.select(F.col("n_nationkey").alias("node"))
@@ -140,12 +151,13 @@ def x100_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.orderBy(F.desc("pr_fixed"), F.asc("nation"))
-    return (
+    out = (
         pr.join(F.broadcast(nation), pr["node"] == nation["n_nationkey"])
         .select(F.col("n_name").alias("nation"), F.col("pr").alias("pr_fixed"))
         .withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .orderBy("rnk")
     )
+    return out
 
 
 x100_pagerank_nations.__doc__ = x100_pagerank_nations.__doc__.format(

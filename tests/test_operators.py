@@ -694,3 +694,94 @@ def test_x86_storage_audit_matches_duckdb_metadata(spark):
             a[2] += unc
     assert got == {k: tuple(v) for k, v in exp.items()}
     assert len(got) == 11  # every lineitem column audited
+
+
+def test_x97_cms_never_underestimates(spark):
+    """CMS point estimates are provably >= true counts (collisions
+    only ADD mass) — the invariant the overcount column rests on."""
+    from capgemini_himss24_fhirbulkdata_demo_spark.queries import QUERIES
+
+    rows = QUERIES["x97_cms_heavy_hitters"](spark, SF_DIR).collect()
+    assert rows, "expected heavy hitters"
+    for r in rows:
+        assert r["cms_est"] >= r["true_cnt"], r
+        assert r["overcount"] == r["cms_est"] - r["true_cnt"], r
+
+
+def test_x95_x96_pq_invariants(spark):
+    """PQ codes stay in [0, K); ADC distances are non-negative and
+    each query returns exactly top-k ranked 1..k."""
+    from capgemini_himss24_fhirbulkdata_demo_spark.queries import QUERIES
+    from capgemini_himss24_fhirbulkdata_demo_spark.queries.similarity import (
+        _PQ_NPLANES,
+        _TOP_K,
+    )
+
+    k = 1 << _PQ_NPLANES
+    for r in QUERIES["x95_pq_codes"](spark, SF_DIR).collect():
+        for s in range(4):
+            assert 0 <= r[f"c{s}"] < k, r
+        assert r["pq_mse"] >= 0, r
+    per_q = {}
+    for r in QUERIES["x96_pq_adc_search"](spark, SF_DIR).collect():
+        assert r["adc_d2"] >= 0, r
+        per_q.setdefault(r["q_id"], []).append(r["rnk"])
+    for q_id, rnks in per_q.items():
+        assert sorted(rnks) == list(range(1, _TOP_K + 1)), (q_id, rnks)
+
+
+def test_x99_recall_bounded(spark):
+    from capgemini_himss24_fhirbulkdata_demo_spark.queries import QUERIES
+    from capgemini_himss24_fhirbulkdata_demo_spark.queries.similarity import (
+        _TOP_K,
+    )
+
+    rows = QUERIES["x99_matryoshka_recall"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r["n_hit"] <= _TOP_K, r
+        assert 0.0 <= r["recall"] <= 1.0, r
+
+
+def test_x100_pagerank_mass_conservation(spark):
+    """Fixed-point PageRank: every node keeps positive rank (the
+    teleport term guarantees it) and total mass never exceeds the
+    scale (integer floors + dangling drop only LOSE mass); the
+    teleport floor alone is 15% of scale."""
+    from capgemini_himss24_fhirbulkdata_demo_spark.queries import QUERIES
+    from capgemini_himss24_fhirbulkdata_demo_spark.queries.graph import (
+        _PR_SCALE,
+    )
+
+    rows = QUERIES["x100_pagerank_nations"](spark, SF_DIR).collect()
+    assert len(rows) == 25
+    total = sum(r["pr_fixed"] for r in rows)
+    assert 0 < total <= _PR_SCALE, total
+    assert total >= _PR_SCALE * 15 // 100, total
+    for r in rows:
+        assert r["pr_fixed"] > 0, r
+
+
+def test_x101_cohort_matrix_invariants(spark):
+    from capgemini_himss24_fhirbulkdata_demo_spark.queries import QUERIES
+
+    rows = QUERIES["x101_cohort_retention"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["week_offset"] >= 0, r
+        assert 0 < r["n_active"] <= r["cohort_size"], r
+        assert 0.0 < r["retention"] <= 1.0, r
+    # offset-0 cells cover the whole cohort by construction
+    for r in rows:
+        if r["week_offset"] == 0:
+            assert r["n_active"] == r["cohort_size"], r
+
+
+def test_x102_similarity_bounds(spark):
+    from capgemini_himss24_fhirbulkdata_demo_spark.queries import QUERIES
+
+    rows = QUERIES["x102_source_unigram_cosine"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["cosine_to_corpus"] <= 1.0, r
+        assert 0.0 <= r["gini_diversity"] < 1.0, r
