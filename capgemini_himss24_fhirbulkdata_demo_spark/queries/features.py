@@ -972,6 +972,62 @@ _X97_SQL = f"""
     """
 
 
+def cms_bucket_col(d: int, token_col: str = "t"):
+    """Row-``d``'s bucket for a token column — the salted portable
+    md5 bridge (mirrored by :func:`cms_bucket_py` for driver-side
+    probes)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(f"{d}:"), F.col(token_col)).cast("binary")
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _CMS_W
+    )
+
+
+def cms_bucket_py(d: int, token: str) -> int:
+    """Pure-Python mirror of :func:`cms_bucket_col` (same md5 prefix
+    → BIGINT bridge) for estimating from a collected sketch."""
+    import hashlib
+
+    h = hashlib.md5(f"{d}:{token}".encode()).hexdigest()
+    return int(h[:15], 16) % _CMS_W
+
+
+def cms_sketch(tok: DataFrame, token_col: str = "t") -> DataFrame:
+    """Build the D×W Count-Min sketch from a token-occurrence frame:
+    (d, bucket, cnt) rows, ≤ D·W of them. Two-level agg — token
+    frequencies first (map-side combine soaks the Zipf head), then
+    the D-row explode runs over the DISTINCT-token table only.
+    Sketches are mergeable by counter-wise SUM (linearity), which is
+    what the streaming layer exploits."""
+    tf = tok.groupBy(token_col).agg(F.count("*").alias("__cnt"))
+    hashed = tf.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        cms_bucket_col(d, token_col).alias("bucket"),
+                    )
+                    for d in range(_CMS_D)
+                ]
+            )
+        ).alias("h"),
+        "__cnt",
+    ).select("h.d", "h.bucket", "__cnt")
+    return hashed.groupBy("d", "bucket").agg(
+        F.sum("__cnt").cast("bigint").alias("cnt")
+    )
+
+
 @register("x97_cms_heavy_hitters", oracle=_X97_SQL)
 def x97_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch (Cormode & Muthukrishnan, J.Alg'05) heavy
@@ -998,20 +1054,6 @@ def x97_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("true_cnt"))
     )
 
-    def bucket(d: int):
-        return (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{d}:"), F.col("t")).cast("binary")),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("bigint")
-            % _CMS_W
-        )
-
     hashed = tf.select(
         "t",
         "true_cnt",
@@ -1019,7 +1061,8 @@ def x97_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(
                 *[
                     F.struct(
-                        F.lit(d).alias("d"), bucket(d).alias("bucket")
+                        F.lit(d).alias("d"),
+                        cms_bucket_col(d, "t").alias("bucket"),
                     )
                     for d in range(_CMS_D)
                 ]
@@ -1145,3 +1188,179 @@ def x98_hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---- x103: Bloom-filter membership decontamination ----
+
+# Bloom (CACM'70): k salted hash bits over an m-bit array; "all k
+# bits set" ⇒ probably-member (false positives possible, false
+# negatives impossible). The constant-size membership sketch that
+# lets an ingest pipeline probe "have we seen this document?" without
+# shipping the fingerprint set — completing the sketch triad (x74
+# HLL = cardinality, x97 CMS = frequency, x103 Bloom = membership).
+# The audit measures its false-positive rate against the EXACT
+# fingerprint join (x42's ground-truth style) per source.
+_BLOOM_M = 65536  # bits (sized so sf0.1's ~2.5k-doc train half
+# stays far from saturation: k·n/m ≈ 0.11 → FPR ≈ 0.1%³)
+_BLOOM_K = 3  # hash rows
+
+
+def _bloom_bit_sql(j_expr: str, fp: str) -> str:
+    # j_expr is a SQL expression (column or literal) — cast into the
+    # salt so 'j.j' the COLUMN, not the string, varies the hash row
+    return (
+        f"CAST(('0x' || SUBSTR(MD5(CAST({j_expr} AS VARCHAR) || ':' "
+        f"|| {fp}), 1, 15)) AS BIGINT) % {_BLOOM_M}"
+    )
+
+
+_X103_SQL = f"""
+    WITH fp AS (
+      SELECT doc_id, source, MD5(text) AS f,
+             CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 2 AS fold
+      FROM documents),
+    train AS (SELECT * FROM fp WHERE fold = 0),
+    eval_ AS (SELECT * FROM fp WHERE fold = 1),
+    bits AS (
+      SELECT DISTINCT b FROM train,
+        (SELECT UNNEST(RANGE(0, {_BLOOM_K})) AS j) j,
+        LATERAL (SELECT {_bloom_bit_sql('j.j', 'f')} AS b) x),
+    probe AS (
+      SELECT e.doc_id, e.source, e.f, j.j,
+             {_bloom_bit_sql('j.j', 'e.f')} AS b
+      FROM eval_ e, (SELECT UNNEST(RANGE(0, {_BLOOM_K})) AS j) j),
+    hits AS (
+      SELECT p.doc_id, p.source, p.f,
+             COUNT(bits.b) AS matched
+      FROM probe p LEFT JOIN bits ON p.b = bits.b
+      GROUP BY p.doc_id, p.source, p.f),
+    truth AS (
+      SELECT DISTINCT f FROM train),
+    flagged AS (
+      SELECT h.source,
+             CASE WHEN h.matched = {_BLOOM_K} THEN 1 ELSE 0 END AS flag,
+             CASE WHEN t.f IS NOT NULL THEN 1 ELSE 0 END AS dup
+      FROM hits h LEFT JOIN truth t ON h.f = t.f)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(SUM(flag) AS BIGINT) AS n_flagged,
+           CAST(SUM(dup) AS BIGINT) AS n_true_dup,
+           CAST(SUM(CASE WHEN flag = 1 AND dup = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos,
+           ROUND(CAST(SUM(CASE WHEN flag = 1 AND dup = 0 THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+                 / COUNT(*), 6) AS fp_rate
+    FROM flagged
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+@register("x103_bloom_decontamination", oracle=_X103_SQL)
+def x103_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership audit (Bloom, CACM'70): a {m}-bit /
+    {k}-hash filter built over the hash-split train half's document
+    fingerprints, probed by the eval half — per source, how many eval
+    docs the filter flags, how many are TRUE duplicates (exact
+    fingerprint join — the filter can never miss these), and the
+    false-positive rate the {m}-bit budget costs. The membership leg
+    of the sketch triad (x74 HLL counts, x97 CMS weighs, this one
+    remembers).
+
+    Scale: the filter is a ≤{m}-row distinct bit set — broadcast
+    anywhere, mergeable by union (bit-OR), exactly like the streaming
+    CMS; probes join k constant rows per doc against it map-side.
+    The exact-truth join is the audit's own cost, not the filter's —
+    production probes ONLY touch the broadcast bits. All-integer
+    arithmetic; one final rate division.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("bigint")
+        % 2
+    )
+    fp = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("text")).alias("f"),
+        fold.alias("fold"),
+    )
+
+    def bit(j, f_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{j}:"), f_col).cast("binary")),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _BLOOM_M
+        )
+
+    train = fp.filter(F.col("fold") == 0)
+    ev = fp.filter(F.col("fold") == 1)
+    bits = (
+        train.select(
+            F.explode(
+                F.array(*[bit(j, F.col("f")) for j in range(_BLOOM_K)])
+            ).alias("b")
+        )
+        .distinct()
+    )
+    probe = ev.select(
+        "doc_id",
+        "source",
+        "f",
+        F.posexplode(
+            F.array(*[bit(j, F.col("f")) for j in range(_BLOOM_K)])
+        ).alias("j", "b"),
+    )
+    hits = (
+        probe.join(F.broadcast(bits.withColumnRenamed("b", "bb")),
+                   probe["b"] == F.col("bb"), "left")
+        .groupBy("doc_id", "source", "f")
+        .agg(F.count("bb").alias("matched"))
+    )
+    truth = train.select("f").distinct().withColumnRenamed("f", "tf")
+    flagged = (
+        hits.join(F.broadcast(truth), hits["f"] == F.col("tf"), "left")
+        .select(
+            "source",
+            F.when(F.col("matched") == _BLOOM_K, 1).otherwise(0).alias("flag"),
+            F.when(F.col("tf").isNotNull(), 1).otherwise(0).alias("dup"),
+        )
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_eval"),
+            F.sum("flag").cast("bigint").alias("n_flagged"),
+            F.sum("dup").cast("bigint").alias("n_true_dup"),
+            F.sum(
+                F.when((F.col("flag") == 1) & (F.col("dup") == 0), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_false_pos"),
+            F.round(
+                F.sum(
+                    F.when(
+                        (F.col("flag") == 1) & (F.col("dup") == 0), 1
+                    ).otherwise(0)
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("fp_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+x103_bloom_decontamination.__doc__ = x103_bloom_decontamination.__doc__.format(
+    m=_BLOOM_M, k=_BLOOM_K
+)

@@ -22,3 +22,4 @@ from .windows import (  # noqa: F401
     tumbling_agg,
 )
 from .sinks import run_foreach_batch_import  # noqa: F401
+from .sketches import StreamingCountMin, run_streaming_cms  # noqa: F401

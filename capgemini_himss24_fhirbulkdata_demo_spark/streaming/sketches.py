@@ -1,0 +1,82 @@
+"""Streaming mergeable sketches: Count-Min heavy hitters over a
+file-landing stream.
+
+The batch side (``queries/features.py`` x97) proves the sketch's
+accuracy contract; this module proves its MERGEABILITY — the property
+that makes a fixed-width sketch the right frequency primitive at
+100 TB: each micro-batch reduces to its own ≤ D·W counter rows
+engine-side, and the accumulated sketch is the counter-wise SUM
+(exact, by linearity of the construction — no approximation is added
+by splitting the stream, so live == batch BIT-EXACTLY regardless of
+how the files are micro-batched).
+
+Per-batch driver work is bounded by the CONSTANT sketch size (≤ D·W
+rows collected per batch — the same bounded-collect budget the JSONL
+shard manifest spends), never by data volume; the token pass itself
+stays fully distributed inside each micro-batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..queries.features import _CMS_D, _CMS_W, cms_bucket_py, cms_sketch
+
+
+class StreamingCountMin:
+    """Driver-held accumulated sketch: D rows × W integer counters.
+
+    ``merge_rows`` folds one micro-batch's (d, bucket, cnt) rows in;
+    ``estimate`` answers point queries with the min-over-rows rule
+    (an overestimate, never under — x97's invariant). Two instances
+    merge via :meth:`merge_sketch` — the cross-stream union story.
+    """
+
+    def __init__(self, d: int = _CMS_D, w: int = _CMS_W) -> None:
+        self.d, self.w = d, w
+        self.counters = [[0] * w for _ in range(d)]
+        self.n_batches = 0
+
+    def merge_rows(self, rows) -> None:
+        for r in rows:
+            self.counters[r["d"]][r["bucket"]] += r["cnt"]
+        self.n_batches += 1
+
+    def merge_sketch(self, other: "StreamingCountMin") -> None:
+        for d in range(self.d):
+            for b in range(self.w):
+                self.counters[d][b] += other.counters[d][b]
+
+    def estimate(self, token: str) -> int:
+        return min(
+            self.counters[d][cms_bucket_py(d, token)] for d in range(self.d)
+        )
+
+
+def run_streaming_cms(
+    stream_df: DataFrame,
+    text_col: str,
+    checkpoint: str,
+) -> StreamingCountMin:
+    """Drain ``stream_df`` (availableNow) through a foreachBatch that
+    reduces each micro-batch to its sketch engine-side and merges the
+    ≤ D·W counter rows into the returned :class:`StreamingCountMin`.
+    """
+    from pyspark.sql import functions as F
+
+    sk = StreamingCountMin()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        tok = batch_df.select(
+            F.explode(F.split(F.col(text_col), " ")).alias("t")
+        )
+        sk.merge_rows(cms_sketch(tok).collect())
+
+    q = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return sk

@@ -642,3 +642,72 @@ def test_stream_static_enrichment_equals_batch(spark, landed_events, tmp_path):
     # the join moves the key first in the streaming output — reorder
     assert {(e, u, s) for (u, e, s) in got} == exp
     assert len(exp) > 0
+
+
+def test_streaming_cms_equals_batch(spark, tmp_path):
+    """Mergeability is EXACT: the Count-Min sketch accumulated over
+    file micro-batches equals the whole-corpus batch sketch
+    counter-for-counter (linearity — splitting the stream adds zero
+    error), and point estimates never underestimate true counts."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.queries.features import (
+        cms_sketch,
+    )
+    from capgemini_himss24_fhirbulkdata_demo_spark.streaming.sketches import (
+        StreamingCountMin,
+        run_streaming_cms,
+    )
+    from capgemini_himss24_fhirbulkdata_demo_spark.streaming.sources import (
+        read_parquet_stream,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    landing = str(tmp_path / "docs_landing")
+    docs.repartition(4).write.mode("overwrite").parquet(landing)
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    stream = read_parquet_stream(
+        spark, landing, schema, max_files_per_trigger=1
+    )
+    sk = run_streaming_cms(stream, "text", str(tmp_path / "ckpt"))
+    assert sk.n_batches >= 2, "expected multiple micro-batches"
+
+    batch = StreamingCountMin()
+    tok = docs.select(F.explode(F.split("text", " ")).alias("t"))
+    batch.merge_rows(cms_sketch(tok).collect())
+    assert sk.counters == batch.counters
+
+    # point estimates: never under the true count
+    true = {
+        r["t"]: r["c"]
+        for r in tok.groupBy("t").agg(F.count("*").alias("c")).limit(50).collect()
+    }
+    for t, c in true.items():
+        assert sk.estimate(t) >= c
+
+    # cross-stream union: two half-sketches merge to the full one
+    half_a, half_b = StreamingCountMin(), StreamingCountMin()
+    half_a.merge_rows(
+        cms_sketch(
+            docs.filter("doc_id % 2 = 0").select(
+                F.explode(F.split("text", " ")).alias("t")
+            )
+        ).collect()
+    )
+    half_b.merge_rows(
+        cms_sketch(
+            docs.filter("doc_id % 2 = 1").select(
+                F.explode(F.split("text", " ")).alias("t")
+            )
+        ).collect()
+    )
+    half_a.merge_sketch(half_b)
+    assert half_a.counters == batch.counters
