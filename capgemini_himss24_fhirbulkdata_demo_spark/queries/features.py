@@ -1364,3 +1364,124 @@ def x103_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 x103_bloom_decontamination.__doc__ = x103_bloom_decontamination.__doc__.format(
     m=_BLOOM_M, k=_BLOOM_K
 )
+
+
+# ---- x104: mergeable histogram quantiles ----
+
+# The fixed-grid histogram is the simplest mergeable quantile sketch
+# (bucket counts sum across partitions/streams — same linearity as
+# x97/x103): estimate = linear interpolation inside the bucket
+# holding the target rank. q29 computes EXACT percentiles (full sort
+# per group — fine until the group no longer fits a sort); this is
+# the constant-memory path, audited here against the exact
+# rank-statistic so the bucket-width error is measured, not assumed.
+_X104_W = 64  # bucket width over documents.n_chars
+_X104_QS = (50, 90, 99)  # percentiles, as integers (rational math)
+
+
+_X104_SQL = f"""
+    WITH hist AS (
+      SELECT n_chars // {_X104_W} AS bucket, COUNT(*) AS cnt
+      FROM documents GROUP BY bucket),
+    cum AS (
+      SELECT bucket, cnt,
+             SUM(cnt) OVER (ORDER BY bucket) AS cum
+      FROM hist),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    targets AS (
+      SELECT q, CAST((q * (SELECT n FROM n) + 99) // 100 AS BIGINT) AS r
+      FROM (SELECT UNNEST(ARRAY{list(_X104_QS)}) AS q)),
+    est AS (
+      SELECT t.q, t.r, c.bucket, c.cnt, c.cum
+      FROM targets t JOIN cum c
+        ON c.cum >= t.r AND c.cum - c.cnt < t.r),
+    exact AS (
+      SELECT t.q AS q, d.n_chars AS exact_value
+      FROM targets t JOIN (
+        SELECT n_chars,
+               ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn
+        FROM documents) d ON d.rn = t.r)
+    SELECT e.q,
+           e.r AS target_rank,
+           ROUND(e.bucket * {_X104_W}
+                 + CAST({_X104_W} * (e.r - (e.cum - e.cnt)) AS DOUBLE)
+                   / e.cnt, 6) AS est_value,
+           CAST(x.exact_value AS BIGINT) AS exact_value
+    FROM est e JOIN exact x ON e.q = x.q
+    ORDER BY e.q
+    """
+
+
+@register("x104_histogram_quantiles", oracle=_X104_SQL)
+def x104_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-grid quantile estimation: a width-{w} bucket
+    histogram over document lengths (bucket counts SUM across
+    partitions and streams — the same mergeability as x97/x103),
+    p50/p90/p99 estimated by interpolating inside the rank-holding
+    bucket, audited against the exact rank statistic. Rank targets
+    are ceiling-rational integers; the interpolation is ONE final
+    float division.
+
+    Scale: the histogram is one constant-width agg (bucket count ≈
+    range/{w}, independent of corpus size); the cumulative pass runs
+    over that constant-size table. The EXACT audit column is the only
+    full-sort stage — production drops it and keeps the sketch, which
+    is the point: q29's exact sort cannot scale past executor memory,
+    this can.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hist = (
+        docs.select((F.col("n_chars") / _X104_W).cast("bigint").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    cum = hist.withColumn(
+        "cum", F.sum("cnt").over(Window.orderBy("bucket"))
+    )
+    n_row = docs.agg(F.count("*").alias("n"))
+    targets = (
+        spark.createDataFrame([(q,) for q in _X104_QS], "q INT")
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "q",
+            F.expr("CAST((q * n + 99) DIV 100 AS BIGINT)").alias("r"),
+        )
+    )
+    est = F.broadcast(targets).join(
+        cum,
+        (F.col("cum") >= F.col("r"))
+        & ((F.col("cum") - F.col("cnt")) < F.col("r")),
+    )
+    ranked = docs.select(
+        "n_chars",
+        F.row_number()
+        .over(Window.orderBy("n_chars", "doc_id"))
+        .alias("rn"),
+    )
+    exact = F.broadcast(
+        targets.select(F.col("q").alias("xq"), F.col("r").alias("xr"))
+    ).join(ranked, F.col("rn") == F.col("xr")).select(
+        "xq", F.col("n_chars").alias("exact_value")
+    )
+    return (
+        est.join(F.broadcast(exact), est["q"] == F.col("xq"))
+        .select(
+            "q",
+            F.col("r").alias("target_rank"),
+            F.round(
+                F.col("bucket") * _X104_W
+                + (
+                    _X104_W * (F.col("r") - (F.col("cum") - F.col("cnt")))
+                ).cast("double")
+                / F.col("cnt"),
+                6,
+            ).alias("est_value"),
+            F.col("exact_value").cast("bigint").alias("exact_value"),
+        )
+        .orderBy("q")
+    )
+
+
+x104_histogram_quantiles.__doc__ = x104_histogram_quantiles.__doc__.format(
+    w=_X104_W
+)

@@ -785,3 +785,17 @@ def test_x102_similarity_bounds(spark):
     for r in rows:
         assert 0.0 < r["cosine_to_corpus"] <= 1.0, r
         assert 0.0 <= r["gini_diversity"] < 1.0, r
+
+
+def test_x104_estimate_within_bucket_width(spark):
+    """Histogram quantile error is bounded by one bucket width: the
+    exact rank statistic lives inside the interpolated bucket."""
+    from capgemini_himss24_fhirbulkdata_demo_spark.queries import QUERIES
+    from capgemini_himss24_fhirbulkdata_demo_spark.queries.features import (
+        _X104_W,
+    )
+
+    rows = QUERIES["x104_histogram_quantiles"](spark, SF_DIR).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert abs(r["est_value"] - r["exact_value"]) <= _X104_W, r

@@ -667,3 +667,64 @@ def test_x90_winnowing_guarantee(spark, tmp_path_factory, run_len, pad_a, pad_b,
         for r in QUERIES["x90_winnowing"](spark, str(d)).collect()
     }
     assert out[0] >= 1 and out[1] >= 1, out
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=12
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    k=st.integers(2, 4),
+)
+def test_remove_dup_spans_matches_python_reference(spark, docs, k):
+    """ExactSubstr removal vs an independent pure-Python oracle on
+    random tiny-alphabet corpora (small alphabet forces dense span
+    collisions — the regime where keep-first + union-coverage
+    bookkeeping can go wrong)."""
+    from capgemini_himss24_fhirbulkdata_demo_spark.dataprep import (
+        remove_dup_spans,
+    )
+
+    # python reference: same spec, independent implementation
+    spans = {}  # gram -> [(doc, start)]
+    for di, toks in enumerate(docs):
+        for i in range(len(toks) - k + 1):
+            spans.setdefault(tuple(toks[i : i + k]), []).append((di, i))
+    removed = {di: set() for di in range(len(docs))}
+    for occ in spans.values():
+        ds = {d for d, _ in occ}
+        if len(ds) < 2:
+            continue
+        keep = min(ds)
+        for d, i in occ:
+            if d != keep:
+                removed[d].update(range(i, i + k))
+    expect = {}
+    for di, toks in enumerate(docs):
+        kept = [t for i, t in enumerate(toks) if i not in removed[di]]
+        if kept:
+            expect[di] = " ".join(kept)
+
+    sdf = spark.createDataFrame(
+        [(di, " ".join(toks)) for di, toks in enumerate(docs)],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in remove_dup_spans(sdf, "doc_id", "text", k).collect()
+    }
+    # empty-token-list docs: split('', ' ') yields [''] — a 1-token
+    # doc of the empty string; it can never match a k>=2 span, so it
+    # survives unchanged as ""
+    for di, toks in enumerate(docs):
+        if not toks:
+            expect[di] = ""
+    assert got == expect
