@@ -1475,3 +1475,172 @@ def x99_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 x99_matryoshka_recall.__doc__ = x99_matryoshka_recall.__doc__.format(
     k=_TOP_K, nd=_MRL_DIM, dim=_DIM, r=_DIM // _MRL_DIM
 )
+
+
+# ---- x105: full IVF-PQ search (route -> probe -> ADC) ----
+
+_X105_SQL = f"""
+    WITH {_PQ_BASE_CTES},
+    codes AS (SELECT vec_id, sub_id, bkt AS code FROM best),
+    iv AS (
+      SELECT vec_id, CAST({_SQL_IVF_BUCKET} AS BIGINT) AS ivf_list
+      FROM embeddings),
+    cent_long AS (
+      SELECT i.ivf_list, p.i AS pos,
+             CAST(SUM(CAST(CAST(e.embedding[p.i] AS DOUBLE)
+                           AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+      FROM embeddings e JOIN iv i ON e.vec_id = i.vec_id,
+           (SELECT UNNEST(RANGE(1, {_DIM} + 1)) AS i) p
+      GROUP BY i.ivf_list, p.i),
+    cent AS (
+      SELECT ivf_list, LIST(m ORDER BY pos) AS centroid
+      FROM cent_long GROUP BY ivf_list),
+    qs AS (
+      SELECT vec_id AS q_id, embedding AS q_emb,
+             SQRT({_sql_dot('embedding', 'embedding')}) AS q_norm
+      FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    pscore AS (
+      SELECT q.q_id, c.ivf_list,
+             {_sql_dot('q.q_emb', 'c.centroid')}
+               / (q.q_norm * SQRT({_sql_dot('c.centroid', 'c.centroid')}))
+               AS csim
+      FROM qs q CROSS JOIN cent c),
+    probes AS (
+      SELECT q_id, ivf_list
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                         ORDER BY csim DESC, ivf_list) AS pr
+            FROM pscore)
+      WHERE pr <= {_IVF_N_PROBE}),
+    cand AS (
+      SELECT p.q_id, i.vec_id AS c_id
+      FROM probes p JOIN iv i ON p.ivf_list = i.ivf_list
+      WHERE i.vec_id <> p.q_id),
+    dtab AS (
+      SELECT s.vec_id AS q_id, s.sub_id, c.bkt,
+             {_pq_sql_d2('s.sv', 'c.entry')} AS qd2
+      FROM sub s JOIN cb c ON s.sub_id = c.sub_id
+      WHERE s.vec_id < {_N_QUERIES}),
+    contrib AS (
+      SELECT ca.q_id, ca.c_id, co.sub_id, d.qd2
+      FROM cand ca
+      JOIN codes co ON co.vec_id = ca.c_id
+      JOIN dtab d ON d.q_id = ca.q_id AND d.sub_id = co.sub_id
+                 AND d.bkt = co.code),
+    summed AS (
+      SELECT q_id, c_id,
+             LIST_REDUCE(LIST(qd2 ORDER BY sub_id), (x, y) -> x + y) AS adc
+      FROM contrib GROUP BY q_id, c_id),
+    ranked AS (
+      SELECT q_id, c_id, adc,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY adc ASC, c_id) AS rnk
+      FROM summed)
+    SELECT q_id, c_id, ROUND(adc, 6) AS adc_d2, rnk
+    FROM ranked WHERE rnk <= {_TOP_K}
+    ORDER BY q_id, rnk
+    """
+
+
+@register("x105_ivfpq_search", oracle=_X105_SQL)
+def x105_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete IVF-PQ index search (Jégou TPAMI'11, the
+    billion-vector serving architecture): x12's coarse quantizer
+    routes each query to its {np} nearest centroid lists, and ONLY
+    candidates in probed lists are scored — by x96's asymmetric
+    distance over x95's stored codes, never by decoding vectors.
+    This is the end-to-end composition the family builds toward:
+    routing cuts the scan to ~{np}/{nl} of the corpus, PQ cuts the
+    scanned bytes {cx}×, and both reductions multiply.
+
+    Scale: probes are a Q×{np}-row broadcast; the candidate join is
+    keyed on the uniform list id, ADC contributions join codes on the
+    uniform vec id against the broadcast distance table, and the
+    per-(q, c) fold + top-k window mirror x96. No stage touches
+    vectors after the (offline) index build.
+    """
+    from ..operators.similarity import ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_assign(
+        emb, "vec_id", "embedding", n_lists=8, dim=_DIM
+    )
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
+    )
+    pscore = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            "q_id",
+            "ivf_list",
+            (
+                _dot(F.col("q_emb"), F.col("centroid"))
+                / (
+                    F.col("q_norm")
+                    * F.sqrt(_dot(F.col("centroid"), F.col("centroid")))
+                )
+            ).alias("csim"),
+        )
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.desc("csim"), "ivf_list")
+    probes = (
+        pscore.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= _IVF_N_PROBE)
+        .select("q_id", "ivf_list")
+    )
+    cand = (
+        assigned.select(F.col("vec_id").alias("c_id"), "ivf_list")
+        .join(F.broadcast(probes), "ivf_list")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select("q_id", "c_id")
+    )
+    sub = _pq_sub(emb)
+    cb = _pq_codebook(sub)
+    codes = _pq_assign(sub, cb).select(
+        F.col("vec_id").alias("code_vec"), "sub_id", F.col("bkt").alias("code")
+    )
+    dtab = (
+        sub.filter(F.col("vec_id") < _N_QUERIES)
+        .select("vec_id", "sub_id", "sv")  # drop sub's seed bkt —
+        # cb carries the real codebook bkt (avoids self-join ambiguity)
+        .join(F.broadcast(cb), "sub_id")
+        .select(
+            F.col("vec_id").alias("dq_id"),
+            F.col("sub_id").alias("d_sub"),
+            "bkt",
+            _pq_d2(F.col("sv"), F.col("entry")).alias("qd2"),
+        )
+    )
+    contrib = (
+        cand.join(codes, cand["c_id"] == codes["code_vec"])
+        .join(
+            F.broadcast(dtab),
+            (F.col("dq_id") == F.col("q_id"))
+            & (F.col("d_sub") == F.col("sub_id"))
+            & (F.col("bkt") == F.col("code")),
+        )
+        .select("q_id", "c_id", "sub_id", "qd2")
+    )
+    adc = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub_id", "qd2"))),
+            lambda s: s["qd2"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    summed = contrib.groupBy("q_id", "c_id").agg(adc.alias("adc"))
+    wr = Window.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("c_id"))
+    return (
+        summed.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("q_id", "c_id", F.round("adc", 6).alias("adc_d2"), "rnk")
+        .orderBy("q_id", "rnk")
+    )
+
+
+x105_ivfpq_search.__doc__ = x105_ivfpq_search.__doc__.format(
+    np=_IVF_N_PROBE, nl=8, cx=_DIM * 4 // _PQ_M
+)

@@ -722,12 +722,13 @@ def test_x95_x96_pq_invariants(spark):
         for s in range(4):
             assert 0 <= r[f"c{s}"] < k, r
         assert r["pq_mse"] >= 0, r
-    per_q = {}
-    for r in QUERIES["x96_pq_adc_search"](spark, SF_DIR).collect():
-        assert r["adc_d2"] >= 0, r
-        per_q.setdefault(r["q_id"], []).append(r["rnk"])
-    for q_id, rnks in per_q.items():
-        assert sorted(rnks) == list(range(1, _TOP_K + 1)), (q_id, rnks)
+    for name in ("x96_pq_adc_search", "x105_ivfpq_search"):
+        per_q = {}
+        for r in QUERIES[name](spark, SF_DIR).collect():
+            assert r["adc_d2"] >= 0, (name, r)
+            per_q.setdefault(r["q_id"], []).append(r["rnk"])
+        for q_id, rnks in per_q.items():
+            assert sorted(rnks) == list(range(1, _TOP_K + 1)), (name, q_id, rnks)
 
 
 def test_x99_recall_bounded(spark):
