@@ -348,6 +348,7 @@ def prepare_corpus(
     dim: int | None = None,
     scrub_pii: bool = False,
     dedup_paragraphs: bool = False,
+    dedup_spans: bool = False,
 ) -> tuple[DataFrame, PrepStats]:
     """The full prep chain; returns (clean corpus, per-stage counts).
 
@@ -394,6 +395,14 @@ def prepare_corpus(
             # near-dup so MinHash runs on boilerplate-free text
             cur = stats.record(
                 "paragraph_dedup", remove_dup_paragraphs(cur, id_col, text_col)
+            )
+        if dedup_spans:
+            # finest granularity last among the exact passes: sliding
+            # spans catch boilerplate that straddles the disjoint
+            # paragraph chunks; still before near-dup for the same
+            # reason paragraphs are (MinHash on clean text)
+            cur = stats.record(
+                "span_dedup", remove_dup_spans(cur, id_col, text_col)
             )
         cur = stats.record(
             "near_dedup", remove_near_dups(cur, id_col, text_col, min_jaccard)

@@ -1750,3 +1750,161 @@ def x78_ccnet_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bucket")
     )
+
+
+# ---- x106: normalization audit ----
+
+# The canonicalization pass every pipeline runs before fingerprinting
+# (prepare_corpus already lowercases + collapses whitespace inside
+# its exact-dedup key — this op audits the full normalize as its own
+# stage): lowercase, strip non-alphanumeric-non-space characters,
+# collapse whitespace runs, trim. RE2-safe patterns only (the x44
+# rule), so the same regex semantics hold on any executor.
+
+_X106_SQL = """
+    WITH norm AS (
+      SELECT source, text,
+             TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
+                    '[^a-z0-9 ]', '', 'g'),
+                    ' +', ' ', 'g')) AS clean
+      FROM documents)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN clean <> text THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_changed,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS chars_before,
+           CAST(SUM(LENGTH(clean)) AS BIGINT) AS chars_after,
+           ROUND(CAST(SUM(LENGTH(clean)) AS DOUBLE)
+                 / SUM(LENGTH(text)), 6) AS keep_ratio
+    FROM norm
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+@register("x106_normalize_audit", oracle=_X106_SQL)
+def x106_normalize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-normalization audit: lowercase → strip non-[a-z0-9 ] →
+    collapse space runs → trim, reported per source as changed-doc
+    counts and the byte keep-ratio (integer char sums, one final
+    division). The canonical form is what fingerprint/dedup keys
+    should hash — the audit quantifies how much raw text the
+    canonicalizer rewrites, per source (a spike flags a source whose
+    formatting would defeat naive exact dedup).
+
+    Scale: entirely narrow (three regexp_replace built-ins inside one
+    codegen stage) + a single per-source agg; no UDF, no shuffle
+    beyond the S-row rollup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    norm = docs.select("source", "text", clean.alias("clean"))
+    return (
+        norm.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("clean") != F.col("text"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_changed"),
+            F.sum(F.length("text")).cast("bigint").alias("chars_before"),
+            F.sum(F.length("clean")).cast("bigint").alias("chars_after"),
+            F.round(
+                F.sum(F.length("clean")).cast("double")
+                / F.sum(F.length("text")),
+                6,
+            ).alias("keep_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---- x107: curriculum staging by hashed quality score ----
+
+# Curriculum construction (easy→hard ordering for training): rank
+# every document by a quality score and cut the corpus into equal
+# stages with NTILE. The score here is x98's hashed linear logit —
+# integer token-weight sums, so the rank order (score, doc_id) is a
+# total integer order and NTILE is cross-engine deterministic.
+_X107_STAGES = 4
+
+_X107_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents),
+    scored AS (
+      SELECT doc_id,
+             SUM(CAST(('0x' || SUBSTR(MD5('w:' || t), 1, 15)) AS BIGINT)
+                 % 1001 - 500) AS wsum,
+             COUNT(*) AS n_tokens
+      FROM tok GROUP BY doc_id),
+    staged AS (
+      SELECT doc_id, wsum, n_tokens,
+             NTILE({_X107_STAGES}) OVER (ORDER BY wsum, doc_id) AS stage
+      FROM scored)
+    SELECT stage,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(wsum) AS BIGINT) AS min_score,
+           CAST(MAX(wsum) AS BIGINT) AS max_score,
+           CAST(SUM(n_tokens) AS BIGINT) AS stage_tokens
+    FROM staged
+    GROUP BY stage
+    ORDER BY stage
+    """
+
+
+@register("x107_curriculum_stages", oracle=_X107_SQL)
+def x107_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum staging: every document scored by the x98 hashed
+    linear logit (exact integer), ranked on the total order (score,
+    doc_id), and cut into {n} equal NTILE stages — the easy→hard
+    schedule a curriculum loader consumes, reported as per-stage doc
+    counts, score ranges, and token mass.
+
+    Scale: one doc-keyed partial agg for scores; the NTILE is the one
+    global-order operation (single-partition window — the honest cost
+    of a GLOBAL curriculum; a per-source curriculum would partition
+    the window and scale out, same plan shape as x28). Stage stats
+    are a {n}-row rollup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    weight = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("w:"), F.col("t")).cast("binary")), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1001
+        - 500
+    )
+    scored = (
+        tok.select("doc_id", weight.alias("w"))
+        .groupBy("doc_id")
+        .agg(F.sum("w").alias("wsum"), F.count("*").alias("n_tokens"))
+    )
+    staged = scored.withColumn(
+        "stage",
+        F.ntile(_X107_STAGES).over(Window.orderBy("wsum", "doc_id")),
+    )
+    return (
+        staged.groupBy("stage")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("wsum").cast("bigint").alias("min_score"),
+            F.max("wsum").cast("bigint").alias("max_score"),
+            F.sum("n_tokens").cast("bigint").alias("stage_tokens"),
+        )
+        .orderBy("stage")
+    )
+
+
+x107_curriculum_stages.__doc__ = x107_curriculum_stages.__doc__.format(
+    n=_X107_STAGES
+)

@@ -307,3 +307,30 @@ def test_remove_dup_spans_keep_first_and_coverage(spark):
         for r in remove_dup_spans(docs2, "doc_id", "text", 3).collect()
     }
     assert got2 == {4: "a b c d k", 5: "m"}
+
+
+def test_prepare_corpus_span_stage(spark):
+    """dedup_spans wires remove_dup_spans into the chain between the
+    exact passes and near-dup, with its own PrepStats row."""
+    from capgemini_himss24_fhirbulkdata_demo_spark.dataprep import (
+        prepare_corpus,
+    )
+
+    toks_a = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (0, toks_a + " tail0 x y z", "en", "s0"),
+            (1, "head1 h2 h3 h4 h5 " + toks_a, "en", "s0"),
+            (2, "u0 u1 u2 u3 u4 u5 u6 u7 u8 u9", "en", "s1"),
+        ],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING",
+    )
+    out, stats = prepare_corpus(docs, min_tokens=3, dedup_spans=True)
+    names = [n for n, _ in stats.stages]
+    assert "span_dedup" in names
+    assert names.index("exact_dedup") < names.index("span_dedup")
+    texts = {r["doc_id"]: r["text"] for r in out.collect()}
+    # doc 1 lost the 20-token shared run (doc 0 is keep-first)
+    assert texts[0].startswith("w0 ")
+    assert "w0" not in texts[1] and texts[1].startswith("head1")
+    assert texts[2].startswith("u0")
