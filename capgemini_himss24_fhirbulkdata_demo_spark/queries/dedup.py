@@ -1421,3 +1421,114 @@ def x76_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out._cached_deps = getattr(pairs, "_cached_deps", [])
     return out
+
+
+# ---- x109: dedup-classifier PR curve (threshold sweep over x08) ----
+
+_X109_TRUTH = 0.5  # exact-Jaccard truth cut for "is a near-dup"
+_X109_THRESHOLDS = (0.3, 0.5, 0.7, 0.9)
+
+_X109_SQL = f"""
+    WITH thr(t) AS (VALUES {", ".join(f"({t})" for t in _X109_THRESHOLDS)}),
+    base AS ({_X08_SQL}),
+    cells AS (
+      SELECT thr.t,
+             SUM(CASE WHEN b.est_jaccard >= thr.t
+                       AND b.exact_jaccard >= {_X109_TRUTH}
+                      THEN 1 ELSE 0 END) AS tp,
+             SUM(CASE WHEN b.est_jaccard >= thr.t
+                       AND b.exact_jaccard < {_X109_TRUTH}
+                      THEN 1 ELSE 0 END) AS fp,
+             SUM(CASE WHEN b.est_jaccard < thr.t
+                       AND b.exact_jaccard >= {_X109_TRUTH}
+                      THEN 1 ELSE 0 END) AS fn
+      FROM base b CROSS JOIN thr
+      GROUP BY thr.t)
+    SELECT t AS threshold,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           ROUND(CASE WHEN tp + fp > 0
+                      THEN CAST(tp AS DOUBLE) / (tp + fp) END, 6)
+             AS precision_,
+           ROUND(CASE WHEN tp + fn > 0
+                      THEN CAST(tp AS DOUBLE) / (tp + fn) END, 6)
+             AS recall_
+    FROM cells
+    ORDER BY threshold
+    """
+
+
+@register("x109_dedup_pr_curve", oracle=_X109_SQL)
+def x109_dedup_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point sweep for the MinHash dedup classifier: over
+    x08's candidate pairs (estimate vs exact Jaccard, composed
+    verbatim), precision and recall of "est ≥ t" against the exact
+    truth cut ({tr}) at each candidate threshold — the curve that
+    picks x02's production gate. Recall is within-candidate recall
+    (pairs the bands never surface are x02's separate, pigeonhole-
+    bounded loss — x13/x59 measure that axis for ANN).
+
+    Determinism: counts are integers; both ratios are single guarded
+    divisions (NULL when undefined). Scale: x08's shuffles + one
+    |thresholds|-row broadcast sweep and a constant-size rollup.
+    """
+    pairs = x08_sketch_accuracy(spark, sf_dir).select(
+        "est_jaccard", "exact_jaccard"
+    )
+    thr = spark.createDataFrame(
+        [(t,) for t in _X109_THRESHOLDS], "t DOUBLE"
+    )
+    cells = (
+        pairs.crossJoin(F.broadcast(thr))
+        .groupBy("t")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("est_jaccard") >= F.col("t"))
+                    & (F.col("exact_jaccard") >= _X109_TRUTH),
+                    1,
+                ).otherwise(0)
+            ).alias("tp"),
+            F.sum(
+                F.when(
+                    (F.col("est_jaccard") >= F.col("t"))
+                    & (F.col("exact_jaccard") < _X109_TRUTH),
+                    1,
+                ).otherwise(0)
+            ).alias("fp"),
+            F.sum(
+                F.when(
+                    (F.col("est_jaccard") < F.col("t"))
+                    & (F.col("exact_jaccard") >= _X109_TRUTH),
+                    1,
+                ).otherwise(0)
+            ).alias("fn"),
+        )
+    )
+    out = cells.select(
+        F.col("t").alias("threshold"),
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.col("fn").cast("bigint").alias("fn"),
+        F.round(
+            F.when(
+                (F.col("tp") + F.col("fp")) > 0,
+                F.col("tp").cast("double") / (F.col("tp") + F.col("fp")),
+            ),
+            6,
+        ).alias("precision_"),
+        F.round(
+            F.when(
+                (F.col("tp") + F.col("fn")) > 0,
+                F.col("tp").cast("double") / (F.col("tp") + F.col("fn")),
+            ),
+            6,
+        ).alias("recall_"),
+    ).orderBy("threshold")
+    out._cached_deps = getattr(pairs, "_cached_deps", [])
+    return out
+
+
+x109_dedup_pr_curve.__doc__ = x109_dedup_pr_curve.__doc__.format(
+    tr=_X109_TRUTH
+)

@@ -1908,3 +1908,78 @@ def x107_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 x107_curriculum_stages.__doc__ = x107_curriculum_stages.__doc__.format(
     n=_X107_STAGES
 )
+
+
+# ---- x108: language-ID confusion matrix ----
+
+_X108_PRED_SQL = f"""
+    hits AS (
+      SELECT doc_id, lang,
+             {_lang_hit_sql('en')} AS en_hits,
+             {_lang_hit_sql('de')} AS de_hits,
+             {_lang_hit_sql('fr')} AS fr_hits,
+             {_lang_hit_sql('es')} AS es_hits
+      FROM documents),
+    pred AS (
+      SELECT doc_id, lang AS lang_label,
+             CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits
+                       AND en_hits >= es_hits AND en_hits > 0 THEN 'en'
+                  WHEN de_hits >= fr_hits AND de_hits >= es_hits
+                       AND de_hits > 0 THEN 'de'
+                  WHEN fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
+                  WHEN es_hits > 0 THEN 'es'
+                  ELSE 'und' END AS lang_pred
+      FROM hits)"""
+
+
+_X108_SQL = f"""
+    WITH {_X108_PRED_SQL},
+    cells AS (
+      SELECT lang_label, lang_pred, COUNT(*) AS n
+      FROM pred GROUP BY lang_label, lang_pred),
+    totals AS (
+      SELECT lang_label, SUM(n) AS label_total FROM cells
+      GROUP BY lang_label)
+    SELECT c.lang_label, c.lang_pred,
+           CAST(c.n AS BIGINT) AS n,
+           CAST(t.label_total AS BIGINT) AS label_total,
+           ROUND(CAST(c.n AS DOUBLE) / t.label_total, 6) AS share
+    FROM cells c JOIN totals t ON c.lang_label = t.lang_label
+    ORDER BY c.lang_label, c.lang_pred
+    """
+
+
+@register("x108_langid_confusion", oracle=_X108_SQL)
+def x108_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-eval surface: the confusion matrix of x21's
+    language-ID heuristic against the labeled ``lang`` column —
+    (label, prediction) cell counts with per-label shares (the
+    diagonal share is per-class recall). The eval every heuristic
+    gate in the pipeline owes its users; composes x21's predictions
+    verbatim (same fold, same tie order), so the matrix IS the
+    deployed classifier's, not a re-implementation's.
+
+    Scale: x21's narrow scan + one skinny (label, pred) agg — the
+    matrix is |langs|² rows; the per-label totals join is an S-row
+    broadcast.
+    """
+    pred = x21_lang_id(spark, sf_dir).select("lang_label", "lang_pred")
+    cells = pred.groupBy("lang_label", "lang_pred").agg(
+        F.count("*").alias("n")
+    )
+    totals = cells.groupBy("lang_label").agg(
+        F.sum("n").alias("label_total")
+    )
+    return (
+        cells.join(F.broadcast(totals), "lang_label")
+        .select(
+            "lang_label",
+            "lang_pred",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("label_total").cast("bigint").alias("label_total"),
+            F.round(
+                F.col("n").cast("double") / F.col("label_total"), 6
+            ).alias("share"),
+        )
+        .orderBy("lang_label", "lang_pred")
+    )
