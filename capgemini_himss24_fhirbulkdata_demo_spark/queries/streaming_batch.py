@@ -503,3 +503,61 @@ def x71_interval_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "view_id", F.asc_nulls_first("purchase_id"))
     )
+
+
+# ---- x110: cascaded re-aggregation (continuous-aggregate refresh) ----
+
+
+@register(
+    "x110_reaggregated_rollup",
+    oracle="""
+    SELECT STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY day, event_type
+    ORDER BY day, event_type
+    """,
+)
+def x110_reaggregated_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate refresh correctness: the DAY rollup is
+    computed by RE-AGGREGATING hour-level partials (count + exact
+    decimal sum), while the oracle aggregates the raw events
+    directly — the hash match proves the partials are losslessly
+    mergeable, which is the property a hypertable/materialized
+    continuous aggregate depends on when it refreshes coarse grains
+    from fine ones instead of re-scanning the fact table. Decimal
+    addition is exactly associative, so cascade order cannot change
+    the result (a double cascade would NOT hash-match — that is why
+    the engine keeps partials in decimal until the final cast).
+
+    Scale: the cascade reads |hours|·|types| partial rows instead of
+    the raw facts — at 100 TB the refresh cost is proportional to
+    the SUMMARY, not the corpus; x34 is the one-pass grouping-sets
+    sibling, this is the incremental-maintenance sibling.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hour = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_ts"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+        )
+    )
+    return (
+        hour.groupBy(
+            F.date_format(F.date_trunc("day", "hour_ts"), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.sum("s").cast("double").alias("sum_value"),
+        )
+        .orderBy("day", "event_type")
+    )
