@@ -887,3 +887,114 @@ def x102_source_unigram_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---- x111: frequent token-pair association (Apriori-pruned) ----
+
+_X111_VOCAB = 50  # frequent-item candidates (Apriori prune)
+_X111_TOP = 20  # surfaced pairs
+
+
+_X111_SQL = f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t
+      FROM documents),
+    df AS (
+      SELECT t, COUNT(*) AS n FROM tok GROUP BY t),
+    vocab AS (
+      SELECT t, n FROM (
+        SELECT t, n, ROW_NUMBER() OVER (ORDER BY n DESC, t) AS rn FROM df)
+      WHERE rn <= {_X111_VOCAB}),
+    dt AS (
+      SELECT tok.doc_id, tok.t FROM tok JOIN vocab ON tok.t = vocab.t),
+    pairs AS (
+      SELECT a.t AS tok_a, b.t AS tok_b, COUNT(*) AS n_ab
+      FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.t < b.t
+      GROUP BY a.t, b.t),
+    nn AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok),
+    ranked AS (
+      SELECT p.tok_a, p.tok_b, p.n_ab, va.n AS n_a, vb.n AS n_b,
+             ROW_NUMBER() OVER (ORDER BY p.n_ab DESC, p.tok_a, p.tok_b)
+               AS rnk
+      FROM pairs p
+      JOIN vocab va ON p.tok_a = va.t
+      JOIN vocab vb ON p.tok_b = vb.t)
+    SELECT rnk, tok_a, tok_b,
+           CAST(n_ab AS BIGINT) AS n_ab,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ROUND(CAST(n_ab * (SELECT n_docs FROM nn) AS DOUBLE)
+                 / (n_a * n_b), 6) AS lift
+    FROM ranked WHERE rnk <= {_X111_TOP}
+    ORDER BY rnk
+    """
+
+
+@register("x111_token_association", oracle=_X111_SQL)
+def x111_token_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-pair association mining (Agrawal et al., the Apriori
+    principle): candidate pairs are restricted to the top-{v}
+    document-frequency tokens — a frequent PAIR requires frequent
+    members, so the prune is lossless above the implied support floor
+    — then co-occurrence counts and LIFT (n_ab·N / (n_a·n_b), exact
+    integers, one final division) rank the top {k} associations.
+    The market-basket op over documents-as-baskets.
+
+    Scale: the distinct (doc, token) pass is one uniform shuffle; the
+    vocab is a {v}-row broadcast, so the per-doc candidate explosion
+    is bounded by {v}²/2 REGARDLESS of document length — the Apriori
+    prune is what keeps the pair space constant while the corpus
+    grows. The pair agg is a skinny (tok_a, tok_b) shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    ).distinct()
+    df = tok.groupBy("t").agg(F.count("*").alias("n"))
+    vocab = (
+        df.withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.desc("n"), "t"))
+        )
+        .filter(F.col("rn") <= _X111_VOCAB)
+        .select("t", "n")
+    )
+    dt = tok.join(F.broadcast(vocab.select("t")), "t")
+    a = dt.select("doc_id", F.col("t").alias("tok_a"))
+    b = dt.select("doc_id", F.col("t").alias("tok_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    n_docs = tok.select("doc_id").distinct().count()
+    va = vocab.select(F.col("t").alias("tok_a"), F.col("n").alias("n_a"))
+    vb = vocab.select(F.col("t").alias("tok_b"), F.col("n").alias("n_b"))
+    ranked = (
+        pairs.join(F.broadcast(va), "tok_a")
+        .join(F.broadcast(vb), "tok_b")
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("n_ab"), "tok_a", "tok_b")
+            ),
+        )
+        .filter(F.col("rnk") <= _X111_TOP)
+    )
+    return ranked.select(
+        "rnk",
+        "tok_a",
+        "tok_b",
+        F.col("n_ab").cast("bigint").alias("n_ab"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(
+            (F.col("n_ab") * F.lit(n_docs)).cast("double")
+            / (F.col("n_a") * F.col("n_b")),
+            6,
+        ).alias("lift"),
+    ).orderBy("rnk")
+
+
+x111_token_association.__doc__ = x111_token_association.__doc__.format(
+    v=_X111_VOCAB, k=_X111_TOP
+)
