@@ -998,3 +998,118 @@ def x111_token_association(spark: SparkSession, sf_dir: str) -> DataFrame:
 x111_token_association.__doc__ = x111_token_association.__doc__.format(
     v=_X111_VOCAB, k=_X111_TOP
 )
+
+
+# ---- x112: per-source length-distribution drift (KS statistic) ----
+
+
+_X112_SQL = """
+    WITH vals AS (
+      SELECT source, n_chars FROM documents),
+    pts AS (
+      SELECT DISTINCT n_chars AS x FROM vals),
+    totals AS (
+      SELECT source, COUNT(*) AS ns FROM vals GROUP BY source),
+    n AS (SELECT COUNT(*) AS n_all FROM vals),
+    src_cdf AS (
+      SELECT t.source, p.x,
+             (SELECT COUNT(*) FROM vals v
+              WHERE v.source = t.source AND v.n_chars <= p.x) AS cs
+      FROM totals t CROSS JOIN pts p),
+    all_cdf AS (
+      SELECT p.x,
+             (SELECT COUNT(*) FROM vals v WHERE v.n_chars <= p.x) AS ca
+      FROM pts p),
+    gaps AS (
+      SELECT s.source,
+             ABS(CAST(s.cs AS DOUBLE) / t.ns
+                 - CAST(a.ca AS DOUBLE) / (SELECT n_all FROM n)) AS gap,
+             s.x
+      FROM src_cdf s
+      JOIN totals t ON s.source = t.source
+      JOIN all_cdf a ON s.x = a.x),
+    best AS (
+      SELECT source, gap, x,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY gap DESC, x) AS rn
+      FROM gaps)
+    SELECT source, ROUND(gap, 6) AS ks_stat,
+           CAST(x AS BIGINT) AS at_length
+    FROM best WHERE rn = 1
+    ORDER BY source
+    """
+
+
+@register("x112_source_drift_ks", oracle=_X112_SQL)
+def x112_source_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detector: the two-sample Kolmogorov–Smirnov
+    statistic between each source's document-length distribution and
+    the corpus — max |CDF_source − CDF_corpus| over observed lengths,
+    with the length where the gap peaks. The monitoring gate that
+    catches a source whose new crawl suddenly ships truncated or
+    concatenated documents. Each gap is two integer-ratio divisions
+    and a subtraction (fixed IEEE sequence → bit-identical); the
+    argmax ties break on length.
+
+    Scale: CDFs come from one (source, length) partial agg + a
+    cumulative-sum window per source over the DISTINCT length grid —
+    the grid is bounded by the value domain, not the corpus; the
+    corpus CDF joins back on the uniform length key. (The oracle
+    spells the CDFs as correlated subqueries for clarity; the engine
+    uses the window form — same values.)
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    vals = docs.select("source", "n_chars")
+    pts = vals.select(F.col("n_chars").alias("x")).distinct()
+    totals = vals.groupBy("source").agg(F.count("*").alias("ns"))
+    n_all = vals.count()
+
+    # per-(source, length) counts -> per-source running CDF over the
+    # FULL length grid (cross join with pts fills gaps, cumsum window)
+    sc = vals.groupBy("source", F.col("n_chars").alias("x")).agg(
+        F.count("*").alias("c")
+    )
+    grid = totals.select("source", "ns").crossJoin(pts)
+    w_src = (
+        Window.partitionBy("source")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    src_cdf = (
+        grid.join(sc, ["source", "x"], "left")
+        .select(
+            "source",
+            "ns",
+            "x",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+        .withColumn("cs", F.sum("c").over(w_src))
+    )
+    w_all = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    all_cdf = (
+        vals.groupBy(F.col("n_chars").alias("x"))
+        .agg(F.count("*").alias("ca_x"))
+        .withColumn("ca", F.sum("ca_x").over(w_all))
+        .select("x", "ca")
+    )
+    gaps = src_cdf.join(all_cdf, "x").select(
+        "source",
+        "x",
+        F.abs(
+            F.col("cs").cast("double") / F.col("ns")
+            - F.col("ca").cast("double") / F.lit(n_all)
+        ).alias("gap"),
+    )
+    wb = Window.partitionBy("source").orderBy(F.desc("gap"), "x")
+    return (
+        gaps.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select(
+            "source",
+            F.round("gap", 6).alias("ks_stat"),
+            F.col("x").cast("bigint").alias("at_length"),
+        )
+        .orderBy("source")
+    )

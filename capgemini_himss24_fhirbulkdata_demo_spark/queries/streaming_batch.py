@@ -561,3 +561,72 @@ def x110_reaggregated_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+# ---- x113: event-rate anomaly z-scores ----
+
+
+@register(
+    "x113_rate_anomaly",
+    oracle="""
+    WITH hourly AS (
+      SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY hour),
+    stats AS (
+      SELECT COUNT(*) AS h,
+             SUM(n_events) AS s1,
+             SUM(n_events * n_events) AS s2
+      FROM hourly)
+    SELECT hour, n_events,
+           ROUND((CAST(n_events AS DOUBLE) - CAST(s1 AS DOUBLE) / h)
+                 / SQRT((CAST(h * s2 - s1 * s1 AS DOUBLE))
+                        / (CAST(h AS DOUBLE) * (h - 1))), 6) AS z,
+           CASE WHEN ABS((CAST(n_events AS DOUBLE) - CAST(s1 AS DOUBLE) / h)
+                 / SQRT((CAST(h * s2 - s1 * s1 AS DOUBLE))
+                        / (CAST(h AS DOUBLE) * (h - 1)))) > 2
+                THEN 1 ELSE 0 END AS is_anomaly
+    FROM hourly, stats
+    ORDER BY hour
+    """,
+)
+def x113_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-rate anomaly monitor: hourly event counts z-scored
+    against the corpus of hours (sample variance from the explicit
+    integer sums H/S1/S2 — the x89 regression trick, so the only
+    float work is one fixed divide/sqrt sequence per row, identical
+    on both engines), flagging |z| > 2 hours. The batch twin of the
+    alert a streaming pipeline raises when a source stalls or
+    floods.
+
+    Scale: one time-bucket agg (uniform key), one 3-integer global
+    rollup broadcast back; O(hours) output.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour"
+        )
+    ).agg(F.count("*").cast("bigint").alias("n_events"))
+    stats = hourly.agg(
+        F.count("*").alias("h"),
+        F.sum("n_events").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
+    )
+    z = (
+        F.col("n_events").cast("double")
+        - F.col("s1").cast("double") / F.col("h")
+    ) / F.sqrt(
+        (F.col("h") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+        / (F.col("h").cast("double") * (F.col("h") - 1))
+    )
+    return (
+        hourly.crossJoin(F.broadcast(stats))
+        .select(
+            "hour",
+            "n_events",
+            F.round(z, 6).alias("z"),
+            F.when(F.abs(z) > 2, 1).otherwise(0).alias("is_anomaly"),
+        )
+        .orderBy("hour")
+    )
