@@ -53,6 +53,13 @@ QUERIES = [
     "x96_pq_adc_search",
     "x97_cms_heavy_hitters",
     "x100_pagerank_nations",
+    # second r5 closing sweep: the composed IVF-PQ search, the
+    # Apriori pair miner (bounded candidate space), the KS drift
+    # grid, and the cascaded re-aggregation.
+    "x105_ivfpq_search",
+    "x111_token_association",
+    "x112_source_drift_ks",
+    "x110_reaggregated_rollup",
 ]
 
 _PARTS = {"lineitem": 8, "orders": 4, "documents": 4, "embeddings": 4, "events": 4}
