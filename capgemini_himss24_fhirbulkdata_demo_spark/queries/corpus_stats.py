@@ -1113,3 +1113,72 @@ def x112_source_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---- x114: cross-table referential-integrity audit ----
+
+
+_X114_SQL = """
+    WITH d AS (SELECT doc_id FROM documents),
+    v AS (SELECT vec_id FROM embeddings),
+    m AS (SELECT COUNT(*) AS matched
+          FROM d JOIN v ON d.doc_id = v.vec_id)
+    SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_docs,
+           CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_vecs,
+           CAST((SELECT matched FROM m) AS BIGINT) AS matched,
+           CAST((SELECT COUNT(*) FROM d
+                 WHERE doc_id NOT IN (SELECT vec_id FROM v)) AS BIGINT)
+             AS docs_without_vec,
+           CAST((SELECT COUNT(*) FROM v
+                 WHERE vec_id NOT IN (SELECT doc_id FROM d)) AS BIGINT)
+             AS vecs_without_doc,
+           ROUND(CAST((SELECT matched FROM m) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM d), 6) AS doc_coverage
+    """
+
+
+@register("x114_embedding_integrity", oracle=_X114_SQL)
+def x114_embedding_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit between the text corpus and its
+    embedding table (the dbt-style relationship test a multimodal /
+    RAG pipeline runs before training): match counts and both orphan
+    directions (documents never embedded — the backfill queue — and
+    embeddings whose document was deleted — the tombstone queue),
+    plus doc-side coverage. On the fixtures this is non-trivial: the
+    embedding table stays 500 rows while documents scale, exactly the
+    lag a real ingestion pipeline shows.
+
+    Scale: ONE full-outer join on the uniform id key feeds every
+    counter in a single agg — no per-metric jobs, no driver math; at
+    100 TB both sides bucket by id and the audit is co-partitioned.
+    Output is a single row of counters.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    v = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    fo = d.join(v, d["doc_id"] == v["vec_id"], "full")
+    return fo.agg(
+        F.count("doc_id").cast("bigint").alias("n_docs"),
+        F.count("vec_id").cast("bigint").alias("n_vecs"),
+        F.sum(
+            F.when(
+                F.col("doc_id").isNotNull() & F.col("vec_id").isNotNull(), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("matched"),
+        F.sum(F.when(F.col("vec_id").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_without_vec"),
+        F.sum(F.when(F.col("doc_id").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("vecs_without_doc"),
+    ).select(
+        "n_docs",
+        "n_vecs",
+        "matched",
+        "docs_without_vec",
+        "vecs_without_doc",
+        F.round(
+            F.col("matched").cast("double") / F.col("n_docs"), 6
+        ).alias("doc_coverage"),
+    )
