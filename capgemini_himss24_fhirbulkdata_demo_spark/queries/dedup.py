@@ -1532,3 +1532,193 @@ def x109_dedup_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 x109_dedup_pr_curve.__doc__ = x109_dedup_pr_curve.__doc__.format(
     tr=_X109_TRUTH
 )
+
+
+# ---- x115: sparse TF-IDF cosine pairs (rare-term blocked) ----
+
+# The sparse-vector similarity join (Bayardo et al., WWW'07 family):
+# candidate pairs come from an inverted-index join on SHARED TERMS,
+# not from dense-vector buckets (x06/x11 are the dense siblings).
+# The scale lever is the DF cap: Zipf-head terms contribute least to
+# cosine but dominate join cost quadratically, so the index keeps
+# only discriminative terms (2 <= df <= cap) and the cosine is taken
+# in that pruned term space — the standard prefix/df-filter trade.
+_X115_DF_CAP = 20
+_X115_TOP = 20
+
+# rational Robertson idf (x47's log-free trick): (N - df + 0.5) /
+# (df + 0.5) — exact integer halves, ONE division per term.
+# terms are 3-token shingles: the fixture unigram vocab is only 31
+# types (min df 25 — nothing is rare), while the shingle space is
+# ~20k types with a natural rare tail; real corpora would use
+# unigrams or shingles interchangeably here, the plan is identical.
+_X115_G = 3
+
+_X115_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS arr FROM documents),
+    tok AS (
+      SELECT doc_id,
+             UNNEST(LIST_TRANSFORM(
+               RANGE(1, GREATEST(LEN(arr) - {_X115_G - 1}, 0) + 1),
+               i -> ARRAY_TO_STRING(arr[i:i + {_X115_G - 1}], ' ')))
+               AS t
+      FROM toks),
+    tf AS (
+      SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
+    df AS (
+      SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+    nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+    w AS (
+      SELECT tf.doc_id, tf.t,
+             tf.tf * (CAST(2 * (SELECT n FROM nn) - 2 * df.df + 1 AS DOUBLE)
+                      / (2 * df.df + 1)) AS w
+      FROM tf JOIN df ON tf.t = df.t
+      WHERE df.df BETWEEN 2 AND {_X115_DF_CAP}),
+    norms AS (
+      SELECT doc_id,
+             SQRT(LIST_REDUCE(LIST(w * w ORDER BY t), (x, y) -> x + y))
+               AS norm
+      FROM w GROUP BY doc_id),
+    pair_num AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             LIST_REDUCE(LIST(a.w * b.w ORDER BY a.t), (x, y) -> x + y)
+               AS num
+      FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    scored AS (
+      SELECT p.doc_a, p.doc_b,
+             p.num / (na.norm * nb.norm) AS cos_raw
+      FROM pair_num p
+      JOIN norms na ON p.doc_a = na.doc_id
+      JOIN norms nb ON p.doc_b = nb.doc_id),
+    ranked AS (
+      SELECT doc_a, doc_b, cos_raw,
+             ROW_NUMBER() OVER (ORDER BY cos_raw DESC, doc_a, doc_b)
+               AS rnk
+      FROM scored)
+    SELECT rnk, doc_a, doc_b, ROUND(cos_raw, 6) AS cosine
+    FROM ranked WHERE rnk <= {_X115_TOP}
+    ORDER BY rnk
+    """
+
+
+@register("x115_sparse_cosine_pairs", oracle=_X115_SQL)
+def x115_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine similarity join (the inverted-index
+    sibling of x06's dense-embedding pairs): documents become sparse
+    TF·IDF vectors over DISCRIMINATIVE {g}-token shingle terms only
+    (2 ≤ df ≤ {cap} —
+    the Zipf head is pruned because frequent terms add join cost
+    quadratically while contributing least to cosine), candidate
+    pairs come from the term-keyed inverted-index join, and cosines
+    are exact in the pruned term space. Top-{k} pairs surfaced.
+
+    Determinism: idf is x47's rational Robertson form (integer
+    halves, one division); every per-pair and per-doc sum folds in
+    term order (collect → sort → sequential reduce) so the IEEE
+    sequence matches the oracle's LIST_REDUCE exactly.
+
+    Scale: tf and df are uniform-key partial aggs; the pair join is
+    keyed on the term with per-term fan-out capped at df ≤ {cap} —
+    candidate volume is Σ df² ≤ cap·Σ df, i.e. LINEAR in corpus
+    tokens with a constant cap factor, never |docs|². The df cap is
+    the knob that trades recall for cost at 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.split(F.col("text"), " ")
+    n = F.size(arr)
+    g = _X115_G
+    idx = F.when(n >= g, F.sequence(F.lit(1), n - (g - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(arr, i, g)))
+        ).alias("t"),
+    )
+    tf = tok.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("t").agg(F.count("*").alias("df"))
+    n_docs = docs.select("doc_id").distinct().count()
+    w = (
+        tf.join(
+            df.filter(
+                (F.col("df") >= 2) & (F.col("df") <= _X115_DF_CAP)
+            ),
+            "t",
+        )
+        .select(
+            "doc_id",
+            "t",
+            (
+                F.col("tf")
+                * (
+                    (2 * n_docs - 2 * F.col("df") + 1).cast("double")
+                    / (2 * F.col("df") + 1)
+                )
+            ).alias("w"),
+        )
+    )
+
+    def _fold_sorted(pair_col):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(pair_col)),
+                lambda s: s["v"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(
+            _fold_sorted(
+                F.struct(F.col("t").alias("t"), (F.col("w") * F.col("w")).alias("v"))
+            )
+        ).alias("norm")
+    )
+    a = w.select(
+        F.col("doc_id").alias("doc_a"), "t", F.col("w").alias("wa")
+    )
+    b = w.select(
+        F.col("doc_id").alias("doc_b"), "t", F.col("w").alias("wb")
+    )
+    pair_num = (
+        a.join(b, "t")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            _fold_sorted(
+                F.struct(
+                    F.col("t").alias("t"),
+                    (F.col("wa") * F.col("wb")).alias("v"),
+                )
+            ).alias("num")
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("norm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("norm").alias("nb"))
+    scored = (
+        pair_num.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("num") / (F.col("na") * F.col("nb"))).alias("cos_raw"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    wr = Window.orderBy(F.desc("cos_raw"), "doc_a", "doc_b")
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= _X115_TOP)
+        .select("rnk", "doc_a", "doc_b", F.round("cos_raw", 6).alias("cosine"))
+        .orderBy("rnk")
+    )
+
+
+x115_sparse_cosine_pairs.__doc__ = x115_sparse_cosine_pairs.__doc__.format(
+    cap=_X115_DF_CAP, k=_X115_TOP, g=_X115_G
+)
