@@ -630,3 +630,100 @@ def x113_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+# ---- x116: inter-arrival latency percentiles per event type ----
+
+
+@register(
+    "x116_interarrival_latency",
+    oracle="""
+    WITH ordered AS (
+      SELECT event_type,
+             EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS gap
+      FROM events),
+    gaps AS (
+      SELECT event_type, gap FROM ordered WHERE gap IS NOT NULL),
+    ranked AS (
+      SELECT event_type, gap,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY gap, event_type) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM gaps)
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_gaps,
+           CAST(MAX(CASE WHEN rn = (50 * n + 99) // 100 THEN gap END)
+                AS BIGINT) AS p50_us,
+           CAST(MAX(CASE WHEN rn = (95 * n + 99) // 100 THEN gap END)
+                AS BIGINT) AS p95_us,
+           CAST(MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN gap END)
+                AS BIGINT) AS p99_us,
+           CAST(MAX(gap) AS BIGINT) AS max_us
+    FROM ranked
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def x116_interarrival_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival latency distribution per event type — the ops
+    dashboard's p50/p95/p99 over consecutive-event gaps. Gaps are
+    exact INTEGER microseconds (``unix_micros`` ↔ ``EPOCH_US``), and
+    the percentiles are exact rank statistics (rank = ceiling-
+    rational ``(q·n + 99) DIV 100`` picked from a per-type
+    row_number) — no float ever enters, so the whole op is
+    bit-exact. Complements q29 (value percentiles) with the
+    time-dimension form and x113 (rate z-scores) with tail behavior.
+
+    Scale: one per-type lag window + one per-type rank window — both
+    reuse the same (event_type) partitioning, so the second window
+    adds no exchange; at 100 TB the sort inside each type is the
+    honest cost of EXACT tail percentiles (x104's mergeable
+    histogram is the constant-memory alternative).
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w_lag = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    # timestampdiff works on TIMESTAMP_NTZ directly — no session-
+    # timezone interpretation anywhere (unix_micros would force an
+    # NTZ→TZ cast)
+    gaps = (
+        ev.select(
+            "event_type",
+            "ts",
+            F.lag("ts").over(w_lag).alias("prev_ts"),
+        )
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            "event_type",
+            F.expr("timestampdiff(MICROSECOND, prev_ts, ts)").alias("gap"),
+        )
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("gap", "event_type")
+    ranked = gaps.select(
+        "event_type",
+        "gap",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+
+    def pick(q: int):
+        return F.max(
+            F.when(
+                F.col("rn") == F.expr(f"({q} * n + 99) DIV 100"),
+                F.col("gap"),
+            )
+        ).cast("bigint")
+
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n_gaps"),
+            pick(50).alias("p50_us"),
+            pick(95).alias("p95_us"),
+            pick(99).alias("p99_us"),
+            F.max("gap").cast("bigint").alias("max_us"),
+        )
+        .orderBy("event_type")
+    )
