@@ -1722,3 +1722,70 @@ def x115_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 x115_sparse_cosine_pairs.__doc__ = x115_sparse_cosine_pairs.__doc__.format(
     cap=_X115_DF_CAP, k=_X115_TOP, g=_X115_G
 )
+
+
+# ---- x117: duplicate-cluster size distribution ----
+
+_X117_SQL = f"""
+    WITH RECURSIVE {_X02_CTES},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    comp AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+      FROM reach GROUP BY a),
+    sizes AS (
+      SELECT component, COUNT(*) AS sz FROM comp GROUP BY component),
+    tot AS (SELECT COUNT(*) AS n_clustered FROM comp)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(COUNT(*) * sz AS BIGINT) AS n_docs,
+           ROUND(CAST(COUNT(*) * sz AS DOUBLE)
+                 / (SELECT n_clustered FROM tot), 6) AS doc_share
+    FROM sizes
+    GROUP BY sz
+    ORDER BY cluster_size
+    """
+
+
+@register("x117_cluster_size_histogram", oracle=_X117_SQL)
+def x117_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-family size distribution: x07's connected components
+    (composed verbatim — iterative min-label propagation), rolled up
+    to how many clusters exist at each size and what share of
+    clustered documents they hold. The diagnostic that distinguishes
+    a corpus of PAIRWISE near-dups (all size 2 — MinHash noise) from
+    template farms (a few giant components — one keep-first delete
+    per family recovers a big slice of the budget). Single final
+    share division.
+
+    Scale: everything after x07 is two skinny aggs (component → size
+    → histogram); the histogram is bounded by the largest family, not
+    the corpus.
+    """
+    comp = x07_dedup_components(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("sz"))
+    tot = sizes.agg(F.sum("sz").alias("n_clustered"))
+    return (
+        sizes.groupBy("sz")
+        .agg(F.count("*").alias("n_clusters"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("sz").cast("bigint").alias("cluster_size"),
+            F.col("n_clusters").cast("bigint").alias("n_clusters"),
+            (F.col("n_clusters") * F.col("sz"))
+            .cast("bigint")
+            .alias("n_docs"),
+            F.round(
+                (F.col("n_clusters") * F.col("sz")).cast("double")
+                / F.col("n_clustered"),
+                6,
+            ).alias("doc_share"),
+        )
+        .orderBy("cluster_size")
+    )
