@@ -1789,3 +1789,81 @@ def x117_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+# ---- x118: dedup-debt trend over ingestion order ----
+
+_X118_BUCKET = 50  # docs per ingestion bucket
+
+
+_X118_SQL = f"""
+    WITH fp AS (
+      SELECT doc_id, doc_id // {_X118_BUCKET} AS bucket, MD5(text) AS f
+      FROM documents),
+    first_seen AS (
+      SELECT f, MIN(doc_id) AS first_id FROM fp GROUP BY f),
+    flags AS (
+      SELECT fp.bucket,
+             CASE WHEN fp.doc_id > fs.first_id THEN 1 ELSE 0 END AS is_dup
+      FROM fp JOIN first_seen fs ON fp.f = fs.f)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(is_dup) AS BIGINT) AS n_dups,
+           ROUND(CAST(SUM(is_dup) AS DOUBLE) / COUNT(*), 6) AS dup_rate,
+           ROUND(CAST(SUM(SUM(is_dup)) OVER (ORDER BY bucket) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (ORDER BY bucket), 6)
+             AS cum_dup_rate
+    FROM flags
+    GROUP BY bucket
+    ORDER BY bucket
+    """
+
+
+@register("x118_dup_rate_trend", oracle=_X118_SQL)
+def x118_dup_rate_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-debt trend: documents bucketed by ingestion order
+    (doc_id DIV {b}), each doc flagged a duplicate when its exact
+    text fingerprint was already seen at a smaller id — per-bucket
+    and cumulative dup rates. A rising curve tells the pipeline its
+    crawl frontier is collapsing into content it already has (time
+    to re-seed) BEFORE a full dedup pass runs; x09 gives the
+    per-source cut of the same debt, this gives the time axis.
+
+    Scale: one fingerprint min-agg (uniform md5 key) + a same-key
+    flag join + a bucket rollup; the cumulative window runs over the
+    bucket-level table (corpus/{b} rows), not the corpus. Two final
+    single-division rates per row.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        (F.col("doc_id") / _X118_BUCKET).cast("bigint").alias("bucket"),
+        F.md5(F.col("text")).alias("f"),
+    )
+    first_seen = fp.groupBy("f").agg(F.min("doc_id").alias("first_id"))
+    flags = fp.join(first_seen, "f").select(
+        "bucket",
+        F.when(F.col("doc_id") > F.col("first_id"), 1)
+        .otherwise(0)
+        .alias("is_dup"),
+    )
+    from pyspark.sql.window import Window
+
+    per_bucket = flags.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"), F.sum("is_dup").alias("n_dups")
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_bucket.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_dups").cast("bigint").alias("n_dups"),
+        F.round(
+            F.col("n_dups").cast("double") / F.col("n_docs"), 6
+        ).alias("dup_rate"),
+        F.round(
+            F.sum("n_dups").over(w).cast("double") / F.sum("n_docs").over(w),
+            6,
+        ).alias("cum_dup_rate"),
+    ).orderBy("bucket")
