@@ -1182,3 +1182,82 @@ def x114_embedding_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("matched").cast("double") / F.col("n_docs"), 6
         ).alias("doc_coverage"),
     )
+
+
+# ---- x119: term burstiness (variance-to-mean ratio) ----
+
+_X119_TOP = 20
+
+
+_X119_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents),
+    per_doc AS (
+      SELECT t, doc_id, COUNT(*) AS c FROM tok GROUP BY t, doc_id),
+    nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tok),
+    stats AS (
+      SELECT t,
+             CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(c) AS BIGINT) AS s1,
+             CAST(SUM(c * c) AS BIGINT) AS s2
+      FROM per_doc GROUP BY t),
+    scored AS (
+      SELECT t, df, s1, s2,
+             ROUND(CAST((SELECT n FROM nn) * s2 - s1 * s1 AS DOUBLE)
+                   / ((SELECT n FROM nn) * s1), 6) AS burstiness
+      FROM stats),
+    ranked AS (
+      SELECT t, df, s1 AS cf, burstiness,
+             ROW_NUMBER() OVER (ORDER BY burstiness DESC, t) AS rnk
+      FROM scored)
+    SELECT rnk, t AS term, df, cf, burstiness
+    FROM ranked WHERE rnk <= {_X119_TOP}
+    ORDER BY rnk
+    """
+
+
+@register("x119_term_burstiness", oracle=_X119_SQL)
+def x119_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (Church & Gale's variance-to-mean ratio over
+    per-document counts, zeros included): VMR = 1 for a Poisson
+    "background" term, ≫1 for topical terms that cluster in few
+    documents — the statistic content-vs-function-word weighting
+    schemes are built on. With per-doc sums S1/S2 over N docs,
+    VMR = (N·S2 − S1²)/(N·S1): EXACT integer arithmetic with one
+    final division, ranked by the rational value with term tiebreak.
+
+    Scale: one (term, doc) partial agg and one term rollup — both
+    uniform keys; top-{k} via a single-pass rank on the term table
+    (vocabulary-sized, not corpus-sized).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    per_doc = tok.groupBy("t", "doc_id").agg(F.count("*").alias("c"))
+    n_docs = docs.select("doc_id").distinct().count()
+    stats = per_doc.groupBy("t").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+    )
+    scored = stats.select(
+        "t",
+        "df",
+        F.col("s1").alias("cf"),
+        F.round(
+            (n_docs * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+            / (n_docs * F.col("s1")),
+            6,
+        ).alias("burstiness"),
+    )
+    w = Window.orderBy(F.desc("burstiness"), "t")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _X119_TOP)
+        .select("rnk", F.col("t").alias("term"), "df", "cf", "burstiness")
+        .orderBy("rnk")
+    )
+
+
+x119_term_burstiness.__doc__ = x119_term_burstiness.__doc__.format(
+    k=_X119_TOP
+)
