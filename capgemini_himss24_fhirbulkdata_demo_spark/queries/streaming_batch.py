@@ -727,3 +727,65 @@ def x116_interarrival_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---- x120: event-type Markov transition matrix ----
+
+
+@register(
+    "x120_event_transitions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type AS cur,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    trans AS (
+      SELECT prev, cur, COUNT(*) AS n
+      FROM ordered WHERE prev IS NOT NULL
+      GROUP BY prev, cur),
+    totals AS (
+      SELECT prev, SUM(n) AS row_total FROM trans GROUP BY prev)
+    SELECT t.prev, t.cur, CAST(t.n AS BIGINT) AS n,
+           CAST(tt.row_total AS BIGINT) AS row_total,
+           ROUND(CAST(t.n AS DOUBLE) / tt.row_total, 6) AS p
+    FROM trans t JOIN totals tt ON t.prev = tt.prev
+    ORDER BY t.prev, t.cur
+    """,
+)
+def x120_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next = b | current = a) estimated from consecutive
+    event pairs within each user's timeline (ts, event_id order) —
+    the sequence model behind next-action prediction, anomaly scoring
+    (improbable transitions), and funnel design (x35 checks ONE
+    prescribed path; this surfaces every empirical path). Integer
+    counts, one final division per cell.
+
+    Scale: one per-user lag window (uniform user_id partitioning) +
+    one |types|²-bounded pair agg; the matrix and its row totals are
+    constant-sized, so the estimate is one pass at any corpus size.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lag("event_type").over(w).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    trans = ordered.groupBy("prev", "cur").agg(F.count("*").alias("n"))
+    totals = trans.groupBy("prev").agg(F.sum("n").alias("row_total"))
+    return (
+        trans.join(F.broadcast(totals), "prev")
+        .select(
+            "prev",
+            "cur",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("row_total").cast("bigint").alias("row_total"),
+            F.round(
+                F.col("n").cast("double") / F.col("row_total"), 6
+            ).alias("p"),
+        )
+        .orderBy("prev", "cur")
+    )
