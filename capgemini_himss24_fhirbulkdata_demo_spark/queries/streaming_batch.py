@@ -789,3 +789,65 @@ def x120_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev", "cur")
     )
+
+
+# ---- x121: RFM user segmentation ----
+
+
+@register(
+    "x121_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT user_id,
+             MAX(CAST(ts AS DATE)) AS last_day,
+             COUNT(*) AS freq,
+             SUM(CAST(value AS DECIMAL(18,6))) AS monetary
+      FROM events GROUP BY user_id),
+    scored AS (
+      SELECT user_id,
+             NTILE(4) OVER (ORDER BY last_day DESC, user_id) AS r,
+             NTILE(4) OVER (ORDER BY freq DESC, user_id) AS f,
+             NTILE(4) OVER (ORDER BY monetary DESC, user_id) AS m
+      FROM rfm)
+    SELECT r, f, m,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM scored
+    GROUP BY r, f, m
+    ORDER BY r, f, m
+    """,
+)
+def x121_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (the product-analytics workhorse): every user
+    scored into recency / frequency / monetary quartiles (NTILE over
+    total orders — last-active day and counts are integers, monetary
+    is the exact decimal sum, user_id breaks every tie, so the
+    segment assignment is cross-engine deterministic) and the segment
+    matrix reported as user counts per (r, f, m) cell.
+
+    Scale: one per-user agg (uniform key); the three NTILEs are
+    global-order windows over the USER table (not events — one row
+    per user), the honest cost of global quartiles; per-segment
+    rollup is ≤64 cells.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    rfm = ev.groupBy("user_id").agg(
+        F.max(F.col("ts").cast("date")).alias("last_day"),
+        F.count("*").alias("freq"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("monetary"),
+    )
+    scored = rfm.select(
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("last_day"), "user_id"))
+        .alias("r"),
+        F.ntile(4).over(Window.orderBy(F.desc("freq"), "user_id")).alias("f"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary"), "user_id"))
+        .alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .orderBy("r", "f", "m")
+    )
