@@ -979,3 +979,86 @@ def q117_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n_name
         """
     )
+
+
+# ---- x122: order-total financial consistency audit ----
+
+
+@register(
+    "x122_order_total_audit",
+    oracle="""
+    WITH calc AS (
+      SELECT l_orderkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                      AS DECIMAL(18,4))) AS calc_total
+      FROM lineitem GROUP BY l_orderkey),
+    diffs AS (
+      SELECT o.o_orderstatus,
+             ABS(CAST(o.o_totalprice AS DECIMAL(18,4)) - c.calc_total)
+               AS ad
+      FROM orders o JOIN calc c ON o.o_orderkey = c.l_orderkey)
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN ad <= 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_consistent,
+           CAST(MAX(ad) AS DOUBLE) AS max_abs_diff,
+           ROUND(CAST(SUM(ad) AS DOUBLE) / COUNT(*), 4) AS avg_abs_diff
+    FROM diffs
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def x122_order_total_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Financial-consistency audit: every order's stored total
+    against the recomputed ``Σ extprice·(1−disc)·(1+tax)`` over its
+    line items — per status, how many orders reconcile within a cent
+    and how far the rest drift. The cross-table invariant check a
+    warehouse runs after every load (x114 checks key integrity; this
+    checks VALUE integrity). On the synthetic fixtures the stored
+    totals are deliberately unreconciled — the audit's job is to
+    report that, and both engines must agree on exactly how
+    unreconciled.
+
+    Determinism: the per-row product is one fixed double sequence,
+    immediately cast to DECIMAL(18,4); per-order sums and diffs then
+    stay exact decimal, so thresholds and maxima are bit-exact; one
+    final avg division.
+
+    Scale: one fact-fact join on the uniform orderkey (co-located
+    when both tables bucket by it) + a status rollup. The per-order
+    sum partial-aggregates map-side.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    calc = li.groupBy("l_orderkey").agg(
+        F.sum(
+            (
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ).cast("decimal(18,4)")
+        ).alias("calc_total")
+    )
+    diffs = orders.join(
+        calc, orders["o_orderkey"] == calc["l_orderkey"]
+    ).select(
+        "o_orderstatus",
+        F.abs(
+            F.col("o_totalprice").cast("decimal(18,4)")
+            - F.col("calc_total")
+        ).alias("ad"),
+    )
+    return (
+        diffs.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.when(F.col("ad") <= 0.01, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_consistent"),
+            F.max("ad").cast("double").alias("max_abs_diff"),
+            F.round(
+                F.sum("ad").cast("double") / F.count("*"), 4
+            ).alias("avg_abs_diff"),
+        )
+        .orderBy("o_orderstatus")
+    )
