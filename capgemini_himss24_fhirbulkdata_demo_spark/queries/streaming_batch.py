@@ -851,3 +851,68 @@ def x121_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_users"))
         .orderBy("r", "f", "m")
     )
+
+
+# ---- x123: weekday x hour seasonality profile ----
+
+
+@register(
+    "x123_seasonality_profile",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) % 7 AS dow,
+             CAST(FLOOR(EPOCH(ts - TIMESTAMP '2024-01-01 00:00:00') / 3600)
+                  AS BIGINT) % 24 AS hod,
+             COUNT(*) AS n
+      FROM events GROUP BY dow, hod),
+    tot AS (SELECT SUM(n) AS n_all FROM cells)
+    SELECT dow, hod, CAST(n AS BIGINT) AS n_events,
+           ROUND(CAST(n AS DOUBLE) / (SELECT n_all FROM tot), 6) AS share
+    FROM cells
+    ORDER BY dow, hod
+    """,
+)
+def x123_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday × hour-of-day load profile over events — the capacity-
+    planning heat map. Both axes are INTEGER arithmetic against the
+    corpus epoch (days-since DIV, hours-since MOD 24) instead of
+    engine weekday/hour functions, which disagree on week start and
+    timezone interpretation across engines; `dow` 0 = the epoch's
+    weekday (2024-01-01, a Monday). One cell agg + a 168-cell share
+    division.
+
+    Scale: single uniform-key agg to a constant 7×24 grid; the share
+    join is a 1-row broadcast.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dow = (
+        F.expr(
+            "CAST(DATEDIFF(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT)"
+        )
+        % 7
+    )
+    hod = (
+        F.expr(
+            "CAST(FLOOR(CAST(timestampdiff(SECOND, "
+            "TIMESTAMP_NTZ '2024-01-01 00:00:00', ts) AS DOUBLE) / 3600) "
+            "AS BIGINT)"
+        )
+        % 24
+    )
+    cells = ev.groupBy(dow.alias("dow"), hod.alias("hod")).agg(
+        F.count("*").alias("n")
+    )
+    tot = cells.agg(F.sum("n").alias("n_all"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "hod",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.round(
+                F.col("n").cast("double") / F.col("n_all"), 6
+            ).alias("share"),
+        )
+        .orderBy("dow", "hod")
+    )
