@@ -916,3 +916,93 @@ def x123_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hod")
     )
+
+
+# ---- x124: CUSUM changepoint detection over hourly rates ----
+
+
+@register(
+    "x124_changepoint_cusum",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(FLOOR(EPOCH(ts - TIMESTAMP '2024-01-01 00:00:00') / 3600)
+                  AS BIGINT) AS hr,
+             COUNT(*) AS n
+      FROM events GROUP BY event_type, hr),
+    stats AS (
+      SELECT event_type, COUNT(*) AS h, SUM(n) AS s1
+      FROM hourly GROUP BY event_type),
+    cusum AS (
+      SELECT h.event_type, h.hr,
+             SUM(h.n) OVER (PARTITION BY h.event_type ORDER BY h.hr)
+               * s.h
+             - ROW_NUMBER() OVER (PARTITION BY h.event_type ORDER BY h.hr)
+               * s.s1 AS c_scaled,
+             s.h AS n_hours
+      FROM hourly h JOIN stats s ON h.event_type = s.event_type),
+    best AS (
+      SELECT event_type, hr, c_scaled, n_hours,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ABS(c_scaled) DESC, hr) AS rn
+      FROM cusum)
+    SELECT event_type,
+           CAST(hr AS BIGINT) AS change_hr,
+           CAST(c_scaled AS BIGINT) AS cusum_scaled,
+           CAST(n_hours AS BIGINT) AS n_hours
+    FROM best WHERE rn = 1
+    ORDER BY event_type
+    """,
+)
+def x124_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type: the hour where the
+    cumulative deviation from the mean rate peaks — the classic
+    single-changepoint estimator (the max-|CUSUM| split point). Kept
+    ENTIRELY in integers: CUSUM_t·H = prefix_t·H − t·S1 (H hours, S1
+    total events), so the argmax compares exact integers — no float
+    enters the operator at all, not even a final division.
+    Complements x113 (pointwise outlier hours) with the
+    level-shift-location question.
+
+    Scale: one (type, hour) agg, a per-type prefix window over the
+    hour grid (constant-bounded), and a per-type argmax — all reusing
+    the event_type partitioning.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hr = F.expr(
+        "CAST(FLOOR(CAST(timestampdiff(SECOND, "
+        "TIMESTAMP_NTZ '2024-01-01 00:00:00', ts) AS DOUBLE) / 3600) "
+        "AS BIGINT)"
+    )
+    hourly = ev.groupBy("event_type", hr.alias("hr")).agg(
+        F.count("*").alias("n")
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count("*").alias("h"), F.sum("n").alias("s1")
+    )
+    w = Window.partitionBy("event_type").orderBy("hr")
+    cusum = hourly.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "hr",
+        (
+            F.sum("n").over(w) * F.col("h")
+            - F.row_number().over(w) * F.col("s1")
+        ).alias("c_scaled"),
+        F.col("h").alias("n_hours"),
+    )
+    wb = Window.partitionBy("event_type").orderBy(
+        F.desc(F.abs(F.col("c_scaled"))), "hr"
+    )
+    return (
+        cusum.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("hr").cast("bigint").alias("change_hr"),
+            F.col("c_scaled").cast("bigint").alias("cusum_scaled"),
+            F.col("n_hours").cast("bigint").alias("n_hours"),
+        )
+        .orderBy("event_type")
+    )
