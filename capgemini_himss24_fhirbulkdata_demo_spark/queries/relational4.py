@@ -1062,3 +1062,62 @@ def x122_order_total_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---- x125: top-k per group WITH TIES ----
+
+
+@register(
+    "x125_topk_with_ties",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             RANK() OVER (PARTITION BY o_custkey % 10
+                          ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC)
+               AS rnk,
+             o_custkey % 10 AS grp
+      FROM orders)
+    SELECT grp, rnk, CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 2) AS total
+    FROM ranked WHERE rnk <= 3
+    ORDER BY grp, rnk, o_orderkey
+    """,
+)
+def x125_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group WITH TIES (ANSI ``FETCH FIRST k ROWS WITH
+    TIES`` semantics): RANK instead of ROW_NUMBER, so every row tying
+    the k-th value survives — the form reports need when truncating a
+    tie would misstate a leaderboard (q31 is the arbitrary-tiebreak
+    sibling). Ranking on the DECIMAL view of the price keeps tie
+    detection exact (double equality would be representation-
+    dependent).
+
+    Scale: same WindowGroupLimit-eligible shape as q31 — rank
+    filters push into the shuffle so each partition keeps only its
+    top rows (plus ties) before the exchange.
+    """
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    grp = (F.col("o_custkey") % 10).alias("grp")
+    w = Window.partitionBy(F.col("o_custkey") % 10).orderBy(
+        F.desc(F.col("o_totalprice").cast("decimal(18,2)"))
+    )
+    return (
+        orders.select(
+            grp,
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "grp",
+            "rnk",
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            F.round(F.col("o_totalprice").cast("decimal(18,2)"), 2).alias(
+                "total"
+            ),
+        )
+        .orderBy("grp", "rnk", "o_orderkey")
+    )
