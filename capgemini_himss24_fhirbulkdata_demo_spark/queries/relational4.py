@@ -1121,3 +1121,81 @@ def x125_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp", "rnk", "o_orderkey")
     )
+
+
+# ---- x126: Gini revenue concentration per market segment ----
+
+
+@register(
+    "x126_gini_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_mktsegment AS segment, c.c_custkey,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS r
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment, c.c_custkey),
+    ranked AS (
+      SELECT segment, r,
+             ROW_NUMBER() OVER (PARTITION BY segment
+                                ORDER BY r, c_custkey) AS i,
+             COUNT(*) OVER (PARTITION BY segment) AS n
+      FROM rev)
+    SELECT segment,
+           CAST(MAX(n) AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(r) AS DOUBLE), 2) AS total_revenue,
+           ROUND(CAST(2 * SUM(i * r) - (MAX(n) + 1) * SUM(r) AS DOUBLE)
+                 / (MAX(n) * CAST(SUM(r) AS DOUBLE)), 6) AS gini
+    FROM ranked
+    GROUP BY segment
+    ORDER BY segment
+    """,
+)
+def x126_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration audit: the Gini coefficient of per-
+    customer revenue within each market segment, from the exact rank
+    formula G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ) over revenues
+    sorted ascending (custkey tiebreak). Σ i·xᵢ and Σ xᵢ stay exact
+    DECIMAL (rank × decimal is decimal), so the whole statistic is
+    one final division — the whale-dependence number next to x121's
+    segment matrix. The same shape measures corpus-contribution
+    inequality across sources in the prep pipeline.
+
+    Scale: one per-customer agg (broadcast dim join), a per-segment
+    rank window over the CUSTOMER table, and an S-row rollup.
+    """
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    rev = (
+        orders.join(
+            F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"), "c_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r")
+        )
+    )
+    w = Window.partitionBy("segment").orderBy("r", "c_custkey")
+    ranked = rev.select(
+        "segment",
+        "r",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(Window.partitionBy("segment")).alias("n"),
+    )
+    return (
+        ranked.groupBy("segment")
+        .agg(
+            F.max("n").cast("bigint").alias("n_customers"),
+            F.round(F.sum("r").cast("double"), 2).alias("total_revenue"),
+            F.round(
+                (
+                    2 * F.sum(F.col("i") * F.col("r"))
+                    - (F.max("n") + 1) * F.sum("r")
+                ).cast("double")
+                / (F.max("n") * F.sum("r").cast("double")),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("segment")
+    )
