@@ -1006,3 +1006,148 @@ def x124_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---- x127: Kaplan-Meier churn survival curve ----
+
+_X127_CHURN_GAP = 1  # inactive >= 1 day at corpus end => churned
+# (fixture events are near-uniform per user, so day-level gaps are the
+# only churn signal present; a production pipeline would use 7/30)
+
+
+@register(
+    "x127_km_survival",
+    oracle=f"""
+    WITH span AS (
+      SELECT user_id,
+             MIN(CAST(ts AS DATE)) AS first_day,
+             MAX(CAST(ts AS DATE)) AS last_day
+      FROM events GROUP BY user_id),
+    horizon AS (SELECT MAX(last_day) AS t_end FROM span),
+    obs AS (
+      SELECT user_id,
+             DATEDIFF('day', first_day, last_day) AS dur,
+             CASE WHEN DATEDIFF('day', last_day,
+                                (SELECT t_end FROM horizon))
+                       >= {_X127_CHURN_GAP}
+                  THEN 1 ELSE 0 END AS churned
+      FROM span),
+    n_tot AS (SELECT COUNT(*) AS n0 FROM obs),
+    times AS (
+      SELECT dur AS t, COUNT(*) AS d
+      FROM obs WHERE churned = 1 GROUP BY dur),
+    adj AS (
+      SELECT t, d,
+             (SELECT n0 FROM n_tot)
+             - COALESCE(SUM(d) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             - (SELECT COUNT(*) FROM obs o WHERE o.churned = 0
+                AND o.dur < t) AS n_risk
+      FROM times),
+    surv AS (
+      SELECT t, d, n_risk,
+             LIST_REDUCE(
+               LIST(CAST(n_risk - d AS DOUBLE) / n_risk)
+                 OVER (ORDER BY t),
+               (x, y) -> x * y) AS s
+      FROM adj)
+    SELECT CAST(t AS BIGINT) AS t_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_churned,
+           ROUND(s, 6) AS survival
+    FROM surv
+    ORDER BY t_days
+    """,
+)
+def x127_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for user churn: a user churns when
+    inactive ≥ {g} days at the corpus horizon (else censored);
+    duration = active-span days. At each distinct churn time t, the
+    at-risk count n_t = users whose observation reaches t (integer
+    arithmetic from cumulative churn counts and censored spans), and
+    S(t) = Π_{{u ≤ t}} (1 − d_u/n_u) — the product folds in ascending-t
+    order on both engines (LIST_REDUCE over an ordered window list ↔
+    fold over the sorted collect), so the float sequence is
+    bit-identical. The retention curve product teams read, with
+    censoring handled properly (naive churn-rate-by-cohort
+    understates survival when observation windows differ).
+
+    Scale: one per-user agg, a churn-time rollup (bounded by the day
+    grid), and a single ordered fold over that constant-sized grid —
+    the event table is touched once.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day"),
+        F.max(F.col("ts").cast("date")).alias("last_day"),
+    )
+    t_end = span.agg(F.max("last_day").alias("t_end"))
+    obs = span.crossJoin(F.broadcast(t_end)).select(
+        F.datediff("last_day", "first_day").alias("dur"),
+        F.when(
+            F.datediff("t_end", "last_day") >= _X127_CHURN_GAP, 1
+        )
+        .otherwise(0)
+        .alias("churned"),
+    )
+    n0 = obs.count()
+    times = (
+        obs.filter(F.col("churned") == 1)
+        .groupBy(F.col("dur").alias("t"))
+        .agg(F.count("*").alias("d"))
+    )
+    # censored users leave the risk set when their (shorter) span
+    # ends: subtract censored spans strictly below t
+    censored = obs.filter(F.col("churned") == 0).select(
+        F.col("dur").alias("cdur")
+    )
+    cens_below = times.join(
+        F.broadcast(censored), F.col("cdur") < F.col("t"), "left"
+    ).groupBy("t", "d").agg(F.count("cdur").alias("n_cens_below"))
+    w_prev = (
+        Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    adj = cens_below.select(
+        "t",
+        "d",
+        (
+            F.lit(n0)
+            - F.coalesce(F.sum("d").over(w_prev), F.lit(0))
+            - F.col("n_cens_below")
+        ).alias("n_risk"),
+    )
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    surv = adj.select(
+        "t",
+        "d",
+        "n_risk",
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "t",
+                            (
+                                (F.col("n_risk") - F.col("d")).cast("double")
+                                / F.col("n_risk")
+                            ).alias("f"),
+                        )
+                    ).over(w_cum)
+                ),
+                lambda s: s["f"],
+            ),
+            F.lit(1.0),
+            lambda acc, x: acc * x,
+        ).alias("s"),
+    )
+    return surv.select(
+        F.col("t").cast("bigint").alias("t_days"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").cast("bigint").alias("n_churned"),
+        F.round("s", 6).alias("survival"),
+    ).orderBy("t_days")
