@@ -1983,3 +1983,78 @@ def x108_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_label", "lang_pred")
     )
+
+
+# ---- x128: readability scoring (Flesch-style, corpus-level) ----
+
+
+@register(
+    "x128_readability",
+    oracle="""
+    WITH counts AS (
+      SELECT source,
+             CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS words,
+             CAST(LEN(LIST_FILTER(
+               REGEXP_SPLIT_TO_ARRAY(LOWER(text), '[^aeiou]+'),
+               x -> x <> '')) AS BIGINT) AS syl
+      FROM documents),
+    per_src AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(words) AS BIGINT) AS total_words,
+             CAST(SUM(syl) AS BIGINT) AS total_syllables
+      FROM counts GROUP BY source)
+    SELECT source, n_docs, total_words, total_syllables,
+           ROUND(206.835
+                 - 1.015 * (CAST(total_words AS DOUBLE) / n_docs)
+                 - 84.6 * (CAST(total_syllables AS DOUBLE) / total_words),
+                 4) AS flesch
+    FROM per_src
+    ORDER BY source
+    """,
+)
+def x128_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring per source, computed from CORPUS
+    totals (not averaged per-doc scores — ratio-of-sums is the
+    fold-order-free formulation): words via whitespace split,
+    syllables via the vowel-run proxy, and documents standing in for
+    sentences (the fixture text is unpunctuated token soup — a real
+    corpus would split on terminators; the plan is identical). Two
+    integer ratios into one fixed float sequence, ROUND(4).
+
+    Scale: narrow per-doc counting (split + HOF filter, no explode),
+    one S-row rollup; the formula runs on S rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.size(F.split("text", " ")).cast("bigint")
+    syl = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^aeiou]+"),
+            lambda x: x != "",
+        )
+    ).cast("bigint")
+    per_src = (
+        docs.select("source", words.alias("words"), syl.alias("syl"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("words").cast("bigint").alias("total_words"),
+            F.sum("syl").cast("bigint").alias("total_syllables"),
+        )
+    )
+    return per_src.select(
+        "source",
+        "n_docs",
+        "total_words",
+        "total_syllables",
+        F.round(
+            F.lit(206.835)
+            - 1.015 * (F.col("total_words").cast("double") / F.col("n_docs"))
+            - 84.6
+            * (
+                F.col("total_syllables").cast("double")
+                / F.col("total_words")
+            ),
+            4,
+        ).alias("flesch"),
+    ).orderBy("source")
