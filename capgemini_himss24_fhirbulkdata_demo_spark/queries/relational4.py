@@ -1199,3 +1199,90 @@ def x126_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---- x129: ABC / Pareto revenue classification ----
+
+
+@register(
+    "x129_abc_classification",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18,4))) AS r
+      FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT SUM(r) AS total FROM rev),
+    ranked AS (
+      SELECT l_partkey, r,
+             SUM(r) OVER (ORDER BY r DESC, l_partkey) AS cum
+      FROM rev),
+    classed AS (
+      SELECT l_partkey, r,
+             CASE WHEN cum * 100 <= (SELECT total FROM tot) * 80 THEN 'A'
+                  WHEN cum * 100 <= (SELECT total FROM tot) * 95 THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM ranked)
+    SELECT abc,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(CAST(SUM(r) AS DOUBLE), 2) AS class_revenue,
+           ROUND(CAST(SUM(r) AS DOUBLE)
+                 / CAST((SELECT total FROM tot) AS DOUBLE), 6)
+             AS revenue_share
+    FROM classed
+    GROUP BY abc
+    ORDER BY abc
+    """,
+)
+def x129_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue: parts sorted
+    by exact decimal revenue (partkey tiebreak), class boundaries at
+    80 % / 95 % cumulative share — the comparisons are DECIMAL
+    cross-multiplications (cum·100 ≤ total·80), so class membership
+    never touches a float; only the reported shares divide at the
+    end. The inventory-policy classic ("A-parts get the attention"),
+    and the same shape classifies sources by corpus contribution.
+
+    Scale: one per-part agg, a global cumulative window over the
+    PART table (the honest cost of a global Pareto order — a
+    per-category ABC partitions it), and a 3-row rollup.
+    """
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        ).alias("r")
+    )
+    tot = rev.agg(F.sum("r").alias("total"))
+    w = Window.orderBy(F.desc("r"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    classed = (
+        rev.withColumn("cum", F.sum("r").over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r",
+            F.when(
+                F.col("cum") * 100 <= F.col("total") * 80, "A"
+            )
+            .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+            .otherwise("C")
+            .alias("abc"),
+            "total",
+        )
+    )
+    return (
+        classed.groupBy("abc")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.round(F.sum("r").cast("double"), 2).alias("class_revenue"),
+            F.round(
+                F.sum("r").cast("double") / F.max("total").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc")
+    )
