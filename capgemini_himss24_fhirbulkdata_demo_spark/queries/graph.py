@@ -248,3 +248,92 @@ def x101_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# ---- x130: cohort LTV accumulation curve ----
+
+
+_X130_SQL = f"""
+    WITH ev AS (
+      SELECT user_id,
+             CAST(DATEDIFF('day', DATE '{_X101_EPOCH}', CAST(ts AS DATE))
+                  AS BIGINT) // 7 AS week,
+             CAST(value AS DECIMAL(18,6)) AS v
+      FROM events),
+    cohort AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id),
+    size AS (
+      SELECT cohort_week, COUNT(*) AS cohort_size
+      FROM cohort GROUP BY cohort_week),
+    cell AS (
+      SELECT c.cohort_week, e.week - c.cohort_week AS week_offset,
+             SUM(e.v) AS rev
+      FROM ev e JOIN cohort c ON e.user_id = c.user_id
+      GROUP BY c.cohort_week, e.week - c.cohort_week),
+    cum AS (
+      SELECT cohort_week, week_offset,
+             SUM(rev) OVER (PARTITION BY cohort_week
+                            ORDER BY week_offset) AS cum_rev
+      FROM cell)
+    SELECT m.cohort_week, m.week_offset,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           ROUND(CAST(m.cum_rev AS DOUBLE), 2) AS cum_revenue,
+           ROUND(CAST(m.cum_rev AS DOUBLE) / s.cohort_size, 4)
+             AS ltv_per_user
+    FROM cum m JOIN size s ON m.cohort_week = s.cohort_week
+    ORDER BY m.cohort_week, m.week_offset
+    """
+
+
+@register("x130_cohort_ltv", oracle=_X130_SQL)
+def x130_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV accumulation: cumulative revenue per user by weeks
+    since first activity, per signup cohort — x101 answers "do they
+    come back", this answers "what are they worth by week N", the
+    curve payback-period decisions read. Revenue accumulates as
+    EXACT DECIMAL through the cohort-ordered cumulative window (so
+    the running sums are order-free), with the per-user division as
+    the final float op per cell; weeks are x101's integer
+    days-DIV-7.
+
+    Scale: one user-keyed cohort agg, one (cohort, offset) cell agg,
+    a per-cohort cumulative window over the CELL table (weeks²
+    rows, not events), and an S-row size broadcast.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            f"CAST(DATEDIFF(CAST(ts AS DATE), DATE '{_X101_EPOCH}') "
+            f"AS BIGINT) DIV 7"
+        ).alias("week"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    size = cohort.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    cell = (
+        ev.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.sum("v").alias("rev"))
+    )
+    w = Window.partitionBy("cohort_week").orderBy("week_offset")
+    cum = cell.withColumn("cum_rev", F.sum("rev").over(w))
+    return (
+        cum.join(F.broadcast(size), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            F.col("cohort_size").cast("bigint").alias("cohort_size"),
+            F.round(F.col("cum_rev").cast("double"), 2).alias("cum_revenue"),
+            F.round(
+                F.col("cum_rev").cast("double") / F.col("cohort_size"), 4
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
