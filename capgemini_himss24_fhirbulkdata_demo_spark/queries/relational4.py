@@ -1286,3 +1286,75 @@ def x129_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc")
     )
+
+
+# ---- x131: grouped OLS discount elasticity per brand ----
+
+
+@register(
+    "x131_discount_elasticity",
+    oracle="""
+    WITH pts AS (
+      SELECT p.p_brand,
+             CAST(ROUND(l.l_discount * 100) AS BIGINT) AS x,
+             CAST(ROUND(l.l_quantity) AS BIGINT) AS y
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    sums AS (
+      SELECT p_brand,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM pts GROUP BY p_brand)
+    SELECT p_brand, n,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (n * sxx - sx * sx), 6) AS slope_qty_per_pct,
+           ROUND((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / (n * sxx - sx * sx) * sx) / n, 6) AS intercept_qty
+    FROM sums
+    ORDER BY p_brand
+    """,
+)
+def x131_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped least-squares: per brand, the OLS slope of quantity on
+    discount percent (does discounting move volume?) from EXPLICIT
+    integer sums — discount×100 and quantity round to exact integers,
+    so n/Σx/Σy/Σxy/Σx² are exact and the slope is one integer-ratio
+    division (x89's regression trick on the relational side; q73's
+    corr is the normalized cousin). Intercept derives from the same
+    sums with a fixed float sequence.
+
+    Scale: one broadcast dim join (part → brand) + one brand-keyed
+    partial agg of five integer sums — a regression per group costs
+    exactly one aggregation pass regardless of group count.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    pts = li.join(
+        F.broadcast(part), li["l_partkey"] == part["p_partkey"]
+    ).select(
+        "p_brand",
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("x"),
+        F.round(F.col("l_quantity")).cast("bigint").alias("y"),
+    )
+    sums = pts.groupBy("p_brand").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    )
+    return sums.select(
+        "p_brand",
+        "n",
+        F.round(slope, 6).alias("slope_qty_per_pct"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n"),
+            6,
+        ).alias("intercept_qty"),
+    ).orderBy("p_brand")
