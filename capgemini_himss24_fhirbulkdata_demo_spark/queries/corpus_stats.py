@@ -1261,3 +1261,97 @@ def x119_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 x119_term_burstiness.__doc__ = x119_term_burstiness.__doc__.format(
     k=_X119_TOP
 )
+
+
+# ---- x132: content-novelty decay over ingestion order ----
+
+_X132_G = 8  # shingle width (matches x88's span granularity)
+_X132_BUCKET = 50  # docs per ingestion bucket
+
+
+_X132_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, doc_id // {_X132_BUCKET} AS bucket,
+             STRING_SPLIT(text, ' ') AS t
+      FROM documents),
+    grams AS (
+      SELECT DISTINCT bucket,
+             MD5(UNNEST(LIST_TRANSFORM(
+               RANGE(1, GREATEST(LEN(t) - {_X132_G - 1}, 0) + 1),
+               i -> ARRAY_TO_STRING(t[i:i + {_X132_G - 1}], ' ')))) AS fp
+      FROM toks),
+    first_seen AS (
+      SELECT fp, MIN(bucket) AS first_bucket FROM grams GROUP BY fp),
+    flags AS (
+      SELECT g.bucket,
+             CASE WHEN g.bucket = f.first_bucket THEN 1 ELSE 0 END AS is_new
+      FROM grams g JOIN first_seen f ON g.fp = f.fp)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(is_new) AS BIGINT) AS n_new,
+           ROUND(CAST(SUM(is_new) AS DOUBLE) / COUNT(*), 6) AS novelty
+    FROM flags
+    GROUP BY bucket
+    ORDER BY bucket
+    """
+
+
+@register("x132_novelty_decay", oracle=_X132_SQL)
+def x132_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-novelty decay: per ingestion bucket, the fraction of
+    its distinct {g}-token shingles NEVER seen in an earlier bucket
+    (x91's first-occurrence trick at x88's span granularity) — the
+    crawl-value curve. x118 asks "are whole docs repeating?"; this
+    asks "is the crawl still adding new CONTENT?", which decays
+    first: near-dup pages drag novelty down long before exact dup
+    rates move. Shingles shuffle as md5 fingerprints (x88's budget).
+
+    Scale: distinct (bucket, fp) is one uniform-key agg; first-seen
+    is a second agg on fp; the flag join re-keys on fp — every stage
+    ∝ corpus shingles, and the cumulative question costs no window
+    at all (MIN does it).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    g = _X132_G
+    t = F.split(F.col("text"), " ")
+    n = F.size(t)
+    idx = F.when(n >= g, F.sequence(F.lit(1), n - (g - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = (
+        docs.select(
+            (F.col("doc_id") / _X132_BUCKET).cast("bigint").alias("bucket"),
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.md5(
+                        F.array_join(F.slice(t, i, g), " ").cast("binary")
+                    ),
+                )
+            ).alias("fp"),
+        )
+        .distinct()
+    )
+    first_seen = grams.groupBy("fp").agg(
+        F.min("bucket").alias("first_bucket")
+    )
+    flags = grams.join(first_seen, "fp").select(
+        "bucket",
+        F.when(F.col("bucket") == F.col("first_bucket"), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    return (
+        flags.groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum("is_new").cast("bigint").alias("n_new"),
+            F.round(
+                F.sum("is_new").cast("double") / F.count("*"), 6
+            ).alias("novelty"),
+        )
+        .orderBy("bucket")
+    )
+
+
+x132_novelty_decay.__doc__ = x132_novelty_decay.__doc__.format(g=_X132_G)
