@@ -337,3 +337,110 @@ def x130_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# ---- x133: inter-region trade balance ----
+
+
+_X133_SQL = """
+    WITH flows AS (
+      SELECT rs.r_name AS exporter, rc.r_name AS importer,
+             SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(18,4))) AS v
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+      JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+      JOIN region rs ON ns.n_regionkey = rs.r_regionkey
+      JOIN region rc ON nc.n_regionkey = rc.r_regionkey
+      GROUP BY exporter, importer),
+    net AS (
+      SELECT r, SUM(x) AS net_balance FROM (
+        SELECT exporter AS r, v AS x FROM flows
+        UNION ALL
+        SELECT importer AS r, -v AS x FROM flows) u
+      GROUP BY r)
+    SELECT f.exporter, f.importer,
+           ROUND(CAST(f.v AS DOUBLE), 2) AS flow_value,
+           ROUND(CAST(n.net_balance AS DOUBLE), 2) AS exporter_net
+    FROM flows f JOIN net n ON f.exporter = n.r
+    ORDER BY f.exporter, f.importer
+    """
+
+
+@register("x133_trade_balance", oracle=_X133_SQL)
+def x133_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-region trade matrix with net balances: revenue flows
+    from supplier region to customer region (x100's edge
+    distillation, revenue-weighted and rolled to regions), plus each
+    exporter's NET position — the dual-role aggregation (every flow
+    credits one region and debits another) done as a union of signed
+    decimal contributions, so balances are exact and globally sum to
+    zero. The macro cut of q92's nation-pair volume.
+
+    Scale: the same fact-fact orderkey join as x100 with all dims
+    broadcast; flows collapse to an R²-row matrix, and the net pass
+    runs entirely on that constant-sized matrix.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    ns = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_regionkey").alias("s_rk")
+    )
+    nc = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    rs = region.select(
+        F.col("r_regionkey").alias("s_rk"), F.col("r_name").alias("exporter")
+    )
+    rc = region.select(
+        F.col("r_regionkey").alias("c_rk"), F.col("r_name").alias("importer")
+    )
+    flows = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(rs), "s_rk")
+        .join(F.broadcast(rc), "c_rk")
+        .groupBy("exporter", "importer")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("decimal(18,4)")
+            ).alias("v")
+        )
+    )
+    net = (
+        flows.select(F.col("exporter").alias("r"), F.col("v").alias("x"))
+        .unionByName(
+            flows.select(
+                F.col("importer").alias("r"), (-F.col("v")).alias("x")
+            )
+        )
+        .groupBy("r")
+        .agg(F.sum("x").alias("net_balance"))
+    )
+    return (
+        flows.join(
+            F.broadcast(net), flows["exporter"] == net["r"]
+        )
+        .select(
+            "exporter",
+            "importer",
+            F.round(F.col("v").cast("double"), 2).alias("flow_value"),
+            F.round(F.col("net_balance").cast("double"), 2).alias(
+                "exporter_net"
+            ),
+        )
+        .orderBy("exporter", "importer")
+    )
