@@ -1358,3 +1358,91 @@ def x131_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("intercept_qty"),
     ).orderBy("p_brand")
+
+
+# ---- x134: partition-skew audit ----
+
+_X134_W = 32  # hypothetical shuffle width
+
+
+@register(
+    "x134_skew_audit",
+    oracle=f"""
+    WITH ok AS (
+      SELECT CAST(('0x' || SUBSTR(MD5(CAST(o_custkey AS VARCHAR)), 1, 15))
+                  AS BIGINT) % {_X134_W} AS b
+      FROM orders),
+    ek AS (
+      SELECT CAST(('0x' || SUBSTR(MD5(event_type), 1, 15))
+                  AS BIGINT) % {_X134_W} AS b
+      FROM events),
+    stats AS (
+      SELECT 'orders.o_custkey' AS keyspace, b, COUNT(*) AS n FROM ok
+      GROUP BY b
+      UNION ALL
+      SELECT 'events.event_type', b, COUNT(*) AS n FROM ek
+      GROUP BY b)
+    SELECT keyspace,
+           CAST(COUNT(*) AS BIGINT) AS buckets_hit,
+           CAST(SUM(n) AS BIGINT) AS total_rows,
+           CAST(MAX(n) AS BIGINT) AS max_bucket,
+           ROUND(CAST(MAX(n) * {_X134_W} AS DOUBLE) / SUM(n), 4)
+             AS skew_factor
+    FROM stats
+    GROUP BY keyspace
+    ORDER BY keyspace
+    """,
+)
+def x134_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-skew audit: the row distribution a {w}-way shuffle
+    WOULD see for a candidate join/agg key, via the portable md5
+    bridge (engine hash functions differ; the md5 bucket is the
+    cross-checkable stand-in with the same uniformity law). Reports
+    buckets hit, the heaviest bucket, and the skew factor
+    (max·{w}/total — 1.0 = perfectly uniform; ≈{w} = one hot key
+    owning everything). Run BEFORE committing to a partitioning:
+    here the uniform o_custkey sits near 1 while event_type (5
+    values) pins ≥1 empty-bucket-heavy distribution — exactly the
+    key `operators/skew.py` salting exists for.
+
+    Scale: one constant-width agg per audited keyspace — the audit
+    costs a scan, never a shuffle of the data itself.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+
+    def bucket(col):
+        return (
+            F.conv(
+                F.substring(F.md5(col.cast("string").cast("binary")), 1, 15),
+                16,
+                10,
+            ).cast("bigint")
+            % _X134_W
+        )
+
+    ok = orders.select(
+        F.lit("orders.o_custkey").alias("keyspace"),
+        bucket(F.col("o_custkey")).alias("b"),
+    )
+    ek = events.select(
+        F.lit("events.event_type").alias("keyspace"),
+        bucket(F.col("event_type")).alias("b"),
+    )
+    stats = (
+        ok.unionByName(ek)
+        .groupBy("keyspace", "b")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        stats.groupBy("keyspace")
+        .agg(
+            F.count("*").cast("bigint").alias("buckets_hit"),
+            F.sum("n").cast("bigint").alias("total_rows"),
+            F.max("n").cast("bigint").alias("max_bucket"),
+            F.round(
+                (F.max("n") * _X134_W).cast("double") / F.sum("n"), 4
+            ).alias("skew_factor"),
+        )
+        .orderBy("keyspace")
+    )
