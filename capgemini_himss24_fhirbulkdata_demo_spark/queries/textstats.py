@@ -2058,3 +2058,99 @@ def x128_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("flesch"),
     ).orderBy("source")
+
+
+# ---- x135: decile lift chart for the hashed scorer ----
+
+
+_X135_SQL = """
+    WITH tok AS (
+      SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS t
+      FROM documents),
+    scored AS (
+      SELECT doc_id, MAX(lang) AS lang,
+             SUM(CAST(('0x' || SUBSTR(MD5('w:' || t), 1, 15)) AS BIGINT)
+                 % 1001 - 500) AS wsum
+      FROM tok GROUP BY doc_id),
+    deciled AS (
+      SELECT wsum, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+             NTILE(10) OVER (ORDER BY wsum DESC, doc_id) AS decile
+      FROM scored),
+    base AS (
+      SELECT SUM(pos) AS p_all, COUNT(*) AS n_all FROM deciled)
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           ROUND(CAST(SUM(pos) AS DOUBLE) / COUNT(*), 6) AS pos_rate,
+           ROUND((CAST(SUM(pos) AS DOUBLE) / COUNT(*))
+                 / (CAST((SELECT p_all FROM base) AS DOUBLE)
+                    / (SELECT n_all FROM base)), 6) AS lift
+    FROM deciled
+    GROUP BY decile
+    ORDER BY decile
+    """
+
+
+@register("x135_decile_lift", oracle=_X135_SQL)
+def x135_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift chart — the last leg of the model-eval set (x108
+    confusion matrix, x109 PR curve, x112 KS): documents ranked by
+    the x98 hashed logit, cut into score deciles, each decile's
+    positive rate (label: lang = 'en') against the base rate. Lift ≈
+    1 everywhere is itself the finding for a hash-random scorer — the
+    chart is the instrument that would EXPOSE a real signal, and a
+    trained weight table slots into the same plan. Integer counts;
+    two fixed divisions per row.
+
+    Scale: one doc-keyed score agg, a global NTILE over the doc table
+    (x107's honest global-order cost), a 10-row rollup + 1-row base
+    broadcast.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("t")
+    )
+    weight = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("w:"), F.col("t")).cast("binary")), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1001
+        - 500
+    )
+    scored = (
+        tok.select("doc_id", "lang", weight.alias("w"))
+        .groupBy("doc_id")
+        .agg(F.max("lang").alias("lang"), F.sum("w").alias("wsum"))
+    )
+    deciled = scored.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("wsum"), "doc_id"))
+        .alias("decile"),
+    )
+    base = deciled.agg(
+        F.sum("pos").alias("p_all"), F.count("*").alias("n_all")
+    )
+    return (
+        deciled.groupBy("decile")
+        .agg(F.count("*").alias("n_docs"), F.sum("pos").alias("n_pos"))
+        .crossJoin(F.broadcast(base))
+        .select(
+            "decile",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_pos").cast("bigint").alias("n_pos"),
+            F.round(
+                F.col("n_pos").cast("double") / F.col("n_docs"), 6
+            ).alias("pos_rate"),
+            F.round(
+                (F.col("n_pos").cast("double") / F.col("n_docs"))
+                / (F.col("p_all").cast("double") / F.col("n_all")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("decile")
+    )
