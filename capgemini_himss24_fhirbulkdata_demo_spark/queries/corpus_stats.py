@@ -1355,3 +1355,83 @@ def x132_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 x132_novelty_decay.__doc__ = x132_novelty_decay.__doc__.format(g=_X132_G)
+
+
+# ---- x136: two-proportion z-test per source ----
+
+
+_X136_SQL = """
+    WITH flags AS (
+      SELECT source, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents),
+    per_src AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n1,
+             CAST(SUM(pos) AS BIGINT) AS x1
+      FROM flags GROUP BY source),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+             CAST(SUM(pos) AS BIGINT) AS x_all
+      FROM flags),
+    z AS (
+      SELECT s.source, s.n1, s.x1,
+             (CAST(s.x1 AS DOUBLE) / s.n1
+              - CAST(t.x_all - s.x1 AS DOUBLE) / (t.n_all - s.n1))
+             / SQRT((CAST(t.x_all AS DOUBLE) / t.n_all)
+                    * (1 - CAST(t.x_all AS DOUBLE) / t.n_all)
+                    * (1.0 / s.n1 + 1.0 / (t.n_all - s.n1))) AS zval
+      FROM per_src s, tot t)
+    SELECT source, n1 AS n_docs, x1 AS n_en,
+           ROUND(zval, 6) AS z,
+           CASE WHEN ABS(zval) > 1.96 THEN 1 ELSE 0 END AS significant
+    FROM z
+    ORDER BY source
+    """
+
+
+@register("x136_proportion_ztest", oracle=_X136_SQL)
+def x136_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test per source (the A/B-test significance
+    primitive): each source's English share tested against the rest
+    of the corpus under the pooled-proportion null — z from exact
+    integer counts through ONE fixed float sequence (divisions,
+    sqrt), with the 5 % two-sided flag. The experimentation-stats leg
+    of the monitoring family: x112 asks "did the DISTRIBUTION move",
+    this asks "is THIS group's rate credibly different".
+
+    Scale: one source-keyed agg + a 1-row corpus broadcast; the test
+    itself is S rows of arithmetic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    flags = docs.select(
+        "source",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    per_src = flags.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n1"),
+        F.sum("pos").cast("bigint").alias("x1"),
+    )
+    tot = flags.agg(
+        F.count("*").cast("bigint").alias("n_all"),
+        F.sum("pos").cast("bigint").alias("x_all"),
+    )
+    p_pool = F.col("x_all").cast("double") / F.col("n_all")
+    zval = (
+        F.col("x1").cast("double") / F.col("n1")
+        - (F.col("x_all") - F.col("x1")).cast("double")
+        / (F.col("n_all") - F.col("n1"))
+    ) / F.sqrt(
+        p_pool
+        * (1 - p_pool)
+        * (1.0 / F.col("n1") + 1.0 / (F.col("n_all") - F.col("n1")))
+    )
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n1").alias("n_docs"),
+            F.col("x1").alias("n_en"),
+            F.round(zval, 6).alias("z"),
+            F.when(F.abs(zval) > 1.96, 1).otherwise(0).alias("significant"),
+        )
+        .orderBy("source")
+    )
