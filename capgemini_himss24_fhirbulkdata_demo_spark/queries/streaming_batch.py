@@ -1151,3 +1151,75 @@ def x127_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").cast("bigint").alias("n_churned"),
         F.round("s", 6).alias("survival"),
     ).orderBy("t_days")
+
+
+# ---- x137: time-weighted average value (TWAP) ----
+
+
+@register(
+    "x137_twap",
+    oracle="""
+    WITH ordered AS (
+      SELECT event_type, CAST(value AS DECIMAL(18,6)) AS v,
+             DATEDIFF('microsecond', ts,
+               LEAD(ts) OVER (PARTITION BY event_type
+                              ORDER BY ts, event_id)) AS dt
+      FROM events),
+    seg AS (
+      SELECT event_type, v, dt FROM ordered WHERE dt IS NOT NULL)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           ROUND(CAST(SUM(v * dt) AS DOUBLE) / CAST(SUM(dt) AS DOUBLE), 6)
+             AS twap,
+           ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS plain_mean
+    FROM seg
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def x137_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per event type (the TWAP/metrics
+    convention: each observation holds until the next one, so its
+    weight is its holding interval) next to the plain mean — the gap
+    between them measures sampling-rate bias, the error naive
+    averaging commits when observations arrive unevenly. Weights are
+    exact integer microseconds (tz-free timestampdiff), v·dt
+    accumulates as exact DECIMAL×BIGINT, and each reported average is
+    one final division.
+
+    Scale: one per-type lead window + one per-type agg reusing the
+    same partitioning; nothing beyond the event scan.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seg = (
+        ev.select(
+            "event_type",
+            F.col("value").cast("decimal(18,6)").alias("v"),
+            "ts",
+            F.lead("ts").over(w).alias("next_ts"),
+        )
+        .filter(F.col("next_ts").isNotNull())
+        .select(
+            "event_type",
+            "v",
+            F.expr("timestampdiff(MICROSECOND, ts, next_ts)").alias("dt"),
+        )
+    )
+    return (
+        seg.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_segments"),
+            F.round(
+                F.sum(F.col("v") * F.col("dt")).cast("double")
+                / F.sum("dt").cast("double"),
+                6,
+            ).alias("twap"),
+            F.round(
+                F.sum("v").cast("double") / F.count("*"), 6
+            ).alias("plain_mean"),
+        )
+        .orderBy("event_type")
+    )
