@@ -1446,3 +1446,100 @@ def x134_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("keyspace")
     )
+
+
+# ---- x138: order backlog curve (sweep-line interval counting) ----
+
+
+@register(
+    "x138_order_backlog",
+    oracle="""
+    WITH opened AS (
+      SELECT o_orderdate AS d, 1 AS delta FROM orders),
+    closed AS (
+      SELECT MAX(l_shipdate) AS d, -1 AS delta
+      FROM lineitem GROUP BY l_orderkey),
+    deltas AS (
+      SELECT d, SUM(delta) AS dd FROM (
+        SELECT * FROM opened UNION ALL SELECT * FROM closed) u
+      GROUP BY d),
+    curve AS (
+      SELECT d, SUM(dd) OVER (ORDER BY d) AS backlog
+      FROM deltas),
+    monthly AS (
+      SELECT STRFTIME(DATE_TRUNC('month', d), '%Y-%m') AS month,
+             MAX(backlog) AS peak_backlog,
+             MAX(CASE WHEN rn = 1 THEN backlog END) AS eom_backlog
+      FROM (SELECT d, backlog,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY DATE_TRUNC('month', d)
+                     ORDER BY d DESC) AS rn
+            FROM curve)
+      GROUP BY month)
+    SELECT month,
+           CAST(peak_backlog AS BIGINT) AS peak_backlog,
+           CAST(eom_backlog AS BIGINT) AS eom_backlog
+    FROM monthly
+    ORDER BY month
+    """,
+)
+def x138_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time by SWEEP-LINE interval counting:
+    +1 at each order date, −1 at the order's last line-item ship date
+    (the fixture's fulfillment proxy — no receiptdate column), one cumulative sum over the day grid — the
+    event-sourcing delta trick that turns "how many intervals cover
+    each instant" from a range-join into a single ordered prefix sum.
+    Reported as per-month peak and end-of-month backlog (all-integer
+    arithmetic end to end).
+
+    Scale: the per-order close date is one orderkey agg; deltas
+    collapse to the DAY grid before the global cumulative window, so
+    the sweep runs over O(days) rows regardless of order volume —
+    the same trick prices concurrent-session peaks at any scale.
+    """
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    opened = orders.select(
+        F.col("o_orderdate").alias("d"), F.lit(1).alias("delta")
+    )
+    closed = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("d")
+    ).select("d", F.lit(-1).alias("delta"))
+    deltas = (
+        opened.unionByName(closed)
+        .groupBy("d")
+        .agg(F.sum("delta").alias("dd"))
+    )
+    curve = deltas.withColumn(
+        "backlog",
+        F.sum("dd").over(
+            Window.orderBy("d").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    month = F.date_format(F.date_trunc("month", "d"), "yyyy-MM")
+    ranked = curve.select(
+        month.alias("month"),
+        "d",
+        "backlog",
+        F.row_number()
+        .over(
+            Window.partitionBy(F.date_trunc("month", "d")).orderBy(
+                F.desc("d")
+            )
+        )
+        .alias("rn"),
+    )
+    return (
+        ranked.groupBy("month")
+        .agg(
+            F.max("backlog").cast("bigint").alias("peak_backlog"),
+            F.max(F.when(F.col("rn") == 1, F.col("backlog")))
+            .cast("bigint")
+            .alias("eom_backlog"),
+        )
+        .orderBy("month")
+    )
