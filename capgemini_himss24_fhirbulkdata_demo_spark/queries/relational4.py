@@ -1543,3 +1543,116 @@ def x138_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# ---- x139: co-purchase part-pair association (orders as baskets) ----
+
+_X139_VOCAB = 50
+_X139_TOP = 20
+
+
+@register(
+    "x139_copurchase_pairs",
+    oracle=f"""
+    WITH it AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pf AS (
+      SELECT l_partkey, COUNT(*) AS n FROM it GROUP BY l_partkey),
+    vocab AS (
+      SELECT l_partkey, n FROM (
+        SELECT l_partkey, n,
+               ROW_NUMBER() OVER (ORDER BY n DESC, l_partkey) AS rn
+        FROM pf)
+      WHERE rn <= {_X139_VOCAB}),
+    bt AS (
+      SELECT it.l_orderkey, it.l_partkey
+      FROM it JOIN vocab ON it.l_partkey = vocab.l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS n_ab
+      FROM bt a JOIN bt b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+      GROUP BY part_a, part_b),
+    nn AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM it),
+    ranked AS (
+      SELECT p.part_a, p.part_b, p.n_ab, va.n AS n_a, vb.n AS n_b,
+             ROW_NUMBER() OVER (ORDER BY p.n_ab DESC, p.part_a, p.part_b)
+               AS rnk
+      FROM pairs p
+      JOIN vocab va ON p.part_a = va.l_partkey
+      JOIN vocab vb ON p.part_b = vb.l_partkey)
+    SELECT rnk, CAST(part_a AS BIGINT) AS part_a,
+           CAST(part_b AS BIGINT) AS part_b,
+           CAST(n_ab AS BIGINT) AS n_ab,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ROUND(CAST(n_ab * (SELECT n_orders FROM nn) AS DOUBLE)
+                 / (n_a * n_b), 6) AS lift
+    FROM ranked WHERE rnk <= {_X139_TOP}
+    ORDER BY rnk
+    """,
+)
+def x139_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association on its canonical domain: parts
+    co-purchased within an order, with the Apriori prune (candidates
+    restricted to the top-{v} order-frequency parts — lossless above
+    the implied support floor) and lift over the independence null.
+    x111 runs the identical algorithm on documents-as-baskets; this
+    is the retail form, proving the operator is domain-generic.
+
+    Scale: distinct (order, part) is one uniform agg; the vocab
+    broadcast bounds per-basket pair fan-out at {v}²/2 regardless of
+    basket size; the pair agg is a skinny key.
+    """
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    it = li.select("l_orderkey", "l_partkey").distinct()
+    pf = it.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    vocab = (
+        pf.withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.desc("n"), "l_partkey")),
+        )
+        .filter(F.col("rn") <= _X139_VOCAB)
+        .select("l_partkey", "n")
+    )
+    bt = it.join(F.broadcast(vocab.select("l_partkey")), "l_partkey")
+    a = bt.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = bt.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    n_orders = it.select("l_orderkey").distinct().count()
+    va = vocab.select(
+        F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a")
+    )
+    vb = vocab.select(
+        F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b")
+    )
+    ranked = (
+        pairs.join(F.broadcast(va), "part_a")
+        .join(F.broadcast(vb), "part_b")
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("n_ab"), "part_a", "part_b")
+            ),
+        )
+        .filter(F.col("rnk") <= _X139_TOP)
+    )
+    return ranked.select(
+        "rnk",
+        F.col("part_a").cast("bigint").alias("part_a"),
+        F.col("part_b").cast("bigint").alias("part_b"),
+        F.col("n_ab").cast("bigint").alias("n_ab"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(
+            (F.col("n_ab") * F.lit(n_orders)).cast("double")
+            / (F.col("n_a") * F.col("n_b")),
+            6,
+        ).alias("lift"),
+    ).orderBy("rnk")
