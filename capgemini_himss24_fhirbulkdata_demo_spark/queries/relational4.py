@@ -1656,3 +1656,81 @@ def x139_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lift"),
     ).orderBy("rnk")
+
+
+# ---- x140: open-order aging buckets ----
+
+
+@register(
+    "x140_order_aging",
+    oracle="""
+    WITH h AS (SELECT MAX(o_orderdate) AS horizon FROM orders),
+    open_orders AS (
+      SELECT DATEDIFF('day', o_orderdate, (SELECT horizon FROM h)) AS age,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS v
+      FROM orders WHERE o_orderstatus = 'O'),
+    bucketed AS (
+      SELECT CASE WHEN age <= 30 THEN '0-30'
+                  WHEN age <= 60 THEN '31-60'
+                  WHEN age <= 90 THEN '61-90'
+                  ELSE '90+' END AS age_bucket,
+             v
+      FROM open_orders)
+    SELECT age_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(v) AS DOUBLE), 2) AS open_value,
+           ROUND(CAST(SUM(v) AS DOUBLE)
+                 / (SELECT CAST(SUM(v) AS DOUBLE) FROM bucketed), 6)
+             AS value_share
+    FROM bucketed
+    GROUP BY age_bucket
+    ORDER BY age_bucket
+    """,
+)
+def x140_order_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aging-bucket report over open orders (the receivables-aging
+    classic): every still-open order bucketed by integer days since
+    placement at the corpus horizon (0-30/31-60/61-90/90+), with
+    exact decimal open value per bucket and its share — the
+    working-capital report finance closes every month on. Bucket
+    membership is pure integer comparison; shares divide once.
+
+    Scale: one filtered scan (status predicate pushed to parquet) +
+    a 1-row horizon broadcast + a 4-bucket rollup.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    h = orders.agg(F.max("o_orderdate").alias("horizon"))
+    open_orders = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(h))
+        .select(
+            F.datediff("horizon", "o_orderdate").alias("age"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+        )
+    )
+    bucketed = open_orders.select(
+        F.when(F.col("age") <= 30, "0-30")
+        .when(F.col("age") <= 60, "31-60")
+        .when(F.col("age") <= 90, "61-90")
+        .otherwise("90+")
+        .alias("age_bucket"),
+        "v",
+    )
+    tot = bucketed.agg(F.sum("v").alias("tv"))
+    return (
+        bucketed.groupBy("age_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("v").alias("sv"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "age_bucket",
+            "n_orders",
+            F.round(F.col("sv").cast("double"), 2).alias("open_value"),
+            F.round(
+                F.col("sv").cast("double") / F.col("tv").cast("double"), 6
+            ).alias("value_share"),
+        )
+        .orderBy("age_bucket")
+    )
