@@ -1734,3 +1734,71 @@ def x140_order_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("age_bucket")
     )
+
+
+# ---- x141: MoM / YoY revenue growth ----
+
+
+@register(
+    "x141_revenue_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m') AS month,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY month),
+    g AS (
+      SELECT month, rev,
+             LAG(rev) OVER (ORDER BY month) AS prev_m,
+             LAG(rev, 12) OVER (ORDER BY month) AS prev_y
+      FROM monthly)
+    SELECT month,
+           ROUND(CAST(rev AS DOUBLE), 2) AS revenue,
+           ROUND(CAST(rev - prev_m AS DOUBLE) / CAST(prev_m AS DOUBLE), 6)
+             AS mom_growth,
+           ROUND(CAST(rev - prev_y AS DOUBLE) / CAST(prev_y AS DOUBLE), 6)
+             AS yoy_growth
+    FROM g
+    ORDER BY month
+    """,
+)
+def x141_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month and year-over-year revenue growth — the
+    executive-dashboard staple: exact decimal monthly sums, growth
+    as one division per cell (NULL where no prior period exists —
+    both engines agree because the LAG offsets are identical row
+    counts on the same total month order). q06 is TPC-H's Q6 scan
+    shape; this is the reporting time-series on top of the same
+    table.
+
+    Scale: one month-keyed agg (constant-bounded grid), then two
+    lags over that grid — the window never touches fact rows.
+    """
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "month"
+        )
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    w = Window.orderBy("month")
+    g = monthly.select(
+        "month",
+        "rev",
+        F.lag("rev").over(w).alias("prev_m"),
+        F.lag("rev", 12).over(w).alias("prev_y"),
+    )
+    return g.select(
+        "month",
+        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+        F.round(
+            (F.col("rev") - F.col("prev_m")).cast("double")
+            / F.col("prev_m").cast("double"),
+            6,
+        ).alias("mom_growth"),
+        F.round(
+            (F.col("rev") - F.col("prev_y")).cast("double")
+            / F.col("prev_y").cast("double"),
+            6,
+        ).alias("yoy_growth"),
+    ).orderBy("month")
