@@ -1435,3 +1435,97 @@ def x136_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---- x142: MAD robust outlier detection ----
+
+
+_X142_SQL = """
+    WITH v AS (SELECT doc_id, source, n_chars FROM documents),
+    med AS (
+      SELECT n_chars AS m FROM (
+        SELECT n_chars,
+               ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn,
+               COUNT(*) OVER () AS n
+        FROM v)
+      WHERE rn = (n + 1) // 2),
+    dev AS (
+      SELECT v.doc_id, v.source,
+             ABS(v.n_chars - (SELECT m FROM med)) AS ad
+      FROM v),
+    mad AS (
+      SELECT ad AS m FROM (
+        SELECT ad,
+               ROW_NUMBER() OVER (ORDER BY ad, doc_id) AS rn,
+               COUNT(*) OVER () AS n
+        FROM dev)
+      WHERE rn = (n + 1) // 2)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX((SELECT m FROM med)) AS BIGINT) AS median_chars,
+           CAST(MAX((SELECT m FROM mad)) AS BIGINT) AS mad_chars,
+           CAST(SUM(CASE WHEN ad * 10000 > 44478 * (SELECT m FROM mad)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+@register("x142_mad_outliers", oracle=_X142_SQL)
+def x142_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation: the
+    corpus median and MAD of document length are EXACT lower-median
+    rank statistics (integer), and a document is an outlier when its
+    robust z exceeds 3 — tested as the integer cross-multiplication
+    ``|x − med|·10000 > 44478·MAD`` (3/0.6745 = 4.4478…), so no
+    float ever enters. Robust statistics are what length-gates
+    should use: mean/stddev (x113's tool, right for rates) get
+    dragged by the very outliers a heavy-tailed length distribution
+    is being screened for.
+
+    Scale: two global rank windows (median, then MAD — the honest
+    double-sort of exact medians; x104's histogram is the one-pass
+    approximate route) + a per-source count rollup.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    from pyspark.sql.window import Window
+
+    def lower_median(df, col, tiebreak):
+        w = Window.orderBy(col, tiebreak)
+        ranked = df.select(
+            F.col(col).alias("__v"),
+            F.row_number().over(w).alias("__rn"),
+            F.count("*").over(Window.partitionBy()).alias("__n"),
+        )
+        return ranked.filter(
+            F.col("__rn") == F.expr("(__n + 1) DIV 2")
+        ).select(F.col("__v").alias("m"))
+
+    med = lower_median(docs, "n_chars", "doc_id")
+    dev = docs.crossJoin(F.broadcast(med)).select(
+        "doc_id",
+        "source",
+        F.abs(F.col("n_chars") - F.col("m")).alias("ad"),
+        F.col("m").alias("median_chars"),
+    )
+    mad = lower_median(dev, "ad", "doc_id").withColumnRenamed("m", "mad")
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.max("median_chars").cast("bigint").alias("median_chars"),
+            F.max("mad").cast("bigint").alias("mad_chars"),
+            F.sum(
+                F.when(
+                    F.col("ad") * 10000 > 44478 * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("source")
+    )
