@@ -1223,3 +1223,73 @@ def x137_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---- x143: frequent 3-step event paths ----
+
+_X143_TOP = 15
+
+
+@register(
+    "x143_event_paths",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_type AS c,
+             LAG(event_type) OVER w AS b,
+             LAG(event_type, 2) OVER w AS a
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    paths AS (
+      SELECT a, b, c, COUNT(*) AS n
+      FROM ordered WHERE a IS NOT NULL
+      GROUP BY a, b, c),
+    tot AS (SELECT SUM(n) AS n_all FROM paths),
+    ranked AS (
+      SELECT a, b, c, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, a, b, c) AS rnk
+      FROM paths)
+    SELECT rnk, a || '>' || b || '>' || c AS path,
+           CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n AS DOUBLE) / (SELECT n_all FROM tot), 6) AS share
+    FROM ranked WHERE rnk <= {_X143_TOP}
+    ORDER BY rnk
+    """,
+)
+def x143_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-step behavioral paths: consecutive event-type
+    triples within each user's timeline, top-{k} by count with
+    corpus share — x120's first-order transitions extended one step
+    (second-order structure surfaces loops and detours a Markov-1
+    model cannot represent). Two lags share ONE window spec; integer
+    counts, one division.
+
+    Scale: one per-user window pass + a |types|³-bounded triple agg
+    — constant-sized however large the corpus.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        F.col("event_type").alias("c"),
+        F.lag("event_type").over(w).alias("b"),
+        F.lag("event_type", 2).over(w).alias("a"),
+    ).filter(F.col("a").isNotNull())
+    paths = ordered.groupBy("a", "b", "c").agg(F.count("*").alias("n"))
+    tot = paths.agg(F.sum("n").alias("n_all"))
+    ranked = paths.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.desc("n"), "a", "b", "c")),
+    ).filter(F.col("rnk") <= _X143_TOP)
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            "rnk",
+            F.concat_ws(">", "a", "b", "c").alias("path"),
+            F.col("n").cast("bigint").alias("n"),
+            F.round(
+                F.col("n").cast("double") / F.col("n_all"), 6
+            ).alias("share"),
+        )
+        .orderBy("rnk")
+    )
