@@ -1529,3 +1529,77 @@ def x142_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---- x144: sample-ratio-mismatch check on the hash split ----
+
+
+_X144_SQL = """
+    WITH f AS (
+      SELECT source,
+             CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 2 AS fold
+      FROM documents),
+    cells AS (
+      SELECT source,
+             CAST(SUM(CASE WHEN fold = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n0,
+             CAST(SUM(CASE WHEN fold = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1
+      FROM f GROUP BY source)
+    SELECT source, n0, n1,
+           ROUND(CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / (n0 + n1), 6)
+             AS chi2,
+           CASE WHEN (n0 - n1) * (n0 - n1) * 100 > 384 * (n0 + n1)
+                THEN 1 ELSE 0 END AS srm_flag
+    FROM cells
+    ORDER BY source
+    """
+
+
+@register("x144_srm_check", oracle=_X144_SQL)
+def x144_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check (the experimentation guardrail
+    run before ANY A/B readout): the x41-style md5 fold split tested
+    against its designed 50/50 ratio per source with the two-cell
+    chi-square, which collapses to (n0−n1)²/n — one division; the
+    5 % flag is the integer cross-multiplication (n0−n1)²·100 >
+    384·n, float-free. A flagged source means the splitter is biased
+    for it and every downstream comparison (x136's z-tests) is
+    suspect — test the instrument before the readout.
+
+    Scale: one narrow fold computation + a per-source two-cell agg.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("bigint")
+        % 2
+    )
+    cells = (
+        docs.select("source", fold.alias("fold"))
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("fold") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n0"),
+            F.sum(F.when(F.col("fold") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n1"),
+        )
+    )
+    diff2 = (F.col("n0") - F.col("n1")) * (F.col("n0") - F.col("n1"))
+    return cells.select(
+        "source",
+        "n0",
+        "n1",
+        F.round(
+            diff2.cast("double") / (F.col("n0") + F.col("n1")), 6
+        ).alias("chi2"),
+        F.when(
+            diff2 * 100 > 384 * (F.col("n0") + F.col("n1")), 1
+        )
+        .otherwise(0)
+        .alias("srm_flag"),
+    ).orderBy("source")
