@@ -2154,3 +2154,124 @@ def x135_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---- x145: LM generalization gap across the hash split ----
+
+
+_X145_SQL = """
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 2 AS fold,
+             STRING_SPLIT(text, ' ') AS t
+      FROM documents),
+    uni AS (
+      SELECT u.tok AS tok, COUNT(*) AS c
+      FROM toks, UNNEST(t) AS u(tok) WHERE fold = 0 GROUP BY u.tok),
+    vocab AS (SELECT COUNT(*) AS v FROM uni),
+    dbg AS (
+      SELECT doc_id, fold, t[r.i] AS a, t[r.i + 1] AS b
+      FROM toks, UNNEST(RANGE(1, LEN(t))) AS r(i)),
+    bgc AS (
+      SELECT a, b, COUNT(*) AS cab FROM dbg WHERE fold = 0 GROUP BY a, b),
+    scored AS (
+      SELECT d.doc_id, d.fold,
+             CASE WHEN g.cab IS NULL THEN 1 ELSE 0 END AS oov,
+             LN(CAST(COALESCE(g.cab, 0) + 1 AS DOUBLE)
+                / CAST(COALESCE(u.c, 0) + vocab.v AS DOUBLE)) AS lp
+      FROM dbg d
+      LEFT JOIN bgc g ON d.a = g.a AND d.b = g.b
+      LEFT JOIN uni u ON u.tok = d.a
+      CROSS JOIN vocab),
+    per_doc AS (
+      SELECT fold, doc_id, AVG(lp) AS doc_lp, SUM(oov) AS n_oov
+      FROM scored GROUP BY fold, doc_id)
+    SELECT fold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(doc_lp), 6) AS avg_doc_logp,
+           CAST(SUM(n_oov) AS BIGINT) AS oov_bigrams
+    FROM per_doc
+    GROUP BY fold
+    ORDER BY fold
+    """
+
+
+@register("x145_lm_generalization", oracle=_X145_SQL)
+def x145_lm_generalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM generalization gap: x46's add-one bigram model trained ONLY
+    on the md5-split train fold, then scored on BOTH folds — the
+    train-vs-holdout average log-prob difference is the overfitting
+    gauge (a memorizing model scores its own fold far higher), and
+    the held-out OOV-bigram count shows how much novel structure the
+    model never saw. Unseen bigrams take the smoothed floor via LEFT
+    joins (COALESCE to zero counts) — exactly what add-one smoothing
+    exists for, and what x46's in-corpus INNER join never needed.
+
+    Scale: x46's shuffles with a fold filter on the model side; the
+    per-fold rollup is 2 rows. Float discipline follows the x46
+    precedent (ln of exact integer ratios, reorder noise orders
+    below the ROUND(6) grain).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("bigint")
+        % 2
+    )
+    toks = docs.select(
+        "doc_id", fold.alias("fold"), F.split(F.col("text"), " ").alias("t")
+    )
+    uni = (
+        toks.filter(F.col("fold") == 0)
+        .select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    vocab = uni.agg(F.count("*").alias("v"))
+    dbg = toks.select(
+        "doc_id",
+        "fold",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 2 THEN "
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b)) "
+                "ELSE array() END"
+            )
+        ).alias("g"),
+    ).select("doc_id", "fold", F.col("g.a").alias("a"), F.col("g.b").alias("b"))
+    bgc = (
+        dbg.filter(F.col("fold") == 0)
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("cab"))
+    )
+    scored = (
+        dbg.join(bgc, ["a", "b"], "left")
+        .join(uni.withColumnRenamed("tok", "a"), ["a"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "fold",
+            F.when(F.col("cab").isNull(), 1).otherwise(0).alias("oov"),
+            F.log(
+                (F.coalesce(F.col("cab"), F.lit(0)) + 1).cast("double")
+                / (F.coalesce(F.col("c"), F.lit(0)) + F.col("v")).cast(
+                    "double"
+                )
+            ).alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy("fold", "doc_id").agg(
+        F.avg("lp").alias("doc_lp"), F.sum("oov").alias("n_oov")
+    )
+    return (
+        per_doc.groupBy("fold")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.avg("doc_lp"), 6).alias("avg_doc_logp"),
+            F.sum("n_oov").cast("bigint").alias("oov_bigrams"),
+        )
+        .orderBy("fold")
+    )
