@@ -2275,3 +2275,74 @@ def x145_lm_generalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+# ---- x146: tokenizer fertility comparison per source ----
+
+
+@register(
+    "x146_tokenizer_fertility",
+    oracle="""
+    WITH c AS (
+      SELECT source,
+             CAST(LENGTH(text) AS BIGINT) AS chars,
+             CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS ws,
+             CAST(LEN(LIST_FILTER(
+               REGEXP_SPLIT_TO_ARRAY(text, '[^a-zA-Z0-9]+'),
+               x -> x <> '')) AS BIGINT) AS wordish,
+             CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS bpe4
+      FROM documents)
+    SELECT source,
+           CAST(SUM(chars) AS BIGINT) AS total_chars,
+           ROUND(CAST(SUM(chars) AS DOUBLE) / SUM(ws), 4)
+             AS chars_per_ws_token,
+           ROUND(CAST(SUM(chars) AS DOUBLE) / SUM(wordish), 4)
+             AS chars_per_word_token,
+           ROUND(CAST(SUM(chars) AS DOUBLE) / SUM(bpe4), 4)
+             AS chars_per_bpe4_token
+    FROM c
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def x146_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (chars per token) per source under three
+    tokenizers — whitespace, regex word split, and the chars/4 BPE
+    budget heuristic (x22's trio, aggregated where it matters: a
+    source whose fertility deviates pays a different share of any
+    fixed token budget, which silently reweights the x43 mix).
+    Ratio-of-sums per source (fold-order-free); one division per
+    cell.
+
+    Scale: narrow per-doc counting, one S-row rollup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.select(
+        "source",
+        F.length("text").cast("bigint").alias("chars"),
+        F.size(F.split("text", " ")).cast("bigint").alias("ws"),
+        F.size(
+            F.filter(
+                F.split("text", "[^a-zA-Z0-9]+"), lambda x: x != ""
+            )
+        )
+        .cast("bigint")
+        .alias("wordish"),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("bpe4"),
+    )
+    return (
+        c.groupBy("source")
+        .agg(
+            F.sum("chars").cast("bigint").alias("total_chars"),
+            F.round(
+                F.sum("chars").cast("double") / F.sum("ws"), 4
+            ).alias("chars_per_ws_token"),
+            F.round(
+                F.sum("chars").cast("double") / F.sum("wordish"), 4
+            ).alias("chars_per_word_token"),
+            F.round(
+                F.sum("chars").cast("double") / F.sum("bpe4"), 4
+            ).alias("chars_per_bpe4_token"),
+        )
+        .orderBy("source")
+    )
