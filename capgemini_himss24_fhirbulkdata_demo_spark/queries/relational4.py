@@ -1802,3 +1802,77 @@ def x141_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("yoy_growth"),
     ).orderBy("month")
+
+
+# ---- x147: percent-of-parent hierarchical shares ----
+
+
+@register(
+    "x147_percent_of_parent",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS v
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY region, nation)
+    SELECT region, nation,
+           ROUND(CAST(v AS DOUBLE), 2) AS revenue,
+           ROUND(CAST(v AS DOUBLE)
+                 / CAST(SUM(v) OVER (PARTITION BY region) AS DOUBLE), 6)
+             AS share_of_region,
+           ROUND(CAST(SUM(v) OVER (PARTITION BY region) AS DOUBLE)
+                 / CAST(SUM(v) OVER () AS DOUBLE), 6)
+             AS region_share_of_total
+    FROM rev
+    ORDER BY region, nation
+    """,
+)
+def x147_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent at two hierarchy levels (the BI drill-down
+    staple): each nation's share of its region's revenue AND the
+    region's share of the total, from one nation-level decimal
+    aggregate — both denominators are exact-decimal window sums over
+    the small rollup, each share one division. q100's percent-of-
+    total is the flat case; this is the nested-ratio form pivot
+    tables render.
+
+    Scale: one fact agg with broadcast dims; both windows run over
+    the nation-level table (≤ dims), not facts.
+    """
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = (
+        orders.join(
+            F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("v"))
+    )
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return rev.select(
+        "region",
+        "nation",
+        F.round(F.col("v").cast("double"), 2).alias("revenue"),
+        F.round(
+            F.col("v").cast("double")
+            / F.sum("v").over(w_region).cast("double"),
+            6,
+        ).alias("share_of_region"),
+        F.round(
+            F.sum("v").over(w_region).cast("double")
+            / F.sum("v").over(w_all).cast("double"),
+            6,
+        ).alias("region_share_of_total"),
+    ).orderBy("region", "nation")
