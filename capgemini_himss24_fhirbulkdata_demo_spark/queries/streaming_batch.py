@@ -1293,3 +1293,80 @@ def x143_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+# ---- x148: dormancy reactivations per week ----
+
+_X148_GAP_DAYS = 2  # dormancy threshold (fixture activity is dense)
+
+
+@register(
+    "x148_reactivations",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             LAG(CAST(ts AS DATE)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_d
+      FROM events),
+    re AS (
+      SELECT user_id, d
+      FROM ev
+      WHERE prev_d IS NOT NULL
+        AND DATEDIFF('day', prev_d, d) >= {_X148_GAP_DAYS}),
+    weekly AS (
+      SELECT CAST(DATEDIFF('day', DATE '2024-01-01', d) AS BIGINT) // 7
+               AS week,
+             COUNT(*) AS n_reactivations,
+             COUNT(DISTINCT user_id) AS n_users
+      FROM re GROUP BY week)
+    SELECT week,
+           CAST(n_reactivations AS BIGINT) AS n_reactivations,
+           CAST(n_users AS BIGINT) AS n_users
+    FROM weekly
+    ORDER BY week
+    """,
+)
+def x148_reactivations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reactivation tracking: an event is a reactivation when the
+    user's previous activity was ≥ {g} days earlier (threshold
+    matched to the dense fixture; production uses 7/30) — weekly
+    counts of reactivation events and distinct reactivated users,
+    the win-back metric between x101's retention (did they stay) and
+    x127's churn curve (when did they leave). Integer day arithmetic
+    on x101's epoch weeks.
+
+    Scale: one per-user lag window + a week-keyed rollup; nothing
+    beyond the event scan.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+        F.lag(F.col("ts").cast("date")).over(w).alias("prev_d"),
+    )
+    re = lagged.filter(
+        F.col("prev_d").isNotNull()
+        & (F.datediff("d", "prev_d") >= _X148_GAP_DAYS)
+    )
+    return (
+        re.select(
+            F.expr(
+                "CAST(DATEDIFF(d, DATE '2024-01-01') AS BIGINT) DIV 7"
+            ).alias("week"),
+            "user_id",
+        )
+        .groupBy("week")
+        .agg(
+            F.count("*").cast("bigint").alias("n_reactivations"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy("week")
+    )
+
+
+x148_reactivations.__doc__ = x148_reactivations.__doc__.format(
+    g=_X148_GAP_DAYS
+)
