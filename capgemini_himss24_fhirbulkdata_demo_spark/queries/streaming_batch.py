@@ -1370,3 +1370,118 @@ def x148_reactivations(spark: SparkSession, sf_dir: str) -> DataFrame:
 x148_reactivations.__doc__ = x148_reactivations.__doc__.format(
     g=_X148_GAP_DAYS
 )
+
+
+# ---- x149: DAU/MAU stickiness per month ----
+
+
+@register(
+    "x149_stickiness",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    dau AS (
+      SELECT STRFTIME(DATE_TRUNC('month', d), '%Y-%m') AS month,
+             CAST(COUNT(*) AS BIGINT) AS day_user_pairs,
+             CAST(COUNT(DISTINCT d) AS BIGINT) AS n_days
+      FROM du GROUP BY month),
+    mau AS (
+      SELECT STRFTIME(DATE_TRUNC('month', d), '%Y-%m') AS month,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+      FROM du GROUP BY month)
+    SELECT d.month, d.n_days, m.mau,
+           ROUND(CAST(d.day_user_pairs AS DOUBLE) / d.n_days, 4)
+             AS avg_dau,
+           ROUND(CAST(d.day_user_pairs AS DOUBLE)
+                 / (d.n_days * m.mau), 6) AS stickiness
+    FROM dau d JOIN mau m ON d.month = m.month
+    ORDER BY d.month
+    """,
+)
+def x149_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month — the engagement ratio product
+    teams watch (how much of the monthly audience shows up on an
+    average day). avg DAU = distinct (day, user) pairs over days in
+    month; stickiness divides by the monthly distinct users —
+    integer counts, each ratio one division.
+
+    Scale: one distinct (day, user) agg feeds both legs; monthly
+    rollups are calendar-bounded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    month = F.date_format(F.date_trunc("month", "d"), "yyyy-MM")
+    dau = du.groupBy(month.alias("month")).agg(
+        F.count("*").cast("bigint").alias("day_user_pairs"),
+        F.countDistinct("d").cast("bigint").alias("n_days"),
+    )
+    mau = du.groupBy(month.alias("month")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("mau")
+    )
+    return (
+        dau.join(mau, "month")
+        .select(
+            "month",
+            "n_days",
+            "mau",
+            F.round(
+                F.col("day_user_pairs").cast("double") / F.col("n_days"), 4
+            ).alias("avg_dau"),
+            F.round(
+                F.col("day_user_pairs").cast("double")
+                / (F.col("n_days") * F.col("mau")),
+                6,
+            ).alias("stickiness"),
+        )
+        .orderBy("month")
+    )
+
+
+# ---- x150: power-user activity curve ----
+
+
+@register(
+    "x150_power_user_curve",
+    oracle="""
+    WITH ad AS (
+      SELECT user_id, COUNT(DISTINCT CAST(ts AS DATE)) AS active_days
+      FROM events GROUP BY user_id),
+    tot AS (SELECT COUNT(*) AS n_users FROM ad)
+    SELECT CAST(active_days AS BIGINT) AS active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / (SELECT n_users FROM tot), 6) AS user_share
+    FROM ad
+    GROUP BY active_days
+    ORDER BY active_days
+    """,
+)
+def x150_power_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-user curve (the L30-style histogram): users bucketed by
+    how many distinct days they were active — a right-leaning curve
+    is a habit product, a left spike is drive-by traffic. Integer
+    distinct-day counts; one share division per bucket.
+
+    Scale: one per-user distinct-day agg + a day-count histogram
+    bounded by the calendar, with a 1-row total broadcast.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ad = ev.groupBy("user_id").agg(
+        F.countDistinct(F.col("ts").cast("date")).alias("active_days")
+    )
+    tot = ad.agg(F.count("*").alias("n_users"))
+    return (
+        ad.groupBy("active_days")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .crossJoin(F.broadcast(tot.withColumnRenamed("n_users", "nt")))
+        .select(
+            F.col("active_days").cast("bigint").alias("active_days"),
+            "n_users",
+            F.round(
+                F.col("n_users").cast("double") / F.col("nt"), 6
+            ).alias("user_share"),
+        )
+        .orderBy("active_days")
+    )
