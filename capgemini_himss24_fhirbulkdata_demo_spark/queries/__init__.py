@@ -23,6 +23,7 @@ from . import (  # noqa: F401
     features,
     corpus_stats,
     graph,
+    analytics,
 )
 
 QUERIES = registry.QUERIES
