@@ -201,3 +201,163 @@ def x152_wilson_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("wilson_lb"), "p_brand")
     )
+
+
+# ---- x153: supplier revenue concentration (HHI) per nation ----
+
+_X153_SQL = """
+WITH rev AS (
+  SELECT s.s_nationkey,
+         l.l_suppkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(6,4))
+                     - CAST(l_discount AS DECIMAL(6,4)))) * 1000000
+              AS DECIMAL(19,0)) AS rev_u
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY s.s_nationkey, l.l_suppkey
+),
+agg AS (
+  SELECT n.n_name AS nation,
+         CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         SUM(rev_u) AS tot_u,
+         SUM(rev_u * rev_u) AS sumsq_u
+  FROM rev JOIN nation n ON rev.s_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+)
+SELECT nation, n_suppliers,
+       ROUND(CAST(tot_u AS DOUBLE) / 1000000, 2) AS revenue,
+       ROUND(CAST(sumsq_u AS DOUBLE)
+             / (CAST(tot_u AS DOUBLE) * CAST(tot_u AS DOUBLE)), 6) AS hhi
+FROM agg
+ORDER BY hhi DESC, nation
+"""
+
+
+@register("x153_hhi_concentration", oracle=_X153_SQL)
+def x153_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of supplier revenue within
+    each nation — the antitrust-style screen for how monopolized a
+    market is (HHI = sum of squared revenue shares; 1/n for a
+    perfectly even split, 1.0 for a monopoly).
+
+    Exactness: revenue accumulates as DECIMAL(18,2)x(6,4) per the
+    q01 convention, is scaled to integral micro-units DECIMAL(19,0)
+    (6 fractional digits, so exact), and HHI = sum(rev^2)/tot^2 —
+    both sums are exact decimals; the single double division at the
+    end is IEEE-exact. No order-dependent float summation anywhere.
+
+    Scale: one (nation, supplier) partial agg + a 25-key nation
+    rollup; supplier is a broadcast dim. At 100 TB the (19,0)
+    squares sum within DECIMAL(38,0) headroom for any real revenue
+    magnitude (1e27 << 1e38).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    disc = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(6,4)") - F.col("l_discount").cast("decimal(6,4)"))
+    )
+    rev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            (F.sum(disc) * 1000000)
+            .cast("decimal(19,0)")
+            .alias("rev_u")
+        )
+    )
+    agg = (
+        rev.join(F.broadcast(nat), rev.s_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_suppliers"),
+            F.sum("rev_u").alias("tot_u"),
+            F.sum(F.col("rev_u") * F.col("rev_u")).alias("sumsq_u"),
+        )
+    )
+    return agg.select(
+        "nation",
+        "n_suppliers",
+        F.round(F.col("tot_u").cast("double") / 1000000, 2).alias("revenue"),
+        F.round(
+            F.col("sumsq_u").cast("double")
+            / (F.col("tot_u").cast("double") * F.col("tot_u").cast("double")),
+            6,
+        ).alias("hhi"),
+    ).orderBy(F.desc("hhi"), "nation")
+
+
+# ---- x154: distinct-n diversity per source ----
+
+_X154_SQL = """
+WITH toks AS (
+  SELECT doc_id, source, STRING_SPLIT(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT source,
+         UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t) - 1),
+                i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+  FROM toks)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
+       ROUND(CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*), 6)
+         AS distinct_3
+FROM grams
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("x154_distinct_ngrams", oracle=_X154_SQL)
+def x154_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n corpus diversity (the distinct-3 metric from NLG
+    evaluation, applied per source): unique trigrams over total
+    trigrams. Low distinct-n flags template farms and boilerplate
+    sources a training mix should down-weight — the corpus-level
+    complement of x29's within-doc repetition score.
+
+    Trigrams come from an index-sequence transform over the
+    whitespace token array (x27's no-self-join idiom, window of 3);
+    counts are integers, one final share division.
+
+    Scale: explode is linear in corpus tokens; the count-distinct
+    shuffles on (source, gram) — partial aggregation collapses the
+    Zipf head map-side, so the reduce side sees near-distinct keys
+    only. No joins at all.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    grams = docs.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.size(t) - 3, F.lit(-1)),
+                ),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(t, i + 1),
+                    F.element_at(t, i + 2),
+                    F.element_at(t, i + 3),
+                ),
+            )
+        ).alias("g"),
+    )
+    return (
+        grams.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_trigrams"),
+            F.countDistinct("g").cast("bigint").alias("n_distinct"),
+        )
+        .select(
+            "source",
+            "n_trigrams",
+            "n_distinct",
+            F.round(
+                F.col("n_distinct").cast("double") / F.col("n_trigrams"), 6
+            ).alias("distinct_3"),
+        )
+        .orderBy("source")
+    )
