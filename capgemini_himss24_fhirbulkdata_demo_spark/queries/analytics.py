@@ -361,3 +361,172 @@ def x154_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---- x155: Holt double-exponential trend smoothing ----
+
+_X155_SQL = """
+WITH RECURSIVE daily AS MATERIALIZED (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+  FROM orders GROUP BY d),
+idx AS MATERIALIZED (
+  SELECT d, y, ROW_NUMBER() OVER (ORDER BY d) AS i FROM daily),
+holt AS (
+  SELECT i, d, y, y AS lvl, CAST(0 AS DOUBLE) AS trend
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT n.i, n.d, n.y,
+         0.3 * n.y + 0.7 * (h.lvl + h.trend) AS lvl,
+         0.1 * ((0.3 * n.y + 0.7 * (h.lvl + h.trend)) - h.lvl)
+           + 0.9 * h.trend AS trend
+  FROM holt h JOIN idx n ON n.i = h.i + 1)
+SELECT d, ROUND(y, 2) AS revenue,
+       ROUND(lvl, 4) AS level_smooth,
+       ROUND(trend, 4) AS trend_smooth
+FROM holt ORDER BY d
+"""
+
+
+@register("x155_holt_trend", oracle=_X155_SQL)
+def x155_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing of daily revenue (level +
+    trend, alpha=0.3 / beta=0.1) — the forecasting primitive one
+    step past x36's single EWMA, and the canonical example of a
+    RECURRENCE an engine must express: state at day t depends on
+    state at day t-1.
+
+    Spark expresses the recurrence as a sequential ``F.aggregate``
+    fold over the date-sorted daily array (HOF scan, one pass);
+    the oracle is the same recurrence as a recursive CTE — two
+    genuinely different formulations agreeing bit-for-bit because
+    the update uses only IEEE-exact * and + on identical literal
+    coefficients.
+
+    Scale: the distributed work is the daily revenue aggregate
+    (exact decimal partial-agg, one shuffle on date); the fold
+    itself runs on one executor over a calendar-bounded series
+    (~2.4k days for 7 years — O(days), not O(orders)). An
+    inherently sequential recurrence cannot be parallelized across
+    time without changing semantics.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("y")
+        )
+    )
+    arr = daily.agg(
+        F.array_sort(F.collect_list(F.struct("d", "y"))).alias("s")
+    )
+    out_t = (
+        "array<struct<d:date,y:double,lvl:double,trend:double>>"
+    )
+    init = F.struct(
+        F.lit(0.0).alias("l"),
+        F.lit(0.0).alias("b"),
+        F.array().cast(out_t).alias("out"),
+    )
+
+    def step(acc, x):
+        first = F.size(acc["out"]) == 0
+        l_upd = F.lit(0.3) * x["y"] + F.lit(0.7) * (acc["l"] + acc["b"])
+        l_new = F.when(first, x["y"]).otherwise(l_upd)
+        b_new = F.when(first, F.lit(0.0)).otherwise(
+            F.lit(0.1) * (l_upd - acc["l"]) + F.lit(0.9) * acc["b"]
+        )
+        return F.struct(
+            l_new.alias("l"),
+            b_new.alias("b"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        x["d"].alias("d"),
+                        x["y"].alias("y"),
+                        l_new.alias("lvl"),
+                        b_new.alias("trend"),
+                    )
+                ),
+            ).alias("out"),
+        )
+
+    folded = arr.select(
+        F.explode(F.aggregate("s", init, step)["out"]).alias("r")
+    )
+    return folded.select(
+        F.col("r.d").alias("d"),
+        F.round("r.y", 2).alias("revenue"),
+        F.round("r.lvl", 4).alias("level_smooth"),
+        F.round("r.trend", 4).alias("trend_smooth"),
+    ).orderBy("d")
+
+
+# ---- x156: last-touch conversion attribution ----
+
+_X156_SQL = """
+WITH a AS (
+  SELECT event_type, value,
+         LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                         THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS ch
+  FROM events)
+SELECT COALESCE(ch, 'direct') AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+         AS attributed_value
+FROM a
+WHERE event_type = 'purchase'
+GROUP BY channel
+ORDER BY channel
+"""
+
+
+@register("x156_attribution_last_touch", oracle=_X156_SQL)
+def x156_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: each purchase is credited
+    to the user's most recent preceding non-purchase event type
+    ('direct' if the purchase is the user's first event) — the
+    baseline attribution model every marketing stack starts from,
+    and a window-function shape (conditional IGNORE NULLS last
+    over an open frame) distinct from every lag/lead query so far.
+
+    Ordering ties on ts are broken by event_id so the attributed
+    channel is deterministic; value sums accumulate as
+    DECIMAL(18,6) (the events idiom) with one final double cast.
+
+    Scale: one shuffle on user_id for the window (running last is
+    a streaming frame — no per-row rescan), then a tiny channel
+    rollup. User partitions are naturally bounded; no joins.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    a = ev.withColumn(
+        "ch",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        a.where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("ch", F.lit("direct")).alias("channel"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_conversions"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )
