@@ -530,3 +530,168 @@ def x156_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ---- x157: Bowley quartile skewness per market segment ----
+
+_X157_SQL = """
+WITH seg AS (
+  SELECT c.c_mktsegment AS segment, o.o_totalprice AS v,
+         ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY o.o_totalprice, o.o_orderkey) AS r,
+         COUNT(*) OVER (PARTITION BY c.c_mktsegment) AS n
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+q AS (
+  SELECT segment,
+         MAX(CASE WHEN r = CAST(CEIL(0.25 * n) AS BIGINT) THEN v END) AS q1,
+         MAX(CASE WHEN r = CAST(CEIL(0.50 * n) AS BIGINT) THEN v END) AS q2,
+         MAX(CASE WHEN r = CAST(CEIL(0.75 * n) AS BIGINT) THEN v END) AS q3,
+         CAST(MAX(n) AS BIGINT) AS n_orders
+  FROM seg GROUP BY segment)
+SELECT segment, n_orders,
+       ROUND(q1, 2) AS q1, ROUND(q2, 2) AS q2, ROUND(q3, 2) AS q3,
+       ROUND((q3 + q1 - 2 * q2) / (q3 - q1), 6) AS bowley_skew
+FROM q
+ORDER BY segment
+"""
+
+
+@register("x157_bowley_skewness", oracle=_X157_SQL)
+def x157_bowley_skewness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bowley (quartile) skewness of order totals per market
+    segment — the robust skewness measure that needs no moments
+    beyond rank statistics, so it is exact and outlier-immune
+    where a third-moment skew is neither.
+
+    Quartiles are rank-selected (value at row ceil(p*n) of the
+    (value, orderkey)-sorted segment), NOT an engine quantile
+    builtin: percentile_disc/quantile_disc boundary conventions
+    differ across engines, rank selection does not. The skew ratio
+    is 4 IEEE-exact ops on two selected data values.
+
+    Scale: one window shuffle on segment (5 keys — for a skewed
+    real key set the rank selection would ride on a pre-bucketed
+    sort); the quartile pick is a same-pass conditional aggregate,
+    no second scan.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("segment").orderBy("v", "o_orderkey")
+    seg = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_totalprice").alias("v"),
+            "o_orderkey",
+        )
+        .withColumn("r", F.row_number().over(w))
+        .withColumn(
+            "n", F.count("*").over(Window.partitionBy("segment"))
+        )
+    )
+
+    def pick(p: float):
+        return F.max(
+            F.when(
+                F.col("r")
+                == F.ceil(F.lit(p) * F.col("n")).cast("bigint"),
+                F.col("v"),
+            )
+        )
+
+    q = seg.groupBy("segment").agg(
+        pick(0.25).alias("q1"),
+        pick(0.50).alias("q2"),
+        pick(0.75).alias("q3"),
+        F.max("n").cast("bigint").alias("n_orders"),
+    )
+    return q.select(
+        "segment",
+        "n_orders",
+        F.round("q1", 2).alias("q1"),
+        F.round("q2", 2).alias("q2"),
+        F.round("q3", 2).alias("q3"),
+        F.round(
+            (F.col("q3") + F.col("q1") - 2 * F.col("q2"))
+            / (F.col("q3") - F.col("q1")),
+            6,
+        ).alias("bowley_skew"),
+    ).orderBy("segment")
+
+
+# ---- x158: empirical-Bayes shrunk return rates per part ----
+
+_X158_M = 20  # prior pseudo-count (shrinkage strength), literal
+
+_X158_SQL = f"""
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY l_partkey),
+gstats AS (
+  SELECT CAST(SUM(x) AS BIGINT) AS gx, CAST(SUM(n) AS BIGINT) AS gn
+  FROM per_part)
+SELECT p.l_partkey AS partkey, p.x AS n_returned, p.n AS n_lines,
+       ROUND(CAST(p.x AS DOUBLE) / p.n, 6) AS raw_rate,
+       ROUND((p.x + {_X158_M} * (CAST(g.gx AS DOUBLE) / g.gn))
+             / (p.n + {_X158_M}), 6) AS shrunk_rate
+FROM per_part p CROSS JOIN gstats g
+ORDER BY (p.x + {_X158_M} * (CAST(g.gx AS DOUBLE) / g.gn))
+           / (p.n + {_X158_M}) DESC,
+         p.l_partkey
+LIMIT 30
+"""
+
+
+@register("x158_eb_shrinkage", oracle=_X158_SQL)
+def x158_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-part return rates toward
+    the corpus rate (pseudo-count prior m=20): the standard cure
+    for small-denominator leaderboards — a 3/3 part no longer
+    outranks a 180/400 one. Complements x152's Wilson bound
+    (frequentist) with the Bayesian posterior-mean view.
+
+    shrunk = (x + m*p0) / (n + m), p0 the global rate — exact
+    integer counts, the only doubles are two divisions and one
+    multiply, structurally identical in both engines. Top-30 by
+    the UNROUNDED shrunk rate with partkey tiebreak so the
+    selected set is stable.
+
+    Scale: one partial agg on partkey; the global rate is a 1-row
+    broadcast; top-30 is a TakeOrderedAndProject (no full sort).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    glob = per_part.agg(
+        F.sum("x").cast("bigint").alias("gx"),
+        F.sum("n").cast("bigint").alias("gn"),
+    )
+    m = F.lit(_X158_M)
+    shrunk = (
+        F.col("x") + m * (F.col("gx").cast("double") / F.col("gn"))
+    ) / (F.col("n") + m)
+    return (
+        per_part.crossJoin(F.broadcast(glob))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("x").alias("n_returned"),
+            F.col("n").alias("n_lines"),
+            F.round(F.col("x").cast("double") / F.col("n"), 6).alias(
+                "raw_rate"
+            ),
+            F.round(shrunk, 6).alias("shrunk_rate"),
+            shrunk.alias("_ord"),
+        )
+        .orderBy(F.desc("_ord"), "partkey")
+        .limit(30)
+        .drop("_ord")
+    )
