@@ -695,3 +695,170 @@ def x158_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(30)
         .drop("_ord")
     )
+
+
+# ---- x159: character-class composition audit per language ----
+
+_X159_SQL = """
+WITH per_doc AS (
+  SELECT lang,
+         LENGTH(text) AS n_chars,
+         LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         LENGTH(REGEXP_REPLACE(text, '[^0-9]', '', 'g')) AS n_digit,
+         LENGTH(REGEXP_REPLACE(text, '[^ ]', '', 'g')) AS n_space,
+         LENGTH(REGEXP_REPLACE(text, '[\\x20-\\x7e]', '', 'g'))
+           AS n_nonascii
+  FROM documents)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       ROUND(CAST(SUM(n_alpha) AS DOUBLE) / SUM(n_chars), 6)
+         AS alpha_ratio,
+       ROUND(CAST(SUM(n_digit) AS DOUBLE) / SUM(n_chars), 6)
+         AS digit_ratio,
+       ROUND(CAST(SUM(n_space) AS DOUBLE) / SUM(n_chars), 6)
+         AS space_ratio,
+       ROUND(CAST(SUM(n_nonascii) AS DOUBLE) / SUM(n_chars), 6)
+         AS nonascii_ratio
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("x159_charclass_audit", oracle=_X159_SQL)
+def x159_charclass_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class composition per language: alpha / digit /
+    space / non-ASCII ratios over the corpus — the cheap encoding-
+    health screen that catches mojibake, base64 blobs, and wrongly
+    language-tagged shards before tokenization does (a claimed-'en'
+    shard with 30% non-ASCII is a red flag).
+
+    Counts are char-class removals (length minus length after
+    deleting the class) with explicit byte-range/ASCII classes so
+    Java regex and RE2 agree; ratios are integer totals with one
+    division each.
+
+    Scale: pure narrow maps + a languages-sized aggregate; regex
+    runs once per class per doc inside codegen, no Python.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+
+    def n_keep(pat: str):
+        return F.length(F.regexp_replace("text", pat, ""))
+
+    per_doc = docs.select(
+        "lang",
+        F.length("text").alias("n_chars"),
+        n_keep("[^A-Za-z]").alias("n_alpha"),
+        n_keep("[^0-9]").alias("n_digit"),
+        n_keep("[^ ]").alias("n_space"),
+        n_keep("[\\x20-\\x7e]").alias("n_nonascii"),
+    )
+
+    def ratio(c: str):
+        return F.round(
+            F.sum(c).cast("double") / F.sum("n_chars"), 6
+        ).alias(c.replace("n_", "") + "_ratio")
+
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            ratio("n_alpha"),
+            ratio("n_digit"),
+            ratio("n_space"),
+            ratio("n_nonascii"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---- x160: customer spend-quartile migration matrix ----
+
+_X160_CUT = "1998-01-01"  # literal period boundary (orders span 1995..2001)
+
+_X160_SQL = f"""
+WITH spend AS (
+  SELECT o_custkey,
+         CASE WHEN o_orderdate < TIMESTAMP '{_X160_CUT}'
+              THEN 'early' ELSE 'late' END AS period,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+  FROM orders GROUP BY o_custkey, period),
+q AS (
+  SELECT o_custkey, period,
+         NTILE(4) OVER (PARTITION BY period ORDER BY s, o_custkey)
+           AS quartile
+  FROM spend),
+m AS (
+  SELECT COALESCE(e.o_custkey, l.o_custkey) AS ck,
+         e.quartile AS q_early, l.quartile AS q_late
+  FROM (SELECT * FROM q WHERE period = 'early') e
+  FULL JOIN (SELECT * FROM q WHERE period = 'late') l
+    ON e.o_custkey = l.o_custkey)
+SELECT COALESCE(CAST(q_early AS VARCHAR), 'absent') AS q_early,
+       COALESCE(CAST(q_late AS VARCHAR), 'absent') AS q_late,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM m
+GROUP BY q_early, q_late
+ORDER BY q_early, q_late
+"""
+
+
+@register("x160_quartile_migration", oracle=_X160_SQL)
+def x160_quartile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend-quartile migration matrix between the early
+    and late halves of the order history — the churn/upsell
+    transition view (Q4→Q1 = collapsing whales, absent→Q1 = big
+    new logos). NTILE(4) per period over exact decimal spend with
+    custkey tiebreak keeps bucket assignment deterministic; a full
+    outer join surfaces entries/exits as 'absent'.
+
+    Scale: spend agg shuffles once on (custkey, period); the NTILE
+    needs a per-period global sort — at 100 TB that becomes a
+    range-partitioned sort (Spark's default for window-over-
+    period), not a single-task bottleneck, because period has 2
+    values but rows within are range-partitioned by the ORDER BY
+    prefix under AQE. The matrix itself is a 25-cell aggregate.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = (
+        orders.groupBy(
+            "o_custkey",
+            F.when(
+                F.col("o_orderdate") < F.lit(_X160_CUT).cast("timestamp"),
+                "early",
+            )
+            .otherwise("late")
+            .alias("period"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"))
+    )
+    q = spend.withColumn(
+        "quartile",
+        F.ntile(4).over(
+            Window.partitionBy("period").orderBy("s", "o_custkey")
+        ),
+    )
+    e = q.where(F.col("period") == "early").select(
+        F.col("o_custkey").alias("ck_e"), F.col("quartile").alias("qe")
+    )
+    late = q.where(F.col("period") == "late").select(
+        F.col("o_custkey").alias("ck_l"), F.col("quartile").alias("ql")
+    )
+    m = e.join(late, e.ck_e == late.ck_l, "full_outer")
+    return (
+        m.groupBy(
+            F.coalesce(F.col("qe").cast("string"), F.lit("absent")).alias(
+                "q_early"
+            ),
+            F.coalesce(F.col("ql").cast("string"), F.lit("absent")).alias(
+                "q_late"
+            ),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+        .orderBy("q_early", "q_late")
+    )
