@@ -862,3 +862,158 @@ def x160_quartile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_customers"))
         .orderBy("q_early", "q_late")
     )
+
+
+# ---- x161: chi-square independence, event type x weekday ----
+
+_X161_SQL = """
+WITH obs AS (
+  SELECT event_type, CAST(DAYOFWEEK(CAST(ts AS DATE)) + 1 AS BIGINT) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM events GROUP BY event_type, dow),
+rt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY event_type),
+ct AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY dow),
+tt AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs)
+SELECT obs.event_type, obs.dow, obs.o AS n_obs,
+       ROUND(CAST(rt.r AS DOUBLE) * ct.c / tt.n, 4) AS n_exp,
+       ROUND((obs.o - CAST(rt.r AS DOUBLE) * ct.c / tt.n)
+             * (obs.o - CAST(rt.r AS DOUBLE) * ct.c / tt.n)
+             / (CAST(rt.r AS DOUBLE) * ct.c / tt.n), 6) AS chi2_term
+FROM obs
+JOIN rt ON obs.event_type = rt.event_type
+JOIN ct ON obs.dow = ct.dow
+CROSS JOIN tt
+ORDER BY obs.event_type, obs.dow
+"""
+
+
+@register("x161_chi2_independence", oracle=_X161_SQL)
+def x161_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence screen for event type x weekday —
+    the contingency-table test behind "does behavior differ by
+    day" dashboards; per-cell expected counts and chi-square
+    contributions localize WHERE the dependence is instead of one
+    omnibus number (sum chi2_term downstream for the statistic).
+
+    Expected = row_total * col_total / n — integer marginals, the
+    double product/divide written with identical association in
+    both engines; DuckDB's DAYOFWEEK is 0-based (Sunday=0) where
+    Spark's is 1-based, so the oracle adds 1.
+
+    Scale: one (type, dow) partial agg (35 cells); marginals are
+    re-aggregations of the 35-row cell table, all broadcastable.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type",
+        F.dayofweek(F.col("ts").cast("date")).cast("bigint").alias("dow"),
+    ).agg(F.count("*").cast("bigint").alias("o"))
+    rt = obs.groupBy("event_type").agg(
+        F.sum("o").cast("bigint").alias("r")
+    )
+    ct = obs.groupBy("dow").agg(F.sum("o").cast("bigint").alias("c"))
+    tt = obs.agg(F.sum("o").cast("bigint").alias("n"))
+    exp = F.col("r").cast("double") * F.col("c") / F.col("n")
+    dev = F.col("o") - exp
+    return (
+        obs.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "event_type",
+            "dow",
+            F.col("o").alias("n_obs"),
+            F.round(exp, 4).alias("n_exp"),
+            F.round(dev * dev / exp, 6).alias("chi2_term"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+# ---- x162: session-depth histogram (gap sessionization) ----
+
+_X162_GAP_S = 1800  # 30-minute inactivity gap, literal
+
+_X162_SQL = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > {_X162_GAP_S}
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM e),
+depth AS (
+  SELECT user_id, session_no, CAST(COUNT(*) AS BIGINT) AS depth
+  FROM s GROUP BY user_id, session_no),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions FROM depth)
+SELECT depth,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT n_sessions FROM tot), 6)
+         AS session_share
+FROM depth
+GROUP BY depth
+ORDER BY depth
+"""
+
+
+@register("x162_session_depth", oracle=_X162_SQL)
+def x162_session_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-depth histogram: sessionize by 30-minute inactivity
+    gap (lag + running sum of session starts — the batch twin of
+    x32's native session_window, but exposing per-session depth),
+    then the distribution of events-per-session. The depth curve
+    separates scanners (depth 1-2) from engaged flows, and its
+    drift is a canary for instrumentation breaks.
+
+    Timestamps compare via epoch seconds (integer); all outputs
+    are integer counts plus one share division.
+
+    Scale: two streaming-frame windows over one user_id shuffle
+    (lag and running sum share the same sort), a (user, session)
+    agg that stays within the same partitioning, and a small
+    depth histogram. No joins.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.withColumn(
+        "is_start",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag("ts").over(w))
+                > _X162_GAP_S
+            ),
+            1,
+        ).otherwise(0),
+    )
+    s = e.withColumn(
+        "session_no",
+        F.sum("is_start").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    depth = s.groupBy("user_id", "session_no").agg(
+        F.count("*").cast("bigint").alias("depth")
+    )
+    tot = depth.agg(F.count("*").cast("bigint").alias("nt"))
+    return (
+        depth.groupBy("depth")
+        .agg(F.count("*").cast("bigint").alias("n_sessions"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "depth",
+            "n_sessions",
+            F.round(
+                F.col("n_sessions").cast("double") / F.col("nt"), 6
+            ).alias("session_share"),
+        )
+        .orderBy("depth")
+    )
