@@ -938,7 +938,9 @@ _X162_SQL = f"""
 WITH e AS (
   SELECT user_id, ts, event_id,
          CASE WHEN LAG(ts) OVER w IS NULL
-                OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > {_X162_GAP_S}
+                OR CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                   - CAST(FLOOR(EPOCH(LAG(ts) OVER w)) AS BIGINT)
+                   > {_X162_GAP_S}
               THEN 1 ELSE 0 END AS is_start
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
@@ -970,7 +972,9 @@ def x162_session_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     separates scanners (depth 1-2) from engaged flows, and its
     drift is a canary for instrumentation breaks.
 
-    Timestamps compare via epoch seconds (integer); all outputs
+    Timestamps floor to whole epoch seconds BEFORE differencing
+    (Spark's unix_timestamp floors each side; DuckDB's EPOCH keeps
+    fractions — floor-each matches exactly); all outputs
     are integer counts plus one share division.
 
     Scale: two streaming-frame windows over one user_id shuffle
@@ -1016,4 +1020,179 @@ def x162_session_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("session_share"),
         )
         .orderBy("depth")
+    )
+
+
+# ---- x163: signup-to-purchase conversion-lag quartiles ----
+
+_X163_SQL = """
+WITH su AS (
+  SELECT user_id, MIN(ts) AS signup_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id),
+pu AS (
+  SELECT e.user_id, MIN(e.ts) AS first_purchase_ts
+  FROM events e JOIN su ON e.user_id = su.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= su.signup_ts
+  GROUP BY e.user_id),
+lag_s AS (
+  SELECT su.user_id,
+         CAST(FLOOR(EPOCH(pu.first_purchase_ts)) AS BIGINT)
+           - CAST(FLOOR(EPOCH(su.signup_ts)) AS BIGINT) AS delay_s
+  FROM su JOIN pu ON su.user_id = pu.user_id),
+r AS (
+  SELECT delay_s,
+         ROW_NUMBER() OVER (ORDER BY delay_s, user_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM lag_s)
+SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+       CAST(MAX(CASE WHEN rn = CAST(CEIL(0.25 * n) AS BIGINT)
+                     THEN delay_s END) AS BIGINT) AS q1_s,
+       CAST(MAX(CASE WHEN rn = CAST(CEIL(0.50 * n) AS BIGINT)
+                     THEN delay_s END) AS BIGINT) AS median_s,
+       CAST(MAX(CASE WHEN rn = CAST(CEIL(0.75 * n) AS BIGINT)
+                     THEN delay_s END) AS BIGINT) AS q3_s
+FROM r
+"""
+
+
+@register("x163_conversion_lag", oracle=_X163_SQL)
+def x163_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→first-purchase conversion lag, rank-exact quartiles
+    in seconds — the activation-speed metric growth teams track
+    (how long from account creation to first revenue). Only
+    purchases at/after the user's first signup count, so replayed
+    or out-of-order histories can't produce negative lags.
+
+    Quartiles use the x157 rank-selection idiom (engine quantile
+    builtins disagree at boundaries; row_number doesn't); the lag
+    is an integer epoch difference end to end — no floats at all.
+
+    Scale: two per-user min-aggregations share the user_id
+    shuffle; the final quartile pick sorts only the converted-user
+    lags (a per-user-bounded set, range-partitionable).
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    su = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    pu = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .where(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    lag_s = su.join(pu, "user_id").select(
+        "user_id",
+        (
+            F.unix_timestamp("first_purchase_ts")
+            - F.unix_timestamp("signup_ts")
+        ).alias("delay_s"),
+    )
+    r = lag_s.select(
+        "delay_s",
+        F.row_number()
+        .over(Window.orderBy("delay_s", "user_id"))
+        .alias("rn"),
+        F.count("*")
+        .over(Window.partitionBy())
+        .alias("n"),
+    )
+
+    def pick(p: float, name: str):
+        return (
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.ceil(F.lit(p) * F.col("n")).cast("bigint"),
+                    F.col("delay_s"),
+                )
+            )
+            .cast("bigint")
+            .alias(name)
+        )
+
+    return r.agg(
+        F.max("n").cast("bigint").alias("n_converted"),
+        pick(0.25, "q1_s"),
+        pick(0.50, "median_s"),
+        pick(0.75, "q3_s"),
+    )
+
+
+# ---- x164: Pareto revenue-coverage points ----
+
+_X164_SQL = """
+WITH spend AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+  FROM orders GROUP BY o_custkey),
+ranked AS (
+  SELECT s,
+         ROW_NUMBER() OVER (ORDER BY s DESC, o_custkey) AS rn,
+         SUM(s) OVER (ORDER BY s DESC, o_custkey
+                      ROWS UNBOUNDED PRECEDING) AS cum_s,
+         SUM(s) OVER () AS tot_s,
+         COUNT(*) OVER () AS n_cust
+  FROM spend),
+pts AS (SELECT UNNEST(ARRAY[50, 80, 90]) AS pct)
+SELECT p.pct AS threshold_pct,
+       CAST(MIN(r.rn) AS BIGINT) AS n_customers,
+       ROUND(CAST(MIN(r.rn) AS DOUBLE) / MAX(r.n_cust), 6)
+         AS customer_share
+FROM pts p JOIN ranked r ON r.cum_s * 100 >= r.tot_s * p.pct
+GROUP BY p.pct
+ORDER BY p.pct
+"""
+
+
+@register("x164_pareto_coverage", oracle=_X164_SQL)
+def x164_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto revenue-coverage points: the minimum number (and
+    share) of top customers covering 50/80/90% of revenue — the
+    "is it really 80/20 here?" summary that x129's per-customer
+    ABC classes roll up to, reduced to three auditable numbers.
+
+    The coverage test compares exact decimals cross-multiplied
+    (cum*100 >= tot*pct) — no float threshold, so the selected
+    rank is unambiguous; the only double is the final share.
+
+    Scale: per-customer spend agg, then one descending
+    range-partitioned sort for the running sum; the three
+    thresholds join against the ranked curve as a broadcast and
+    reduce to MIN(rank) — the full curve is never collected.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s")
+    )
+    wo = Window.orderBy(F.desc("s"), "o_custkey")
+    ranked = spend.select(
+        "s",
+        F.row_number().over(wo).alias("rn"),
+        F.sum("s")
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_s"),
+        F.sum("s").over(Window.partitionBy()).alias("tot_s"),
+        F.count("*").over(Window.partitionBy()).alias("n_cust"),
+    )
+    pts = spark.range(1).select(
+        F.explode(F.array(F.lit(50), F.lit(80), F.lit(90))).alias("pct")
+    )
+    return (
+        F.broadcast(pts)
+        .join(ranked, ranked.cum_s * 100 >= ranked.tot_s * F.col("pct"))
+        .groupBy(F.col("pct").alias("threshold_pct"))
+        .agg(
+            F.min("rn").cast("bigint").alias("n_customers"),
+            F.round(
+                F.min("rn").cast("double") / F.max("n_cust"), 6
+            ).alias("customer_share"),
+        )
+        .orderBy("threshold_pct")
     )
