@@ -1196,3 +1196,126 @@ def x164_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold_pct")
     )
+
+
+# ---- x165: cross-language duplicate leakage ----
+
+_X165_SQL = """
+WITH fp AS (
+  SELECT doc_id, lang,
+         MD5(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS f
+  FROM documents),
+grp AS (
+  SELECT f,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         MIN(lang) AS lang_a, MAX(lang) AS lang_b,
+         MIN(doc_id) AS example_doc
+  FROM fp GROUP BY f
+  HAVING COUNT(*) >= 2)
+SELECT f AS fingerprint, n_docs, n_langs,
+       CASE WHEN n_langs >= 2 THEN TRUE ELSE FALSE END AS cross_lang,
+       lang_a, lang_b, example_doc
+FROM grp
+ORDER BY n_langs DESC, n_docs DESC, fingerprint
+"""
+
+
+@register("x165_crosslang_dups", oracle=_X165_SQL)
+def x165_crosslang_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-language duplicate leakage: identical canonical texts
+    carrying DIFFERENT language tags — mislabeled shards or
+    copy-paste leaks that silently poison per-language training
+    mixes and language-ID evaluation sets. Same canonical md5 as
+    x23's fingerprint; every duplicate group is emitted with a
+    cross_lang flag (cross-language groups sort first) so the op
+    is informative even when no leakage exists.
+
+    Scale: narrow fingerprint map + one uniform-hash-key shuffle
+    (md5 keys can't skew); the HAVING prunes to the (rare)
+    leakage groups before anything is emitted.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace("text", r"\s+", " "))
+    fp = docs.select(
+        "doc_id", "lang", F.md5(norm.cast("binary")).alias("f")
+    )
+    return (
+        fp.groupBy("f")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.min("lang").alias("lang_a"),
+            F.max("lang").alias("lang_b"),
+            F.min("doc_id").alias("example_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .select(
+            F.col("f").alias("fingerprint"),
+            "n_docs",
+            "n_langs",
+            (F.col("n_langs") >= 2).alias("cross_lang"),
+            "lang_a",
+            "lang_b",
+            "example_doc",
+        )
+        .orderBy(F.desc("n_langs"), F.desc("n_docs"), "fingerprint")
+    )
+
+
+# ---- x166: template / boilerplate prefix detection ----
+
+_X166_K = 8  # prefix length in tokens, literal
+_X166_MIN = 3  # minimum docs sharing a prefix to call it a template
+
+_X166_SQL = f"""
+WITH pref AS (
+  SELECT doc_id, source,
+         ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:{_X166_K}], ' ')
+           AS prefix
+  FROM documents),
+grp AS (
+  SELECT prefix,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         MIN(doc_id) AS example_doc
+  FROM pref GROUP BY prefix
+  HAVING COUNT(*) >= {_X166_MIN})
+SELECT prefix, n_docs, n_sources, example_doc
+FROM grp
+ORDER BY n_docs DESC, prefix
+"""
+
+
+@register("x166_template_prefixes", oracle=_X166_SQL)
+def x166_template_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template/boilerplate detection by shared token prefix: docs
+    opening with the same first-{k} tokens (license headers, SEO
+    boilerplate, scraper artifacts). Corpus prep downweights or
+    strips these; the n_sources column separates a site template
+    (1 source) from an ecosystem-wide phrase.
+
+    Scale: the prefix is a narrow map (first {k} tokens only — no
+    full-text shuffle; the GROUP BY key is a short string), one
+    aggregate, HAVING-pruned output.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.concat_ws(
+        " ", F.slice(F.split(F.col("text"), " "), 1, _X166_K)
+    )
+    return (
+        docs.select("doc_id", "source", prefix.alias("prefix"))
+        .groupBy("prefix")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.min("doc_id").alias("example_doc"),
+        )
+        .where(F.col("n_docs") >= _X166_MIN)
+        .orderBy(F.desc("n_docs"), "prefix")
+    )
+
+
+x166_template_prefixes.__doc__ = x166_template_prefixes.__doc__.format(
+    k=_X166_K
+)
