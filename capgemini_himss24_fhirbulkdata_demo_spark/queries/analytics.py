@@ -1319,3 +1319,179 @@ def x166_template_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
 x166_template_prefixes.__doc__ = x166_template_prefixes.__doc__.format(
     k=_X166_K
 )
+
+
+# ---- x167: exact Pearson correlation (quantity vs discount) ----
+
+_X167_SQL = """
+WITH b AS (
+  SELECT p.p_brand,
+         CAST(l.l_quantity AS BIGINT) AS x,
+         CAST(ROUND(l.l_discount * 100) AS BIGINT) AS y
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+s AS (
+  SELECT p_brand,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM b GROUP BY p_brand)
+SELECT p_brand, n,
+       ROUND(
+         (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                                / CAST(n AS DOUBLE))
+         / (SQRT(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                 * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+            * SQRT(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                   * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))),
+         6) AS pearson_r
+FROM s
+ORDER BY p_brand
+"""
+
+
+@register("x167_exact_correlation", oracle=_X167_SQL)
+def x167_exact_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Pearson correlation of quantity vs discount per brand
+    — "do discounts move volume?" — computed from INTEGER moment
+    sums, not the engines' float-accumulating corr() builtins
+    (whose summation order is partition-dependent and thus not
+    cross-engine-stable). Discount scales to integer basis points;
+    all five moments are exact bigint sums; the r formula is one
+    fixed IEEE expression over their double casts.
+
+    Scale: single partial-agg shuffle on brand; moment sums are
+    map-side-combinable. At 100 TB the bigint moment sums would
+    widen to DECIMAL(38,0) (x168 does) — the formula is unchanged.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    b = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "p_brand",
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_discount") * 100)
+        .cast("bigint")
+        .alias("y"),
+    )
+    s = b.groupBy("p_brand").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    r = (d("sxy") - d("sx") * d("sy") / d("n")) / (
+        F.sqrt(d("sxx") - d("sx") * d("sx") / d("n"))
+        * F.sqrt(d("syy") - d("sy") * d("sy") / d("n"))
+    )
+    return s.select(
+        "p_brand", "n", F.round(r, 6).alias("pearson_r")
+    ).orderBy("p_brand")
+
+
+# ---- x168: daily-revenue autocorrelation (lags 1 and 7) ----
+
+_X168_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+              AS DECIMAL(19,0)) AS c
+  FROM orders GROUP BY d),
+lagged AS (
+  SELECT c,
+         LAG(c, 1) OVER (ORDER BY d) AS c1,
+         LAG(c, 7) OVER (ORDER BY d) AS c7
+  FROM daily),
+pairs AS (
+  SELECT 1 AS lag_days, c AS x, c1 AS y FROM lagged WHERE c1 IS NOT NULL
+  UNION ALL
+  SELECT 7 AS lag_days, c AS x, c7 AS y FROM lagged WHERE c7 IS NOT NULL),
+s AS (
+  SELECT lag_days,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM pairs GROUP BY lag_days)
+SELECT CAST(lag_days AS BIGINT) AS lag_days, n,
+       ROUND(
+         (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                                / CAST(n AS DOUBLE))
+         / (SQRT(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                 * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+            * SQRT(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                   * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))),
+         6) AS autocorr
+FROM s
+ORDER BY lag_days
+"""
+
+
+@register("x168_revenue_autocorr", oracle=_X168_SQL)
+def x168_revenue_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily revenue at lags 1 and 7 — the
+    two-number seasonality screen (high lag-7, low lag-1 = weekly
+    cycle; both high = trending). Pairs come from window LAG over
+    the date-ordered series, never a self-join.
+
+    Revenue days accumulate as exact decimal cents DECIMAL(19,0);
+    cross-products widen to DECIMAL(38,0) where bigint would
+    overflow at scale (cents² ~ 1e18+ per day-pair); the moment
+    sums stay exact and the r formula is the same fixed IEEE
+    expression as x167.
+
+    Scale: the distributed agg is per-day revenue; the lag window
+    runs over the calendar-bounded daily series (~2.4k rows), and
+    the moments reduce to 2 rows.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("decimal(19,0)")
+            .alias("c")
+        )
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "c",
+        F.lag("c", 1).over(w).alias("c1"),
+        F.lag("c", 7).over(w).alias("c7"),
+    )
+    p1 = lagged.where(F.col("c1").isNotNull()).select(
+        F.lit(1).alias("lag_days"),
+        F.col("c").alias("x"),
+        F.col("c1").alias("y"),
+    )
+    p7 = lagged.where(F.col("c7").isNotNull()).select(
+        F.lit(7).alias("lag_days"),
+        F.col("c").alias("x"),
+        F.col("c7").alias("y"),
+    )
+    s = (
+        p1.unionByName(p7)
+        .groupBy("lag_days")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    r = (d("sxy") - d("sx") * d("sy") / d("n")) / (
+        F.sqrt(d("sxx") - d("sx") * d("sx") / d("n"))
+        * F.sqrt(d("syy") - d("sy") * d("sy") / d("n"))
+    )
+    return s.select(
+        F.col("lag_days").cast("bigint").alias("lag_days"),
+        "n",
+        F.round(r, 6).alias("autocorr"),
+    ).orderBy("lag_days")
