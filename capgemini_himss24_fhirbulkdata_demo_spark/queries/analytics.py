@@ -1495,3 +1495,171 @@ def x168_revenue_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(r, 6).alias("autocorr"),
     ).orderBy("lag_days")
+
+
+# ---- x169: order-to-ship delay percentiles per priority ----
+
+_X169_SQL = """
+WITH delays AS (
+  SELECT o.o_orderpriority AS priority,
+         CAST(DATEDIFF('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS BIGINT) AS delay_d,
+         l.l_orderkey, l.l_linenumber
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+r AS (
+  SELECT priority, delay_d,
+         ROW_NUMBER() OVER (PARTITION BY priority
+                            ORDER BY delay_d, l_orderkey, l_linenumber)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY priority) AS n
+  FROM delays)
+SELECT priority,
+       CAST(MAX(n) AS BIGINT) AS n_lines,
+       CAST(MAX(CASE WHEN rn = CAST(CEIL(0.50 * n) AS BIGINT)
+                     THEN delay_d END) AS BIGINT) AS median_d,
+       CAST(MAX(CASE WHEN rn = CAST(CEIL(0.90 * n) AS BIGINT)
+                     THEN delay_d END) AS BIGINT) AS p90_d,
+       CAST(MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT)
+                     THEN delay_d END) AS BIGINT) AS p99_d
+FROM r
+GROUP BY priority
+ORDER BY priority
+"""
+
+
+@register("x169_ship_delay_percentiles", oracle=_X169_SQL)
+def x169_ship_delay_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship delay tail percentiles (p50/p90/p99, days) per
+    order priority — the fulfillment-SLA view; if URGENT's p99
+    matches LOW's, the priority flag is decorative. Rank-exact
+    selection (x157 idiom) with (orderkey, linenumber) tiebreaks;
+    delays are integer day differences.
+
+    Scale: the fact-fact join is on l_orderkey (co-partitioned
+    shuffle, no skew — order keys are unique); one window shuffle
+    on the 5-value priority key. For a truly-skewed partition key
+    the rank pick would ride a range-partitioned sort instead;
+    q72's approx-percentile twin is the sketch path at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    delays = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        )
+        .cast("bigint")
+        .alias("delay_d"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("priority").orderBy(
+        "delay_d", "l_orderkey", "l_linenumber"
+    )
+    r = delays.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("priority"))
+    )
+
+    def pick(p: float, name: str):
+        return (
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.ceil(F.lit(p) * F.col("n")).cast("bigint"),
+                    F.col("delay_d"),
+                )
+            )
+            .cast("bigint")
+            .alias(name)
+        )
+
+    return (
+        r.groupBy("priority")
+        .agg(
+            F.max("n").cast("bigint").alias("n_lines"),
+            pick(0.50, "median_d"),
+            pick(0.90, "p90_d"),
+            pick(0.99, "p99_d"),
+        )
+        .orderBy("priority")
+    )
+
+
+# ---- x170: price-decile revenue mix ----
+
+_X170_SQL = """
+WITH pd AS (
+  SELECT p_partkey,
+         NTILE(10) OVER (ORDER BY p_retailprice, p_partkey) AS price_decile
+  FROM part),
+rev AS (
+  SELECT pd.price_decile,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(6,4))
+                - CAST(l.l_discount AS DECIMAL(6,4)))) AS rev
+  FROM lineitem l JOIN pd ON l.l_partkey = pd.p_partkey
+  GROUP BY pd.price_decile),
+tot AS (SELECT SUM(rev) AS tot_rev FROM rev)
+SELECT CAST(r.price_decile AS BIGINT) AS price_decile,
+       r.n_lines,
+       ROUND(CAST(r.rev AS DOUBLE) / 1, 2) AS revenue,
+       ROUND(CAST(r.rev AS DOUBLE) / CAST(t.tot_rev AS DOUBLE), 6)
+         AS revenue_share
+FROM rev r CROSS JOIN tot t
+ORDER BY price_decile
+"""
+
+
+@register("x170_price_decile_mix", oracle=_X170_SQL)
+def x170_price_decile_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue mix across catalog price deciles — does revenue come
+    from the cheap tail or the premium head? (Assortment strategy's
+    first chart.) Parts are NTILE(10)-bucketed by retail price with
+    partkey tiebreak; revenue accumulates with the exact q01
+    decimal convention and shares divide the decimal totals' double
+    casts once.
+
+    Scale: the decile assignment sorts only the part dim (tiny vs
+    the fact table) and broadcasts it into the fact join; one
+    10-key aggregate + a 1-row total broadcast.
+    """
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    pd_ = part.select(
+        "p_partkey",
+        F.ntile(10)
+        .over(Window.orderBy("p_retailprice", "p_partkey"))
+        .alias("price_decile"),
+    )
+    disc = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(6,4)") - F.col("l_discount").cast("decimal(6,4)"))
+    )
+    rev = (
+        li.join(F.broadcast(pd_), li.l_partkey == pd_.p_partkey)
+        .groupBy("price_decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(disc).alias("rev"),
+        )
+    )
+    tot = rev.agg(F.sum("rev").alias("tot_rev"))
+    return (
+        rev.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("price_decile").cast("bigint").alias("price_decile"),
+            "n_lines",
+            F.round(F.col("rev").cast("double") / 1, 2).alias("revenue"),
+            F.round(
+                F.col("rev").cast("double") / F.col("tot_rev").cast("double"),
+                6,
+            ).alias("revenue_share"),
+        )
+        .orderBy("price_decile")
+    )
