@@ -1663,3 +1663,137 @@ def x170_price_decile_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("price_decile")
     )
+
+
+# ---- x171: column-profile audit (completeness / cardinality) ----
+
+_X171_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+_X171_SQL = "UNION ALL".join(
+    f"""
+SELECT '{c}' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       ROUND(CAST(COUNT(*) - COUNT({c}) AS DOUBLE) / COUNT(*), 6)
+         AS null_rate,
+       ROUND(CAST(COUNT(DISTINCT {c}) AS DOUBLE) / COUNT(*), 6)
+         AS distinct_rate
+FROM orders
+"""
+    for c in _X171_COLS
+) + "ORDER BY column_name"
+
+
+@register("x171_column_profile", oracle=_X171_SQL)
+def x171_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile audit over orders (the Deequ/dbt-test shape):
+    per-column row count, null count, distinct cardinality, and
+    the derived completeness/uniqueness rates — the profiling
+    pass every ingest pipeline runs before trusting a new drop.
+    o_orderkey's distinct_rate of 1.0 doubles as the PK-uniqueness
+    check.
+
+    Scale: ONE scan computes every column's counts (the per-column
+    SELECTs the oracle unions are fused by Spark into a single
+    multi-distinct aggregate); integer counts, two divisions per
+    row.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _X171_COLS:
+        aggs += [
+            F.count("*").cast("bigint").alias(f"{c}__rows"),
+            (F.count("*") - F.count(c)).cast("bigint").alias(f"{c}__nulls"),
+            F.countDistinct(c).cast("bigint").alias(f"{c}__distinct"),
+        ]
+    wide = orders.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct" for c in _X171_COLS
+    )
+    long = wide.selectExpr(
+        f"stack({len(_X171_COLS)}, {stack_expr}) AS "
+        "(column_name, n_rows, n_nulls, n_distinct)"
+    )
+    return long.select(
+        "column_name",
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        F.round(F.col("n_nulls").cast("double") / F.col("n_rows"), 6).alias(
+            "null_rate"
+        ),
+        F.round(
+            F.col("n_distinct").cast("double") / F.col("n_rows"), 6
+        ).alias("distinct_rate"),
+    ).orderBy("column_name")
+
+
+# ---- x172: referential-integrity audit over the star schema ----
+
+_X172_EDGES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+_X172_SQL = "UNION ALL".join(
+    f"""
+SELECT '{ct}.{ck}->{pt}' AS fk_edge,
+       CAST(COUNT(*) AS BIGINT) AS n_child_rows,
+       CAST(SUM(CASE WHEN {ck} IS NOT NULL AND NOT EXISTS
+                  (SELECT 1 FROM {pt} p WHERE p.{pk} = c.{ck})
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+FROM {ct} c
+"""
+    for ct, ck, pt, pk in _X172_EDGES
+) + "ORDER BY fk_edge"
+
+
+@register("x172_fk_integrity", oracle=_X172_SQL)
+def x172_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across every FK edge of the
+    star schema: orphan counts per edge (child keys with no parent
+    row; NULL keys are not violations). The one-table answer to
+    "can I trust my joins?" — run before any fact-dim query, and
+    the reference's T16 count-audit generalized to relationships.
+
+    Scale: each edge is a LEFT ANTI join counting survivors —
+    dim-parent edges broadcast the parent key set; the
+    lineitem→orders edge shuffles on the (unique, unskewed) order
+    key. Edges are independent — Spark runs the union's legs in
+    parallel.
+    """
+    out = None
+    for ct, ck, pt, pk in _X172_EDGES:
+        child = load_table(spark, sf_dir, ct)
+        parent = load_table(spark, sf_dir, pt).select(pk).distinct()
+        n_child = child.agg(
+            F.count("*").cast("bigint").alias("n_child_rows")
+        )
+        orphans = (
+            child.where(F.col(ck).isNotNull())
+            .join(parent, child[ck] == parent[pk], "left_anti")
+            .agg(F.count("*").cast("bigint").alias("n_orphans"))
+        )
+        leg = (
+            n_child.crossJoin(orphans)
+            .select(
+                F.lit(f"{ct}.{ck}->{pt}").alias("fk_edge"),
+                "n_child_rows",
+                "n_orphans",
+            )
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out.orderBy("fk_edge")
