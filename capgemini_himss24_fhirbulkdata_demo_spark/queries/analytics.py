@@ -1797,3 +1797,216 @@ def x172_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = leg if out is None else out.unionByName(leg)
     return out.orderBy("fk_edge")
+
+
+# ---- x173: within-session event-type co-occurrence lift ----
+
+_X173_SQL = """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                   - CAST(FLOOR(EPOCH(LAG(ts) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, event_type,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM e),
+st AS (
+  SELECT DISTINCT user_id, session_no, event_type FROM s),
+ns AS (SELECT CAST(COUNT(DISTINCT (user_id, session_no)) AS BIGINT)
+         AS n_sessions FROM st),
+tcount AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM st
+  GROUP BY event_type),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM st a JOIN st b
+    ON a.user_id = b.user_id AND a.session_no = b.session_no
+   AND a.event_type < b.event_type
+  GROUP BY type_a, type_b)
+SELECT p.type_a, p.type_b, p.n_both,
+       ta.n AS n_a, tb.n AS n_b,
+       ROUND(CAST(p.n_both AS DOUBLE) * ns.n_sessions
+             / (CAST(ta.n AS DOUBLE) * tb.n), 6) AS lift
+FROM pairs p
+JOIN tcount ta ON p.type_a = ta.event_type
+JOIN tcount tb ON p.type_b = tb.event_type
+CROSS JOIN ns
+ORDER BY type_a, type_b
+"""
+
+
+@register("x173_session_cooccurrence", oracle=_X173_SQL)
+def x173_session_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session event-type co-occurrence lift: which event
+    types appear in the SAME session more (or less) than chance —
+    x139's market-basket association transplanted from order
+    baskets to behavioral sessions (x162's gap sessionization).
+    lift < 1 on (error, purchase) is the kind of signal this
+    surfaces.
+
+    Counts are session-distinct integers; lift is one double
+    expression over them, identically associated in both engines.
+
+    Scale: sessionization shares x162's single user_id window
+    shuffle; the pair join is per-(user, session) — sessions are
+    inactivity-bounded, so each side is a handful of distinct
+    types (≤5 here), never a corpus-wide self-join.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.withColumn(
+        "is_start",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag("ts").over(w))
+                > 1800
+            ),
+            1,
+        ).otherwise(0),
+    )
+    s = e.withColumn(
+        "session_no",
+        F.sum("is_start").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    st = s.select("user_id", "session_no", "event_type").distinct()
+    ns = st.select("user_id", "session_no").distinct().agg(
+        F.count("*").cast("bigint").alias("n_sessions")
+    )
+    tcount = st.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    a = st.alias("a")
+    b = st.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.session_no") == F.col("b.session_no"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+    )
+    ta = tcount.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+    )
+    tb = tcount.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_both").cast("double") * F.col("n_sessions")
+                / (F.col("n_a").cast("double") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# ---- x174: user lifespan histogram ----
+
+_X174_SQL = """
+WITH span AS (
+  SELECT user_id,
+         CAST(DATEDIFF('day', MIN(CAST(ts AS DATE)),
+                       MAX(CAST(ts AS DATE))) AS BIGINT) AS lifespan_d
+  FROM events GROUP BY user_id),
+b AS (
+  SELECT CASE WHEN lifespan_d = 0 THEN 'a_single_day'
+              WHEN lifespan_d <= 7 THEN 'b_week'
+              WHEN lifespan_d <= 30 THEN 'c_month'
+              WHEN lifespan_d <= 90 THEN 'd_quarter'
+              ELSE 'e_longer' END AS lifespan_bucket,
+         lifespan_d
+  FROM span),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM b)
+SELECT lifespan_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(MIN(lifespan_d) AS BIGINT) AS min_d,
+       CAST(MAX(lifespan_d) AS BIGINT) AS max_d,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT n_users FROM t), 6)
+         AS user_share
+FROM b
+GROUP BY lifespan_bucket
+ORDER BY lifespan_bucket
+"""
+
+
+@register("x174_user_lifespan", oracle=_X174_SQL)
+def x174_user_lifespan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User lifespan histogram: days between a user's first and
+    last observed event, bucketed (single-day / week / month /
+    quarter / longer) — the cheap proxy for cohort longevity that
+    pairs with x127's Kaplan-Meier curve (this is the realized
+    spans; KM handles the censoring).
+
+    Integer day differences and counts; one share division.
+    Bucket labels carry a sort prefix so ordering is stable
+    lexically in both engines.
+
+    Scale: one per-user min/max agg (map-side combinable), then a
+    5-bucket rollup with a 1-row total broadcast.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.max(F.col("ts").cast("date")),
+            F.min(F.col("ts").cast("date")),
+        )
+        .cast("bigint")
+        .alias("lifespan_d")
+    )
+    b = span.select(
+        F.when(F.col("lifespan_d") == 0, "a_single_day")
+        .when(F.col("lifespan_d") <= 7, "b_week")
+        .when(F.col("lifespan_d") <= 30, "c_month")
+        .when(F.col("lifespan_d") <= 90, "d_quarter")
+        .otherwise("e_longer")
+        .alias("lifespan_bucket"),
+        "lifespan_d",
+    )
+    t = b.agg(F.count("*").cast("bigint").alias("nt"))
+    return (
+        b.groupBy("lifespan_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.min("lifespan_d").cast("bigint").alias("min_d"),
+            F.max("lifespan_d").cast("bigint").alias("max_d"),
+        )
+        .crossJoin(F.broadcast(t))
+        .select(
+            "lifespan_bucket",
+            "n_users",
+            "min_d",
+            "max_d",
+            F.round(
+                F.col("n_users").cast("double") / F.col("nt"), 6
+            ).alias("user_share"),
+        )
+        .orderBy("lifespan_bucket")
+    )
