@@ -2010,3 +2010,202 @@ def x174_user_lifespan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lifespan_bucket")
     )
+
+
+# ---- x175: emerging terms between corpus halves ----
+
+_X175_SQL = """
+WITH mid AS (
+  SELECT CAST(FLOOR(MAX(doc_id) / 2) AS BIGINT) AS m FROM documents),
+tok AS (
+  SELECT CASE WHEN d.doc_id <= mid.m THEN 'early' ELSE 'late' END
+           AS half,
+         UNNEST(STRING_SPLIT(LOWER(d.text), ' ')) AS token
+  FROM documents d CROSS JOIN mid),
+cnt AS (
+  SELECT half, token, CAST(COUNT(*) AS BIGINT) AS n
+  FROM tok GROUP BY half, token),
+tot AS (
+  SELECT half, CAST(SUM(n) AS BIGINT) AS t FROM cnt GROUP BY half),
+m AS (
+  SELECT COALESCE(e.token, l.token) AS token,
+         COALESCE(e.n, 0) AS n_early, COALESCE(l.n, 0) AS n_late
+  FROM (SELECT token, n FROM cnt WHERE half = 'early') e
+  FULL JOIN (SELECT token, n FROM cnt WHERE half = 'late') l
+    ON e.token = l.token),
+j AS (
+  SELECT m.token, m.n_early, m.n_late,
+         te.t AS tot_early, tl.t AS tot_late
+  FROM m
+  CROSS JOIN (SELECT t FROM tot WHERE half = 'early') te
+  CROSS JOIN (SELECT t FROM tot WHERE half = 'late') tl)
+SELECT token, n_early, n_late,
+       ROUND((CAST(n_late AS DOUBLE) / tot_late)
+             / ((n_early + 1.0) / tot_early), 4) AS growth,
+       n_late * tot_early >= 2 * (n_early + 1) * tot_late AS emerging
+FROM j
+WHERE n_late >= 10
+ORDER BY (CAST(n_late AS DOUBLE) / tot_late)
+           / ((n_early + 1.0) / tot_early) DESC,
+         token
+LIMIT 30
+"""
+
+
+@register("x175_emerging_terms", oracle=_X175_SQL)
+def x175_emerging_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emerging-term detection: tokens whose frequency share in the
+    late half of the corpus (doc_id order as ingestion order)
+    outgrows their early-half share — the trending-vocabulary
+    monitor that catches topic drift and spam campaigns between
+    crawl snapshots. Emits the top-30 growth leaderboard with an
+    `emerging` flag at the 2x bar (a flag, not a filter, so the
+    leaderboard is informative even on a stationary corpus).
+    Add-one smoothing on the early count admits genuinely new
+    terms without dividing by zero.
+
+    The 2x flag cross-multiplies INTEGER counts (no float
+    threshold); the growth ratio is one fixed double expression,
+    and top-30 orders by the unrounded ratio with token tiebreak.
+
+    Scale: one explode + (half, token) partial agg; the full-outer
+    token join shuffles on token (Zipf head collapses map-side);
+    totals are 2-row broadcasts; top-30 is TakeOrdered.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.agg(
+        F.floor(F.max("doc_id") / 2).cast("bigint").alias("m")
+    )
+    tok = (
+        docs.crossJoin(F.broadcast(mid))
+        .select(
+            F.when(F.col("doc_id") <= F.col("m"), "early")
+            .otherwise("late")
+            .alias("half"),
+            F.explode(F.split(F.lower("text"), " ")).alias("token"),
+        )
+    )
+    cnt = tok.groupBy("half", "token").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    tot = cnt.groupBy("half").agg(F.sum("n").cast("bigint").alias("t"))
+    e = cnt.where(F.col("half") == "early").select(
+        "token", F.col("n").alias("ne")
+    )
+    l = cnt.where(F.col("half") == "late").select(
+        F.col("token").alias("token_l"), F.col("n").alias("nl")
+    )
+    m = e.join(l, e.token == l.token_l, "full_outer").select(
+        F.coalesce("token", "token_l").alias("token"),
+        F.coalesce("ne", F.lit(0)).alias("n_early"),
+        F.coalesce("nl", F.lit(0)).alias("n_late"),
+    )
+    te = tot.where(F.col("half") == "early").select(
+        F.col("t").alias("tot_early")
+    )
+    tl = tot.where(F.col("half") == "late").select(
+        F.col("t").alias("tot_late")
+    )
+    j = m.crossJoin(F.broadcast(te)).crossJoin(F.broadcast(tl))
+    growth = (F.col("n_late").cast("double") / F.col("tot_late")) / (
+        (F.col("n_early") + F.lit(1.0)) / F.col("tot_early")
+    )
+    return (
+        j.where(F.col("n_late") >= 10)
+        .select(
+            "token",
+            "n_early",
+            "n_late",
+            F.round(growth, 4).alias("growth"),
+            (
+                F.col("n_late") * F.col("tot_early")
+                >= 2 * (F.col("n_early") + 1) * F.col("tot_late")
+            ).alias("emerging"),
+            growth.alias("_g"),
+        )
+        .orderBy(F.desc("_g"), "token")
+        .limit(30)
+        .drop("_g")
+    )
+
+
+# ---- x176: dedup token-inflation estimate per source ----
+
+_X176_SQL = """
+WITH fp AS (
+  SELECT doc_id, source,
+         LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+         MD5(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS f
+  FROM documents),
+flagged AS (
+  SELECT source, n_tokens,
+         CASE WHEN doc_id > MIN(doc_id) OVER (PARTITION BY f)
+              THEN 1 ELSE 0 END AS is_dup_copy
+  FROM fp)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(is_dup_copy) AS BIGINT) AS n_dup_copies,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+       CAST(SUM(CASE WHEN is_dup_copy = 1 THEN n_tokens ELSE 0 END)
+            AS BIGINT) AS tokens_dup,
+       ROUND(CAST(SUM(CASE WHEN is_dup_copy = 1 THEN n_tokens ELSE 0 END)
+                  AS DOUBLE) / SUM(n_tokens), 6) AS dup_token_share
+FROM flagged
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("x176_dedup_inflation", oracle=_X176_SQL)
+def x176_dedup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup token-inflation estimate: per source, how many TOKENS
+    (not docs) exact dedup would remove — the number that matters
+    for training budgets, since a source can be 2% duplicate docs
+    but 30% duplicate tokens if its dups are long. Keeper = lowest
+    doc_id per canonical fingerprint (x01's rule); everything else
+    is a dup copy whose tokens count as removable.
+
+    Integer token sums; one share division per source.
+
+    Scale: narrow fingerprint map, one window over the
+    uniform-hash fingerprint key (no skew possible), then a
+    per-source rollup. Token counts ride along — no second pass
+    over text.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace("text", r"\s+", " "))
+    fp = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        F.md5(norm.cast("binary")).alias("f"),
+    )
+    flagged = fp.select(
+        "source",
+        "n_tokens",
+        F.when(
+            F.col("doc_id")
+            > F.min("doc_id").over(Window.partitionBy("f")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_dup_copy"),
+    )
+    dup_tokens = F.sum(
+        F.when(F.col("is_dup_copy") == 1, F.col("n_tokens")).otherwise(0)
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("is_dup_copy").cast("bigint").alias("n_dup_copies"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_total"),
+            dup_tokens.cast("bigint").alias("tokens_dup"),
+            F.round(
+                dup_tokens.cast("double") / F.sum("n_tokens"), 6
+            ).alias("dup_token_share"),
+        )
+        .orderBy("source")
+    )
