@@ -2209,3 +2209,188 @@ def x176_dedup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---- x177: quantity-weighted median discount per brand ----
+
+_X177_SQL = """
+WITH w AS (
+  SELECT p.p_brand,
+         CAST(ROUND(l.l_discount * 100) AS BIGINT) AS disc_pct,
+         CAST(l.l_quantity AS BIGINT) AS wt,
+         l.l_orderkey, l.l_linenumber
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+r AS (
+  SELECT p_brand, disc_pct, wt,
+         SUM(wt) OVER (PARTITION BY p_brand
+                       ORDER BY disc_pct, l_orderkey, l_linenumber
+                       ROWS UNBOUNDED PRECEDING) AS cum_wt,
+         SUM(wt) OVER (PARTITION BY p_brand) AS tot_wt
+  FROM w)
+SELECT p_brand,
+       CAST(MAX(tot_wt) AS BIGINT) AS total_qty,
+       CAST(MIN(CASE WHEN 2 * cum_wt >= tot_wt THEN disc_pct END)
+            AS BIGINT) AS wmedian_disc_pct
+FROM r
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+@register("x177_weighted_median", oracle=_X177_SQL)
+def x177_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median discount per brand — "what discount
+    does the median UNIT ship at?" — which differs from the plain
+    line-level median whenever big orders get deeper discounts.
+    The weighted-quantile shape (running weight sum, first value
+    where 2*cum >= total) generalizes the x157 rank-exact idiom to
+    weighted data; the threshold cross-multiplies integers, so no
+    float appears anywhere in the query.
+
+    Scale: one window shuffle on brand with a streaming running
+    sum (same sort serves both window sums); the pick is a
+    conditional MIN in the same pass. Weights and values are
+    integer-scaled (quantity units, discount percent).
+    """
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    w = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "p_brand",
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("disc_pct"),
+        F.col("l_quantity").cast("bigint").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wo = Window.partitionBy("p_brand").orderBy(
+        "disc_pct", "l_orderkey", "l_linenumber"
+    )
+    r = w.select(
+        "p_brand",
+        "disc_pct",
+        F.sum("wt")
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_wt"),
+        F.sum("wt").over(Window.partitionBy("p_brand")).alias("tot_wt"),
+    )
+    return (
+        r.groupBy("p_brand")
+        .agg(
+            F.max("tot_wt").cast("bigint").alias("total_qty"),
+            F.min(
+                F.when(
+                    2 * F.col("cum_wt") >= F.col("tot_wt"),
+                    F.col("disc_pct"),
+                )
+            )
+            .cast("bigint")
+            .alias("wmedian_disc_pct"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# ---- x178: price-volume decomposition of revenue growth ----
+
+_X178_CUT = "1998-01-01"  # same literal period boundary as x160
+
+_X178_SQL = f"""
+WITH li AS (
+  SELECT p.p_brand,
+         CASE WHEN o.o_orderdate < TIMESTAMP '{_X178_CUT}'
+              THEN 'early' ELSE 'late' END AS period,
+         CAST(l.l_quantity AS BIGINT) AS qty,
+         CAST(l.l_extendedprice AS DECIMAL(18,2)) AS ext
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey),
+agg AS (
+  SELECT p_brand, period,
+         CAST(SUM(qty) AS BIGINT) AS q, SUM(ext) AS rev
+  FROM li GROUP BY p_brand, period),
+wide AS (
+  SELECT p_brand,
+         MAX(CASE WHEN period = 'early' THEN q END) AS q0,
+         MAX(CASE WHEN period = 'late' THEN q END) AS q1,
+         MAX(CASE WHEN period = 'early' THEN rev END) AS r0,
+         MAX(CASE WHEN period = 'late' THEN rev END) AS r1
+  FROM agg GROUP BY p_brand
+  HAVING MAX(CASE WHEN period = 'early' THEN q END) IS NOT NULL
+     AND MAX(CASE WHEN period = 'late' THEN q END) IS NOT NULL)
+SELECT p_brand,
+       ROUND(CAST(r1 - r0 AS DOUBLE), 2) AS delta_rev,
+       ROUND((CAST(q1 AS DOUBLE) - CAST(q0 AS DOUBLE))
+             * (CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE)), 2)
+         AS volume_effect,
+       ROUND(CAST(q1 AS DOUBLE)
+             * (CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE)
+                - CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE)), 2)
+         AS price_effect
+FROM wide
+ORDER BY p_brand
+"""
+
+
+@register("x178_price_volume_decomp", oracle=_X178_SQL)
+def x178_price_volume_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume decomposition of revenue change per brand
+    between the early/late halves: Δrev = volume effect (unit
+    growth at old realized price) + price effect (new units times
+    realized-price change) — the classic Laspeyres-style growth
+    bridge that tells finance WHERE the delta came from (the two
+    effects sum exactly to delta_rev by construction).
+
+    Quantities are integer sums and revenue exact decimal; the
+    effects are fixed double expressions over their casts,
+    identically associated in both engines.
+
+    Scale: one 3-table join (part/orders broadcastable or
+    key-co-partitioned), a (brand, period) partial agg, then a
+    25-row pivot — nothing post-agg exceeds brand cardinality.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    rows = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(
+            "p_brand",
+            F.when(
+                F.col("o_orderdate") < F.lit(_X178_CUT).cast("timestamp"),
+                "early",
+            )
+            .otherwise("late")
+            .alias("period"),
+            F.col("l_quantity").cast("bigint").alias("qty"),
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("ext"),
+        )
+    )
+    agg = rows.groupBy("p_brand", "period").agg(
+        F.sum("qty").cast("bigint").alias("q"),
+        F.sum("ext").alias("rev"),
+    )
+    wide = (
+        agg.groupBy("p_brand")
+        .agg(
+            F.max(F.when(F.col("period") == "early", F.col("q"))).alias("q0"),
+            F.max(F.when(F.col("period") == "late", F.col("q"))).alias("q1"),
+            F.max(F.when(F.col("period") == "early", F.col("rev"))).alias("r0"),
+            F.max(F.when(F.col("period") == "late", F.col("rev"))).alias("r1"),
+        )
+        .where(F.col("q0").isNotNull() & F.col("q1").isNotNull())
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return wide.select(
+        "p_brand",
+        F.round((F.col("r1") - F.col("r0")).cast("double"), 2).alias(
+            "delta_rev"
+        ),
+        F.round(
+            (d("q1") - d("q0")) * (d("r0") / d("q0")), 2
+        ).alias("volume_effect"),
+        F.round(
+            d("q1") * (d("r1") / d("q1") - d("r0") / d("q0")), 2
+        ).alias("price_effect"),
+    ).orderBy("p_brand")
