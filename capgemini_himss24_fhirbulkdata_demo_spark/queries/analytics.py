@@ -2394,3 +2394,183 @@ def x178_price_volume_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
             d("q1") * (d("r1") / d("q1") - d("r0") / d("q0")), 2
         ).alias("price_effect"),
     ).orderBy("p_brand")
+
+
+# ---- x179: cart abandonment by session depth ----
+
+_X179_SQL = """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                   - CAST(FLOOR(EPOCH(LAG(ts) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, event_type,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM e),
+sess AS (
+  SELECT user_id, session_no,
+         CAST(COUNT(*) AS BIGINT) AS depth,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS has_purchase
+  FROM s GROUP BY user_id, session_no),
+b AS (
+  SELECT CASE WHEN depth <= 2 THEN 'a_shallow_1_2'
+              WHEN depth <= 5 THEN 'b_mid_3_5'
+              ELSE 'c_deep_6plus' END AS depth_bucket,
+         has_click, has_purchase
+  FROM sess WHERE has_click = 1)
+SELECT depth_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_click_sessions,
+       CAST(SUM(1 - has_purchase) AS BIGINT) AS n_abandoned,
+       ROUND(CAST(SUM(1 - has_purchase) AS DOUBLE) / COUNT(*), 6)
+         AS abandonment_rate
+FROM b
+GROUP BY depth_bucket
+ORDER BY depth_bucket
+"""
+
+
+@register("x179_cart_abandonment", oracle=_X179_SQL)
+def x179_cart_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cart abandonment by session depth: of sessions containing a
+    click, how many end without a purchase — split by session
+    depth (shallow sessions abandoning is browsing; deep sessions
+    abandoning is a checkout problem). Third member of the x162
+    gap-sessionization family; flags are conditional MAXes in the
+    per-session aggregate, the rate one integer division.
+
+    Scale: identical shuffle profile to x162 (one user_id window,
+    per-session agg in the same partitioning, 3-bucket rollup).
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.withColumn(
+        "is_start",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag("ts").over(w))
+                > 1800
+            ),
+            1,
+        ).otherwise(0),
+    )
+    s = e.withColumn(
+        "session_no",
+        F.sum("is_start").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    sess = s.groupBy("user_id", "session_no").agg(
+        F.count("*").cast("bigint").alias("depth"),
+        F.max(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("has_click"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("has_purchase"),
+    )
+    b = sess.where(F.col("has_click") == 1).select(
+        F.when(F.col("depth") <= 2, "a_shallow_1_2")
+        .when(F.col("depth") <= 5, "b_mid_3_5")
+        .otherwise("c_deep_6plus")
+        .alias("depth_bucket"),
+        "has_purchase",
+    )
+    return (
+        b.groupBy("depth_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_click_sessions"),
+            F.sum(1 - F.col("has_purchase"))
+            .cast("bigint")
+            .alias("n_abandoned"),
+        )
+        .select(
+            "depth_bucket",
+            "n_click_sessions",
+            "n_abandoned",
+            F.round(
+                F.col("n_abandoned").cast("double")
+                / F.col("n_click_sessions"),
+                6,
+            ).alias("abandonment_rate"),
+        )
+        .orderBy("depth_bucket")
+    )
+
+
+# ---- x180: order-frequency dispersion (over/under-dispersion) ----
+
+_X180_SQL = """
+WITH c AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS k
+  FROM orders GROUP BY o_custkey),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(k) AS BIGINT) AS sk,
+         CAST(SUM(k * k) AS BIGINT) AS skk,
+         CAST(MIN(k) AS BIGINT) AS min_orders,
+         CAST(MAX(k) AS BIGINT) AS max_orders
+  FROM c)
+SELECT n AS n_customers, sk AS n_orders, min_orders, max_orders,
+       ROUND(CAST(sk AS DOUBLE) / n, 6) AS mean_orders,
+       ROUND((CAST(skk AS DOUBLE) - CAST(sk AS DOUBLE)
+              * CAST(sk AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(n AS DOUBLE) - 1), 6) AS var_orders,
+       ROUND(((CAST(skk AS DOUBLE) - CAST(sk AS DOUBLE)
+               * CAST(sk AS DOUBLE) / CAST(n AS DOUBLE))
+              / (CAST(n AS DOUBLE) - 1))
+             / (CAST(sk AS DOUBLE) / n), 6) AS dispersion_index
+FROM s
+"""
+
+
+@register("x180_order_dispersion", oracle=_X180_SQL)
+def x180_order_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-frequency dispersion index (variance-to-mean ratio of
+    orders per customer): ~1 = Poisson purchasing, >1 =
+    heavy-repeat clumping (negative-binomial world, loyalty
+    programs matter), <1 = suspiciously regular (bot or quota
+    behavior). The per-entity cousin of x119's term burstiness,
+    on transactions instead of tokens.
+
+    Sample variance comes from exact integer moment sums (x167
+    machinery) in one fixed double expression.
+
+    Scale: per-customer count then a single 1-row moment reduce —
+    two map-side-combinable aggregations, no shuffle wider than
+    customer count.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy("o_custkey").agg(
+        F.count("*").cast("bigint").alias("k")
+    )
+    s = c.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("sk"),
+        F.sum(F.col("k") * F.col("k")).cast("bigint").alias("skk"),
+        F.min("k").cast("bigint").alias("min_orders"),
+        F.max("k").cast("bigint").alias("max_orders"),
+    )
+    d = lambda col: F.col(col).cast("double")  # noqa: E731
+    var = (d("skk") - d("sk") * d("sk") / d("n")) / (d("n") - 1)
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.col("sk").alias("n_orders"),
+        "min_orders",
+        "max_orders",
+        F.round(d("sk") / F.col("n"), 6).alias("mean_orders"),
+        F.round(var, 6).alias("var_orders"),
+        F.round(var / (d("sk") / F.col("n")), 6).alias(
+            "dispersion_index"
+        ),
+    )
