@@ -2574,3 +2574,177 @@ def x180_order_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dispersion_index"
         ),
     )
+
+
+# ---- x181: vocabulary coverage curve ----
+
+_X181_KS = (100, 1000, 10000)
+
+_X181_SQL = f"""
+WITH tok AS (
+  SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS t FROM documents),
+cnt AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY t),
+ranked AS (
+  SELECT n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, t) AS rnk,
+         SUM(n) OVER (ORDER BY n DESC, t ROWS UNBOUNDED PRECEDING)
+           AS cum_n,
+         SUM(n) OVER () AS tot_n,
+         COUNT(*) OVER () AS vocab_size
+  FROM cnt),
+ks AS (SELECT UNNEST(ARRAY{list(_X181_KS)}) AS k)
+SELECT CAST(ks.k AS BIGINT) AS vocab_k,
+       CAST(MAX(r.vocab_size) AS BIGINT) AS full_vocab,
+       CAST(MAX(CASE WHEN r.rnk = LEAST(ks.k, r.vocab_size)
+                     THEN r.cum_n END) AS BIGINT) AS covered_tokens,
+       CAST(MAX(r.tot_n) AS BIGINT) AS total_tokens,
+       ROUND(CAST(MAX(CASE WHEN r.rnk = LEAST(ks.k, r.vocab_size)
+                           THEN r.cum_n END) AS DOUBLE)
+             / MAX(r.tot_n), 6) AS coverage
+FROM ks CROSS JOIN ranked r
+GROUP BY ks.k
+ORDER BY vocab_k
+"""
+
+
+@register("x181_vocab_coverage", oracle=_X181_SQL)
+def x181_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what share of all token
+    occurrences the top-k most frequent types cover, for k in
+    {ks} — the tokenizer-budget planning number (how big a vocab
+    before OOV rate is acceptable; pairs with x82's OOV rate for
+    a FIXED vocab and x91's Heaps growth). Frequency ties break
+    lexically so the top-k set is deterministic.
+
+    Scale: one token count (Zipf head collapses map-side), one
+    descending range-partitioned running sum over the type table
+    (types ≪ tokens), and a 3-point probe joined as a broadcast.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    wo = Window.orderBy(F.desc("n"), "t")
+    ranked = cnt.select(
+        "n",
+        F.row_number().over(wo).alias("rnk"),
+        F.sum("n")
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_n"),
+        F.sum("n").over(Window.partitionBy()).alias("tot_n"),
+        F.count("*").over(Window.partitionBy()).alias("vocab_size"),
+    )
+    ks = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(k) for k in _X181_KS])
+        ).alias("k")
+    )
+    hit = F.when(
+        F.col("rnk") == F.least(F.col("k"), F.col("vocab_size")),
+        F.col("cum_n"),
+    )
+    return (
+        F.broadcast(ks)
+        .crossJoin(ranked)
+        .groupBy(F.col("k").cast("bigint").alias("vocab_k"))
+        .agg(
+            F.max("vocab_size").cast("bigint").alias("full_vocab"),
+            F.max(hit).cast("bigint").alias("covered_tokens"),
+            F.max("tot_n").cast("bigint").alias("total_tokens"),
+            F.round(
+                F.max(hit).cast("double") / F.max("tot_n"), 6
+            ).alias("coverage"),
+        )
+        .orderBy("vocab_k")
+    )
+
+
+x181_vocab_coverage.__doc__ = x181_vocab_coverage.__doc__.format(
+    ks=_X181_KS
+)
+
+
+# ---- x182: token-anomaly rates (OCR/boilerplate garbage screen) ----
+
+_X182_SQL = """
+WITH tok AS (
+  SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents),
+f AS (
+  SELECT source,
+         CASE WHEN LENGTH(t) > 20 THEN 1 ELSE 0 END AS is_long,
+         CASE WHEN REGEXP_MATCHES(t, '[A-Za-z]')
+               AND REGEXP_MATCHES(t, '[0-9]') THEN 1 ELSE 0 END
+           AS is_mixed,
+         CASE WHEN NOT REGEXP_MATCHES(t, '[A-Za-z0-9]') AND t <> ''
+              THEN 1 ELSE 0 END AS is_nonword
+  FROM tok)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(is_long) AS BIGINT) AS n_long,
+       CAST(SUM(is_mixed) AS BIGINT) AS n_mixed_alnum,
+       CAST(SUM(is_nonword) AS BIGINT) AS n_nonword,
+       ROUND(CAST(SUM(is_long + is_mixed + is_nonword) AS DOUBLE)
+             / COUNT(*), 6) AS anomaly_rate
+FROM f
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("x182_token_anomalies", oracle=_X182_SQL)
+def x182_token_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-anomaly screen per source: overlong tokens (>20
+    chars — URLs, concatenation bugs), mixed letter-digit tokens
+    (OCR noise, serials), and no-alphanumeric tokens (markup
+    shrapnel). High rates mark sources needing a cleaning pass
+    before tokenizer training; the complement of x159's char-level
+    audit at token granularity.
+
+    Flags are regex class tests (identical in Java regex / RE2);
+    integer sums, one division.
+
+    Scale: explode + per-source partial agg, nothing wider than
+    source cardinality; flags evaluate inside codegen.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("t")
+    f = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("t")
+    ).select(
+        "source",
+        F.when(F.length(t) > 20, 1).otherwise(0).alias("is_long"),
+        F.when(
+            t.rlike("[A-Za-z]") & t.rlike("[0-9]"), 1
+        )
+        .otherwise(0)
+        .alias("is_mixed"),
+        F.when(
+            (~t.rlike("[A-Za-z0-9]")) & (t != ""), 1
+        )
+        .otherwise(0)
+        .alias("is_nonword"),
+    )
+    return (
+        f.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("is_long").cast("bigint").alias("n_long"),
+            F.sum("is_mixed").cast("bigint").alias("n_mixed_alnum"),
+            F.sum("is_nonword").cast("bigint").alias("n_nonword"),
+            F.round(
+                F.sum(
+                    F.col("is_long")
+                    + F.col("is_mixed")
+                    + F.col("is_nonword")
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("anomaly_rate"),
+        )
+        .orderBy("source")
+    )
