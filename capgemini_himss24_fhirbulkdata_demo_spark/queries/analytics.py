@@ -2748,3 +2748,176 @@ def x182_token_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---- x183: monthly new-vs-returning revenue bridge ----
+
+_X183_SQL = """
+WITH o AS (
+  SELECT o_custkey,
+         STRFTIME(DATE_TRUNC('month', CAST(o_orderdate AS DATE)),
+                  '%Y-%m') AS month,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+         MIN(STRFTIME(DATE_TRUNC('month', CAST(o_orderdate AS DATE)),
+                      '%Y-%m'))
+           OVER (PARTITION BY o_custkey) AS first_month
+  FROM orders)
+SELECT month,
+       CAST(COUNT(DISTINCT CASE WHEN month = first_month
+                                THEN o_custkey END) AS BIGINT)
+         AS n_new_customers,
+       CAST(SUM(CASE WHEN month = first_month THEN price
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         AS new_revenue,
+       CAST(SUM(CASE WHEN month <> first_month THEN price
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         AS returning_revenue,
+       ROUND(CAST(SUM(CASE WHEN month = first_month THEN price
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM(price) AS DOUBLE), 6) AS new_share
+FROM o
+GROUP BY month
+ORDER BY month
+"""
+
+
+@register("x183_revenue_bridge", oracle=_X183_SQL)
+def x183_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue bridge: new-customer revenue (orders in the
+    customer's first-ever month) vs returning revenue — the
+    growth-accounting decomposition ("are we growing by
+    acquisition or retention?") that x101's cohort retention
+    matrix summarizes one level up. A customer's cohort month
+    comes from a window MIN, so no self-join against a first-order
+    subquery.
+
+    Revenue stays exact decimal through the conditional sums (the
+    ELSE arm is a decimal zero to keep the accumulator type
+    exact); shares divide the double casts once.
+
+    Scale: one window over o_custkey (partial agg impossible for
+    window-min, but the same shuffle also serves the month
+    rollup's input); month cardinality output. At 100 TB the
+    first-month map is a one-time dimension one would materialize.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    month = F.date_format(
+        F.date_trunc("month", F.col("o_orderdate").cast("date")),
+        "yyyy-MM",
+    )
+    o = orders.select(
+        "o_custkey",
+        month.alias("month"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    ).withColumn(
+        "first_month",
+        F.min("month").over(Window.partitionBy("o_custkey")),
+    )
+    is_new = F.col("month") == F.col("first_month")
+    zero = F.lit(0).cast("decimal(18,2)")
+    new_rev = F.sum(F.when(is_new, F.col("price")).otherwise(zero))
+    ret_rev = F.sum(F.when(~is_new, F.col("price")).otherwise(zero))
+    return (
+        o.groupBy("month")
+        .agg(
+            F.countDistinct(
+                F.when(is_new, F.col("o_custkey"))
+            )
+            .cast("bigint")
+            .alias("n_new_customers"),
+            new_rev.cast("double").alias("new_revenue"),
+            ret_rev.cast("double").alias("returning_revenue"),
+            F.round(
+                new_rev.cast("double")
+                / F.sum("price").cast("double"),
+                6,
+            ).alias("new_share"),
+        )
+        .orderBy("month")
+    )
+
+
+# ---- x184: CLV-lite per market segment ----
+
+_X184_SQL = """
+WITH per_cust AS (
+  SELECT c.c_mktsegment AS segment, o.o_custkey,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS spend,
+         CAST(DATEDIFF('day', MIN(CAST(o.o_orderdate AS DATE)),
+                       MAX(CAST(o.o_orderdate AS DATE))) AS BIGINT)
+           AS active_days
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY segment, o.o_custkey)
+SELECT segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(spend) AS DOUBLE) / SUM(n_orders), 2)
+         AS avg_order_value,
+       ROUND(CAST(SUM(n_orders) AS DOUBLE) / COUNT(*), 4)
+         AS orders_per_customer,
+       ROUND(CAST(SUM(active_days) AS DOUBLE) / COUNT(*), 2)
+         AS avg_active_days,
+       ROUND(CAST(SUM(spend) AS DOUBLE) / COUNT(*), 2)
+         AS clv_realized
+FROM per_cust
+GROUP BY segment
+ORDER BY segment
+"""
+
+
+@register("x184_clv_segments", oracle=_X184_SQL)
+def x184_clv_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLV-lite per market segment: realized customer lifetime
+    value decomposed into its drivers (average order value x
+    orders per customer), plus average active span — the
+    back-of-envelope LTV model that x130's cohort LTV curve
+    refines over time. All inputs are exact decimal/integer sums
+    aggregated once per customer then once per segment; each
+    emitted ratio is a single double division.
+
+    Scale: customer-grain agg (one shuffle on custkey, dim join
+    broadcast), then a 5-row segment rollup of already-exact
+    partials — the two-level pattern that keeps the big shuffle on
+    the high-cardinality key where partial aggregation bites.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "spend"
+            ),
+            F.datediff(
+                F.max(F.col("o_orderdate").cast("date")),
+                F.min(F.col("o_orderdate").cast("date")),
+            )
+            .cast("bigint")
+            .alias("active_days"),
+        )
+    )
+    return (
+        per_cust.groupBy("segment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.round(
+                F.sum("spend").cast("double") / F.sum("n_orders"), 2
+            ).alias("avg_order_value"),
+            F.round(
+                F.sum("n_orders").cast("double") / F.count("*"), 4
+            ).alias("orders_per_customer"),
+            F.round(
+                F.sum("active_days").cast("double") / F.count("*"), 2
+            ).alias("avg_active_days"),
+            F.round(
+                F.sum("spend").cast("double") / F.count("*"), 2
+            ).alias("clv_realized"),
+        )
+        .orderBy("segment")
+    )
