@@ -2921,3 +2921,177 @@ def x184_clv_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---- x185: winsorized mean order value ----
+
+_X185_SQL = """
+WITH r AS (
+  SELECT o_totalprice AS v,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER () AS n
+  FROM orders),
+caps AS (
+  SELECT MAX(CASE WHEN rn = CAST(CEIL(0.01 * n) AS BIGINT)
+                  THEN v END) AS lo,
+         MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT)
+                  THEN v END) AS hi,
+         CAST(MAX(n) AS BIGINT) AS n
+  FROM r),
+w AS (
+  SELECT CAST(LEAST(GREATEST(o.o_totalprice, c.lo), c.hi)
+              AS DECIMAL(18,2)) AS wv,
+         CAST(o.o_totalprice AS DECIMAL(18,2)) AS v,
+         c.n, c.lo, c.hi
+  FROM orders o CROSS JOIN caps c)
+SELECT MAX(n) AS n_orders,
+       ROUND(MAX(lo), 2) AS p01_cap, ROUND(MAX(hi), 2) AS p99_cap,
+       ROUND(CAST(SUM(v) AS DOUBLE) / MAX(n), 2) AS raw_mean,
+       ROUND(CAST(SUM(wv) AS DOUBLE) / MAX(n), 2) AS winsorized_mean
+FROM w
+"""
+
+
+@register("x185_winsorized_mean", oracle=_X185_SQL)
+def x185_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean order value (1%/99% caps): the robust
+    average that reports what typical orders look like with the
+    whale and penny tails clamped — the difference against the
+    raw mean IS the outlier influence, in dollars. Caps are
+    rank-exact data values (x157 idiom), clamping happens
+    pre-cast, and both means accumulate as exact decimals.
+
+    Scale: one global sort for the two cap ranks (at 100 TB: a
+    range-partitioned sort or q72's approx-percentile twin), then
+    a broadcast of the 1-row caps into a second scan — two passes,
+    both shuffle-light.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    r = orders.select(
+        F.col("o_totalprice").alias("v"),
+        F.row_number()
+        .over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+
+    def cap(p: float, name: str):
+        return F.max(
+            F.when(
+                F.col("rn")
+                == F.ceil(F.lit(p) * F.col("n")).cast("bigint"),
+                F.col("v"),
+            )
+        ).alias(name)
+
+    caps = r.agg(
+        cap(0.01, "lo"), cap(0.99, "hi"), F.max("n").cast("bigint").alias("n")
+    )
+    w = orders.crossJoin(F.broadcast(caps)).select(
+        F.least(
+            F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi")
+        )
+        .cast("decimal(18,2)")
+        .alias("wv"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+        "n",
+        "lo",
+        "hi",
+    )
+    return w.agg(
+        F.max("n").alias("n_orders"),
+        F.round(F.max("lo"), 2).alias("p01_cap"),
+        F.round(F.max("hi"), 2).alias("p99_cap"),
+        F.round(F.sum("v").cast("double") / F.max("n"), 2).alias(
+            "raw_mean"
+        ),
+        F.round(F.sum("wv").cast("double") / F.max("n"), 2).alias(
+            "winsorized_mean"
+        ),
+    )
+
+
+# ---- x186: CR-3 concentration ratio per brand ----
+
+_X186_SQL = """
+WITH rev AS (
+  SELECT p.p_brand, l.l_partkey,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(6,4))
+                     - CAST(l.l_discount AS DECIMAL(6,4)))) * 1000000
+              AS DECIMAL(19,0)) AS rev_u
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand, l.l_partkey),
+rk AS (
+  SELECT p_brand, rev_u,
+         ROW_NUMBER() OVER (PARTITION BY p_brand
+                            ORDER BY rev_u DESC, l_partkey) AS rn
+  FROM rev)
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       ROUND(CAST(SUM(CASE WHEN rn <= 3 THEN rev_u
+                           ELSE CAST(0 AS DECIMAL(19,0)) END) AS DOUBLE)
+             / CAST(SUM(rev_u) AS DOUBLE), 6) AS cr3
+FROM rk
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+@register("x186_cr3_concentration", oracle=_X186_SQL)
+def x186_cr3_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CR-3 concentration per brand: revenue share of each brand's
+    top-3 parts — the discrete cousin of x153's HHI (CR-k answers
+    "how hit-driven is this brand?"; HHI weighs the whole
+    distribution). Revenue uses the exact micro-unit decimals;
+    the top-3 rank breaks ties by partkey; one double division
+    per brand at the end.
+
+    Scale: (brand, part) partial agg, one brand-keyed window
+    (bounded per-brand part lists), same-pass conditional sum —
+    no join back to the fact table.
+    """
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    disc = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(6,4)") - F.col("l_discount").cast("decimal(6,4)"))
+    )
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "l_partkey")
+        .agg(
+            (F.sum(disc) * 1000000)
+            .cast("decimal(19,0)")
+            .alias("rev_u")
+        )
+    )
+    rk = rev.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("p_brand").orderBy(
+                F.desc("rev_u"), "l_partkey"
+            )
+        ),
+    )
+    zero = F.lit(0).cast("decimal(19,0)")
+    return (
+        rk.groupBy("p_brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.round(
+                F.sum(
+                    F.when(F.col("rn") <= 3, F.col("rev_u")).otherwise(
+                        zero
+                    )
+                ).cast("double")
+                / F.sum("rev_u").cast("double"),
+                6,
+            ).alias("cr3"),
+        )
+        .orderBy("p_brand")
+    )
