@@ -1644,3 +1644,232 @@ def x105_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 x105_ivfpq_search.__doc__ = x105_ivfpq_search.__doc__.format(
     np=_IVF_N_PROBE, nl=8, cx=_DIM * 4 // _PQ_M
 )
+
+
+# ---- x187: inter-label centroid distance matrix ----
+
+_X187_CENT_SQL = f"""
+    lab_long AS (
+      SELECT label, i.i AS pos,
+             CAST(SUM(CAST(CAST(embedding[i.i] AS DOUBLE)
+                           AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+      FROM embeddings, (SELECT UNNEST(RANGE(1, {_DIM} + 1)) AS i) i
+      GROUP BY label, i.i),
+    lab_cent AS (
+      SELECT label, LIST(m ORDER BY pos) AS c FROM lab_long GROUP BY label)
+"""
+
+_X187_SQL = f"""
+    WITH {_X187_CENT_SQL}
+    SELECT a.label AS label_a, b.label AS label_b,
+           ROUND(SQRT(LIST_REDUCE(LIST_TRANSFORM(RANGE(1, {_DIM} + 1),
+                 i -> (CAST(a.c[i] AS DOUBLE) - CAST(b.c[i] AS DOUBLE))
+                      * (CAST(a.c[i] AS DOUBLE) - CAST(b.c[i] AS DOUBLE))),
+                 (x, y) -> x + y)), 6) AS euclid_dist,
+           ROUND({_sql_dot('a.c', 'b.c')}
+                 / (SQRT({_sql_dot('a.c', 'a.c')})
+                    * SQRT({_sql_dot('b.c', 'b.c')})), 6) AS cosine
+    FROM lab_cent a JOIN lab_cent b ON a.label < b.label
+    ORDER BY label_a, label_b
+    """
+
+
+@register("x187_centroid_distances", oracle=_X187_SQL)
+def x187_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-label centroid distance matrix (Euclidean + cosine for
+    every label pair) — the class-separability map read before
+    trusting labels for stratified sampling or SemDeDup budgets
+    (two labels whose centroids nearly coincide aren't distinct
+    domains). Extends x57's exact-decimal centroid build from
+    label-vs-global to label-vs-label.
+
+    Centroid components are exact-decimal means; the pair distances
+    are sequential folds (F.aggregate ↔ LIST_REDUCE) over k
+    centroids only — never over raw vectors.
+
+    Scale: the posexplode centroid build is the only corpus-sized
+    stage (skinny (label, pos) shuffle); the k x k pair join is
+    dimension-table sized at any corpus scale.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    long = emb.select(
+        "label", F.posexplode("embedding").alias("__pos", "__val")
+    )
+    dec = F.sum(
+        F.col("__val").cast("double").cast("decimal(28,12)")
+    ).cast("double") / F.count("*")
+    lab_cent = (
+        long.groupBy("label", "__pos")
+        .agg(dec.alias("__m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__m"))),
+                lambda s: s["__m"],
+            ).alias("c")
+        )
+    )
+    a = lab_cent.select(
+        F.col("label").alias("label_a"), F.col("c").alias("ca")
+    )
+    b = lab_cent.select(
+        F.col("label").alias("label_b"), F.col("c").alias("cb")
+    )
+
+    def fold_sq(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda u, v: (u - v) * (u - v)),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    def fold_dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda u, v: u * v),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    return (
+        a.join(b, F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                F.sqrt(fold_sq(F.col("ca"), F.col("cb"))), 6
+            ).alias("euclid_dist"),
+            F.round(
+                fold_dot(F.col("ca"), F.col("cb"))
+                / (
+                    F.sqrt(fold_dot(F.col("ca"), F.col("ca")))
+                    * F.sqrt(fold_dot(F.col("cb"), F.col("cb")))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+# ---- x188: silhouette-lite label margins ----
+
+_X188_SQL = f"""
+    WITH {_X187_CENT_SQL},
+    d AS (
+      SELECT e.vec_id, e.label AS vlabel, c.label AS clabel,
+             SQRT(LIST_REDUCE(LIST_TRANSFORM(RANGE(1, {_DIM} + 1),
+                 i -> (CAST(e.embedding[i] AS DOUBLE)
+                       - CAST(c.c[i] AS DOUBLE))
+                      * (CAST(e.embedding[i] AS DOUBLE)
+                         - CAST(c.c[i] AS DOUBLE))),
+                 (x, y) -> x + y)) AS dist
+      FROM embeddings e CROSS JOIN lab_cent c),
+    per_vec AS (
+      SELECT vec_id, vlabel AS label,
+             MAX(CASE WHEN vlabel = clabel THEN dist END) AS d_own,
+             MIN(CASE WHEN vlabel <> clabel THEN dist END) AS d_other
+      FROM d GROUP BY vec_id, vlabel)
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN d_other > d_own THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_well_separated,
+           ROUND(CAST(SUM(CAST(d_own AS DECIMAL(28,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_own_dist,
+           ROUND(CAST(SUM(CAST(d_other - d_own AS DECIMAL(28,12)))
+                      AS DOUBLE) / COUNT(*), 6) AS avg_margin
+    FROM per_vec
+    GROUP BY label
+    ORDER BY label
+    """
+
+
+@register("x188_label_margins", oracle=_X188_SQL)
+def x188_label_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silhouette-lite cluster quality per label: each vector's
+    distance to its own centroid vs its nearest OTHER centroid;
+    the margin (other - own) and the well-separated count tell
+    you which labels are coherent clusters and which are grab
+    bags — the go/no-go check before using labels as strata or
+    SemDeDup cells (x16/x68 consumers).
+
+    Per-vector distances are sequential folds against k broadcast
+    centroids; margin averages accumulate as exact decimals so
+    row order never shows in the result.
+
+    Scale: centroid build as x187; the scoring pass is a
+    broadcast-k fan-out per vector (k rows per vector, k = label
+    count — linear in corpus, never pairwise in vectors).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    long = emb.select(
+        "label", F.posexplode("embedding").alias("__pos", "__val")
+    )
+    dec = F.sum(
+        F.col("__val").cast("double").cast("decimal(28,12)")
+    ).cast("double") / F.count("*")
+    lab_cent = (
+        long.groupBy("label", "__pos")
+        .agg(dec.alias("__m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__m"))),
+                lambda s: s["__m"],
+            ).alias("c")
+        )
+        .select(F.col("label").alias("clabel"), "c")
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("c"),
+                lambda u, v: (u.cast("double") - v)
+                * (u.cast("double") - v),
+            ),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+    )
+    d = emb.crossJoin(F.broadcast(lab_cent)).select(
+        "vec_id",
+        F.col("label").alias("vlabel"),
+        "clabel",
+        dist.alias("dist"),
+    )
+    per_vec = d.groupBy("vec_id", F.col("vlabel").alias("label")).agg(
+        F.max(
+            F.when(F.col("vlabel") == F.col("clabel"), F.col("dist"))
+        ).alias("d_own"),
+        F.min(
+            F.when(F.col("vlabel") != F.col("clabel"), F.col("dist"))
+        ).alias("d_other"),
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.sum(
+                F.when(F.col("d_other") > F.col("d_own"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_well_separated"),
+            F.round(
+                F.sum(F.col("d_own").cast("decimal(28,12)")).cast(
+                    "double"
+                )
+                / F.count("*"),
+                6,
+            ).alias("avg_own_dist"),
+            F.round(
+                F.sum(
+                    (F.col("d_other") - F.col("d_own")).cast(
+                        "decimal(28,12)"
+                    )
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_margin"),
+        )
+        .orderBy("label")
+    )

@@ -60,6 +60,14 @@ QUERIES = [
     "x111_token_association",
     "x112_source_drift_ks",
     "x110_reaggregated_rollup",
+    # r5 analytics-family additions: the four with the widest
+    # shuffles in the statistical/audit batch — corpus-wide trigram
+    # distinct, token-keyed full-outer half comparison, global
+    # type-table running sum, and sessionized pair join.
+    "x154_distinct_ngrams",
+    "x175_emerging_terms",
+    "x181_vocab_coverage",
+    "x173_session_cooccurrence",
 ]
 
 _PARTS = {"lineitem": 8, "orders": 4, "documents": 4, "embeddings": 4, "events": 4}
