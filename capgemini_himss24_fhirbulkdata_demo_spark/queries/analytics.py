@@ -3095,3 +3095,146 @@ def x186_cr3_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# ---- x189: single-source supply risk per brand ----
+
+_X189_SQL = """
+WITH ps AS (
+  SELECT l_partkey,
+         CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+  FROM lineitem GROUP BY l_partkey),
+j AS (
+  SELECT p.p_brand, ps.n_suppliers
+  FROM ps JOIN part p ON ps.l_partkey = p.p_partkey)
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_parts_traded,
+       CAST(SUM(CASE WHEN n_suppliers = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_single_source,
+       ROUND(CAST(SUM(CASE WHEN n_suppliers = 1 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS single_source_share,
+       ROUND(CAST(SUM(n_suppliers) AS DOUBLE) / COUNT(*), 4)
+         AS avg_suppliers_per_part
+FROM j
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+@register("x189_single_source_risk", oracle=_X189_SQL)
+def x189_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source supply risk per brand: the share of traded
+    parts with exactly one observed supplier — procurement's
+    resilience metric (a single-source part is a production stop
+    waiting for one bankruptcy). Distinct-supplier counts are
+    integers; shares one division each.
+
+    Scale: a (partkey, suppkey)-keyed distinct then partkey
+    rollup (both ride the same shuffle under partial-distinct
+    aggregation); part dim joins broadcast; brand-sized output.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ps = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").cast("bigint").alias("n_suppliers")
+    )
+    j = ps.join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+    single = F.sum(
+        F.when(F.col("n_suppliers") == 1, 1).otherwise(0)
+    )
+    return (
+        j.groupBy("p_brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts_traded"),
+            single.cast("bigint").alias("n_single_source"),
+            F.round(
+                single.cast("double") / F.count("*"), 6
+            ).alias("single_source_share"),
+            F.round(
+                F.sum("n_suppliers").cast("double") / F.count("*"), 4
+            ).alias("avg_suppliers_per_part"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# ---- x190: order fulfillment-spread histogram ----
+
+_X190_SQL = """
+WITH spread AS (
+  SELECT l_orderkey,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(DATEDIFF('day', MIN(CAST(l_shipdate AS DATE)),
+                       MAX(CAST(l_shipdate AS DATE))) AS BIGINT)
+           AS spread_d
+  FROM lineitem GROUP BY l_orderkey),
+b AS (
+  SELECT CASE WHEN n_lines = 1 THEN 'a_single_line'
+              WHEN spread_d = 0 THEN 'b_same_day'
+              WHEN spread_d <= 7 THEN 'c_within_week'
+              WHEN spread_d <= 30 THEN 'd_within_month'
+              ELSE 'e_fragmented' END AS spread_bucket,
+         spread_d
+  FROM spread),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b)
+SELECT spread_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MAX(spread_d) AS BIGINT) AS max_spread_d,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM t), 6)
+         AS order_share
+FROM b
+GROUP BY spread_bucket
+ORDER BY spread_bucket
+"""
+
+
+@register("x190_fulfillment_spread", oracle=_X190_SQL)
+def x190_fulfillment_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order fulfillment-spread histogram: days between an order's
+    first and last line shipment, bucketed — the shipment-
+    fragmentation view ops teams use to weigh consolidation
+    against speed (every 'e_fragmented' order is multiple boxes,
+    multiple carrier fees). Integer day spans; single-line orders
+    get their own bucket rather than polluting same-day.
+
+    Scale: one orderkey-grain min/max agg (unique key, perfectly
+    combinable map-side) and a 5-bucket rollup with a broadcast
+    total.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    spread = li.groupBy("l_orderkey").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.datediff(
+            F.max(F.col("l_shipdate").cast("date")),
+            F.min(F.col("l_shipdate").cast("date")),
+        )
+        .cast("bigint")
+        .alias("spread_d"),
+    )
+    b = spread.select(
+        F.when(F.col("n_lines") == 1, "a_single_line")
+        .when(F.col("spread_d") == 0, "b_same_day")
+        .when(F.col("spread_d") <= 7, "c_within_week")
+        .when(F.col("spread_d") <= 30, "d_within_month")
+        .otherwise("e_fragmented")
+        .alias("spread_bucket"),
+        "spread_d",
+    )
+    t = b.agg(F.count("*").cast("bigint").alias("nt"))
+    return (
+        b.groupBy("spread_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.max("spread_d").cast("bigint").alias("max_spread_d"),
+        )
+        .crossJoin(F.broadcast(t))
+        .select(
+            "spread_bucket",
+            "n_orders",
+            "max_spread_d",
+            F.round(
+                F.col("n_orders").cast("double") / F.col("nt"), 6
+            ).alias("order_share"),
+        )
+        .orderBy("spread_bucket")
+    )
