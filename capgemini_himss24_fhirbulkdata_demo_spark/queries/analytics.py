@@ -3238,3 +3238,218 @@ def x190_fulfillment_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("spread_bucket")
     )
+
+
+# ---- x191: at-risk accounts (recency x value matrix) ----
+
+_X191_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend,
+         MAX(CAST(o_orderdate AS DATE)) AS last_order
+  FROM orders GROUP BY o_custkey),
+anchor AS (SELECT MAX(last_order) AS corpus_end FROM per_cust),
+scored AS (
+  SELECT p.o_custkey, p.spend,
+         CAST(DATEDIFF('day', p.last_order, a.corpus_end) AS BIGINT)
+           AS recency_d,
+         NTILE(4) OVER (ORDER BY p.spend, p.o_custkey) AS value_q
+  FROM per_cust p CROSS JOIN anchor a),
+b AS (
+  SELECT value_q,
+         CASE WHEN recency_d <= 90 THEN 'a_active_90d'
+              WHEN recency_d <= 365 THEN 'b_cooling_1y'
+              ELSE 'c_dormant' END AS recency_bucket,
+         spend
+  FROM scored)
+SELECT CAST(value_q AS BIGINT) AS value_q, recency_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(spend) AS DOUBLE) AS spend_at_stake
+FROM b
+GROUP BY value_q, recency_bucket
+ORDER BY value_q, recency_bucket
+"""
+
+
+@register("x191_at_risk_matrix", oracle=_X191_SQL)
+def x191_at_risk_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-risk account matrix: customers cross-tabbed by lifetime-
+    value quartile and recency bucket (days since last order,
+    anchored to the corpus end so the query is reproducible) —
+    the retention team's target list; the (value_q=4, dormant)
+    cell is churned whales and its spend_at_stake is the number
+    that gets the meeting scheduled. RFM (x121) scores individual
+    customers; this is the portfolio roll-up with dollars
+    attached.
+
+    Exact decimal spend; integer recency; NTILE with custkey
+    tiebreak.
+
+    Scale: customer-grain agg, a 1-row anchor broadcast, one
+    NTILE sort over customers, 12-cell output.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"),
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+    )
+    anchor = per_cust.agg(F.max("last_order").alias("corpus_end"))
+    scored = per_cust.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        "spend",
+        F.datediff("corpus_end", "last_order")
+        .cast("bigint")
+        .alias("recency_d"),
+        F.ntile(4)
+        .over(Window.orderBy("spend", "o_custkey"))
+        .alias("value_q"),
+    )
+    b = scored.select(
+        "value_q",
+        F.when(F.col("recency_d") <= 90, "a_active_90d")
+        .when(F.col("recency_d") <= 365, "b_cooling_1y")
+        .otherwise("c_dormant")
+        .alias("recency_bucket"),
+        "spend",
+    )
+    return (
+        b.groupBy(
+            F.col("value_q").cast("bigint").alias("value_q"),
+            "recency_bucket",
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum("spend").cast("double").alias("spend_at_stake"),
+        )
+        .orderBy("value_q", "recency_bucket")
+    )
+
+
+# ---- x192: brand cannibalization (negative weekly correlation) ----
+
+_X192_SQL = """
+WITH wk AS (
+  SELECT p.p_brand,
+         DATE_TRUNC('week', CAST(o.o_orderdate AS DATE)) AS week,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(6,4))
+                     - CAST(l.l_discount AS DECIMAL(6,4)))) * 1000000
+              AS DECIMAL(19,0)) AS rev_u
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand, week),
+pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+         CAST(COUNT(*) AS BIGINT) AS n_weeks,
+         SUM(a.rev_u) AS sx, SUM(b.rev_u) AS sy,
+         SUM(a.rev_u * b.rev_u) AS sxy,
+         SUM(a.rev_u * a.rev_u) AS sxx,
+         SUM(b.rev_u * b.rev_u) AS syy
+  FROM wk a JOIN wk b
+    ON a.week = b.week AND a.p_brand < b.p_brand
+  GROUP BY brand_a, brand_b)
+SELECT brand_a, brand_b, n_weeks,
+       ROUND(
+         (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                                / CAST(n_weeks AS DOUBLE))
+         / (SQRT(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                 * CAST(sx AS DOUBLE) / CAST(n_weeks AS DOUBLE))
+            * SQRT(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                   * CAST(sy AS DOUBLE) / CAST(n_weeks AS DOUBLE))),
+         6) AS weekly_corr
+FROM pairs
+ORDER BY
+  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                         / CAST(n_weeks AS DOUBLE))
+  / (SQRT(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+          * CAST(sx AS DOUBLE) / CAST(n_weeks AS DOUBLE))
+     * SQRT(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+            * CAST(sy AS DOUBLE) / CAST(n_weeks AS DOUBLE))) ASC,
+  brand_a, brand_b
+LIMIT 10
+"""
+
+
+@register("x192_brand_cannibalization", oracle=_X192_SQL)
+def x192_brand_cannibalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand cannibalization screen: the 10 brand pairs whose
+    weekly revenue series are most NEGATIVELY correlated (one
+    brand's good weeks are the other's bad weeks — substitution,
+    promo collisions, or shelf-space competition). x167's exact
+    integer-moment Pearson applied to week-joined series pairs;
+    revenue weeks are exact decimal micro-units, products widen
+    to DECIMAL(38,0).
+
+    Scale: the fact-table work is one (brand, week) aggregate;
+    the pair join is over brand-count x weeks rows (bounded by
+    catalog breadth, not corpus size), and top-10 is TakeOrdered
+    on the unrounded statistic with brand tiebreaks.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    disc = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(6,4)") - F.col("l_discount").cast("decimal(6,4)"))
+    )
+    wk = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            "p_brand",
+            F.date_trunc("week", F.col("o_orderdate").cast("date")).alias(
+                "week"
+            ),
+        )
+        .agg(
+            (F.sum(disc) * 1000000)
+            .cast("decimal(19,0)")
+            .alias("rev_u")
+        )
+    )
+    a = wk.select(
+        F.col("p_brand").alias("brand_a"),
+        F.col("week").alias("week_a"),
+        F.col("rev_u").alias("xa"),
+    )
+    b = wk.select(
+        F.col("p_brand").alias("brand_b"),
+        F.col("week").alias("week_b"),
+        F.col("rev_u").alias("xb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("week_a") == F.col("week_b"))
+            & (F.col("brand_a") < F.col("brand_b")),
+        )
+        .groupBy("brand_a", "brand_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_weeks"),
+            F.sum("xa").alias("sx"),
+            F.sum("xb").alias("sy"),
+            F.sum(F.col("xa") * F.col("xb")).alias("sxy"),
+            F.sum(F.col("xa") * F.col("xa")).alias("sxx"),
+            F.sum(F.col("xb") * F.col("xb")).alias("syy"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    r = (d("sxy") - d("sx") * d("sy") / d("n_weeks")) / (
+        F.sqrt(d("sxx") - d("sx") * d("sx") / d("n_weeks"))
+        * F.sqrt(d("syy") - d("sy") * d("sy") / d("n_weeks"))
+    )
+    return (
+        pairs.select(
+            "brand_a",
+            "brand_b",
+            "n_weeks",
+            F.round(r, 6).alias("weekly_corr"),
+            r.alias("_r"),
+        )
+        .orderBy("_r", "brand_a", "brand_b")
+        .limit(10)
+        .drop("_r")
+    )
