@@ -3453,3 +3453,150 @@ def x192_brand_cannibalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .drop("_r")
     )
+
+
+# ---- x193: JSON props profile per event type ----
+
+_X193_SQL = """
+WITH p AS (
+  SELECT event_type,
+         CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) AS k
+  FROM events)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(k) AS BIGINT) AS n_with_k,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k,
+       ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(k), 4) AS mean_k
+FROM p
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("x193_props_profile", oracle=_X193_SQL)
+def x193_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload profiling: extract the numeric `k`
+    field from the events' JSON props column and profile it per
+    event type (presence count, range, mean) — the instrumentation
+    health check for loosely-typed event payloads, run before any
+    pipeline starts trusting props fields. JSON path extraction on
+    the hot path stays JVM-side (get_json_object), no UDF.
+
+    Integer extraction and sums; one mean division.
+
+    Scale: narrow per-row JSON parse + a per-type aggregate; at
+    100 TB the parse cost dominates and is embarrassingly
+    parallel (schema-on-read, no shuffle added).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+    return (
+        p.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.count("k").cast("bigint").alias("n_with_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+            F.round(
+                F.sum("k").cast("double") / F.count("k"), 4
+            ).alias("mean_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---- x194: early-activity predictiveness ----
+
+_X194_SQL = """
+WITH u AS (
+  SELECT user_id, MIN(ts) AS first_ts, CAST(COUNT(*) AS BIGINT)
+           AS total_events
+  FROM events GROUP BY user_id),
+early AS (
+  SELECT e.user_id,
+         CAST(COUNT(*) AS BIGINT) AS week1_events
+  FROM events e JOIN u ON e.user_id = u.user_id
+  WHERE CAST(FLOOR(EPOCH(e.ts)) AS BIGINT)
+        - CAST(FLOOR(EPOCH(u.first_ts)) AS BIGINT) < 7 * 86400
+  GROUP BY e.user_id),
+j AS (
+  SELECT u.user_id, early.week1_events AS x,
+         u.total_events - early.week1_events AS y
+  FROM u JOIN early ON u.user_id = early.user_id),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM j)
+SELECT n AS n_users,
+       ROUND(CAST(sx AS DOUBLE) / n, 4) AS mean_week1,
+       ROUND(CAST(sy AS DOUBLE) / n, 4) AS mean_later,
+       ROUND(
+         (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                                / CAST(n AS DOUBLE))
+         / (SQRT(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                 * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+            * SQRT(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                   * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))),
+         6) AS predictive_r
+FROM s
+"""
+
+
+@register("x194_early_predictiveness", oracle=_X194_SQL)
+def x194_early_predictiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Early-activity predictiveness: Pearson correlation between a
+    user's FIRST-WEEK event count and their SUBSEQUENT (post-week)
+    activity — the classic growth question "does week-1 engagement
+    predict retention?", answered with the x167 exact
+    integer-moment machinery so the statistic is bit-reproducible.
+    Subsequent = total minus week-1, so the two halves never
+    overlap (overlap would inflate r mechanically).
+
+    Scale: per-user totals and the first-week window share the
+    user_id shuffle; the join is keyed on the same; the moment
+    reduce is 1 row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.count("*").cast("bigint").alias("total_events"),
+    )
+    early = (
+        ev.join(u, "user_id")
+        .where(
+            F.unix_timestamp("ts") - F.unix_timestamp("first_ts")
+            < 7 * 86400
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("week1_events"))
+    )
+    j = u.join(early, "user_id").select(
+        F.col("week1_events").alias("x"),
+        (F.col("total_events") - F.col("week1_events")).alias("y"),
+    )
+    s = j.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    r = (d("sxy") - d("sx") * d("sy") / d("n")) / (
+        F.sqrt(d("sxx") - d("sx") * d("sx") / d("n"))
+        * F.sqrt(d("syy") - d("sy") * d("sy") / d("n"))
+    )
+    return s.select(
+        F.col("n").alias("n_users"),
+        F.round(d("sx") / F.col("n"), 4).alias("mean_week1"),
+        F.round(d("sy") / F.col("n"), 4).alias("mean_later"),
+        F.round(r, 6).alias("predictive_r"),
+    )
