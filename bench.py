@@ -88,6 +88,12 @@ HEADLINE += [
     "x97_cms_heavy_hitters",
     "x100_pagerank_nations",
 ]
+# Round-5 statistical-analytics representatives (widest shuffles of
+# the x151+ family: corpus trigram distinct; sessionized pair join).
+HEADLINE += [
+    "x154_distinct_ngrams",
+    "x173_session_cooccurrence",
+]
 
 
 def bench_fhir_pipeline(spark, n_records: int = 100_000) -> dict:

@@ -3600,3 +3600,185 @@ def x194_early_predictiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(d("sy") / F.col("n"), 4).alias("mean_later"),
         F.round(r, 6).alias("predictive_r"),
     )
+
+
+# ---- x195: are duplicates lower quality? ----
+
+_X195_SQL = """
+WITH fp AS (
+  SELECT doc_id, source, text,
+         MD5(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS f
+  FROM documents),
+flagged AS (
+  SELECT source, text,
+         CASE WHEN COUNT(*) OVER (PARTITION BY f) > 1
+              THEN 'duplicated' ELSE 'unique' END AS dup_class
+  FROM fp),
+m AS (
+  SELECT source, dup_class,
+         LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+         LENGTH(text) AS n_chars
+  FROM flagged)
+SELECT source, dup_class,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 4)
+         AS avg_tokens,
+       ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_tokens), 4)
+         AS chars_per_token
+FROM m
+GROUP BY source, dup_class
+ORDER BY source, dup_class
+"""
+
+
+@register("x195_dup_quality_compare", oracle=_X195_SQL)
+def x195_dup_quality_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-vs-unique quality comparison per source: doc count,
+    mean length, and chars-per-token for docs that belong to an
+    exact-duplicate group vs singletons — answering "is the
+    duplicated material boilerplate junk or legitimate popular
+    content?", which decides whether dedup keeps one copy or
+    drops the cluster entirely (x176 tells you how MUCH dedup
+    removes; this tells you WHAT).
+
+    Integer token/char sums; two divisions per row.
+
+    Scale: fingerprint window on the uniform md5 key (x176's
+    shape) with the metrics riding the same rows; output is
+    2 x sources.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace("text", r"\s+", " "))
+    fp = docs.select(
+        "source", "text", F.md5(norm.cast("binary")).alias("f")
+    )
+    flagged = fp.select(
+        "source",
+        F.when(
+            F.count("*").over(Window.partitionBy("f")) > 1, "duplicated"
+        )
+        .otherwise("unique")
+        .alias("dup_class"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+    return (
+        flagged.groupBy("source", "dup_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum("n_tokens").cast("double") / F.count("*"), 4
+            ).alias("avg_tokens"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.sum("n_tokens"), 4
+            ).alias("chars_per_token"),
+        )
+        .orderBy("source", "dup_class")
+    )
+
+
+# ---- x196: weekday seasonality strength (ANOVA eta-squared) ----
+
+_X196_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(DAYOFWEEK(CAST(o_orderdate AS DATE)) + 1 AS BIGINT)
+           AS dow,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+              AS DECIMAL(19,0)) AS c
+  FROM orders GROUP BY d, dow),
+per_dow AS (
+  SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_w,
+         SUM(c) AS s_w, SUM(c * c) AS ss_w
+  FROM daily GROUP BY dow),
+tot AS (
+  SELECT CAST(SUM(n_w) AS BIGINT) AS n,
+         SUM(s_w) AS s, SUM(ss_w) AS ss,
+         LIST_REDUCE(
+           LIST((CAST(s_w AS DOUBLE) / n_w) * CAST(s_w AS DOUBLE)
+                ORDER BY dow),
+           (x, y) -> x + y) AS explained_raw
+  FROM per_dow)
+SELECT n AS n_days,
+       ROUND((explained_raw
+              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                / CAST(n AS DOUBLE))
+             / (CAST(ss AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                  / CAST(n AS DOUBLE)), 6) AS eta_squared
+FROM tot
+"""
+
+
+@register("x196_seasonality_strength", oracle=_X196_SQL)
+def x196_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonality strength: one-way ANOVA eta-squared —
+    the share of daily-revenue variance explained by day-of-week
+    (between-group SS over total SS). ~0 means x123's weekday
+    profile is cosmetic; near 1 means staffing/capacity should
+    follow the weekly cycle. The single-number companion to
+    x168's lag-7 autocorrelation.
+
+    Daily revenue is exact decimal cents; SS terms are exact
+    decimal sums except the 7 per-weekday mean products, which are
+    folded in explicit dow order on BOTH engines (array_sort +
+    F.aggregate ↔ LIST(... ORDER BY dow) + LIST_REDUCE) — a plain
+    SUM over doubles would be partition-order-dependent.
+
+    Scale: day-grain agg, 7-row weekday rollup, 1-row output.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.col("o_orderdate").cast("date").alias("d"),
+            F.dayofweek(F.col("o_orderdate").cast("date"))
+            .cast("bigint")
+            .alias("dow"),
+        )
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("decimal(19,0)")
+            .alias("c")
+        )
+    )
+    per_dow = daily.groupBy("dow").agg(
+        F.count("*").cast("bigint").alias("n_w"),
+        F.sum("c").alias("s_w"),
+        F.sum(F.col("c") * F.col("c")).alias("ss_w"),
+    )
+    tot = per_dow.agg(
+        F.sum("n_w").cast("bigint").alias("n"),
+        F.sum("s_w").alias("s"),
+        F.sum("ss_w").alias("ss"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "dow",
+                            (
+                                (
+                                    F.col("s_w").cast("double")
+                                    / F.col("n_w")
+                                )
+                                * F.col("s_w").cast("double")
+                            ).alias("v"),
+                        )
+                    )
+                ),
+                lambda st: st["v"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("explained_raw"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    grand = d("s") * d("s") / d("n")
+    return tot.select(
+        F.col("n").alias("n_days"),
+        F.round(
+            (F.col("explained_raw") - grand) / (d("ss") - grand), 6
+        ).alias("eta_squared"),
+    )

@@ -730,3 +730,43 @@ def test_x94_span_removal_anti_join(spark):
     assert_no_cartesian_product(df)
     p = explain_str(df)
     assert "LeftAnti" in p, p
+
+
+def test_x172_fk_audit_anti_joins(spark):
+    # every FK edge must check orphans via LEFT ANTI join (never an
+    # IN-subquery rewrite into a cartesian or a per-row probe); dim
+    # parents broadcast
+    df = _plan(spark, "x172_fk_integrity")
+    assert_no_cartesian_product(df)
+    p = explain_str(df)
+    assert "LeftAnti" in p, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_x158_topk_is_take_ordered(spark):
+    # the top-30 shrunk-rate leaderboard must fold into
+    # TakeOrderedAndProject — a global sort of all parts would be
+    # the 100 TB failure mode
+    df = _plan(spark, "x158_eb_shrinkage")
+    p = explain_str(df)
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_x153_dims_broadcast(spark):
+    # supplier and nation are dims: the fact join must broadcast
+    # them, never shuffle lineitem against a sort-merge
+    df = _plan(spark, "x153_hhi_concentration")
+    assert_no_cartesian_product(df)
+    p = explain_str(df)
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_x192_pair_join_keyed_and_take_ordered(spark):
+    # the brand-pair correlation join must be keyed on week (hash or
+    # sort-merge — not a nested-loop over all (brand, week) rows),
+    # and the top-10 must fold into TakeOrderedAndProject
+    df = _plan(spark, "x192_brand_cannibalization")
+    assert_no_cartesian_product(df)
+    p = explain_str(df)
+    assert "TakeOrderedAndProject" in p, p
