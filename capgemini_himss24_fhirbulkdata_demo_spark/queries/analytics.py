@@ -3786,3 +3786,156 @@ def x196_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("explained_raw") - grand) / (d("ss") - grand), 6
         ).alias("eta_squared"),
     )
+
+
+# ---- x197: A/B-test minimum-detectable-effect planner ----
+
+_X197_ZA = 1.96  # alpha=0.05 two-sided, literal
+_X197_ZB = 0.84  # power=0.80, literal
+
+_X197_SQL = f"""
+WITH t AS (
+  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM events),
+conv AS (
+  SELECT event_type,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_converted
+  FROM events GROUP BY event_type),
+p AS (
+  SELECT c.event_type, c.n_converted, t.n_users,
+         CAST(c.n_converted AS DOUBLE) / t.n_users AS base_rate,
+         CAST(t.n_users AS DOUBLE) / 2 AS n_arm
+  FROM conv c CROSS JOIN t)
+SELECT event_type, n_converted, n_users,
+       ROUND(base_rate, 6) AS base_rate,
+       ROUND(({_X197_ZA!r} + {_X197_ZB!r})
+             * SQRT(2 * base_rate * (1 - base_rate) / n_arm), 6)
+         AS mde_abs,
+       ROUND((({_X197_ZA!r} + {_X197_ZB!r})
+              * SQRT(2 * base_rate * (1 - base_rate) / n_arm))
+             / base_rate, 6) AS mde_rel
+FROM p
+ORDER BY event_type
+"""
+
+
+@register("x197_ab_mde_planner", oracle=_X197_SQL)
+def x197_ab_mde_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B-test MDE planner: for each event type's user-level base
+    rate, the minimum detectable absolute and relative effect at
+    alpha=.05 / power=.80 if the current audience were split into
+    two arms — the pre-experiment feasibility check that kills
+    underpowered tests before they run ("you cannot detect less
+    than a 12% relative lift on purchases; don't bother testing a
+    button color"). Pairs with x136, which judges a FINISHED
+    experiment; this one gates the next.
+
+    z quantiles are literals; the MDE is + * / sqrt only over
+    exact integer counts — cross-engine bit-stable.
+
+    Scale: two distinct-user aggregates (shared user_id shuffle
+    under partial distinct), a 1-row total broadcast, 5-row
+    output.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users")
+    )
+    conv = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_converted")
+    )
+    base = F.col("n_converted").cast("double") / F.col("n_users")
+    n_arm = F.col("n_users").cast("double") / 2
+    za_zb = F.lit(_X197_ZA) + F.lit(_X197_ZB)
+    mde = za_zb * F.sqrt(2 * base * (1 - base) / n_arm)
+    return (
+        conv.crossJoin(F.broadcast(t))
+        .select(
+            "event_type",
+            "n_converted",
+            "n_users",
+            F.round(base, 6).alias("base_rate"),
+            F.round(mde, 6).alias("mde_abs"),
+            F.round(mde / base, 6).alias("mde_rel"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---- x198: repeat-purchase ladder ----
+
+_X198_SQL = """
+WITH c AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS k
+  FROM orders GROUP BY o_custkey),
+h AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_at_k FROM c GROUP BY k),
+ladder AS (
+  SELECT k, n_at_k,
+         SUM(n_at_k) OVER (ORDER BY k DESC
+                           ROWS UNBOUNDED PRECEDING) AS n_reaching_k
+  FROM h)
+SELECT a.k AS order_number,
+       CAST(a.n_reaching_k AS BIGINT) AS n_customers_reaching,
+       ROUND(CAST(COALESCE(b.n_reaching_k, 0) AS DOUBLE)
+             / a.n_reaching_k, 6) AS next_order_rate
+FROM ladder a LEFT JOIN ladder b ON b.k = a.k + 1
+WHERE a.k <= 15
+ORDER BY order_number
+"""
+
+
+@register("x198_repeat_ladder", oracle=_X198_SQL)
+def x198_repeat_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase ladder: of customers who reached their k-th
+    order, what share came back for a (k+1)-th — the retention
+    curve at transaction granularity (its first step is trial→
+    repeat conversion; where it plateaus is the habitual-customer
+    rate). Computed from the order-count histogram by a reverse
+    cumulative sum, so no per-customer sequence scan.
+
+    Integer counts; one ratio per rung.
+
+    Scale: customer-grain count, then everything operates on the
+    tiny count-histogram (max-orders rows); the self-join is
+    histogram-sized.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy("o_custkey").agg(
+        F.count("*").cast("bigint").alias("k")
+    )
+    h = c.groupBy("k").agg(F.count("*").cast("bigint").alias("n_at_k"))
+    ladder = h.select(
+        "k",
+        F.sum("n_at_k")
+        .over(
+            Window.orderBy(F.desc("k")).rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .alias("n_reaching_k"),
+    )
+    a = ladder.select(
+        F.col("k").alias("order_number"),
+        F.col("n_reaching_k").alias("n_customers_reaching"),
+    )
+    b = ladder.select(
+        (F.col("k") - 1).alias("order_number"),
+        F.col("n_reaching_k").alias("n_next"),
+    )
+    return (
+        a.join(F.broadcast(b), "order_number", "left")
+        .where(F.col("order_number") <= 15)
+        .select(
+            "order_number",
+            F.col("n_customers_reaching").cast("bigint"),
+            F.round(
+                F.coalesce(F.col("n_next"), F.lit(0)).cast("double")
+                / F.col("n_customers_reaching"),
+                6,
+            ).alias("next_order_rate"),
+        )
+        .orderBy("order_number")
+    )
