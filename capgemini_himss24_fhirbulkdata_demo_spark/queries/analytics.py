@@ -3939,3 +3939,204 @@ def x198_repeat_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_number")
     )
+
+
+# ---- x199: positional token bias (template openers/closers) ----
+
+_X199_MIN_N = 200  # support floor, literal
+
+_X199_SQL = f"""
+WITH tok AS (
+  SELECT t.i AS pos, LEN(s.toks) AS doclen, s.toks[t.i] AS token
+  FROM (SELECT STRING_SPLIT(LOWER(text), ' ') AS toks
+        FROM documents) s,
+       (SELECT UNNEST(RANGE(1, 10000)) AS i) t
+  WHERE t.i <= LEN(s.toks)),
+f AS (
+  SELECT token,
+         CAST(COUNT(*) AS BIGINT) AS n_occ,
+         CAST(SUM(CASE WHEN 4 * pos <= doclen THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_q1,
+         CAST(SUM(CASE WHEN 4 * pos > 3 * doclen THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_q4
+  FROM tok GROUP BY token
+  HAVING COUNT(*) >= {_X199_MIN_N})
+SELECT token, n_occ,
+       ROUND(CAST(n_q1 AS DOUBLE) / n_occ, 6) AS head_share,
+       ROUND(CAST(n_q4 AS DOUBLE) / n_occ, 6) AS tail_share,
+       ROUND(ABS(CAST(n_q1 AS DOUBLE) / n_occ - 0.25)
+             + ABS(CAST(n_q4 AS DOUBLE) / n_occ - 0.25), 6) AS bias
+FROM f
+ORDER BY ABS(CAST(n_q1 AS DOUBLE) / n_occ - 0.25)
+           + ABS(CAST(n_q4 AS DOUBLE) / n_occ - 0.25) DESC,
+         token
+LIMIT 20
+"""
+
+
+@register("x199_positional_bias", oracle=_X199_SQL)
+def x199_positional_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional token bias: tokens whose occurrences concentrate
+    in the first or last quarter of documents (head/tail share vs
+    the uniform 0.25) — the signature of templated openers,
+    footers, and sign-offs that x166 catches only when they are
+    verbatim prefixes; this catches them at any edit distance
+    because it looks at position statistics, not exact strings.
+
+    Quarter membership is an integer cross-multiplication
+    (4*pos vs doclen — no float positions); shares divide exact
+    counts; top-20 orders by the unrounded bias with token
+    tiebreak above a support floor.
+
+    Scale: posexplode is linear in corpus tokens; one (token)
+    partial agg; TakeOrdered output. The oracle unnests via a
+    bounded index range — same rows, DuckDB-idiomatic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.split(F.lower("text"), " ").alias("toks")
+    ).select(
+        F.size("toks").alias("doclen"),
+        F.posexplode("toks").alias("pos0", "token"),
+    )
+    tok = toks.select(
+        (F.col("pos0") + 1).alias("pos"), "doclen", "token"
+    )
+    f = (
+        tok.groupBy("token")
+        .agg(
+            F.count("*").cast("bigint").alias("n_occ"),
+            F.sum(
+                F.when(4 * F.col("pos") <= F.col("doclen"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_q1"),
+            F.sum(
+                F.when(
+                    4 * F.col("pos") > 3 * F.col("doclen"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_q4"),
+        )
+        .where(F.col("n_occ") >= _X199_MIN_N)
+    )
+    head = F.col("n_q1").cast("double") / F.col("n_occ")
+    tail = F.col("n_q4").cast("double") / F.col("n_occ")
+    bias = F.abs(head - 0.25) + F.abs(tail - 0.25)
+    return (
+        f.select(
+            "token",
+            "n_occ",
+            F.round(head, 6).alias("head_share"),
+            F.round(tail, 6).alias("tail_share"),
+            F.round(bias, 6).alias("bias"),
+            bias.alias("_b"),
+        )
+        .orderBy(F.desc("_b"), "token")
+        .limit(20)
+        .drop("_b")
+    )
+
+
+# ---- x200: corpus health scorecard ----
+
+_X200_SQL = """
+WITH fp AS (
+  SELECT doc_id, source,
+         STRING_SPLIT(text, ' ') AS toks,
+         MD5(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS f
+  FROM documents),
+base AS (
+  SELECT source,
+         LEN(toks) AS n_tokens,
+         CASE WHEN doc_id > MIN(doc_id) OVER (PARTITION BY f)
+              THEN 1 ELSE 0 END AS is_dup,
+         LEN(LIST_FILTER(toks, t -> LENGTH(t) > 20
+                          OR (REGEXP_MATCHES(t, '[A-Za-z]')
+                              AND REGEXP_MATCHES(t, '[0-9]'))))
+           AS n_anom
+  FROM fp)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(is_dup) AS DOUBLE) / COUNT(*), 6) AS dup_rate,
+       ROUND(CAST(SUM(n_anom) AS DOUBLE) / SUM(n_tokens), 6)
+         AS anomaly_rate,
+       ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 2)
+         AS mean_tokens,
+       CAST(SUM(is_dup) = 0 AND COUNT(*) >= 10 AS BOOLEAN)
+         AS clean_and_sized
+FROM base
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("x200_corpus_scorecard", oracle=_X200_SQL)
+def x200_corpus_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus health scorecard: one row per source with the
+    decision-grade metrics a data-mixing owner reads before
+    weighting a source into a training run — duplicate-doc rate
+    (x176's flag), token-anomaly rate (x182's classes), scale
+    (docs/tokens), and a composite clean_and_sized gate. The
+    single-pane summary the individual x-series diagnostics feed.
+
+    One scan computes everything: the dup flag rides the
+    fingerprint window, the anomaly count is an array filter on
+    the already-split tokens (no second explode), ratios divide
+    exact integers.
+
+    Scale: one narrow map + one fingerprint window (uniform md5
+    key) + a source rollup — strictly cheaper than running its
+    four parent diagnostics separately.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace("text", r"\s+", " "))
+    fp = docs.select(
+        "doc_id",
+        "source",
+        F.split(F.col("text"), " ").alias("toks"),
+        F.md5(norm.cast("binary")).alias("f"),
+    )
+    anom = F.size(
+        F.filter(
+            F.col("toks"),
+            lambda t: (F.length(t) > 20)
+            | (t.rlike("[A-Za-z]") & t.rlike("[0-9]")),
+        )
+    )
+    base = fp.select(
+        "source",
+        F.size("toks").alias("n_tokens"),
+        F.when(
+            F.col("doc_id")
+            > F.min("doc_id").over(Window.partitionBy("f")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_dup"),
+        anom.alias("n_anom"),
+    )
+    return (
+        base.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum("is_dup").cast("double") / F.count("*"), 6
+            ).alias("dup_rate"),
+            F.round(
+                F.sum("n_anom").cast("double") / F.sum("n_tokens"), 6
+            ).alias("anomaly_rate"),
+            F.round(
+                F.sum("n_tokens").cast("double") / F.count("*"), 2
+            ).alias("mean_tokens"),
+            ((F.sum("is_dup") == 0) & (F.count("*") >= 10)).alias(
+                "clean_and_sized"
+            ),
+        )
+        .orderBy("source")
+    )
