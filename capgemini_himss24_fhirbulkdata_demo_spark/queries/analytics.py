@@ -4140,3 +4140,180 @@ def x200_corpus_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---- x201: month-of-year seasonal index ----
+
+_X201_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(MONTH(CAST(o_orderdate AS DATE)) AS BIGINT) AS moy,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+              AS DECIMAL(19,0)) AS c
+  FROM orders GROUP BY d, moy),
+per_m AS (
+  SELECT moy, CAST(COUNT(*) AS BIGINT) AS n_days, SUM(c) AS s
+  FROM daily GROUP BY moy),
+tot AS (
+  SELECT CAST(SUM(n_days) AS BIGINT) AS n, SUM(s) AS st FROM per_m)
+SELECT p.moy AS month_of_year, p.n_days,
+       CAST((2 * CAST(p.s AS BIGINT) + p.n_days) // (2 * p.n_days)
+            AS DOUBLE) / 100 AS avg_daily_revenue,
+       ROUND((CAST(p.s AS DOUBLE) / p.n_days)
+             / (CAST(t.st AS DOUBLE) / t.n), 6) AS seasonal_index
+FROM per_m p CROSS JOIN tot t
+ORDER BY month_of_year
+"""
+
+
+@register("x201_seasonal_index", oracle=_X201_SQL)
+def x201_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year seasonal index: each calendar month's average
+    daily revenue over the all-time average (index > 1 = high
+    season) — the annual-cycle companion to x123 (weekday x hour)
+    and x196 (weekday strength); the number inventory planning
+    multiplies its baseline by.
+
+    Exact decimal cent sums; the displayed daily average rounds
+    half-up in INTEGER cents ((2s+n)//2n — engine ROUND-on-double
+    tie behavior diverges at 2-decimal boundaries, integer
+    division cannot); the index is one fixed double expression.
+
+    Scale: day-grain agg, 12-row rollup, 1-row total broadcast.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.col("o_orderdate").cast("date").alias("d"),
+            F.month(F.col("o_orderdate").cast("date"))
+            .cast("bigint")
+            .alias("moy"),
+        )
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("decimal(19,0)")
+            .alias("c")
+        )
+    )
+    per_m = daily.groupBy("moy").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("c").alias("s"),
+    )
+    tot = per_m.agg(
+        F.sum("n_days").cast("bigint").alias("n"),
+        F.sum("s").alias("st"),
+    )
+    return (
+        per_m.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("moy").alias("month_of_year"),
+            "n_days",
+            (
+                F.expr(
+                    "(2 * CAST(s AS BIGINT) + n_days) div (2 * n_days)"
+                ).cast("double")
+                / 100
+            ).alias("avg_daily_revenue"),
+            F.round(
+                (F.col("s").cast("double") / F.col("n_days"))
+                / (F.col("st").cast("double") / F.col("n")),
+                6,
+            ).alias("seasonal_index"),
+        )
+        .orderBy("month_of_year")
+    )
+
+
+# ---- x202: customer momentum (integer-exact OLS slope signs) ----
+
+_X202_SQL = """
+WITH seq AS (
+  SELECT o_custkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS i,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders),
+m AS (
+  SELECT o_custkey,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(i) AS BIGINT) AS si,
+         CAST(SUM(v) AS BIGINT) AS sv,
+         CAST(SUM(i * v) AS BIGINT) AS siv
+  FROM seq GROUP BY o_custkey
+  HAVING COUNT(*) >= 3),
+cls AS (
+  SELECT CASE WHEN n * siv > si * sv THEN 'up'
+              WHEN n * siv < si * sv THEN 'down'
+              ELSE 'flat' END AS trend
+  FROM m),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM cls)
+SELECT trend,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT nt FROM t), 6)
+         AS customer_share
+FROM cls
+GROUP BY trend
+ORDER BY trend
+"""
+
+
+@register("x202_customer_momentum", oracle=_X202_SQL)
+def x202_customer_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer momentum: per customer (≥3 orders), the SIGN of the
+    OLS slope of order value over order sequence — are individual
+    baskets trending up, down, or flat? The portfolio histogram is
+    the expansion-vs-contraction pulse a CS org watches. The sign
+    needs no division or float AT ALL: sign(slope) =
+    sign(n·Σiv − Σi·Σv), compared as exact integers (cents x
+    small sequence indices stay far inside bigint).
+
+    Scale: one custkey window for sequence numbers (same shuffle
+    feeds the moment agg), then a 3-row histogram. The only
+    float is the final share.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    seq = orders.select(
+        "o_custkey",
+        F.row_number()
+        .over(
+            Window.partitionBy("o_custkey").orderBy(
+                "o_orderdate", "o_orderkey"
+            )
+        )
+        .alias("i"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+    )
+    m = (
+        seq.groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("i").cast("bigint").alias("si"),
+            F.sum("v").cast("bigint").alias("sv"),
+            F.sum(F.col("i") * F.col("v")).cast("bigint").alias("siv"),
+        )
+        .where(F.col("n") >= 3)
+    )
+    lhs = F.col("n") * F.col("siv")
+    rhs = F.col("si") * F.col("sv")
+    cls = m.select(
+        F.when(lhs > rhs, "up")
+        .when(lhs < rhs, "down")
+        .otherwise("flat")
+        .alias("trend")
+    )
+    t = cls.agg(F.count("*").cast("bigint").alias("nt"))
+    return (
+        cls.groupBy("trend")
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "trend",
+            "n_customers",
+            F.round(
+                F.col("n_customers").cast("double") / F.col("nt"), 6
+            ).alias("customer_share"),
+        )
+        .orderBy("trend")
+    )
