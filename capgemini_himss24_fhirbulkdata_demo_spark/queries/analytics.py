@@ -4317,3 +4317,165 @@ def x202_customer_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("trend")
     )
+
+
+# ---- x203: revenue attribution by part-name token ----
+
+_X203_SQL = """
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(6,4))
+                     - CAST(l_discount AS DECIMAL(6,4)))) * 1000000
+              AS DECIMAL(19,0)) AS rev_u
+  FROM lineitem GROUP BY l_partkey),
+tok AS (
+  SELECT UNNEST(STRING_SPLIT(p.p_name, ' ')) AS name_token,
+         r.rev_u
+  FROM part p JOIN rev r ON p.p_partkey = r.l_partkey),
+agg AS (
+  SELECT name_token,
+         CAST(COUNT(*) AS BIGINT) AS n_parts,
+         SUM(rev_u) AS rev_u
+  FROM tok GROUP BY name_token),
+tot AS (SELECT SUM(rev_u) AS t FROM rev)
+SELECT a.name_token, a.n_parts,
+       ROUND(CAST(a.rev_u AS DOUBLE) / 1000000, 2) AS revenue,
+       ROUND(CAST(a.rev_u AS DOUBLE) / CAST(t.t AS DOUBLE), 6)
+         AS revenue_share
+FROM agg a CROSS JOIN tot t
+ORDER BY a.rev_u DESC, a.name_token
+LIMIT 25
+"""
+
+
+@register("x203_name_token_revenue", oracle=_X203_SQL)
+def x203_name_token_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue attribution by part-name token: which words in the
+    catalog's product names carry the money (the merchandising
+    view — 'forest'-colored parts outselling 'lemon' ones is an
+    assortment signal). A text-meets-facts join: per-part exact
+    revenue rolls up through the exploded name vocabulary;
+    shares divide exact micro-unit decimals; top-25 orders by
+    the exact decimal with token tiebreak.
+
+    Scale: the fact-side agg happens FIRST (partkey grain), so
+    the explode multiplies only the part dim (5 name tokens per
+    part), never lineitem; one token rollup + broadcast total.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    disc = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(6,4)") - F.col("l_discount").cast("decimal(6,4)"))
+    )
+    rev = li.groupBy("l_partkey").agg(
+        (F.sum(disc) * 1000000).cast("decimal(19,0)").alias("rev_u")
+    )
+    tok = (
+        F.broadcast(part)
+        .join(rev, part.p_partkey == rev.l_partkey)
+        .select(
+            F.explode(F.split("p_name", " ")).alias("name_token"),
+            "rev_u",
+        )
+    )
+    agg = tok.groupBy("name_token").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.sum("rev_u").alias("rev_u"),
+    )
+    tot = rev.agg(F.sum("rev_u").alias("t"))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "name_token",
+            "n_parts",
+            F.round(F.col("rev_u").cast("double") / 1000000, 2).alias(
+                "revenue"
+            ),
+            F.round(
+                F.col("rev_u").cast("double") / F.col("t").cast("double"),
+                6,
+            ).alias("revenue_share"),
+            F.col("rev_u").alias("_o"),
+        )
+        .orderBy(F.desc("_o"), "name_token")
+        .limit(25)
+        .drop("_o")
+    )
+
+
+# ---- x204: top-1% value tail share per event type ----
+
+_X204_SQL = """
+WITH r AS (
+  SELECT event_type,
+         CAST(value AS DECIMAL(18,6)) AS v,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_events,
+       CAST(CEIL(0.01 * MAX(n)) AS BIGINT) AS n_top1pct,
+       ROUND(CAST(SUM(CASE WHEN rn <= CAST(CEIL(0.01 * n) AS BIGINT)
+                           THEN v ELSE CAST(0 AS DECIMAL(18,6)) END)
+                  AS DOUBLE)
+             / CAST(SUM(v) AS DOUBLE), 6) AS top1pct_value_share
+FROM r
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("x204_value_tail_share", oracle=_X204_SQL)
+def x204_value_tail_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1% value concentration per event type: the share of
+    total value carried by the largest 1% of events — the
+    heavy-tail check that decides whether mean-based dashboards
+    are lying (a 40% top-1% share means the median event is
+    noise and the tail IS the business). Gini (x126) weighs the
+    whole curve; this isolates the actionable tip.
+
+    Rank selection with event_id tiebreak; value accumulates as
+    exact decimal in both the tail and the total (decimal zero
+    ELSE arm); one final division.
+
+    Scale: one window shuffle on event_type with a streaming
+    rank; the conditional sum shares the pass. For a skewed type
+    key the rank would ride a range-partitioned sort.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    r = ev.select(
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy(
+                F.desc("value"), "event_id"
+            )
+        )
+        .alias("rn"),
+        F.count("*")
+        .over(Window.partitionBy("event_type"))
+        .alias("n"),
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    in_tail = F.col("rn") <= F.ceil(0.01 * F.col("n")).cast("bigint")
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n_events"),
+            F.ceil(0.01 * F.max("n")).cast("bigint").alias("n_top1pct"),
+            F.round(
+                F.sum(F.when(in_tail, F.col("v")).otherwise(zero)).cast(
+                    "double"
+                )
+                / F.sum("v").cast("double"),
+                6,
+            ).alias("top1pct_value_share"),
+        )
+        .orderBy("event_type")
+    )
