@@ -4479,3 +4479,217 @@ def x204_value_tail_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---- x205: purchase-gap acceleration ----
+
+_X205_SQL = """
+WITH seq AS (
+  SELECT o_custkey,
+         CAST(DATEDIFF('day', LAG(CAST(o_orderdate AS DATE))
+                 OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey),
+               CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_d,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS i,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS n
+  FROM orders),
+g AS (SELECT o_custkey, gap_d, i - 1 AS gi, n - 1 AS ng
+      FROM seq WHERE gap_d IS NOT NULL AND n >= 5),
+halves AS (
+  SELECT o_custkey,
+         CAST(SUM(CASE WHEN 2 * gi <= ng THEN gap_d ELSE 0 END)
+              AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN 2 * gi <= ng THEN 1 ELSE 0 END)
+              AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN 2 * gi > ng THEN gap_d ELSE 0 END)
+              AS BIGINT) AS s2,
+         CAST(SUM(CASE WHEN 2 * gi > ng THEN 1 ELSE 0 END)
+              AS BIGINT) AS n2
+  FROM g GROUP BY o_custkey),
+cls AS (
+  SELECT CASE WHEN s2 * n1 < s1 * n2 THEN 'accelerating'
+              WHEN s2 * n1 > s1 * n2 THEN 'decelerating'
+              ELSE 'steady' END AS cadence
+  FROM halves WHERE n1 > 0 AND n2 > 0),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM cls)
+SELECT cadence,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT nt FROM t), 6)
+         AS customer_share
+FROM cls
+GROUP BY cadence
+ORDER BY cadence
+"""
+
+
+@register("x205_gap_acceleration", oracle=_X205_SQL)
+def x205_gap_acceleration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-cadence acceleration: for customers with ≥5
+    orders, compare the mean inter-order gap of their first half
+    of gaps vs their second half — shrinking gaps = accelerating
+    relationship, growing = drifting away; the leading indicator
+    x202's value-momentum confirms in dollars. The mean compare
+    is cross-multiplied integers (s2·n1 vs s1·n2) — no division,
+    no float, no tie ambiguity.
+
+    Scale: lag + rank share one custkey window sort; per-customer
+    conditional sums ride the same partitioning; 3-row histogram
+    out.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    seq = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        )
+        .cast("bigint")
+        .alias("gap_d"),
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(Window.partitionBy("o_custkey")).alias("n"),
+    )
+    g = seq.where(
+        F.col("gap_d").isNotNull() & (F.col("n") >= 5)
+    ).select(
+        "o_custkey",
+        "gap_d",
+        (F.col("i") - 1).alias("gi"),
+        (F.col("n") - 1).alias("ng"),
+    )
+    first = 2 * F.col("gi") <= F.col("ng")
+    halves = g.groupBy("o_custkey").agg(
+        F.sum(F.when(first, F.col("gap_d")).otherwise(0))
+        .cast("bigint")
+        .alias("s1"),
+        F.sum(F.when(first, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(~first, F.col("gap_d")).otherwise(0))
+        .cast("bigint")
+        .alias("s2"),
+        F.sum(F.when(~first, 1).otherwise(0)).cast("bigint").alias("n2"),
+    )
+    lhs = F.col("s2") * F.col("n1")
+    rhs = F.col("s1") * F.col("n2")
+    cls = halves.where((F.col("n1") > 0) & (F.col("n2") > 0)).select(
+        F.when(lhs < rhs, "accelerating")
+        .when(lhs > rhs, "decelerating")
+        .otherwise("steady")
+        .alias("cadence")
+    )
+    t = cls.agg(F.count("*").cast("bigint").alias("nt"))
+    return (
+        cls.groupBy("cadence")
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "cadence",
+            "n_customers",
+            F.round(
+                F.col("n_customers").cast("double") / F.col("nt"), 6
+            ).alias("customer_share"),
+        )
+        .orderBy("cadence")
+    )
+
+
+# ---- x206: order-value band mix by year ----
+
+_X206_SQL = """
+WITH r AS (
+  SELECT o_totalprice AS v, o_orderkey,
+         CAST(YEAR(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER () AS n
+  FROM orders),
+caps AS (
+  SELECT MAX(CASE WHEN rn = CAST(CEIL(0.25 * n) AS BIGINT)
+                  THEN v END) AS q1,
+         MAX(CASE WHEN rn = CAST(CEIL(0.75 * n) AS BIGINT)
+                  THEN v END) AS q3
+  FROM r),
+b AS (
+  SELECT r.yr,
+         CASE WHEN r.v <= c.q1 THEN 'a_low'
+              WHEN r.v <= c.q3 THEN 'b_mid'
+              ELSE 'c_high' END AS band
+  FROM r CROSS JOIN caps c),
+y AS (SELECT yr, CAST(COUNT(*) AS BIGINT) AS n_year FROM b GROUP BY yr)
+SELECT b.yr AS year, b.band,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(y.n_year), 6)
+         AS band_share
+FROM b JOIN y ON b.yr = y.yr
+GROUP BY b.yr, b.band
+ORDER BY year, band
+"""
+
+
+@register("x206_value_band_mix", oracle=_X206_SQL)
+def x206_value_band_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value band mix by year: orders banded against the
+    ALL-TIME value quartiles (rank-exact, so bands are fixed
+    goalposts), then each year's low/mid/high share — the
+    structural-shift view that distinguishes "we grew because
+    orders got bigger" from "we grew because there were more of
+    them" (x141 tracks the total; this tracks the shape).
+
+    Band cutoffs are exact data values; shares divide integer
+    counts per year.
+
+    Scale: one global rank sort for the two cutoffs, broadcast
+    caps into a second scan, (year, band) rollup — same
+    cap-then-rescan shape as x185.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    r = orders.select(
+        F.col("o_totalprice").alias("v"),
+        F.year(F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("yr"),
+        F.row_number()
+        .over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+
+    def cap(p: float, name: str):
+        return F.max(
+            F.when(
+                F.col("rn")
+                == F.ceil(F.lit(p) * F.col("n")).cast("bigint"),
+                F.col("v"),
+            )
+        ).alias(name)
+
+    caps = r.agg(cap(0.25, "q1"), cap(0.75, "q3"))
+    b = r.crossJoin(F.broadcast(caps)).select(
+        "yr",
+        F.when(F.col("v") <= F.col("q1"), "a_low")
+        .when(F.col("v") <= F.col("q3"), "b_mid")
+        .otherwise("c_high")
+        .alias("band"),
+    )
+    y = b.groupBy("yr").agg(
+        F.count("*").cast("bigint").alias("n_year")
+    )
+    return (
+        b.groupBy("yr", "band")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+        .join(F.broadcast(y), "yr")
+        .select(
+            F.col("yr").alias("year"),
+            "band",
+            "n_orders",
+            F.round(
+                F.col("n_orders").cast("double") / F.col("n_year"), 6
+            ).alias("band_share"),
+        )
+        .orderBy("year", "band")
+    )
