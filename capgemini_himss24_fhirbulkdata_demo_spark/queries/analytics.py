@@ -4693,3 +4693,231 @@ def x206_value_band_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("year", "band")
     )
+
+
+# ---- x207: linear multi-touch attribution ----
+
+_X207_SQL = """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS purchase_no
+  FROM events),
+pre AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'purchase' THEN purchase_no
+              ELSE purchase_no + 1 END AS cycle,
+         event_type, value
+  FROM e),
+cyc AS (
+  SELECT user_id, cycle,
+         MAX(CASE WHEN event_type = 'purchase'
+                  THEN CAST(value AS DECIMAL(18,6)) END) AS purchase_value,
+         CAST(SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_touches
+  FROM pre GROUP BY user_id, cycle),
+credit AS (
+  SELECT t.event_type,
+         CAST(c.purchase_value * 1000000 AS BIGINT) // c.n_touches
+           AS credit_u
+  FROM cyc c
+  JOIN (SELECT user_id,
+               CASE WHEN event_type = 'purchase' THEN purchase_no
+                    ELSE purchase_no + 1 END AS cycle,
+               event_type
+        FROM e WHERE event_type <> 'purchase') t
+    ON t.user_id = c.user_id AND t.cycle = c.cycle
+  WHERE c.purchase_value IS NOT NULL AND c.n_touches > 0)
+SELECT event_type AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_touches_credited,
+       CAST(SUM(credit_u) AS DOUBLE) / 1000000 AS attributed_value
+FROM credit
+GROUP BY channel
+ORDER BY channel
+"""
+
+
+@register("x207_linear_attribution", oracle=_X207_SQL)
+def x207_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value splits
+    EQUALLY across the non-purchase events since the user's
+    previous purchase (the conversion cycle) — the fairness
+    counterpoint to x156's winner-take-all last-touch; comparing
+    the two tables shows how much credit last-touch steals from
+    upper-funnel views. Cycles come from a running purchase
+    counter (no self-join to find boundaries).
+
+    Determinism: the per-touch credit is an exact integer floor
+    division in micro-units (double→decimal casts round ties
+    differently across engines — measured at the 15th digit over
+    18k rows — so no float enters the accumulator at all; the
+    sub-micro remainder per purchase is deliberately dropped,
+    documented behavior).
+
+    Scale: one user_id window; the cycle join is keyed on
+    (user, cycle) — co-partitioned with the window's shuffle;
+    channel-sized output.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    e = ev.withColumn(
+        "purchase_no",
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).over(w),
+    ).withColumn(
+        "cycle",
+        F.when(
+            F.col("event_type") == "purchase", F.col("purchase_no")
+        ).otherwise(F.col("purchase_no") + 1),
+    )
+    cyc = e.groupBy("user_id", "cycle").agg(
+        F.max(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("value").cast("decimal(18,6)"),
+            )
+        ).alias("purchase_value"),
+        F.sum(
+            F.when(F.col("event_type") != "purchase", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_touches"),
+    )
+    touches = e.where(F.col("event_type") != "purchase").select(
+        "user_id", "cycle", "event_type"
+    )
+    credit = (
+        touches.join(cyc, ["user_id", "cycle"])
+        .where(
+            F.col("purchase_value").isNotNull()
+            & (F.col("n_touches") > 0)
+        )
+        .select(
+            "event_type",
+            F.expr(
+                "CAST(purchase_value * 1000000 AS BIGINT)"
+                " div n_touches"
+            ).alias("credit_u"),
+        )
+    )
+    return (
+        credit.groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_touches_credited"),
+            (F.sum("credit_u").cast("double") / 1000000).alias(
+                "attributed_value"
+            ),
+        )
+        .orderBy("channel")
+    )
+
+
+# ---- x208: priority -> ship-delay ANOVA ----
+
+_X208_SQL = """
+WITH delays AS (
+  SELECT o.o_orderpriority AS priority,
+         CAST(DATEDIFF('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS BIGINT) AS d
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+per_g AS (
+  SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(d) AS BIGINT) AS s_g,
+         CAST(SUM(d * d) AS BIGINT) AS ss_g
+  FROM delays GROUP BY priority),
+tot AS (
+  SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+         CAST(SUM(s_g) AS BIGINT) AS s,
+         CAST(SUM(ss_g) AS BIGINT) AS ss,
+         LIST_REDUCE(
+           LIST((CAST(s_g AS DOUBLE) / n_g) * CAST(s_g AS DOUBLE)
+                ORDER BY priority),
+           (x, y) -> x + y) AS explained_raw
+  FROM per_g)
+SELECT n AS n_lines,
+       ROUND(CAST(s AS DOUBLE) / n, 4) AS mean_delay_d,
+       ROUND((explained_raw
+              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                / CAST(n AS DOUBLE))
+             / (CAST(ss AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                  / CAST(n AS DOUBLE)), 6) AS eta_squared
+FROM tot
+"""
+
+
+@register("x208_priority_delay_anova", oracle=_X208_SQL)
+def x208_priority_delay_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does order priority actually move ship delay? One-way ANOVA
+    eta-squared of delay days across the 5 priority classes — the
+    single number behind x169's percentile table (eta² ≈ 0 means
+    the priority field is decorative, and the SLA conversation
+    changes). x196's machinery on a categorical business lever.
+
+    Integer delay moments; the 5 per-group mean products fold in
+    explicit priority order on both engines (the x196
+    determinism rule for cross-row double sums).
+
+    Scale: the orderkey-keyed fact join, a 5-key moment agg,
+    1-row output.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    delays = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        )
+        .cast("bigint")
+        .alias("d"),
+    )
+    per_g = delays.groupBy("priority").agg(
+        F.count("*").cast("bigint").alias("n_g"),
+        F.sum("d").cast("bigint").alias("s_g"),
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("ss_g"),
+    )
+    tot = per_g.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").cast("bigint").alias("s"),
+        F.sum("ss_g").cast("bigint").alias("ss"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "priority",
+                            (
+                                (
+                                    F.col("s_g").cast("double")
+                                    / F.col("n_g")
+                                )
+                                * F.col("s_g").cast("double")
+                            ).alias("v"),
+                        )
+                    )
+                ),
+                lambda st: st["v"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("explained_raw"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    grand = d("s") * d("s") / d("n")
+    return tot.select(
+        F.col("n").alias("n_lines"),
+        F.round(d("s") / F.col("n"), 4).alias("mean_delay_d"),
+        F.round(
+            (F.col("explained_raw") - grand) / (d("ss") - grand), 6
+        ).alias("eta_squared"),
+    )
