@@ -728,3 +728,115 @@ def test_remove_dup_spans_matches_python_reference(spark, docs, k):
         if not toks:
             expect[di] = ""
     assert got == expect
+
+
+@given(
+    st.lists(st.integers(-10**6, 10**6), min_size=1, max_size=40),
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_rank_quantile_matches_sorted_index(spark, vals):
+    """The rank-exact quantile idiom (x157/x163/x169/x185/x206):
+    value at row ceil(p*n) of the sorted list must equal the
+    sorted-list element at that index — checked against plain
+    Python sorting, independent of any SQL engine."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id: bigint, v: bigint"
+    )
+    r = df.select(
+        "v",
+        F.row_number().over(Window.orderBy("v", "id")).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    import math
+
+    for p in (0.25, 0.5, 0.75, 0.9):
+        got = (
+            r.where(
+                F.col("rn")
+                == F.ceil(F.lit(p) * F.col("n")).cast("bigint")
+            )
+            .select("v")
+            .first()
+            .v
+        )
+        exp = sorted(vals)[math.ceil(p * len(vals)) - 1]
+        assert got == exp, (p, vals, got, exp)
+
+
+@given(
+    st.lists(
+        st.integers(0, 10**9).map(lambda c: c / 100.0),
+        min_size=1,
+        max_size=50,
+    ),
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_holt_fold_matches_python_recurrence(spark, ys):
+    """x155's F.aggregate Holt fold must reproduce the plain-Python
+    recurrence BIT-FOR-BIT (alpha=0.3, beta=0.1): the fold is
+    sequential, the update is IEEE * and +, so no tolerance is
+    needed — any deviation means the fold reordered operations."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(list(ys),)], "s: array<double>")
+    out_t = "array<struct<y:double,lvl:double,trend:double>>"
+    init = F.struct(
+        F.lit(0.0).alias("l"),
+        F.lit(0.0).alias("b"),
+        F.array().cast(out_t).alias("out"),
+    )
+
+    def step(acc, y):
+        first = F.size(acc["out"]) == 0
+        l_upd = F.lit(0.3) * y + F.lit(0.7) * (acc["l"] + acc["b"])
+        l_new = F.when(first, y).otherwise(l_upd)
+        b_new = F.when(first, F.lit(0.0)).otherwise(
+            F.lit(0.1) * (l_upd - acc["l"]) + F.lit(0.9) * acc["b"]
+        )
+        return F.struct(
+            l_new.alias("l"),
+            b_new.alias("b"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        y.alias("y"),
+                        l_new.alias("lvl"),
+                        b_new.alias("trend"),
+                    )
+                ),
+            ).alias("out"),
+        )
+
+    rows = (
+        df.select(F.explode(F.aggregate("s", init, step)["out"]).alias("r"))
+        .select("r.y", "r.lvl", "r.trend")
+        .collect()
+    )
+    l = b = None
+    for i, (y, got_l, got_b) in enumerate(rows):
+        if i == 0:
+            l, b = ys[0], 0.0
+        else:
+            l_upd = 0.3 * ys[i] + 0.7 * (l + b)
+            b = 0.1 * (l_upd - l) + 0.9 * b
+            l = l_upd
+        assert got_l == l and got_b == b, (i, ys)
+
+
+@given(
+    st.integers(1, 10**12),  # purchase value in micro-units
+    st.integers(1, 50),  # touches in the cycle
+)
+@settings(max_examples=50, deadline=None)
+def test_linear_attribution_credit_conservation(pv_u, n):
+    """x207's integer floor-division credit rule: n equal credits
+    must never exceed the purchase value, and the dropped
+    remainder must be < n micro-units (sub-micro per touch)."""
+    credit = pv_u // n
+    assert credit * n <= pv_u < credit * n + n
