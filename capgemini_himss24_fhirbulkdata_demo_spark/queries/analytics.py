@@ -4921,3 +4921,70 @@ def x208_priority_delay_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("explained_raw") - grand) / (d("ss") - grand), 6
         ).alias("eta_squared"),
     )
+
+
+# ---- x210: user event-diversity histogram (Gini-Simpson) ----
+
+_X210_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS k
+  FROM events GROUP BY user_id, event_type),
+u AS (
+  SELECT user_id,
+         CAST(SUM(k) AS BIGINT) AS t,
+         CAST(SUM(k * k) AS BIGINT) AS skk
+  FROM c GROUP BY user_id),
+b AS (
+  SELECT user_id,
+         (10 * (t * t - skk)) // (t * t) AS band
+  FROM u),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM b)
+SELECT CAST(band AS BIGINT) AS diversity_band,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT nt FROM tot), 6)
+         AS user_share
+FROM b
+GROUP BY band
+ORDER BY diversity_band
+"""
+
+
+@register("x210_event_diversity", oracle=_X210_SQL)
+def x210_event_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User behavioral-diversity histogram via the Gini-Simpson
+    index (1 - sum p_i² over a user's event-type mix): band 0 =
+    one-trick users (all events the same type), band 8-9 =
+    uniformly mixed behavior — the no-logarithm diversity measure
+    (Shannon entropy needs libm log, which is not cross-engine
+    bit-stable; Simpson needs only integer squares). Banding is
+    EXACT integer arithmetic: floor(10·(t²−Σk²)/t²) via integral
+    division — no float ever touches the bucketing.
+
+    Scale: (user, type) partial agg → per-user integer moments →
+    10-band histogram; one share division at the end.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("bigint").alias("k")
+    )
+    u = c.groupBy("user_id").agg(
+        F.sum("k").cast("bigint").alias("t"),
+        F.sum(F.col("k") * F.col("k")).cast("bigint").alias("skk"),
+    )
+    b = u.select(
+        F.expr("(10 * (t * t - skk)) div (t * t)").alias("band")
+    )
+    tot = b.agg(F.count("*").cast("bigint").alias("nt"))
+    return (
+        b.groupBy(F.col("band").cast("bigint").alias("diversity_band"))
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "diversity_band",
+            "n_users",
+            F.round(
+                F.col("n_users").cast("double") / F.col("nt"), 6
+            ).alias("user_share"),
+        )
+        .orderBy("diversity_band")
+    )

@@ -1873,3 +1873,121 @@ def x188_label_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---- x209: embedding outlier preview (distance vs label mean) ----
+
+_X209_SQL = f"""
+    WITH {_X187_CENT_SQL},
+    d AS (
+      SELECT e.vec_id, e.label,
+             SQRT(LIST_REDUCE(LIST_TRANSFORM(RANGE(1, {_DIM} + 1),
+                 i -> (CAST(e.embedding[i] AS DOUBLE)
+                       - CAST(c.c[i] AS DOUBLE))
+                      * (CAST(e.embedding[i] AS DOUBLE)
+                         - CAST(c.c[i] AS DOUBLE))),
+                 (x, y) -> x + y)) AS dist
+      FROM embeddings e JOIN lab_cent c ON e.label = c.label),
+    m AS (
+      SELECT label,
+             CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             CAST(SUM(CAST(dist AS DECIMAL(28,12))) AS DOUBLE)
+               / COUNT(*) AS mean_dist
+      FROM d GROUP BY label),
+    rk AS (
+      SELECT d.label, d.vec_id, d.dist,
+             ROW_NUMBER() OVER (PARTITION BY d.label
+                                ORDER BY d.dist DESC, d.vec_id) AS rn
+      FROM d)
+    SELECT rk.label, m.n_vecs, CAST(rk.rn AS BIGINT) AS rank,
+           rk.vec_id,
+           ROUND(rk.dist, 6) AS dist,
+           ROUND(rk.dist / m.mean_dist, 6) AS dist_over_mean
+    FROM rk JOIN m ON rk.label = m.label
+    WHERE rk.rn <= 3
+    ORDER BY rk.label, rank
+    """
+
+
+@register("x209_embedding_outliers", oracle=_X209_SQL)
+def x209_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier preview: per label, the 3 vectors farthest
+    from their OWN centroid, with their distance over the label
+    mean — the quarantine candidates an embedding-QA pass (x67)
+    would inspect first (mislabeled rows, encoder failures,
+    novelty). Rank-based rather than thresholded: at high
+    dimension, distances concentrate (this corpus' max/mean is
+    ~1.03), so any fixed multiplier is either empty or everything;
+    a top-k preview is informative on ANY distance distribution.
+    Uses x187's exact-decimal centroids and x188's fold distances;
+    the mean accumulates as DECIMAL(28,12), partition-order-free.
+
+    Scale: centroid build (skinny posexplode shuffle) + one
+    broadcast-centroid scoring pass + a label-keyed mean join —
+    linear in vectors, never pairwise.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    long = emb.select(
+        "label", F.posexplode("embedding").alias("__pos", "__val")
+    )
+    dec = F.sum(
+        F.col("__val").cast("double").cast("decimal(28,12)")
+    ).cast("double") / F.count("*")
+    lab_cent = (
+        long.groupBy("label", "__pos")
+        .agg(dec.alias("__m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__m"))),
+                lambda s: s["__m"],
+            ).alias("c")
+        )
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("c"),
+                lambda u, v: (u.cast("double") - v)
+                * (u.cast("double") - v),
+            ),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+    )
+    d = emb.join(F.broadcast(lab_cent), "label").select(
+        "vec_id", "label", dist.alias("dist")
+    )
+    m = d.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        (
+            F.sum(F.col("dist").cast("decimal(28,12)")).cast("double")
+            / F.count("*")
+        ).alias("mean_dist"),
+    )
+    from pyspark.sql import Window
+
+    rk = d.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("label").orderBy(
+                F.desc("dist"), "vec_id"
+            )
+        ),
+    )
+    return (
+        rk.where(F.col("rn") <= 3)
+        .join(F.broadcast(m), "label")
+        .select(
+            "label",
+            "n_vecs",
+            F.col("rn").cast("bigint").alias("rank"),
+            "vec_id",
+            F.round("dist", 6).alias("dist"),
+            F.round(F.col("dist") / F.col("mean_dist"), 6).alias(
+                "dist_over_mean"
+            ),
+        )
+        .orderBy("label", "rank")
+    )
