@@ -4988,3 +4988,231 @@ def x210_event_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("diversity_band")
     )
+
+
+# ---- x211: nation revenue rank stability (Kendall tau) ----
+
+_X211_CUT = "1998-01-01"  # same literal boundary as x160/x178
+
+_X211_SQL = f"""
+WITH rev AS (
+  SELECT n.n_name AS nation,
+         CASE WHEN o.o_orderdate < TIMESTAMP '{_X211_CUT}'
+              THEN 'early' ELSE 'late' END AS period,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(6,4))
+                     - CAST(l.l_discount AS DECIMAL(6,4)))) * 1000000
+              AS DECIMAL(19,0)) AS rev_u
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY nation, period),
+rk AS (
+  SELECT nation, period,
+         ROW_NUMBER() OVER (PARTITION BY period
+                            ORDER BY rev_u DESC, nation) AS r
+  FROM rev),
+wide AS (
+  SELECT e.nation, e.r AS r_early, l.r AS r_late
+  FROM (SELECT nation, r FROM rk WHERE period = 'early') e
+  JOIN (SELECT nation, r FROM rk WHERE period = 'late') l
+    ON e.nation = l.nation),
+pairs AS (
+  SELECT CAST(SUM(CASE WHEN (a.r_early - b.r_early)
+                          * (a.r_late - b.r_late) > 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN (a.r_early - b.r_early)
+                          * (a.r_late - b.r_late) < 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM wide a JOIN wide b ON a.nation < b.nation)
+SELECT n_pairs, c AS concordant, d AS discordant,
+       ROUND(CAST(c - d AS DOUBLE) / n_pairs, 6) AS kendall_tau
+FROM pairs
+"""
+
+
+@register("x211_rank_stability", oracle=_X211_SQL)
+def x211_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """League-table stability: Kendall's tau between nation revenue
+    RANKS in the early vs late half — tau near 1 means the
+    competitive order is frozen, near 0 means the market reshuffled
+    (x160 tracks individual movement; this scores the whole
+    ranking's churn in one nonparametric number). Concordant/
+    discordant pair counts are pure integer sign tests — no
+    variance, no float until the final ratio.
+
+    Scale: the fact work is one (nation, period) aggregate; ranks
+    and the pair test run on the 25-row league table (dim-bounded
+    self-join, 300 pairs).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    from pyspark.sql import Window
+
+    disc = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(6,4)") - F.col("l_discount").cast("decimal(6,4)"))
+    )
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.when(
+                F.col("o_orderdate") < F.lit(_X211_CUT).cast("timestamp"),
+                "early",
+            )
+            .otherwise("late")
+            .alias("period"),
+        )
+        .agg(
+            (F.sum(disc) * 1000000)
+            .cast("decimal(19,0)")
+            .alias("rev_u")
+        )
+    )
+    rk = rev.withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("period").orderBy(
+                F.desc("rev_u"), "nation"
+            )
+        ),
+    )
+    e = rk.where(F.col("period") == "early").select(
+        "nation", F.col("r").alias("r_early")
+    )
+    l = rk.where(F.col("period") == "late").select(
+        F.col("nation").alias("nation_l"), F.col("r").alias("r_late")
+    )
+    wide = e.join(l, e.nation == l.nation_l).select(
+        "nation", "r_early", "r_late"
+    )
+    a = wide.select(
+        F.col("nation").alias("na"),
+        F.col("r_early").alias("ea"),
+        F.col("r_late").alias("la"),
+    )
+    b = wide.select(
+        F.col("nation").alias("nb"),
+        F.col("r_early").alias("eb"),
+        F.col("r_late").alias("lb"),
+    )
+    sign = (F.col("ea") - F.col("eb")) * (F.col("la") - F.col("lb"))
+    pairs = (
+        a.join(b, F.col("na") < F.col("nb"))
+        .agg(
+            F.sum(F.when(sign > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("concordant"),
+            F.sum(F.when(sign < 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("discordant"),
+            F.count("*").cast("bigint").alias("n_pairs"),
+        )
+    )
+    return pairs.select(
+        "n_pairs",
+        "concordant",
+        "discordant",
+        F.round(
+            (F.col("concordant") - F.col("discordant")).cast("double")
+            / F.col("n_pairs"),
+            6,
+        ).alias("kendall_tau"),
+    )
+
+
+# ---- x212: assortment whitespace (nation x brand gaps) ----
+
+_X212_SQL = """
+WITH sold AS (
+  SELECT DISTINCT c.c_nationkey AS nationkey, p.p_brand
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN part p ON l.l_partkey = p.p_partkey),
+universe AS (
+  SELECT n.n_nationkey AS nationkey, n.n_name AS nation, b.p_brand
+  FROM nation n CROSS JOIN (SELECT DISTINCT p_brand FROM part) b),
+cov AS (
+  SELECT u.nation, u.p_brand,
+         CASE WHEN s.p_brand IS NULL THEN 0 ELSE 1 END AS sold
+  FROM universe u LEFT JOIN sold s
+    ON u.nationkey = s.nationkey AND u.p_brand = s.p_brand)
+SELECT nation,
+       CAST(COUNT(*) AS BIGINT) AS n_brands,
+       CAST(SUM(sold) AS BIGINT) AS n_brands_sold,
+       CAST(COUNT(*) - SUM(sold) AS BIGINT) AS n_missing_brands,
+       MIN(CASE WHEN sold = 0 THEN p_brand END) AS first_missing_brand,
+       ROUND(CAST(SUM(sold) AS DOUBLE) / COUNT(*), 6) AS coverage
+FROM cov
+GROUP BY nation
+ORDER BY coverage, nation
+"""
+
+
+@register("x212_assortment_whitespace", oracle=_X212_SQL)
+def x212_assortment_whitespace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assortment whitespace scan: (customer nation, brand)
+    combinations with ZERO sales — the expansion target list
+    ("brand X has never sold to nation Y"). The universe is the
+    nation x distinct-brand cross product (dim-bounded, 25 x 25),
+    left-joined against observed sales pairs; every nation reports
+    its coverage share so the table is informative even when the
+    market is fully penetrated (as the larger fixtures are), and
+    the first missing brand names the first expansion target when
+    it is not.
+
+    Scale: the fact table reduces to DISTINCT (nation, brand)
+    pairs FIRST (bounded by the dim product, tiny), so the
+    expensive side collapses before any join; the cross-product
+    universe is dims-only. Nothing fact-sized survives past the
+    distinct.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    nat = load_table(spark, sf_dir, "nation")
+    sold = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("c_nationkey").alias("nationkey"), "p_brand")
+        .distinct()
+    )
+    brands = part.select("p_brand").distinct()
+    universe = nat.select(
+        F.col("n_nationkey").alias("nationkey"),
+        F.col("n_name").alias("nation"),
+    ).crossJoin(brands)
+    cov = universe.join(
+        sold.withColumn("sold", F.lit(1)),
+        ["nationkey", "p_brand"],
+        "left",
+    ).select(
+        "nation", "p_brand", F.coalesce("sold", F.lit(0)).alias("sold")
+    )
+    return (
+        cov.groupBy("nation")
+        .agg(
+            F.count("*").cast("bigint").alias("n_brands"),
+            F.sum("sold").cast("bigint").alias("n_brands_sold"),
+            (F.count("*") - F.sum("sold"))
+            .cast("bigint")
+            .alias("n_missing_brands"),
+            F.min(
+                F.when(F.col("sold") == 0, F.col("p_brand"))
+            ).alias("first_missing_brand"),
+            F.round(
+                F.sum("sold").cast("double") / F.count("*"), 6
+            ).alias("coverage"),
+        )
+        .orderBy("coverage", "nation")
+    )
