@@ -5216,3 +5216,163 @@ def x212_assortment_whitespace(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("coverage", "nation")
     )
+
+
+# ---- x213: Spearman rank correlation, price vs revenue ----
+
+_X213_SQL = """
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(6,4))
+                     - CAST(l_discount AS DECIMAL(6,4)))) * 1000000
+              AS DECIMAL(19,0)) AS rev_u
+  FROM lineitem GROUP BY l_partkey),
+j AS (
+  SELECT p.p_partkey, p.p_retailprice, r.rev_u
+  FROM part p JOIN rev r ON p.p_partkey = r.l_partkey),
+rk AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY p_retailprice, p_partkey)
+           AS price_rank,
+         ROW_NUMBER() OVER (ORDER BY rev_u, p_partkey) AS rev_rank
+  FROM j),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM((price_rank - rev_rank) * (price_rank - rev_rank))
+              AS BIGINT) AS sd2
+  FROM rk)
+SELECT n AS n_parts, sd2 AS sum_sq_rank_diff,
+       ROUND(1 - CAST(6 * sd2 AS DOUBLE) / (n * (n * n - 1)), 6)
+         AS spearman_rho
+FROM s
+"""
+
+
+@register("x213_spearman_price_revenue", oracle=_X213_SQL)
+def x213_spearman_price_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between catalog price and realized
+    revenue across parts — "do expensive parts earn more?"
+    answered monotonically (Spearman sees any monotone relation
+    where x167's Pearson sees only linear ones; disagreement
+    between the two flags nonlinearity). rho = 1 − 6·Σd²/(n(n²−1))
+    from INTEGER rank differences — exact until the single final
+    division. Both rankings tiebreak on partkey, so d² is
+    well-defined.
+
+    Scale: fact agg at partkey grain, two part-dim-sized rank
+    sorts, a 1-row moment reduce.
+    """
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    disc = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(6,4)") - F.col("l_discount").cast("decimal(6,4)"))
+    )
+    rev = li.groupBy("l_partkey").agg(
+        (F.sum(disc) * 1000000).cast("decimal(19,0)").alias("rev_u")
+    )
+    j = F.broadcast(part).join(rev, part.p_partkey == rev.l_partkey)
+    rk = j.select(
+        F.row_number()
+        .over(Window.orderBy("p_retailprice", "p_partkey"))
+        .alias("price_rank"),
+        F.row_number()
+        .over(Window.orderBy("rev_u", "p_partkey"))
+        .alias("rev_rank"),
+    )
+    dd = F.col("price_rank") - F.col("rev_rank")
+    s = rk.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(dd * dd).cast("bigint").alias("sd2"),
+    )
+    return s.select(
+        F.col("n").alias("n_parts"),
+        F.col("sd2").alias("sum_sq_rank_diff"),
+        F.round(
+            1
+            - (6 * F.col("sd2")).cast("double")
+            / (F.col("n") * (F.col("n") * F.col("n") - 1)),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+# ---- x214: longest daily-activity streaks (gaps and islands) ----
+
+_X214_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+isl AS (
+  SELECT user_id,
+         CAST(d AS DATE) - CAST(ROW_NUMBER() OVER
+           (PARTITION BY user_id ORDER BY d) AS INTEGER) AS grp
+  FROM days),
+streaks AS (
+  SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+  FROM isl GROUP BY user_id, grp),
+longest AS (
+  SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak
+  FROM streaks GROUP BY user_id),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM longest)
+SELECT max_streak AS streak_days,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT nt FROM t), 6)
+         AS user_share
+FROM longest
+GROUP BY max_streak
+ORDER BY streak_days
+"""
+
+
+@register("x214_longest_streaks", oracle=_X214_SQL)
+def x214_longest_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user, as a
+    histogram — THE gaps-and-islands query (consecutive dates
+    collapse to a constant when you subtract the row number), and
+    the habit metric behind every streak badge. Longer max
+    streaks than x150's raw active-day counts indicate clumped
+    engagement vs scattered.
+
+    Purely integer date arithmetic throughout.
+
+    Scale: distinct (user, day) then ONE user window — the
+    island trick needs no self-join or recursive walk; histogram
+    output. Calendar bounds the per-user row count.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    isl = days.select(
+        "user_id",
+        F.date_sub(
+            "d",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy("d")
+            ),
+        ).alias("grp"),
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.count("*").cast("bigint").alias("len")
+    )
+    longest = streaks.groupBy("user_id").agg(
+        F.max("len").cast("bigint").alias("max_streak")
+    )
+    t = longest.agg(F.count("*").cast("bigint").alias("nt"))
+    return (
+        longest.groupBy(F.col("max_streak").alias("streak_days"))
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "streak_days",
+            "n_users",
+            F.round(
+                F.col("n_users").cast("double") / F.col("nt"), 6
+            ).alias("user_share"),
+        )
+        .orderBy("streak_days")
+    )
