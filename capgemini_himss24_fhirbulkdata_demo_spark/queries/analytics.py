@@ -5376,3 +5376,213 @@ def x214_longest_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("streak_days")
     )
+
+
+# ---- x215: language purity via majority-language vocabulary ----
+
+_X215_SQL = """
+WITH tok AS (
+  SELECT doc_id, lang, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS t
+  FROM documents),
+vocab AS (
+  SELECT t, lang, CAST(COUNT(*) AS BIGINT) AS n,
+         ROW_NUMBER() OVER (PARTITION BY t
+                            ORDER BY COUNT(*) DESC, lang) AS rn
+  FROM tok GROUP BY t, lang),
+majority AS (
+  SELECT t, lang AS major_lang FROM vocab WHERE rn = 1),
+scored AS (
+  SELECT tok.doc_id, tok.lang,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN m.major_lang = tok.lang THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_pure
+  FROM tok JOIN majority m ON tok.t = m.t
+  GROUP BY tok.doc_id, tok.lang)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(n_pure) AS DOUBLE) / SUM(n_tokens), 6)
+         AS mean_purity,
+       CAST(SUM(CASE WHEN 2 * n_pure < n_tokens THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_suspect_docs
+FROM scored
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("x215_language_purity", oracle=_X215_SQL)
+def x215_language_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-purity audit without external dictionaries: build
+    each token's majority language from the corpus itself (the
+    lang that uses it most, ties broken lexically), then score
+    every doc by the share of its tokens whose majority language
+    matches the doc's tag. Docs under 50% purity are suspects —
+    mislabeled or code-switched — and the per-lang suspect count
+    is the re-annotation queue (complements x108's confusion
+    matrix, which needs a trained classifier; this needs only the
+    corpus). The 50% gate is an integer cross-multiplication.
+
+    Scale: two passes over the exploded tokens sharing one
+    (token)-keyed shuffle family: vocabulary majority (Zipf head
+    collapses map-side) and the doc scoring join on the same key;
+    per-lang rollup output.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower("text"), " ")).alias("t"),
+    )
+    vocab = tok.groupBy("t", "lang").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    majority = (
+        vocab.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("t").orderBy(F.desc("n"), "lang")
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("t", F.col("lang").alias("major_lang"))
+    )
+    scored = (
+        tok.join(majority, "t")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(
+                F.when(
+                    F.col("major_lang") == F.col("lang"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_pure"),
+        )
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum("n_pure").cast("double") / F.sum("n_tokens"), 6
+            ).alias("mean_purity"),
+            F.sum(
+                F.when(
+                    2 * F.col("n_pure") < F.col("n_tokens"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_suspect_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---- x216: supplier churn and entrants by nation ----
+
+_X216_CUT = "1998-01-01"  # same literal boundary as x160/x178/x211
+
+_X216_SQL = f"""
+WITH active AS (
+  SELECT DISTINCT s.s_nationkey, l.l_suppkey,
+         CASE WHEN o.o_orderdate < TIMESTAMP '{_X216_CUT}'
+              THEN 'early' ELSE 'late' END AS period
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+wide AS (
+  SELECT COALESCE(e.s_nationkey, l.s_nationkey) AS nationkey,
+         COALESCE(e.l_suppkey, l.l_suppkey) AS suppkey,
+         CASE WHEN e.l_suppkey IS NOT NULL THEN 1 ELSE 0 END AS in_early,
+         CASE WHEN l.l_suppkey IS NOT NULL THEN 1 ELSE 0 END AS in_late
+  FROM (SELECT * FROM active WHERE period = 'early') e
+  FULL JOIN (SELECT * FROM active WHERE period = 'late') l
+    ON e.l_suppkey = l.l_suppkey AND e.s_nationkey = l.s_nationkey)
+SELECT n.n_name AS nation,
+       CAST(SUM(in_early) AS BIGINT) AS n_early,
+       CAST(SUM(in_late) AS BIGINT) AS n_late,
+       CAST(SUM(CASE WHEN in_early = 1 AND in_late = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+       CAST(SUM(CASE WHEN in_early = 0 AND in_late = 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_entrants
+FROM wide JOIN nation n ON wide.nationkey = n.n_nationkey
+GROUP BY nation
+ORDER BY nation
+"""
+
+
+@register("x216_supplier_churn", oracle=_X216_SQL)
+def x216_supplier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier base churn by nation: vendors active in the early
+    period but silent in the late one (churned) vs new entrants —
+    the supply-base stability view procurement pairs with x189's
+    single-source risk (churn among single-source vendors is the
+    compound risk). Set membership via DISTINCT + full outer
+    join; all counts integer.
+
+    Scale: the fact table collapses to DISTINCT (nation,
+    supplier, period) first — supplier-dim-bounded — so the
+    full-outer join and rollup touch only dim-sized rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    active = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .select(
+            "s_nationkey",
+            "l_suppkey",
+            F.when(
+                F.col("o_orderdate") < F.lit(_X216_CUT).cast("timestamp"),
+                "early",
+            )
+            .otherwise("late")
+            .alias("period"),
+        )
+        .distinct()
+    )
+    e = active.where(F.col("period") == "early").select(
+        F.col("s_nationkey").alias("nk_e"),
+        F.col("l_suppkey").alias("sk_e"),
+    )
+    l = active.where(F.col("period") == "late").select(
+        F.col("s_nationkey").alias("nk_l"),
+        F.col("l_suppkey").alias("sk_l"),
+    )
+    wide = e.join(
+        l,
+        (e.sk_e == l.sk_l) & (e.nk_e == l.nk_l),
+        "full_outer",
+    ).select(
+        F.coalesce("nk_e", "nk_l").alias("nationkey"),
+        F.when(F.col("sk_e").isNotNull(), 1).otherwise(0).alias("in_early"),
+        F.when(F.col("sk_l").isNotNull(), 1).otherwise(0).alias("in_late"),
+    )
+    return (
+        wide.join(F.broadcast(nat), wide.nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum("in_early").cast("bigint").alias("n_early"),
+            F.sum("in_late").cast("bigint").alias("n_late"),
+            F.sum(
+                F.when(
+                    (F.col("in_early") == 1) & (F.col("in_late") == 0), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_churned"),
+            F.sum(
+                F.when(
+                    (F.col("in_early") == 0) & (F.col("in_late") == 1), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_entrants"),
+        )
+        .orderBy("nation")
+    )
