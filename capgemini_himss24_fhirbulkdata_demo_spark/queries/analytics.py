@@ -5586,3 +5586,166 @@ def x216_supplier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# ---- x217: naive-seasonal forecast backtest ----
+
+_X217_SQL = """
+WITH monthly AS (
+  SELECT STRFTIME(DATE_TRUNC('month', CAST(o_orderdate AS DATE)),
+                  '%Y-%m') AS month,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+              AS DECIMAL(19,0)) AS c
+  FROM orders GROUP BY month),
+lagged AS (
+  SELECT month, c,
+         LAG(c, 12) OVER (ORDER BY month) AS c_ly
+  FROM monthly),
+scored AS (
+  SELECT month, c, c_ly,
+         CAST(ABS(CAST(c AS BIGINT) - CAST(c_ly AS BIGINT))
+              AS DECIMAL(28,12))
+           / CAST(c AS DECIMAL(28,12)) AS ape
+  FROM lagged WHERE c_ly IS NOT NULL)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_months,
+       ROUND(CAST(SUM(CASE WHEN c_ly > c THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS over_forecast_share,
+       ROUND(CAST(SUM(ape) AS DOUBLE) / COUNT(*), 6) AS mape
+FROM scored
+"""
+
+
+@register("x217_seasonal_naive_backtest", oracle=_X217_SQL)
+def x217_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each month's
+    revenue as the same month last year and score the MAPE — the
+    BASELINE every fancier forecaster must beat before it earns a
+    deploy (if your model's MAPE isn't under the naive lag-12's,
+    ship the lag). over_forecast_share shows bias direction.
+
+    The absolute percentage error is a DECIMAL(28,12)/DECIMAL
+    division per month — decimal division at fixed scale, then
+    an exact decimal sum (no double accumulates across rows).
+
+    Scale: month-grain agg; the lag and scoring run on the
+    calendar-bounded monthly table.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            F.date_format(
+                F.date_trunc("month", F.col("o_orderdate").cast("date")),
+                "yyyy-MM",
+            ).alias("month")
+        )
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("decimal(19,0)")
+            .alias("c")
+        )
+    )
+    lagged = monthly.select(
+        "month",
+        "c",
+        F.lag("c", 12).over(Window.orderBy("month")).alias("c_ly"),
+    )
+    scored = lagged.where(F.col("c_ly").isNotNull()).select(
+        "c",
+        "c_ly",
+        (
+            F.abs(
+                F.col("c").cast("bigint") - F.col("c_ly").cast("bigint")
+            ).cast("decimal(28,12)")
+            / F.col("c").cast("decimal(28,12)")
+        ).alias("ape"),
+    )
+    return scored.agg(
+        F.count("*").cast("bigint").alias("n_months"),
+        F.round(
+            F.sum(
+                F.when(F.col("c_ly") > F.col("c"), 1).otherwise(0)
+            ).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("over_forecast_share"),
+        F.round(
+            F.sum("ape").cast("double") / F.count("*"), 6
+        ).alias("mape"),
+    )
+
+
+# ---- x218: source vocabulary exclusivity ----
+
+_X218_SQL = """
+WITH tok AS (
+  SELECT source, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS t
+  FROM documents),
+cnt AS (
+  SELECT source, t, CAST(COUNT(*) AS BIGINT) AS n
+  FROM tok GROUP BY source, t),
+spread AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS n_sources
+  FROM cnt GROUP BY t)
+SELECT c.source,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN s.n_sources = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_exclusive_types,
+       ROUND(CAST(SUM(CASE WHEN s.n_sources = 1 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS type_exclusivity,
+       ROUND(CAST(SUM(CASE WHEN s.n_sources = 1 THEN c.n ELSE 0 END)
+                  AS DOUBLE) / SUM(c.n), 6) AS token_exclusivity
+FROM cnt c JOIN spread s ON c.t = s.t
+GROUP BY c.source
+ORDER BY c.source
+"""
+
+
+@register("x218_vocab_exclusivity", oracle=_X218_SQL)
+def x218_vocab_exclusivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source vocabulary exclusivity: the share of a source's
+    vocabulary (and of its token mass) that appears in NO other
+    source — high exclusivity marks domain-specialist sources
+    worth oversampling for coverage; near-zero marks me-too crawls
+    dedup should collapse. Inverts x92's pairwise overlap into a
+    per-source uniqueness number in one pass.
+
+    Integer type/token counts; two divisions per source.
+
+    Scale: (source, type) partial agg, a type-keyed spread count
+    (vocabulary-sized), and a join back on the same type key —
+    the Zipf head collapses map-side in both aggregates.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("t")
+    )
+    cnt = tok.groupBy("source", "t").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    spread = cnt.groupBy("t").agg(
+        F.count("*").cast("bigint").alias("n_sources")
+    )
+    excl = F.when(F.col("n_sources") == 1, 1).otherwise(0)
+    return (
+        cnt.join(spread, "t")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_types"),
+            F.sum(excl).cast("bigint").alias("n_exclusive_types"),
+            F.round(
+                F.sum(excl).cast("double") / F.count("*"), 6
+            ).alias("type_exclusivity"),
+            F.round(
+                F.sum(
+                    F.when(F.col("n_sources") == 1, F.col("n")).otherwise(
+                        0
+                    )
+                ).cast("double")
+                / F.sum("n"),
+                6,
+            ).alias("token_exclusivity"),
+        )
+        .orderBy("source")
+    )
