@@ -5749,3 +5749,218 @@ def x218_vocab_exclusivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---- x219: weekend revenue lift (Welch t-statistic) ----
+
+_X219_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CASE WHEN DAYOFWEEK(CAST(o_orderdate AS DATE)) IN (0, 6)
+              THEN 'weekend' ELSE 'weekday' END AS daypart,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+              AS DECIMAL(19,0)) AS c
+  FROM orders GROUP BY d, daypart),
+g AS (
+  SELECT daypart,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(c) AS s, SUM(c * c) AS ss
+  FROM daily GROUP BY daypart),
+wide AS (
+  SELECT
+    MAX(CASE WHEN daypart = 'weekend' THEN n END) AS n1,
+    MAX(CASE WHEN daypart = 'weekend' THEN s END) AS s1,
+    MAX(CASE WHEN daypart = 'weekend' THEN ss END) AS ss1,
+    MAX(CASE WHEN daypart = 'weekday' THEN n END) AS n2,
+    MAX(CASE WHEN daypart = 'weekday' THEN s END) AS s2,
+    MAX(CASE WHEN daypart = 'weekday' THEN ss END) AS ss2
+  FROM g)
+SELECT CAST(n1 AS BIGINT) AS n_weekend_days,
+       CAST(n2 AS BIGINT) AS n_weekday_days,
+       ROUND((CAST(s1 AS DOUBLE) / n1) / 100, 2) AS mean_weekend,
+       ROUND((CAST(s2 AS DOUBLE) / n2) / 100, 2) AS mean_weekday,
+       ROUND((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+             / SQRT(
+                 ((CAST(ss1 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                     / CAST(n1 AS DOUBLE))
+                  / (CAST(n1 AS DOUBLE) - 1)) / n1
+                 + ((CAST(ss2 AS DOUBLE)
+                     - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                       / CAST(n2 AS DOUBLE))
+                    / (CAST(n2 AS DOUBLE) - 1)) / n2),
+             6) AS welch_t
+FROM wide
+"""
+
+
+@register("x219_weekend_lift_ttest", oracle=_X219_SQL)
+def x219_weekend_lift_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend revenue lift, Welch t-statistic: do weekend days
+    earn detectably different revenue than weekdays once both
+    groups' own variances are respected (Welch, not pooled — the
+    honest version when group sizes/variances differ ~2:5)? |t|
+    above ~2 is the usual "real at 95%" bar; the continuous-scale
+    sibling of x136's proportion z-test.
+
+    Exact decimal cent moments; the t formula is one fixed
+    + - * / sqrt expression over their double casts.
+
+    Scale: day-grain agg, 2-group moments, 1-row output.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.col("o_orderdate").cast("date").alias("d"),
+            F.when(
+                F.dayofweek(F.col("o_orderdate").cast("date")).isin(1, 7),
+                "weekend",
+            )
+            .otherwise("weekday")
+            .alias("daypart"),
+        )
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("decimal(19,0)")
+            .alias("c")
+        )
+    )
+    g = daily.groupBy("daypart").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+
+    def pick(part: str, col: str, name: str):
+        return F.max(
+            F.when(F.col("daypart") == part, F.col(col))
+        ).alias(name)
+
+    wide = g.agg(
+        pick("weekend", "n", "n1"),
+        pick("weekend", "s", "s1"),
+        pick("weekend", "ss", "ss1"),
+        pick("weekday", "n", "n2"),
+        pick("weekday", "s", "s2"),
+        pick("weekday", "ss", "ss2"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    var1 = (d("ss1") - d("s1") * d("s1") / d("n1")) / (d("n1") - 1)
+    var2 = (d("ss2") - d("s2") * d("s2") / d("n2")) / (d("n2") - 1)
+    t = (d("s1") / F.col("n1") - d("s2") / F.col("n2")) / F.sqrt(
+        var1 / F.col("n1") + var2 / F.col("n2")
+    )
+    return wide.select(
+        F.col("n1").cast("bigint").alias("n_weekend_days"),
+        F.col("n2").cast("bigint").alias("n_weekday_days"),
+        F.round((d("s1") / F.col("n1")) / 100, 2).alias("mean_weekend"),
+        F.round((d("s2") / F.col("n2")) / 100, 2).alias("mean_weekday"),
+        F.round(t, 6).alias("welch_t"),
+    )
+
+
+# ---- x220: daily KPI snapshot (cross-table dashboard feed) ----
+
+_X220_SQL = """
+WITH rev AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS revenue
+  FROM orders GROUP BY d),
+act AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                  THEN user_id END) AS BIGINT)
+           AS purchasers,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_errors
+  FROM events GROUP BY d),
+span AS (
+  SELECT MAX(d) AS dmax FROM act)
+SELECT a.d, a.active_users, a.n_events,
+       ROUND(CAST(a.purchasers AS DOUBLE) / a.active_users, 6)
+         AS purchase_conversion,
+       ROUND(CAST(a.n_errors AS DOUBLE) / a.n_events, 6) AS error_rate,
+       COALESCE(r.n_orders, 0) AS n_orders,
+       ROUND(COALESCE(r.revenue, 0), 2) AS revenue
+FROM act a
+LEFT JOIN rev r ON a.d = r.d
+CROSS JOIN span s
+WHERE a.d > s.dmax - INTERVAL 14 DAY
+ORDER BY a.d
+"""
+
+
+@register("x220_daily_kpi_snapshot", oracle=_X220_SQL)
+def x220_daily_kpi_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily KPI snapshot for the trailing 14 days: active users,
+    event volume, purchase conversion, error rate (events table)
+    date-aligned with order count and revenue (orders table) —
+    the one materialized view behind an exec dashboard, and the
+    repo's demonstration of a cross-fact-table date-spine join.
+    Anchored to the data's own max date so the query reproduces.
+
+    Integer counts and exact decimal revenue; two ratios per day.
+
+    Scale: each fact aggregates to day grain independently
+    (map-side combinable), then a day-keyed join of two tiny
+    tables; the 14-day filter prunes before the join via the
+    broadcast anchor.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    rev = (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+    act = (
+        ev.groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("active_users"),
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct(
+                F.when(
+                    F.col("event_type") == "purchase", F.col("user_id")
+                )
+            )
+            .cast("bigint")
+            .alias("purchasers"),
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_errors"),
+        )
+    )
+    span = act.agg(F.max("d").alias("dmax"))
+    return (
+        act.crossJoin(F.broadcast(span))
+        .where(F.col("d") > F.date_sub(F.col("dmax"), 14))
+        .join(rev, "d", "left")
+        .select(
+            "d",
+            "active_users",
+            "n_events",
+            F.round(
+                F.col("purchasers").cast("double")
+                / F.col("active_users"),
+                6,
+            ).alias("purchase_conversion"),
+            F.round(
+                F.col("n_errors").cast("double") / F.col("n_events"), 6
+            ).alias("error_rate"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.round(F.coalesce("revenue", F.lit(0.0)), 2).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("d")
+    )
