@@ -5964,3 +5964,158 @@ def x220_daily_kpi_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+# ---- x221: tokenization byte-efficiency per language ----
+
+_X221_SQL = """
+WITH m AS (
+  SELECT lang,
+         STRLEN(text) AS n_bytes,
+         LENGTH(text) AS n_chars,
+         LEN(STRING_SPLIT(text, ' ')) AS n_tokens
+  FROM documents)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       ROUND(CAST(SUM(n_bytes) AS DOUBLE) / SUM(n_chars), 6)
+         AS bytes_per_char,
+       ROUND(CAST(SUM(n_bytes) AS DOUBLE) / SUM(n_tokens), 4)
+         AS bytes_per_token,
+       ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_tokens), 4)
+         AS chars_per_token
+FROM m
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("x221_bytes_per_token", oracle=_X221_SQL)
+def x221_bytes_per_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenization byte-efficiency per language: bytes/char
+    (multibyte density — 1.0 is pure ASCII, CJK runs ~3),
+    bytes/token, and chars/token — the capacity-planning numbers
+    for storage budgets and for spotting languages a byte-level
+    BPE will systematically over-fragment (x146's fertility
+    measures a FIXED tokenizer; this measures the text itself).
+
+    Byte counts via Spark octet_length ↔ DuckDB STRLEN (both
+    UTF-8 bytes; DuckDB's OCTET_LENGTH is BLOB-only);
+    integer sums, one division per ratio.
+
+    Scale: pure narrow map + languages-sized aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select(
+        "lang",
+        F.octet_length("text").alias("n_bytes"),
+        F.length("text").alias("n_chars"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    return (
+        m.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            F.round(
+                F.sum("n_bytes").cast("double") / F.sum("n_chars"), 6
+            ).alias("bytes_per_char"),
+            F.round(
+                F.sum("n_bytes").cast("double") / F.sum("n_tokens"), 4
+            ).alias("bytes_per_token"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.sum("n_tokens"), 4
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---- x222: first vs repeat order value per segment ----
+
+_X222_SQL = """
+WITH seq AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(o.o_totalprice AS DECIMAL(18,2)) AS price,
+         ROW_NUMBER() OVER (PARTITION BY o.o_custkey
+                            ORDER BY o.o_orderdate, o.o_orderkey) AS i
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+SELECT segment,
+       CAST(SUM(CASE WHEN i = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_first,
+       CAST(SUM(CASE WHEN i > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repeat,
+       ROUND(CAST(SUM(CASE WHEN i = 1 THEN price
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / SUM(CASE WHEN i = 1 THEN 1 ELSE 0 END), 2)
+         AS first_aov,
+       ROUND(CAST(SUM(CASE WHEN i > 1 THEN price
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / SUM(CASE WHEN i > 1 THEN 1 ELSE 0 END), 2)
+         AS repeat_aov,
+       ROUND(
+         (CAST(SUM(CASE WHEN i > 1 THEN price
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+          / SUM(CASE WHEN i > 1 THEN 1 ELSE 0 END))
+         / (CAST(SUM(CASE WHEN i = 1 THEN price
+                          ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+            / SUM(CASE WHEN i = 1 THEN 1 ELSE 0 END)),
+         6) AS repeat_to_first_ratio
+FROM seq
+GROUP BY segment
+ORDER BY segment
+"""
+
+
+@register("x222_first_vs_repeat_aov", oracle=_X222_SQL)
+def x222_first_vs_repeat_aov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First vs repeat average order value per segment: do
+    customers start small and grow (ratio > 1 — invest in
+    acquisition, value comes later) or land big and shrink
+    (ratio < 1 — the first sale IS the relationship)? The
+    unit-economics split x184's blended AOV hides.
+
+    Order sequence via one custkey window; exact decimal sums
+    with decimal-zero ELSE arms; ratios as fixed double
+    expressions.
+
+    Scale: one custkey window (dim join broadcast), conditional
+    sums in a 5-key segment rollup — no second pass.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    seq = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        F.row_number()
+        .over(
+            Window.partitionBy("o_custkey").orderBy(
+                "o_orderdate", "o_orderkey"
+            )
+        )
+        .alias("i"),
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    first_n = F.sum(F.when(F.col("i") == 1, 1).otherwise(0))
+    rep_n = F.sum(F.when(F.col("i") > 1, 1).otherwise(0))
+    first_s = F.sum(F.when(F.col("i") == 1, F.col("price")).otherwise(zero))
+    rep_s = F.sum(F.when(F.col("i") > 1, F.col("price")).otherwise(zero))
+    first_aov = first_s.cast("double") / first_n
+    rep_aov = rep_s.cast("double") / rep_n
+    return (
+        seq.groupBy("segment")
+        .agg(
+            first_n.cast("bigint").alias("n_first"),
+            rep_n.cast("bigint").alias("n_repeat"),
+            F.round(first_aov, 2).alias("first_aov"),
+            F.round(rep_aov, 2).alias("repeat_aov"),
+            F.round(rep_aov / first_aov, 6).alias(
+                "repeat_to_first_ratio"
+            ),
+        )
+        .orderBy("segment")
+    )
