@@ -6119,3 +6119,154 @@ def x222_first_vs_repeat_aov(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---- x223: run-length token redundancy per source ----
+
+_X223_SQL = """
+WITH t AS (
+  SELECT source, STRING_SPLIT(text, ' ') AS toks FROM documents),
+m AS (
+  SELECT source,
+         LEN(toks) AS n_tokens,
+         LEN(LIST_FILTER(RANGE(1, LEN(toks) + 1),
+             i -> i = 1 OR toks[i] <> toks[i - 1])) AS n_collapsed
+  FROM t)
+SELECT source,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_tokens - n_collapsed) AS BIGINT) AS n_run_dups,
+       ROUND(CAST(SUM(n_tokens - n_collapsed) AS DOUBLE)
+             / SUM(n_tokens), 6) AS run_redundancy
+FROM m
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("x223_run_redundancy", oracle=_X223_SQL)
+def x223_run_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length token redundancy: the share of tokens that merely
+    repeat their immediate predecessor ("very very very") — the
+    stutter artifact of scraped chat logs and OCR, invisible to
+    x29's bag-of-words repetition scores because runs don't change
+    type frequencies much. The collapsed length counts positions
+    where a token differs from its neighbor — an index-range
+    filter over the existing token array, no explode, no shuffle
+    beyond the source rollup.
+
+    Scale: narrow per-row array filter (codegen HOF) + a
+    source-sized aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", F.split(F.col("text"), " ").alias("toks")
+    )
+    n_tokens = F.size("toks")
+    n_collapsed = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.size("toks")),
+            lambda i: (i == 1)
+            | (
+                F.element_at(F.col("toks"), i)
+                != F.element_at(F.col("toks"), i - 1)
+            ),
+        )
+    )
+    m = t.select(
+        "source",
+        n_tokens.alias("n_tokens"),
+        n_collapsed.alias("n_collapsed"),
+    )
+    dups = F.sum(F.col("n_tokens") - F.col("n_collapsed"))
+    return (
+        m.groupBy("source")
+        .agg(
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            dups.cast("bigint").alias("n_run_dups"),
+            F.round(
+                dups.cast("double") / F.sum("n_tokens"), 6
+            ).alias("run_redundancy"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---- x224: peak-month stability across years ----
+
+_X224_SQL = """
+WITH monthly AS (
+  SELECT CAST(YEAR(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+         CAST(MONTH(CAST(o_orderdate AS DATE)) AS BIGINT) AS moy,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY yr, moy),
+peak AS (
+  SELECT yr, moy, rev,
+         ROW_NUMBER() OVER (PARTITION BY yr
+                            ORDER BY rev DESC, moy) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY yr) AS BIGINT) AS n_months
+  FROM monthly)
+SELECT yr AS year, moy AS peak_month, n_months,
+       CAST(ROUND(CAST(rev AS DOUBLE), 0) AS BIGINT) AS peak_revenue
+FROM peak
+WHERE rn = 1 AND n_months = 12
+ORDER BY year
+"""
+
+
+@register("x224_peak_month_stability", oracle=_X224_SQL)
+def x224_peak_month_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak revenue month per (complete) year: does the business
+    peak in the same calendar month every year (plan around it)
+    or does the peak wander (promo-driven, not seasonal)?
+    Partial years are excluded — their "peak" is an artifact of
+    coverage, not seasonality. The argmax is a rank pick with a
+    month tiebreak; revenue rounds to whole dollars through an
+    exact decimal.
+
+    Scale: month-grain agg (~84 rows), year-partitioned rank,
+    years-sized output.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            F.year(F.col("o_orderdate").cast("date"))
+            .cast("bigint")
+            .alias("yr"),
+            F.month(F.col("o_orderdate").cast("date"))
+            .cast("bigint")
+            .alias("moy"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "rev"
+            )
+        )
+    )
+    peak = monthly.select(
+        "yr",
+        "moy",
+        "rev",
+        F.row_number()
+        .over(
+            Window.partitionBy("yr").orderBy(F.desc("rev"), "moy")
+        )
+        .alias("rn"),
+        F.count("*")
+        .over(Window.partitionBy("yr"))
+        .cast("bigint")
+        .alias("n_months"),
+    )
+    return (
+        peak.where((F.col("rn") == 1) & (F.col("n_months") == 12))
+        .select(
+            F.col("yr").alias("year"),
+            F.col("moy").alias("peak_month"),
+            "n_months",
+            F.round(F.col("rev").cast("double"), 0)
+            .cast("bigint")
+            .alias("peak_revenue"),
+        )
+        .orderBy("year")
+    )
