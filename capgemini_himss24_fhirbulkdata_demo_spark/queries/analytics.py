@@ -6270,3 +6270,211 @@ def x224_peak_month_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("year")
     )
+
+
+# ---- x225: price-revenue skyline (Pareto front) ----
+
+_X225_SQL = """
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(6,4))
+                     - CAST(l_discount AS DECIMAL(6,4)))) * 1000000
+              AS DECIMAL(19,0)) AS rev_u
+  FROM lineitem GROUP BY l_partkey),
+j AS (
+  SELECT p.p_partkey, p.p_name, p.p_retailprice, r.rev_u
+  FROM part p JOIN rev r ON p.p_partkey = r.l_partkey),
+sky AS (
+  SELECT p_partkey, p_name, p_retailprice, rev_u,
+         MAX(rev_u) OVER (ORDER BY p_retailprice, p_partkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS best_cheaper
+  FROM j)
+SELECT p_partkey AS partkey, p_name,
+       ROUND(p_retailprice, 2) AS retail_price,
+       ROUND(CAST(rev_u AS DOUBLE) / 1000000, 2) AS revenue
+FROM sky
+WHERE best_cheaper IS NULL OR rev_u > best_cheaper
+ORDER BY retail_price, partkey
+"""
+
+
+@register("x225_price_revenue_skyline", oracle=_X225_SQL)
+def x225_price_revenue_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-revenue skyline: the Pareto front of parts that are
+    undominated on (cheaper, earns-more) — no other part is both
+    at-most-as-expensive AND strictly higher-revenue. The classic
+    SKYLINE operator, reduced for 2 dimensions to a sort plus ONE
+    running-max window (a part survives iff its revenue strictly
+    beats the best among all strictly-cheaper-or-tied-earlier
+    parts) — no pairwise dominance join, which is the naive
+    skyline's O(n²) trap.
+
+    Exact micro-unit revenue; dominance compares exact decimals.
+
+    Scale: fact agg at partkey grain, one part-dim-sized
+    range-partitioned sort. 2D skylines are small in practice —
+    output is the front only.
+    """
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    disc = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(6,4)") - F.col("l_discount").cast("decimal(6,4)"))
+    )
+    rev = li.groupBy("l_partkey").agg(
+        (F.sum(disc) * 1000000).cast("decimal(19,0)").alias("rev_u")
+    )
+    j = F.broadcast(part).join(rev, part.p_partkey == rev.l_partkey)
+    w = Window.orderBy("p_retailprice", "p_partkey").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sky = j.select(
+        "p_partkey",
+        "p_name",
+        "p_retailprice",
+        "rev_u",
+        F.max("rev_u").over(w).alias("best_cheaper"),
+    )
+    return (
+        sky.where(
+            F.col("best_cheaper").isNull()
+            | (F.col("rev_u") > F.col("best_cheaper"))
+        )
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            "p_name",
+            F.round("p_retailprice", 2).alias("retail_price"),
+            F.round(F.col("rev_u").cast("double") / 1000000, 2).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("retail_price", "partkey")
+    )
+
+
+# ---- x226: parts trending against their brand ----
+
+_X226_SQL = """
+WITH seq AS (
+  SELECT p.p_brand, l.l_partkey,
+         CAST(YEAR(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS yr,
+         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand, l.l_partkey, yr),
+pm AS (
+  SELECT p_brand, l_partkey,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(yr) AS BIGINT) AS sx,
+         CAST(SUM(q) AS BIGINT) AS sy,
+         CAST(SUM(yr * q) AS BIGINT) AS sxy
+  FROM seq GROUP BY p_brand, l_partkey
+  HAVING COUNT(*) >= 3),
+bs AS (
+  SELECT p_brand,
+         CASE WHEN SUM(n * sxy - sx * sy) > 0 THEN 1
+              WHEN SUM(n * sxy - sx * sy) < 0 THEN -1
+              ELSE 0 END AS brand_sign
+  FROM pm GROUP BY p_brand),
+ps AS (
+  SELECT pm.p_brand, pm.l_partkey,
+         CASE WHEN pm.n * pm.sxy - pm.sx * pm.sy > 0 THEN 1
+              WHEN pm.n * pm.sxy - pm.sx * pm.sy < 0 THEN -1
+              ELSE 0 END AS part_sign,
+         bs.brand_sign
+  FROM pm JOIN bs ON pm.p_brand = bs.p_brand)
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(MAX(brand_sign) AS BIGINT) AS brand_sign,
+       CAST(SUM(CASE WHEN part_sign <> 0 AND brand_sign <> 0
+                      AND part_sign <> brand_sign
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_contrarian,
+       ROUND(CAST(SUM(CASE WHEN part_sign <> 0 AND brand_sign <> 0
+                            AND part_sign <> brand_sign
+                           THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+         AS contrarian_share
+FROM ps
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+@register("x226_contrarian_parts", oracle=_X226_SQL)
+def x226_contrarian_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrarian parts: within each brand, the share of parts
+    whose yearly-quantity trend SIGN opposes the brand's aggregate
+    trend — the SKU-level divergence a brand-level dashboard
+    hides (a growing brand with 30% shrinking parts has a
+    portfolio problem, not a demand problem). All trend signs
+    use x202's integer rule sign(n·Σxy − Σx·Σy); the brand sign
+    aggregates the same integer quantity over its parts — no
+    float anywhere but the final share.
+
+    Scale: (brand, part, year) agg, part-grain moments, brand
+    rollup — each step strictly smaller than the last.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    seq = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            "p_brand",
+            "l_partkey",
+            F.year(F.col("o_orderdate").cast("date"))
+            .cast("bigint")
+            .alias("yr"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("q"))
+    )
+    pm = (
+        seq.groupBy("p_brand", "l_partkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("yr").cast("bigint").alias("sx"),
+            F.sum("q").cast("bigint").alias("sy"),
+            F.sum(F.col("yr") * F.col("q")).cast("bigint").alias("sxy"),
+        )
+        .where(F.col("n") >= 3)
+    )
+    stat = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    bs = pm.groupBy("p_brand").agg(
+        F.when(F.sum(stat) > 0, 1)
+        .when(F.sum(stat) < 0, -1)
+        .otherwise(0)
+        .alias("brand_sign")
+    )
+    ps = pm.join(F.broadcast(bs), "p_brand").select(
+        "p_brand",
+        F.when(stat > 0, 1)
+        .when(stat < 0, -1)
+        .otherwise(0)
+        .alias("part_sign"),
+        "brand_sign",
+    )
+    contra = F.sum(
+        F.when(
+            (F.col("part_sign") != 0)
+            & (F.col("brand_sign") != 0)
+            & (F.col("part_sign") != F.col("brand_sign")),
+            1,
+        ).otherwise(0)
+    )
+    return (
+        ps.groupBy("p_brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.max("brand_sign").cast("bigint").alias("brand_sign"),
+            contra.cast("bigint").alias("n_contrarian"),
+            F.round(
+                contra.cast("double") / F.count("*"), 6
+            ).alias("contrarian_share"),
+        )
+        .orderBy("p_brand")
+    )
