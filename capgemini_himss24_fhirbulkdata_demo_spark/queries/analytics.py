@@ -6478,3 +6478,173 @@ def x226_contrarian_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# ---- x227: gross-to-net revenue waterfall per year ----
+
+_X227_SQL = """
+WITH li AS (
+  SELECT CAST(YEAR(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS yr,
+         CAST(l.l_extendedprice AS DECIMAL(18,2)) AS gross,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * CAST(l.l_discount AS DECIMAL(6,4)) AS disc_amt,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(6,4)) - CAST(l.l_discount AS DECIMAL(6,4)))
+           * CAST(l.l_tax AS DECIMAL(6,4)) AS tax_amt
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+SELECT yr AS year,
+       ROUND(CAST(SUM(gross) AS DOUBLE), 2) AS gross_revenue,
+       ROUND(CAST(SUM(disc_amt) AS DOUBLE), 2) AS discount_given,
+       ROUND(CAST(SUM(tax_amt) AS DOUBLE), 2) AS tax_collected,
+       ROUND(CAST(SUM(gross) - SUM(disc_amt) AS DOUBLE), 2)
+         AS net_revenue,
+       ROUND(CAST(SUM(disc_amt) AS DOUBLE) / CAST(SUM(gross) AS DOUBLE),
+             6) AS discount_rate
+FROM li
+GROUP BY yr
+ORDER BY year
+"""
+
+
+@register("x227_margin_waterfall", oracle=_X227_SQL)
+def x227_margin_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gross-to-net revenue waterfall per year: list-price gross,
+    discount given back, tax collected, and net — the finance
+    bridge whose components must reconcile EXACTLY (gross −
+    discount = net holds to the cent because every term is the
+    same exact-decimal arithmetic, not three separately-rounded
+    floats; outputs round to cents — DuckDB's wide-decimal→double
+    conversion is off-by-an-ulp vs the JVM's at scale 10, so raw
+    doubles would flake). Discount rate trend is the
+    pricing-discipline monitor.
+
+    Scale: the orderkey join for the year, then a years-sized
+    aggregate of decimal partials.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    ext = F.col("l_extendedprice").cast("decimal(18,2)")
+    dsc = F.col("l_discount").cast("decimal(6,4)")
+    tax = F.col("l_tax").cast("decimal(6,4)")
+    rows = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.year(F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("yr"),
+        ext.alias("gross"),
+        (ext * dsc).alias("disc_amt"),
+        (ext * (F.lit(1).cast("decimal(6,4)") - dsc) * tax).alias(
+            "tax_amt"
+        ),
+    )
+    return (
+        rows.groupBy(F.col("yr").alias("year"))
+        .agg(
+            F.round(F.sum("gross").cast("double"), 2).alias(
+                "gross_revenue"
+            ),
+            F.round(F.sum("disc_amt").cast("double"), 2).alias(
+                "discount_given"
+            ),
+            F.round(F.sum("tax_amt").cast("double"), 2).alias(
+                "tax_collected"
+            ),
+            F.round(
+                (F.sum("gross") - F.sum("disc_amt")).cast("double"), 2
+            ).alias("net_revenue"),
+            F.round(
+                F.sum("disc_amt").cast("double")
+                / F.sum("gross").cast("double"),
+                6,
+            ).alias("discount_rate"),
+        )
+        .orderBy("year")
+    )
+
+
+# ---- x228: numeric integrality audit ----
+
+_X228_SQL = """
+SELECT 'l_quantity' AS measure,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN l_quantity = FLOOR(l_quantity)
+                     THEN 0 ELSE 1 END) AS BIGINT) AS n_fractional,
+       CAST(SUM(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_negative
+FROM lineitem
+UNION ALL
+SELECT 'o_totalprice_cents' AS measure,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o_totalprice * 100
+                          = FLOOR(o_totalprice * 100)
+                     THEN 0 ELSE 1 END) AS BIGINT) AS n_fractional,
+       CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_negative
+FROM orders
+UNION ALL
+SELECT 'l_discount_pct' AS measure,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN l_discount * 100
+                          = FLOOR(l_discount * 100)
+                     THEN 0 ELSE 1 END) AS BIGINT) AS n_fractional,
+       CAST(SUM(CASE WHEN l_discount < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_negative
+FROM lineitem
+ORDER BY measure
+"""
+
+
+@register("x228_integrality_audit", oracle=_X228_SQL)
+def x228_integrality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric integrality audit: measures that SHOULD be whole
+    units at some scale (quantities in units, prices in cents,
+    discounts in whole percent) checked for fractional residue
+    and negative values — the upstream-feed sanity screen that
+    catches unit drift (a feed switching dollars→cents, a
+    quantity column picking up averages) before it silently
+    corrupts every exact-decimal pipeline built on the x151+
+    conventions.
+
+    The check compares each double against its own floor —
+    IEEE-exact in both engines; counts are integers.
+
+    Scale: three narrow scans (Spark runs the union's legs in
+    parallel), 3-row output.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def leg(df, expr_frac, expr_neg, name):
+        return df.agg(
+            F.lit(name).alias("measure"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.when(expr_frac, 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_fractional"),
+            F.sum(F.when(expr_neg, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_negative"),
+        ).select("measure", "n_rows", "n_fractional", "n_negative")
+
+    q = F.col("l_quantity")
+    tp = F.col("o_totalprice")
+    dc = F.col("l_discount")
+    out = (
+        leg(li, q == F.floor(q), q < 0, "l_quantity")
+        .unionByName(
+            leg(
+                orders,
+                tp * 100 == F.floor(tp * 100),
+                tp < 0,
+                "o_totalprice_cents",
+            )
+        )
+        .unionByName(
+            leg(
+                li,
+                dc * 100 == F.floor(dc * 100),
+                dc < 0,
+                "l_discount_pct",
+            )
+        )
+    )
+    return out.orderBy("measure")
