@@ -6648,3 +6648,199 @@ def x228_integrality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("measure")
+
+
+# ---- x229: top revenue-rank movers between periods ----
+
+_X229_SQL = f"""
+WITH rev AS (
+  SELECT p.p_brand,
+         CASE WHEN o.o_orderdate < TIMESTAMP '{_X211_CUT}'
+              THEN 'early' ELSE 'late' END AS period,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(6,4))
+                     - CAST(l.l_discount AS DECIMAL(6,4)))) * 1000000
+              AS DECIMAL(19,0)) AS rev_u
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand, period),
+rk AS (
+  SELECT p_brand, period,
+         ROW_NUMBER() OVER (PARTITION BY period
+                            ORDER BY rev_u DESC, p_brand) AS r
+  FROM rev),
+wide AS (
+  SELECT e.p_brand, e.r AS r_early, l.r AS r_late,
+         e.r - l.r AS rank_gain
+  FROM (SELECT p_brand, r FROM rk WHERE period = 'early') e
+  JOIN (SELECT p_brand, r FROM rk WHERE period = 'late') l
+    ON e.p_brand = l.p_brand)
+SELECT p_brand, r_early, r_late,
+       CAST(rank_gain AS BIGINT) AS rank_gain
+FROM wide
+WHERE rank_gain <> 0
+ORDER BY ABS(rank_gain) DESC, p_brand
+LIMIT 10
+"""
+
+
+@register("x229_rank_movers", oracle=_X229_SQL)
+def x229_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top brand-league movers: the 10 brands whose revenue RANK
+    moved most between the early and late halves (positive gain =
+    climbed) — the narrative slide behind x211's single tau
+    number ("the order reshuffled — WHO moved?"). Integer ranks
+    and gains; ordering by |gain| with brand tiebreak.
+
+    Scale: one (brand, period) fact aggregate; ranks and the
+    mover pick run on the brand-sized league table.
+    """
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    disc = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(6,4)") - F.col("l_discount").cast("decimal(6,4)"))
+    )
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            "p_brand",
+            F.when(
+                F.col("o_orderdate") < F.lit(_X211_CUT).cast("timestamp"),
+                "early",
+            )
+            .otherwise("late")
+            .alias("period"),
+        )
+        .agg(
+            (F.sum(disc) * 1000000)
+            .cast("decimal(19,0)")
+            .alias("rev_u")
+        )
+    )
+    rk = rev.withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("period").orderBy(
+                F.desc("rev_u"), "p_brand"
+            )
+        ),
+    )
+    e = rk.where(F.col("period") == "early").select(
+        "p_brand", F.col("r").alias("r_early")
+    )
+    l = rk.where(F.col("period") == "late").select(
+        F.col("p_brand").alias("pb_l"), F.col("r").alias("r_late")
+    )
+    wide = e.join(l, e.p_brand == l.pb_l).select(
+        "p_brand",
+        "r_early",
+        "r_late",
+        (F.col("r_early") - F.col("r_late"))
+        .cast("bigint")
+        .alias("rank_gain"),
+    )
+    return (
+        wide.where(F.col("rank_gain") != 0)
+        .orderBy(F.abs("rank_gain").desc(), "p_brand")
+        .limit(10)
+    )
+
+
+# ---- x230: supplier price-competitiveness wins ----
+
+_X230_SQL = """
+WITH avgp AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                  ) AS DECIMAL(19,0)) AS ext_c,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+best AS (
+  SELECT l_partkey, l_suppkey,
+         ROW_NUMBER() OVER (PARTITION BY l_partkey
+                            ORDER BY CAST(ext_c AS DOUBLE) / qty,
+                                     l_suppkey) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY l_partkey) AS BIGINT)
+           AS n_suppliers
+  FROM avgp),
+wins AS (
+  SELECT l_suppkey FROM best WHERE rn = 1 AND n_suppliers >= 2),
+per_s AS (
+  SELECT s.s_nationkey, w.l_suppkey,
+         CAST(COUNT(*) AS BIGINT) AS n_wins
+  FROM wins w JOIN supplier s ON w.l_suppkey = s.s_suppkey
+  GROUP BY s.s_nationkey, w.l_suppkey)
+SELECT n.n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_winning_suppliers,
+       CAST(SUM(n_wins) AS BIGINT) AS n_part_wins,
+       CAST(MAX(n_wins) AS BIGINT) AS max_wins_one_supplier
+FROM per_s JOIN nation n ON per_s.s_nationkey = n.n_nationkey
+GROUP BY nation
+ORDER BY n_part_wins DESC, nation
+"""
+
+
+@register("x230_price_competitiveness", oracle=_X230_SQL)
+def x230_price_competitiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier price-competitiveness: for every contested part
+    (≥2 observed suppliers), who sells it at the lowest average
+    unit price — rolled up to wins per nation (the TPC-H Q2
+    min-cost-supplier question answered from observed order
+    history instead of a quote catalog). Unit price ranks via
+    exact cent/quantity ratios with suppkey tiebreak; all counts
+    integer.
+
+    Scale: (part, supplier) partial agg, one part-keyed window
+    over supplier-bounded groups, dim-sized rollups after.
+    """
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    avgp = li.groupBy("l_partkey", "l_suppkey").agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) * 100)
+        .cast("decimal(19,0)")
+        .alias("ext_c"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
+    )
+    best = avgp.select(
+        "l_partkey",
+        "l_suppkey",
+        F.row_number()
+        .over(
+            Window.partitionBy("l_partkey").orderBy(
+                F.col("ext_c").cast("double") / F.col("qty"),
+                "l_suppkey",
+            )
+        )
+        .alias("rn"),
+        F.count("*")
+        .over(Window.partitionBy("l_partkey"))
+        .cast("bigint")
+        .alias("n_suppliers"),
+    )
+    wins = best.where(
+        (F.col("rn") == 1) & (F.col("n_suppliers") >= 2)
+    ).select("l_suppkey")
+    per_s = (
+        wins.join(F.broadcast(sup), wins.l_suppkey == sup.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.count("*").cast("bigint").alias("n_wins"))
+    )
+    return (
+        per_s.join(F.broadcast(nat), per_s.s_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_winning_suppliers"),
+            F.sum("n_wins").cast("bigint").alias("n_part_wins"),
+            F.max("n_wins").cast("bigint").alias("max_wins_one_supplier"),
+        )
+        .orderBy(F.desc("n_part_wins"), "nation")
+    )
