@@ -6844,3 +6844,222 @@ def x230_price_competitiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_part_wins"), "nation")
     )
+
+
+# ---- x231: source unigram drift (total variation distance) ----
+
+_X231_SQL = """
+WITH tok AS (
+  SELECT source, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS t
+  FROM documents),
+sc AS (
+  SELECT source, t, CAST(COUNT(*) AS BIGINT) AS n
+  FROM tok GROUP BY source, t),
+cc AS (
+  SELECT t, CAST(SUM(n) AS BIGINT) AS big_n FROM sc GROUP BY t),
+st AS (
+  SELECT source, CAST(SUM(n) AS BIGINT) AS small_t FROM sc
+  GROUP BY source),
+ct AS (SELECT CAST(SUM(n) AS BIGINT) AS big_t FROM sc),
+terms AS (
+  SELECT sc.source,
+         ABS(CAST(sc.n AS DECIMAL(38,0)) * ct.big_t
+             - CAST(cc.big_n AS DECIMAL(38,0)) * st.small_t)
+           AS num_u
+  FROM sc
+  JOIN cc ON sc.t = cc.t
+  JOIN st ON sc.source = st.source
+  CROSS JOIN ct),
+missing AS (
+  -- mass of corpus terms ABSENT from the source: |0*T - N_i*t|
+  SELECT st.source,
+         CAST(SUM(CAST(cc.big_n AS DECIMAL(38,0)) * st.small_t)
+              AS DECIMAL(38,0)) AS num_u
+  FROM st CROSS JOIN cc
+  WHERE NOT EXISTS (SELECT 1 FROM sc
+                    WHERE sc.source = st.source AND sc.t = cc.t)
+  GROUP BY st.source)
+SELECT s.source,
+       ROUND(CAST(tot.num AS DOUBLE)
+             / (2 * CAST(s.small_t AS DOUBLE)
+                * (SELECT big_t FROM ct)), 6) AS tv_distance
+FROM st s
+JOIN (
+  SELECT source, SUM(num_u) AS num FROM (
+    SELECT source, num_u FROM terms
+    UNION ALL
+    SELECT source, num_u FROM missing) u
+  GROUP BY source) tot
+  ON s.source = tot.source
+ORDER BY s.source
+"""
+
+
+@register("x231_tv_drift", oracle=_X231_SQL)
+def x231_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source unigram drift as TOTAL VARIATION distance from the
+    corpus distribution: TV = ½·Σ|p_i − q_i| — the categorical
+    drift measure that needs no logarithm (KL does — libm is not
+    cross-engine-stable) and no binning (x112's KS needs an
+    ordered axis). TV = 0 means the source reads like the corpus;
+    1 means disjoint vocabulary. Cross-multiplied to integers:
+    Σ|n_i·T − N_i·t| / (2·t·T) in DECIMAL(38,0) sums — including
+    the often-forgotten mass of corpus terms the source never
+    uses (via anti-join) — with ONE final double division.
+
+    Scale: (source, term) and term aggregates share the token
+    shuffle family; the missing-mass anti-join is term-keyed.
+    The 38-digit headroom holds to ~1e19 tokens.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("t")
+    )
+    sc = tok.groupBy("source", "t").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    cc = sc.groupBy("t").agg(F.sum("n").cast("bigint").alias("big_n"))
+    st = sc.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("small_t")
+    )
+    ct = sc.agg(F.sum("n").cast("bigint").alias("big_t"))
+    terms = (
+        sc.join(cc, "t")
+        .join(F.broadcast(st), "source")
+        .crossJoin(F.broadcast(ct))
+        .select(
+            "source",
+            F.abs(
+                F.col("n").cast("decimal(38,0)") * F.col("big_t")
+                - F.col("big_n").cast("decimal(38,0)")
+                * F.col("small_t")
+            ).alias("num_u"),
+        )
+    )
+    missing = (
+        st.crossJoin(cc)
+        .join(sc, ["source", "t"], "left_anti")
+        .select(
+            "source",
+            (
+                F.col("big_n").cast("decimal(38,0)")
+                * F.col("small_t")
+            ).alias("num_u"),
+        )
+    )
+    tot = (
+        terms.unionByName(missing)
+        .groupBy("source")
+        .agg(F.sum("num_u").alias("num"))
+    )
+    return (
+        st.join(tot, "source")
+        .crossJoin(F.broadcast(ct))
+        .select(
+            "source",
+            F.round(
+                F.col("num").cast("double")
+                / (
+                    2
+                    * F.col("small_t").cast("double")
+                    * F.col("big_t")
+                ),
+                6,
+            ).alias("tv_distance"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---- x232: pre-churn error signal ----
+
+_X232_SQL = """
+WITH anchor AS (SELECT MAX(CAST(ts AS DATE)) AS dmax FROM events),
+u AS (
+  SELECT e.user_id,
+         CASE WHEN MAX(CAST(e.ts AS DATE))
+                   <= a.dmax - INTERVAL 30 DAY
+              THEN 'churned' ELSE 'active' END AS status
+  FROM events e CROSS JOIN anchor a
+  GROUP BY e.user_id, a.dmax),
+lastk AS (
+  SELECT e.user_id, e.event_type,
+         ROW_NUMBER() OVER (PARTITION BY e.user_id
+                            ORDER BY e.ts DESC, e.event_id DESC) AS rn
+  FROM events e),
+tail AS (
+  SELECT l.user_id, l.event_type, u.status
+  FROM lastk l JOIN u ON l.user_id = u.user_id
+  WHERE l.rn <= 5)
+SELECT status,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_tail_events,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_tail_errors,
+       ROUND(CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS tail_error_rate
+FROM tail
+GROUP BY status
+ORDER BY status
+"""
+
+
+@register("x232_prechurn_errors", oracle=_X232_SQL)
+def x232_prechurn_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-churn error signal: the error rate in each user's LAST
+    5 events, split churned (silent for the corpus' final 30
+    days) vs active — if departing users' tails are error-heavier,
+    errors aren't just annoying, they're why people leave (the
+    empirical footing under x173's (error, purchase) lift).
+    Anchored to the data's own max date.
+
+    Integer counts; one rate division per status.
+
+    Scale: per-user last-k via one user_id window (descending
+    rank, rows pruned at k), status from the same grouped pass,
+    2-row output.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.col("ts").cast("date")).alias("dmax"))
+    u = (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.when(
+                F.max(F.col("ts").cast("date"))
+                <= F.date_sub(F.max("dmax"), 30),
+                "churned",
+            )
+            .otherwise("active")
+            .alias("status")
+        )
+    )
+    lastk = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id").orderBy(
+                F.desc("ts"), F.desc("event_id")
+            )
+        )
+        .alias("rn"),
+    )
+    tail = lastk.where(F.col("rn") <= 5).join(u, "user_id")
+    err = F.sum(
+        F.when(F.col("event_type") == "error", 1).otherwise(0)
+    )
+    return (
+        tail.groupBy("status")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.count("*").cast("bigint").alias("n_tail_events"),
+            err.cast("bigint").alias("n_tail_errors"),
+            F.round(err.cast("double") / F.count("*"), 6).alias(
+                "tail_error_rate"
+            ),
+        )
+        .orderBy("status")
+    )
