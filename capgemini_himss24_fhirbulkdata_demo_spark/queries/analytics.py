@@ -7063,3 +7063,157 @@ def x232_prechurn_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+# ---- x233: returned-revenue trend per year ----
+
+_X233_SQL = """
+WITH li AS (
+  SELECT CAST(YEAR(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS yr,
+         l.l_returnflag,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(6,4))
+              - CAST(l.l_discount AS DECIMAL(6,4))) AS net
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+SELECT yr AS year,
+       ROUND(CAST(SUM(net) AS DOUBLE), 2) AS net_revenue,
+       ROUND(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN net
+                           ELSE CAST(0 AS DECIMAL(25,6)) END)
+                  AS DOUBLE), 2) AS returned_revenue,
+       ROUND(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN net
+                           ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE)
+             / CAST(SUM(net) AS DOUBLE), 6) AS return_share
+FROM li
+GROUP BY yr
+ORDER BY year
+"""
+
+
+@register("x233_returns_trend", oracle=_X233_SQL)
+def x233_returns_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-revenue trend: the yearly share of net revenue that
+    came back as returns — the P&L leak x152/x158 localize to
+    brands and parts, tracked here as a company-level trend line
+    (a rising share is a product-quality or fit problem
+    compounding). Exact decimal sums with a decimal-zero ELSE
+    arm; money outputs round to cents (the x227 rule).
+
+    Scale: orderkey join for the year, years-sized rollup.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    net = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(6,4)") - F.col("l_discount").cast("decimal(6,4)"))
+    )
+    rows = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.year(F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("yr"),
+        "l_returnflag",
+        net.alias("net"),
+    )
+    zero = F.lit(0).cast("decimal(25,6)")
+    ret = F.sum(
+        F.when(F.col("l_returnflag") == "R", F.col("net")).otherwise(zero)
+    )
+    return (
+        rows.groupBy(F.col("yr").alias("year"))
+        .agg(
+            F.round(F.sum("net").cast("double"), 2).alias("net_revenue"),
+            F.round(ret.cast("double"), 2).alias("returned_revenue"),
+            F.round(
+                ret.cast("double") / F.sum("net").cast("double"), 6
+            ).alias("return_share"),
+        )
+        .orderBy("year")
+    )
+
+
+# ---- x234: retention-policy projection ----
+
+_X234_SQL = """
+WITH anchor AS (SELECT MAX(CAST(ts AS DATE)) AS dmax FROM events),
+horizons AS (SELECT UNNEST(ARRAY[30, 90, 365]) AS keep_days),
+m AS (
+  SELECT h.keep_days,
+         CAST(COUNT(*) AS BIGINT) AS n_total,
+         CAST(SUM(CASE WHEN CAST(e.ts AS DATE)
+                            > a.dmax - CAST(h.keep_days AS INTEGER)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS v_total,
+         CAST(SUM(CASE WHEN CAST(e.ts AS DATE)
+                            > a.dmax - CAST(h.keep_days AS INTEGER)
+                       THEN CAST(e.value AS DECIMAL(18,6))
+                       ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+           AS v_kept
+  FROM events e CROSS JOIN anchor a CROSS JOIN horizons h
+  GROUP BY h.keep_days)
+SELECT CAST(keep_days AS BIGINT) AS keep_days,
+       n_kept, n_total,
+       ROUND(CAST(n_kept AS DOUBLE) / n_total, 6) AS row_share_kept,
+       ROUND(v_kept / v_total, 6) AS value_share_kept
+FROM m
+ORDER BY keep_days
+"""
+
+
+@register("x234_retention_projection", oracle=_X234_SQL)
+def x234_retention_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-policy projection: if we kept only the last
+    30/90/365 days of events, what share of rows and of event
+    VALUE survives — the storage-vs-signal tradeoff table a data
+    platform reads before setting TTLs (row share prices the
+    storage; value share prices what analytics would lose).
+    Anchored to the data's own max date.
+
+    Integer row counts and exact decimal value sums per horizon;
+    the value ratio divides two already-exact doubles.
+
+    Scale: the horizons fan out via a 3-row broadcast cross join
+    (one scan, not three); per-horizon conditional aggregation is
+    map-side combinable.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.col("ts").cast("date")).alias("dmax"))
+    horizons = spark.range(1).select(
+        F.explode(
+            F.array(F.lit(30), F.lit(90), F.lit(365))
+        ).alias("keep_days")
+    )
+    kept = F.col("ts").cast("date") > F.expr(
+        "date_sub(dmax, keep_days)"
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    m = (
+        ev.crossJoin(F.broadcast(anchor))
+        .crossJoin(F.broadcast(horizons))
+        .groupBy("keep_days")
+        .agg(
+            F.count("*").cast("bigint").alias("n_total"),
+            F.sum(F.when(kept, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("v_total"),
+            F.sum(
+                F.when(
+                    kept, F.col("value").cast("decimal(18,6)")
+                ).otherwise(zero)
+            )
+            .cast("double")
+            .alias("v_kept"),
+        )
+    )
+    return m.select(
+        F.col("keep_days").cast("bigint").alias("keep_days"),
+        "n_kept",
+        "n_total",
+        F.round(
+            F.col("n_kept").cast("double") / F.col("n_total"), 6
+        ).alias("row_share_kept"),
+        F.round(F.col("v_kept") / F.col("v_total"), 6).alias(
+            "value_share_kept"
+        ),
+    ).orderBy("keep_days")
