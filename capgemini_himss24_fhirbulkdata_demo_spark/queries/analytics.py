@@ -7217,3 +7217,193 @@ def x234_retention_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_share_kept"
         ),
     ).orderBy("keep_days")
+
+
+# ---- x235: growth-streak parts (consecutive growth years) ----
+
+_X235_SQL = """
+WITH yearly AS (
+  SELECT l.l_partkey,
+         CAST(YEAR(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS yr,
+         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY l.l_partkey, yr),
+g AS (
+  SELECT l_partkey, yr, q,
+         LAG(q) OVER (PARTITION BY l_partkey ORDER BY yr) AS q_prev,
+         LAG(yr) OVER (PARTITION BY l_partkey ORDER BY yr) AS yr_prev
+  FROM yearly),
+growth AS (
+  SELECT l_partkey, yr,
+         yr - ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY yr)
+           AS grp
+  FROM g
+  WHERE q_prev IS NOT NULL AND yr = yr_prev + 1 AND q > q_prev),
+streaks AS (
+  SELECT l_partkey, grp, CAST(COUNT(*) AS BIGINT) AS streak_len
+  FROM growth GROUP BY l_partkey, grp),
+best AS (
+  SELECT l_partkey, CAST(MAX(streak_len) AS BIGINT) AS max_streak
+  FROM streaks GROUP BY l_partkey)
+SELECT max_streak AS growth_years,
+       CAST(COUNT(*) AS BIGINT) AS n_parts
+FROM best
+GROUP BY max_streak
+ORDER BY growth_years
+"""
+
+
+@register("x235_growth_streaks", oracle=_X235_SQL)
+def x235_growth_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth-streak distribution: for each part, its longest run
+    of CONSECUTIVE year-over-year quantity growth, histogrammed —
+    momentum merchandising ("2 products have grown 4 straight
+    years — protect their supply") via x214's gaps-and-islands
+    trick applied to growth years instead of activity days. A
+    growth year qualifies only against an adjacent prior year
+    (gap years break the streak, as they should).
+
+    Integer quantities and years throughout.
+
+    Scale: (part, year) agg, two part-keyed windows over
+    calendar-bounded groups, histogram output.
+    """
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    yearly = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            "l_partkey",
+            F.year(F.col("o_orderdate").cast("date"))
+            .cast("bigint")
+            .alias("yr"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("q"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy("yr")
+    g = yearly.select(
+        "l_partkey",
+        "yr",
+        "q",
+        F.lag("q").over(w).alias("q_prev"),
+        F.lag("yr").over(w).alias("yr_prev"),
+    )
+    growth = g.where(
+        F.col("q_prev").isNotNull()
+        & (F.col("yr") == F.col("yr_prev") + 1)
+        & (F.col("q") > F.col("q_prev"))
+    ).select(
+        "l_partkey",
+        (
+            F.col("yr")
+            - F.row_number().over(
+                Window.partitionBy("l_partkey").orderBy("yr")
+            )
+        ).alias("grp"),
+    )
+    streaks = growth.groupBy("l_partkey", "grp").agg(
+        F.count("*").cast("bigint").alias("streak_len")
+    )
+    best = streaks.groupBy("l_partkey").agg(
+        F.max("streak_len").cast("bigint").alias("max_streak")
+    )
+    return (
+        best.groupBy(F.col("max_streak").alias("growth_years"))
+        .agg(F.count("*").cast("bigint").alias("n_parts"))
+        .orderBy("growth_years")
+    )
+
+
+# ---- x236: price-ladder gaps per brand ----
+
+_X236_SQL = """
+WITH pts AS (
+  SELECT DISTINCT p_brand,
+         CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_c
+  FROM part),
+lad AS (
+  SELECT p_brand, price_c,
+         LAG(price_c) OVER (PARTITION BY p_brand
+                            ORDER BY price_c) AS prev_c
+  FROM pts),
+gaps AS (
+  SELECT p_brand, price_c, prev_c,
+         ROW_NUMBER() OVER (PARTITION BY p_brand
+                            ORDER BY (price_c - prev_c) DESC,
+                                     price_c) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY p_brand) AS BIGINT) + 1
+           AS n_points
+  FROM lad WHERE prev_c IS NOT NULL)
+SELECT p_brand, n_points,
+       ROUND(CAST(prev_c AS DOUBLE) / 100, 2) AS gap_low,
+       ROUND(CAST(price_c AS DOUBLE) / 100, 2) AS gap_high,
+       ROUND(CAST(price_c - prev_c AS DOUBLE) / 100, 2) AS gap_width
+FROM gaps
+WHERE rn = 1
+ORDER BY p_brand
+"""
+
+
+@register("x236_price_ladder_gaps", oracle=_X236_SQL)
+def x236_price_ladder_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-ladder gap analysis: each brand's widest hole between
+    adjacent distinct price points — the assortment-pricing view
+    ("brand X jumps $312→$891 with nothing between; a mid-tier
+    SKU fills it or a competitor does"). Prices ladder as integer
+    cents; the widest gap is a rank pick with a price tiebreak.
+
+    Scale: dim-only — distinct price points per brand, one
+    brand-keyed window, brand-sized output. Zero fact-table I/O.
+    """
+    from pyspark.sql import Window
+
+    part = load_table(spark, sf_dir, "part")
+    pts = part.select(
+        "p_brand",
+        F.round(F.col("p_retailprice") * 100)
+        .cast("bigint")
+        .alias("price_c"),
+    ).distinct()
+    lad = pts.select(
+        "p_brand",
+        "price_c",
+        F.lag("price_c")
+        .over(Window.partitionBy("p_brand").orderBy("price_c"))
+        .alias("prev_c"),
+    )
+    gaps = lad.where(F.col("prev_c").isNotNull()).select(
+        "p_brand",
+        "price_c",
+        "prev_c",
+        F.row_number()
+        .over(
+            Window.partitionBy("p_brand").orderBy(
+                (F.col("price_c") - F.col("prev_c")).desc(), "price_c"
+            )
+        )
+        .alias("rn"),
+        (F.count("*").over(Window.partitionBy("p_brand")) + 1)
+        .cast("bigint")
+        .alias("n_points"),
+    )
+    return (
+        gaps.where(F.col("rn") == 1)
+        .select(
+            "p_brand",
+            "n_points",
+            F.round(F.col("prev_c").cast("double") / 100, 2).alias(
+                "gap_low"
+            ),
+            F.round(F.col("price_c").cast("double") / 100, 2).alias(
+                "gap_high"
+            ),
+            F.round(
+                (F.col("price_c") - F.col("prev_c")).cast("double")
+                / 100,
+                2,
+            ).alias("gap_width"),
+        )
+        .orderBy("p_brand")
+    )
