@@ -7407,3 +7407,200 @@ def x236_price_ladder_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# ---- x237: abandonment recovery in the next session ----
+
+_X237_SQL = """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                   - CAST(FLOOR(EPOCH(LAG(ts) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, event_type,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM e),
+sess AS (
+  SELECT user_id, session_no,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+           AS has_click,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS has_purchase
+  FROM s GROUP BY user_id, session_no),
+flagged AS (
+  SELECT user_id, session_no, has_click, has_purchase,
+         LEAD(has_purchase) OVER (PARTITION BY user_id
+                                  ORDER BY session_no)
+           AS next_has_purchase
+  FROM sess),
+abandoned AS (
+  SELECT user_id, next_has_purchase
+  FROM flagged WHERE has_click = 1 AND has_purchase = 0)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_abandoned_sessions,
+       CAST(SUM(CASE WHEN next_has_purchase = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_recovered_next,
+       CAST(SUM(CASE WHEN next_has_purchase IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_no_next_session,
+       ROUND(CAST(SUM(CASE WHEN next_has_purchase = 1 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS recovery_rate
+FROM abandoned
+"""
+
+
+@register("x237_abandonment_recovery", oracle=_X237_SQL)
+def x237_abandonment_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Abandonment recovery: of sessions with a click but no
+    purchase (x179's abandoned carts), how many users converted
+    in their NEXT session — the number that prices a remarketing
+    nudge (high natural recovery = the email is claiming credit
+    for conversions that were coming anyway). Session summaries
+    get a LEAD over session order; counts are integers.
+
+    Scale: x162's sessionization shuffle, a session-grain LEAD on
+    the per-session summary (same user partitioning), 1-row out.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.withColumn(
+        "is_start",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag("ts").over(w))
+                > 1800
+            ),
+            1,
+        ).otherwise(0),
+    )
+    s = e.withColumn(
+        "session_no",
+        F.sum("is_start").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    sess = s.groupBy("user_id", "session_no").agg(
+        F.max(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("has_click"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("has_purchase"),
+    )
+    flagged = sess.withColumn(
+        "next_has_purchase",
+        F.lead("has_purchase").over(
+            Window.partitionBy("user_id").orderBy("session_no")
+        ),
+    )
+    abandoned = flagged.where(
+        (F.col("has_click") == 1) & (F.col("has_purchase") == 0)
+    )
+    rec = F.sum(
+        F.when(F.col("next_has_purchase") == 1, 1).otherwise(0)
+    )
+    return abandoned.agg(
+        F.count("*").cast("bigint").alias("n_abandoned_sessions"),
+        rec.cast("bigint").alias("n_recovered_next"),
+        F.sum(
+            F.when(F.col("next_has_purchase").isNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_no_next_session"),
+        F.round(rec.cast("double") / F.count("*"), 6).alias(
+            "recovery_rate"
+        ),
+    )
+
+
+# ---- x238: document head-tail self-similarity ----
+
+_X238_SQL = """
+WITH t AS (
+  SELECT source, STRING_SPLIT(text, ' ') AS toks FROM documents),
+q AS (
+  SELECT source, toks,
+         GREATEST(LEN(toks) // 4, 1) AS k
+  FROM t WHERE LEN(toks) >= 8),
+ht AS (
+  SELECT source,
+         LIST_DISTINCT(toks[1:k]) AS head_set,
+         LIST_DISTINCT(toks[LEN(toks) - k + 1:LEN(toks)]) AS tail_set
+  FROM q),
+j AS (
+  SELECT source,
+         LEN(LIST_FILTER(head_set, x -> LIST_CONTAINS(tail_set, x)))
+           AS n_inter,
+         LEN(head_set) + LEN(tail_set)
+           - LEN(LIST_FILTER(head_set,
+                             x -> LIST_CONTAINS(tail_set, x)))
+           AS n_union
+  FROM ht)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(CAST(CAST(n_inter AS DOUBLE) / n_union
+                           AS DECIMAL(28,12))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_head_tail_jaccard
+FROM j
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("x238_head_tail_similarity", oracle=_X238_SQL)
+def x238_head_tail_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-tail self-similarity: Jaccard between each document's
+    first-quarter and last-quarter token SETS, averaged per source
+    — high values mean docs open and close with the same material
+    (wrapper templates, nav chrome around thin content), the
+    per-document complement of x199's corpus-level positional
+    bias. Docs under 8 tokens are skipped (quarters degenerate).
+
+    The per-doc ratio is one double division immediately cast to
+    DECIMAL(28,12) so the per-source mean is partition-order-free
+    (the x188 rule); set sizes are integers from array ops.
+
+    Scale: pure narrow array work per row (slice/distinct/
+    filter inside codegen) + a source rollup. No explode.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", F.split(F.col("text"), " ").alias("toks")
+    ).where(F.size("toks") >= 8)
+    k = F.greatest(
+        F.floor(F.size("toks") / 4).cast("int"), F.lit(1)
+    )
+    q = t.select(
+        "source",
+        F.array_distinct(F.slice("toks", F.lit(1), k)).alias("head_set"),
+        F.array_distinct(
+            F.slice("toks", F.size("toks") - k + 1, k)
+        ).alias("tail_set"),
+    )
+    n_inter = F.size(F.array_intersect("head_set", "tail_set"))
+    n_union = F.size("head_set") + F.size("tail_set") - F.size(
+        F.array_intersect("head_set", "tail_set")
+    )
+    j = q.select(
+        "source",
+        (n_inter.cast("double") / n_union)
+        .cast("decimal(28,12)")
+        .alias("jac"),
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum("jac").cast("double") / F.count("*"), 6
+            ).alias("mean_head_tail_jaccard"),
+        )
+        .orderBy("source")
+    )
