@@ -7604,3 +7604,174 @@ def x238_head_tail_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---- x239: token casing profile per source ----
+
+_X239_SQL = """
+WITH tok AS (
+  SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents),
+alpha AS (
+  SELECT source, t FROM tok WHERE REGEXP_MATCHES(t, '^[A-Za-z]+$')),
+f AS (
+  SELECT source,
+         CASE WHEN REGEXP_MATCHES(t, '^[a-z]+$') THEN 'lower'
+              WHEN REGEXP_MATCHES(t, '^[A-Z]+$') AND LENGTH(t) > 1
+                THEN 'allcaps'
+              WHEN REGEXP_MATCHES(t, '^[A-Z][a-z]*$') THEN 'title'
+              ELSE 'mixed' END AS casing
+  FROM alpha)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_alpha_tokens,
+       ROUND(CAST(SUM(CASE WHEN casing = 'lower' THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS lower_share,
+       ROUND(CAST(SUM(CASE WHEN casing = 'title' THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS title_share,
+       ROUND(CAST(SUM(CASE WHEN casing = 'allcaps' THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS allcaps_share,
+       ROUND(CAST(SUM(CASE WHEN casing = 'mixed' THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS mixed_share
+FROM f
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("x239_casing_profile", oracle=_X239_SQL)
+def x239_casing_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token casing profile per source: lower / TitleCase /
+    ALLCAPS / mixed shares over alphabetic tokens — ALLCAPS-heavy
+    sources are shouting spam or legal boilerplate, Title-heavy
+    ones are headlines and listicles; a casing shift also breaks
+    cased-tokenizer vocab hit rates (x82) before anything else
+    notices. Anchored regex classes, identical in Java regex and
+    RE2; integer counts, one division per share.
+
+    Scale: explode + per-source aggregate, regex in codegen.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("t")
+    alpha = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("t")
+    ).where(t.rlike("^[A-Za-z]+$"))
+    f = alpha.select(
+        "source",
+        F.when(t.rlike("^[a-z]+$"), "lower")
+        .when(t.rlike("^[A-Z]+$") & (F.length(t) > 1), "allcaps")
+        .when(t.rlike("^[A-Z][a-z]*$"), "title")
+        .otherwise("mixed")
+        .alias("casing"),
+    )
+
+    def share(name: str):
+        return F.round(
+            F.sum(
+                F.when(F.col("casing") == name, 1).otherwise(0)
+            ).cast("double")
+            / F.count("*"),
+            6,
+        ).alias(f"{name}_share")
+
+    return (
+        f.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_alpha_tokens"),
+            share("lower"),
+            share("title"),
+            share("allcaps"),
+            share("mixed"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---- x240: part launch-cohort vitality ----
+
+_X240_SQL = """
+WITH first_year AS (
+  SELECT l_partkey,
+         CAST(MIN(YEAR(CAST(l_shipdate AS DATE))) AS BIGINT)
+           AS launch_yr
+  FROM lineitem GROUP BY l_partkey),
+fy_rev AS (
+  SELECT f.launch_yr, l.l_partkey,
+         CAST(SUM(CASE WHEN YEAR(CAST(l.l_shipdate AS DATE))
+                            = f.launch_yr
+                       THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(6,4))
+                               - CAST(l.l_discount AS DECIMAL(6,4)))
+                       ELSE CAST(0 AS DECIMAL(25,6)) END) * 1000000
+              AS DECIMAL(19,0)) AS fy_rev_u
+  FROM lineitem l JOIN first_year f ON l.l_partkey = f.l_partkey
+  GROUP BY f.launch_yr, l.l_partkey)
+SELECT launch_yr AS launch_year,
+       CAST(COUNT(*) AS BIGINT) AS n_parts_launched,
+       ROUND(CAST(SUM(fy_rev_u) AS DOUBLE) / 1000000, 2)
+         AS first_year_revenue,
+       ROUND(CAST(SUM(fy_rev_u) AS DOUBLE) / 1000000 / COUNT(*), 2)
+         AS avg_first_year_rev_per_part
+FROM fy_rev
+GROUP BY launch_yr
+ORDER BY launch_year
+"""
+
+
+@register("x240_launch_cohort_vitality", oracle=_X240_SQL)
+def x240_launch_cohort_vitality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part launch-cohort vitality: parts grouped by their first-
+    shipment year, scored by average FIRST-YEAR revenue — are
+    newer product introductions landing stronger or weaker than
+    older cohorts did in their own debut years? The NPI-health
+    trend (x130 does this for customer cohorts; this is the
+    catalog's version). First-year revenue only, so cohorts are
+    compared like-for-like regardless of age.
+
+    Exact decimal micro-units with decimal-zero ELSE arms.
+
+    Scale: partkey min-year agg, a partkey-co-keyed join back,
+    launch-year rollup. Edge cohorts (first/last fixture years)
+    are partially observed — interpret trend on interior years.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    first_year = li.groupBy("l_partkey").agg(
+        F.min(F.year(F.col("l_shipdate").cast("date")))
+        .cast("bigint")
+        .alias("launch_yr")
+    )
+    net = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(6,4)") - F.col("l_discount").cast("decimal(6,4)"))
+    )
+    zero = F.lit(0).cast("decimal(25,6)")
+    fy_rev = (
+        li.join(first_year, "l_partkey")
+        .groupBy("launch_yr", "l_partkey")
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        F.year(F.col("l_shipdate").cast("date"))
+                        == F.col("launch_yr"),
+                        net,
+                    ).otherwise(zero)
+                )
+                * 1000000
+            )
+            .cast("decimal(19,0)")
+            .alias("fy_rev_u")
+        )
+    )
+    return (
+        fy_rev.groupBy(F.col("launch_yr").alias("launch_year"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts_launched"),
+            F.round(
+                F.sum("fy_rev_u").cast("double") / 1000000, 2
+            ).alias("first_year_revenue"),
+            F.round(
+                F.sum("fy_rev_u").cast("double") / 1000000 / F.count("*"),
+                2,
+            ).alias("avg_first_year_rev_per_part"),
+        )
+        .orderBy("launch_year")
+    )
