@@ -7775,3 +7775,188 @@ def x240_launch_cohort_vitality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("launch_year")
     )
+
+
+# ---- x241: promo pull-forward detection ----
+
+_X241_SQL = """
+WITH wk AS (
+  SELECT DATE_TRUNC('week', CAST(o.o_orderdate AS DATE)) AS week,
+         CAST(SUM(CAST(ROUND(l.l_discount * 10000) AS BIGINT)) AS BIGINT)
+           AS disc_bps_sum,
+         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY week),
+lagged AS (
+  SELECT week, disc_bps_sum, qty,
+         LEAD(qty) OVER (ORDER BY week) AS qty_next
+  FROM wk),
+pairs AS (
+  SELECT CAST(disc_bps_sum AS DECIMAL(19,0)) AS x_u,
+         CAST(qty_next AS DECIMAL(19,0)) AS y
+  FROM lagged WHERE qty_next IS NOT NULL),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x_u) AS sx, SUM(y) AS sy,
+         SUM(x_u * y) AS sxy, SUM(x_u * x_u) AS sxx,
+         SUM(y * y) AS syy
+  FROM pairs)
+SELECT n AS n_weeks,
+       ROUND(
+         (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                                / CAST(n AS DOUBLE))
+         / (SQRT(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                 * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+            * SQRT(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                   * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))),
+         6) AS discount_nextqty_corr
+FROM s
+"""
+
+
+@register("x241_pull_forward", oracle=_X241_SQL)
+def x241_pull_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo pull-forward screen: correlation between a week's
+    total discount mass (basis-point sum — depth x breadth in one
+    integer) and the NEXT week's quantity — significantly negative
+    means discounts borrow demand from the following week rather
+    than creating it, the classic promo-ROI illusion. Lag-paired
+    via LEAD (x168's shape), exact integer moments (x167's
+    machinery) widened to DECIMAL(38,0) products.
+
+    Scale: week-grain agg, calendar-bounded LEAD, 1-row moments.
+    """
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    wk = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.date_trunc(
+                "week", F.col("o_orderdate").cast("date")
+            ).alias("week")
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_discount") * 10000).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("disc_bps_sum"),
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("qty"),
+        )
+    )
+    lagged = wk.select(
+        "disc_bps_sum",
+        F.lead("qty").over(Window.orderBy("week")).alias("qty_next"),
+    ).where(F.col("qty_next").isNotNull())
+    pairs = lagged.select(
+        F.col("disc_bps_sum").cast("decimal(19,0)").alias("x_u"),
+        F.col("qty_next").cast("decimal(19,0)").alias("y"),
+    )
+    s = pairs.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x_u").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x_u") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x_u") * F.col("x_u")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    r = (d("sxy") - d("sx") * d("sy") / d("n")) / (
+        F.sqrt(d("sxx") - d("sx") * d("sx") / d("n"))
+        * F.sqrt(d("syy") - d("sy") * d("sy") / d("n"))
+    )
+    return s.select(
+        F.col("n").alias("n_weeks"),
+        F.round(r, 6).alias("discount_nextqty_corr"),
+    )
+
+
+# ---- x242: vocabulary turnover (births and deaths) ----
+
+_X242_SQL = """
+WITH mid AS (
+  SELECT CAST(FLOOR(MAX(doc_id) / 2) AS BIGINT) AS m FROM documents),
+tok AS (
+  SELECT CASE WHEN d.doc_id <= mid.m THEN 'early' ELSE 'late' END
+           AS half,
+         UNNEST(STRING_SPLIT(LOWER(d.text), ' ')) AS t
+  FROM documents d CROSS JOIN mid),
+pres AS (
+  SELECT t,
+         MAX(CASE WHEN half = 'early' THEN 1 ELSE 0 END) AS in_early,
+         MAX(CASE WHEN half = 'late' THEN 1 ELSE 0 END) AS in_late
+  FROM tok GROUP BY t)
+SELECT CAST(SUM(in_early) AS BIGINT) AS early_vocab,
+       CAST(SUM(in_late) AS BIGINT) AS late_vocab,
+       CAST(SUM(CASE WHEN in_early = 0 AND in_late = 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_born,
+       CAST(SUM(CASE WHEN in_early = 1 AND in_late = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_died,
+       ROUND(CAST(SUM(CASE WHEN in_early = 0 AND in_late = 1
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / SUM(in_late), 6) AS birth_rate,
+       ROUND(CAST(SUM(CASE WHEN in_early = 1 AND in_late = 0
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / SUM(in_early), 6) AS death_rate
+FROM pres
+"""
+
+
+@register("x242_vocab_turnover", oracle=_X242_SQL)
+def x242_vocab_turnover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary turnover between corpus halves: type births
+    (late-only) and deaths (early-only) with their rates — the
+    churn summary x175's per-term leaderboard rolls up to. High
+    birth+death with stable totals is topical drift; births
+    without deaths is domain expansion. A tokenizer trained on
+    the early half starts life with birth_rate of its test vocab
+    unseen.
+
+    Presence flags are MAXes per (type, half); all counts
+    integer, two rate divisions.
+
+    Scale: one token explode + type-keyed presence agg (Zipf head
+    collapses map-side), 1-row output.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.agg(
+        F.floor(F.max("doc_id") / 2).cast("bigint").alias("m")
+    )
+    tok = docs.crossJoin(F.broadcast(mid)).select(
+        F.when(F.col("doc_id") <= F.col("m"), "early")
+        .otherwise("late")
+        .alias("half"),
+        F.explode(F.split(F.lower("text"), " ")).alias("t"),
+    )
+    pres = tok.groupBy("t").agg(
+        F.max(
+            F.when(F.col("half") == "early", 1).otherwise(0)
+        ).alias("in_early"),
+        F.max(
+            F.when(F.col("half") == "late", 1).otherwise(0)
+        ).alias("in_late"),
+    )
+    born = F.sum(
+        F.when((F.col("in_early") == 0) & (F.col("in_late") == 1), 1)
+        .otherwise(0)
+    )
+    died = F.sum(
+        F.when((F.col("in_early") == 1) & (F.col("in_late") == 0), 1)
+        .otherwise(0)
+    )
+    return pres.agg(
+        F.sum("in_early").cast("bigint").alias("early_vocab"),
+        F.sum("in_late").cast("bigint").alias("late_vocab"),
+        born.cast("bigint").alias("n_born"),
+        died.cast("bigint").alias("n_died"),
+        F.round(born.cast("double") / F.sum("in_late"), 6).alias(
+            "birth_rate"
+        ),
+        F.round(died.cast("double") / F.sum("in_early"), 6).alias(
+            "death_rate"
+        ),
+    )
