@@ -7960,3 +7960,183 @@ def x242_vocab_turnover(spark: SparkSession, sf_dir: str) -> DataFrame:
             "death_rate"
         ),
     )
+
+
+# ---- x243: ID-continuity ingestion audit ----
+
+_X243_SQL = """
+SELECT 'documents.doc_id' AS id_column,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+       CAST(MAX(doc_id) - MIN(doc_id) + 1 - COUNT(DISTINCT doc_id)
+            AS BIGINT) AS n_gaps
+FROM documents
+UNION ALL
+SELECT 'embeddings.vec_id',
+       CAST(MIN(vec_id) AS BIGINT), CAST(MAX(vec_id) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT vec_id) AS BIGINT),
+       CAST(MAX(vec_id) - MIN(vec_id) + 1 - COUNT(DISTINCT vec_id)
+            AS BIGINT)
+FROM embeddings
+UNION ALL
+SELECT 'orders.o_orderkey',
+       CAST(MIN(o_orderkey) AS BIGINT), CAST(MAX(o_orderkey) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT),
+       CAST(MAX(o_orderkey) - MIN(o_orderkey) + 1
+            - COUNT(DISTINCT o_orderkey) AS BIGINT)
+FROM orders
+ORDER BY id_column
+"""
+
+
+@register("x243_id_continuity", oracle=_X243_SQL)
+def x243_id_continuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID-continuity audit: min/max/distinct/gap counts for the
+    sequential-looking key columns — dense keys (documents,
+    embeddings) should show zero gaps, and a nonzero gap count
+    there means dropped ingestion batches; orders is sparse BY
+    DESIGN (TPC-H's keyspace), and the audit documents exactly
+    how sparse, so downstream code never assumes contiguity.
+    Duplicate detection rides along (n_rows vs n_distinct).
+
+    All integer min/max/count arithmetic.
+
+    Scale: three independent single-pass aggregates (legs run in
+    parallel), 3-row output.
+    """
+    out = None
+    for table, col in (
+        ("documents", "doc_id"),
+        ("embeddings", "vec_id"),
+        ("orders", "o_orderkey"),
+    ):
+        df = load_table(spark, sf_dir, table)
+        leg = df.agg(
+            F.lit(f"{table}.{col}").alias("id_column"),
+            F.min(col).cast("bigint").alias("min_id"),
+            F.max(col).cast("bigint").alias("max_id"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.countDistinct(col).cast("bigint").alias("n_distinct"),
+            (
+                F.max(col) - F.min(col) + 1 - F.countDistinct(col)
+            )
+            .cast("bigint")
+            .alias("n_gaps"),
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out.orderBy("id_column")
+
+
+# ---- x244: AOV change decomposition (within vs mix shift) ----
+
+_X244_CUT = "1998-01-01"  # shared literal boundary
+
+_X244_SQL = f"""
+WITH o AS (
+  SELECT c.c_mktsegment AS segment,
+         CASE WHEN o.o_orderdate < TIMESTAMP '{_X244_CUT}'
+              THEN 'early' ELSE 'late' END AS period,
+         CAST(o.o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+seg AS (
+  SELECT segment, period,
+         CAST(COUNT(*) AS BIGINT) AS n, SUM(price) AS s
+  FROM o GROUP BY segment, period),
+tot AS (
+  SELECT period, CAST(SUM(n) AS BIGINT) AS nt FROM seg
+  GROUP BY period),
+wide AS (
+  SELECT seg.segment,
+         MAX(CASE WHEN seg.period = 'early' THEN CAST(seg.n AS DOUBLE)
+                  / t.nt END) AS share_e,
+         MAX(CASE WHEN seg.period = 'late' THEN CAST(seg.n AS DOUBLE)
+                  / t.nt END) AS share_l,
+         MAX(CASE WHEN seg.period = 'early' THEN CAST(seg.s AS DOUBLE)
+                  / seg.n END) AS aov_e,
+         MAX(CASE WHEN seg.period = 'late' THEN CAST(seg.s AS DOUBLE)
+                  / seg.n END) AS aov_l
+  FROM seg JOIN tot t ON seg.period = t.period
+  GROUP BY seg.segment)
+SELECT segment,
+       ROUND(share_e, 6) AS share_early,
+       ROUND(share_l, 6) AS share_late,
+       ROUND(aov_e, 2) AS aov_early,
+       ROUND(aov_l, 2) AS aov_late,
+       ROUND(share_e * (aov_l - aov_e), 4) AS within_effect,
+       ROUND((share_l - share_e) * aov_l, 4) AS mix_effect
+FROM wide
+ORDER BY segment
+"""
+
+
+@register("x244_aov_decomposition", oracle=_X244_SQL)
+def x244_aov_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AOV change decomposition per segment (Oaxaca/mix-shift):
+    the overall average-order-value move between halves splits
+    exactly into within-segment AOV change (at old mix) plus mix
+    shift (at new AOVs) — summing the two effect columns over
+    segments reconstructs the total AOV delta, so "our AOV
+    dropped" gets an attribution: cheaper baskets, or more of the
+    cheap segment? (x178 bridges brand revenue; this bridges a
+    RATIO, which needs the share-weighting trick.)
+
+    Shares and AOVs are single divisions of exact sums; effects
+    are per-row double products, reported per segment (the
+    reader's sum, not the engine's, so no cross-row float
+    accumulation is needed).
+
+    Scale: (segment, period) agg, per-period totals broadcast,
+    5-row pivot.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    o = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.when(
+            F.col("o_orderdate") < F.lit(_X244_CUT).cast("timestamp"),
+            "early",
+        )
+        .otherwise("late")
+        .alias("period"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    seg = o.groupBy("segment", "period").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("price").alias("s"),
+    )
+    tot = seg.groupBy("period").agg(
+        F.sum("n").cast("bigint").alias("nt")
+    )
+    j = seg.join(F.broadcast(tot), "period")
+
+    def pick(period: str, expr, name: str):
+        return F.max(
+            F.when(F.col("period") == period, expr)
+        ).alias(name)
+
+    share = F.col("n").cast("double") / F.col("nt")
+    aov = F.col("s").cast("double") / F.col("n")
+    wide = j.groupBy("segment").agg(
+        pick("early", share, "share_e"),
+        pick("late", share, "share_l"),
+        pick("early", aov, "aov_e"),
+        pick("late", aov, "aov_l"),
+    )
+    return wide.select(
+        "segment",
+        F.round("share_e", 6).alias("share_early"),
+        F.round("share_l", 6).alias("share_late"),
+        F.round("aov_e", 2).alias("aov_early"),
+        F.round("aov_l", 2).alias("aov_late"),
+        F.round(
+            F.col("share_e") * (F.col("aov_l") - F.col("aov_e")), 4
+        ).alias("within_effect"),
+        F.round(
+            (F.col("share_l") - F.col("share_e")) * F.col("aov_l"), 4
+        ).alias("mix_effect"),
+    ).orderBy("segment")
