@@ -8140,3 +8140,153 @@ def x244_aov_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("share_l") - F.col("share_e")) * F.col("aov_l"), 4
         ).alias("mix_effect"),
     ).orderBy("segment")
+
+
+# ---- x245: duplicate rate by document-length decile ----
+
+_X245_SQL = """
+WITH fp AS (
+  SELECT doc_id, n_chars,
+         MD5(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS f
+  FROM documents),
+flagged AS (
+  SELECT n_chars,
+         CASE WHEN COUNT(*) OVER (PARTITION BY f) > 1
+              THEN 1 ELSE 0 END AS is_dup,
+         NTILE(10) OVER (ORDER BY n_chars, doc_id) AS len_decile
+  FROM fp)
+SELECT CAST(len_decile AS BIGINT) AS len_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       CAST(SUM(is_dup) AS BIGINT) AS n_in_dup_groups,
+       ROUND(CAST(SUM(is_dup) AS DOUBLE) / COUNT(*), 6) AS dup_rate
+FROM flagged
+GROUP BY len_decile
+ORDER BY len_decile
+"""
+
+
+@register("x245_dup_rate_by_length", oracle=_X245_SQL)
+def x245_dup_rate_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate rate by document-length decile: are the corpus'
+    duplicates concentrated among short docs (stub pages, error
+    boilerplate — cheap to drop) or long ones (mirrored articles
+    — the expensive dedup case)? Decides whether a length floor
+    alone would fix most of the duplication x176 prices. NTILE
+    deciles with doc_id tiebreak; dup membership from the
+    canonical-md5 group-size window.
+
+    Scale: fingerprint window on the uniform md5 key + one
+    global NTILE sort over (n_chars, doc_id) — at 100 TB the
+    decile assignment becomes a range-partitioned sort; the
+    rollup is 10 rows.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace("text", r"\s+", " "))
+    fp = docs.select(
+        "doc_id", "n_chars", F.md5(norm.cast("binary")).alias("f")
+    )
+    flagged = fp.select(
+        "n_chars",
+        F.when(
+            F.count("*").over(Window.partitionBy("f")) > 1, 1
+        )
+        .otherwise(0)
+        .alias("is_dup"),
+        F.ntile(10)
+        .over(Window.orderBy("n_chars", "doc_id"))
+        .alias("len_decile"),
+    )
+    return (
+        flagged.groupBy(
+            F.col("len_decile").cast("bigint").alias("len_decile")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+            F.sum("is_dup").cast("bigint").alias("n_in_dup_groups"),
+            F.round(
+                F.sum("is_dup").cast("double") / F.count("*"), 6
+            ).alias("dup_rate"),
+        )
+        .orderBy("len_decile")
+    )
+
+
+# ---- x246: Benford audit of payload numbers ----
+
+_X246_SQL = f"""
+WITH num AS (
+  SELECT CAST(CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) AS VARCHAR)
+           AS numtok
+  FROM events
+  WHERE CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) >= 1),
+d AS (
+  SELECT CAST(SUBSTR(numtok, 1, 1) AS BIGINT) AS digit FROM num),
+c AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d GROUP BY digit),
+t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM c)
+SELECT c.digit, c.n_obs,
+       ROUND(CAST(c.n_obs AS DOUBLE) / t.n, 6) AS obs_share,
+       (ARRAY[{", ".join(repr(p) for p in _BENFORD_P)}])[c.digit]
+         AS benford_p,
+       ROUND(CAST(c.n_obs AS DOUBLE) / t.n
+             - (ARRAY[{", ".join(repr(p) for p in _BENFORD_P)}])[c.digit],
+             6) AS deviation
+FROM c CROSS JOIN t
+ORDER BY c.digit
+"""
+
+
+@register("x246_payload_benford", oracle=_X246_SQL)
+def x246_payload_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford audit of instrumented payload numbers: first
+    significant digits of the events' JSON `k` values against the
+    Benford curve — organically arising magnitudes track it;
+    uniform RNG ranges (this fixture's k, and many a synthetic or
+    fabricated feed) sit far off, with the per-digit deviation
+    column showing exactly how. The provenance screen x151 runs
+    on money, pointed at semi-structured telemetry (the document
+    corpus itself contains no digit literals — measured — so the
+    payload stream is the honest target here).
+
+    Digit extraction is bigint→string prefix (no float parsing);
+    shares divide integer counts; the same literal Benford
+    constants as x151.
+
+    Scale: narrow JSON parse + 9-key agg; no shuffle wider than
+    the digit histogram.
+    """
+    probs = F.array(*[F.lit(p) for p in _BENFORD_P])
+    ev = load_table(spark, sf_dir, "events")
+    num = ev.select(
+        F.get_json_object("props", "$.k")
+        .cast("bigint")
+        .alias("k")
+    ).where(F.col("k") >= 1)
+    d = num.select(
+        F.substring(F.col("k").cast("string"), 1, 1)
+        .cast("bigint")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(
+        F.count("*").cast("bigint").alias("n_obs")
+    )
+    t = c.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    p = F.element_at(probs, F.col("digit").cast("int"))
+    share = F.col("n_obs").cast("double") / F.col("n")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(share, 6).alias("obs_share"),
+            p.alias("benford_p"),
+            F.round(share - p, 6).alias("deviation"),
+        )
+        .orderBy("digit")
+    )
