@@ -8290,3 +8290,143 @@ def x246_payload_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# ---- x247: duplicate-burst locality ----
+
+_X247_SQL = """
+WITH fp AS (
+  SELECT doc_id,
+         MD5(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS f
+  FROM documents),
+grp AS (
+  SELECT f,
+         CAST(COUNT(*) AS BIGINT) AS sz,
+         CAST(MAX(doc_id) - MIN(doc_id) AS BIGINT) AS id_span
+  FROM fp GROUP BY f
+  HAVING COUNT(*) >= 2)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_dup_groups,
+       CAST(SUM(CASE WHEN id_span < 10 * sz THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_bursty,
+       CAST(SUM(CASE WHEN id_span >= 10 * sz THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_spread,
+       ROUND(CAST(SUM(CASE WHEN id_span < 10 * sz THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS bursty_share
+FROM grp
+"""
+
+
+@register("x247_dup_burst_locality", oracle=_X247_SQL)
+def x247_dup_burst_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-burst locality forensics: for each exact-dup
+    group, is its doc_id span tight (copies ingested together — a
+    crawler revisit or a replayed batch; fix the PIPELINE) or
+    spread across the corpus (genuinely mirrored content; fix the
+    DATA)? The burst test id_span < 10·size is pure integer
+    cross-multiplication. Empty-corpus-safe: zero groups yields a
+    single all-zero row, not an empty result.
+
+    Scale: one md5-keyed aggregate (uniform key), 1-row output.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace("text", r"\s+", " "))
+    fp = docs.select(
+        "doc_id", F.md5(norm.cast("binary")).alias("f")
+    )
+    grp = (
+        fp.groupBy("f")
+        .agg(
+            F.count("*").cast("bigint").alias("sz"),
+            (F.max("doc_id") - F.min("doc_id"))
+            .cast("bigint")
+            .alias("id_span"),
+        )
+        .where(F.col("sz") >= 2)
+    )
+    bursty = F.sum(
+        F.when(F.col("id_span") < 10 * F.col("sz"), 1).otherwise(0)
+    )
+    spread = F.sum(
+        F.when(F.col("id_span") >= 10 * F.col("sz"), 1).otherwise(0)
+    )
+    return grp.agg(
+        F.count("*").cast("bigint").alias("n_dup_groups"),
+        bursty.cast("bigint").alias("n_bursty"),
+        spread.cast("bigint").alias("n_spread"),
+        F.round(bursty.cast("double") / F.count("*"), 6).alias(
+            "bursty_share"
+        ),
+    )
+
+
+# ---- x248: quarterly ARPU trend ----
+
+_X248_SQL = """
+WITH q AS (
+  SELECT CAST(YEAR(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+         CAST(QUARTER(CAST(o_orderdate AS DATE)) AS BIGINT) AS qtr,
+         o_custkey,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders)
+SELECT yr AS year, qtr AS quarter,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS active_customers,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(price) AS DOUBLE), 2) AS revenue,
+       ROUND(CAST(SUM(price) AS DOUBLE) / COUNT(DISTINCT o_custkey), 2)
+         AS arpu,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT o_custkey), 4)
+         AS orders_per_customer
+FROM q
+GROUP BY yr, qtr
+ORDER BY year, quarter
+"""
+
+
+@register("x248_arpu_trend", oracle=_X248_SQL)
+def x248_arpu_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarterly ARPU trend: revenue per active (ordering)
+    customer with its two drivers (order frequency and, jointly
+    with x222, order size) — the SaaS-board staple that
+    distinguishes "more customers" growth from "deeper customers"
+    growth quarter over quarter.
+
+    Exact decimal revenue; distinct-customer counts integer; two
+    divisions per quarter.
+
+    Scale: single pass, (year, quarter)-keyed agg with partial
+    distinct on custkey; calendar-bounded output.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    q = orders.select(
+        F.year(F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("yr"),
+        F.quarter(F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("qtr"),
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    return (
+        q.groupBy(
+            F.col("yr").alias("year"), F.col("qtr").alias("quarter")
+        )
+        .agg(
+            F.countDistinct("o_custkey")
+            .cast("bigint")
+            .alias("active_customers"),
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum("price").cast("double"), 2).alias("revenue"),
+            F.round(
+                F.sum("price").cast("double")
+                / F.countDistinct("o_custkey"),
+                2,
+            ).alias("arpu"),
+            F.round(
+                F.count("*").cast("double")
+                / F.countDistinct("o_custkey"),
+                4,
+            ).alias("orders_per_customer"),
+        )
+        .orderBy("year", "quarter")
+    )
