@@ -8430,3 +8430,218 @@ def x248_arpu_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("year", "quarter")
     )
+
+
+# ---- x249: cross-source duplicate flow ----
+
+_X249_SQL = """
+WITH fp AS (
+  SELECT doc_id, source,
+         MD5(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS f
+  FROM documents),
+keeper AS (
+  SELECT f, source AS src_origin, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+  FROM fp),
+flow AS (
+  SELECT k.src_origin, d.source AS src_copy
+  FROM (SELECT f, src_origin FROM keeper WHERE rn = 1) k
+  JOIN fp d ON k.f = d.f
+  JOIN keeper kk ON kk.f = d.f AND kk.doc_id = d.doc_id
+  WHERE kk.rn > 1)
+SELECT src_origin, src_copy,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(SUM(CASE WHEN src_origin = src_copy THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_within_source
+FROM flow
+GROUP BY src_origin, src_copy
+ORDER BY src_origin, src_copy
+"""
+
+
+@register("x249_dup_flow_matrix", oracle=_X249_SQL)
+def x249_dup_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate flow: for every duplicate copy, the
+    (origin source → copying source) edge, where origin = the
+    lowest-doc_id member of the canonical-fingerprint group
+    (x01's keeper rule doubling as a provenance heuristic under
+    ingestion order). A heavy off-diagonal row means source B
+    substantially re-hosts source A — dedup should keep A and
+    downweight B wholesale, not arbitrate per document.
+
+    Scale: one fingerprint window family (rank + join back on
+    the uniform md5 key); flow matrix bounded by source².
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace("text", r"\s+", " "))
+    fp = docs.select(
+        "doc_id", "source", F.md5(norm.cast("binary")).alias("f")
+    )
+    ranked = fp.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("f").orderBy("doc_id")),
+    )
+    keeper = ranked.where(F.col("rn") == 1).select(
+        "f", F.col("source").alias("src_origin")
+    )
+    copies = ranked.where(F.col("rn") > 1).select(
+        "f", F.col("source").alias("src_copy")
+    )
+    return (
+        copies.join(keeper, "f")
+        .groupBy("src_origin", "src_copy")
+        .agg(
+            F.count("*").cast("bigint").alias("n_copies"),
+            F.sum(
+                F.when(
+                    F.col("src_origin") == F.col("src_copy"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_within_source"),
+        )
+        .orderBy("src_origin", "src_copy")
+    )
+
+
+# ---- x250: full-funnel session economics ----
+
+_X250_SQL = """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                   - CAST(FLOOR(EPOCH(LAG(ts) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, event_type, value,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM e),
+sess AS (
+  SELECT user_id, session_no,
+         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS hv,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS hc,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS hp,
+         SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(value AS DECIMAL(18,6))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS purchase_value
+  FROM s GROUP BY user_id, session_no),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         CAST(SUM(hv) AS BIGINT) AS n_view,
+         CAST(SUM(CASE WHEN hv = 1 AND hc = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_view_click,
+         CAST(SUM(CASE WHEN hv = 1 AND hc = 1 AND hp = 1
+                       THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_view_click_buy,
+         CAST(SUM(purchase_value) AS DOUBLE) AS total_value
+  FROM sess)
+SELECT n_sessions, n_view, n_view_click, n_view_click_buy,
+       ROUND(CAST(n_view_click AS DOUBLE) / n_view, 6)
+         AS click_through,
+       ROUND(CAST(n_view_click_buy AS DOUBLE) / n_view_click, 6)
+         AS close_rate,
+       ROUND(total_value / n_sessions, 4) AS value_per_session
+FROM t
+"""
+
+
+@register("x250_funnel_economics", oracle=_X250_SQL)
+def x250_funnel_economics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-funnel session economics: sessions → view sessions →
+    view+click → view+click+buy, with stage conversion rates and
+    revenue per session — the x162/x179/x237 sessionization
+    family rolled into the one table a growth review opens with
+    (x35's event-level funnel counts users; this one counts
+    SESSIONS and attaches dollars).
+
+    Stage flags are conditional MAXes; purchase value accumulates
+    as exact decimal with a decimal-zero ELSE; three divisions.
+
+    Scale: the single x162 sessionization shuffle, a per-session
+    aggregate in the same partitioning, 1-row output.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.withColumn(
+        "is_start",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag("ts").over(w))
+                > 1800
+            ),
+            1,
+        ).otherwise(0),
+    )
+    s = e.withColumn(
+        "session_no",
+        F.sum("is_start").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+
+    def flag(t: str, name: str):
+        return F.max(
+            F.when(F.col("event_type") == t, 1).otherwise(0)
+        ).alias(name)
+
+    sess = s.groupBy("user_id", "session_no").agg(
+        flag("view", "hv"),
+        flag("click", "hc"),
+        flag("purchase", "hp"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("value").cast("decimal(18,6)"),
+            ).otherwise(zero)
+        ).alias("purchase_value"),
+    )
+    t = sess.agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.sum("hv").cast("bigint").alias("n_view"),
+        F.sum(
+            F.when((F.col("hv") == 1) & (F.col("hc") == 1), 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("n_view_click"),
+        F.sum(
+            F.when(
+                (F.col("hv") == 1)
+                & (F.col("hc") == 1)
+                & (F.col("hp") == 1),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_view_click_buy"),
+        F.sum("purchase_value").cast("double").alias("total_value"),
+    )
+    return t.select(
+        "n_sessions",
+        "n_view",
+        "n_view_click",
+        "n_view_click_buy",
+        F.round(
+            F.col("n_view_click").cast("double") / F.col("n_view"), 6
+        ).alias("click_through"),
+        F.round(
+            F.col("n_view_click_buy").cast("double")
+            / F.col("n_view_click"),
+            6,
+        ).alias("close_rate"),
+        F.round(
+            F.col("total_value") / F.col("n_sessions"), 4
+        ).alias("value_per_session"),
+    )
