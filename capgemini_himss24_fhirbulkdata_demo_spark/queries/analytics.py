@@ -8645,3 +8645,164 @@ def x250_funnel_economics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_value") / F.col("n_sessions"), 4
         ).alias("value_per_session"),
     )
+
+
+# ---- x251: adaptive stopword discovery ----
+
+_X251_SQL = """
+WITH tok AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS t
+  FROM documents),
+nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+       FROM documents),
+tf AS (
+  SELECT t,
+         CAST(COUNT(*) AS BIGINT) AS n_occ,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tok GROUP BY t),
+tot AS (SELECT CAST(SUM(n_occ) AS BIGINT) AS n_tokens FROM tf)
+SELECT tf.t AS term, tf.n_occ, tf.df,
+       ROUND(CAST(tf.df AS DOUBLE) / nd.n_docs, 6) AS doc_frac,
+       ROUND(CAST(tf.n_occ AS DOUBLE) / tot.n_tokens, 6) AS token_mass
+FROM tf CROSS JOIN nd CROSS JOIN tot
+WHERE 2 * tf.df >= nd.n_docs
+ORDER BY tf.df DESC, tf.t
+"""
+
+
+@register("x251_adaptive_stopwords", oracle=_X251_SQL)
+def x251_adaptive_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive stopword discovery: terms appearing in at least
+    half of all documents (integer cross-multiplied gate
+    2·df ≥ n_docs), with their document fraction and token mass —
+    the corpus-specific stopword list that catches domain chrome
+    ("spark", "table" in an engineering crawl) a fixed English
+    list never will; feeds x20's quality ratios and x25's TF-IDF
+    floor. Reports token_mass so the cost of stopping each word
+    is visible before anyone strips it.
+
+    Scale: one (term, doc) distinct + term rollup (Zipf head
+    collapses map-side); the gate prunes output to the tiny
+    high-df head.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t")
+    )
+    nd = docs.agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs")
+    )
+    tf = tok.groupBy("t").agg(
+        F.count("*").cast("bigint").alias("n_occ"),
+        F.countDistinct("doc_id").cast("bigint").alias("df"),
+    )
+    tot = tf.agg(F.sum("n_occ").cast("bigint").alias("n_tokens"))
+    return (
+        tf.crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(tot))
+        .where(2 * F.col("df") >= F.col("n_docs"))
+        .select(
+            F.col("t").alias("term"),
+            "n_occ",
+            "df",
+            F.round(
+                F.col("df").cast("double") / F.col("n_docs"), 6
+            ).alias("doc_frac"),
+            F.round(
+                F.col("n_occ").cast("double") / F.col("n_tokens"), 6
+            ).alias("token_mass"),
+        )
+        .orderBy(F.desc("df"), "term")
+    )
+
+
+# ---- x252: keyword-stuffing detector ----
+
+_X252_MIN_OCC = 20  # support floor, literal
+
+_X252_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS t
+  FROM documents),
+per_doc AS (
+  SELECT t, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY t, doc_id),
+agg AS (
+  SELECT t,
+         CAST(SUM(tf) AS BIGINT) AS n_occ,
+         CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(MAX(tf) AS BIGINT) AS max_tf
+  FROM per_doc GROUP BY t),
+top_doc AS (
+  SELECT t, MIN(doc_id) AS dominant_doc
+  FROM per_doc p
+  WHERE tf = (SELECT MAX(tf) FROM per_doc q WHERE q.t = p.t)
+  GROUP BY t)
+SELECT a.t AS term, a.n_occ, a.df, a.max_tf, td.dominant_doc,
+       ROUND(CAST(a.max_tf AS DOUBLE) / a.n_occ, 6)
+         AS dominant_share,
+       2 * a.max_tf >= a.n_occ AS stuffed
+FROM agg a JOIN top_doc td ON a.t = td.t
+WHERE a.n_occ >= {_X252_MIN_OCC}
+ORDER BY CAST(a.max_tf AS DOUBLE) / a.n_occ DESC, a.t
+LIMIT 20
+"""
+
+
+@register("x252_keyword_stuffing", oracle=_X252_SQL)
+def x252_keyword_stuffing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-stuffing detector: terms where a SINGLE document
+    carries an outsized share of all corpus occurrences — the
+    SEO-spam / degenerate-generation signature that inflates a
+    term's stats from one pathological page; top-20 leaderboard
+    by dominant-doc share (support-floored) with the `stuffed`
+    flag at the 50% bar as an integer cross-multiplication (a
+    flag, not a filter, so a healthy corpus still shows its most
+    concentrated terms). The dominant doc is named for
+    quarantine; complements x119's burstiness (distributional)
+    with an attributable single-culprit test.
+
+    Scale: (term, doc) partial agg then term rollup; the
+    dominant-doc pick is a window-free min over tied maxima on
+    the already-aggregated table.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t")
+    )
+    per_doc = tok.groupBy("t", "doc_id").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    agg = per_doc.groupBy("t").agg(
+        F.sum("tf").cast("bigint").alias("n_occ"),
+        F.count("*").cast("bigint").alias("df"),
+        F.max("tf").cast("bigint").alias("max_tf"),
+    )
+    top_doc = (
+        per_doc.withColumn(
+            "mx", F.max("tf").over(Window.partitionBy("t"))
+        )
+        .where(F.col("tf") == F.col("mx"))
+        .groupBy("t")
+        .agg(F.min("doc_id").alias("dominant_doc"))
+    )
+    share = F.col("max_tf").cast("double") / F.col("n_occ")
+    return (
+        agg.join(top_doc, "t")
+        .where(F.col("n_occ") >= _X252_MIN_OCC)
+        .select(
+            F.col("t").alias("term"),
+            "n_occ",
+            "df",
+            "max_tf",
+            "dominant_doc",
+            F.round(share, 6).alias("dominant_share"),
+            (2 * F.col("max_tf") >= F.col("n_occ")).alias("stuffed"),
+            share.alias("_s"),
+        )
+        .orderBy(F.desc("_s"), "term")
+        .limit(20)
+        .drop("_s")
+    )
