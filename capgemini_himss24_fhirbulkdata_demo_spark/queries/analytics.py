@@ -8806,3 +8806,196 @@ def x252_keyword_stuffing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .drop("_s")
     )
+
+
+# ---- x253: brand price positioning ----
+
+_X253_SQL = """
+WITH pts AS (
+  SELECT p_brand, p_retailprice AS v, p_partkey,
+         ROW_NUMBER() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice, p_partkey) AS rn,
+         COUNT(*) OVER (PARTITION BY p_brand) AS n
+  FROM part),
+bmed AS (
+  SELECT p_brand,
+         CAST(COUNT(*) AS BIGINT) AS n_parts,
+         MAX(CASE WHEN rn = CAST(CEIL(0.50 * n) AS BIGINT)
+                  THEN v END) AS brand_median
+  FROM pts GROUP BY p_brand),
+mkt AS (
+  SELECT p_retailprice AS v,
+         ROW_NUMBER() OVER (ORDER BY p_retailprice, p_partkey) AS rn,
+         COUNT(*) OVER () AS n
+  FROM part),
+mmed AS (
+  SELECT MAX(CASE WHEN rn = CAST(CEIL(0.50 * n) AS BIGINT)
+                  THEN v END) AS market_median
+  FROM mkt)
+SELECT b.p_brand, b.n_parts,
+       ROUND(b.brand_median, 2) AS brand_median,
+       ROUND(m.market_median, 2) AS market_median,
+       ROUND(b.brand_median / m.market_median, 6) AS position_index
+FROM bmed b CROSS JOIN mmed m
+ORDER BY b.p_brand
+"""
+
+
+@register("x253_price_positioning", oracle=_X253_SQL)
+def x253_price_positioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand price positioning: each brand's median retail price
+    over the market median (rank-exact medians, x157 idiom) —
+    the one-number premium/value-positioning map (1.15 = priced
+    15% over market). Pairs with x236's ladder gaps: positioning
+    says WHERE a brand sits, gaps say what it left uncovered.
+
+    The index divides two exact data values once.
+
+    Scale: dim-only — two rank sorts over part (per-brand and
+    global), brand-sized output. Zero fact I/O.
+    """
+    from pyspark.sql import Window
+
+    part = load_table(spark, sf_dir, "part")
+    wb = Window.partitionBy("p_brand").orderBy(
+        "p_retailprice", "p_partkey"
+    )
+    pts = part.select(
+        "p_brand",
+        F.col("p_retailprice").alias("v"),
+        F.row_number().over(wb).alias("rn"),
+        F.count("*").over(Window.partitionBy("p_brand")).alias("n"),
+    )
+    bmed = pts.groupBy("p_brand").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.ceil(0.50 * F.col("n")).cast("bigint"),
+                F.col("v"),
+            )
+        ).alias("brand_median"),
+    )
+    wm = Window.orderBy("v", "p_partkey")
+    mkt = part.select(
+        F.col("p_retailprice").alias("v"),
+        "p_partkey",
+    ).select(
+        "v",
+        F.row_number().over(wm).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    mmed = mkt.agg(
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.ceil(0.50 * F.col("n")).cast("bigint"),
+                F.col("v"),
+            )
+        ).alias("market_median")
+    )
+    return (
+        bmed.crossJoin(F.broadcast(mmed))
+        .select(
+            "p_brand",
+            "n_parts",
+            F.round("brand_median", 2).alias("brand_median"),
+            F.round("market_median", 2).alias("market_median"),
+            F.round(
+                F.col("brand_median") / F.col("market_median"), 6
+            ).alias("position_index"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# ---- x254: event-mix drift (integer ppm slope signs) ----
+
+_X254_SQL = """
+WITH m AS (
+  SELECT STRFTIME(DATE_TRUNC('month', CAST(ts AS DATE)), '%Y-%m')
+           AS month,
+         event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY month, event_type),
+tot AS (
+  SELECT month, CAST(SUM(c) AS BIGINT) AS t FROM m GROUP BY month),
+ppm AS (
+  SELECT m.event_type,
+         CAST(ROW_NUMBER() OVER (PARTITION BY m.event_type
+                                 ORDER BY m.month) AS BIGINT) AS i,
+         (m.c * 1000000) // tot.t AS share_ppm
+  FROM m JOIN tot ON m.month = tot.month),
+s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(i) AS BIGINT) AS sx,
+         CAST(SUM(share_ppm) AS BIGINT) AS sy,
+         CAST(SUM(i * share_ppm) AS BIGINT) AS sxy
+  FROM ppm GROUP BY event_type)
+SELECT event_type, n AS n_months,
+       ROUND(CAST(sy AS DOUBLE) / n / 10000, 4) AS mean_share_pct,
+       CASE WHEN n * sxy > sx * sy THEN 'growing'
+            WHEN n * sxy < sx * sy THEN 'shrinking'
+            ELSE 'flat' END AS share_trend
+FROM s
+ORDER BY event_type
+"""
+
+
+@register("x254_event_mix_drift", oracle=_X254_SQL)
+def x254_event_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-mix drift: is each event type's share of monthly
+    traffic growing or shrinking — the instrumentation-mix
+    monitor that catches "errors are quietly becoming a larger
+    fraction of events" even while absolute volume grows. Monthly
+    shares quantize to integer parts-per-million (floor division
+    — no float shares), then x202's integer slope-sign rule
+    classifies each type's trend with zero floating point in the
+    decision.
+
+    Scale: (month, type) agg, month totals join, per-type moment
+    rollup — all calendar- and type-bounded.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy(
+        F.date_format(
+            F.date_trunc("month", F.col("ts").cast("date")), "yyyy-MM"
+        ).alias("month"),
+        "event_type",
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    tot = m.groupBy("month").agg(
+        F.sum("c").cast("bigint").alias("t")
+    )
+    ppm = m.join(F.broadcast(tot), "month").select(
+        "event_type",
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy("month")
+        )
+        .cast("bigint")
+        .alias("i"),
+        F.expr("(c * 1000000) div t").alias("share_ppm"),
+    )
+    s = ppm.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("i").cast("bigint").alias("sx"),
+        F.sum("share_ppm").cast("bigint").alias("sy"),
+        F.sum(F.col("i") * F.col("share_ppm"))
+        .cast("bigint")
+        .alias("sxy"),
+    )
+    lhs = F.col("n") * F.col("sxy")
+    rhs = F.col("sx") * F.col("sy")
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_months"),
+        F.round(
+            F.col("sy").cast("double") / F.col("n") / 10000, 4
+        ).alias("mean_share_pct"),
+        F.when(lhs > rhs, "growing")
+        .when(lhs < rhs, "shrinking")
+        .otherwise("flat")
+        .alias("share_trend"),
+    ).orderBy("event_type")
