@@ -8999,3 +8999,170 @@ def x254_event_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("flat")
         .alias("share_trend"),
     ).orderBy("event_type")
+
+
+# ---- x255: user-base saturation curve ----
+
+_X255_SQL = """
+WITH first_seen AS (
+  SELECT user_id,
+         MIN(STRFTIME(DATE_TRUNC('month', CAST(ts AS DATE)), '%Y-%m'))
+           AS m
+  FROM events GROUP BY user_id),
+per_m AS (
+  SELECT m, CAST(COUNT(*) AS BIGINT) AS n_new FROM first_seen
+  GROUP BY m),
+cum AS (
+  SELECT m, n_new,
+         CAST(SUM(n_new) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_users
+  FROM per_m),
+tot AS (SELECT CAST(SUM(n_new) AS BIGINT) AS n_total FROM per_m)
+SELECT c.m AS month, c.n_new, c.cum_users,
+       ROUND(CAST(c.cum_users AS DOUBLE) / t.n_total, 6)
+         AS saturation,
+       ROUND(CAST(c.n_new AS DOUBLE)
+             / (c.cum_users - c.n_new + 1), 6) AS growth_vs_base
+FROM cum c CROSS JOIN tot t
+ORDER BY month
+"""
+
+
+@register("x255_user_saturation", oracle=_X255_SQL)
+def x255_user_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-base saturation curve: cumulative distinct users by
+    first-seen month, as a share of the final base, plus each
+    month's new users over the prior base (+1 guards the first
+    month) — the acquisition S-curve that says whether growth is
+    compounding or the addressable pool is drying up (x101 tracks
+    whether acquired users STAY; this tracks whether new ones
+    keep ARRIVING). Running distinct-count becomes an exact
+    integer cumsum over first-seen months — never a per-month
+    COUNT(DISTINCT) rescan.
+
+    Scale: per-user min (one user_id shuffle), month rollup,
+    calendar-bounded window.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(
+            F.date_format(
+                F.date_trunc("month", F.col("ts").cast("date")),
+                "yyyy-MM",
+            )
+        ).alias("m")
+    )
+    per_m = first_seen.groupBy("m").agg(
+        F.count("*").cast("bigint").alias("n_new")
+    )
+    cum = per_m.select(
+        "m",
+        "n_new",
+        F.sum("n_new")
+        .over(
+            Window.orderBy("m").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .cast("bigint")
+        .alias("cum_users"),
+    )
+    tot = per_m.agg(F.sum("n_new").cast("bigint").alias("n_total"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("m").alias("month"),
+            "n_new",
+            "cum_users",
+            F.round(
+                F.col("cum_users").cast("double") / F.col("n_total"), 6
+            ).alias("saturation"),
+            F.round(
+                F.col("n_new").cast("double")
+                / (F.col("cum_users") - F.col("n_new") + 1),
+                6,
+            ).alias("growth_vs_base"),
+        )
+        .orderBy("month")
+    )
+
+
+# ---- x256: catalog utilization curve ----
+
+_X256_SQL = """
+WITH first_sold AS (
+  SELECT l_partkey,
+         CAST(MIN(YEAR(CAST(l_shipdate AS DATE))) AS BIGINT) AS yr
+  FROM lineitem GROUP BY l_partkey),
+per_y AS (
+  SELECT yr, CAST(COUNT(*) AS BIGINT) AS n_first FROM first_sold
+  GROUP BY yr),
+cum AS (
+  SELECT yr, n_first,
+         CAST(SUM(n_first) OVER (ORDER BY yr ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_parts
+  FROM per_y),
+cat AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_catalog FROM part)
+SELECT c.yr AS year, c.n_first AS parts_first_sold, c.cum_parts,
+       ca.n_catalog,
+       ROUND(CAST(c.cum_parts AS DOUBLE) / ca.n_catalog, 6)
+         AS catalog_coverage
+FROM cum c CROSS JOIN cat ca
+ORDER BY year
+"""
+
+
+@register("x256_catalog_utilization", oracle=_X256_SQL)
+def x256_catalog_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog utilization curve: cumulative share of the part
+    catalog that has EVER sold, by year of first sale — how fast
+    the assortment earns its keep, and how much dead catalog
+    remains (the complement of the final coverage number is
+    never-sold inventory x212 localizes by nation). Same
+    first-seen cumsum shape as x255, denominated against the full
+    part dim.
+
+    Scale: partkey-grain min-year agg, years-sized window, 1-row
+    catalog-count broadcast.
+    """
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    first_sold = li.groupBy("l_partkey").agg(
+        F.min(F.year(F.col("l_shipdate").cast("date")))
+        .cast("bigint")
+        .alias("yr")
+    )
+    per_y = first_sold.groupBy("yr").agg(
+        F.count("*").cast("bigint").alias("n_first")
+    )
+    cum = per_y.select(
+        "yr",
+        "n_first",
+        F.sum("n_first")
+        .over(
+            Window.orderBy("yr").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .cast("bigint")
+        .alias("cum_parts"),
+    )
+    cat = part.agg(F.count("*").cast("bigint").alias("n_catalog"))
+    return (
+        cum.crossJoin(F.broadcast(cat))
+        .select(
+            F.col("yr").alias("year"),
+            F.col("n_first").alias("parts_first_sold"),
+            "cum_parts",
+            "n_catalog",
+            F.round(
+                F.col("cum_parts").cast("double") / F.col("n_catalog"),
+                6,
+            ).alias("catalog_coverage"),
+        )
+        .orderBy("year")
+    )
