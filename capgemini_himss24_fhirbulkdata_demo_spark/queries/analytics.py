@@ -9166,3 +9166,129 @@ def x256_catalog_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("year")
     )
+
+
+# ---- x257: basket brand-breadth histogram ----
+
+_X257_SQL = """
+WITH ob AS (
+  SELECT l.l_orderkey,
+         CAST(COUNT(DISTINCT p.p_brand) AS BIGINT) AS n_brands
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY l.l_orderkey),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_orders FROM ob)
+SELECT n_brands,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT n_orders FROM t), 6)
+         AS order_share
+FROM ob
+GROUP BY n_brands
+ORDER BY n_brands
+"""
+
+
+@register("x257_basket_breadth", oracle=_X257_SQL)
+def x257_basket_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket brand-breadth histogram: distinct brands per order —
+    single-brand baskets mean customers shop brands, not the
+    store (merchandising implication: cross-brand bundles are
+    fighting behavior); broad baskets mean category shopping
+    (x139's co-purchase pairs say WHICH brands travel together;
+    this says how often ANY do).
+
+    Integer distinct counts; one share division.
+
+    Scale: orderkey-grain distinct agg (unique unskewed key,
+    partial-distinct combinable), small histogram + broadcast
+    total.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("p_brand").cast("bigint").alias("n_brands")
+        )
+    )
+    t = ob.agg(F.count("*").cast("bigint").alias("nt"))
+    return (
+        ob.groupBy("n_brands")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "n_brands",
+            "n_orders",
+            F.round(
+                F.col("n_orders").cast("double") / F.col("nt"), 6
+            ).alias("order_share"),
+        )
+        .orderBy("n_brands")
+    )
+
+
+# ---- x258: weekly active users trend ----
+
+_X258_SQL = """
+WITH wau AS (
+  SELECT DATE_TRUNC('week', CAST(ts AS DATE)) AS week,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+  FROM events GROUP BY week),
+tr AS (
+  SELECT week, wau,
+         LAG(wau) OVER (ORDER BY week) AS wau_prev,
+         CAST(SUM(wau) OVER (ORDER BY week
+                             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS sum4,
+         CAST(COUNT(*) OVER (ORDER BY week
+                             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS n4
+  FROM wau)
+SELECT week, wau,
+       CAST(wau - wau_prev AS BIGINT) AS wow_delta,
+       ROUND(CAST(sum4 AS DOUBLE) / n4, 4) AS wau_4wk_avg
+FROM tr
+ORDER BY week
+"""
+
+
+@register("x258_wau_trend", oracle=_X258_SQL)
+def x258_wau_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly active users with week-over-week delta and the
+    4-week trailing average — the line at the top of every
+    product dashboard, smoothed enough to see through holiday
+    dips (x149's DAU/MAU measures intensity; this measures the
+    base itself). The trailing window divides an exact integer
+    sum by its own observed row count, so partial head windows
+    average over what exists instead of zero-padding.
+
+    Scale: (week, user) distinct agg, then calendar-bounded
+    windows over the weekly table.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wau = ev.groupBy(
+        F.date_trunc("week", F.col("ts").cast("date"))
+        .cast("date")
+        .alias("week")
+    ).agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+    w = Window.orderBy("week")
+    w4 = w.rowsBetween(-3, 0)
+    tr = wau.select(
+        "week",
+        "wau",
+        F.lag("wau").over(w).alias("wau_prev"),
+        F.sum("wau").over(w4).cast("bigint").alias("sum4"),
+        F.count("*").over(w4).cast("bigint").alias("n4"),
+    )
+    return tr.select(
+        "week",
+        "wau",
+        (F.col("wau") - F.col("wau_prev"))
+        .cast("bigint")
+        .alias("wow_delta"),
+        F.round(
+            F.col("sum4").cast("double") / F.col("n4"), 4
+        ).alias("wau_4wk_avg"),
+    ).orderBy("week")
