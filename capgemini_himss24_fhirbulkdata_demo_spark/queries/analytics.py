@@ -9292,3 +9292,109 @@ def x258_wau_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum4").cast("double") / F.col("n4"), 4
         ).alias("wau_4wk_avg"),
     ).orderBy("week")
+
+
+# ---- x260: one-row executive summary ----
+
+_X260_SQL = """
+WITH rev AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+  FROM orders),
+top_nation AS (
+  SELECT n.n_name
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+  ORDER BY SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(6,4))
+                  - CAST(l.l_discount AS DECIMAL(6,4)))) DESC, n.n_name
+  LIMIT 1),
+top_brand AS (
+  SELECT p.p_brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand
+  ORDER BY SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(6,4))
+                  - CAST(l.l_discount AS DECIMAL(6,4)))) DESC, p.p_brand
+  LIMIT 1)
+SELECT r.n_orders, r.n_customers,
+       ROUND(CAST(r.total AS DOUBLE), 2) AS total_revenue,
+       ROUND(CAST(r.total AS DOUBLE) / r.n_orders, 2) AS aov,
+       ROUND(CAST(r.total AS DOUBLE) / r.n_customers, 2)
+         AS revenue_per_customer,
+       tn.n_name AS top_supplier_nation,
+       tb.p_brand AS top_brand
+FROM rev r CROSS JOIN top_nation tn CROSS JOIN top_brand tb
+"""
+
+
+@register("x260_exec_summary", oracle=_X260_SQL)
+def x260_exec_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row executive summary: order/customer counts, total
+    revenue, AOV, revenue per customer, and the top supplier
+    nation and brand by net revenue — the single-row table a
+    reporting layer caches as "the numbers", composed from three
+    independent aggregates joined as 1-row broadcasts. Every
+    drill-down it provokes already exists in the x-series
+    (x248 ARPU trend, x229 movers, x153 concentration, ...).
+
+    Exact decimal totals; argmaxes are ordered LIMIT 1 with name
+    tiebreaks.
+
+    Scale: three independent scans (parallel legs), each ending
+    in a tiny ordered take or 1-row agg; the final join is
+    broadcast-trivial.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+    disc = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(6,4)") - F.col("l_discount").cast("decimal(6,4)"))
+    )
+    rev = orders.agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+    )
+    top_nation = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(disc).alias("r"))
+        .orderBy(F.desc("r"), "n_name")
+        .limit(1)
+        .select("n_name")
+    )
+    top_brand = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.sum(disc).alias("r"))
+        .orderBy(F.desc("r"), "p_brand")
+        .limit(1)
+        .select("p_brand")
+    )
+    return (
+        rev.crossJoin(F.broadcast(top_nation))
+        .crossJoin(F.broadcast(top_brand))
+        .select(
+            "n_orders",
+            "n_customers",
+            F.round(F.col("total").cast("double"), 2).alias(
+                "total_revenue"
+            ),
+            F.round(
+                F.col("total").cast("double") / F.col("n_orders"), 2
+            ).alias("aov"),
+            F.round(
+                F.col("total").cast("double") / F.col("n_customers"), 2
+            ).alias("revenue_per_customer"),
+            F.col("n_name").alias("top_supplier_nation"),
+            F.col("p_brand").alias("top_brand"),
+        )
+    )

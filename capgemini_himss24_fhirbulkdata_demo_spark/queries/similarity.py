@@ -1991,3 +1991,74 @@ def x209_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "rank")
     )
+
+
+# ---- x259: embedding dimension variance profile ----
+
+_X259_SQL = f"""
+    WITH long AS (
+      SELECT i.i AS pos, CAST(embedding[i.i] AS DOUBLE) AS v
+      FROM embeddings, (SELECT UNNEST(RANGE(1, {_DIM} + 1)) AS i) i),
+    m AS (
+      SELECT pos,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(v AS DECIMAL(19,9))) AS s,
+             SUM(CAST(v AS DECIMAL(19,9))
+                 * CAST(v AS DECIMAL(19,9))) AS ss
+      FROM long GROUP BY pos),
+    stats AS (
+      SELECT pos, n,
+             (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                   / CAST(n AS DOUBLE))
+             / (CAST(n AS DOUBLE) - 1) AS var
+      FROM m)
+    SELECT CAST(pos AS BIGINT) AS dim,
+           ROUND(var, 8) AS variance,
+           ROW_NUMBER() OVER (ORDER BY var, pos) <= 10 AS low_var_flag
+    FROM stats
+    ORDER BY dim
+    """
+
+
+@register("x259_embedding_dim_variance", oracle=_X259_SQL)
+def x259_embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding dimension variance profile: per-dimension sample
+    variance with the 10 lowest-variance dims flagged — dead or
+    collapsed dimensions waste index space and, under product
+    quantization (x95), poison whole subspaces; this is the
+    pre-index screen that says whether to drop or re-train.
+    Variance comes from DECIMAL(19,9) moment sums — (19,9)
+    squares to (38,18), which BOTH engines hold exactly, where a
+    wider cast would overflow precision 38 and each engine
+    reduces scale by its own rule (measured 8th-decimal drift);
+    the flag is a rank over the dim-sized table.
+
+    Scale: one posexplode + (pos)-keyed exact-decimal moment agg
+    — skinny rows, plan width O(1) in dim; stats table is
+    dim-sized.
+    """
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    long = emb.select(
+        F.posexplode("embedding").alias("pos0", "v0")
+    ).select(
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("v0").cast("double").alias("v"),
+    )
+    dec = F.col("v").cast("decimal(19,9)")
+    m = long.groupBy("pos").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(dec).alias("s"),
+        F.sum(dec * dec).alias("ss"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    var = (d("ss") - d("s") * d("s") / d("n")) / (d("n") - 1)
+    stats = m.select("pos", "n", var.alias("var"))
+    return stats.select(
+        F.col("pos").cast("bigint").alias("dim"),
+        F.round("var", 8).alias("variance"),
+        (
+            F.row_number().over(Window.orderBy("var", "pos")) <= 10
+        ).alias("low_var_flag"),
+    ).orderBy("dim")
