@@ -9398,3 +9398,172 @@ def x260_exec_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_brand").alias("top_brand"),
         )
     )
+
+
+# ---- x261: nation revenue volatility (CV league table) ----
+
+_X261_SQL = """
+WITH q AS (
+  SELECT n.n_name AS nation,
+         CAST(YEAR(CAST(o.o_orderdate AS DATE)) AS BIGINT) * 10
+           + CAST(QUARTER(CAST(o.o_orderdate AS DATE)) AS BIGINT)
+           AS yq,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(6,4))
+                     - CAST(l.l_discount AS DECIMAL(6,4)))) * 1000000
+              AS DECIMAL(19,0)) AS c
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY nation, yq),
+m AS (
+  SELECT nation,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(c) AS s, SUM(c * c) AS ss
+  FROM q GROUP BY nation)
+SELECT nation, n AS n_quarters,
+       CAST((2 * CAST(s AS BIGINT) + n) // (2 * n) AS DOUBLE)
+         / 1000000 AS mean_quarterly_rev,
+       ROUND(SQRT((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+                   * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                  / (CAST(n AS DOUBLE) - 1))
+             / (CAST(s AS DOUBLE) / n), 6) AS cv
+FROM m
+ORDER BY cv DESC, nation
+"""
+
+
+@register("x261_revenue_volatility", oracle=_X261_SQL)
+def x261_revenue_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation revenue volatility league: coefficient of variation
+    of quarterly supplier revenue per nation — high-CV nations
+    need buffers and hedges, low-CV ones can run lean (x211 asks
+    whether ranks moved; this asks how bumpy the ride is
+    regardless of rank). Exact decimal cent moments; the CV is
+    one fixed sqrt-over-division expression, and the displayed
+    mean rounds half-up in INTEGER micro-units (cents would drop
+    the sum's 4 residual fractional digits, which Spark's decimal
+    downcast ROUNDS and DuckDB's TRUNCATES — measured a 1-cent
+    systematic split; micro-units keep the sum exact).
+
+    Scale: (nation, quarter) fact agg, 25-row moment rollup.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    disc = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(6,4)") - F.col("l_discount").cast("decimal(6,4)"))
+    )
+    q = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (
+                F.year(F.col("o_orderdate").cast("date")).cast("bigint")
+                * 10
+                + F.quarter(F.col("o_orderdate").cast("date")).cast(
+                    "bigint"
+                )
+            ).alias("yq"),
+        )
+        .agg(
+            (F.sum(disc) * 1000000).cast("decimal(19,0)").alias("c")
+        )
+    )
+    m = q.groupBy("nation").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    cv = F.sqrt(
+        (d("ss") - d("s") * d("s") / d("n")) / (d("n") - 1)
+    ) / (d("s") / F.col("n"))
+    return m.select(
+        "nation",
+        F.col("n").alias("n_quarters"),
+        (
+            F.expr("(2 * CAST(s AS BIGINT) + n) div (2 * n)").cast(
+                "double"
+            )
+            / 1000000
+        ).alias("mean_quarterly_rev"),
+        F.round(cv, 6).alias("cv"),
+    ).orderBy(F.desc("cv"), "nation")
+
+
+# ---- x262: part-type revenue mix ----
+
+_X262_SQL = """
+WITH rev AS (
+  SELECT p.p_type,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(6,4))
+                     - CAST(l.l_discount AS DECIMAL(6,4)))) * 1000000
+              AS DECIMAL(19,0)) AS rev_u
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_type),
+tot AS (SELECT SUM(rev_u) AS t FROM rev)
+SELECT r.p_type, r.n_lines,
+       ROUND(CAST(r.rev_u AS DOUBLE) / 1000000, 2) AS revenue,
+       ROUND(CAST(r.rev_u AS DOUBLE) / CAST(t.t AS DOUBLE), 6)
+         AS revenue_share
+FROM rev r CROSS JOIN tot t
+ORDER BY r.rev_u DESC, r.p_type
+LIMIT 20
+"""
+
+
+@register("x262_type_revenue_mix", oracle=_X262_SQL)
+def x262_type_revenue_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-type revenue mix: top-20 product types by net revenue
+    with line counts and shares — the category dimension (p_type)
+    the brand-centric views (x186, x229) never slice; a type
+    whose share dwarfs its line share is a premium category worth
+    its own planning lane. Exact micro-unit decimals; top-20
+    orders by the exact decimal with type tiebreak.
+
+    Scale: dim-broadcast fact join, type-sized agg, broadcast
+    total, TakeOrdered.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    disc = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(6,4)") - F.col("l_discount").cast("decimal(6,4)"))
+    )
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            (F.sum(disc) * 1000000)
+            .cast("decimal(19,0)")
+            .alias("rev_u"),
+        )
+    )
+    tot = rev.agg(F.sum("rev_u").alias("t"))
+    return (
+        rev.crossJoin(F.broadcast(tot))
+        .select(
+            "p_type",
+            "n_lines",
+            F.round(F.col("rev_u").cast("double") / 1000000, 2).alias(
+                "revenue"
+            ),
+            F.round(
+                F.col("rev_u").cast("double") / F.col("t").cast("double"),
+                6,
+            ).alias("revenue_share"),
+            F.col("rev_u").alias("_o"),
+        )
+        .orderBy(F.desc("_o"), "p_type")
+        .limit(20)
+        .drop("_o")
+    )
