@@ -9567,3 +9567,184 @@ def x262_type_revenue_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .drop("_o")
     )
+
+
+# ---- x263: pay-cycle (day-of-month) revenue profile ----
+
+_X263_SQL = """
+WITH d AS (
+  SELECT CASE WHEN DAYOFMONTH(CAST(o_orderdate AS DATE)) <= 10
+              THEN 'a_early_1_10'
+              WHEN DAYOFMONTH(CAST(o_orderdate AS DATE)) <= 20
+              THEN 'b_mid_11_20'
+              ELSE 'c_late_21_31' END AS month_part,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(price) AS s FROM d)
+SELECT d.month_part,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(d.price) AS DOUBLE), 2) AS revenue,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / t.n, 6) AS order_share,
+       ROUND(CAST(SUM(d.price) AS DOUBLE) / CAST(t.s AS DOUBLE), 6)
+         AS revenue_share
+FROM d CROSS JOIN t
+GROUP BY d.month_part, t.n, t.s
+ORDER BY d.month_part
+"""
+
+
+@register("x263_paycycle_profile", oracle=_X263_SQL)
+def x263_paycycle_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pay-cycle revenue profile: orders and revenue by month
+    third (1-10 / 11-20 / 21-31) — consumer businesses see an
+    early-month payday bump and a pre-payday trough; a flat
+    profile here means pricing/promo timing can ignore the
+    calendar (and a skewed one prices month-end promotions). The
+    within-month rhythm x201's month-level index can't see.
+
+    Exact decimal sums; shares divide against 1-row totals.
+
+    Scale: narrow bucket map + 3-key agg with broadcast totals.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(
+        F.when(
+            F.dayofmonth(F.col("o_orderdate").cast("date")) <= 10,
+            "a_early_1_10",
+        )
+        .when(
+            F.dayofmonth(F.col("o_orderdate").cast("date")) <= 20,
+            "b_mid_11_20",
+        )
+        .otherwise("c_late_21_31")
+        .alias("month_part"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    t = d.agg(
+        F.count("*").cast("bigint").alias("nt"),
+        F.sum("price").alias("st"),
+    )
+    return (
+        d.groupBy("month_part")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("price").alias("s"),
+        )
+        .crossJoin(F.broadcast(t))
+        .select(
+            "month_part",
+            "n_orders",
+            F.round(F.col("s").cast("double"), 2).alias("revenue"),
+            F.round(
+                F.col("n_orders").cast("double") / F.col("nt"), 6
+            ).alias("order_share"),
+            F.round(
+                F.col("s").cast("double") / F.col("st").cast("double"),
+                6,
+            ).alias("revenue_share"),
+        )
+        .orderBy("month_part")
+    )
+
+
+# ---- x264: fulfillment speed trend ----
+
+_X264_SQL = """
+WITH delays AS (
+  SELECT CAST(YEAR(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS yr,
+         CAST(DATEDIFF('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS BIGINT) AS d
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+per_y AS (
+  SELECT yr, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(d) AS BIGINT) AS s
+  FROM delays GROUP BY yr),
+idx AS (
+  SELECT yr, n, s,
+         CAST(ROW_NUMBER() OVER (ORDER BY yr) AS BIGINT) AS i,
+         (s * 1000000) // n AS mean_ppm
+  FROM per_y),
+slope AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS ny,
+         CAST(SUM(i) AS BIGINT) AS sx,
+         CAST(SUM(mean_ppm) AS BIGINT) AS sy,
+         CAST(SUM(i * mean_ppm) AS BIGINT) AS sxy
+  FROM idx)
+SELECT i.yr AS year, i.n AS n_lines,
+       ROUND(CAST(i.mean_ppm AS DOUBLE) / 1000000, 4) AS mean_delay_d,
+       CASE WHEN sl.ny * sl.sxy < sl.sx * sl.sy THEN 'improving'
+            WHEN sl.ny * sl.sxy > sl.sx * sl.sy THEN 'worsening'
+            ELSE 'flat' END AS overall_trend
+FROM idx i CROSS JOIN slope sl
+ORDER BY year
+"""
+
+
+@register("x264_fulfillment_speed_trend", oracle=_X264_SQL)
+def x264_fulfillment_speed_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment speed trend: mean order-to-ship delay per year,
+    with an overall improving/worsening verdict from the integer
+    slope-sign rule on ppm-quantized yearly means (x254's
+    quantize-then-sign trick) — the ops headline over x169's SLA
+    percentiles: is the whole curve moving the right way?
+
+    Integer day sums; mean quantizes to parts-per-million by
+    floor division (deterministic), displayed via one exact
+    double divide.
+
+    Scale: fact join + years-sized rollup; slope over ≤ a few
+    dozen year rows.
+    """
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    delays = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.year(F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("yr"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        )
+        .cast("bigint")
+        .alias("d"),
+    )
+    per_y = delays.groupBy("yr").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("d").cast("bigint").alias("s"),
+    )
+    idx = per_y.select(
+        "yr",
+        "n",
+        F.row_number()
+        .over(Window.orderBy("yr"))
+        .cast("bigint")
+        .alias("i"),
+        F.expr("(s * 1000000) div n").alias("mean_ppm"),
+    )
+    slope = idx.agg(
+        F.count("*").cast("bigint").alias("ny"),
+        F.sum("i").cast("bigint").alias("sx"),
+        F.sum("mean_ppm").cast("bigint").alias("sy"),
+        F.sum(F.col("i") * F.col("mean_ppm"))
+        .cast("bigint")
+        .alias("sxy"),
+    )
+    lhs = F.col("ny") * F.col("sxy")
+    rhs = F.col("sx") * F.col("sy")
+    return (
+        idx.crossJoin(F.broadcast(slope))
+        .select(
+            F.col("yr").alias("year"),
+            F.col("n").alias("n_lines"),
+            F.round(
+                F.col("mean_ppm").cast("double") / 1000000, 4
+            ).alias("mean_delay_d"),
+            F.when(lhs < rhs, "improving")
+            .when(lhs > rhs, "worsening")
+            .otherwise("flat")
+            .alias("overall_trend"),
+        )
+        .orderBy("year")
+    )
