@@ -9748,3 +9748,166 @@ def x264_fulfillment_speed_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("year")
     )
+
+
+# ---- x265: source x language independence cells ----
+
+_X265_SQL = """
+WITH obs AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
+  FROM documents GROUP BY source, lang),
+rt AS (SELECT source, CAST(SUM(o) AS BIGINT) AS r FROM obs
+       GROUP BY source),
+ct AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS c FROM obs
+       GROUP BY lang),
+tt AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs)
+SELECT obs.source, obs.lang, obs.o AS n_docs,
+       ROUND(CAST(rt.r AS DOUBLE) * ct.c / tt.n, 4) AS n_expected,
+       ROUND((obs.o - CAST(rt.r AS DOUBLE) * ct.c / tt.n)
+             * (obs.o - CAST(rt.r AS DOUBLE) * ct.c / tt.n)
+             / (CAST(rt.r AS DOUBLE) * ct.c / tt.n), 6) AS chi2_term
+FROM obs
+JOIN rt ON obs.source = rt.source
+JOIN ct ON obs.lang = ct.lang
+CROSS JOIN tt
+ORDER BY obs.source, obs.lang
+"""
+
+
+@register("x265_source_lang_independence", oracle=_X265_SQL)
+def x265_source_lang_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source x language contingency cells with chi-square
+    contributions: is language composition uniform across sources
+    (then per-source language filters are redundant) or do some
+    sources specialize (then x43's mix recipe must stratify by
+    BOTH)? x161's independence machinery moved to the corpus
+    dimensions, with the same exact-marginal construction.
+
+    Scale: (source, lang) agg; marginals re-aggregate the small
+    cell table; all joins broadcast.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("source", "lang").agg(
+        F.count("*").cast("bigint").alias("o")
+    )
+    rt = obs.groupBy("source").agg(
+        F.sum("o").cast("bigint").alias("r")
+    )
+    ct = obs.groupBy("lang").agg(F.sum("o").cast("bigint").alias("c"))
+    tt = obs.agg(F.sum("o").cast("bigint").alias("n"))
+    exp = F.col("r").cast("double") * F.col("c") / F.col("n")
+    dev = F.col("o") - exp
+    return (
+        obs.join(F.broadcast(rt), "source")
+        .join(F.broadcast(ct), "lang")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "source",
+            "lang",
+            F.col("o").alias("n_docs"),
+            F.round(exp, 4).alias("n_expected"),
+            F.round(dev * dev / exp, 6).alias("chi2_term"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+# ---- x266: nation top-brand dependence ----
+
+_X266_SQL = """
+WITH rev AS (
+  SELECT n.n_name AS nation, p.p_brand,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(6,4))
+                     - CAST(l.l_discount AS DECIMAL(6,4)))) * 1000000
+              AS DECIMAL(19,0)) AS rev_u
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY nation, p.p_brand),
+rk AS (
+  SELECT nation, p_brand, rev_u,
+         ROW_NUMBER() OVER (PARTITION BY nation
+                            ORDER BY rev_u DESC, p_brand) AS rn,
+         SUM(rev_u) OVER (PARTITION BY nation) AS tot_u
+  FROM rev)
+SELECT nation,
+       p_brand AS top_brand,
+       ROUND(CAST(rev_u AS DOUBLE) / 1000000, 2) AS top_brand_revenue,
+       ROUND(CAST(rev_u AS DOUBLE) / CAST(tot_u AS DOUBLE), 6)
+         AS dependence_share
+FROM rk
+WHERE rn = 1
+ORDER BY nation
+"""
+
+
+@register("x266_brand_dependence", oracle=_X266_SQL)
+def x266_brand_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation top-brand dependence: each customer nation's
+    highest-revenue brand and its share of that nation's spend —
+    markets leaning hard on one brand are exposed to its supply
+    and pricing (the demand-side mirror of x153's supplier HHI,
+    localized to the single biggest exposure). Rank pick with
+    brand tiebreak; exact micro-unit decimals; one share
+    division.
+
+    Scale: (nation, brand) fact agg, nation-partitioned rank and
+    windowed total in one pass, 25-row output.
+    """
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+    disc = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(6,4)") - F.col("l_discount").cast("decimal(6,4)"))
+    )
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("n_name").alias("nation"), "p_brand")
+        .agg(
+            (F.sum(disc) * 1000000)
+            .cast("decimal(19,0)")
+            .alias("rev_u")
+        )
+    )
+    rk = rev.select(
+        "nation",
+        "p_brand",
+        "rev_u",
+        F.row_number()
+        .over(
+            Window.partitionBy("nation").orderBy(
+                F.desc("rev_u"), "p_brand"
+            )
+        )
+        .alias("rn"),
+        F.sum("rev_u")
+        .over(Window.partitionBy("nation"))
+        .alias("tot_u"),
+    )
+    return (
+        rk.where(F.col("rn") == 1)
+        .select(
+            "nation",
+            F.col("p_brand").alias("top_brand"),
+            F.round(F.col("rev_u").cast("double") / 1000000, 2).alias(
+                "top_brand_revenue"
+            ),
+            F.round(
+                F.col("rev_u").cast("double")
+                / F.col("tot_u").cast("double"),
+                6,
+            ).alias("dependence_share"),
+        )
+        .orderBy("nation")
+    )
