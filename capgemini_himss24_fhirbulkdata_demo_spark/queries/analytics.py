@@ -9911,3 +9911,146 @@ def x266_brand_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# ---- x267: customer receivables risk ----
+
+_X267_SQL = """
+WITH r AS (
+  SELECT c_mktsegment AS segment,
+         CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+         c_custkey,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal, c_custkey) AS rn,
+         COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM customer)
+SELECT segment,
+       CAST(MAX(n) AS BIGINT) AS n_customers,
+       CAST(SUM(CASE WHEN bal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_negative,
+       ROUND(CAST(SUM(CASE WHEN bal < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / MAX(n), 6) AS negative_share,
+       ROUND(CAST(SUM(bal) AS DOUBLE) / MAX(n), 2) AS avg_balance,
+       ROUND(MAX(CASE WHEN rn = CAST(CEIL(0.10 * n) AS BIGINT)
+                      THEN CAST(bal AS DOUBLE) END), 2) AS p10_balance
+FROM r
+GROUP BY segment
+ORDER BY segment
+"""
+
+
+@register("x267_receivables_risk", oracle=_X267_SQL)
+def x267_receivables_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer receivables risk per segment: negative-balance
+    share, average balance, and the rank-exact 10th-percentile
+    balance — the credit-exposure snapshot finance reads next to
+    x191's at-risk matrix (dormant AND in the red is the
+    write-off candidate list). First use of c_acctbal in the
+    analytics surface.
+
+    Exact decimal balances; the p10 is a data value (x157 rank
+    idiom), not an interpolated quantile.
+
+    Scale: one segment-partitioned window over the customer dim,
+    5-row output. Dim-only — zero fact I/O.
+    """
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    r = cust.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+        F.row_number()
+        .over(
+            Window.partitionBy("c_mktsegment").orderBy(
+                "c_acctbal", "c_custkey"
+            )
+        )
+        .alias("rn"),
+        F.count("*")
+        .over(Window.partitionBy("c_mktsegment"))
+        .alias("n"),
+    )
+    neg = F.sum(F.when(F.col("bal") < 0, 1).otherwise(0))
+    return (
+        r.groupBy("segment")
+        .agg(
+            F.max("n").cast("bigint").alias("n_customers"),
+            neg.cast("bigint").alias("n_negative"),
+            F.round(neg.cast("double") / F.max("n"), 6).alias(
+                "negative_share"
+            ),
+            F.round(
+                F.sum("bal").cast("double") / F.max("n"), 2
+            ).alias("avg_balance"),
+            F.round(
+                F.max(
+                    F.when(
+                        F.col("rn")
+                        == F.ceil(0.10 * F.col("n")).cast("bigint"),
+                        F.col("bal").cast("double"),
+                    )
+                ),
+                2,
+            ).alias("p10_balance"),
+        )
+        .orderBy("segment")
+    )
+
+
+# ---- x268: supplier balance health by nation ----
+
+_X268_SQL = """
+SELECT n.n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(CASE WHEN s.s_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_negative,
+       ROUND(CAST(SUM(CASE WHEN s.s_acctbal < 0 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS negative_share,
+       ROUND(CAST(SUM(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*), 2) AS avg_balance,
+       ROUND(CAST(MIN(s.s_acctbal) AS DOUBLE), 2) AS worst_balance
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY nation
+ORDER BY nation
+"""
+
+
+@register("x268_supplier_balance_health", oracle=_X268_SQL)
+def x268_supplier_balance_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier balance health by nation: negative-balance count
+    and share, average and worst balances — a financially shaky
+    supplier base is a delivery risk x189's single-source view
+    compounds (single-sourced FROM a negative-balance vendor is
+    the red cell). First use of s_acctbal in the analytics
+    surface.
+
+    Exact decimal sums; one division per ratio.
+
+    Scale: dim-only aggregate with broadcast nation join.
+    """
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    neg = F.sum(F.when(F.col("s_acctbal") < 0, 1).otherwise(0))
+    return (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_suppliers"),
+            neg.cast("bigint").alias("n_negative"),
+            F.round(neg.cast("double") / F.count("*"), 6).alias(
+                "negative_share"
+            ),
+            F.round(
+                F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast(
+                    "double"
+                )
+                / F.count("*"),
+                2,
+            ).alias("avg_balance"),
+            F.round(F.min("s_acctbal").cast("double"), 2).alias(
+                "worst_balance"
+            ),
+        )
+        .orderBy("nation")
+    )
