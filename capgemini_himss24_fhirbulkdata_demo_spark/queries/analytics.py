@@ -10054,3 +10054,164 @@ def x268_supplier_balance_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# ---- x269: account balance vs realized spend ----
+
+_X269_SQL = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+              AS DECIMAL(19,0)) AS spend_c
+  FROM orders GROUP BY o_custkey),
+j AS (
+  SELECT CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS bal_c,
+         COALESCE(s.spend_c, CAST(0 AS DECIMAL(19,0))) AS spend_c
+  FROM customer c LEFT JOIN spend s ON c.c_custkey = s.o_custkey),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(bal_c AS DECIMAL(19,0))) AS sx,
+         SUM(spend_c) AS sy,
+         SUM(CAST(bal_c AS DECIMAL(19,0)) * spend_c) AS sxy,
+         SUM(CAST(bal_c AS DECIMAL(19,0))
+             * CAST(bal_c AS DECIMAL(19,0))) AS sxx,
+         SUM(spend_c * spend_c) AS syy
+  FROM j)
+SELECT n AS n_customers,
+       ROUND(
+         (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                                / CAST(n AS DOUBLE))
+         / (SQRT(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                 * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+            * SQRT(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                   * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))),
+         6) AS balance_spend_corr
+FROM m
+"""
+
+
+@register("x269_balance_spend_corr", oracle=_X269_SQL)
+def x269_balance_spend_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does account balance predict spend? Exact integer-moment
+    Pearson between customer balance and lifetime order value
+    (customers with no orders count as zero spend — dropping them
+    would fake the correlation) — if near zero, balance is
+    useless as a targeting feature and x191's matrix should not
+    add it. Balances scale to integer cents; spend to exact
+    decimal cents; products widen to DECIMAL(38,0).
+
+    Scale: per-customer spend agg, a custkey-keyed dim left
+    join, 1-row moment reduce.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    spend = orders.groupBy("o_custkey").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("decimal(19,0)")
+        .alias("spend_c")
+    )
+    j = cust.join(
+        spend, cust.c_custkey == spend.o_custkey, "left"
+    ).select(
+        F.round(F.col("c_acctbal") * 100)
+        .cast("bigint")
+        .cast("decimal(19,0)")
+        .alias("bal_c"),
+        F.coalesce(
+            "spend_c", F.lit(0).cast("decimal(19,0)")
+        ).alias("spend_c"),
+    )
+    m = j.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("bal_c").alias("sx"),
+        F.sum("spend_c").alias("sy"),
+        F.sum(F.col("bal_c") * F.col("spend_c")).alias("sxy"),
+        F.sum(F.col("bal_c") * F.col("bal_c")).alias("sxx"),
+        F.sum(F.col("spend_c") * F.col("spend_c")).alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    r = (d("sxy") - d("sx") * d("sy") / d("n")) / (
+        F.sqrt(d("sxx") - d("sx") * d("sx") / d("n"))
+        * F.sqrt(d("syy") - d("sy") * d("sy") / d("n"))
+    )
+    return m.select(
+        F.col("n").alias("n_customers"),
+        F.round(r, 6).alias("balance_spend_corr"),
+    )
+
+
+# ---- x270: customer vintage quality (first-90-day spend) ----
+
+_X270_SQL = """
+WITH first_o AS (
+  SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS d0
+  FROM orders GROUP BY o_custkey),
+early_spend AS (
+  SELECT f.o_custkey,
+         STRFTIME(DATE_TRUNC('quarter', f.d0), '%Y-%m') AS cohort_q,
+         SUM(CASE WHEN CAST(o.o_orderdate AS DATE) < f.d0
+                         + INTERVAL 90 DAY
+                  THEN CAST(o.o_totalprice AS DECIMAL(18,2))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS s90
+  FROM orders o JOIN first_o f ON o.o_custkey = f.o_custkey
+  GROUP BY f.o_custkey, cohort_q)
+SELECT cohort_q AS cohort_quarter,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(CAST(SUM(s90) AS DOUBLE) / COUNT(*), 2)
+         AS avg_first90d_spend
+FROM early_spend
+GROUP BY cohort_q
+ORDER BY cohort_quarter
+"""
+
+
+@register("x270_vintage_quality", oracle=_X270_SQL)
+def x270_vintage_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer vintage quality: average spend in each customer's
+    FIRST 90 days, grouped by acquisition-quarter cohort — the
+    like-for-like acquisition-quality trend (x130's LTV curves
+    need maturity to compare cohorts; the 90-day window compares
+    them at the same age, so even the newest closed cohort
+    reads). Declining vintages with steady volume = paying more
+    for worse customers.
+
+    Exact decimal sums with decimal-zero ELSE; integer day
+    window anchored per customer.
+
+    Scale: custkey-grain first-order agg, a custkey-co-keyed
+    join back, quarter rollup (x240's shape on the customer
+    axis).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    first_o = orders.groupBy("o_custkey").agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("d0")
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    early = (
+        orders.join(first_o, "o_custkey")
+        .groupBy(
+            "o_custkey",
+            F.date_format(
+                F.date_trunc("quarter", F.col("d0")), "yyyy-MM"
+            ).alias("cohort_q"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("o_orderdate").cast("date")
+                    < F.date_add(F.col("d0"), 90),
+                    F.col("o_totalprice").cast("decimal(18,2)"),
+                ).otherwise(zero)
+            ).alias("s90")
+        )
+    )
+    return (
+        early.groupBy(F.col("cohort_q").alias("cohort_quarter"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.round(
+                F.sum("s90").cast("double") / F.count("*"), 2
+            ).alias("avg_first90d_spend"),
+        )
+        .orderBy("cohort_quarter")
+    )
