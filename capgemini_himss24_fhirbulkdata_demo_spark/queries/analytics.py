@@ -10215,3 +10215,181 @@ def x270_vintage_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_quarter")
     )
+
+
+# ---- x271: error sessions' revenue cost ----
+
+_X271_SQL = """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                   - CAST(FLOOR(EPOCH(LAG(ts) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, event_type, value,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM e),
+sess AS (
+  SELECT user_id, session_no,
+         MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+           AS has_error,
+         SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(value AS DECIMAL(18,6))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS pvalue,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS has_purchase
+  FROM s GROUP BY user_id, session_no)
+SELECT CASE WHEN has_error = 1 THEN 'with_error'
+            ELSE 'clean' END AS session_class,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       ROUND(CAST(SUM(has_purchase) AS DOUBLE) / COUNT(*), 6)
+         AS purchase_rate,
+       ROUND(CAST(SUM(pvalue) AS DOUBLE) / COUNT(*), 4)
+         AS value_per_session
+FROM sess
+GROUP BY session_class
+ORDER BY session_class
+"""
+
+
+@register("x271_error_session_cost", oracle=_X271_SQL)
+def x271_error_session_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error sessions' revenue cost: purchase rate and value per
+    session, split by whether the session contained an error —
+    the bridge from reliability to revenue that turns an SRE
+    backlog into a business case (x232 ties errors to churn;
+    this prices them per session). The difference times error-
+    session volume is the quarterly cost of not fixing it.
+
+    Exact decimal purchase values; integer flags; two divisions
+    per class.
+
+    Scale: the x162 sessionization shuffle + per-session agg,
+    2-row output.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.withColumn(
+        "is_start",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag("ts").over(w))
+                > 1800
+            ),
+            1,
+        ).otherwise(0),
+    )
+    s = e.withColumn(
+        "session_no",
+        F.sum("is_start").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    sess = s.groupBy("user_id", "session_no").agg(
+        F.max(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("has_error"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("value").cast("decimal(18,6)"),
+            ).otherwise(zero)
+        ).alias("pvalue"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("has_purchase"),
+    )
+    return (
+        sess.groupBy(
+            F.when(F.col("has_error") == 1, "with_error")
+            .otherwise("clean")
+            .alias("session_class")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_sessions"),
+            F.round(
+                F.sum("has_purchase").cast("double") / F.count("*"), 6
+            ).alias("purchase_rate"),
+            F.round(
+                F.sum("pvalue").cast("double") / F.count("*"), 4
+            ).alias("value_per_session"),
+        )
+        .orderBy("session_class")
+    )
+
+
+# ---- x272: ship-day load balance ----
+
+_X272_SQL = """
+WITH d AS (
+  SELECT CAST(DAYOFWEEK(CAST(l_shipdate AS DATE)) + 1 AS BIGINT)
+           AS dow,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY dow),
+t AS (SELECT CAST(SUM(n_lines) AS BIGINT) AS nt,
+             CAST(MAX(qty) AS BIGINT) AS qmax,
+             CAST(MIN(qty) AS BIGINT) AS qmin
+      FROM d)
+SELECT d.dow AS ship_dow, d.n_lines, d.qty,
+       ROUND(CAST(d.n_lines AS DOUBLE) / t.nt, 6) AS line_share,
+       ROUND(CAST(t.qmax AS DOUBLE) / t.qmin, 4) AS peak_trough_ratio
+FROM d CROSS JOIN t
+ORDER BY ship_dow
+"""
+
+
+@register("x272_ship_day_balance", oracle=_X272_SQL)
+def x272_ship_day_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse load balance by ship weekday: line and unit
+    volume per day-of-week with the peak-to-trough ratio — the
+    staffing curve for the dock (a 1.0 ratio means level-loaded
+    shipping; 2.0 means overtime Thursdays). Demand-side
+    seasonality (x123/x196) measures when customers ORDER; this
+    measures when operations SHIP.
+
+    Integer counts; DuckDB's 0-based DAYOFWEEK is offset to
+    Spark's 1-based convention (the x161 rule).
+
+    Scale: one narrow 7-key aggregate + 1-row extremes broadcast.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.groupBy(
+        F.dayofweek(F.col("l_shipdate").cast("date"))
+        .cast("bigint")
+        .alias("dow")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("bigint"))
+        .cast("bigint")
+        .alias("qty"),
+    )
+    t = d.agg(
+        F.sum("n_lines").cast("bigint").alias("nt"),
+        F.max("qty").cast("bigint").alias("qmax"),
+        F.min("qty").cast("bigint").alias("qmin"),
+    )
+    return (
+        d.crossJoin(F.broadcast(t))
+        .select(
+            F.col("dow").alias("ship_dow"),
+            "n_lines",
+            "qty",
+            F.round(
+                F.col("n_lines").cast("double") / F.col("nt"), 6
+            ).alias("line_share"),
+            F.round(
+                F.col("qmax").cast("double") / F.col("qmin"), 4
+            ).alias("peak_trough_ratio"),
+        )
+        .orderBy("ship_dow")
+    )
