@@ -10393,3 +10393,170 @@ def x272_ship_day_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ship_dow")
     )
+
+
+# ---- x273: catalog price by launch vintage ----
+
+_X273_SQL = """
+WITH first_year AS (
+  SELECT l_partkey,
+         CAST(MIN(YEAR(CAST(l_shipdate AS DATE))) AS BIGINT)
+           AS launch_yr
+  FROM lineitem GROUP BY l_partkey)
+SELECT f.launch_yr AS launch_year,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       ROUND(CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,2)))
+                  AS DOUBLE) / COUNT(*), 2) AS avg_retail_price,
+       ROUND(CAST(MIN(p.p_retailprice) AS DOUBLE), 2) AS min_price,
+       ROUND(CAST(MAX(p.p_retailprice) AS DOUBLE), 2) AS max_price
+FROM first_year f JOIN part p ON f.l_partkey = p.p_partkey
+GROUP BY f.launch_yr
+ORDER BY launch_year
+"""
+
+
+@register("x273_price_vintage", oracle=_X273_SQL)
+def x273_price_vintage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog price by launch vintage: average (and range of)
+    retail price for parts grouped by first-sale year — is the
+    catalog premiumizing (newer introductions priced higher) or
+    racing to the bottom? The pricing companion to x240's
+    first-year revenue vitality, on the same launch-cohort axis.
+
+    Exact decimal price sums; one mean division per cohort.
+
+    Scale: partkey first-year agg + part-dim join, years-sized
+    output.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    first_year = li.groupBy("l_partkey").agg(
+        F.min(F.year(F.col("l_shipdate").cast("date")))
+        .cast("bigint")
+        .alias("launch_yr")
+    )
+    return (
+        first_year.join(
+            F.broadcast(part), first_year.l_partkey == part.p_partkey
+        )
+        .groupBy(F.col("launch_yr").alias("launch_year"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.round(
+                F.sum(F.col("p_retailprice").cast("decimal(18,2)")).cast(
+                    "double"
+                )
+                / F.count("*"),
+                2,
+            ).alias("avg_retail_price"),
+            F.round(F.min("p_retailprice").cast("double"), 2).alias(
+                "min_price"
+            ),
+            F.round(F.max("p_retailprice").cast("double"), 2).alias(
+                "max_price"
+            ),
+        )
+        .orderBy("launch_year")
+    )
+
+
+# ---- x274: whale-set stability ----
+
+_X274_K = 100  # top-k customers per period, literal
+_X274_CUT = "1998-01-01"  # shared boundary literal
+
+_X274_SQL = f"""
+WITH spend AS (
+  SELECT o_custkey,
+         CASE WHEN o_orderdate < TIMESTAMP '{_X274_CUT}'
+              THEN 'early' ELSE 'late' END AS period,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+  FROM orders GROUP BY o_custkey, period),
+rk AS (
+  SELECT o_custkey, period,
+         ROW_NUMBER() OVER (PARTITION BY period
+                            ORDER BY s DESC, o_custkey) AS rn
+  FROM spend),
+tops AS (
+  SELECT o_custkey, period FROM rk WHERE rn <= {_X274_K}),
+m AS (
+  SELECT
+    CAST(SUM(CASE WHEN period = 'early' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_early,
+    CAST(SUM(CASE WHEN period = 'late' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_late,
+    CAST(COUNT(*) - COUNT(DISTINCT o_custkey) AS BIGINT) AS n_both
+  FROM tops)
+SELECT n_early, n_late, n_both,
+       ROUND(CAST(n_both AS DOUBLE)
+             / (n_early + n_late - n_both), 6) AS jaccard,
+       ROUND(CAST(n_both AS DOUBLE) / n_early, 6) AS retention_rate
+FROM m
+"""
+
+
+@register("x274_whale_stability", oracle=_X274_SQL)
+def x274_whale_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whale-set stability: Jaccard overlap between the top-{k}
+    customers by spend in the early vs late half — high overlap
+    means the revenue base is a stable club (protect it); low
+    means whales churn and are replaced (a treadmill, price
+    acquisition accordingly). Set overlap via the count-distinct
+    trick (|A∩B| = |A|+|B|−|A∪B|), all integers until two final
+    ratios.
+
+    Scale: customer-grain spend agg, two period-partitioned
+    top-k ranks, a set-arithmetic reduce on 2·k rows.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy(
+        "o_custkey",
+        F.when(
+            F.col("o_orderdate") < F.lit(_X274_CUT).cast("timestamp"),
+            "early",
+        )
+        .otherwise("late")
+        .alias("period"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"))
+    rk = spend.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("period").orderBy(
+                F.desc("s"), "o_custkey"
+            )
+        ),
+    )
+    tops = rk.where(F.col("rn") <= _X274_K).select(
+        "o_custkey", "period"
+    )
+    m = tops.agg(
+        F.sum(F.when(F.col("period") == "early", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_early"),
+        F.sum(F.when(F.col("period") == "late", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_late"),
+        (F.count("*") - F.countDistinct("o_custkey"))
+        .cast("bigint")
+        .alias("n_both"),
+    )
+    return m.select(
+        "n_early",
+        "n_late",
+        "n_both",
+        F.round(
+            F.col("n_both").cast("double")
+            / (F.col("n_early") + F.col("n_late") - F.col("n_both")),
+            6,
+        ).alias("jaccard"),
+        F.round(
+            F.col("n_both").cast("double") / F.col("n_early"), 6
+        ).alias("retention_rate"),
+    )
+
+
+x274_whale_stability.__doc__ = x274_whale_stability.__doc__.format(
+    k=_X274_K
+)
