@@ -10560,3 +10560,184 @@ def x274_whale_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
 x274_whale_stability.__doc__ = x274_whale_stability.__doc__.format(
     k=_X274_K
 )
+
+
+# ---- x275: discount incidence by segment ----
+
+_X275_SQL = """
+WITH li AS (
+  SELECT c.c_mktsegment AS segment,
+         CASE WHEN l.l_discount = 0 THEN 0 ELSE 1 END AS discounted,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(6,4))
+              - CAST(l.l_discount AS DECIMAL(6,4))) AS net
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey)
+SELECT segment,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(CAST(SUM(discounted) AS DOUBLE) / COUNT(*), 6)
+         AS discounted_line_share,
+       ROUND(CAST(SUM(CASE WHEN discounted = 1 THEN net
+                           ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE)
+             / CAST(SUM(net) AS DOUBLE), 6) AS discounted_rev_share
+FROM li
+GROUP BY segment
+ORDER BY segment
+"""
+
+
+@register("x275_discount_incidence", oracle=_X275_SQL)
+def x275_discount_incidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount incidence by customer segment: what share of lines
+    (and of revenue) moves at ANY discount vs list price — the
+    discipline metric behind x227's depth number (depth says how
+    deep the cuts are; incidence says how often the knife comes
+    out, per segment). A segment buying 90% on discount has been
+    trained to wait.
+
+    Integer incidence flags; exact decimal revenue with
+    decimal-zero ELSE; two divisions per segment.
+
+    Scale: fact joins (dims broadcast), 5-key rollup.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    net = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(6,4)") - F.col("l_discount").cast("decimal(6,4)"))
+    )
+    rows = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.when(F.col("l_discount") == 0, 0).otherwise(1).alias(
+                "discounted"
+            ),
+            net.alias("net"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(25,6)")
+    disc_rev = F.sum(
+        F.when(F.col("discounted") == 1, F.col("net")).otherwise(zero)
+    )
+    return (
+        rows.groupBy("segment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.round(
+                F.sum("discounted").cast("double") / F.count("*"), 6
+            ).alias("discounted_line_share"),
+            F.round(
+                disc_rev.cast("double") / F.sum("net").cast("double"),
+                6,
+            ).alias("discounted_rev_share"),
+        )
+        .orderBy("segment")
+    )
+
+
+# ---- x276: order-interval regularity ----
+
+_X276_SQL = """
+WITH seq AS (
+  SELECT o_custkey,
+         CAST(DATEDIFF('day', LAG(CAST(o_orderdate AS DATE))
+                 OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey),
+               CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_d
+  FROM orders),
+g AS (SELECT o_custkey, gap_d FROM seq WHERE gap_d IS NOT NULL),
+m AS (
+  SELECT o_custkey,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(gap_d) AS BIGINT) AS s,
+         CAST(SUM(gap_d * gap_d) AS BIGINT) AS ss
+  FROM g GROUP BY o_custkey
+  HAVING COUNT(*) >= 4),
+cls AS (
+  -- CV² < 0.25 (CV < 0.5): cross-multiplied on integers:
+  -- var < mean²/4  ⇔  4·n·(n·ss − s²) < s²·(n−1)·n ... simplified
+  -- with sample variance var = (n·ss − s²)/(n·(n−1)):
+  SELECT CASE WHEN 4 * (n * ss - s * s) < s * s * (n - 1)
+              THEN 'clockwork'
+              WHEN (n * ss - s * s) > 4 * s * s * (n - 1)
+              THEN 'erratic'
+              ELSE 'typical' END AS cadence_class
+  FROM m),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM cls)
+SELECT cadence_class,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT nt FROM t), 6)
+         AS customer_share
+FROM cls
+GROUP BY cadence_class
+ORDER BY cadence_class
+"""
+
+
+@register("x276_interval_regularity", oracle=_X276_SQL)
+def x276_interval_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-interval regularity: customers (≥5 orders) classified
+    by the coefficient of variation of their inter-order gaps —
+    'clockwork' (CV < 0.5: subscription-like behavior, sell them
+    an actual subscription), 'erratic' (CV > 2), or typical. The
+    class thresholds are INTEGER cross-multiplications of the
+    variance inequality (4·(n·ss−s²) < s²·(n−1) for CV < ½) — no
+    division, no sqrt, no float in the decision; x205 asks which
+    direction gaps trend, this asks how repeatable they are.
+
+    Scale: one custkey window for gaps, per-customer integer
+    moments, 3-row histogram.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    seq = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        )
+        .cast("bigint")
+        .alias("gap_d"),
+    )
+    g = seq.where(F.col("gap_d").isNotNull())
+    m = (
+        g.groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("gap_d").cast("bigint").alias("s"),
+            F.sum(F.col("gap_d") * F.col("gap_d"))
+            .cast("bigint")
+            .alias("ss"),
+        )
+        .where(F.col("n") >= 4)
+    )
+    nvar = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    s2n1 = F.col("s") * F.col("s") * (F.col("n") - 1)
+    cls = m.select(
+        F.when(4 * nvar < s2n1, "clockwork")
+        .when(nvar > 4 * s2n1, "erratic")
+        .otherwise("typical")
+        .alias("cadence_class")
+    )
+    t = cls.agg(F.count("*").cast("bigint").alias("nt"))
+    return (
+        cls.groupBy("cadence_class")
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "cadence_class",
+            "n_customers",
+            F.round(
+                F.col("n_customers").cast("double") / F.col("nt"), 6
+            ).alias("customer_share"),
+        )
+        .orderBy("cadence_class")
+    )
