@@ -10741,3 +10741,145 @@ def x276_interval_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cadence_class")
     )
+
+
+# ---- x277: repeat rate by acquisition cohort ----
+
+_X277_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(YEAR(MIN(CAST(o_orderdate AS DATE))) AS BIGINT)
+           AS cohort_yr,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey)
+SELECT cohort_yr AS cohort_year,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repeaters,
+       ROUND(CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS repeat_rate,
+       ROUND(CAST(SUM(n_orders) AS DOUBLE) / COUNT(*), 4)
+         AS avg_orders
+FROM per_cust
+GROUP BY cohort_yr
+ORDER BY cohort_year
+"""
+
+
+@register("x277_cohort_repeat_rate", oracle=_X277_SQL)
+def x277_cohort_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat rate by acquisition-year cohort: the share of each
+    vintage that ever ordered twice — x198's ladder first rung,
+    tracked across vintages (falling repeat rates on newer
+    cohorts while x270's 90-day spend holds = customers buy once,
+    bigger, and leave: a different fix than 'spend is down').
+    Later cohorts are right-censored; compare adjacent years, not
+    endpoints.
+
+    Integer counts; two divisions per cohort.
+
+    Scale: one customer-grain agg, years-sized rollup.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.year(F.min(F.col("o_orderdate").cast("date")))
+        .cast("bigint")
+        .alias("cohort_yr"),
+        F.count("*").cast("bigint").alias("n_orders"),
+    )
+    rep = F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0))
+    return (
+        per_cust.groupBy(F.col("cohort_yr").alias("cohort_year"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            rep.cast("bigint").alias("n_repeaters"),
+            F.round(rep.cast("double") / F.count("*"), 6).alias(
+                "repeat_rate"
+            ),
+            F.round(
+                F.sum("n_orders").cast("double") / F.count("*"), 4
+            ).alias("avg_orders"),
+        )
+        .orderBy("cohort_year")
+    )
+
+
+# ---- x278: within-source token-mass Gini ----
+
+_X278_SQL = """
+WITH d AS (
+  SELECT source, doc_id,
+         CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents),
+r AS (
+  SELECT source, n_tok,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY n_tok, doc_id) AS BIGINT)
+           AS i,
+         CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n,
+         CAST(SUM(n_tok) OVER (PARTITION BY source) AS BIGINT) AS s
+  FROM d)
+SELECT source,
+       CAST(MAX(n) AS BIGINT) AS n_docs,
+       CAST(MAX(s) AS BIGINT) AS total_tokens,
+       ROUND(CAST(2 * SUM(i * n_tok) - (MAX(n) + 1) * MAX(s)
+                  AS DOUBLE)
+             / (MAX(n) * MAX(s)), 6) AS token_gini
+FROM r
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("x278_source_token_gini", oracle=_X278_SQL)
+def x278_source_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-source token-mass Gini: is a source's token budget
+    spread across its documents or concentrated in a few giants
+    (0 = uniform doc sizes, →1 = a handful of monsters)? High-
+    Gini sources need doc-level length caps before packing
+    (x45), or one mega-doc dominates every shard it lands in.
+    The Gini uses the sorted-rank identity
+    (2·Σi·x_i − (n+1)·Σx) / (n·Σx) — all INTEGER sums over the
+    (length, doc_id)-sorted ranks, one final division (x126's
+    revenue machinery on corpus mass).
+
+    Scale: one source-partitioned sort window; per-source group
+    sizes are doc counts.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.col("text"), " "))
+        .cast("bigint")
+        .alias("n_tok"),
+    )
+    wp = Window.partitionBy("source")
+    r = d.select(
+        "source",
+        "n_tok",
+        F.row_number()
+        .over(wp.orderBy("n_tok", "doc_id"))
+        .cast("bigint")
+        .alias("i"),
+        F.count("*").over(wp).cast("bigint").alias("n"),
+        F.sum("n_tok").over(wp).cast("bigint").alias("s"),
+    )
+    return (
+        r.groupBy("source")
+        .agg(
+            F.max("n").cast("bigint").alias("n_docs"),
+            F.max("s").cast("bigint").alias("total_tokens"),
+            F.round(
+                (
+                    2 * F.sum(F.col("i") * F.col("n_tok"))
+                    - (F.max("n") + 1) * F.max("s")
+                ).cast("double")
+                / (F.max("n") * F.max("s")),
+                6,
+            ).alias("token_gini"),
+        )
+        .orderBy("source")
+    )
