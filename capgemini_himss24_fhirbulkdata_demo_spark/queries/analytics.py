@@ -10883,3 +10883,197 @@ def x278_source_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---- x279: dual-axis ABC mismatch matrix ----
+
+_X279_SQL = """
+WITH m AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(6,4))
+                     - CAST(l_discount AS DECIMAL(6,4)))) * 1000000
+              AS DECIMAL(19,0)) AS rev_u
+  FROM lineitem GROUP BY l_partkey),
+rk AS (
+  SELECT l_partkey, qty, rev_u,
+         SUM(qty) OVER (ORDER BY qty DESC, l_partkey
+                        ROWS UNBOUNDED PRECEDING) AS cq,
+         SUM(qty) OVER () AS tq,
+         SUM(rev_u) OVER (ORDER BY rev_u DESC, l_partkey
+                          ROWS UNBOUNDED PRECEDING) AS cr,
+         SUM(rev_u) OVER () AS tr
+  FROM m),
+cls AS (
+  SELECT CASE WHEN cq * 100 <= tq * 80 THEN 'A'
+              WHEN cq * 100 <= tq * 95 THEN 'B'
+              ELSE 'C' END AS vol_class,
+         CASE WHEN cr * 100 <= tr * 80 THEN 'A'
+              WHEN cr * 100 <= tr * 95 THEN 'B'
+              ELSE 'C' END AS rev_class
+  FROM rk)
+SELECT vol_class, rev_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts
+FROM cls
+GROUP BY vol_class, rev_class
+ORDER BY vol_class, rev_class
+"""
+
+
+@register("x279_dual_abc_matrix", oracle=_X279_SQL)
+def x279_dual_abc_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dual-axis ABC matrix: parts classified A/B/C independently
+    by unit VOLUME and by REVENUE (80/95% cumulative cuts), cross-
+    tabbed — the off-diagonal cells are the policy exceptions
+    x129's single-axis classes hide: volume-A/revenue-C parts eat
+    warehouse slots for pennies; volume-C/revenue-A are the
+    fragile money-makers deserving safety stock. Class cuts
+    cross-multiply exact cumulative sums against totals (the x164
+    rule — no float thresholds).
+
+    Scale: partkey-grain agg, two range-partitioned running
+    sums, a 9-cell rollup.
+    """
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(6,4)") - F.col("l_discount").cast("decimal(6,4)"))
+    )
+    m = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint"))
+        .cast("bigint")
+        .alias("qty"),
+        (F.sum(disc) * 1000000).cast("decimal(19,0)").alias("rev_u"),
+    )
+    wq = Window.orderBy(F.desc("qty"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wr = Window.orderBy(F.desc("rev_u"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    rk = m.select(
+        F.sum("qty").over(wq).alias("cq"),
+        F.sum("qty").over(Window.partitionBy()).alias("tq"),
+        F.sum("rev_u").over(wr).alias("cr"),
+        F.sum("rev_u").over(Window.partitionBy()).alias("tr"),
+    )
+
+    def cls(c, t):
+        return (
+            F.when(F.col(c) * 100 <= F.col(t) * 80, "A")
+            .when(F.col(c) * 100 <= F.col(t) * 95, "B")
+            .otherwise("C")
+        )
+
+    out = rk.select(
+        cls("cq", "tq").alias("vol_class"),
+        cls("cr", "tr").alias("rev_class"),
+    )
+    return (
+        out.groupBy("vol_class", "rev_class")
+        .agg(F.count("*").cast("bigint").alias("n_parts"))
+        .orderBy("vol_class", "rev_class")
+    )
+
+
+# ---- x280: data-contract gate rollup ----
+
+_X280_SQL = """
+WITH checks AS (
+  SELECT 'fk_lineitem_orders' AS check_name,
+         CAST(COUNT(*) AS BIGINT) AS n_violations
+  FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_orderkey = l.l_orderkey)
+  UNION ALL
+  SELECT 'doc_id_dense',
+         CAST(MAX(doc_id) - MIN(doc_id) + 1 - COUNT(DISTINCT doc_id)
+              AS BIGINT)
+  FROM documents
+  UNION ALL
+  SELECT 'orderkey_unique',
+         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'no_negative_prices',
+         CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)
+              AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'quantity_integral',
+         CAST(SUM(CASE WHEN l_quantity = FLOOR(l_quantity)
+                       THEN 0 ELSE 1 END) AS BIGINT)
+  FROM lineitem)
+SELECT check_name, n_violations,
+       n_violations = 0 AS passed
+FROM checks
+ORDER BY check_name
+"""
+
+
+@register("x280_data_contract_gate", oracle=_X280_SQL)
+def x280_data_contract_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract gate: the five invariants a CI pipeline
+    asserts before promoting a drop — FK integrity on the biggest
+    edge, dense document ids, unique order keys, non-negative
+    prices, integral quantities — as one (check, violations,
+    passed) table; a single false row blocks the promote. The
+    one-query distillation of x172/x243/x228's audit family,
+    shaped for a scheduler's pass/fail consumption.
+
+    Scale: independent parallel legs — one anti-join (broadcast
+    or shuffle by stats) and four narrow single-pass aggregates.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    docs = load_table(spark, sf_dir, "documents")
+
+    def leg(name, df_agg):
+        return df_agg.select(
+            F.lit(name).alias("check_name"),
+            F.col("v").cast("bigint").alias("n_violations"),
+        )
+
+    fk = li.join(
+        orders.select("o_orderkey"),
+        li.l_orderkey == orders.o_orderkey,
+        "left_anti",
+    ).agg(F.count("*").alias("v"))
+    dense = docs.agg(
+        (
+            F.max("doc_id")
+            - F.min("doc_id")
+            + 1
+            - F.countDistinct("doc_id")
+        ).alias("v")
+    )
+    uniq = orders.agg(
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("v")
+    )
+    nonneg = orders.agg(
+        F.sum(
+            F.when(F.col("o_totalprice") < 0, 1).otherwise(0)
+        ).alias("v")
+    )
+    integral = li.agg(
+        F.sum(
+            F.when(
+                F.col("l_quantity") == F.floor("l_quantity"), 0
+            ).otherwise(1)
+        ).alias("v")
+    )
+    out = (
+        leg("fk_lineitem_orders", fk)
+        .unionByName(leg("doc_id_dense", dense))
+        .unionByName(leg("orderkey_unique", uniq))
+        .unionByName(leg("no_negative_prices", nonneg))
+        .unionByName(leg("quantity_integral", integral))
+    )
+    return out.select(
+        "check_name",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    ).orderBy("check_name")
