@@ -11077,3 +11077,134 @@ def x280_data_contract_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_violations",
         (F.col("n_violations") == 0).alias("passed"),
     ).orderBy("check_name")
+
+
+# ---- x281: month-end hockey stick ----
+
+_X281_SQL = """
+WITH d AS (
+  SELECT STRFTIME(DATE_TRUNC('month', CAST(o_orderdate AS DATE)),
+                  '%Y-%m') AS month,
+         CAST(o_orderdate AS DATE) AS od,
+         CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS DATE) AS eom,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders),
+m AS (
+  SELECT month,
+         SUM(price) AS tot,
+         SUM(CASE WHEN od >= eom - INTERVAL 2 DAY THEN price
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS last3
+  FROM d GROUP BY month)
+SELECT month,
+       ROUND(CAST(tot AS DOUBLE), 2) AS revenue,
+       ROUND(CAST(last3 AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+         AS last3day_share
+FROM m
+ORDER BY month
+"""
+
+
+@register("x281_month_end_loading", oracle=_X281_SQL)
+def x281_month_end_loading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-end loading (the hockey stick): each month's revenue
+    share booked in its final 3 calendar days — organic demand
+    runs ~10% (3/30 days); persistent 25%+ means quota-driven
+    pull-ins and discount leaks at period close (x241 then shows
+    the borrowed-demand dip). Uses last_day() so 28/30/31-day
+    months all measure their own tail.
+
+    Exact decimal sums with decimal-zero ELSE; one share per
+    month.
+
+    Scale: narrow map + month rollup.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    zero = F.lit(0).cast("decimal(18,2)")
+    d = orders.select(
+        F.date_format(F.date_trunc("month", od), "yyyy-MM").alias(
+            "month"
+        ),
+        od.alias("od"),
+        F.last_day(od).alias("eom"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    m = d.groupBy("month").agg(
+        F.sum("price").alias("tot"),
+        F.sum(
+            F.when(
+                F.col("od") >= F.date_sub(F.col("eom"), 2),
+                F.col("price"),
+            ).otherwise(zero)
+        ).alias("last3"),
+    )
+    return m.select(
+        "month",
+        F.round(F.col("tot").cast("double"), 2).alias("revenue"),
+        F.round(
+            F.col("last3").cast("double") / F.col("tot").cast("double"),
+            6,
+        ).alias("last3day_share"),
+    ).orderBy("month")
+
+
+# ---- x282: round-number amount forensics ----
+
+_X282_SQL = """
+WITH c AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+f AS (
+  SELECT CASE WHEN cents % 10000 = 0 THEN 'a_even_hundred'
+              WHEN cents % 100 = 0 THEN 'b_whole_dollar'
+              WHEN cents % 100 IN (99, 95) THEN 'c_psych_pricing'
+              ELSE 'd_other' END AS amount_class
+  FROM c),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM f)
+SELECT amount_class,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM t), 6)
+         AS order_share
+FROM f
+GROUP BY amount_class
+ORDER BY amount_class
+"""
+
+
+@register("x282_amount_roundness", oracle=_X282_SQL)
+def x282_amount_roundness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-number amount forensics: order totals classified as
+    even hundreds, whole dollars, psychological endings (.99/.95),
+    or organic — computed totals should be overwhelmingly
+    'd_other'; an excess of round numbers signals manual entry,
+    test orders, or fabrication (the complement to x151's
+    first-digit Benford: Benford checks the head of the number,
+    roundness checks the tail). Cents derive once via ROUND on
+    the double (values are exact cents upstream, x228-verified);
+    classes are integer modular arithmetic.
+
+    Scale: narrow map + 4-key rollup.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    f = orders.select(
+        F.when(cents % 10000 == 0, "a_even_hundred")
+        .when(cents % 100 == 0, "b_whole_dollar")
+        .when((cents % 100).isin(99, 95), "c_psych_pricing")
+        .otherwise("d_other")
+        .alias("amount_class")
+    )
+    t = f.agg(F.count("*").cast("bigint").alias("nt"))
+    return (
+        f.groupBy("amount_class")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "amount_class",
+            "n_orders",
+            F.round(
+                F.col("n_orders").cast("double") / F.col("nt"), 6
+            ).alias("order_share"),
+        )
+        .orderBy("amount_class")
+    )
