@@ -11208,3 +11208,185 @@ def x282_amount_roundness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("amount_class")
     )
+
+
+# ---- x283: growth-accounting revenue bridge ----
+
+_X283_CUT = "1998-01-01"  # shared boundary literal
+
+_X283_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         SUM(CASE WHEN o_orderdate < TIMESTAMP '{_X283_CUT}'
+                  THEN CAST(o_totalprice AS DECIMAL(18,2))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS e,
+         SUM(CASE WHEN o_orderdate >= TIMESTAMP '{_X283_CUT}'
+                  THEN CAST(o_totalprice AS DECIMAL(18,2))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS l
+  FROM orders GROUP BY o_custkey),
+cls AS (
+  SELECT CASE WHEN e = 0 AND l > 0 THEN 'a_new'
+              WHEN e > 0 AND l = 0 THEN 'd_churned'
+              WHEN l > e THEN 'b_expansion'
+              WHEN l < e THEN 'c_contraction'
+              ELSE 'e_flat' END AS component,
+         e, l
+  FROM per_cust),
+tot AS (
+  SELECT CAST(SUM(e) AS DOUBLE) AS base_rev,
+         CAST(SUM(CASE WHEN e > 0 THEN l
+                       ELSE CAST(0 AS DECIMAL(28,2)) END) AS DOUBLE)
+           AS retained_plus
+  FROM per_cust)
+SELECT c.component,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(CAST(SUM(c.l) - SUM(c.e) AS DOUBLE), 2) AS revenue_delta,
+       ROUND(t.retained_plus / t.base_rev, 6) AS nrr
+FROM cls c CROSS JOIN tot t
+GROUP BY c.component, t.retained_plus, t.base_rev
+ORDER BY c.component
+"""
+
+
+@register("x283_growth_accounting", oracle=_X283_SQL)
+def x283_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth-accounting revenue bridge: the early→late revenue
+    delta decomposed by customer class — new, expansion,
+    contraction, churned, flat — with net revenue retention (late
+    revenue of the early base over early revenue) carried on
+    every row; the component deltas SUM exactly to total change
+    because each customer lands in exactly one class and the
+    arithmetic is one exact-decimal pass (x183 bridges months by
+    first-order flag; this is the full NRR bridge a board deck
+    shows).
+
+    Scale: one customer-grain conditional aggregate, class
+    rollup, 1-row totals broadcast.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    zero = F.lit(0).cast("decimal(18,2)")
+    cut = F.lit(_X283_CUT).cast("timestamp")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.when(
+                F.col("o_orderdate") < cut,
+                F.col("o_totalprice").cast("decimal(18,2)"),
+            ).otherwise(zero)
+        ).alias("e"),
+        F.sum(
+            F.when(
+                F.col("o_orderdate") >= cut,
+                F.col("o_totalprice").cast("decimal(18,2)"),
+            ).otherwise(zero)
+        ).alias("l"),
+    )
+    cls = per_cust.select(
+        F.when((F.col("e") == 0) & (F.col("l") > 0), "a_new")
+        .when((F.col("e") > 0) & (F.col("l") == 0), "d_churned")
+        .when(F.col("l") > F.col("e"), "b_expansion")
+        .when(F.col("l") < F.col("e"), "c_contraction")
+        .otherwise("e_flat")
+        .alias("component"),
+        "e",
+        "l",
+    )
+    zero28 = F.lit(0).cast("decimal(28,2)")
+    tot = per_cust.agg(
+        F.sum("e").cast("double").alias("base_rev"),
+        F.sum(
+            F.when(
+                F.col("e") > 0, F.col("l").cast("decimal(28,2)")
+            ).otherwise(zero28)
+        )
+        .cast("double")
+        .alias("retained_plus"),
+    )
+    return (
+        cls.groupBy("component")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.round(
+                (F.sum("l") - F.sum("e")).cast("double"), 2
+            ).alias("revenue_delta"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "component",
+            "n_customers",
+            "revenue_delta",
+            F.round(
+                F.col("retained_plus") / F.col("base_rev"), 6
+            ).alias("nrr"),
+        )
+        .orderBy("component")
+    )
+
+
+# ---- x284: per-minute load peaks ----
+
+_X284_SQL = """
+WITH pm AS (
+  SELECT DATE_TRUNC('minute', ts) AS minute,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY minute),
+r AS (
+  SELECT n,
+         ROW_NUMBER() OVER (ORDER BY n, minute) AS rn,
+         COUNT(*) OVER () AS nm
+  FROM pm)
+SELECT CAST(MAX(nm) AS BIGINT) AS n_active_minutes,
+       CAST(MAX(CASE WHEN rn = CAST(CEIL(0.50 * nm) AS BIGINT)
+                     THEN n END) AS BIGINT) AS median_per_min,
+       CAST(MAX(CASE WHEN rn = CAST(CEIL(0.99 * nm) AS BIGINT)
+                     THEN n END) AS BIGINT) AS p99_per_min,
+       CAST(MAX(n) AS BIGINT) AS peak_per_min
+FROM r
+"""
+
+
+@register("x284_load_peaks", oracle=_X284_SQL)
+def x284_load_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-minute ingest load profile: median, p99, and peak
+    events per active minute — the capacity numbers an ingestion
+    autoscaler is provisioned against (provision for p99, alert
+    at peak; x113's hourly z-scores find WHEN anomalies happen,
+    this sizes HOW BIG the pipes must be). Rank-exact
+    percentiles over the minute-grain counts with a minute
+    tiebreak.
+
+    Scale: minute-grain agg (calendar-bounded), one
+    range-partitioned rank over the minute table, 1-row output.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    pm = ev.groupBy(
+        F.date_trunc("minute", "ts").alias("minute")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    r = pm.select(
+        "n",
+        F.row_number()
+        .over(Window.orderBy("n", "minute"))
+        .alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("nm"),
+    )
+
+    def pick(p: float, name: str):
+        return (
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.ceil(F.lit(p) * F.col("nm")).cast("bigint"),
+                    F.col("n"),
+                )
+            )
+            .cast("bigint")
+            .alias(name)
+        )
+
+    return r.agg(
+        F.max("nm").cast("bigint").alias("n_active_minutes"),
+        pick(0.50, "median_per_min"),
+        pick(0.99, "p99_per_min"),
+        F.max("n").cast("bigint").alias("peak_per_min"),
+    )
