@@ -11390,3 +11390,183 @@ def x284_load_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(0.99, "p99_per_min"),
         F.max("n").cast("bigint").alias("peak_per_min"),
     )
+
+
+# ---- x285: partition-layout advisor ----
+
+_X285_SQL = """
+WITH cands AS (
+  SELECT 'orders.month(o_orderdate)' AS candidate,
+         CAST(COUNT(DISTINCT DATE_TRUNC('month',
+                    CAST(o_orderdate AS DATE))) AS BIGINT) AS card,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem.month(l_shipdate)',
+         CAST(COUNT(DISTINCT DATE_TRUNC('month',
+                    CAST(l_shipdate AS DATE))) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'customer.c_mktsegment',
+         CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT)
+  FROM customer
+  UNION ALL
+  SELECT 'documents.source',
+         CAST(COUNT(DISTINCT source) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT)
+  FROM documents
+  UNION ALL
+  SELECT 'events.day(ts)',
+         CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT)
+  FROM events)
+SELECT candidate, card AS n_partitions, n_rows,
+       CAST(n_rows // card AS BIGINT) AS avg_rows_per_partition,
+       CASE WHEN card > 10000 THEN 'c_too_many_partitions'
+            WHEN n_rows < card * 100 THEN 'b_partitions_too_small'
+            ELSE 'a_partition_ok' END AS verdict
+FROM cands
+ORDER BY candidate
+"""
+
+
+@register("x285_layout_advisor", oracle=_X285_SQL)
+def x285_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-layout advisor: for each candidate partitionBy
+    key, its cardinality and average rows per partition with an
+    integer-rule verdict (>10k partitions = metadata blowup and
+    tiny files; <100 rows per partition = the small-files
+    problem; otherwise viable) — the pre-write check behind every
+    `partitionBy` decision, and the planning complement to x86's
+    after-the-fact storage audit. Thresholds are deliberately
+    SF-relative rules, not byte counts, so the verdicts teach the
+    same lesson at any scale.
+
+    Scale: five independent distinct-count scans (parallel
+    legs), 5-row output.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    docs = load_table(spark, sf_dir, "documents")
+    ev = load_table(spark, sf_dir, "events")
+
+    def leg(name, df, key):
+        return df.agg(
+            F.lit(name).alias("candidate"),
+            F.countDistinct(key).cast("bigint").alias("card"),
+            F.count("*").cast("bigint").alias("n_rows"),
+        )
+
+    out = (
+        leg(
+            "orders.month(o_orderdate)",
+            orders,
+            F.date_trunc("month", F.col("o_orderdate").cast("date")),
+        )
+        .unionByName(
+            leg(
+                "lineitem.month(l_shipdate)",
+                li,
+                F.date_trunc("month", F.col("l_shipdate").cast("date")),
+            )
+        )
+        .unionByName(
+            leg("customer.c_mktsegment", cust, F.col("c_mktsegment"))
+        )
+        .unionByName(leg("documents.source", docs, F.col("source")))
+        .unionByName(
+            leg("events.day(ts)", ev, F.col("ts").cast("date"))
+        )
+    )
+    return out.select(
+        "candidate",
+        F.col("card").alias("n_partitions"),
+        "n_rows",
+        F.expr("n_rows div card")
+        .cast("bigint")
+        .alias("avg_rows_per_partition"),
+        F.when(F.col("card") > 10000, "c_too_many_partitions")
+        .when(
+            F.col("n_rows") < F.col("card") * 100,
+            "b_partitions_too_small",
+        )
+        .otherwise("a_partition_ok")
+        .alias("verdict"),
+    ).orderBy("candidate")
+
+
+# ---- x286: acquisition-hour cohort contrast ----
+
+_X286_SQL = """
+WITH first_e AS (
+  SELECT user_id, MIN(ts) AS t0,
+         CAST(COUNT(*) AS BIGINT) AS total_events,
+         CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+           AS active_days
+  FROM events GROUP BY user_id),
+cls AS (
+  SELECT CASE WHEN HOUR(t0) BETWEEN 9 AND 17
+              THEN 'business_hours_acquired'
+              ELSE 'off_hours_acquired' END AS cohort,
+         total_events, active_days
+  FROM first_e)
+SELECT cohort,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(CAST(SUM(total_events) AS DOUBLE) / COUNT(*), 4)
+         AS avg_events,
+       ROUND(CAST(SUM(active_days) AS DOUBLE) / COUNT(*), 4)
+         AS avg_active_days
+FROM cls
+GROUP BY cohort
+ORDER BY cohort
+"""
+
+
+@register("x286_acquisition_hour_contrast", oracle=_X286_SQL)
+def x286_acquisition_hour_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acquisition-hour cohort contrast: users first seen during
+    business hours (9-17) vs off-hours, compared on lifetime
+    events and active days — the cheap causal-flavored check on
+    whether acquisition TIMING marks a different user quality
+    (at-work intent vs couch browsing), which decides when the
+    acquisition budget runs. (Weekday split was the first draft —
+    this fixture acquires every user Mon-Thu, so the hour axis is
+    the one that actually varies.)
+
+    Integer sums; two mean divisions per cohort.
+
+    Scale: per-user first-event agg, 2-row rollup.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    first_e = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.count("*").cast("bigint").alias("total_events"),
+        F.countDistinct(F.col("ts").cast("date"))
+        .cast("bigint")
+        .alias("active_days"),
+    )
+    cls = first_e.select(
+        F.when(
+            F.hour("t0").between(9, 17), "business_hours_acquired"
+        )
+        .otherwise("off_hours_acquired")
+        .alias("cohort"),
+        "total_events",
+        "active_days",
+    )
+    return (
+        cls.groupBy("cohort")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.round(
+                F.sum("total_events").cast("double") / F.count("*"), 4
+            ).alias("avg_events"),
+            F.round(
+                F.sum("active_days").cast("double") / F.count("*"), 4
+            ).alias("avg_active_days"),
+        )
+        .orderBy("cohort")
+    )
