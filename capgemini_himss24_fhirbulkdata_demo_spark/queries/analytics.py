@@ -11570,3 +11570,148 @@ def x286_acquisition_hour_contrast(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("cohort")
     )
+
+
+# ---- x287: purchase propensity by engagement depth ----
+
+_X287_SQL = """
+WITH seq AS (
+  SELECT event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) - 1 AS n_prior
+  FROM events),
+b AS (
+  SELECT CASE WHEN n_prior = 0 THEN 'a_first_event'
+              WHEN n_prior < 5 THEN 'b_1_to_4'
+              WHEN n_prior < 20 THEN 'c_5_to_19'
+              WHEN n_prior < 50 THEN 'd_20_to_49'
+              ELSE 'e_50_plus' END AS depth_bucket,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+           AS is_purchase
+  FROM seq)
+SELECT depth_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(is_purchase) AS BIGINT) AS n_purchases,
+       ROUND(CAST(SUM(is_purchase) AS DOUBLE) / COUNT(*), 6)
+         AS purchase_propensity
+FROM b
+GROUP BY depth_bucket
+ORDER BY depth_bucket
+"""
+
+
+@register("x287_propensity_by_depth", oracle=_X287_SQL)
+def x287_propensity_by_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase propensity by engagement depth: the probability
+    that an event is a purchase, bucketed by how many events the
+    user had ALREADY logged — a rising curve justifies nurture
+    flows (engagement compounds into intent); a flat one says
+    purchases arrive independent of familiarity and the CRM
+    drip is theater. Depth is a per-user running index (one
+    window), buckets are integer cases.
+
+    Integer counts; one propensity division per bucket.
+
+    Scale: single user_id window shuffle + 5-bucket rollup.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_type",
+        (
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    "ts", "event_id"
+                )
+            )
+            - 1
+        ).alias("n_prior"),
+    )
+    b = seq.select(
+        F.when(F.col("n_prior") == 0, "a_first_event")
+        .when(F.col("n_prior") < 5, "b_1_to_4")
+        .when(F.col("n_prior") < 20, "c_5_to_19")
+        .when(F.col("n_prior") < 50, "d_20_to_49")
+        .otherwise("e_50_plus")
+        .alias("depth_bucket"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("is_purchase"),
+    )
+    return (
+        b.groupBy("depth_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("is_purchase").cast("bigint").alias("n_purchases"),
+            F.round(
+                F.sum("is_purchase").cast("double") / F.count("*"), 6
+            ).alias("purchase_propensity"),
+        )
+        .orderBy("depth_bucket")
+    )
+
+
+# ---- x288: return rate vs ship delay ----
+
+_X288_SQL = """
+WITH d AS (
+  SELECT CASE WHEN DATEDIFF('day', CAST(o.o_orderdate AS DATE),
+                            CAST(l.l_shipdate AS DATE)) <= 30
+              THEN 'a_fast_0_30'
+              WHEN DATEDIFF('day', CAST(o.o_orderdate AS DATE),
+                            CAST(l.l_shipdate AS DATE)) <= 75
+              THEN 'b_normal_31_75'
+              ELSE 'c_slow_76plus' END AS delay_bucket,
+         CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS returned
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+SELECT delay_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(returned) AS BIGINT) AS n_returned,
+       ROUND(CAST(SUM(returned) AS DOUBLE) / COUNT(*), 6)
+         AS return_rate
+FROM d
+GROUP BY delay_bucket
+ORDER BY delay_bucket
+"""
+
+
+@register("x288_returns_vs_delay", oracle=_X288_SQL)
+def x288_returns_vs_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return rate vs ship delay: are slow shipments returned
+    more? The operations-to-quality causal screen — if the slow
+    bucket's rate is materially higher, every week shaved off
+    x169's p90 also buys back return-processing cost, which
+    changes the expedite ROI math entirely.
+
+    Integer flags and counts; one rate division per bucket.
+
+    Scale: the orderkey fact join, a 3-bucket rollup —
+    bucket-then-aggregate, never a per-delay-value key.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    delay = F.datediff(
+        F.col("l_shipdate").cast("date"),
+        F.col("o_orderdate").cast("date"),
+    )
+    d = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.when(delay <= 30, "a_fast_0_30")
+        .when(delay <= 75, "b_normal_31_75")
+        .otherwise("c_slow_76plus")
+        .alias("delay_bucket"),
+        F.when(F.col("l_returnflag") == "R", 1)
+        .otherwise(0)
+        .alias("returned"),
+    )
+    return (
+        d.groupBy("delay_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum("returned").cast("bigint").alias("n_returned"),
+            F.round(
+                F.sum("returned").cast("double") / F.count("*"), 6
+            ).alias("return_rate"),
+        )
+        .orderBy("delay_bucket")
+    )
