@@ -11715,3 +11715,154 @@ def x288_returns_vs_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("delay_bucket")
     )
+
+
+# ---- x289: part size vs order quantity ----
+
+_X289_SQL = """
+WITH j AS (
+  SELECT CAST(p.p_size AS BIGINT) AS x,
+         CAST(l.l_quantity AS BIGINT) AS y
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM j)
+SELECT n AS n_lines,
+       ROUND(CAST(sx AS DOUBLE) / n, 4) AS mean_size,
+       ROUND(CAST(sy AS DOUBLE) / n, 4) AS mean_qty,
+       ROUND(
+         (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                                / CAST(n AS DOUBLE))
+         / (SQRT(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                 * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+            * SQRT(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                   * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))),
+         6) AS size_qty_corr
+FROM s
+"""
+
+
+@register("x289_size_quantity_corr", oracle=_X289_SQL)
+def x289_size_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part size vs order quantity: do physically bigger parts
+    move in smaller quantities (the warehouse's intuition,
+    quantified)? A strongly negative correlation lets slotting
+    planners trade bin size against pick frequency from the
+    catalog alone. x167's exact integer-moment Pearson on the
+    catalog's p_size attribute — its first analytical use.
+
+    Scale: dim-broadcast fact join, 1-row moment reduce.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        F.col("p_size").cast("bigint").alias("x"),
+        F.col("l_quantity").cast("bigint").alias("y"),
+    )
+    s = j.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    r = (d("sxy") - d("sx") * d("sy") / d("n")) / (
+        F.sqrt(d("sxx") - d("sx") * d("sx") / d("n"))
+        * F.sqrt(d("syy") - d("sy") * d("sy") / d("n"))
+    )
+    return s.select(
+        F.col("n").alias("n_lines"),
+        F.round(d("sx") / F.col("n"), 4).alias("mean_size"),
+        F.round(d("sy") / F.col("n"), 4).alias("mean_qty"),
+        F.round(r, 6).alias("size_qty_corr"),
+    )
+
+
+# ---- x290: size-normalized price premium per brand ----
+
+_X290_SQL = """
+WITH ppu AS (
+  SELECT p_brand,
+         CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_c,
+         CAST(p_size AS BIGINT) AS size,
+         p_partkey
+  FROM part WHERE p_size > 0),
+r AS (
+  SELECT p_brand, price_c, size,
+         ROW_NUMBER() OVER (PARTITION BY p_brand
+                            ORDER BY price_c * 1000 // size,
+                                     p_partkey) AS rn,
+         COUNT(*) OVER (PARTITION BY p_brand) AS n
+  FROM ppu)
+SELECT p_brand,
+       CAST(MAX(n) AS BIGINT) AS n_parts,
+       ROUND(CAST(MAX(CASE WHEN rn = CAST(CEIL(0.50 * n) AS BIGINT)
+                           THEN price_c * 1000 // size END) AS DOUBLE)
+             / 100000, 4) AS median_price_per_size
+FROM r
+GROUP BY p_brand
+ORDER BY median_price_per_size DESC, p_brand
+"""
+
+
+@register("x290_price_per_size", oracle=_X290_SQL)
+def x290_price_per_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-normalized price premium: each brand's median retail
+    price PER SIZE UNIT — the like-for-like premium ranking that
+    x253's raw positioning can't give when brands sell different
+    size mixes (a brand of big cheap parts and one of small
+    expensive parts can share a median price; per-unit-of-size
+    they do not). The per-unit price quantizes to integer
+    milli-cents-per-unit by floor division before the rank-exact
+    median, so no float enters the ordering.
+
+    Scale: dim-only window per brand, brand-sized output.
+    """
+    from pyspark.sql import Window
+
+    part = load_table(spark, sf_dir, "part")
+    ppu = part.where(F.col("p_size") > 0).select(
+        "p_brand",
+        F.round(F.col("p_retailprice") * 100)
+        .cast("bigint")
+        .alias("price_c"),
+        F.col("p_size").cast("bigint").alias("size"),
+        "p_partkey",
+    )
+    unit = F.expr("(price_c * 1000) div size")
+    r = ppu.select(
+        "p_brand",
+        unit.alias("unit_mc"),
+        F.row_number()
+        .over(
+            Window.partitionBy("p_brand").orderBy(
+                unit, "p_partkey"
+            )
+        )
+        .alias("rn"),
+        F.count("*").over(Window.partitionBy("p_brand")).alias("n"),
+    )
+    return (
+        r.groupBy("p_brand")
+        .agg(
+            F.max("n").cast("bigint").alias("n_parts"),
+            F.round(
+                F.max(
+                    F.when(
+                        F.col("rn")
+                        == F.ceil(0.50 * F.col("n")).cast("bigint"),
+                        F.col("unit_mc"),
+                    )
+                ).cast("double")
+                / 100000,
+                4,
+            ).alias("median_price_per_size"),
+        )
+        .orderBy(F.desc("median_price_per_size"), "p_brand")
+    )
