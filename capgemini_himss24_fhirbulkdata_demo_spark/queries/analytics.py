@@ -11866,3 +11866,148 @@ def x290_price_per_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("median_price_per_size"), "p_brand")
     )
+
+
+# ---- x291: session-intensity trend ----
+
+_X291_SQL = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                   - CAST(FLOOR(EPOCH(LAG(ts) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+m AS (
+  SELECT STRFTIME(DATE_TRUNC('month', CAST(ts AS DATE)), '%Y-%m')
+           AS month,
+         CAST(SUM(is_start) AS BIGINT) AS n_sessions,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+  FROM e GROUP BY month)
+SELECT month, n_sessions, mau,
+       ROUND(CAST(n_sessions AS DOUBLE) / mau, 4)
+         AS sessions_per_user
+FROM m
+ORDER BY month
+"""
+
+
+@register("x291_session_intensity", oracle=_X291_SQL)
+def x291_session_intensity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-intensity trend: sessions started per active user
+    per month — the habit-frequency line that x149's DAU/MAU
+    compresses into one ratio, tracked over time (MAU can hold
+    steady while visits-per-user quietly decays; this catches
+    that). Session starts come from the x162 gap rule, attributed
+    to the month they start in.
+
+    Integer counts; one division per month.
+
+    Scale: the x162 user window plus a (month)-keyed rollup with
+    partial distinct on user.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.withColumn(
+        "is_start",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag("ts").over(w))
+                > 1800
+            ),
+            1,
+        ).otherwise(0),
+    )
+    m = e.groupBy(
+        F.date_format(
+            F.date_trunc("month", F.col("ts").cast("date")), "yyyy-MM"
+        ).alias("month")
+    ).agg(
+        F.sum("is_start").cast("bigint").alias("n_sessions"),
+        F.countDistinct("user_id").cast("bigint").alias("mau"),
+    )
+    return m.select(
+        "month",
+        "n_sessions",
+        "mau",
+        F.round(
+            F.col("n_sessions").cast("double") / F.col("mau"), 4
+        ).alias("sessions_per_user"),
+    ).orderBy("month")
+
+
+# ---- x292: dead-stock scan ----
+
+_X292_SQL = """
+WITH anchor AS (
+  SELECT MAX(CAST(l_shipdate AS DATE)) AS dmax FROM lineitem),
+recent AS (
+  SELECT DISTINCT l.l_partkey
+  FROM lineitem l CROSS JOIN anchor a
+  WHERE CAST(l.l_shipdate AS DATE) > a.dmax - INTERVAL 365 DAY),
+status AS (
+  SELECT p.p_brand,
+         CASE WHEN r.l_partkey IS NULL THEN 1 ELSE 0 END AS stale
+  FROM part p LEFT JOIN recent r ON p.p_partkey = r.l_partkey)
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(stale) AS BIGINT) AS n_stale,
+       ROUND(CAST(SUM(stale) AS DOUBLE) / COUNT(*), 6) AS stale_share
+FROM status
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+@register("x292_dead_stock", oracle=_X292_SQL)
+def x292_dead_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-stock scan: per brand, catalog parts with NO shipment
+    in the trailing year (anchored to the data's own max ship
+    date) — the discontinue-or-discount list; x256 shows how fast
+    the catalog ever activates, this shows what has gone cold
+    since. Recency membership is a distinct partkey set
+    left-joined against the catalog (NULL = stale).
+
+    Integer flags; one share division per brand.
+
+    Scale: the recent-part set is partkey-distinct (dim-bounded)
+    and the join is against the part dim — the fact table is
+    touched once, pre-filtered by the pushed date predicate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    anchor = li.agg(
+        F.max(F.col("l_shipdate").cast("date")).alias("dmax")
+    )
+    recent = (
+        li.crossJoin(F.broadcast(anchor))
+        .where(
+            F.col("l_shipdate").cast("date")
+            > F.date_sub(F.col("dmax"), 365)
+        )
+        .select("l_partkey")
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    status = part.join(
+        recent, part.p_partkey == recent.l_partkey, "left"
+    ).select(
+        "p_brand",
+        F.when(F.col("seen").isNull(), 1).otherwise(0).alias("stale"),
+    )
+    return (
+        status.groupBy("p_brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.sum("stale").cast("bigint").alias("n_stale"),
+            F.round(
+                F.sum("stale").cast("double") / F.count("*"), 6
+            ).alias("stale_share"),
+        )
+        .orderBy("p_brand")
+    )
