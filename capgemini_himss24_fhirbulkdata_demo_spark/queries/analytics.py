@@ -12011,3 +12011,141 @@ def x292_dead_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# ---- x293: order value by basket breadth ----
+
+_X293_SQL = """
+WITH ob AS (
+  SELECT l.l_orderkey,
+         CAST(COUNT(DISTINCT p.p_brand) AS BIGINT) AS n_brands
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY l.l_orderkey),
+j AS (
+  SELECT CASE WHEN ob.n_brands = 1 THEN 'a_single_brand'
+              WHEN ob.n_brands <= 3 THEN 'b_2_to_3'
+              ELSE 'c_4_plus' END AS breadth_bucket,
+         CAST(o.o_totalprice AS DECIMAL(18,2)) AS price
+  FROM ob JOIN orders o ON ob.l_orderkey = o.o_orderkey)
+SELECT breadth_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(price) AS DOUBLE) / COUNT(*), 2) AS aov
+FROM j
+GROUP BY breadth_bucket
+ORDER BY breadth_bucket
+"""
+
+
+@register("x293_breadth_vs_value", oracle=_X293_SQL)
+def x293_breadth_vs_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order value by basket brand breadth: AOV for single-brand
+    vs multi-brand baskets — if breadth buys AOV, cross-brand
+    merchandising (bundles, 'customers also bought') has a
+    quantified prize; if not, x257's breadth histogram is
+    trivia. Distinct-brand counts are integers; exact decimal
+    totals; one mean per bucket.
+
+    Scale: orderkey-grain distinct agg co-keyed with the orders
+    join, 3-bucket rollup.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    orders = load_table(spark, sf_dir, "orders")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("p_brand").cast("bigint").alias("n_brands")
+        )
+    )
+    j = ob.join(orders, ob.l_orderkey == orders.o_orderkey).select(
+        F.when(F.col("n_brands") == 1, "a_single_brand")
+        .when(F.col("n_brands") <= 3, "b_2_to_3")
+        .otherwise("c_4_plus")
+        .alias("breadth_bucket"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    return (
+        j.groupBy("breadth_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(
+                F.sum("price").cast("double") / F.count("*"), 2
+            ).alias("aov"),
+        )
+        .orderBy("breadth_bucket")
+    )
+
+
+# ---- x294: order complexity vs fulfillment time ----
+
+_X294_SQL = """
+WITH per_o AS (
+  SELECT l_orderkey,
+         CAST(COUNT(*) AS BIGINT) AS x,
+         CAST(DATEDIFF('day', MIN(CAST(l_shipdate AS DATE)),
+                       MAX(CAST(l_shipdate AS DATE))) AS BIGINT) AS y
+  FROM lineitem GROUP BY l_orderkey),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM per_o)
+SELECT n AS n_orders,
+       ROUND(CAST(sx AS DOUBLE) / n, 4) AS mean_lines,
+       ROUND(CAST(sy AS DOUBLE) / n, 4) AS mean_spread_d,
+       ROUND(
+         (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                                / CAST(n AS DOUBLE))
+         / (SQRT(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                 * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+            * SQRT(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                   * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))),
+         6) AS lines_spread_corr
+FROM s
+"""
+
+
+@register("x294_complexity_vs_spread", oracle=_X294_SQL)
+def x294_complexity_vs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order complexity vs fulfillment fragmentation: correlation
+    between an order's line count and its shipment spread (x190's
+    first-to-last-ship days) — a strong positive says
+    fragmentation is structural (more lines = more boxes), so
+    consolidation efforts should target line-count reduction
+    (kitting), not carrier SLAs. Exact integer moments, one pass
+    per order.
+
+    Scale: orderkey-grain agg (unique key), 1-row moment reduce.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_o = li.groupBy("l_orderkey").agg(
+        F.count("*").cast("bigint").alias("x"),
+        F.datediff(
+            F.max(F.col("l_shipdate").cast("date")),
+            F.min(F.col("l_shipdate").cast("date")),
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+    s = per_o.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    r = (d("sxy") - d("sx") * d("sy") / d("n")) / (
+        F.sqrt(d("sxx") - d("sx") * d("sx") / d("n"))
+        * F.sqrt(d("syy") - d("sy") * d("sy") / d("n"))
+    )
+    return s.select(
+        F.col("n").alias("n_orders"),
+        F.round(d("sx") / F.col("n"), 4).alias("mean_lines"),
+        F.round(d("sy") / F.col("n"), 4).alias("mean_spread_d"),
+        F.round(r, 6).alias("lines_spread_corr"),
+    )
