@@ -12149,3 +12149,179 @@ def x294_complexity_vs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(d("sy") / F.col("n"), 4).alias("mean_spread_d"),
         F.round(r, 6).alias("lines_spread_corr"),
     )
+
+
+# ---- x295: brand-mix concentration trend (quarterly HHI) ----
+
+_X295_SQL = """
+WITH rev AS (
+  SELECT CAST(YEAR(CAST(o.o_orderdate AS DATE)) AS BIGINT) * 10
+           + CAST(QUARTER(CAST(o.o_orderdate AS DATE)) AS BIGINT)
+           AS yq,
+         p.p_brand,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(6,4))
+                     - CAST(l.l_discount AS DECIMAL(6,4)))) * 1000000
+              AS DECIMAL(19,0)) AS rev_u
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY yq, p.p_brand),
+agg AS (
+  SELECT yq,
+         CAST(COUNT(*) AS BIGINT) AS n_brands,
+         SUM(rev_u) AS tot_u,
+         SUM(rev_u * rev_u) AS sumsq_u
+  FROM rev GROUP BY yq)
+SELECT yq AS year_quarter, n_brands,
+       ROUND(CAST(sumsq_u AS DOUBLE)
+             / (CAST(tot_u AS DOUBLE) * CAST(tot_u AS DOUBLE)), 6)
+         AS brand_hhi
+FROM agg
+ORDER BY year_quarter
+"""
+
+
+@register("x295_hhi_trend", oracle=_X295_SQL)
+def x295_hhi_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand-mix concentration trend: quarterly HHI of revenue
+    across brands — a rising line means the business is
+    concentrating into fewer brands (dependency risk compounding
+    quarter over quarter; x153 snapshots concentration by nation,
+    this watches it move). Same exact micro-unit machinery:
+    decimal sums of squares over a squared total, one double
+    division per quarter.
+
+    Scale: (quarter, brand) fact agg, quarter-keyed rollup of
+    decimal partials.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    disc = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(6,4)") - F.col("l_discount").cast("decimal(6,4)"))
+    )
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            (
+                F.year(F.col("o_orderdate").cast("date")).cast("bigint")
+                * 10
+                + F.quarter(F.col("o_orderdate").cast("date")).cast(
+                    "bigint"
+                )
+            ).alias("yq"),
+            "p_brand",
+        )
+        .agg(
+            (F.sum(disc) * 1000000)
+            .cast("decimal(19,0)")
+            .alias("rev_u")
+        )
+    )
+    agg = rev.groupBy("yq").agg(
+        F.count("*").cast("bigint").alias("n_brands"),
+        F.sum("rev_u").alias("tot_u"),
+        F.sum(F.col("rev_u") * F.col("rev_u")).alias("sumsq_u"),
+    )
+    return agg.select(
+        F.col("yq").alias("year_quarter"),
+        "n_brands",
+        F.round(
+            F.col("sumsq_u").cast("double")
+            / (
+                F.col("tot_u").cast("double")
+                * F.col("tot_u").cast("double")
+            ),
+            6,
+        ).alias("brand_hhi"),
+    ).orderBy("year_quarter")
+
+
+# ---- x296: reorder hazard curve ----
+
+_X296_SQL = """
+WITH gaps AS (
+  SELECT CAST(DATEDIFF('day', LAG(CAST(o_orderdate AS DATE))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey),
+              CAST(o_orderdate AS DATE)) AS BIGINT) AS g
+  FROM orders),
+g AS (SELECT g FROM gaps WHERE g IS NOT NULL),
+w AS (SELECT UNNEST(ARRAY[0, 30, 60, 90, 120, 180]) AS w0)
+SELECT CAST(w.w0 AS BIGINT) AS waited_days,
+       CAST(SUM(CASE WHEN g.g >= w.w0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_at_risk,
+       CAST(SUM(CASE WHEN g.g >= w.w0 AND g.g < w.w0 + 30
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_reorder_30d,
+       ROUND(CAST(SUM(CASE WHEN g.g >= w.w0 AND g.g < w.w0 + 30
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / SUM(CASE WHEN g.g >= w.w0 THEN 1 ELSE 0 END), 6)
+         AS hazard_30d
+FROM g CROSS JOIN w
+GROUP BY w.w0
+ORDER BY waited_days
+"""
+
+
+@register("x296_reorder_hazard", oracle=_X296_SQL)
+def x296_reorder_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reorder hazard curve: among inter-order gaps that reached
+    w days, the share that converted within the next 30 — the
+    empirical answer to "when should the win-back email fire?"
+    (send it where the hazard drops: past that point customers
+    were not coming back on their own). The discrete-hazard
+    companion to x127's survival curve, on gaps instead of
+    lifetimes.
+
+    Integer gap comparisons against literal horizons; one
+    division per rung.
+
+    Scale: one custkey window for gaps; the horizon fan-out is a
+    6-row broadcast cross join over the gap list, aggregated
+    map-side.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    gaps = orders.select(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(
+                Window.partitionBy("o_custkey").orderBy(
+                    "o_orderdate", "o_orderkey"
+                )
+            ),
+        )
+        .cast("bigint")
+        .alias("g")
+    ).where(F.col("g").isNotNull())
+    w = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(v) for v in (0, 30, 60, 90, 120, 180)])
+        ).alias("w0")
+    )
+    at_risk = F.sum(
+        F.when(F.col("g") >= F.col("w0"), 1).otherwise(0)
+    )
+    conv = F.sum(
+        F.when(
+            (F.col("g") >= F.col("w0"))
+            & (F.col("g") < F.col("w0") + 30),
+            1,
+        ).otherwise(0)
+    )
+    return (
+        gaps.crossJoin(F.broadcast(w))
+        .groupBy(F.col("w0").cast("bigint").alias("waited_days"))
+        .agg(
+            at_risk.cast("bigint").alias("n_at_risk"),
+            conv.cast("bigint").alias("n_reorder_30d"),
+            F.round(conv.cast("double") / at_risk, 6).alias(
+                "hazard_30d"
+            ),
+        )
+        .orderBy("waited_days")
+    )
