@@ -12325,3 +12325,189 @@ def x296_reorder_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("waited_days")
     )
+
+
+# ---- x297: entry-event retention quality ----
+
+_X297_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+first_e AS (
+  SELECT user_id, event_type AS entry_type FROM seq WHERE rn = 1),
+life AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS total_events,
+         CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+           AS active_days
+  FROM events GROUP BY user_id)
+SELECT f.entry_type,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(CAST(SUM(l.total_events) AS DOUBLE) / COUNT(*), 4)
+         AS avg_events,
+       ROUND(CAST(SUM(l.active_days) AS DOUBLE) / COUNT(*), 4)
+         AS avg_active_days
+FROM first_e f JOIN life l ON f.user_id = l.user_id
+GROUP BY f.entry_type
+ORDER BY f.entry_type
+"""
+
+
+@register("x297_entry_event_quality", oracle=_X297_SQL)
+def x297_entry_event_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry-event retention quality: users grouped by their very
+    FIRST event type, compared on lifetime activity — which front
+    door (landed on content vs started signup vs hit an error)
+    produces users who stay? An error-first cohort with healthy
+    retention says the error page converts; with terrible
+    retention it is the funnel's first leak (x232 looks at the
+    exit; this looks at the entrance).
+
+    Integer counts; two means per entry type.
+
+    Scale: one user window for the first event + a per-user
+    lifetime agg sharing the user_id shuffle; type-sized output.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        )
+        .alias("rn"),
+    )
+    first_e = seq.where(F.col("rn") == 1).select(
+        "user_id", F.col("event_type").alias("entry_type")
+    )
+    life = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("total_events"),
+        F.countDistinct(F.col("ts").cast("date"))
+        .cast("bigint")
+        .alias("active_days"),
+    )
+    return (
+        first_e.join(life, "user_id")
+        .groupBy("entry_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.round(
+                F.sum("total_events").cast("double") / F.count("*"), 4
+            ).alias("avg_events"),
+            F.round(
+                F.sum("active_days").cast("double") / F.count("*"), 4
+            ).alias("avg_active_days"),
+        )
+        .orderBy("entry_type")
+    )
+
+
+# ---- x298: activation velocity (time to 10th event) ----
+
+_X298_K = 10  # activation milestone, literal
+
+_X298_SQL = f"""
+WITH seq AS (
+  SELECT user_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+span AS (
+  SELECT a.user_id,
+         CAST(FLOOR(EPOCH(b.ts)) AS BIGINT)
+           - CAST(FLOOR(EPOCH(a.ts)) AS BIGINT) AS ttk_s
+  FROM (SELECT user_id, ts FROM seq WHERE rn = 1) a
+  JOIN (SELECT user_id, ts FROM seq WHERE rn = {_X298_K}) b
+    ON a.user_id = b.user_id),
+r AS (
+  SELECT ttk_s,
+         ROW_NUMBER() OVER (ORDER BY ttk_s, user_id) AS rk,
+         COUNT(*) OVER () AS n
+  FROM span)
+SELECT CAST(MAX(n) AS BIGINT) AS n_activated,
+       CAST(MAX(CASE WHEN rk = CAST(CEIL(0.25 * n) AS BIGINT)
+                     THEN ttk_s END) AS BIGINT) AS q1_s,
+       CAST(MAX(CASE WHEN rk = CAST(CEIL(0.50 * n) AS BIGINT)
+                     THEN ttk_s END) AS BIGINT) AS median_s,
+       CAST(MAX(CASE WHEN rk = CAST(CEIL(0.75 * n) AS BIGINT)
+                     THEN ttk_s END) AS BIGINT) AS q3_s
+FROM r
+"""
+
+
+@register("x298_activation_velocity", oracle=_X298_SQL)
+def x298_activation_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activation velocity: rank-exact quartiles of the time from
+    a user's first event to their {k}th — the time-to-value
+    metric onboarding teams move (x163 times the first PURCHASE;
+    this times reaching engaged usage regardless of what the
+    events were). Only users who reached the milestone count —
+    pair with x150's curve for how many never do.
+
+    Integer epoch differences (floored per side, the x162 rule);
+    rank-selected quartiles with user tiebreak.
+
+    Scale: one user window for ranks; the quartile sort runs on
+    the activated-user span list only.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        )
+        .alias("rn"),
+    )
+    a = seq.where(F.col("rn") == 1).select(
+        "user_id", F.col("ts").alias("t1")
+    )
+    b = seq.where(F.col("rn") == _X298_K).select(
+        "user_id", F.col("ts").alias("tk")
+    )
+    span = a.join(b, "user_id").select(
+        "user_id",
+        (
+            F.unix_timestamp("tk") - F.unix_timestamp("t1")
+        ).alias("ttk_s"),
+    )
+    r = span.select(
+        "ttk_s",
+        F.row_number()
+        .over(Window.orderBy("ttk_s", "user_id"))
+        .alias("rk"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+
+    def pick(p: float, name: str):
+        return (
+            F.max(
+                F.when(
+                    F.col("rk")
+                    == F.ceil(F.lit(p) * F.col("n")).cast("bigint"),
+                    F.col("ttk_s"),
+                )
+            )
+            .cast("bigint")
+            .alias(name)
+        )
+
+    return r.agg(
+        F.max("n").cast("bigint").alias("n_activated"),
+        pick(0.25, "q1_s"),
+        pick(0.50, "median_s"),
+        pick(0.75, "q3_s"),
+    )
+
+
+x298_activation_velocity.__doc__ = x298_activation_velocity.__doc__.format(
+    k=_X298_K
+)
