@@ -12511,3 +12511,186 @@ def x298_activation_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
 x298_activation_velocity.__doc__ = x298_activation_velocity.__doc__.format(
     k=_X298_K
 )
+
+
+# ---- x299: order-priority value premium ----
+
+_X299_SQL = """
+WITH t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(CAST(o_totalprice
+         AS DECIMAL(18,2))) AS s
+  FROM orders)
+SELECT o.o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                  AS DOUBLE) / COUNT(*), 2) AS aov,
+       ROUND((CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                   AS DOUBLE) / COUNT(*))
+             / (CAST(t.s AS DOUBLE) / t.n), 6) AS aov_index
+FROM orders o CROSS JOIN t
+GROUP BY o.o_orderpriority, t.s, t.n
+ORDER BY priority
+"""
+
+
+@register("x299_priority_value_premium", oracle=_X299_SQL)
+def x299_priority_value_premium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority value premium: AOV per priority class
+    indexed against the overall AOV — do customers flag their
+    EXPENSIVE orders urgent (index > 1 on high priorities means
+    expedite capacity is protecting the revenue that matters), or
+    is priority uncorrelated with value (then x208's eta² verdict
+    and this one together say the field is pure noise)?
+
+    Exact decimal sums; the index is a ratio of two one-division
+    means.
+
+    Scale: single 5-key agg + 1-row total broadcast.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    t = orders.agg(
+        F.count("*").cast("bigint").alias("nt"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("st"),
+    )
+    aov = F.sum(
+        F.col("o_totalprice").cast("decimal(18,2)")
+    ).cast("double") / F.count("*")
+    return (
+        orders.crossJoin(F.broadcast(t))
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(aov, 2).alias("aov"),
+            F.round(
+                aov
+                / (
+                    F.max(F.col("st")).cast("double")
+                    / F.max(F.col("nt"))
+                ),
+                6,
+            ).alias("aov_index"),
+        )
+        .orderBy("priority")
+    )
+
+
+# ---- x300: annual-report panel ----
+
+_X300_SQL = """
+WITH rev AS (
+  SELECT CAST(YEAR(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+  FROM orders GROUP BY yr),
+firsts AS (
+  SELECT CAST(YEAR(MIN(CAST(o_orderdate AS DATE))) AS BIGINT) AS yr,
+         o_custkey
+  FROM orders GROUP BY o_custkey),
+new_c AS (
+  SELECT yr, CAST(COUNT(*) AS BIGINT) AS n_new FROM firsts
+  GROUP BY yr),
+ship AS (
+  SELECT CAST(YEAR(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS yr,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(DATEDIFF('day', CAST(o.o_orderdate AS DATE),
+                           CAST(l.l_shipdate AS DATE))) AS BIGINT)
+           AS delay_sum,
+         CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_returned
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY yr)
+SELECT r.yr AS year,
+       r.n_orders, r.n_customers, nc.n_new AS new_customers,
+       ROUND(CAST(r.total AS DOUBLE), 2) AS revenue,
+       ROUND(CAST(r.total AS DOUBLE) / r.n_orders, 2) AS aov,
+       ROUND(CAST(nc.n_new AS DOUBLE) / r.n_customers, 6)
+         AS new_customer_share,
+       ROUND(CAST(s.delay_sum AS DOUBLE) / s.n_lines, 4)
+         AS mean_ship_delay_d,
+       ROUND(CAST(s.n_returned AS DOUBLE) / s.n_lines, 6)
+         AS return_line_share
+FROM rev r
+JOIN new_c nc ON r.yr = nc.yr
+JOIN ship s ON r.yr = s.yr
+ORDER BY year
+"""
+
+
+@register("x300_annual_report", oracle=_X300_SQL)
+def x300_annual_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annual-report panel: per year — orders, active and NEW
+    customers, revenue, AOV, new-customer share, mean ship delay,
+    and returned-line share — the one table that anchors a yearly
+    business review, composed from three independently-aggregated
+    fact passes joined on year (x220 is the daily pulse, x248 the
+    quarterly drumbeat; this is the annual close). Every column
+    traces to a dedicated x-series deep dive.
+
+    Exact decimal revenue; integer counts; one division per
+    ratio.
+
+    Scale: three year-grain aggregates (parallel legs) joined on
+    the tiny year key.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    yr = F.year(F.col("o_orderdate").cast("date")).cast("bigint")
+    rev = orders.groupBy(yr.alias("yr")).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+    )
+    firsts = orders.groupBy("o_custkey").agg(
+        F.year(F.min(F.col("o_orderdate").cast("date")))
+        .cast("bigint")
+        .alias("yr")
+    )
+    new_c = firsts.groupBy("yr").agg(
+        F.count("*").cast("bigint").alias("n_new")
+    )
+    ship = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(yr.alias("yr"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(
+                F.datediff(
+                    F.col("l_shipdate").cast("date"),
+                    F.col("o_orderdate").cast("date"),
+                )
+            )
+            .cast("bigint")
+            .alias("delay_sum"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_returned"),
+        )
+    )
+    return (
+        rev.join(F.broadcast(new_c), "yr")
+        .join(F.broadcast(ship), "yr")
+        .select(
+            F.col("yr").alias("year"),
+            "n_orders",
+            "n_customers",
+            F.col("n_new").alias("new_customers"),
+            F.round(F.col("total").cast("double"), 2).alias("revenue"),
+            F.round(
+                F.col("total").cast("double") / F.col("n_orders"), 2
+            ).alias("aov"),
+            F.round(
+                F.col("n_new").cast("double") / F.col("n_customers"), 6
+            ).alias("new_customer_share"),
+            F.round(
+                F.col("delay_sum").cast("double") / F.col("n_lines"), 4
+            ).alias("mean_ship_delay_d"),
+            F.round(
+                F.col("n_returned").cast("double") / F.col("n_lines"),
+                6,
+            ).alias("return_line_share"),
+        )
+        .orderBy("year")
+    )
