@@ -12694,3 +12694,172 @@ def x300_annual_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("year")
     )
+
+
+# ---- x301: source acquisition share shift ----
+
+_X301_SQL = """
+WITH mid AS (
+  SELECT CAST(FLOOR(MAX(doc_id) / 2) AS BIGINT) AS m FROM documents),
+h AS (
+  SELECT d.source,
+         CASE WHEN d.doc_id <= mid.m THEN 'early' ELSE 'late' END
+           AS half
+  FROM documents d CROSS JOIN mid),
+c AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN half = 'early' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_early,
+         CAST(SUM(CASE WHEN half = 'late' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_late
+  FROM h GROUP BY source),
+t AS (
+  SELECT CAST(SUM(n_early) AS BIGINT) AS te,
+         CAST(SUM(n_late) AS BIGINT) AS tl
+  FROM c)
+SELECT c.source, c.n_early, c.n_late,
+       ROUND(CAST(c.n_early AS DOUBLE) / t.te, 6) AS early_share,
+       ROUND(CAST(c.n_late AS DOUBLE) / t.tl, 6) AS late_share,
+       ROUND(CAST(c.n_late AS DOUBLE) / t.tl
+             - CAST(c.n_early AS DOUBLE) / t.te, 6) AS share_delta
+FROM c CROSS JOIN t
+ORDER BY c.source
+"""
+
+
+@register("x301_source_share_shift", oracle=_X301_SQL)
+def x301_source_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source acquisition share shift: each source's share of
+    ingested documents in the early vs late corpus half (doc_id
+    as ingestion order) — a source whose share collapses mid-
+    corpus signals a crawler auth break or robots.txt change, the
+    ingestion-side story behind x175/x242's vocabulary drift.
+
+    Integer counts; three share arithmetic columns from the same
+    exact inputs.
+
+    Scale: narrow half-tag map, source rollup, 1-row totals.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.agg(
+        F.floor(F.max("doc_id") / 2).cast("bigint").alias("m")
+    )
+    h = docs.crossJoin(F.broadcast(mid)).select(
+        "source",
+        F.when(F.col("doc_id") <= F.col("m"), "early")
+        .otherwise("late")
+        .alias("half"),
+    )
+    c = h.groupBy("source").agg(
+        F.sum(F.when(F.col("half") == "early", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_early"),
+        F.sum(F.when(F.col("half") == "late", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_late"),
+    )
+    t = c.agg(
+        F.sum("n_early").cast("bigint").alias("te"),
+        F.sum("n_late").cast("bigint").alias("tl"),
+    )
+    es = F.col("n_early").cast("double") / F.col("te")
+    ls = F.col("n_late").cast("double") / F.col("tl")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "n_early",
+            "n_late",
+            F.round(es, 6).alias("early_share"),
+            F.round(ls, 6).alias("late_share"),
+            F.round(ls - es, 6).alias("share_delta"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---- x302: order-priority mix drift ----
+
+_X302_SQL = """
+WITH m AS (
+  SELECT CAST(YEAR(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+         o_orderpriority AS priority,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY yr, priority),
+tot AS (
+  SELECT yr, CAST(SUM(c) AS BIGINT) AS t FROM m GROUP BY yr),
+ppm AS (
+  SELECT m.priority,
+         CAST(ROW_NUMBER() OVER (PARTITION BY m.priority
+                                 ORDER BY m.yr) AS BIGINT) AS i,
+         (m.c * 1000000) // tot.t AS share_ppm
+  FROM m JOIN tot ON m.yr = tot.yr),
+s AS (
+  SELECT priority,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(i) AS BIGINT) AS sx,
+         CAST(SUM(share_ppm) AS BIGINT) AS sy,
+         CAST(SUM(i * share_ppm) AS BIGINT) AS sxy
+  FROM ppm GROUP BY priority)
+SELECT priority, n AS n_years,
+       ROUND(CAST(sy AS DOUBLE) / n / 10000, 4) AS mean_share_pct,
+       CASE WHEN n * sxy > sx * sy THEN 'growing'
+            WHEN n * sxy < sx * sy THEN 'shrinking'
+            ELSE 'flat' END AS share_trend
+FROM s
+ORDER BY priority
+"""
+
+
+@register("x302_priority_mix_drift", oracle=_X302_SQL)
+def x302_priority_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority mix drift: each priority class's share of
+    yearly orders with the integer ppm slope-sign verdict (x254's
+    machinery on the commerce side) — a growing URGENT share
+    either means customers expect faster fulfillment (capacity
+    signal) or sales discovered the flag forces queue-jumping
+    (process signal); either way x169's SLA table is about to
+    feel it.
+
+    Scale: (year, priority) agg, yearly totals join, per-class
+    moment rollup — calendar- and class-bounded throughout.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.year(F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("yr"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    tot = m.groupBy("yr").agg(F.sum("c").cast("bigint").alias("t"))
+    ppm = m.join(F.broadcast(tot), "yr").select(
+        "priority",
+        F.row_number()
+        .over(Window.partitionBy("priority").orderBy("yr"))
+        .cast("bigint")
+        .alias("i"),
+        F.expr("(c * 1000000) div t").alias("share_ppm"),
+    )
+    s = ppm.groupBy("priority").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("i").cast("bigint").alias("sx"),
+        F.sum("share_ppm").cast("bigint").alias("sy"),
+        F.sum(F.col("i") * F.col("share_ppm"))
+        .cast("bigint")
+        .alias("sxy"),
+    )
+    lhs = F.col("n") * F.col("sxy")
+    rhs = F.col("sx") * F.col("sy")
+    return s.select(
+        "priority",
+        F.col("n").alias("n_years"),
+        F.round(
+            F.col("sy").cast("double") / F.col("n") / 10000, 4
+        ).alias("mean_share_pct"),
+        F.when(lhs > rhs, "growing")
+        .when(lhs < rhs, "shrinking")
+        .otherwise("flat")
+        .alias("share_trend"),
+    ).orderBy("priority")
