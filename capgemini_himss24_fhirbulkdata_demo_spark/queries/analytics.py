@@ -12863,3 +12863,141 @@ def x302_priority_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("flat")
         .alias("share_trend"),
     ).orderBy("priority")
+
+
+# ---- x303: customer lifetime-value inequality ----
+
+_X303_SQL = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+              AS DECIMAL(19,0)) AS c
+  FROM orders GROUP BY o_custkey),
+r AS (
+  SELECT c,
+         CAST(ROW_NUMBER() OVER (ORDER BY c, o_custkey) AS BIGINT)
+           AS i,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n,
+         SUM(c) OVER () AS s
+  FROM spend)
+SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+       ROUND(CAST(MAX(s) AS DOUBLE) / 100, 2) AS total_spend,
+       ROUND(CAST(2 * SUM(i * c) - (MAX(n) + 1) * MAX(s) AS DOUBLE)
+             / (MAX(n) * CAST(MAX(s) AS DOUBLE)), 6) AS spend_gini
+FROM r
+"""
+
+
+@register("x303_customer_value_gini", oracle=_X303_SQL)
+def x303_customer_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-value inequality: the Gini coefficient of
+    total spend across all ordering customers — the single number
+    behind x164's Pareto points and x274's whale club (Gini ~0.3
+    is a broad base; ~0.7 means the business IS its whales, and
+    every retention metric should be value-weighted). Sorted-rank
+    Gini identity over exact cent decimals; the rank product sum
+    widens to DECIMAL(38,0).
+
+    Scale: customer-grain agg, one range-partitioned rank sort,
+    1-row output.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("decimal(19,0)")
+        .alias("c")
+    )
+    r = spend.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy("c", "o_custkey"))
+        .cast("bigint")
+        .alias("i"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("n"),
+        F.sum("c").over(Window.partitionBy()).alias("s"),
+    )
+    return r.agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.round(F.max("s").cast("double") / 100, 2).alias(
+            "total_spend"
+        ),
+        F.round(
+            (
+                2 * F.sum(F.col("i") * F.col("c"))
+                - (F.max("n") + 1) * F.max("s")
+            ).cast("double")
+            / (F.max("n") * F.max("s").cast("double")),
+            6,
+        ).alias("spend_gini"),
+    )
+
+
+# ---- x304: ingestion cadence burstiness per source ----
+
+_X304_SQL = """
+WITH seq AS (
+  SELECT source,
+         doc_id - LAG(doc_id) OVER (PARTITION BY source
+                                    ORDER BY doc_id) AS gap
+  FROM documents),
+g AS (SELECT source, CAST(gap AS BIGINT) AS gap FROM seq
+      WHERE gap IS NOT NULL),
+m AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(gap) AS BIGINT) AS s,
+         CAST(SUM(gap * gap) AS BIGINT) AS ss
+  FROM g GROUP BY source)
+SELECT source, n AS n_gaps,
+       ROUND(CAST(s AS DOUBLE) / n, 4) AS mean_gap,
+       ROUND(((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+               * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+              / (CAST(n AS DOUBLE) - 1))
+             / (CAST(s AS DOUBLE) / n), 4) AS fano_factor
+FROM m
+ORDER BY source
+"""
+
+
+@register("x304_ingest_burstiness", oracle=_X304_SQL)
+def x304_ingest_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion cadence burstiness: the Fano factor (variance-
+    to-mean) of each source's doc_id arrival gaps — ~1 is
+    Poisson-steady trickle, large values are batchy feast-famine
+    ingestion (which x247 detects only when the batches carry
+    duplicates; this sees the cadence itself). The variance
+    comes from exact integer moments (the x180 machinery on
+    positions instead of counts).
+
+    Scale: one source-partitioned lag window over the doc table,
+    source-sized moment rollup.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    seq = docs.select(
+        "source",
+        (
+            F.col("doc_id")
+            - F.lag("doc_id").over(
+                Window.partitionBy("source").orderBy("doc_id")
+            )
+        )
+        .cast("bigint")
+        .alias("gap"),
+    ).where(F.col("gap").isNotNull())
+    m = seq.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("gap").cast("bigint").alias("s"),
+        F.sum(F.col("gap") * F.col("gap")).cast("bigint").alias("ss"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    var = (d("ss") - d("s") * d("s") / d("n")) / (d("n") - 1)
+    return m.select(
+        "source",
+        F.col("n").alias("n_gaps"),
+        F.round(d("s") / F.col("n"), 4).alias("mean_gap"),
+        F.round(var / (d("s") / F.col("n")), 4).alias("fano_factor"),
+    ).orderBy("source")
