@@ -13001,3 +13001,182 @@ def x304_ingest_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(d("s") / F.col("n"), 4).alias("mean_gap"),
         F.round(var / (d("s") / F.col("n")), 4).alias("fano_factor"),
     ).orderBy("source")
+
+
+# ---- x305: material-level revenue rollup ----
+
+_X305_SQL = """
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(6,4))
+                     - CAST(l_discount AS DECIMAL(6,4)))) * 1000000
+              AS DECIMAL(19,0)) AS rev_u
+  FROM lineitem GROUP BY l_partkey),
+mat AS (
+  SELECT p.p_partkey,
+         STRING_SPLIT(p.p_type, ' ')[LEN(STRING_SPLIT(p.p_type, ' '))]
+           AS material
+  FROM part p),
+agg AS (
+  SELECT m.material,
+         CAST(COUNT(*) AS BIGINT) AS n_parts,
+         SUM(r.rev_u) AS rev_u
+  FROM mat m JOIN rev r ON m.p_partkey = r.l_partkey
+  GROUP BY m.material),
+tot AS (SELECT SUM(rev_u) AS t FROM agg)
+SELECT a.material, a.n_parts,
+       ROUND(CAST(a.rev_u AS DOUBLE) / 1000000, 2) AS revenue,
+       ROUND(CAST(a.rev_u AS DOUBLE) / CAST(t.t AS DOUBLE), 6)
+         AS revenue_share
+FROM agg a CROSS JOIN tot t
+ORDER BY a.rev_u DESC, a.material
+"""
+
+
+@register("x305_material_rollup", oracle=_X305_SQL)
+def x305_material_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Material-level revenue rollup: p_type's last token is the
+    material in TPC-H's '<finish> <coating> <material>' template
+    — a hierarchy level the raw type dimension (x262, 150 values)
+    hides; commodity-price exposure lives at the MATERIAL level
+    (what happens to revenue if copper doubles?). Text-derived
+    dimensional rollup: split the dim attribute, aggregate the
+    exact micro-unit fact partials.
+
+    Scale: fact agg at partkey grain first; the split runs on
+    the part dim only; material-sized output.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    disc = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(6,4)") - F.col("l_discount").cast("decimal(6,4)"))
+    )
+    rev = li.groupBy("l_partkey").agg(
+        (F.sum(disc) * 1000000).cast("decimal(19,0)").alias("rev_u")
+    )
+    mat = part.select(
+        "p_partkey",
+        F.element_at(F.split("p_type", " "), -1).alias("material"),
+    )
+    agg = (
+        F.broadcast(mat)
+        .join(rev, mat.p_partkey == rev.l_partkey)
+        .groupBy("material")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.sum("rev_u").alias("rev_u"),
+        )
+    )
+    tot = agg.agg(F.sum("rev_u").alias("t"))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "material",
+            "n_parts",
+            F.round(F.col("rev_u").cast("double") / 1000000, 2).alias(
+                "revenue"
+            ),
+            F.round(
+                F.col("rev_u").cast("double") / F.col("t").cast("double"),
+                6,
+            ).alias("revenue_share"),
+            F.col("rev_u").alias("_o"),
+        )
+        .orderBy(F.desc("_o"), "material")
+        .drop("_o")
+    )
+
+
+# ---- x306: brand loyalist share ----
+
+_X306_SQL = """
+WITH cb AS (
+  SELECT o.o_custkey, p.p_brand,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY o.o_custkey, p.p_brand),
+per_c AS (
+  SELECT o_custkey,
+         CAST(SUM(n) AS BIGINT) AS total,
+         CAST(MAX(n) AS BIGINT) AS top_n
+  FROM cb GROUP BY o_custkey
+  HAVING SUM(n) >= 10),
+fav AS (
+  SELECT cb.o_custkey, MIN(cb.p_brand) AS fav_brand
+  FROM cb JOIN per_c p ON cb.o_custkey = p.o_custkey
+  WHERE cb.n = p.top_n
+  GROUP BY cb.o_custkey),
+cls AS (
+  SELECT f.fav_brand,
+         CASE WHEN 2 * p.top_n >= p.total THEN 1 ELSE 0 END AS loyal
+  FROM per_c p JOIN fav f ON p.o_custkey = f.o_custkey)
+SELECT fav_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_fans,
+       CAST(SUM(loyal) AS BIGINT) AS n_loyalists,
+       ROUND(CAST(SUM(loyal) AS DOUBLE) / COUNT(*), 6)
+         AS loyalist_share
+FROM cls
+GROUP BY fav_brand
+ORDER BY fav_brand
+"""
+
+
+@register("x306_brand_loyalists", oracle=_X306_SQL)
+def x306_brand_loyalists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand loyalist census: customers (≥10 lines) whose top
+    brand carries at least half their purchase lines, counted
+    under that favorite brand — which brands own their customers
+    vs merely renting them (the demand-side complement of x266's
+    market dependence; a brand with fans prices differently).
+    The loyalty gate is an integer cross-multiplication
+    (2·top ≥ total); the favorite breaks count-ties lexically.
+
+    Scale: (customer, brand) agg → customer rollup → brand
+    census, each strictly smaller; all joins custkey-co-keyed.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    cb = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("o_custkey", "p_brand")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    per_c = (
+        cb.groupBy("o_custkey")
+        .agg(
+            F.sum("n").cast("bigint").alias("total"),
+            F.max("n").cast("bigint").alias("top_n"),
+        )
+        .where(F.col("total") >= 10)
+    )
+    fav = (
+        cb.join(per_c, "o_custkey")
+        .where(F.col("n") == F.col("top_n"))
+        .groupBy("o_custkey")
+        .agg(F.min("p_brand").alias("fav_brand"))
+    )
+    cls = per_c.join(fav, "o_custkey").select(
+        "fav_brand",
+        F.when(
+            2 * F.col("top_n") >= F.col("total"), 1
+        )
+        .otherwise(0)
+        .alias("loyal"),
+    )
+    return (
+        cls.groupBy("fav_brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n_fans"),
+            F.sum("loyal").cast("bigint").alias("n_loyalists"),
+            F.round(
+                F.sum("loyal").cast("double") / F.count("*"), 6
+            ).alias("loyalist_share"),
+        )
+        .orderBy("fav_brand")
+    )
