@@ -13180,3 +13180,189 @@ def x306_brand_loyalists(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fav_brand")
     )
+
+
+# ---- x307: finish x coating revenue matrix ----
+
+_X307_SQL = """
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(6,4))
+                     - CAST(l_discount AS DECIMAL(6,4)))) * 1000000
+              AS DECIMAL(19,0)) AS rev_u
+  FROM lineitem GROUP BY l_partkey),
+dims AS (
+  SELECT p_partkey,
+         STRING_SPLIT(p_type, ' ')[1] AS finish,
+         STRING_SPLIT(p_type, ' ')[2] AS coating
+  FROM part),
+agg AS (
+  SELECT d.finish, d.coating,
+         CAST(COUNT(*) AS BIGINT) AS n_parts,
+         SUM(r.rev_u) AS rev_u
+  FROM dims d JOIN rev r ON d.p_partkey = r.l_partkey
+  GROUP BY d.finish, d.coating),
+tot AS (SELECT SUM(rev_u) AS t FROM agg)
+SELECT a.finish, a.coating, a.n_parts,
+       ROUND(CAST(a.rev_u AS DOUBLE) / 1000000, 2) AS revenue,
+       ROUND(CAST(a.rev_u AS DOUBLE) / CAST(t.t AS DOUBLE), 6)
+         AS revenue_share
+FROM agg a CROSS JOIN tot t
+ORDER BY a.finish, a.coating
+"""
+
+
+@register("x307_finish_coating_matrix", oracle=_X307_SQL)
+def x307_finish_coating_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finish x coating revenue matrix: the other two levels of
+    the p_type template ('<finish> <coating> <material>') crossed
+    — with x305's material axis this completes the derived
+    3-level product hierarchy the flat 150-value type code
+    obscures, and the matrix shape exposes process-combination
+    winners (is ANODIZED only valuable when BRUSHED?).
+
+    Scale: fact partials at partkey grain; the split and
+    cross-tab run on the part dim; matrix-sized output.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    disc = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(6,4)") - F.col("l_discount").cast("decimal(6,4)"))
+    )
+    rev = li.groupBy("l_partkey").agg(
+        (F.sum(disc) * 1000000).cast("decimal(19,0)").alias("rev_u")
+    )
+    dims = part.select(
+        "p_partkey",
+        F.element_at(F.split("p_type", " "), 1).alias("finish"),
+        F.element_at(F.split("p_type", " "), 2).alias("coating"),
+    )
+    agg = (
+        F.broadcast(dims)
+        .join(rev, dims.p_partkey == rev.l_partkey)
+        .groupBy("finish", "coating")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.sum("rev_u").alias("rev_u"),
+        )
+    )
+    tot = agg.agg(F.sum("rev_u").alias("t"))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "finish",
+            "coating",
+            "n_parts",
+            F.round(F.col("rev_u").cast("double") / 1000000, 2).alias(
+                "revenue"
+            ),
+            F.round(
+                F.col("rev_u").cast("double") / F.col("t").cast("double"),
+                6,
+            ).alias("revenue_share"),
+        )
+        .orderBy("finish", "coating")
+    )
+
+
+# ---- x308: regional material preferences ----
+
+_X308_SQL = """
+WITH rev AS (
+  SELECT n.n_name AS nation,
+         STRING_SPLIT(p.p_type, ' ')[LEN(STRING_SPLIT(p.p_type, ' '))]
+           AS material,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(6,4))
+                     - CAST(l.l_discount AS DECIMAL(6,4)))) * 1000000
+              AS DECIMAL(19,0)) AS rev_u
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY nation, material),
+rk AS (
+  SELECT nation, material, rev_u,
+         ROW_NUMBER() OVER (PARTITION BY nation
+                            ORDER BY rev_u DESC, material) AS rn,
+         SUM(rev_u) OVER (PARTITION BY nation) AS tot_u
+  FROM rev)
+SELECT nation, material AS top_material,
+       ROUND(CAST(rev_u AS DOUBLE) / CAST(tot_u AS DOUBLE), 6)
+         AS material_share
+FROM rk
+WHERE rn = 1
+ORDER BY nation
+"""
+
+
+@register("x308_regional_materials", oracle=_X308_SQL)
+def x308_regional_materials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regional material preferences: each customer nation's top
+    material by revenue with its share — regional taste (or
+    regulation) mapped onto x305's derived hierarchy; uniform
+    top materials everywhere mean central assortment planning
+    works, divergent ones justify regional buyers.
+
+    Rank pick with material tiebreak over exact micro-units.
+
+    Scale: fact agg at (nation, material) grain, per-nation rank
+    window, 25-row output.
+    """
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+    disc = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(6,4)") - F.col("l_discount").cast("decimal(6,4)"))
+    )
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.element_at(F.split("p_type", " "), -1).alias("material"),
+        )
+        .agg(
+            (F.sum(disc) * 1000000)
+            .cast("decimal(19,0)")
+            .alias("rev_u")
+        )
+    )
+    rk = rev.select(
+        "nation",
+        "material",
+        "rev_u",
+        F.row_number()
+        .over(
+            Window.partitionBy("nation").orderBy(
+                F.desc("rev_u"), "material"
+            )
+        )
+        .alias("rn"),
+        F.sum("rev_u")
+        .over(Window.partitionBy("nation"))
+        .alias("tot_u"),
+    )
+    return (
+        rk.where(F.col("rn") == 1)
+        .select(
+            "nation",
+            F.col("material").alias("top_material"),
+            F.round(
+                F.col("rev_u").cast("double")
+                / F.col("tot_u").cast("double"),
+                6,
+            ).alias("material_share"),
+        )
+        .orderBy("nation")
+    )
