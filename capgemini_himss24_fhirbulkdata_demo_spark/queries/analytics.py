@@ -13366,3 +13366,169 @@ def x308_regional_materials(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# ---- x309: weekday ordering habit strength ----
+
+_X309_SQL = """
+WITH cd AS (
+  SELECT o_custkey,
+         CAST(DAYOFWEEK(CAST(o_orderdate AS DATE)) + 1 AS BIGINT)
+           AS dow,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY o_custkey, dow),
+per_c AS (
+  SELECT o_custkey,
+         CAST(SUM(n) AS BIGINT) AS total,
+         CAST(MAX(n) AS BIGINT) AS top_n
+  FROM cd GROUP BY o_custkey
+  HAVING SUM(n) >= 8),
+cls AS (
+  SELECT CASE WHEN 2 * top_n >= total THEN 'habitual'
+              ELSE 'spread' END AS habit_class
+  FROM per_c),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM cls)
+SELECT habit_class,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT nt FROM t), 6)
+         AS customer_share
+FROM cls
+GROUP BY habit_class
+ORDER BY habit_class
+"""
+
+
+@register("x309_weekday_habit", oracle=_X309_SQL)
+def x309_weekday_habit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday ordering habit: customers (≥8 orders) whose modal
+    weekday carries at least half their orders ('habitual') vs
+    spread-out orderers — habitual customers are schedulable
+    (replenishment reminders on THEIR day); the x306 loyalty
+    construction on the time axis instead of the brand axis.
+    Integer cross-multiplied gate; DuckDB DAYOFWEEK offset per
+    the x161 rule.
+
+    Scale: (customer, dow) agg → customer rollup → 2-row census.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cd = orders.groupBy(
+        "o_custkey",
+        F.dayofweek(F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("dow"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    per_c = (
+        cd.groupBy("o_custkey")
+        .agg(
+            F.sum("n").cast("bigint").alias("total"),
+            F.max("n").cast("bigint").alias("top_n"),
+        )
+        .where(F.col("total") >= 8)
+    )
+    cls = per_c.select(
+        F.when(2 * F.col("top_n") >= F.col("total"), "habitual")
+        .otherwise("spread")
+        .alias("habit_class")
+    )
+    t = cls.agg(F.count("*").cast("bigint").alias("nt"))
+    return (
+        cls.groupBy("habit_class")
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "habit_class",
+            "n_customers",
+            F.round(
+                F.col("n_customers").cast("double") / F.col("nt"), 6
+            ).alias("customer_share"),
+        )
+        .orderBy("habit_class")
+    )
+
+
+# ---- x310: corpus-readiness gate ----
+
+_X310_SQL = """
+WITH fp AS (
+  SELECT source, lang,
+         MD5(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS f
+  FROM documents),
+dup AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) - COUNT(DISTINCT f) AS BIGINT) AS n_dup
+  FROM fp),
+langmin AS (
+  SELECT CAST(MIN(cnt) AS BIGINT) AS min_lang_docs
+  FROM (SELECT COUNT(*) AS cnt FROM fp GROUP BY lang) l),
+srcmin AS (
+  SELECT CAST(MIN(cnt) AS BIGINT) AS min_source_docs
+  FROM (SELECT COUNT(*) AS cnt FROM fp GROUP BY source) s),
+checks AS (
+  SELECT 'dup_rate_under_5pct' AS check_name,
+         CAST(d.n_dup AS BIGINT) AS observed,
+         20 * d.n_dup <= d.n_docs AS passed
+  FROM dup d
+  UNION ALL
+  SELECT 'every_lang_ge_50_docs', l.min_lang_docs,
+         l.min_lang_docs >= 50
+  FROM langmin l
+  UNION ALL
+  SELECT 'every_source_ge_10_docs', s.min_source_docs,
+         s.min_source_docs >= 10
+  FROM srcmin s)
+SELECT check_name, observed, passed
+FROM checks
+ORDER BY check_name
+"""
+
+
+@register("x310_corpus_readiness_gate", oracle=_X310_SQL)
+def x310_corpus_readiness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-readiness gate: the x280 data-contract pattern on
+    the training-corpus side — exact-dup rate under 5% (integer
+    cross-multiplied: 20·dups ≤ docs), every language and every
+    source above minimum viable document counts. A false row
+    blocks the corpus from entering x40's prepare pipeline, with
+    the observed number telling the operator how far off it is.
+
+    Scale: one fingerprint aggregate + two group-count minima —
+    three parallel legs, 3-row output.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace("text", r"\s+", " "))
+    fp = docs.select(
+        "source", "lang", F.md5(norm.cast("binary")).alias("f")
+    )
+    dup = fp.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (F.count("*") - F.countDistinct("f"))
+        .cast("bigint")
+        .alias("n_dup"),
+    ).select(
+        F.lit("dup_rate_under_5pct").alias("check_name"),
+        F.col("n_dup").alias("observed"),
+        (20 * F.col("n_dup") <= F.col("n_docs")).alias("passed"),
+    )
+    langmin = (
+        fp.groupBy("lang")
+        .count()
+        .agg(F.min("count").cast("bigint").alias("m"))
+        .select(
+            F.lit("every_lang_ge_50_docs").alias("check_name"),
+            F.col("m").alias("observed"),
+            (F.col("m") >= 50).alias("passed"),
+        )
+    )
+    srcmin = (
+        fp.groupBy("source")
+        .count()
+        .agg(F.min("count").cast("bigint").alias("m"))
+        .select(
+            F.lit("every_source_ge_10_docs").alias("check_name"),
+            F.col("m").alias("observed"),
+            (F.col("m") >= 10).alias("passed"),
+        )
+    )
+    return (
+        dup.unionByName(langmin).unionByName(srcmin).orderBy("check_name")
+    )
