@@ -13532,3 +13532,158 @@ def x310_corpus_readiness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         dup.unionByName(langmin).unionByName(srcmin).orderBy("check_name")
     )
+
+
+# ---- x311: value-per-event drift by type ----
+
+_X311_SQL = """
+WITH m AS (
+  SELECT event_type,
+         STRFTIME(DATE_TRUNC('month', CAST(ts AS DATE)), '%Y-%m')
+           AS month,
+         CAST(SUM(CAST(value AS DECIMAL(18,6)) * 1000000
+                  ) AS DECIMAL(38,0)) AS v_u,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, month),
+ppm AS (
+  SELECT event_type,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY month) AS BIGINT) AS i,
+         CAST(v_u AS BIGINT) // n AS mean_u
+  FROM m),
+s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS nm,
+         CAST(SUM(i) AS BIGINT) AS sx,
+         CAST(SUM(mean_u) AS BIGINT) AS sy,
+         CAST(SUM(i * mean_u) AS BIGINT) AS sxy
+  FROM ppm GROUP BY event_type)
+SELECT event_type, nm AS n_months,
+       ROUND(CAST(sy AS DOUBLE) / nm / 1000000, 4) AS mean_value,
+       CASE WHEN nm * sxy > sx * sy THEN 'rising'
+            WHEN nm * sxy < sx * sy THEN 'falling'
+            ELSE 'flat' END AS value_trend
+FROM s
+ORDER BY event_type
+"""
+
+
+@register("x311_value_drift", oracle=_X311_SQL)
+def x311_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-per-event drift: each event type's monthly mean value
+    quantized to integer micro-units (floor division of the exact
+    decimal sum) and classified rising/falling/flat by the
+    integer slope-sign rule — monetization drift per
+    instrumentation channel, the dollars companion to x254's
+    volume-mix drift. No float enters the trend decision.
+
+    Scale: (type, month) agg, per-type moment rollup.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy(
+        "event_type",
+        F.date_format(
+            F.date_trunc("month", F.col("ts").cast("date")), "yyyy-MM"
+        ).alias("month"),
+    ).agg(
+        (F.sum(F.col("value").cast("decimal(18,6)")) * 1000000)
+        .cast("decimal(38,0)")
+        .alias("v_u"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    ppm = m.select(
+        "event_type",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("month"))
+        .cast("bigint")
+        .alias("i"),
+        F.expr("CAST(v_u AS BIGINT) div n").alias("mean_u"),
+    )
+    s = ppm.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("nm"),
+        F.sum("i").cast("bigint").alias("sx"),
+        F.sum("mean_u").cast("bigint").alias("sy"),
+        F.sum(F.col("i") * F.col("mean_u"))
+        .cast("bigint")
+        .alias("sxy"),
+    )
+    lhs = F.col("nm") * F.col("sxy")
+    rhs = F.col("sx") * F.col("sy")
+    return s.select(
+        "event_type",
+        F.col("nm").alias("n_months"),
+        F.round(
+            F.col("sy").cast("double") / F.col("nm") / 1000000, 4
+        ).alias("mean_value"),
+        F.when(lhs > rhs, "rising")
+        .when(lhs < rhs, "falling")
+        .otherwise("flat")
+        .alias("value_trend"),
+    ).orderBy("event_type")
+
+
+# ---- x312: brand price dispersion ----
+
+_X312_SQL = """
+WITH c AS (
+  SELECT p_brand,
+         CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_c
+  FROM part),
+m AS (
+  SELECT p_brand,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(price_c) AS BIGINT) AS s,
+         CAST(SUM(price_c * price_c) AS BIGINT) AS ss
+  FROM c GROUP BY p_brand)
+SELECT p_brand, n AS n_parts,
+       CAST((2 * s + n) // (2 * n) AS DOUBLE) / 100 AS mean_price,
+       ROUND(SQRT((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+                   * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                  / (CAST(n AS DOUBLE) - 1))
+             / (CAST(s AS DOUBLE) / n), 6) AS price_cv
+FROM m
+ORDER BY price_cv DESC, p_brand
+"""
+
+
+@register("x312_brand_price_dispersion", oracle=_X312_SQL)
+def x312_brand_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand price dispersion: coefficient of variation of each
+    brand's retail prices — a tight CV is a focused price
+    position (x253 tells WHERE it sits), a wide one is a brand
+    stretched across tiers that probably needs sub-branding;
+    read with x236's ladder gaps to see whether the spread is
+    continuous or has holes. Integer cent moments; the displayed
+    mean uses the x201 integer half-up division (half-cent ROUND
+    ties diverge across engines); one sqrt-over-division CV.
+
+    Scale: dim-only moment aggregate, brand-sized output.
+    """
+    part = load_table(spark, sf_dir, "part")
+    c = part.select(
+        "p_brand",
+        F.round(F.col("p_retailprice") * 100)
+        .cast("bigint")
+        .alias("price_c"),
+    )
+    m = c.groupBy("p_brand").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("price_c").cast("bigint").alias("s"),
+        F.sum(F.col("price_c") * F.col("price_c"))
+        .cast("bigint")
+        .alias("ss"),
+    )
+    d = lambda col: F.col(col).cast("double")  # noqa: E731
+    cv = F.sqrt(
+        (d("ss") - d("s") * d("s") / d("n")) / (d("n") - 1)
+    ) / (d("s") / F.col("n"))
+    return m.select(
+        "p_brand",
+        F.col("n").alias("n_parts"),
+        (
+            F.expr("(2 * s + n) div (2 * n)").cast("double") / 100
+        ).alias("mean_price"),
+        F.round(cv, 6).alias("price_cv"),
+    ).orderBy(F.desc("price_cv"), "p_brand")
