@@ -13687,3 +13687,135 @@ def x312_brand_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_price"),
         F.round(cv, 6).alias("price_cv"),
     ).orderBy(F.desc("price_cv"), "p_brand")
+
+
+# ---- x313: supplier-nation span per order ----
+
+_X313_SQL = """
+WITH span AS (
+  SELECT l.l_orderkey,
+         CAST(COUNT(DISTINCT s.s_nationkey) AS BIGINT) AS n_nations
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY l.l_orderkey),
+j AS (
+  SELECT c.c_mktsegment AS segment, sp.n_nations
+  FROM span sp
+  JOIN orders o ON sp.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey)
+SELECT segment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(n_nations) AS DOUBLE) / COUNT(*), 4)
+         AS avg_supplier_nations,
+       CAST(SUM(CASE WHEN n_nations = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_single_nation,
+       ROUND(CAST(SUM(CASE WHEN n_nations = 1 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS single_nation_share
+FROM j
+GROUP BY segment
+ORDER BY segment
+"""
+
+
+@register("x313_supply_span", oracle=_X313_SQL)
+def x313_supply_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-nation span per order: how many supplier countries
+    an average order's lines pull from, by customer segment — each
+    extra nation is a customs lane and a consolidation point, so
+    this is the fulfillment-complexity (and trade-exposure) read
+    on the demand mix; the order-level drill-down of x133's
+    nation-pair trade matrix.
+
+    Integer distinct counts; two ratios per segment.
+
+    Scale: orderkey-grain distinct agg, co-keyed orders join, dim
+    broadcasts, 5-row rollup.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    span = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("s_nationkey")
+            .cast("bigint")
+            .alias("n_nations")
+        )
+    )
+    j = (
+        span.join(orders, span.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(F.col("c_mktsegment").alias("segment"), "n_nations")
+    )
+    single = F.sum(
+        F.when(F.col("n_nations") == 1, 1).otherwise(0)
+    )
+    return (
+        j.groupBy("segment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(
+                F.sum("n_nations").cast("double") / F.count("*"), 4
+            ).alias("avg_supplier_nations"),
+            single.cast("bigint").alias("n_single_nation"),
+            F.round(
+                single.cast("double") / F.count("*"), 6
+            ).alias("single_nation_share"),
+        )
+        .orderBy("segment")
+    )
+
+
+# ---- x314: per-type daily burst factor ----
+
+_X314_SQL = """
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, day),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(n) AS BIGINT) AS total,
+         CAST(MAX(n) AS BIGINT) AS peak
+  FROM d GROUP BY event_type)
+SELECT event_type, n_days, total AS n_events, peak AS peak_day_events,
+       ROUND(CAST(peak AS DOUBLE) * n_days / total, 4)
+         AS burst_factor
+FROM m
+ORDER BY event_type
+"""
+
+
+@register("x314_daily_burst_factor", oracle=_X314_SQL)
+def x314_daily_burst_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily burst factor: peak-day volume over the mean
+    day (peak·days/total — one division, no intermediate float
+    mean) — which instrumentation channels spike (errors during
+    an incident, signups during a campaign) and therefore need
+    headroom rather than average-sized pipes; the per-type,
+    day-grain refinement of x284's global per-minute peaks.
+
+    Scale: (type, day) agg + type rollup.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    m = d.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("n").cast("bigint").alias("total"),
+        F.max("n").cast("bigint").alias("peak"),
+    )
+    return m.select(
+        "event_type",
+        "n_days",
+        F.col("total").alias("n_events"),
+        F.col("peak").alias("peak_day_events"),
+        F.round(
+            F.col("peak").cast("double") * F.col("n_days")
+            / F.col("total"),
+            4,
+        ).alias("burst_factor"),
+    ).orderBy("event_type")
