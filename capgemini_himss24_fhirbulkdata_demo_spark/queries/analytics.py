@@ -13819,3 +13819,192 @@ def x314_daily_burst_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("burst_factor"),
     ).orderBy("event_type")
+
+
+# ---- x315: brand-discovery curve ----
+
+_X315_SQL = """
+WITH lines AS (
+  SELECT o.o_custkey, p.p_brand, o.o_orderdate, o.o_orderkey,
+         l.l_linenumber
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey),
+flags AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         CASE WHEN ROW_NUMBER() OVER (
+                PARTITION BY o_custkey, p_brand
+                ORDER BY o_orderdate, o_orderkey, l_linenumber) = 1
+              THEN 1 ELSE 0 END AS is_discovery
+  FROM lines),
+seq AS (
+  SELECT is_discovery,
+         DENSE_RANK() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey)
+           AS order_no
+  FROM flags),
+b AS (
+  SELECT CASE WHEN order_no = 1 THEN 'a_order_1'
+              WHEN order_no <= 3 THEN 'b_orders_2_3'
+              WHEN order_no <= 6 THEN 'c_orders_4_6'
+              ELSE 'd_orders_7plus' END AS order_bucket,
+         is_discovery
+  FROM seq)
+SELECT order_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(is_discovery) AS BIGINT) AS n_discoveries,
+       ROUND(CAST(SUM(is_discovery) AS DOUBLE) / COUNT(*), 6)
+         AS discovery_rate
+FROM b
+GROUP BY order_bucket
+ORDER BY order_bucket
+"""
+
+
+@register("x315_brand_discovery", oracle=_X315_SQL)
+def x315_brand_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand-discovery curve: the share of order lines that are a
+    customer's FIRST purchase of that brand, bucketed by order
+    sequence number — the explore→exploit curve (fast decay means
+    early orders fix the repertoire and cross-sell must happen in
+    orders 1-3 or never; a flat curve means discovery never
+    stops). First-time flags via a (customer, brand) window rank;
+    order numbers via dense_rank over order dates.
+
+    Integer flags; one rate per bucket.
+
+    Scale: two windows sharing the custkey partitioning, 4-bucket
+    rollup.
+    """
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    lines = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(
+            "o_custkey",
+            "p_brand",
+            "o_orderdate",
+            "o_orderkey",
+            "l_linenumber",
+        )
+    )
+    flags = lines.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.when(
+            F.row_number().over(
+                Window.partitionBy("o_custkey", "p_brand").orderBy(
+                    "o_orderdate", "o_orderkey", "l_linenumber"
+                )
+            )
+            == 1,
+            1,
+        )
+        .otherwise(0)
+        .alias("is_discovery"),
+    )
+    seq = flags.select(
+        "is_discovery",
+        F.dense_rank()
+        .over(
+            Window.partitionBy("o_custkey").orderBy(
+                "o_orderdate", "o_orderkey"
+            )
+        )
+        .alias("order_no"),
+    )
+    b = seq.select(
+        F.when(F.col("order_no") == 1, "a_order_1")
+        .when(F.col("order_no") <= 3, "b_orders_2_3")
+        .when(F.col("order_no") <= 6, "c_orders_4_6")
+        .otherwise("d_orders_7plus")
+        .alias("order_bucket"),
+        "is_discovery",
+    )
+    return (
+        b.groupBy("order_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum("is_discovery").cast("bigint").alias("n_discoveries"),
+            F.round(
+                F.sum("is_discovery").cast("double") / F.count("*"), 6
+            ).alias("discovery_rate"),
+        )
+        .orderBy("order_bucket")
+    )
+
+
+# ---- x316: error-volume coupling ----
+
+_X316_SQL = """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY day),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM d)
+SELECT n AS n_days,
+       ROUND(CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE), 6)
+         AS overall_error_rate,
+       ROUND(
+         (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                                / CAST(n AS DOUBLE))
+         / (SQRT(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                 * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+            * SQRT(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                   * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))),
+         6) AS volume_error_corr
+FROM s
+"""
+
+
+@register("x316_error_volume_coupling", oracle=_X316_SQL)
+def x316_error_volume_coupling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-volume coupling: correlation between daily event
+    volume and daily error count — near 1 means errors are a
+    constant tax that scales with load (capacity problem); near 0
+    means they spike independently (deploys and incidents, x113's
+    alerts are the tool); exactly the triage split an on-call
+    lead wants. Exact integer day moments.
+
+    Scale: day-grain agg, 1-row moment reduce.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").cast("bigint").alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+    s = d.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    dd = lambda c: F.col(c).cast("double")  # noqa: E731
+    r = (dd("sxy") - dd("sx") * dd("sy") / dd("n")) / (
+        F.sqrt(dd("sxx") - dd("sx") * dd("sx") / dd("n"))
+        * F.sqrt(dd("syy") - dd("sy") * dd("sy") / dd("n"))
+    )
+    return s.select(
+        F.col("n").alias("n_days"),
+        F.round(dd("sy") / dd("sx"), 6).alias("overall_error_rate"),
+        F.round(r, 6).alias("volume_error_corr"),
+    )
