@@ -14008,3 +14008,152 @@ def x316_error_volume_coupling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dd("sy") / dd("sx"), 6).alias("overall_error_rate"),
         F.round(r, 6).alias("volume_error_corr"),
     )
+
+
+# ---- x317: discount depth by basket size ----
+
+_X317_SQL = """
+WITH ob AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS units,
+         CAST(SUM(CAST(ROUND(l_discount * 10000) AS BIGINT)) AS BIGINT)
+           AS bps_sum,
+         CAST(COUNT(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY l_orderkey),
+b AS (
+  SELECT CASE WHEN units <= 50 THEN 'a_small_le50'
+              WHEN units <= 150 THEN 'b_mid_51_150'
+              ELSE 'c_large_151plus' END AS size_bucket,
+         bps_sum, n_lines
+  FROM ob)
+SELECT size_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(bps_sum) AS DOUBLE) / SUM(n_lines) / 100, 4)
+         AS avg_discount_pct
+FROM b
+GROUP BY size_bucket
+ORDER BY size_bucket
+"""
+
+
+@register("x317_discount_by_size", oracle=_X317_SQL)
+def x317_discount_by_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount depth by basket size: average line discount for
+    small, mid, and large orders (by total units) — rising depth
+    with size is volume pricing working as designed; flat depth
+    says big buyers aren't negotiating (margin opportunity or
+    churn risk, depending which side of the table you sit).
+    Discounts accumulate as integer basis points; the average is
+    one division chain on exact sums.
+
+    Scale: orderkey-grain agg, 3-bucket rollup.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ob = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint"))
+        .cast("bigint")
+        .alias("units"),
+        F.sum(F.round(F.col("l_discount") * 10000).cast("bigint"))
+        .cast("bigint")
+        .alias("bps_sum"),
+        F.count("*").cast("bigint").alias("n_lines"),
+    )
+    b = ob.select(
+        F.when(F.col("units") <= 50, "a_small_le50")
+        .when(F.col("units") <= 150, "b_mid_51_150")
+        .otherwise("c_large_151plus")
+        .alias("size_bucket"),
+        "bps_sum",
+        "n_lines",
+    )
+    return (
+        b.groupBy("size_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(
+                F.sum("bps_sum").cast("double")
+                / F.sum("n_lines")
+                / 100,
+                4,
+            ).alias("avg_discount_pct"),
+        )
+        .orderBy("size_bucket")
+    )
+
+
+# ---- x318: peak traffic cell per event type ----
+
+_X318_SQL = """
+WITH cell AS (
+  SELECT event_type,
+         CAST(DAYOFWEEK(CAST(ts AS DATE)) + 1 AS BIGINT) AS dow,
+         CAST(HOUR(ts) AS BIGINT) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, dow, hr),
+rk AS (
+  SELECT event_type, dow, hr, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, dow, hr) AS rn,
+         SUM(n) OVER (PARTITION BY event_type) AS tot,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_cells
+  FROM cell)
+SELECT event_type, dow AS peak_dow, hr AS peak_hour,
+       n AS peak_events,
+       ROUND(CAST(n AS DOUBLE) * n_cells / tot, 4)
+         AS peak_over_mean
+FROM rk
+WHERE rn = 1
+ORDER BY event_type
+"""
+
+
+@register("x318_peak_cell", oracle=_X318_SQL)
+def x318_peak_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak traffic cell per event type: the (weekday, hour) cell
+    with the most events, and how far above the mean cell it
+    runs — the argmax summary of x123's full heatmap (the
+    heatmap goes on the wall; this row goes in the on-call
+    runbook: "errors peak Tuesday 14:00 at 3.1x mean"). Rank
+    pick with (dow, hour) tiebreak; peak-over-mean multiplies
+    before dividing (no intermediate mean float).
+
+    Scale: (type, dow, hour) agg — ≤ 840 cells — then a per-type
+    rank.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        "event_type",
+        F.dayofweek(F.col("ts").cast("date"))
+        .cast("bigint")
+        .alias("dow"),
+        F.hour("ts").cast("bigint").alias("hr"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    w = Window.partitionBy("event_type")
+    rk = cell.select(
+        "event_type",
+        "dow",
+        "hr",
+        "n",
+        F.row_number()
+        .over(w.orderBy(F.desc("n"), "dow", "hr"))
+        .alias("rn"),
+        F.sum("n").over(w).alias("tot"),
+        F.count("*").over(w).alias("n_cells"),
+    )
+    return (
+        rk.where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("dow").alias("peak_dow"),
+            F.col("hr").alias("peak_hour"),
+            F.col("n").alias("peak_events"),
+            F.round(
+                F.col("n").cast("double") * F.col("n_cells")
+                / F.col("tot"),
+                4,
+            ).alias("peak_over_mean"),
+        )
+        .orderBy("event_type")
+    )
