@@ -14157,3 +14157,191 @@ def x318_peak_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---- x319: top-10-day revenue dependence per year ----
+
+_X319_SQL = """
+WITH d AS (
+  SELECT CAST(YEAR(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+         CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+              AS DECIMAL(19,0)) AS c
+  FROM orders GROUP BY yr, day),
+rk AS (
+  SELECT yr, c,
+         ROW_NUMBER() OVER (PARTITION BY yr
+                            ORDER BY c DESC, day) AS rn,
+         SUM(c) OVER (PARTITION BY yr) AS tot,
+         COUNT(*) OVER (PARTITION BY yr) AS n_days
+  FROM d)
+SELECT yr AS year,
+       CAST(MAX(n_days) AS BIGINT) AS n_days,
+       ROUND(CAST(SUM(CASE WHEN rn <= 10 THEN c
+                           ELSE CAST(0 AS DECIMAL(19,0)) END)
+                  AS DOUBLE)
+             / CAST(MAX(tot) AS DOUBLE), 6) AS top10day_share
+FROM rk
+GROUP BY yr
+ORDER BY year
+"""
+
+
+@register("x319_peak_day_dependence", oracle=_X319_SQL)
+def x319_peak_day_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10-day revenue dependence: the share of each year's
+    revenue earned on its 10 biggest days — an event-driven
+    business (Black-Friday-shaped) runs high and must nail those
+    days operationally; a steady-state one runs near 10/365.
+    Rank pick per year with a day tiebreak over exact decimal
+    cents; conditional sum in the same pass.
+
+    Scale: day-grain agg, per-year rank window, years-sized
+    output.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.groupBy(
+        F.year(F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("yr"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("decimal(19,0)")
+        .alias("c")
+    )
+    w = Window.partitionBy("yr")
+    rk = d.select(
+        "yr",
+        "c",
+        F.row_number()
+        .over(w.orderBy(F.desc("c"), "day"))
+        .alias("rn"),
+        F.sum("c").over(w).alias("tot"),
+        F.count("*").over(w).alias("n_days"),
+    )
+    zero = F.lit(0).cast("decimal(19,0)")
+    return (
+        rk.groupBy(F.col("yr").alias("year"))
+        .agg(
+            F.max("n_days").cast("bigint").alias("n_days"),
+            F.round(
+                F.sum(
+                    F.when(F.col("rn") <= 10, F.col("c")).otherwise(
+                        zero
+                    )
+                ).cast("double")
+                / F.max("tot").cast("double"),
+                6,
+            ).alias("top10day_share"),
+        )
+        .orderBy("year")
+    )
+
+
+# ---- x320: business-continuity gate ----
+
+_X320_SQL = """
+WITH q AS (
+  SELECT CAST(YEAR(CAST(o_orderdate AS DATE)) AS BIGINT) * 10
+           + CAST(QUARTER(CAST(o_orderdate AS DATE)) AS BIGINT)
+           AS yq,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+              AS DECIMAL(19,0)) AS c,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust
+  FROM orders GROUP BY yq),
+med AS (
+  SELECT c AS med_c FROM (
+    SELECT c, ROW_NUMBER() OVER (ORDER BY c, yq) AS rn,
+           COUNT(*) OVER () AS n
+    FROM q) r
+  WHERE rn = CAST(CEIL(0.50 * n) AS BIGINT)),
+checks AS (
+  SELECT 'every_quarter_has_revenue' AS check_name,
+         CAST(SUM(CASE WHEN c <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violations
+  FROM q
+  UNION ALL
+  SELECT 'every_quarter_ge_100_customers',
+         CAST(SUM(CASE WHEN n_cust < 100 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM q
+  UNION ALL
+  SELECT 'no_quarter_below_half_median',
+         CAST(SUM(CASE WHEN 2 * q.c < m.med_c THEN 1 ELSE 0 END)
+              AS BIGINT)
+  FROM q CROSS JOIN med m)
+SELECT check_name, n_violations, n_violations = 0 AS passed
+FROM checks
+ORDER BY check_name
+"""
+
+
+@register("x320_continuity_gate", oracle=_X320_SQL)
+def x320_continuity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-continuity gate: quarterly invariants a reporting
+    pipeline asserts before publishing — every quarter has
+    revenue, a floor of active customers, and no quarter below
+    HALF the median quarter (the outage/missing-partition test:
+    a dropped ingestion month shows up here before anyone reads
+    a chart wrong). The x280/x310 gate pattern on the reporting
+    axis; the median is rank-exact, the half test integer
+    cross-multiplied.
+
+    Scale: quarter-grain agg (~28 rows), rank median, 3-row
+    gate output.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    q = orders.groupBy(
+        (
+            F.year(F.col("o_orderdate").cast("date")).cast("bigint")
+            * 10
+            + F.quarter(F.col("o_orderdate").cast("date")).cast(
+                "bigint"
+            )
+        ).alias("yq")
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("decimal(19,0)")
+        .alias("c"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_cust"),
+    )
+    r = q.select(
+        "c",
+        F.row_number().over(Window.orderBy("c", "yq")).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    med = r.where(
+        F.col("rn") == F.ceil(0.50 * F.col("n")).cast("bigint")
+    ).select(F.col("c").alias("med_c"))
+
+    def leg(name, agg_df):
+        return agg_df.select(
+            F.lit(name).alias("check_name"),
+            F.col("v").cast("bigint").alias("n_violations"),
+        )
+
+    c1 = q.agg(
+        F.sum(F.when(F.col("c") <= 0, 1).otherwise(0)).alias("v")
+    )
+    c2 = q.agg(
+        F.sum(F.when(F.col("n_cust") < 100, 1).otherwise(0)).alias("v")
+    )
+    c3 = q.crossJoin(F.broadcast(med)).agg(
+        F.sum(
+            F.when(2 * F.col("c") < F.col("med_c"), 1).otherwise(0)
+        ).alias("v")
+    )
+    out = (
+        leg("every_quarter_has_revenue", c1)
+        .unionByName(leg("every_quarter_ge_100_customers", c2))
+        .unionByName(leg("no_quarter_below_half_median", c3))
+    )
+    return out.select(
+        "check_name",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    ).orderBy("check_name")
