@@ -14345,3 +14345,146 @@ def x320_continuity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_violations",
         (F.col("n_violations") == 0).alias("passed"),
     ).orderBy("check_name")
+
+
+# ---- x321: brand seasonality concentration ----
+
+_X321_SQL = """
+WITH m AS (
+  SELECT p.p_brand,
+         CAST(MONTH(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS moy,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(6,4))
+                     - CAST(l.l_discount AS DECIMAL(6,4)))) * 1000000
+              AS DECIMAL(19,0)) AS rev_u
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand, moy),
+agg AS (
+  SELECT p_brand,
+         CAST(COUNT(*) AS BIGINT) AS n_months,
+         SUM(rev_u) AS tot_u,
+         SUM(rev_u * rev_u) AS sumsq_u
+  FROM m GROUP BY p_brand)
+SELECT p_brand, n_months,
+       ROUND(CAST(sumsq_u AS DOUBLE)
+             / (CAST(tot_u AS DOUBLE) * CAST(tot_u AS DOUBLE)), 6)
+         AS month_concentration
+FROM agg
+ORDER BY month_concentration DESC, p_brand
+"""
+
+
+@register("x321_brand_seasonality", oracle=_X321_SQL)
+def x321_brand_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand seasonality concentration: the Simpson/HHI of each
+    brand's revenue across calendar months (1/12 ≈ 0.083 =
+    perfectly steady; higher = the brand LIVES in its season) —
+    the per-brand refinement of x201's corpus-wide seasonal
+    index, and the inventory-risk flag (seasonal brands strand
+    stock when the season misses). Exact micro-unit decimal
+    sums of squares; one division per brand.
+
+    Scale: (brand, month) fact agg, brand rollup of decimal
+    partials.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    disc = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(6,4)") - F.col("l_discount").cast("decimal(6,4)"))
+    )
+    m = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            "p_brand",
+            F.month(F.col("o_orderdate").cast("date"))
+            .cast("bigint")
+            .alias("moy"),
+        )
+        .agg(
+            (F.sum(disc) * 1000000)
+            .cast("decimal(19,0)")
+            .alias("rev_u")
+        )
+    )
+    agg = m.groupBy("p_brand").agg(
+        F.count("*").cast("bigint").alias("n_months"),
+        F.sum("rev_u").alias("tot_u"),
+        F.sum(F.col("rev_u") * F.col("rev_u")).alias("sumsq_u"),
+    )
+    return agg.select(
+        "p_brand",
+        "n_months",
+        F.round(
+            F.col("sumsq_u").cast("double")
+            / (
+                F.col("tot_u").cast("double")
+                * F.col("tot_u").cast("double")
+            ),
+            6,
+        ).alias("month_concentration"),
+    ).orderBy(F.desc("month_concentration"), "p_brand")
+
+
+# ---- x322: repeat rate by customer nation ----
+
+_X322_SQL = """
+WITH per_cust AS (
+  SELECT c.c_nationkey,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_nationkey, o.o_custkey)
+SELECT n.n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(CAST(SUM(CASE WHEN pc.n_orders >= 2 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS repeat_rate,
+       ROUND(CAST(SUM(pc.n_orders) AS DOUBLE) / COUNT(*), 4)
+         AS avg_orders
+FROM per_cust pc JOIN nation n ON pc.c_nationkey = n.n_nationkey
+GROUP BY nation
+ORDER BY nation
+"""
+
+
+@register("x322_nation_repeat_rate", oracle=_X322_SQL)
+def x322_nation_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat rate by customer nation: the geographic retention
+    map (x277 slices repeat behavior by acquisition TIME; this
+    slices it by PLACE) — a nation with high acquisition but low
+    repeat has a localization, logistics, or payment problem
+    that blended rates hide.
+
+    Integer counts; two ratios per nation.
+
+    Scale: (nation, customer) grain agg, nation rollup with a
+    broadcast dim join.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    per_cust = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+    )
+    rep = F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0))
+    return (
+        per_cust.join(
+            F.broadcast(nat), per_cust.c_nationkey == nat.n_nationkey
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.round(rep.cast("double") / F.count("*"), 6).alias(
+                "repeat_rate"
+            ),
+            F.round(
+                F.sum("n_orders").cast("double") / F.count("*"), 4
+            ).alias("avg_orders"),
+        )
+        .orderBy("nation")
+    )
