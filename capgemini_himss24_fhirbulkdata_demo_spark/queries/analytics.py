@@ -14488,3 +14488,125 @@ def x322_nation_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# ---- x323: procurement load balance per nation ----
+
+_X323_SQL = """
+WITH per_s AS (
+  SELECT s.s_nationkey, l.l_suppkey,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY s.s_nationkey, l.l_suppkey),
+m AS (
+  SELECT s_nationkey,
+         CAST(COUNT(*) AS BIGINT) AS n_sup,
+         CAST(SUM(n) AS BIGINT) AS s,
+         CAST(SUM(n * n) AS BIGINT) AS ss
+  FROM per_s GROUP BY s_nationkey)
+SELECT nn.n_name AS nation, m.n_sup AS n_suppliers,
+       ROUND(CAST(m.s AS DOUBLE) / m.n_sup, 4) AS mean_lines,
+       ROUND(SQRT((CAST(m.ss AS DOUBLE) - CAST(m.s AS DOUBLE)
+                   * CAST(m.s AS DOUBLE) / CAST(m.n_sup AS DOUBLE))
+                  / (CAST(m.n_sup AS DOUBLE) - 1))
+             / (CAST(m.s AS DOUBLE) / m.n_sup), 6) AS load_cv
+FROM m JOIN nation nn ON m.s_nationkey = nn.n_nationkey
+ORDER BY load_cv DESC, nation
+"""
+
+
+@register("x323_supplier_load_balance", oracle=_X323_SQL)
+def x323_supplier_load_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Procurement load balance: coefficient of variation of
+    order-line volume across each nation's suppliers — high CV
+    means the nation's volume rides a few workhorse vendors
+    (capacity risk the single-SOURCE view x189 can't see, because
+    here every part may have backups yet the VOLUME still
+    concentrates). Integer line-count moments per supplier.
+
+    Scale: (nation, supplier) agg, 25-row moment rollup,
+    broadcast dim join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    per_s = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    m = per_s.groupBy("s_nationkey").agg(
+        F.count("*").cast("bigint").alias("n_sup"),
+        F.sum("n").cast("bigint").alias("s"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("ss"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    cv = F.sqrt(
+        (d("ss") - d("s") * d("s") / d("n_sup")) / (d("n_sup") - 1)
+    ) / (d("s") / F.col("n_sup"))
+    return (
+        m.join(F.broadcast(nat), m.s_nationkey == nat.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("n_sup").alias("n_suppliers"),
+            F.round(d("s") / F.col("n_sup"), 4).alias("mean_lines"),
+            F.round(cv, 6).alias("load_cv"),
+        )
+        .orderBy(F.desc("load_cv"), "nation")
+    )
+
+
+# ---- x324: language token-budget planner ----
+
+_X324_BUDGET = 100_000  # tokens per language target, literal
+
+_X324_SQL = f"""
+WITH t AS (
+  SELECT lang,
+         CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY lang)
+SELECT lang, n_docs, n_tokens,
+       ROUND(CAST({_X324_BUDGET} AS DOUBLE) / n_tokens, 4)
+         AS epochs_needed,
+       20 * n_tokens >= {_X324_BUDGET} AS single_epoch_within_20x
+FROM t
+ORDER BY lang
+"""
+
+
+@register("x324_token_budget_planner", oracle=_X324_SQL)
+def x324_token_budget_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language token-budget planner: per language, the epochs of
+    its corpus needed to fill a {b:,}-token training allocation —
+    epochs ≫ 1 flag languages that will be memorized (repeat-
+    epoch risk the data-mixing literature caps around 4); the
+    boolean gate (integer cross-multiplied, within 20x) marks
+    languages viable at all. x83's temperature mixing decides
+    WANTS; this checks HAVES.
+
+    Scale: one token-count aggregate per language.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_docs"),
+    )
+    return t.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.lit(float(_X324_BUDGET)) / F.col("n_tokens"), 4
+        ).alias("epochs_needed"),
+        (20 * F.col("n_tokens") >= _X324_BUDGET).alias(
+            "single_epoch_within_20x"
+        ),
+    ).orderBy("lang")
+
+
+x324_token_budget_planner.__doc__ = (
+    x324_token_budget_planner.__doc__.format(b=_X324_BUDGET)
+)
