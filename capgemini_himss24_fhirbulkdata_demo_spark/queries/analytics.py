@@ -14610,3 +14610,149 @@ def x324_token_budget_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
 x324_token_budget_planner.__doc__ = (
     x324_token_budget_planner.__doc__.format(b=_X324_BUDGET)
 )
+
+
+# ---- x325: week-over-week retention curve ----
+
+_X325_SQL = """
+WITH wu AS (
+  SELECT DISTINCT CAST(DATE_TRUNC('week', CAST(ts AS DATE)) AS DATE)
+           AS week, user_id
+  FROM events),
+pair AS (
+  SELECT a.week,
+         CAST(COUNT(*) AS BIGINT) AS wau,
+         CAST(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS retained_next
+  FROM wu a
+  LEFT JOIN wu b ON b.user_id = a.user_id
+                AND b.week = a.week + INTERVAL 7 DAY
+  GROUP BY a.week),
+mx AS (SELECT MAX(week) AS last_week FROM wu)
+SELECT p.week, p.wau, p.retained_next,
+       ROUND(CAST(p.retained_next AS DOUBLE) / p.wau, 6)
+         AS wow_retention
+FROM pair p CROSS JOIN mx
+WHERE p.week < mx.last_week
+ORDER BY p.week
+"""
+
+
+@register("x325_wow_retention", oracle=_X325_SQL)
+def x325_wow_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week retention curve: the share of each week's
+    active users who return the NEXT week — the tightest-loop
+    retention number (x101's monthly cohorts smooth over exactly
+    the week-to-week wobble a bad release causes). The final
+    (right-censored) week is excluded rather than reported as
+    fake churn. Self-join on (user, week+7d) over the distinct
+    weekly-active set.
+
+    Integer set counts; one ratio per week.
+
+    Scale: distinct (week, user) table, a user-keyed shifted
+    self-join (both sides week-bounded), weeks-sized output.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wu = ev.select(
+        F.date_trunc("week", F.col("ts").cast("date"))
+        .cast("date")
+        .alias("week"),
+        "user_id",
+    ).distinct()
+    b = wu.select(
+        F.col("week").alias("week_b"),
+        F.col("user_id").alias("user_b"),
+    )
+    pair = (
+        wu.join(
+            b,
+            (F.col("user_b") == F.col("user_id"))
+            & (F.col("week_b") == F.date_add(F.col("week"), 7)),
+            "left",
+        )
+        .groupBy("week")
+        .agg(
+            F.count("*").cast("bigint").alias("wau"),
+            F.sum(
+                F.when(F.col("user_b").isNotNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("retained_next"),
+        )
+    )
+    mx = wu.agg(F.max("week").alias("last_week"))
+    return (
+        pair.crossJoin(F.broadcast(mx))
+        .where(F.col("week") < F.col("last_week"))
+        .select(
+            "week",
+            "wau",
+            "retained_next",
+            F.round(
+                F.col("retained_next").cast("double") / F.col("wau"), 6
+            ).alias("wow_retention"),
+        )
+        .orderBy("week")
+    )
+
+
+# ---- x326: hourly error-rate profile ----
+
+_X326_SQL = """
+WITH h AS (
+  SELECT CAST(HOUR(ts) AS BIGINT) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS e
+  FROM events GROUP BY hr),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(e) AS BIGINT) AS te
+      FROM h)
+SELECT h.hr AS hour_of_day, h.n AS n_events, h.e AS n_errors,
+       ROUND(CAST(h.e AS DOUBLE) / h.n, 6) AS error_rate,
+       ROUND((CAST(h.e AS DOUBLE) / h.n)
+             / (CAST(t.te AS DOUBLE) / t.tn), 4) AS rate_index
+FROM h CROSS JOIN t
+ORDER BY hour_of_day
+"""
+
+
+@register("x326_hourly_error_profile", oracle=_X326_SQL)
+def x326_hourly_error_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly error-rate profile: error share by hour of day,
+    indexed against the overall rate — an index spiking in one
+    hour band points at cron jobs, deploy windows, or a
+    dependency's nightly maintenance (x318 finds where VOLUME
+    peaks; this finds where QUALITY dips, which is rarely the
+    same cell).
+
+    Integer counts; rate and index are fixed double expressions.
+
+    Scale: 24-key agg + 1-row total broadcast.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(F.hour("ts").cast("bigint").alias("hr")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("e"),
+    )
+    t = h.agg(
+        F.sum("n").cast("bigint").alias("tn"),
+        F.sum("e").cast("bigint").alias("te"),
+    )
+    rate = F.col("e").cast("double") / F.col("n")
+    overall = F.col("te").cast("double") / F.col("tn")
+    return (
+        h.crossJoin(F.broadcast(t))
+        .select(
+            F.col("hr").alias("hour_of_day"),
+            F.col("n").alias("n_events"),
+            F.col("e").alias("n_errors"),
+            F.round(rate, 6).alias("error_rate"),
+            F.round(rate / overall, 4).alias("rate_index"),
+        )
+        .orderBy("hour_of_day")
+    )
