@@ -14756,3 +14756,126 @@ def x326_hourly_error_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_of_day")
     )
+
+
+# ---- x327: catalog velocity (monthly active-SKU share) ----
+
+_X327_SQL = """
+WITH m AS (
+  SELECT STRFTIME(DATE_TRUNC('month', CAST(l_shipdate AS DATE)),
+                  '%Y-%m') AS month,
+         CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS active_parts
+  FROM lineitem GROUP BY month),
+cat AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_catalog FROM part)
+SELECT m.month, m.active_parts, c.n_catalog,
+       ROUND(CAST(m.active_parts AS DOUBLE) / c.n_catalog, 6)
+         AS active_share
+FROM m CROSS JOIN cat c
+ORDER BY m.month
+"""
+
+
+@register("x327_catalog_velocity", oracle=_X327_SQL)
+def x327_catalog_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog velocity: the share of the part catalog that ships
+    at least once each month — the assortment's monthly pulse
+    between x256's all-time activation and x292's trailing-year
+    dead-stock scan; a declining line with a stable catalog means
+    the long tail is going colder.
+
+    Integer distinct counts; one share per month.
+
+    Scale: (month, part) distinct agg with partial distinct,
+    1-row catalog broadcast.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    m = li.groupBy(
+        F.date_format(
+            F.date_trunc("month", F.col("l_shipdate").cast("date")),
+            "yyyy-MM",
+        ).alias("month")
+    ).agg(
+        F.countDistinct("l_partkey").cast("bigint").alias("active_parts")
+    )
+    cat = part.agg(F.count("*").cast("bigint").alias("n_catalog"))
+    return (
+        m.crossJoin(F.broadcast(cat))
+        .select(
+            "month",
+            "active_parts",
+            "n_catalog",
+            F.round(
+                F.col("active_parts").cast("double")
+                / F.col("n_catalog"),
+                6,
+            ).alias("active_share"),
+        )
+        .orderBy("month")
+    )
+
+
+# ---- x328: user-decile value concentration ----
+
+_X328_SQL = """
+WITH uv AS (
+  SELECT user_id,
+         CAST(SUM(CAST(value AS DECIMAL(18,6)) * 1000000)
+              AS DECIMAL(38,0)) AS v_u
+  FROM events GROUP BY user_id),
+d AS (
+  SELECT v_u,
+         NTILE(10) OVER (ORDER BY v_u, user_id) AS decile
+  FROM uv),
+t AS (SELECT SUM(v_u) AS tot FROM uv)
+SELECT CAST(d.decile AS BIGINT) AS value_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(CAST(SUM(d.v_u) AS DOUBLE) / CAST(t.tot AS DOUBLE), 6)
+         AS value_share
+FROM d CROSS JOIN t
+GROUP BY d.decile, t.tot
+ORDER BY value_decile
+"""
+
+
+@register("x328_user_value_deciles", oracle=_X328_SQL)
+def x328_user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-decile value concentration: total event value by user
+    decile (users NTILE-ranked by their own value) — the decile
+    table behind x303's single Gini number, and the
+    activity-side sibling of x170's part-price deciles; the top
+    decile's share is the number monetization plans are built
+    around. Exact micro-unit decimal sums; decile assignment
+    tiebreaks on user_id.
+
+    Scale: per-user value agg, one NTILE sort over users, 10-row
+    rollup.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    uv = ev.groupBy("user_id").agg(
+        (F.sum(F.col("value").cast("decimal(18,6)")) * 1000000)
+        .cast("decimal(38,0)")
+        .alias("v_u")
+    )
+    d = uv.select(
+        "v_u",
+        F.ntile(10)
+        .over(Window.orderBy("v_u", "user_id"))
+        .alias("decile"),
+    )
+    t = uv.agg(F.sum("v_u").alias("tot"))
+    return (
+        d.crossJoin(F.broadcast(t))
+        .groupBy(F.col("decile").cast("bigint").alias("value_decile"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.round(
+                F.sum("v_u").cast("double")
+                / F.max("tot").cast("double"),
+                6,
+            ).alias("value_share"),
+        )
+        .orderBy("value_decile")
+    )
