@@ -14879,3 +14879,127 @@ def x328_user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("value_decile")
     )
+
+
+# ---- x329: weekend order-value gap ----
+
+_X329_SQL = """
+WITH d AS (
+  SELECT CASE WHEN DAYOFWEEK(CAST(o_orderdate AS DATE)) IN (0, 6)
+              THEN 'weekend' ELSE 'weekday' END AS daypart,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders)
+SELECT daypart,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(price) AS DOUBLE) / COUNT(*), 2) AS aov
+FROM d
+GROUP BY daypart
+ORDER BY daypart
+"""
+
+
+@register("x329_weekend_aov_gap", oracle=_X329_SQL)
+def x329_weekend_aov_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend order-value gap: AOV on weekends vs weekdays —
+    x219 tests whether weekend DAILY REVENUE differs (volume x
+    value); this isolates the value side (couch browsing buys
+    smaller? procurement desks close?), so the two together
+    attribute any weekend effect to traffic or basket size.
+
+    Exact decimal sums; one mean per daypart.
+
+    Scale: narrow map + 2-key rollup.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(
+        F.when(
+            F.dayofweek(F.col("o_orderdate").cast("date")).isin(1, 7),
+            "weekend",
+        )
+        .otherwise("weekday")
+        .alias("daypart"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    return (
+        d.groupBy("daypart")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(
+                F.sum("price").cast("double") / F.count("*"), 2
+            ).alias("aov"),
+        )
+        .orderBy("daypart")
+    )
+
+
+# ---- x330: ROLLUP self-consistency audit ----
+
+_X330_SQL = """
+WITH r AS (
+  SELECT CASE WHEN GROUPING(n.n_name) = 1 THEN 'zz_grand_total'
+              ELSE n.n_name END AS nation,
+         CAST(GROUPING(n.n_name) AS BIGINT) AS is_total,
+         SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY ROLLUP(n.n_name)),
+detail AS (
+  SELECT SUM(rev) AS s, CAST(SUM(n_orders) AS BIGINT) AS c
+  FROM r WHERE is_total = 0),
+total AS (
+  SELECT rev AS s, n_orders AS c FROM r WHERE is_total = 1)
+SELECT CAST((SELECT COUNT(*) FROM r WHERE is_total = 0) AS BIGINT)
+         AS n_detail_rows,
+       ROUND(CAST(t.s AS DOUBLE), 2) AS grand_total_revenue,
+       t.c AS grand_total_orders,
+       t.s = d.s AND t.c = d.c AS rollup_consistent
+FROM total t CROSS JOIN detail d
+"""
+
+
+@register("x330_rollup_consistency", oracle=_X330_SQL)
+def x330_rollup_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP self-consistency audit: the engine computes a
+    nation-level ROLLUP, then VERIFIES that the grand-total row
+    equals the sum of its own detail rows — exactly the invariant
+    a metrics layer must hold for drill-downs to reconcile with
+    headlines, and it holds EXACTLY here because revenue is
+    summed in exact decimals on both paths (float rollups fail
+    this test by ulps, which is how dashboard footnotes are
+    born). Uses GROUPING() to separate levels.
+
+    Scale: one ROLLUP aggregate; the consistency check runs on
+    the 26-row result.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    base = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+    )
+    r = base.rollup("n_name").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.grouping("n_name").cast("bigint").alias("is_total"),
+    )
+    detail = r.where(F.col("is_total") == 0).agg(
+        F.sum("rev").alias("ds"),
+        F.sum("n_orders").cast("bigint").alias("dc"),
+        F.count("*").cast("bigint").alias("n_detail_rows"),
+    )
+    total = r.where(F.col("is_total") == 1).select(
+        F.col("rev").alias("ts"), F.col("n_orders").alias("tc")
+    )
+    return total.crossJoin(F.broadcast(detail)).select(
+        "n_detail_rows",
+        F.round(F.col("ts").cast("double"), 2).alias(
+            "grand_total_revenue"
+        ),
+        F.col("tc").alias("grand_total_orders"),
+        (
+            (F.col("ts") == F.col("ds")) & (F.col("tc") == F.col("dc"))
+        ).alias("rollup_consistent"),
+    )
