@@ -15003,3 +15003,237 @@ def x330_rollup_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ts") == F.col("ds")) & (F.col("tc") == F.col("dc"))
         ).alias("rollup_consistent"),
     )
+
+
+# ---- x331: customer 2x2 growth map (frequency x value momentum) ----
+
+_X331_SQL = """
+WITH seq AS (
+  SELECT o_custkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS i,
+         CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+         CAST(DATEDIFF('day', LAG(CAST(o_orderdate AS DATE))
+                 OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey),
+               CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_d
+  FROM orders),
+mv AS (
+  SELECT o_custkey,
+         CAST(MAX(n) AS BIGINT) AS n,
+         CAST(SUM(i) AS BIGINT) AS si,
+         CAST(SUM(v) AS BIGINT) AS sv,
+         CAST(SUM(i * v) AS BIGINT) AS siv,
+         CAST(SUM(CASE WHEN gap_d IS NOT NULL AND 2 * (i - 1) <= n - 1
+                       THEN gap_d ELSE 0 END) AS BIGINT) AS g1,
+         CAST(SUM(CASE WHEN gap_d IS NOT NULL AND 2 * (i - 1) <= n - 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN gap_d IS NOT NULL AND 2 * (i - 1) > n - 1
+                       THEN gap_d ELSE 0 END) AS BIGINT) AS g2,
+         CAST(SUM(CASE WHEN gap_d IS NOT NULL AND 2 * (i - 1) > n - 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM seq GROUP BY o_custkey
+  HAVING MAX(n) >= 5),
+cls AS (
+  SELECT CASE WHEN n * siv > si * sv THEN 'value_up'
+              ELSE 'value_down_flat' END AS value_axis,
+         CASE WHEN c1 > 0 AND c2 > 0 AND g2 * c1 < g1 * c2
+              THEN 'freq_up' ELSE 'freq_down_flat' END AS freq_axis
+  FROM mv),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM cls)
+SELECT value_axis, freq_axis,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT nt FROM t), 6)
+         AS customer_share
+FROM cls
+GROUP BY value_axis, freq_axis
+ORDER BY value_axis, freq_axis
+"""
+
+
+@register("x331_growth_map_2x2", oracle=_X331_SQL)
+def x331_growth_map_2x2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer growth 2x2: value momentum (x202's slope sign)
+    crossed with frequency momentum (x205's gap-half compare) for
+    customers with ≥5 orders — the four-quadrant map account
+    teams actually work from (value_up+freq_up = expand;
+    value_down+freq_down = rescue; the off-diagonals are pricing
+    vs engagement plays). Both axes are pure integer
+    cross-multiplications; no float touches the classification.
+
+    Scale: one custkey window (rank + lag share the sort),
+    per-customer integer moments, 4-cell census.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    seq = orders.select(
+        "o_custkey",
+        F.row_number().over(w).alias("i"),
+        F.count("*")
+        .over(Window.partitionBy("o_custkey"))
+        .cast("bigint")
+        .alias("n"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        )
+        .cast("bigint")
+        .alias("gap_d"),
+    )
+    first_half = (F.col("gap_d").isNotNull()) & (
+        2 * (F.col("i") - 1) <= F.col("n") - 1
+    )
+    second_half = (F.col("gap_d").isNotNull()) & (
+        2 * (F.col("i") - 1) > F.col("n") - 1
+    )
+    mv = (
+        seq.groupBy("o_custkey")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.sum("i").cast("bigint").alias("si"),
+            F.sum("v").cast("bigint").alias("sv"),
+            F.sum(F.col("i") * F.col("v")).cast("bigint").alias("siv"),
+            F.sum(F.when(first_half, F.col("gap_d")).otherwise(0))
+            .cast("bigint")
+            .alias("g1"),
+            F.sum(F.when(first_half, 1).otherwise(0))
+            .cast("bigint")
+            .alias("c1"),
+            F.sum(F.when(second_half, F.col("gap_d")).otherwise(0))
+            .cast("bigint")
+            .alias("g2"),
+            F.sum(F.when(second_half, 1).otherwise(0))
+            .cast("bigint")
+            .alias("c2"),
+        )
+        .where(F.col("n") >= 5)
+    )
+    cls = mv.select(
+        F.when(
+            F.col("n") * F.col("siv") > F.col("si") * F.col("sv"),
+            "value_up",
+        )
+        .otherwise("value_down_flat")
+        .alias("value_axis"),
+        F.when(
+            (F.col("c1") > 0)
+            & (F.col("c2") > 0)
+            & (F.col("g2") * F.col("c1") < F.col("g1") * F.col("c2")),
+            "freq_up",
+        )
+        .otherwise("freq_down_flat")
+        .alias("freq_axis"),
+    )
+    t = cls.agg(F.count("*").cast("bigint").alias("nt"))
+    return (
+        cls.groupBy("value_axis", "freq_axis")
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "value_axis",
+            "freq_axis",
+            "n_customers",
+            F.round(
+                F.col("n_customers").cast("double") / F.col("nt"), 6
+            ).alias("customer_share"),
+        )
+        .orderBy("value_axis", "freq_axis")
+    )
+
+
+# ---- x332: part cannibalization within brand ----
+
+_X332_SQL = """
+WITH yearly AS (
+  SELECT p.p_brand, l.l_partkey,
+         CAST(MIN(YEAR(CAST(l.l_shipdate AS DATE)))
+              OVER (PARTITION BY l.l_partkey) AS BIGINT) AS launch_yr,
+         CAST(YEAR(CAST(l.l_shipdate AS DATE)) AS BIGINT) AS yr,
+         CAST(l.l_quantity AS BIGINT) AS q
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+brand_y AS (
+  SELECT p_brand, yr,
+         CAST(SUM(q) AS BIGINT) AS total_q,
+         CAST(SUM(CASE WHEN launch_yr = yr THEN q ELSE 0 END)
+              AS BIGINT) AS newpart_q
+  FROM yearly GROUP BY p_brand, yr),
+agg AS (
+  SELECT p_brand,
+         CAST(SUM(newpart_q) AS BIGINT) AS new_q,
+         CAST(SUM(total_q) AS BIGINT) AS tot_q
+  FROM brand_y WHERE yr > (SELECT MIN(yr) FROM brand_y)
+  GROUP BY p_brand)
+SELECT p_brand, new_q AS newpart_units, tot_q AS total_units,
+       ROUND(CAST(new_q AS DOUBLE) / tot_q, 6) AS newpart_unit_share
+FROM agg
+ORDER BY p_brand
+"""
+
+
+@register("x332_newpart_dependence", oracle=_X332_SQL)
+def x332_newpart_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-part dependence: the share of each brand's unit volume
+    (after the first observed year, which is all 'new' by
+    construction) that comes from parts IN their launch year —
+    high shares mean the brand lives on novelty (fashion
+    dynamics: miss one launch season and volume collapses); low
+    shares mean an evergreen catalog. Launch years via a window
+    MIN per part riding the same scan.
+
+    Integer unit sums; one share per brand.
+
+    Scale: one fact scan with a partkey window, (brand, year)
+    rollup, brand-sized output.
+    """
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    yearly = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(
+            "p_brand",
+            "l_partkey",
+            F.year(F.col("l_shipdate").cast("date"))
+            .cast("bigint")
+            .alias("yr"),
+            F.col("l_quantity").cast("bigint").alias("q"),
+        )
+        .withColumn(
+            "launch_yr",
+            F.min("yr").over(Window.partitionBy("l_partkey")),
+        )
+    )
+    brand_y = yearly.groupBy("p_brand", "yr").agg(
+        F.sum("q").cast("bigint").alias("total_q"),
+        F.sum(
+            F.when(F.col("launch_yr") == F.col("yr"), F.col("q"))
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("newpart_q"),
+    )
+    min_yr = brand_y.agg(F.min("yr").alias("m"))
+    agg = (
+        brand_y.crossJoin(F.broadcast(min_yr))
+        .where(F.col("yr") > F.col("m"))
+        .groupBy("p_brand")
+        .agg(
+            F.sum("newpart_q").cast("bigint").alias("new_q"),
+            F.sum("total_q").cast("bigint").alias("tot_q"),
+        )
+    )
+    return agg.select(
+        "p_brand",
+        F.col("new_q").alias("newpart_units"),
+        F.col("tot_q").alias("total_units"),
+        F.round(
+            F.col("new_q").cast("double") / F.col("tot_q"), 6
+        ).alias("newpart_unit_share"),
+    ).orderBy("p_brand")
