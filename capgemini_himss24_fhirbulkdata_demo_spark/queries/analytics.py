@@ -15237,3 +15237,205 @@ def x332_newpart_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("new_q").cast("double") / F.col("tot_q"), 6
         ).alias("newpart_unit_share"),
     ).orderBy("p_brand")
+
+
+# ---- x333: weekday-effect strength by region ----
+
+_X333_SQL = """
+WITH daily AS (
+  SELECT r.r_name AS region,
+         CAST(o.o_orderdate AS DATE) AS d,
+         CAST(DAYOFWEEK(CAST(o.o_orderdate AS DATE)) + 1 AS BIGINT)
+           AS dow,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+              AS DECIMAL(19,0)) AS c
+  FROM orders o
+  JOIN customer cu ON o.o_custkey = cu.c_custkey
+  JOIN nation n ON cu.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY region, d, dow),
+per_g AS (
+  SELECT region, dow, CAST(COUNT(*) AS BIGINT) AS n_w,
+         SUM(c) AS s_w, SUM(c * c) AS ss_w
+  FROM daily GROUP BY region, dow),
+tot AS (
+  SELECT region,
+         CAST(SUM(n_w) AS BIGINT) AS n,
+         SUM(s_w) AS s, SUM(ss_w) AS ss,
+         LIST_REDUCE(
+           LIST((CAST(s_w AS DOUBLE) / n_w) * CAST(s_w AS DOUBLE)
+                ORDER BY dow),
+           (x, y) -> x + y) AS explained_raw
+  FROM per_g GROUP BY region)
+SELECT region, n AS n_region_days,
+       ROUND((explained_raw
+              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                / CAST(n AS DOUBLE))
+             / (CAST(ss AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                  / CAST(n AS DOUBLE)), 6) AS eta_squared
+FROM tot
+ORDER BY region
+"""
+
+
+@register("x333_regional_weekday_effect", oracle=_X333_SQL)
+def x333_regional_weekday_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday-effect strength by region: x196's ANOVA eta-squared
+    computed per customer region — different regions weekending
+    differently (work-week conventions, B2B vs B2C mixes) show up
+    as divergent eta², and a global weekday playbook (x123) is
+    wrong wherever this table disagrees with the corpus row.
+    Per-region (region, d, dow) exact-cent moments; the 7
+    per-weekday mean products fold in explicit dow order WITHIN
+    each region group (the x196 rule, now keyed).
+
+    Scale: day-grain agg per region, 7-row-per-region rollup,
+    regions-sized output.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    daily = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.col("o_orderdate").cast("date").alias("d"),
+            F.dayofweek(F.col("o_orderdate").cast("date"))
+            .cast("bigint")
+            .alias("dow"),
+        )
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("decimal(19,0)")
+            .alias("c")
+        )
+    )
+    per_g = daily.groupBy("region", "dow").agg(
+        F.count("*").cast("bigint").alias("n_w"),
+        F.sum("c").alias("s_w"),
+        F.sum(F.col("c") * F.col("c")).alias("ss_w"),
+    )
+    tot = per_g.groupBy("region").agg(
+        F.sum("n_w").cast("bigint").alias("n"),
+        F.sum("s_w").alias("s"),
+        F.sum("ss_w").alias("ss"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "dow",
+                            (
+                                (
+                                    F.col("s_w").cast("double")
+                                    / F.col("n_w")
+                                )
+                                * F.col("s_w").cast("double")
+                            ).alias("v"),
+                        )
+                    )
+                ),
+                lambda st: st["v"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("explained_raw"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    grand = d("s") * d("s") / d("n")
+    return tot.select(
+        "region",
+        F.col("n").alias("n_region_days"),
+        F.round(
+            (F.col("explained_raw") - grand) / (d("ss") - grand), 6
+        ).alias("eta_squared"),
+    ).orderBy("region")
+
+
+# ---- x334: pent-up demand test ----
+
+_X334_SQL = """
+WITH seq AS (
+  SELECT CAST(DATEDIFF('day', LAG(CAST(o_orderdate AS DATE))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey),
+              CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y
+  FROM orders),
+p AS (SELECT x, y FROM seq WHERE x IS NOT NULL),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         SUM(CAST(y AS DECIMAL(19,0))) AS sy,
+         SUM(CAST(x AS DECIMAL(19,0)) * y) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         SUM(CAST(y AS DECIMAL(19,0)) * y) AS syy
+  FROM p)
+SELECT n AS n_gaps,
+       ROUND(CAST(sx AS DOUBLE) / n, 4) AS mean_gap_d,
+       ROUND(
+         (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                                / CAST(n AS DOUBLE))
+         / (SQRT(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                 * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+            * SQRT(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                   * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))),
+         6) AS gap_value_corr
+FROM s
+"""
+
+
+@register("x334_pentup_demand", oracle=_X334_SQL)
+def x334_pentup_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pent-up demand test: correlation between the gap since a
+    customer's previous order and the VALUE of the order that
+    ended the gap — positive means long absences come back as
+    stock-up baskets (win-back emails should sell bundles);
+    zero means absence is just absence and x296's hazard timing
+    is all that matters. Integer day gaps x integer cents, with
+    the cross-products in DECIMAL(19,0)-widened sums.
+
+    Scale: one custkey lag window, 1-row moment reduce.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    seq = orders.select(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(
+                Window.partitionBy("o_custkey").orderBy(
+                    "o_orderdate", "o_orderkey"
+                )
+            ),
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("y"),
+    ).where(F.col("x").isNotNull())
+    s = seq.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("y").cast("decimal(19,0)")).alias("sy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y")).alias(
+            "sxy"
+        ),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y")).alias(
+            "syy"
+        ),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    r = (d("sxy") - d("sx") * d("sy") / d("n")) / (
+        F.sqrt(d("sxx") - d("sx") * d("sx") / d("n"))
+        * F.sqrt(d("syy") - d("sy") * d("sy") / d("n"))
+    )
+    return s.select(
+        F.col("n").alias("n_gaps"),
+        F.round(d("sx") / F.col("n"), 4).alias("mean_gap_d"),
+        F.round(r, 6).alias("gap_value_corr"),
+    )
