@@ -15439,3 +15439,112 @@ def x334_pentup_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(d("sx") / F.col("n"), 4).alias("mean_gap_d"),
         F.round(r, 6).alias("gap_value_corr"),
     )
+
+
+# ---- x335: source language diversity ----
+
+_X335_SQL = """
+WITH c AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS k
+  FROM documents GROUP BY source, lang),
+s AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_langs,
+         CAST(SUM(k) AS BIGINT) AS t,
+         CAST(SUM(k * k) AS BIGINT) AS skk
+  FROM c GROUP BY source)
+SELECT source, n_langs,
+       ROUND(1 - CAST(skk AS DOUBLE)
+                 / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), 6)
+         AS lang_diversity
+FROM s
+ORDER BY source
+"""
+
+
+@register("x335_source_lang_diversity", oracle=_X335_SQL)
+def x335_source_lang_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source language diversity: Gini-Simpson index of each
+    source's language mix (0 = monolingual, rising with balanced
+    multilingualism) — the one-number summary of x265's cell
+    table that routes sources to per-language processing
+    (monolingual sources skip lang-ID entirely; x210's
+    no-logarithm diversity machinery on corpus dims).
+
+    Integer doc counts; one expression per source.
+
+    Scale: (source, lang) agg, source rollup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(
+        F.count("*").cast("bigint").alias("k")
+    )
+    s = c.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_langs"),
+        F.sum("k").cast("bigint").alias("t"),
+        F.sum(F.col("k") * F.col("k")).cast("bigint").alias("skk"),
+    )
+    return s.select(
+        "source",
+        "n_langs",
+        F.round(
+            1
+            - F.col("skk").cast("double")
+            / (F.col("t").cast("double") * F.col("t").cast("double")),
+            6,
+        ).alias("lang_diversity"),
+    ).orderBy("source")
+
+
+# ---- x336: event-calendar coverage audit ----
+
+_X336_SQL = """
+WITH span AS (
+  SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1,
+         CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+           AS n_active_days
+  FROM events)
+SELECT d0 AS first_day, d1 AS last_day,
+       CAST(DATEDIFF('day', d0, d1) + 1 AS BIGINT) AS n_calendar_days,
+       n_active_days,
+       CAST(DATEDIFF('day', d0, d1) + 1 - n_active_days AS BIGINT)
+         AS n_silent_days,
+       CAST(DATEDIFF('day', d0, d1) + 1 = n_active_days AS BOOLEAN)
+         AS fully_covered
+FROM span
+"""
+
+
+@register("x336_calendar_coverage", oracle=_X336_SQL)
+def x336_calendar_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-calendar coverage audit: calendar days between the
+    first and last event vs days that actually have events — any
+    silent day inside the span is a collection outage (real
+    traffic has no zero days at this volume), the time-axis
+    sibling of x243's id-gap audit and the first check to run
+    when x113 flags anomalies (is the anomaly missing DATA or
+    missing USERS?).
+
+    Pure integer date arithmetic; boolean gate.
+
+    Scale: one min/max/distinct aggregate, 1-row output.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+        F.countDistinct(F.col("ts").cast("date"))
+        .cast("bigint")
+        .alias("n_active_days"),
+    )
+    cal = F.datediff("d1", "d0") + 1
+    return span.select(
+        F.col("d0").alias("first_day"),
+        F.col("d1").alias("last_day"),
+        cal.cast("bigint").alias("n_calendar_days"),
+        "n_active_days",
+        (cal - F.col("n_active_days"))
+        .cast("bigint")
+        .alias("n_silent_days"),
+        (cal == F.col("n_active_days")).alias("fully_covered"),
+    )
