@@ -15548,3 +15548,171 @@ def x336_calendar_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_silent_days"),
         (cal == F.col("n_active_days")).alias("fully_covered"),
     )
+
+
+# ---- x337: first-order size vs loyalty ----
+
+_X337_SQL = """
+WITH seq AS (
+  SELECT o_custkey, o_totalprice, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT)
+           AS n_orders
+  FROM orders),
+first_o AS (
+  SELECT o_custkey, o_totalprice AS first_value, o_orderkey,
+         n_orders
+  FROM seq WHERE rn = 1),
+q AS (
+  SELECT n_orders,
+         NTILE(4) OVER (ORDER BY first_value, o_orderkey)
+           AS first_value_q
+  FROM first_o)
+SELECT CAST(first_value_q AS BIGINT) AS first_value_quartile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS repeat_rate,
+       ROUND(CAST(SUM(n_orders) AS DOUBLE) / COUNT(*), 4)
+         AS avg_orders
+FROM q
+GROUP BY first_value_q
+ORDER BY first_value_quartile
+"""
+
+
+@register("x337_first_order_loyalty", oracle=_X337_SQL)
+def x337_first_order_loyalty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order size vs loyalty: customers quartiled by their
+    FIRST order's value, compared on repeat rate and lifetime
+    orders — if big first baskets predict staying, onboarding
+    should upsell the first cart hard; if the curve is flat,
+    first-order size is vanity and x270's 90-day window is the
+    real signal. NTILE with orderkey tiebreak; integer counts.
+
+    Scale: one custkey window (rank + count share the sort), a
+    first-order NTILE sort, 4-row rollup.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    seq = orders.select(
+        "o_custkey",
+        "o_totalprice",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.count("*")
+        .over(Window.partitionBy("o_custkey"))
+        .cast("bigint")
+        .alias("n_orders"),
+    )
+    first_o = seq.where(F.col("rn") == 1)
+    q = first_o.select(
+        "n_orders",
+        F.ntile(4)
+        .over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .alias("first_value_q"),
+    )
+    rep = F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0))
+    return (
+        q.groupBy(
+            F.col("first_value_q")
+            .cast("bigint")
+            .alias("first_value_quartile")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.round(rep.cast("double") / F.count("*"), 6).alias(
+                "repeat_rate"
+            ),
+            F.round(
+                F.sum("n_orders").cast("double") / F.count("*"), 4
+            ).alias("avg_orders"),
+        )
+        .orderBy("first_value_quartile")
+    )
+
+
+# ---- x338: per-source doc-length percentiles ----
+
+_X338_SQL = """
+WITH r AS (
+  SELECT source,
+         CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tok,
+         doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY LEN(STRING_SPLIT(text, ' ')),
+                                     doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents)
+SELECT source,
+       CAST(MAX(n) AS BIGINT) AS n_docs,
+       CAST(MAX(CASE WHEN rn = CAST(CEIL(0.50 * n) AS BIGINT)
+                     THEN n_tok END) AS BIGINT) AS p50_tokens,
+       CAST(MAX(CASE WHEN rn = CAST(CEIL(0.90 * n) AS BIGINT)
+                     THEN n_tok END) AS BIGINT) AS p90_tokens,
+       CAST(MAX(n_tok) AS BIGINT) AS max_tokens
+FROM r
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("x338_source_length_percentiles", oracle=_X338_SQL)
+def x338_source_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length percentiles (p50/p90/max in
+    tokens, rank-exact) — the numbers that set packing (x45) and
+    chunking (x81) parameters PER SOURCE instead of globally: a
+    source whose p90 exceeds the context window needs splitting;
+    one whose max is 100x its p50 needs x278's Gini told about
+    it.
+
+    Scale: one source-partitioned rank window over the length
+    map, source-sized output.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    r = docs.select(
+        "source",
+        F.size(F.split(F.col("text"), " "))
+        .cast("bigint")
+        .alias("n_tok"),
+        "doc_id",
+    ).select(
+        "source",
+        "n_tok",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy("n_tok", "doc_id")
+        )
+        .alias("rn"),
+        F.count("*").over(Window.partitionBy("source")).alias("n"),
+    )
+
+    def pick(p: float, name: str):
+        return (
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.ceil(F.lit(p) * F.col("n")).cast("bigint"),
+                    F.col("n_tok"),
+                )
+            )
+            .cast("bigint")
+            .alias(name)
+        )
+
+    return (
+        r.groupBy("source")
+        .agg(
+            F.max("n").cast("bigint").alias("n_docs"),
+            pick(0.50, "p50_tokens"),
+            pick(0.90, "p90_tokens"),
+            F.max("n_tok").cast("bigint").alias("max_tokens"),
+        )
+        .orderBy("source")
+    )
