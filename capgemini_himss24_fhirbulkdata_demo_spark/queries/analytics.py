@@ -15716,3 +15716,134 @@ def x338_source_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("source")
     )
+
+
+# ---- x339: segment x nation deviation cells ----
+
+_X339_SQL = """
+WITH obs AS (
+  SELECT c_mktsegment AS segment, c_nationkey,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM customer GROUP BY segment, c_nationkey),
+rt AS (SELECT segment, CAST(SUM(o) AS BIGINT) AS r FROM obs
+       GROUP BY segment),
+ct AS (SELECT c_nationkey, CAST(SUM(o) AS BIGINT) AS c FROM obs
+       GROUP BY c_nationkey),
+tt AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+cells AS (
+  SELECT obs.segment, nn.n_name AS nation, obs.o,
+         CAST(rt.r AS DOUBLE) * ct.c / tt.n AS e
+  FROM obs
+  JOIN rt ON obs.segment = rt.segment
+  JOIN ct ON obs.c_nationkey = ct.c_nationkey
+  JOIN nation nn ON obs.c_nationkey = nn.n_nationkey
+  CROSS JOIN tt)
+SELECT segment, nation, o AS n_customers,
+       ROUND(e, 4) AS n_expected,
+       ROUND((o - e) * (o - e) / e, 6) AS chi2_term
+FROM cells
+ORDER BY (o - e) * (o - e) / e DESC, segment, nation
+LIMIT 15
+"""
+
+
+@register("x339_segment_nation_cells", oracle=_X339_SQL)
+def x339_segment_nation_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment x nation deviation leaderboard: the 15 customer-
+    base cells furthest from independence (x161's chi-square
+    machinery on the customer dims) — 'MACHINERY customers
+    over-concentrate in NATION_7' is a sales-territory fact the
+    marginal views can't show; ordered by the unrounded deviation
+    with (segment, nation) tiebreaks.
+
+    Scale: dim-only contingency build; marginals re-aggregate
+    the cell table; TakeOrdered output.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    obs = cust.groupBy(
+        F.col("c_mktsegment").alias("segment"), "c_nationkey"
+    ).agg(F.count("*").cast("bigint").alias("o"))
+    rt = obs.groupBy("segment").agg(
+        F.sum("o").cast("bigint").alias("r")
+    )
+    ct = obs.groupBy("c_nationkey").agg(
+        F.sum("o").cast("bigint").alias("c")
+    )
+    tt = obs.agg(F.sum("o").cast("bigint").alias("n"))
+    e = F.col("r").cast("double") * F.col("c") / F.col("n")
+    dev = (F.col("o") - e) * (F.col("o") - e) / e
+    return (
+        obs.join(F.broadcast(rt), "segment")
+        .join(F.broadcast(ct), "c_nationkey")
+        .join(F.broadcast(nat), obs.c_nationkey == nat.n_nationkey)
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "segment",
+            F.col("n_name").alias("nation"),
+            F.col("o").alias("n_customers"),
+            F.round(e, 4).alias("n_expected"),
+            F.round(dev, 6).alias("chi2_term"),
+            dev.alias("_d"),
+        )
+        .orderBy(F.desc("_d"), "segment", "nation")
+        .limit(15)
+        .drop("_d")
+    )
+
+
+# ---- x340: fixture-presence gate ----
+
+_X340_SQL = """
+WITH counts AS (
+  SELECT 'customer' AS tbl, CAST(COUNT(*) AS BIGINT) AS n FROM customer
+  UNION ALL SELECT 'documents', CAST(COUNT(*) AS BIGINT) FROM documents
+  UNION ALL SELECT 'embeddings', CAST(COUNT(*) AS BIGINT)
+    FROM embeddings
+  UNION ALL SELECT 'events', CAST(COUNT(*) AS BIGINT) FROM events
+  UNION ALL SELECT 'lineitem', CAST(COUNT(*) AS BIGINT) FROM lineitem
+  UNION ALL SELECT 'nation', CAST(COUNT(*) AS BIGINT) FROM nation
+  UNION ALL SELECT 'orders', CAST(COUNT(*) AS BIGINT) FROM orders
+  UNION ALL SELECT 'part', CAST(COUNT(*) AS BIGINT) FROM part
+  UNION ALL SELECT 'region', CAST(COUNT(*) AS BIGINT) FROM region
+  UNION ALL SELECT 'supplier', CAST(COUNT(*) AS BIGINT) FROM supplier)
+SELECT tbl AS table_name, n AS n_rows, n > 0 AS present
+FROM counts
+ORDER BY table_name
+"""
+
+
+@register("x340_fixture_presence", oracle=_X340_SQL)
+def x340_fixture_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture-presence gate: row counts and non-empty booleans
+    for every registered table — the first gate a scheduled
+    pipeline runs (an empty upstream table fails HERE with a
+    named row, instead of 40 queries later as a mysterious
+    zero); closes the audit-gate family (x280 contracts, x310
+    corpus, x320 continuity) at the most basic layer.
+
+    Scale: ten count-star legs, all parallel, metadata-cheap on
+    columnar sources.
+    """
+    out = None
+    for t in (
+        "customer",
+        "documents",
+        "embeddings",
+        "events",
+        "lineitem",
+        "nation",
+        "orders",
+        "part",
+        "region",
+        "supplier",
+    ):
+        df = load_table(spark, sf_dir, t)
+        leg = df.agg(
+            F.lit(t).alias("table_name"),
+            F.count("*").cast("bigint").alias("n_rows"),
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out.select(
+        "table_name", "n_rows", (F.col("n_rows") > 0).alias("present")
+    ).orderBy("table_name")
