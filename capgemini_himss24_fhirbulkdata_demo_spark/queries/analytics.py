@@ -15847,3 +15847,111 @@ def x340_fixture_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "table_name", "n_rows", (F.col("n_rows") > 0).alias("present")
     ).orderBy("table_name")
+
+
+# ---- x341: basket value by weekday-of-first-line-ship ----
+
+_X341_SQL = """
+WITH d AS (
+  SELECT l_orderkey,
+         CAST(DAYOFWEEK(MIN(CAST(l_shipdate AS DATE))) + 1 AS BIGINT)
+           AS first_ship_dow
+  FROM lineitem GROUP BY l_orderkey),
+j AS (
+  SELECT d.first_ship_dow,
+         CAST(o.o_totalprice AS DECIMAL(18,2)) AS price
+  FROM d JOIN orders o ON d.l_orderkey = o.o_orderkey)
+SELECT first_ship_dow,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(price) AS DOUBLE) / COUNT(*), 2) AS aov
+FROM j
+GROUP BY first_ship_dow
+ORDER BY first_ship_dow
+"""
+
+
+@register("x341_shipday_value_profile", oracle=_X341_SQL)
+def x341_shipday_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order value by the weekday its FIRST line ships — big
+    orders starting their fulfillment on Fridays sit in
+    warehouses over the weekend (working capital and damage
+    exposure); if the high-AOV mass ships late-week, dock
+    scheduling (x272) should rebalance toward Monday starts.
+
+    Exact decimal sums; one mean per weekday.
+
+    Scale: orderkey-grain min agg, co-keyed orders join, 7-row
+    rollup.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    d = li.groupBy("l_orderkey").agg(
+        F.dayofweek(F.min(F.col("l_shipdate").cast("date")))
+        .cast("bigint")
+        .alias("first_ship_dow")
+    )
+    j = d.join(orders, d.l_orderkey == orders.o_orderkey).select(
+        "first_ship_dow",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    return (
+        j.groupBy("first_ship_dow")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(
+                F.sum("price").cast("double") / F.count("*"), 2
+            ).alias("aov"),
+        )
+        .orderBy("first_ship_dow")
+    )
+
+
+# ---- x342: token-length distribution ----
+
+_X342_SQL = """
+WITH tok AS (
+  SELECT LENGTH(UNNEST(STRING_SPLIT(LOWER(text), ' '))) AS len
+  FROM documents),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok)
+SELECT CAST(len AS BIGINT) AS token_length,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM t), 6)
+         AS token_share
+FROM tok
+GROUP BY len
+ORDER BY token_length
+"""
+
+
+@register("x342_token_length_distribution", oracle=_X342_SQL)
+def x342_token_length_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-length distribution: the character-length
+    histogram of all tokens — the curve a subword tokenizer's
+    merge budget is tuned against (mass at 3-8 chars is normal
+    prose; a spike at 1-2 is over-split text or CJK without
+    segmentation; a heavy 15+ tail is x182's anomaly classes in
+    histogram form; x61 histograms DOCUMENT lengths, this is the
+    TOKEN level).
+
+    Integer lengths and counts; one share division.
+
+    Scale: explode + length-keyed agg (bounded key domain).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).select(F.length("tok").alias("len"))
+    t = tok.agg(F.count("*").cast("bigint").alias("nt"))
+    return (
+        tok.groupBy(F.col("len").cast("bigint").alias("token_length"))
+        .agg(F.count("*").cast("bigint").alias("n_tokens"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "token_length",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("nt"), 6
+            ).alias("token_share"),
+        )
+        .orderBy("token_length")
+    )
