@@ -11,15 +11,17 @@ Design for 100 TB of media:
   ``maxPartitionBytes`` bound executor memory against payload size;
 - decode is deterministic & dependency-gated: the synthetic ``FAKE``
   container, uncompressed BMP (24-bit / 8-bit paletted), binary PNM
-  (P5 pgm / P6 ppm), and PNG (8-bit non-interlaced gray / RGB /
-  palette / gray+alpha / RGBA, all five row filters, inflate via
-  stdlib zlib), multi-frame GIF87a/89a (LZW, global/local palettes,
-  full-canvas frames — the real-format path for frame sampling),
+  (P5 pgm / P6 ppm), and PNG (8-bit gray / RGB / palette /
+  gray+alpha / RGBA, all five row filters, non-interlaced and
+  Adam7-interlaced, inflate via stdlib zlib), multi-frame
+  GIF87a/89a (LZW, global/local palettes, full-canvas and
+  sub-rectangle frames composited with GCE disposal/transparency,
+  4-pass interlace — the real-format path for frame sampling),
   and baseline sequential JPEG (8-bit, Huffman, DRI/RST;
   Y-channel reconstruction — chroma entropy is decoded to advance the
   stream but not IDCT'd, since stats are luma-based) decode with pure
   stdlib code — no imaging library needed; anything else
-  (progressive/arithmetic JPEG, 16-bit/interlaced PNG, ...) falls
+  (progressive/arithmetic JPEG, 16-bit PNG, ...) falls
   through to PIL when importable and raises NotImplementedError
   otherwise (PIL is not baked into this container). Color decodes to
   8-bit luma via integer BT.601 weights
@@ -255,26 +257,20 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
-def encode_png(width: int, height: int, rows, color_type: int = 0,
-               palette: list[tuple[int, int, int]] | None = None,
-               filter_type: int = 0) -> bytes:
-    """Minimal PNG writer (8-bit, non-interlaced) — fixture twin of
-    ``_decode_png``. ``rows`` is a list of per-row byte sequences in
-    raw channel order; ``filter_type`` applies that PNG filter to
-    every row so decoder filter paths (0=None 1=Sub 2=Up 3=Average
-    4=Paeth) are individually exercisable."""
-    import zlib
+# Adam7 pass geometry: (x_start, y_start, x_step, y_step) per pass.
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
-    ch = _PNG_CHANNELS[color_type]
 
-    def chunk(tag: bytes, body: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(body)) + tag + body
-            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
-        )
-
+def _png_filter_rows(rows, ch: int, filter_type: int) -> bytes:
+    """Apply one PNG row filter to a raster (encoder side). ``rows``
+    is a list of equal-length byte sequences; the up-neighbor of the
+    first row is the zero row (per spec, independently per Adam7
+    pass)."""
     raw = bytearray()
-    prev = bytes(width * ch)
+    prev = bytes(len(rows[0])) if rows else b""
     for row in rows:
         row = bytes(row)
         filt = bytearray(len(row))
@@ -297,19 +293,127 @@ def encode_png(width: int, height: int, rows, color_type: int = 0,
                 filt[i] = (x - pred) & 0xFF
         raw += bytes((filter_type,)) + bytes(filt)
         prev = row
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return bytes(raw)
+
+
+def encode_png(width: int, height: int, rows, color_type: int = 0,
+               palette: list[tuple[int, int, int]] | None = None,
+               filter_type: int = 0, interlace: int = 0) -> bytes:
+    """Minimal PNG writer (8-bit) — fixture twin of ``_decode_png``.
+    ``rows`` is a list of per-row byte sequences in raw channel
+    order; ``filter_type`` applies that PNG filter to every row so
+    decoder filter paths (0=None 1=Sub 2=Up 3=Average 4=Paeth) are
+    individually exercisable; ``interlace=1`` writes Adam7 pass
+    order (each pass filtered independently, empty passes omitted,
+    per spec)."""
+    import zlib
+
+    ch = _PNG_CHANNELS[color_type]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    rows = [bytes(r) for r in rows]
+    if interlace == 0:
+        raw = _png_filter_rows(rows, ch, filter_type)
+    else:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+            ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            sub_rows = []
+            for j in range(ph):
+                row = rows[y0 + j * dy]
+                sub = bytearray()
+                for i in range(pw):
+                    o = (x0 + i * dx) * ch
+                    sub += row[o : o + ch]
+                sub_rows.append(bytes(sub))
+            raw += _png_filter_rows(sub_rows, ch, filter_type)
+        raw = bytes(raw)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0,
+                       1 if interlace else 0)
     out = _PNG_MAGIC + chunk(b"IHDR", ihdr)
     if color_type == 3:
         out += chunk(b"PLTE", b"".join(bytes(p) for p in palette))
     return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
 
 
+def _png_unfilter(raw, w: int, h: int, ch: int):
+    """Undo per-row PNG filters over an ``h`` × ``w*ch`` (sub-)raster
+    (decoder side; the up-neighbor of the first row is the zero row,
+    independently per Adam7 pass). Returns the list of unfiltered
+    row bytearrays; raises ValueError on size mismatch or an invalid
+    filter byte."""
+    stride = w * ch
+    if len(raw) != h * (1 + stride):
+        raise ValueError(
+            f"PNG raster size mismatch: need {h * (1 + stride)} "
+            f"bytes, inflated {len(raw)}"
+        )
+    rows = []
+    prev = bytearray(stride)
+    for y in range(h):
+        f = raw[y * (1 + stride)]
+        row = bytearray(raw[y * (1 + stride) + 1 : (y + 1) * (1 + stride)])
+        if f == 1:  # Sub
+            for i in range(ch, stride):
+                row[i] = (row[i] + row[i - ch]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = row[i - ch] if i >= ch else 0
+                row[i] = (row[i] + (a + prev[i]) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - ch] if i >= ch else 0
+                c = prev[i - ch] if i >= ch else 0
+                b = prev[i]
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"invalid PNG row filter {f}")
+        rows.append(row)
+        prev = row
+    return rows
+
+
+def _png_row_luma(row, w: int, color_type: int, palette) -> bytearray:
+    """One unfiltered raw row → per-pixel luma bytes (alpha ignored
+    for luma stats)."""
+    out = bytearray(w)
+    for x in range(w):
+        if color_type == 0:
+            out[x] = row[x]
+        elif color_type == 2:
+            out[x] = _luma(row[3 * x], row[3 * x + 1], row[3 * x + 2])
+        elif color_type == 3:
+            if palette is None:
+                raise ValueError("paletted PNG missing PLTE")
+            out[x] = palette[row[x]]
+        elif color_type == 4:
+            out[x] = row[2 * x]
+        else:  # 6: RGBA
+            out[x] = _luma(row[4 * x], row[4 * x + 1], row[4 * x + 2])
+    return out
+
+
 def _decode_png(payload: bytes):
-    """Pure-stdlib PNG decode (8-bit, non-interlaced, color types
-    0/2/3/4/6; all five row filters) → (width, height, [luma frame]).
-    zlib does the inflate; alpha is ignored for luma stats. 16-bit
-    and interlaced PNGs fall through to the PIL gate. Truncated or
-    corrupt streams raise ValueError (same contract as BMP/PNM)."""
+    """Pure-stdlib PNG decode (8-bit, color types 0/2/3/4/6; all five
+    row filters; non-interlaced AND Adam7-interlaced) →
+    (width, height, [luma frame]). zlib does the inflate; alpha is
+    ignored for luma stats. 16-bit PNGs fall through to the PIL
+    gate. Truncated or corrupt streams raise ValueError (same
+    contract as BMP/PNM)."""
     import zlib
 
     if len(payload) < 8 + 25:
@@ -338,12 +442,13 @@ def _decode_png(payload: bytes):
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     width, height, depth, color_type, _comp, _filt, interlace = ihdr
-    if depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+    if depth != 8 or color_type not in _PNG_CHANNELS:
         raise NotImplementedError(
-            f"only 8-bit non-interlaced PNG decodes dependency-free "
-            f"(depth={depth}, color_type={color_type}, "
-            f"interlace={interlace}); others need PIL"
+            f"only 8-bit PNG decodes dependency-free "
+            f"(depth={depth}, color_type={color_type}); others need PIL"
         )
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
     if not idat:
         raise ValueError("PNG missing IDAT")
     try:
@@ -351,53 +456,34 @@ def _decode_png(payload: bytes):
     except zlib.error as e:
         raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
     ch = _PNG_CHANNELS[color_type]
-    stride = width * ch
-    if len(raw) != height * (1 + stride):
-        raise ValueError(
-            f"PNG raster size mismatch: need {height * (1 + stride)} "
-            f"bytes, inflated {len(raw)}"
-        )
     px = bytearray(width * height)
-    prev = bytearray(stride)
-    for y in range(height):
-        f = raw[y * (1 + stride)]
-        row = bytearray(raw[y * (1 + stride) + 1 : (y + 1) * (1 + stride)])
-        if f == 1:  # Sub
-            for i in range(ch, stride):
-                row[i] = (row[i] + row[i - ch]) & 0xFF
-        elif f == 2:  # Up
-            for i in range(stride):
-                row[i] = (row[i] + prev[i]) & 0xFF
-        elif f == 3:  # Average
-            for i in range(stride):
-                a = row[i - ch] if i >= ch else 0
-                row[i] = (row[i] + (a + prev[i]) // 2) & 0xFF
-        elif f == 4:  # Paeth
-            for i in range(stride):
-                a = row[i - ch] if i >= ch else 0
-                c = prev[i - ch] if i >= ch else 0
-                b = prev[i]
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                row[i] = (row[i] + pred) & 0xFF
-        elif f != 0:
-            raise ValueError(f"invalid PNG row filter {f}")
-        for x in range(width):
-            if color_type == 0:
-                v = row[x]
-            elif color_type == 2:
-                v = _luma(row[3 * x], row[3 * x + 1], row[3 * x + 2])
-            elif color_type == 3:
-                if palette is None:
-                    raise ValueError("paletted PNG missing PLTE")
-                v = palette[row[x]]
-            elif color_type == 4:
-                v = row[2 * x]
-            else:  # 6: RGBA
-                v = _luma(row[4 * x], row[4 * x + 1], row[4 * x + 2])
-            px[y * width + x] = v
-        prev = row
+    if interlace == 0:
+        rows = _png_unfilter(raw, width, height, ch)
+        for y, row in enumerate(rows):
+            px[y * width : (y + 1) * width] = _png_row_luma(
+                row, width, color_type, palette
+            )
+    else:  # Adam7: 7 independently-filtered passes, scattered
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+            ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            need = ph * (1 + pw * ch)
+            sub = raw[off : off + need]
+            off += need
+            rows = _png_unfilter(sub, pw, ph, ch)
+            for j, row in enumerate(rows):
+                lum = _png_row_luma(row, pw, color_type, palette)
+                y = y0 + j * dy
+                for i in range(pw):
+                    px[y * width + x0 + i * dx] = lum[i]
+        if off != len(raw):
+            raise ValueError(
+                f"PNG raster size mismatch: Adam7 passes need {off} "
+                f"bytes, inflated {len(raw)}"
+            )
     return width, height, [bytes(px)]
 
 
@@ -956,21 +1042,44 @@ def _lzw_decompress(data, min_code_size, expect_n):
     return bytes(out)
 
 
-def encode_gif(width: int, height: int, frames, palette) -> bytes:
-    """Minimal multi-frame GIF89a writer (full-canvas frames, global
-    palette, no interlace) — fixture twin of ``_decode_gif``.
-    ``frames`` is a list of per-frame palette-index sequences (row-
-    major, width*height each); ``palette`` is up to 256 (r, g, b)."""
+def encode_gif(width: int, height: int, frames, palette, rects=None,
+               interlace: bool = False, gces=None) -> bytes:
+    """Minimal multi-frame GIF89a writer (global palette) — fixture
+    twin of ``_decode_gif``. ``frames`` is a list of per-frame
+    palette-index sequences (row-major; width*height, or fw*fh when
+    ``rects`` gives that frame a (left, top, fw, fh) sub-rectangle);
+    ``palette`` is up to 256 (r, g, b); ``interlace`` stores every
+    frame's rows in GIF 4-pass order; ``gces`` is an optional list
+    of per-frame (disposal, transparent_idx or None) written as
+    Graphic Control Extensions."""
     n = max(2, (max(1, len(palette) - 1)).bit_length())
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", width, height, 0x80 | ((n - 1) & 7) << 4 | (n - 1), 0, 0)
     for i in range(1 << n):
         r, g, b = palette[i] if i < len(palette) else (0, 0, 0)
         out += bytes((r, g, b))
-    for frame in frames:
-        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    for fi, frame in enumerate(frames):
+        left, top, fw, fh = (
+            rects[fi] if rects and rects[fi] else (0, 0, width, height)
+        )
+        if gces and gces[fi]:
+            disposal, t_idx = gces[fi]
+            gflags = ((disposal & 7) << 2) | (1 if t_idx is not None else 0)
+            out += b"\x21\xf9\x04" + bytes(
+                (gflags, 0, 0, t_idx if t_idx is not None else 0)
+            ) + b"\x00"
+        frame = list(frame)
+        if interlace:
+            order = (
+                list(range(0, fh, 8)) + list(range(4, fh, 8))
+                + list(range(2, fh, 4)) + list(range(1, fh, 2))
+            )
+            frame = [v for r in order for v in frame[r * fw : (r + 1) * fw]]
+        out += b"\x2c" + struct.pack(
+            "<HHHHB", left, top, fw, fh, 0x40 if interlace else 0
+        )
         out.append(n)  # LZW min code size
-        data = _lzw_compress(list(frame), n)
+        data = _lzw_compress(frame, n)
         for off in range(0, len(data), 255):
             chunk = data[off : off + 255]
             out.append(len(chunk))
@@ -980,17 +1089,32 @@ def encode_gif(width: int, height: int, frames, palette) -> bytes:
     return bytes(out)
 
 
+def _gif_deinterlace(idx: bytes, fw: int, fh: int) -> bytes:
+    """Reorder GIF 4-pass interlaced rows (8/0, 8/4, 4/2, 2/1 =
+    step/start) into display order."""
+    order = (
+        list(range(0, fh, 8)) + list(range(4, fh, 8))
+        + list(range(2, fh, 4)) + list(range(1, fh, 2))
+    )
+    out = bytearray(fw * fh)
+    for src, dst in enumerate(order):
+        out[dst * fw : (dst + 1) * fw] = idx[src * fw : (src + 1) * fw]
+    return bytes(out)
+
+
 def _decode_gif(payload: bytes):
     """Multi-frame GIF → (width, height, [luma frames]) — the real-
-    format path for ``sample_frames``. Full-canvas non-interlaced
-    frames with global or local palettes decode pure-stdlib;
-    interlaced or sub-rectangle frames raise NotImplementedError
-    (PIL gate). Truncated/corrupt streams raise ValueError."""
+    format path for ``sample_frames``. Pure-stdlib: global or local
+    palettes, sub-rectangle frames composited onto the logical
+    screen with Graphic Control Extension disposal (0/1 leave,
+    2 restore-to-background, 3 restore-to-previous) and
+    transparent-index skip, and 4-pass interlaced rasters.
+    Truncated/corrupt streams raise ValueError."""
     if payload[:6] not in _GIF_MAGICS:
         raise ValueError("not a GIF")
     if len(payload) < 13:
         raise ValueError("truncated GIF header")
-    width, height, flags, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    width, height, flags, bg_idx, _ar = struct.unpack("<HHBBB", payload[6:13])
     pos = 13
     global_pal = None
     if flags & 0x80:
@@ -1002,15 +1126,22 @@ def _decode_gif(payload: bytes):
             _luma(raw[3 * i], raw[3 * i + 1], raw[3 * i + 2]) for i in range(n)
         ]
         pos += 3 * n
+    bg_luma = (
+        global_pal[bg_idx] if global_pal and bg_idx < len(global_pal) else 0
+    )
+    canvas = bytearray([bg_luma]) * (width * height)
     frames = []
     saw_trailer = False
+    pending_gce = None  # (disposal, transparent_idx or None)
     while pos < len(payload):
         block = payload[pos]
         if block == 0x3B:  # trailer
             saw_trailer = True
             break
         if block == 0x21:  # extension: label + sub-blocks
+            label = payload[pos + 1] if pos + 1 < len(payload) else None
             pos += 2
+            first = True
             while True:
                 if pos >= len(payload):
                     raise ValueError("truncated GIF extension")
@@ -1018,6 +1149,16 @@ def _decode_gif(payload: bytes):
                 pos += 1
                 if sz == 0:
                     break
+                body = payload[pos : pos + sz]
+                if len(body) < sz:
+                    raise ValueError("truncated GIF extension")
+                if label == 0xF9 and first and sz >= 4:
+                    gflags = body[0]
+                    pending_gce = (
+                        (gflags >> 2) & 7,
+                        body[3] if gflags & 1 else None,
+                    )
+                first = False
                 pos += sz
             continue
         if block != 0x2C:
@@ -1026,9 +1167,10 @@ def _decode_gif(payload: bytes):
             raise ValueError("truncated GIF image descriptor")
         left, top, fw, fh, iflags = struct.unpack("<HHHHB", payload[pos + 1 : pos + 10])
         pos += 10
-        if (left, top, fw, fh) != (0, 0, width, height) or iflags & 0x40:
-            raise NotImplementedError(
-                "sub-rectangle or interlaced GIF frames need PIL"
+        if left + fw > width or top + fh > height or fw == 0 or fh == 0:
+            raise ValueError(
+                f"GIF frame rect ({left},{top},{fw},{fh}) outside "
+                f"{width}x{height} logical screen"
             )
         pal = global_pal
         if iflags & 0x80:
@@ -1060,8 +1202,27 @@ def _decode_gif(payload: bytes):
                 raise ValueError("truncated GIF data sub-block")
             data += chunk
             pos += sz
-        idx = _lzw_decompress(bytes(data), min_code, width * height)
-        frames.append(bytes(pal[i] if i < len(pal) else 0 for i in idx))
+        idx = _lzw_decompress(bytes(data), min_code, fw * fh)
+        if iflags & 0x40:
+            idx = _gif_deinterlace(idx, fw, fh)
+        disposal, t_idx = pending_gce if pending_gce else (0, None)
+        pending_gce = None
+        snapshot = bytes(canvas) if disposal == 3 else None
+        for r in range(fh):
+            base = (top + r) * width + left
+            rowoff = r * fw
+            for c in range(fw):
+                v = idx[rowoff + c]
+                if t_idx is not None and v == t_idx:
+                    continue
+                canvas[base + c] = pal[v] if v < len(pal) else 0
+        frames.append(bytes(canvas))
+        if disposal == 2:  # restore rect to background
+            for r in range(fh):
+                base = (top + r) * width + left
+                canvas[base : base + fw] = bytes([bg_luma]) * fw
+        elif disposal == 3:  # restore to previous
+            canvas = bytearray(snapshot)
     if not saw_trailer:
         # A stream ending cleanly at a frame boundary (after a 0-size
         # sub-block terminator, before the trailer) is still truncated:
@@ -1116,7 +1277,7 @@ def _decode_fake(payload: bytes):
         try:
             return _decode_png(payload)
         except NotImplementedError:
-            return _decode_pil(payload)  # 16-bit / interlaced variants
+            return _decode_pil(payload)  # 16-bit variants
     if payload[:2] == b"\xff\xd8":
         try:
             return _decode_jpeg(payload)
@@ -1126,7 +1287,7 @@ def _decode_fake(payload: bytes):
         try:
             return _decode_gif(payload)
         except NotImplementedError:
-            return _decode_pil(payload)  # sub-rectangle / interlaced frames
+            return _decode_pil(payload)  # anything beyond the stdlib GIF path
     return _decode_pil(payload)
 
 

@@ -840,3 +840,130 @@ def test_linear_attribution_credit_conservation(pv_u, n):
     remainder must be < n micro-units (sub-micro per touch)."""
     credit = pv_u // n
     assert credit * n <= pv_u < credit * n + n
+
+
+@given(
+    w=st.integers(min_value=1, max_value=20),
+    h=st.integers(min_value=1, max_value=20),
+    color_type=st.sampled_from([0, 2, 3, 4, 6]),
+    filter_type=st.integers(min_value=0, max_value=4),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_adam7_matches_noninterlaced(w, h, color_type, filter_type, seed):
+    """An Adam7-interlaced PNG decodes to the exact same luma frame
+    as the non-interlaced encoding of the same raster — the pass
+    geometry (7 sub-rasters, independent filter state, empty passes
+    omitted) is the error-prone part of interlaced PNG."""
+    import hashlib
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.multimodal.binary import (
+        _PNG_CHANNELS,
+        _decode_png,
+        encode_png,
+    )
+
+    ch = _PNG_CHANNELS[color_type]
+
+    def b(i):
+        return hashlib.md5(f"{seed}:{i}".encode()).digest()[0]
+
+    rows = [bytes(b(y * w * ch + i) for i in range(w * ch)) for y in range(h)]
+    palette = [(b(1000 + 3 * i), b(2000 + 3 * i), b(3000 + 3 * i))
+               for i in range(256)]
+    pal = palette if color_type == 3 else None
+    plain = _decode_png(encode_png(w, h, rows, color_type, pal, filter_type))
+    adam7 = _decode_png(
+        encode_png(w, h, rows, color_type, pal, filter_type, interlace=1)
+    )
+    assert adam7 == plain
+
+
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    nf=st.integers(min_value=1, max_value=3),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=40, deadline=None)
+def test_gif_interlaced_matches_noninterlaced(w, h, nf, seed):
+    """4-pass interlaced GIF frames decode to the same rasters as
+    their non-interlaced twins (row reorder is a pure permutation)."""
+    import hashlib
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.multimodal.binary import (
+        _decode_gif,
+        encode_gif,
+    )
+
+    def b(tag, i):
+        return hashlib.md5(f"{seed}:{tag}:{i}".encode()).digest()[0]
+
+    pal = [(b("r", i), b("g", i), b("b", i)) for i in range(64)]
+    frames = [[b(f, i) % 64 for i in range(w * h)] for f in range(nf)]
+    plain = _decode_gif(encode_gif(w, h, frames, pal))
+    inter = _decode_gif(encode_gif(w, h, frames, pal, interlace=True))
+    assert inter == plain
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=2**31),
+    nf=st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=40, deadline=None)
+def test_gif_subrect_compositing_matches_reference(seed, nf):
+    """Sub-rectangle GIF frames composite onto the logical screen
+    with GCE disposal (0/1 leave, 2 restore-background, 3
+    restore-previous) and transparent-index skip; checked against an
+    independent pure-Python compositor over random frame stacks."""
+    import hashlib
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.multimodal.binary import (
+        _decode_gif,
+        _luma,
+        encode_gif,
+    )
+
+    W, H = 10, 8
+
+    def b(tag, i):
+        return hashlib.md5(f"{seed}:{tag}:{i}".encode()).digest()[0]
+
+    npal = 16
+    pal = [(b("r", i), b("g", i), b("b", i)) for i in range(npal)]
+    lum = [_luma(*p) for p in pal]
+    bg = lum[0]  # encoder writes background index 0
+    frames, rects, gces = [], [], []
+    for f in range(nf):
+        fw = 1 + b("w", f) % W
+        fh = 1 + b("h", f) % H
+        left = b("l", f) % (W - fw + 1)
+        top = b("t", f) % (H - fh + 1)
+        rects.append((left, top, fw, fh))
+        frames.append([b(f, i) % npal for i in range(fw * fh)])
+        disposal = b("d", f) % 4
+        t_idx = (b("x", f) % npal) if b("tf", f) % 2 else None
+        gces.append((disposal, t_idx))
+    gif = encode_gif(W, H, frames, pal, rects=rects, gces=gces)
+    dw, dh, got = _decode_gif(gif)
+    assert (dw, dh, len(got)) == (W, H, nf)
+
+    # independent reference compositor
+    canvas = [bg] * (W * H)
+    for f in range(nf):
+        left, top, fw, fh = rects[f]
+        disposal, t_idx = gces[f]
+        before = list(canvas)
+        for r in range(fh):
+            for c in range(fw):
+                v = frames[f][r * fw + c]
+                if t_idx is not None and v == t_idx:
+                    continue
+                canvas[(top + r) * W + left + c] = lum[v]
+        assert got[f] == bytes(canvas), f
+        if disposal == 2:
+            for r in range(fh):
+                for c in range(fw):
+                    canvas[(top + r) * W + left + c] = bg
+        elif disposal == 3:
+            canvas = before
