@@ -11,9 +11,11 @@ Design for 100 TB of media:
   ``maxPartitionBytes`` bound executor memory against payload size;
 - decode is deterministic & dependency-gated: the synthetic ``FAKE``
   container, uncompressed BMP (24-bit / 8-bit paletted), binary PNM
-  (P5 pgm / P6 ppm), and PNG (8-bit gray / RGB / palette /
-  gray+alpha / RGBA, all five row filters, non-interlaced and
-  Adam7-interlaced, inflate via stdlib zlib), multi-frame
+  (P5 pgm / P6 ppm, 8- and 16-bit with exact maxval rescale), and
+  PNG (8-bit gray / RGB / palette / gray+alpha / RGBA and 16-bit
+  gray / RGB / gray+alpha / RGBA, all five row filters,
+  non-interlaced and Adam7-interlaced, inflate via stdlib zlib),
+  multi-frame
   GIF87a/89a (LZW, global/local palettes, full-canvas and
   sub-rectangle frames composited with GCE disposal/transparency,
   4-pass interlace — the real-format path for frame sampling),
@@ -21,7 +23,7 @@ Design for 100 TB of media:
   Y-channel reconstruction — chroma entropy is decoded to advance the
   stream but not IDCT'd, since stats are luma-based) decode with pure
   stdlib code — no imaging library needed; anything else
-  (progressive/arithmetic JPEG, 16-bit PNG, ...) falls
+  (progressive/arithmetic JPEG, 1/2/4-bit PNG, ...) falls
   through to PIL when importable and raises NotImplementedError
   otherwise (PIL is not baked into this container). Color decodes to
   8-bit luma via integer BT.601 weights
@@ -144,14 +146,18 @@ def decode_wav(payload: bytes):
     return meta, frames
 
 
-def encode_pnm(width: int, height: int, pixels, rgb: bool = False) -> bytes:
+def encode_pnm(width: int, height: int, pixels, rgb: bool = False,
+               maxval: int = 255) -> bytes:
     """Binary PNM writer: P6 from (r,g,b) tuples or P5 from luma
-    bytes — fixture twin of ``_decode_pnm``."""
-    if rgb:
-        return f"P6\n{width} {height}\n255\n".encode() + bytes(
-            v for px in pixels for v in px
-        )
-    return f"P5\n{width} {height}\n255\n".encode() + bytes(pixels)
+    samples — fixture twin of ``_decode_pnm``. ``maxval`` > 255
+    writes two-byte big-endian samples (16-bit PNM)."""
+    header = (
+        f"{'P6' if rgb else 'P5'}\n{width} {height}\n{maxval}\n".encode()
+    )
+    flat = [v for px in pixels for v in px] if rgb else list(pixels)
+    if maxval > 255:
+        return header + b"".join(struct.pack(">H", v) for v in flat)
+    return header + bytes(flat)
 
 
 def _decode_bmp(payload: bytes):
@@ -233,19 +239,36 @@ def _decode_pnm(payload: bytes):
         fields.append(int(payload[start:pos]))
     pos += 1  # single whitespace after maxval, then raster
     width, height, maxval = fields
-    if maxval > 255:
-        raise NotImplementedError("16-bit PNM not supported")
-    need = (1 if magic == b"P5" else 3) * width * height
+    if maxval <= 0 or maxval > 65535:
+        raise ValueError(f"invalid PNM maxval {maxval}")
+    # two-byte big-endian samples when maxval > 255 (per spec);
+    # scaled to 8-bit luma with exact integer arithmetic
+    sw = 2 if maxval > 255 else 1
+    nch = 1 if magic == b"P5" else 3
+    need = nch * sw * width * height
     if pos + need > len(payload):
         raise ValueError(
             f"truncated {magic.decode()} raster: need {need} bytes after "
             f"header, have {len(payload) - pos}"
         )
+    raster = payload[pos : pos + need]
+
+    def sample(i: int) -> int:
+        if sw == 1:
+            v = raster[i]
+        else:
+            v = (raster[2 * i] << 8) | raster[2 * i + 1]
+        if v > maxval:
+            raise ValueError(f"PNM sample {v} exceeds maxval {maxval}")
+        return v * 255 // maxval
+
     if magic == b"P5":
-        return width, height, [payload[pos : pos + width * height]]
-    raster = payload[pos : pos + 3 * width * height]
+        if sw == 1 and maxval == 255:
+            return width, height, [raster]
+        px = bytes(sample(i) for i in range(width * height))
+        return width, height, [px]
     px = bytes(
-        _luma(raster[3 * i], raster[3 * i + 1], raster[3 * i + 2])
+        _luma(sample(3 * i), sample(3 * i + 1), sample(3 * i + 2))
         for i in range(width * height)
     )
     return width, height, [px]
@@ -298,17 +321,19 @@ def _png_filter_rows(rows, ch: int, filter_type: int) -> bytes:
 
 def encode_png(width: int, height: int, rows, color_type: int = 0,
                palette: list[tuple[int, int, int]] | None = None,
-               filter_type: int = 0, interlace: int = 0) -> bytes:
-    """Minimal PNG writer (8-bit) — fixture twin of ``_decode_png``.
-    ``rows`` is a list of per-row byte sequences in raw channel
-    order; ``filter_type`` applies that PNG filter to every row so
-    decoder filter paths (0=None 1=Sub 2=Up 3=Average 4=Paeth) are
-    individually exercisable; ``interlace=1`` writes Adam7 pass
-    order (each pass filtered independently, empty passes omitted,
-    per spec)."""
+               filter_type: int = 0, interlace: int = 0,
+               depth: int = 8) -> bytes:
+    """Minimal PNG writer (8/16-bit) — fixture twin of
+    ``_decode_png``. ``rows`` is a list of per-row byte sequences in
+    raw channel order (two big-endian bytes per sample at
+    ``depth=16``); ``filter_type`` applies that PNG filter to every
+    row so decoder filter paths (0=None 1=Sub 2=Up 3=Average
+    4=Paeth) are individually exercisable; ``interlace=1`` writes
+    Adam7 pass order (each pass filtered independently, empty passes
+    omitted, per spec)."""
     import zlib
 
-    ch = _PNG_CHANNELS[color_type]
+    ch = _PNG_CHANNELS[color_type] * (depth // 8)  # filter byte offset
 
     def chunk(tag: bytes, body: bytes) -> bytes:
         return (
@@ -336,7 +361,7 @@ def encode_png(width: int, height: int, rows, color_type: int = 0,
                 sub_rows.append(bytes(sub))
             raw += _png_filter_rows(sub_rows, ch, filter_type)
         raw = bytes(raw)
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0,
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color_type, 0, 0,
                        1 if interlace else 0)
     out = _PNG_MAGIC + chunk(b"IHDR", ihdr)
     if color_type == 3:
@@ -442,9 +467,13 @@ def _decode_png(payload: bytes):
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     width, height, depth, color_type, _comp, _filt, interlace = ihdr
-    if depth != 8 or color_type not in _PNG_CHANNELS:
+    if (
+        color_type not in _PNG_CHANNELS
+        or depth not in (8, 16)
+        or (depth == 16 and color_type == 3)  # 16-bit palette is illegal
+    ):
         raise NotImplementedError(
-            f"only 8-bit PNG decodes dependency-free "
+            f"only 8/16-bit PNG decodes dependency-free "
             f"(depth={depth}, color_type={color_type}); others need PIL"
         )
     if interlace not in (0, 1):
@@ -456,13 +485,19 @@ def _decode_png(payload: bytes):
     except zlib.error as e:
         raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
     ch = _PNG_CHANNELS[color_type]
+    bpp = ch * (depth // 8)  # filter byte-offset = bytes per pixel
+
+    def row_luma(row, w):
+        if depth == 16:
+            # high byte of each big-endian 16-bit sample == v*255//65535
+            row = row[::2]
+        return _png_row_luma(row, w, color_type, palette)
+
     px = bytearray(width * height)
     if interlace == 0:
-        rows = _png_unfilter(raw, width, height, ch)
+        rows = _png_unfilter(raw, width, height, bpp)
         for y, row in enumerate(rows):
-            px[y * width : (y + 1) * width] = _png_row_luma(
-                row, width, color_type, palette
-            )
+            px[y * width : (y + 1) * width] = row_luma(row, width)
     else:  # Adam7: 7 independently-filtered passes, scattered
         off = 0
         for x0, y0, dx, dy in _ADAM7:
@@ -470,12 +505,12 @@ def _decode_png(payload: bytes):
             ph = (height - y0 + dy - 1) // dy if height > y0 else 0
             if pw == 0 or ph == 0:
                 continue
-            need = ph * (1 + pw * ch)
+            need = ph * (1 + pw * bpp)
             sub = raw[off : off + need]
             off += need
-            rows = _png_unfilter(sub, pw, ph, ch)
+            rows = _png_unfilter(sub, pw, ph, bpp)
             for j, row in enumerate(rows):
-                lum = _png_row_luma(row, pw, color_type, palette)
+                lum = row_luma(row, pw)
                 y = y0 + j * dy
                 for i in range(pw):
                     px[y * width + x0 + i * dx] = lum[i]
@@ -1277,7 +1312,7 @@ def _decode_fake(payload: bytes):
         try:
             return _decode_png(payload)
         except NotImplementedError:
-            return _decode_pil(payload)  # 16-bit variants
+            return _decode_pil(payload)  # sub-8-bit depths
     if payload[:2] == b"\xff\xd8":
         try:
             return _decode_jpeg(payload)

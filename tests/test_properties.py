@@ -967,3 +967,96 @@ def test_gif_subrect_compositing_matches_reference(seed, nf):
                     canvas[(top + r) * W + left + c] = bg
         elif disposal == 3:
             canvas = before
+
+
+@given(
+    w=st.integers(min_value=1, max_value=16),
+    h=st.integers(min_value=1, max_value=16),
+    color_type=st.sampled_from([0, 2, 4, 6]),
+    filter_type=st.integers(min_value=0, max_value=4),
+    interlace=st.integers(min_value=0, max_value=1),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=50, deadline=None)
+def test_png_16bit_high_byte_luma(w, h, color_type, filter_type,
+                                  interlace, seed):
+    """16-bit PNG decodes to the luma of each sample's high byte
+    (exact v*255//65535), across every non-palette color type, row
+    filter, and both interlace modes — filter offsets move to
+    bytes-per-pixel at depth 16, the classic decoder bug."""
+    import hashlib
+    import struct as _struct
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.multimodal.binary import (
+        _PNG_CHANNELS,
+        _decode_png,
+        _luma,
+        encode_png,
+    )
+
+    ch = _PNG_CHANNELS[color_type]
+
+    def s16(i):
+        d = hashlib.md5(f"{seed}:{i}".encode()).digest()
+        return (d[0] << 8) | d[1]
+
+    samples = [[s16(y * w * ch + i) for i in range(w * ch)] for y in range(h)]
+    rows = [b"".join(_struct.pack(">H", v) for v in r) for r in samples]
+    png = encode_png(w, h, rows, color_type, None, filter_type,
+                     interlace=interlace, depth=16)
+    dw, dh, frames = _decode_png(png)
+    assert (dw, dh) == (w, h)
+    expect = bytearray()
+    for r in samples:
+        hi = [v >> 8 for v in r]
+        for x in range(w):
+            if color_type == 0:
+                expect.append(hi[x])
+            elif color_type == 2:
+                expect.append(_luma(hi[3 * x], hi[3 * x + 1], hi[3 * x + 2]))
+            elif color_type == 4:
+                expect.append(hi[2 * x])
+            else:
+                expect.append(_luma(hi[4 * x], hi[4 * x + 1], hi[4 * x + 2]))
+    assert frames[0] == bytes(expect)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    rgb=st.booleans(),
+    maxval=st.sampled_from([255, 1023, 4095, 65535]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=50, deadline=None)
+def test_pnm_maxval_rescale(w, h, rgb, maxval, seed):
+    """PNM samples rescale to 8-bit via exact integer v*255//maxval;
+    maxval>255 reads two-byte big-endian samples (16-bit PNM).
+    Truncating the raster raises ValueError."""
+    import hashlib
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.multimodal.binary import (
+        _decode_pnm,
+        _luma,
+        encode_pnm,
+    )
+
+    def sv(i):
+        d = hashlib.md5(f"{seed}:{i}".encode()).digest()
+        return ((d[0] << 8) | d[1]) % (maxval + 1)
+
+    n = w * h
+    if rgb:
+        pixels = [(sv(3 * i), sv(3 * i + 1), sv(3 * i + 2)) for i in range(n)]
+        expect = bytes(
+            _luma(*(v * 255 // maxval for v in p)) for p in pixels
+        )
+    else:
+        pixels = [sv(i) for i in range(n)]
+        expect = bytes(v * 255 // maxval for v in pixels)
+    pnm = encode_pnm(w, h, pixels, rgb=rgb, maxval=maxval)
+    dw, dh, frames = _decode_pnm(pnm)
+    assert (dw, dh) == (w, h)
+    assert frames[0] == expect
+    with pytest.raises(ValueError):
+        _decode_pnm(pnm[:-1])
