@@ -19,11 +19,13 @@ Design for 100 TB of media:
   GIF87a/89a (LZW, global/local palettes, full-canvas and
   sub-rectangle frames composited with GCE disposal/transparency,
   4-pass interlace — the real-format path for frame sampling),
-  and baseline sequential JPEG (8-bit, Huffman, DRI/RST;
-  Y-channel reconstruction — chroma entropy is decoded to advance the
+  and both baseline sequential AND progressive JPEG (8-bit,
+  Huffman, DRI/RST; progressive spectral-selection + successive-
+  approximation scans with EOB-run semantics; Y-channel
+  reconstruction — chroma entropy is decoded to advance the
   stream but not IDCT'd, since stats are luma-based) decode with pure
   stdlib code — no imaging library needed; anything else
-  (progressive/arithmetic JPEG, 1/2/4-bit PNG, ...) falls
+  (arithmetic/lossless JPEG, 1/2/4-bit PNG, ...) falls
   through to PIL when importable and raises NotImplementedError
   otherwise (PIL is not baked into this container). Color decodes to
   8-bit luma via integer BT.601 weights
@@ -737,6 +739,202 @@ def encode_jpeg(width: int, height: int, luma_rows, quant: int = 1,
     return bytes(out)
 
 
+def encode_jpeg_progressive(width: int, height: int, luma_rows,
+                            quant: int = 1) -> bytes:
+    """Progressive (SOF2) GRAYSCALE JPEG writer — fixture twin of the
+    progressive decode path. Emits the classic libjpeg-style scan
+    script: DC first (Al=1), two AC spectral bands first-pass (Al=2),
+    DC refine, then two AC successive-approximation refinement scans
+    (Al=1, Al=0) — exercising all four progressive scan types
+    including EOB-run accumulation and buffered correction bits.
+    Transmits exactly the same quantized coefficients as
+    ``encode_jpeg``, so the decoded raster is bit-identical to the
+    baseline encoding at the same ``quant``."""
+    qtab = [max(1, min(255, quant))] * 64
+    dc_enc = {v: lc for lc, v in _huff_codes(_DC_BITS, _DC_VALS).items()}
+    # the Annex-K baseline AC table has no EOBn (n>=1) symbols — those
+    # exist only in progressive scans. Use a uniform 9-bit canonical
+    # table over all 176 legal run/size symbols (16 with size 0 =
+    # EOB0..EOB14 + ZRL, and runs 0-15 x sizes 1-10); Kraft sum
+    # 176/512 < 1, decoder reads it from the DHT like any other.
+    ac_vals = [r << 4 for r in range(16)] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    ac_bits = [0] * 8 + [len(ac_vals)] + [0] * 7
+    ac_enc = {v: lc for lc, v in _huff_codes(ac_bits, ac_vals).items()}
+
+    # quantized zigzag coefficients per block, row-major
+    blocks = []
+    bh, bw = (height + 7) // 8, (width + 7) // 8
+    for by in range(bh):
+        for bx in range(bw):
+            block = [0.0] * 64
+            for y in range(8):
+                for x in range(8):
+                    sy = min(by * 8 + y, height - 1)
+                    sx = min(bx * 8 + x, width - 1)
+                    block[y * 8 + x] = luma_rows[sy][sx] - 128.0
+            coef = _fdct2d(block)
+            blocks.append(
+                [int(round(coef[_ZIGZAG[i]] / qtab[_ZIGZAG[i]]))
+                 for i in range(64)]
+            )
+
+    def marker(tag, body):
+        return bytes((0xFF, tag)) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += marker(0xDB, bytes([0]) + bytes(qtab[_ZIGZAG[i]] for i in range(64)))
+    out += marker(
+        0xC2, struct.pack(">BHHB", 8, height, width, 1) + bytes((1, 0x11, 0))
+    )
+    out += marker(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += marker(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+
+    def sos(ss, se, ah, al):
+        return marker(0xDA, bytes((1, 1, 0x00, ss, se, (ah << 4) | al)))
+
+    def dc_first(al):
+        w = _BitWriter()
+        prev = 0
+        for q in blocks:
+            v = q[0] >> al  # arithmetic shift per T.81 point transform
+            diff = v - prev
+            prev = v
+            size = 0 if diff == 0 else (
+                diff.bit_length() if diff > 0 else (-diff).bit_length()
+            )
+            length, code = dc_enc[size]
+            w.write(code, length)
+            if size:
+                w.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+        w.flush()
+        return w.buf
+
+    def dc_refine(al):
+        w = _BitWriter()
+        for q in blocks:
+            w.write((q[0] >> al) & 1, 1)
+        w.flush()
+        return w.buf
+
+    def ac_first(ss, se, al):
+        w = _BitWriter()
+        eobrun = 0
+
+        def flush_eobrun():
+            nonlocal eobrun
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                length, code = ac_enc[nb << 4]
+                w.write(code, length)
+                if nb:
+                    w.write(eobrun - (1 << nb), nb)
+                eobrun = 0
+
+        for q in blocks:
+            vals = []
+            for k in range(ss, se + 1):
+                t = abs(q[k]) >> al
+                vals.append(t if q[k] >= 0 else -t)
+            if not any(vals):
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eobrun()
+                continue
+            flush_eobrun()
+            run = 0
+            for v in vals:
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    length, code = ac_enc[0xF0]
+                    w.write(code, length)
+                    run -= 16
+                size = v.bit_length() if v > 0 else (-v).bit_length()
+                length, code = ac_enc[(run << 4) | size]
+                w.write(code, length)
+                w.write(v if v > 0 else v + (1 << size) - 1, size)
+                run = 0
+            if run:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eobrun()
+        flush_eobrun()
+        w.flush()
+        return w.buf
+
+    def ac_refine(ss, se, al):
+        # ported from the public libjpeg encode_mcu_AC_refine shape:
+        # EOB-run + buffered correction bits spanning blocks
+        w = _BitWriter()
+        eobrun = 0
+        be = []  # correction bits buffered across EOB-run blocks
+
+        def flush_eobrun():
+            nonlocal eobrun, be
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                length, code = ac_enc[nb << 4]
+                w.write(code, length)
+                if nb:
+                    w.write(eobrun & ((1 << nb) - 1), nb)
+                eobrun = 0
+                for b in be:
+                    w.write(b, 1)
+                be = []
+
+        for q in blocks:
+            absv = [abs(q[k]) >> al for k in range(ss, se + 1)]
+            eob_pos = -1
+            for i, t in enumerate(absv):
+                if t == 1:
+                    eob_pos = i
+            run = 0
+            br = []  # correction bits since last emitted symbol
+            for i, t in enumerate(absv):
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15 and i <= eob_pos:
+                    flush_eobrun()
+                    length, code = ac_enc[0xF0]
+                    w.write(code, length)
+                    run -= 16
+                    for b in br:
+                        w.write(b, 1)
+                    br = []
+                if t > 1:  # history-nonzero: correction bit only
+                    br.append(t & 1)
+                    continue
+                flush_eobrun()
+                length, code = ac_enc[(run << 4) | 1]
+                w.write(code, length)
+                run = 0
+                w.write(0 if q[ss + i] < 0 else 1, 1)
+                for b in br:
+                    w.write(b, 1)
+                br = []
+            if run > 0 or br:
+                eobrun += 1
+                be.extend(br)
+                if eobrun == 0x7FFF:
+                    flush_eobrun()
+        flush_eobrun()
+        w.flush()
+        return w.buf
+
+    out += sos(0, 0, 0, 1) + dc_first(1)
+    out += sos(1, 5, 0, 2) + ac_first(1, 5, 2)
+    out += sos(6, 63, 0, 2) + ac_first(6, 63, 2)
+    out += sos(0, 0, 1, 0) + dc_refine(0)
+    out += sos(1, 63, 2, 1) + ac_refine(1, 63, 1)
+    out += sos(1, 63, 1, 0) + ac_refine(1, 63, 0)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 class _BitReader:
     def __init__(self, data, pos):
         self.data = data
@@ -808,13 +1006,17 @@ def _extend(v, size):
 
 
 def _decode_jpeg(payload: bytes):
-    """Baseline sequential JPEG → (width, height, [luma frame]),
-    pure stdlib. Decodes every component's entropy stream (the MCUs
-    interleave) but reconstructs pixels only for the luma (Y)
-    channel — the engine's media stats are luma-based, so chroma
-    IDCTs would be wasted work. Progressive/12-bit/arithmetic JPEGs
-    raise NotImplementedError (PIL gate); truncated or corrupt
-    streams raise ValueError."""
+    """Baseline sequential (SOF0/1) AND progressive (SOF2) JPEG →
+    (width, height, [luma frame]), pure stdlib. Decodes every
+    component's entropy stream (the MCUs interleave) but
+    reconstructs pixels only for the luma (Y) channel — the
+    engine's media stats are luma-based, so chroma IDCTs would be
+    wasted work. Progressive scans (DC/AC, first/refinement,
+    EOB runs) accumulate coefficients until EOI, then dequantize +
+    IDCT once. 12-bit/arithmetic/lossless JPEGs raise
+    NotImplementedError (PIL gate); truncated or corrupt streams
+    raise ValueError — including a stream cut cleanly between
+    progressive scans (missing EOI)."""
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -823,12 +1025,17 @@ def _decode_jpeg(payload: bytes):
     ac_tabs = {}
     frame = None
     restart_interval = 0
-    while pos + 4 <= len(payload):
+    coef_store = None
+    saw_eoi = False
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
         tag = payload[pos + 1]
         if tag == 0xD9:
+            saw_eoi = True
             break
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG segment header")
         (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         body = payload[pos + 4 : pos + 2 + seglen]
         if len(body) != seglen - 2:
@@ -848,7 +1055,7 @@ def _decode_jpeg(payload: bytes):
                     tab[_ZIGZAG[i]] = zz[i]
                 qtabs[tid] = tab
                 p += 65
-        elif tag in (0xC0, 0xC1):  # SOF0/1 baseline
+        elif tag in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, wdt, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG decodes here")
@@ -856,9 +1063,10 @@ def _decode_jpeg(payload: bytes):
             for i in range(nc):
                 cid, samp, qid = body[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 0x0F, "q": qid})
-            frame = {"w": wdt, "h": h, "comps": comps}
-        elif tag in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("non-baseline JPEG (progressive/arithmetic) needs PIL")
+            frame = {"w": wdt, "h": h, "comps": comps,
+                     "progressive": tag == 0xC2}
+        elif tag in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("non-baseline JPEG (lossless/arithmetic) needs PIL")
         elif tag == 0xC4:  # DHT
             p = 0
             while p < len(body):
@@ -882,12 +1090,232 @@ def _decode_jpeg(payload: bytes):
                 cs, tt = body[1 + 2 * i], body[2 + 2 * i]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append((comp, tt >> 4, tt & 0x0F))
-            return _decode_jpeg_scan(
-                payload, pos + 2 + seglen, frame, scan, qtabs, dc_tabs, ac_tabs,
-                restart_interval,
+            if not frame.get("progressive"):
+                return _decode_jpeg_scan(
+                    payload, pos + 2 + seglen, frame, scan, qtabs, dc_tabs,
+                    ac_tabs, restart_interval,
+                )
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            if coef_store is None:
+                coef_store = _init_coef_store(frame)
+            pos = _decode_prog_scan(
+                payload, pos + 2 + seglen, frame, scan, ss, se,
+                ahal >> 4, ahal & 0x0F, dc_tabs, ac_tabs,
+                restart_interval, coef_store,
             )
+            continue
         pos += 2 + seglen
+    if frame is not None and frame.get("progressive") and coef_store is not None:
+        if not saw_eoi:
+            # a stream ending cleanly between scans is still truncated:
+            # later refinement scans may have been cut off, and silently
+            # returning the coarse partial image would corrupt stats
+            raise ValueError("truncated progressive JPEG: missing EOI")
+        return _reconstruct_progressive(frame, coef_store, qtabs)
     raise ValueError("JPEG has no scan data")
+
+
+def _init_coef_store(frame):
+    """Per-component MCU-padded quantized-coefficient store (zigzag
+    order), shared by all progressive scans."""
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    store = {}
+    for c in frame["comps"]:
+        bw, bh = mcux * c["h"], mcuy * c["v"]
+        store[c["id"]] = {
+            "bw": bw, "bh": bh,
+            "blocks": [[0] * 64 for _ in range(bw * bh)],
+        }
+    return store
+
+
+def _decode_prog_scan(data, pos, frame, scan, ss, se, ah, al,
+                      dc_tabs, ac_tabs, dri, store):
+    """One progressive SOS: DC first/refine (interleaved) or AC
+    first/refine (single-component, EOB-run semantics per ITU T.81
+    G.2 — ported from the public libjpeg decode_mcu_AC_* shape).
+    Accumulates quantized coefficients into ``store``; returns the
+    stream position of the next marker."""
+    r = _BitReader(data, pos)
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    eobrun = 0
+    pred = {comp["id"]: 0 for comp, _, _ in scan}
+
+    n_unit = 0
+
+    def check_restart():
+        nonlocal eobrun, pred, n_unit
+        if dri and n_unit and n_unit % dri == 0:
+            r.restart()
+            eobrun = 0
+            pred = {k: 0 for k in pred}
+        n_unit += 1
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+
+        def dc_block(blk, comp, dct):
+            if ah == 0:
+                size = r.huff(dc_tabs[dct])
+                diff = _extend(r.bits(size), size) if size else 0
+                pred[comp["id"]] += diff
+                blk[0] = pred[comp["id"]] << al
+            elif r.bit():
+                blk[0] |= 1 << al
+
+        if len(scan) == 1:  # non-interleaved: true block dims
+            comp, dct, _act = scan[0]
+            st = store[comp["id"]]
+            bw_t, bh_t = _true_block_dims(frame, comp, hmax, vmax)
+            for row in range(bh_t):
+                for col in range(bw_t):
+                    check_restart()
+                    dc_block(st["blocks"][row * st["bw"] + col], comp, dct)
+        else:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    check_restart()
+                    for comp, dct, _act in scan:
+                        st = store[comp["id"]]
+                        for by in range(comp["v"]):
+                            for bx in range(comp["h"]):
+                                row = my * comp["v"] + by
+                                col = mx * comp["h"] + bx
+                                dc_block(
+                                    st["blocks"][row * st["bw"] + col],
+                                    comp, dct,
+                                )
+        return _next_marker(data, r.pos)
+
+    # AC scan: single component only (T.81 G.1.1.1.1)
+    if len(scan) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    comp, _dct, act = scan[0]
+    st = store[comp["id"]]
+    bw_t, bh_t = _true_block_dims(frame, comp, hmax, vmax)
+    p1, m1 = 1 << al, -(1 << al)
+    for row in range(bh_t):
+        for col in range(bw_t):
+            check_restart()
+            blk = st["blocks"][row * st["bw"] + col]
+            if ah == 0:  # first pass for this band
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = r.huff(ac_tabs[act])
+                    rr, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if rr != 15:
+                            eobrun = (1 << rr) - 1
+                            if rr:
+                                eobrun += r.bits(rr)
+                            break
+                        k += 16  # ZRL
+                    else:
+                        k += rr
+                        if k > se:
+                            raise ValueError("AC coefficient overrun")
+                        blk[k] = _extend(r.bits(s), s) << al
+                        k += 1
+                continue
+            # refinement pass
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = r.huff(ac_tabs[act])
+                    rr, s = rs >> 4, rs & 0x0F
+                    if s:
+                        if s != 1:
+                            raise ValueError(
+                                "invalid size in AC refinement scan"
+                            )
+                        s = p1 if r.bit() else m1
+                    elif rr != 15:
+                        eobrun = 1 << rr
+                        if rr:
+                            eobrun += r.bits(rr)
+                        break
+                    # walk over history-nonzero positions, consuming a
+                    # correction bit each; place the new coefficient at
+                    # the rr-th zero-history position
+                    while k <= se:
+                        if blk[k] != 0:
+                            if r.bit() and (blk[k] & p1) == 0:
+                                blk[k] += p1 if blk[k] >= 0 else m1
+                        else:
+                            if rr == 0:
+                                if s:
+                                    blk[k] = s
+                                k += 1
+                                break
+                            rr -= 1
+                        k += 1
+            if eobrun > 0:
+                while k <= se:
+                    if blk[k] != 0 and r.bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                    k += 1
+                eobrun -= 1
+    return _next_marker(data, r.pos)
+
+
+def _true_block_dims(frame, comp, hmax, vmax):
+    cw = -(-(frame["w"] * comp["h"]) // hmax)
+    ch = -(-(frame["h"] * comp["v"]) // vmax)
+    return (cw + 7) // 8, (ch + 7) // 8
+
+
+def _next_marker(data, pos):
+    """Skip pad bytes / stuffed zeros / RSTn after a scan; return the
+    offset of the next real marker's 0xFF."""
+    while pos + 1 < len(data):
+        if data[pos] == 0xFF:
+            nxt = data[pos + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    raise ValueError("truncated JPEG: no marker after progressive scan")
+
+
+def _reconstruct_progressive(frame, store, qtabs):
+    """Dequantize + IDCT the accumulated luma coefficients after all
+    progressive scans (same Y-only policy as the baseline path)."""
+    luma = frame["comps"][0]
+    qt = qtabs.get(luma["q"])
+    if qt is None:
+        raise ValueError("missing quant table")
+    st = store[luma["id"]]
+    w, h = frame["w"], frame["h"]
+    lw = st["bw"] * 8
+    plane = bytearray(lw * st["bh"] * 8)
+    for row in range(st["bh"]):
+        for col in range(st["bw"]):
+            blk = st["blocks"][row * st["bw"] + col]
+            coef = [0.0] * 64
+            for k in range(64):
+                coef[_ZIGZAG[k]] = blk[k] * qt[_ZIGZAG[k]]
+            px = _idct2d(coef)
+            ox, oy = col * 8, row * 8
+            for y in range(8):
+                row_off = (oy + y) * lw + ox
+                for x in range(8):
+                    v = int(round(px[y * 8 + x])) + 128
+                    plane[row_off + x] = 0 if v < 0 else (255 if v > 255 else v)
+    out = bytearray(w * h)
+    for y in range(h):
+        out[y * w : (y + 1) * w] = plane[y * lw : y * lw + w]
+    return w, h, [bytes(out)]
 
 
 def _decode_jpeg_scan(data, pos, frame, scan, qtabs, dc_tabs, ac_tabs, dri):
@@ -1317,7 +1745,7 @@ def _decode_fake(payload: bytes):
         try:
             return _decode_jpeg(payload)
         except NotImplementedError:
-            return _decode_pil(payload)  # progressive / 12-bit / arithmetic
+            return _decode_pil(payload)  # 12-bit / arithmetic / lossless
     if payload[:6] in _GIF_MAGICS:
         try:
             return _decode_gif(payload)

@@ -1060,3 +1060,70 @@ def test_pnm_maxval_rescale(w, h, rgb, maxval, seed):
     assert frames[0] == expect
     with pytest.raises(ValueError):
         _decode_pnm(pnm[:-1])
+
+
+@given(
+    w=st.integers(min_value=1, max_value=32),
+    h=st.integers(min_value=1, max_value=32),
+    quant=st.sampled_from([1, 2, 8]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_progressive_matches_baseline(w, h, quant, seed):
+    """A progressive (SOF2) JPEG carrying the same quantized
+    coefficients decodes BIT-IDENTICALLY to the baseline encoding —
+    spectral selection and successive approximation only reorder
+    coefficient transmission (DC/AC first + refinement scans,
+    EOB-run accumulation, buffered correction bits). Truncating
+    anywhere — including cleanly between scans — raises ValueError."""
+    import hashlib
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.multimodal.binary import (
+        _decode_fake,
+        _decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    def b(i):
+        return hashlib.md5(f"{seed}:{i}".encode()).digest()[0]
+
+    rows = [[b(y * w + x) for x in range(w)] for y in range(h)]
+    base = _decode_jpeg(encode_jpeg(w, h, rows, quant))
+    prog_bytes = encode_jpeg_progressive(w, h, rows, quant)
+    assert _decode_jpeg(prog_bytes) == base
+    # container dispatch routes SOF2 through the same path
+    assert _decode_fake(prog_bytes) == base
+    # truncation contract: a clean cut between scans must not yield
+    # a silently-coarse image
+    for frac in (3, 2):
+        cut = len(prog_bytes) * (frac - 1) // frac
+        with pytest.raises((ValueError, NotImplementedError)):
+            _decode_jpeg(prog_bytes[:max(4, cut)])
+
+
+@given(seed=st.integers(min_value=0, max_value=2**31))
+@settings(max_examples=15, deadline=None)
+def test_jpeg_progressive_flat_and_sparse_eob_runs(seed):
+    """Flat and sparse rasters maximize EOB-run lengths and buffered
+    correction-bit spans — the hardest paths of the progressive
+    entropy coder — and must still round-trip bit-identically."""
+    import hashlib
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.multimodal.binary import (
+        _decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    v = hashlib.md5(f"{seed}".encode()).digest()[0]
+    flat = [[v] * 48 for _ in range(40)]
+    sparse = [
+        [128 + (97 if (x % 19 == 3 and y % 17 == 5) else 0)
+         for x in range(56)]
+        for y in range(56)
+    ]
+    for rows, w, h in ((flat, 48, 40), (sparse, 56, 56)):
+        for quant in (1, 16):
+            assert _decode_jpeg(encode_jpeg_progressive(w, h, rows, quant)) \
+                == _decode_jpeg(encode_jpeg(w, h, rows, quant))
