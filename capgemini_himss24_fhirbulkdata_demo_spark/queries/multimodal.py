@@ -459,3 +459,119 @@ def x93_resize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 x93_resize_grid.__doc__ = x93_resize_grid.__doc__.format(
     row=_X93_ROW, box=_X93_BOX
 )
+
+
+# ------------------------------------- codec-matrix round trip (x343)
+
+_X343_W = 8
+_X343_H = 8
+_X343_BYTES = _X343_W * _X343_H
+_X343_FORMATS = (
+    "gif_interlaced", "gif_subrect", "png16", "png8_adam7", "pnm16",
+)
+
+_X343_SQL = f"""
+    WITH f AS (
+      SELECT doc_id, g.fmt,
+             SUBSTR(text, 1, {_X343_BYTES}) AS chunk
+      FROM documents,
+           (SELECT UNNEST(['gif_interlaced', 'gif_subrect', 'png16',
+                           'png8_adam7', 'pnm16']) AS fmt) g
+      WHERE STRLEN(text) >= {_X343_BYTES})
+    SELECT doc_id, fmt, MD5(chunk) AS digest,
+           CAST(list_sum(list_transform(string_split(chunk, ''),
+                x -> unicode(x))) AS BIGINT) AS sum_luma
+    FROM f
+    ORDER BY doc_id, fmt
+    """
+
+
+@register("x343_codec_matrix", oracle=_X343_SQL)
+def x343_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless codec-matrix round trip: the document's head bytes
+    become an 8x8 gray raster encoded through FIVE distinct real
+    container paths — 4-pass interlaced GIF, sub-rectangle GIF with a
+    fully-transparent GCE overlay frame (compositing must leave the
+    canvas untouched), 16-bit PNG (samples v*257, so the decoded
+    high byte is exactly v), Adam7-interlaced 8-bit PNG, and 16-bit
+    PNM (maxval 65535) — then decoded back by the pure-stdlib
+    decoders inside mapInPandas. Every path is lossless on gray
+    rasters, so each decoded frame must digest-match the source
+    bytes; the DuckDB twin recomputes digest + luma sum from the
+    text slice per format. A hash match proves all five
+    encode→entropy-code→decode round trips inside the engine.
+
+    Scale: 1→5 skinny rows per doc; compute-bound codec stage split
+    across cores first (same rationale as x64), payload bytes pruned
+    from any plan not selecting them.
+    """
+    from ..multimodal.binary import (
+        _decode_gif,
+        _decode_png,
+        _decode_pnm,
+        encode_gif,
+        encode_png,
+        encode_pnm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    palette = [(i, i, i) for i in range(256)]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        for pdf in batches:
+            out = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)[:_X343_BYTES]
+                if len(b) < _X343_BYTES:
+                    continue
+                rows8 = [
+                    b[y * _X343_W : (y + 1) * _X343_W]
+                    for y in range(_X343_H)
+                ]
+                decoded = {}
+                decoded["gif_interlaced"] = _decode_gif(
+                    encode_gif(_X343_W, _X343_H, [list(b)], palette,
+                               interlace=True)
+                )[2][-1]
+                # frame 0 carries the raster; frame 1 is a 4x4 overlay
+                # whose pixels are ALL the transparent index — GCE
+                # compositing must leave the canvas bit-identical
+                decoded["gif_subrect"] = _decode_gif(
+                    encode_gif(
+                        _X343_W, _X343_H, [list(b), [0] * 16], palette,
+                        rects=[None, (2, 2, 4, 4)],
+                        gces=[None, (0, 0)],
+                    )
+                )[2][-1]
+                rows16 = [
+                    b"".join(_struct.pack(">H", v * 257) for v in r)
+                    for r in rows8
+                ]
+                decoded["png16"] = _decode_png(
+                    encode_png(_X343_W, _X343_H, rows16, 0,
+                               filter_type=1, depth=16)
+                )[2][0]
+                decoded["png8_adam7"] = _decode_png(
+                    encode_png(_X343_W, _X343_H, rows8, 0,
+                               filter_type=4, interlace=1)
+                )[2][0]
+                decoded["pnm16"] = _decode_pnm(
+                    encode_pnm(_X343_W, _X343_H,
+                               [v * 257 for v in b], maxval=65535)
+                )[2][0]
+                for fmt in _X343_FORMATS:
+                    fr = decoded[fmt]
+                    out.append(
+                        (int(did), fmt, hashlib.md5(fr).hexdigest(), sum(fr))
+                    )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "fmt", "digest", "sum_luma"]
+            )
+
+    schema = "doc_id BIGINT, fmt STRING, digest STRING, sum_luma BIGINT"
+    return payloads.mapInPandas(fn, schema).orderBy("doc_id", "fmt")
