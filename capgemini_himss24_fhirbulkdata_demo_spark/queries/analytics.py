@@ -15955,3 +15955,114 @@ def x342_token_length_distribution(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("token_length")
     )
+
+
+# ---- x345: SCD Type-2 dimension history build ----
+
+_X345_SQL = """
+WITH e AS (
+  SELECT user_id,
+         EPOCH_US(ts) AS ts_us,
+         event_id,
+         CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) % 4 AS attr
+  FROM events),
+marked AS (
+  SELECT user_id, ts_us, attr,
+         CASE WHEN LAG(attr) OVER w IS NULL
+                   OR LAG(attr) OVER w <> attr
+              THEN 1 ELSE 0 END AS is_change
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+versioned AS (
+  SELECT user_id, ts_us, attr,
+         SUM(is_change) OVER (PARTITION BY user_id
+                              ORDER BY ts_us
+                              ROWS UNBOUNDED PRECEDING) AS version_seq
+  FROM marked),
+v AS (
+  SELECT user_id,
+         CAST(version_seq AS BIGINT) AS version_seq,
+         attr,
+         MIN(ts_us) AS valid_from_us,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM versioned
+  GROUP BY user_id, version_seq, attr)
+SELECT user_id, version_seq, attr, valid_from_us,
+       LEAD(valid_from_us) OVER (PARTITION BY user_id
+                                 ORDER BY version_seq) AS valid_to_us,
+       n_events,
+       CASE WHEN LEAD(valid_from_us) OVER (PARTITION BY user_id
+                                           ORDER BY version_seq) IS NULL
+            THEN 1 ELSE 0 END AS is_current
+FROM v
+ORDER BY user_id, version_seq
+"""
+
+
+@register("x345_scd2_history", oracle=_X345_SQL)
+def x345_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build — the warehouse-maintenance staple:
+    each user's event-props attribute (k mod 4, a stand-in for plan/
+    device/segment) collapses into validity-interval versions. A new
+    version opens at every attribute CHANGE point (ordered by exact
+    integer microseconds, event_id tie-break); `valid_to` is the next
+    version's `valid_from` (NULL = current row), giving the
+    as-of-joinable history a feature store needs to prevent
+    training-time leakage.
+
+    Exact integers throughout (micros, counts, mod-4 attr).
+
+    Scale: one (user) shuffle shared by the change-mark window, the
+    version rollup, and the interval window — AQE reuses the
+    exchange; no self-join (the LAG/LEAD pattern replaces the
+    classic correlated subquery form).
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("ts_us"),
+        "event_id",
+        (F.get_json_object("props", "$.k").cast("bigint") % 4).alias("attr"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    marked = e.select(
+        "user_id", "ts_us", "attr",
+        F.when(
+            F.lag("attr").over(w).isNull()
+            | (F.lag("attr").over(w) != F.col("attr")),
+            1,
+        ).otherwise(0).alias("is_change"),
+    )
+    wv = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    versioned = marked.select(
+        "user_id", "ts_us", "attr",
+        F.sum("is_change").over(wv).alias("version_seq"),
+    )
+    v = versioned.groupBy(
+        "user_id",
+        F.col("version_seq").cast("bigint").alias("version_seq"),
+        "attr",
+    ).agg(
+        F.min("ts_us").alias("valid_from_us"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    wn = Window.partitionBy("user_id").orderBy("version_seq")
+    lead = F.lead("valid_from_us").over(wn)
+    return (
+        v.select(
+            "user_id", "version_seq", "attr", "valid_from_us",
+            lead.alias("valid_to_us"),
+            "n_events",
+            F.when(lead.isNull(), 1).otherwise(0).alias("is_current"),
+        )
+        .orderBy("user_id", "version_seq")
+    )

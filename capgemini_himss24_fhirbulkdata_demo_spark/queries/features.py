@@ -1485,3 +1485,91 @@ def x104_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 x104_histogram_quantiles.__doc__ = x104_histogram_quantiles.__doc__.format(
     w=_X104_W
 )
+
+
+# ---- x344: inverted-index posting lists (top-df terms) ----
+
+_X344_TOP = 20
+
+_X344_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS t FROM documents),
+posting AS (
+  SELECT doc_id,
+         UNNEST(t) AS tok,
+         UNNEST(RANGE(1, LEN(t) + 1)) AS pos
+  FROM toks),
+top AS (
+  SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM posting GROUP BY tok
+  ORDER BY df DESC, tok LIMIT {_X344_TOP})
+SELECT p.tok AS term, t.df,
+       CAST(COUNT(*) AS BIGINT) AS n_postings,
+       MD5(STRING_AGG(p.doc_id || ':' || p.pos, ','
+                      ORDER BY p.doc_id, p.pos)) AS postings_digest
+FROM posting p JOIN top t ON p.tok = t.tok
+GROUP BY p.tok, t.df
+ORDER BY term
+"""
+
+
+@register("x344_inverted_index", oracle=_X344_SQL)
+def x344_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (the search-engine core structure): full
+    positional posting lists for the top-{top} document-frequency
+    terms — per term, df, posting count, and an md5 over the
+    canonical ordered (doc_id:pos) chain, which pins the exact
+    posting order a query-time skip-list would walk. The digest makes
+    the whole index content hash-checkable, not just its sizes.
+
+    Determinism: the top-{top} cut orders by (df DESC, term) — a
+    total order, so boundary ties resolve identically cross-engine;
+    postings serialize in (doc_id, pos) order.
+
+    Scale: posting construction is one narrow posexplode; the df
+    table shuffles on term (uniform hash key); the top cut is
+    dim-sized and broadcast back, so the posting re-scan joins
+    without shuffling the big side on anything but term. Real
+    deployments shard postings by term range — the (term → ordered
+    postings) shape here is exactly that layout's build stage.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower("text"), " ")).alias("pos0", "tok"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    )
+    top = (
+        tok.groupBy("tok")
+        .agg(F.countDistinct("doc_id").cast("bigint").alias("df"))
+        .orderBy(F.col("df").desc(), "tok")
+        .limit(_X344_TOP)
+    )
+    return (
+        tok.join(F.broadcast(top), "tok")
+        .groupBy(F.col("tok").alias("term"), "df")
+        .agg(
+            F.count("*").cast("bigint").alias("n_postings"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("doc_id", "pos"))
+                        ),
+                        lambda s: F.concat_ws(
+                            ":", s["doc_id"], s["pos"]
+                        ),
+                    ),
+                    ",",
+                )
+            ).alias("postings_digest"),
+        )
+        .orderBy("term")
+    )
+
+
+x344_inverted_index.__doc__ = x344_inverted_index.__doc__.format(
+    top=_X344_TOP
+)

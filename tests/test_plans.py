@@ -770,3 +770,16 @@ def test_x192_pair_join_keyed_and_take_ordered(spark):
     assert_no_cartesian_product(df)
     p = explain_str(df)
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_x343_codec_stage_parallel_and_pruned(spark):
+    # the codec matrix is compute-bound LZW/deflate work: the narrow
+    # map must be split across cores (round-robin exchange feeding
+    # MapInPandas), and only (doc_id, text) may reach the scan —
+    # decoding must not force extra shuffles beyond that one split
+    df = _plan(spark, "x343_codec_matrix")
+    p = explain_str(df)
+    assert "MapInPandas" in p, p
+    assert "RoundRobinPartitioning" in p, p
+    scans = read_schemas(df)
+    assert len(scans) == 1 and set(scans[0]) <= {"doc_id", "text"}, scans

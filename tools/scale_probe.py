@@ -68,6 +68,9 @@ QUERIES = [
     "x175_emerging_terms",
     "x181_vocab_coverage",
     "x173_session_cooccurrence",
+    # late-r5: the five-codec round-trip matrix — compute-bound
+    # narrow map, slope should track doc count linearly.
+    "x343_codec_matrix",
 ]
 
 _PARTS = {"lineitem": 8, "orders": 4, "documents": 4, "embeddings": 4, "events": 4}
