@@ -444,3 +444,131 @@ def x133_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("exporter", "importer")
     )
+
+
+# ---- x346: triangle count + clustering coefficient ----
+
+_X346_SQL = """
+WITH und AS (
+  SELECT DISTINCT LEAST(s.s_nationkey, c.c_nationkey) AS a,
+                  GREATEST(s.s_nationkey, c.c_nationkey) AS b
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE s.s_nationkey <> c.c_nationkey),
+deg AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM (SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und)
+  GROUP BY n),
+tri AS (
+  SELECT e1.a AS i, e1.b AS j, e2.b AS k
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+pern AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM (SELECT i AS n FROM tri UNION ALL SELECT j AS n FROM tri
+        UNION ALL SELECT k AS n FROM tri)
+  GROUP BY n)
+SELECT na.n_name AS nation, d.degree,
+       COALESCE(p.n_triangles, CAST(0 AS BIGINT)) AS n_triangles,
+       CASE WHEN d.degree >= 2
+            THEN ROUND(CAST(2 * COALESCE(p.n_triangles, 0) AS DOUBLE)
+                       / (d.degree * (d.degree - 1)), 6)
+            ELSE 0.0 END AS clustering
+FROM deg d
+JOIN nation na ON na.n_nationkey = d.n
+LEFT JOIN pern p ON p.n = d.n
+ORDER BY nation
+"""
+
+
+@register("x346_triangle_count", oracle=_X346_SQL)
+def x346_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + local clustering coefficient over the
+    undirected nation trade graph — the graph-density statistic next
+    to x100's centrality: per nation, its degree, the number of
+    triangles it participates in, and 2T/(d(d-1)). Triangles
+    enumerate once per (i<j<k) ordering via the normalized-edge
+    3-way join, so no triangle is double-counted.
+
+    Exact integer counts; one final rounded division per row.
+
+    Scale: same two-stage shape as x100 — the heavy stage is edge
+    DISTILLATION (fact-fact orderkey shuffle + broadcast dims +
+    distinct on the skinny pair), and the triangle 3-way join runs
+    on the AGGREGATED graph (≤N² nation pairs, broadcast-sized).
+    For fact-sized graphs the same query is the standard
+    node-ordering triangle join: shuffle on the shared endpoint,
+    with degree-ordered orientation bounding the join fan-out.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    und = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .where(supp["s_nationkey"] != cust["c_nationkey"])
+        .select(
+            F.least(supp["s_nationkey"], cust["c_nationkey"]).alias("a"),
+            F.greatest(supp["s_nationkey"], cust["c_nationkey"]).alias("b"),
+        )
+        .distinct()
+        .coalesce(1)
+        .localCheckpoint(eager=True)  # same rationale as x100: the
+        # aggregated graph is dim-sized and referenced three times
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("i"),
+            F.col("e1.b").alias("j"),
+            F.col("e2.b").alias("k"),
+        )
+    )
+    pern = (
+        tri.select(F.col("i").alias("n"))
+        .unionAll(tri.select(F.col("j").alias("n")))
+        .unionAll(tri.select(F.col("k").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+    return (
+        deg.join(F.broadcast(nation), deg["n"] == nation["n_nationkey"])
+        .join(pern.withColumnRenamed("n", "pn"), F.col("pn") == deg["n"], "left")
+        .select(
+            F.col("n_name").alias("nation"),
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0).cast("bigint")).alias(
+                "n_triangles"
+            ),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    (2 * F.coalesce(F.col("n_triangles"), F.lit(0))).cast(
+                        "double"
+                    )
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                    6,
+                ),
+            ).otherwise(0.0).alias("clustering"),
+        )
+        .orderBy("nation")
+    )
