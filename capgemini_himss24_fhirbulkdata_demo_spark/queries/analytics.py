@@ -16066,3 +16066,151 @@ def x345_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "version_seq")
     )
+
+
+# ---- x347: zone-map (data-skipping) effectiveness audit ----
+
+_X347_BLOCK = 4096
+
+_X347_SQL = f"""
+WITH src AS (
+  SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS d
+  FROM lineitem),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM src),
+cuts AS (
+  SELECT q, d AS cutoff FROM (
+    SELECT d,
+           ROW_NUMBER() OVER (ORDER BY d, l_orderkey, l_linenumber) AS rn
+    FROM src) t
+  JOIN (SELECT UNNEST([25, 50, 75]) AS q) g
+    ON t.rn = CAST(CEIL((SELECT n_rows FROM n) * q / 100.0) AS BIGINT)),
+layouts AS (
+  SELECT 'natural' AS layout,
+         (ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1)
+           // {_X347_BLOCK} AS block_id,
+         d
+  FROM src
+  UNION ALL
+  SELECT 'shipdate_sorted' AS layout,
+         (ROW_NUMBER() OVER (ORDER BY d, l_orderkey, l_linenumber) - 1)
+           // {_X347_BLOCK} AS block_id,
+         d
+  FROM src),
+blocks AS (
+  SELECT layout, block_id, MIN(d) AS bmin
+  FROM layouts GROUP BY layout, block_id)
+SELECT c.q AS pred_quartile, b.layout,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(SUM(CASE WHEN b.bmin >= c.cutoff THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_skippable,
+       ROUND(CAST(SUM(CASE WHEN b.bmin >= c.cutoff THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS skip_ratio
+FROM blocks b CROSS JOIN cuts c
+GROUP BY c.q, b.layout
+ORDER BY pred_quartile, layout
+"""
+
+
+@register("x347_zonemap_effectiveness", oracle=_X347_SQL)
+def x347_zonemap_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map / data-skipping effectiveness audit — the sort-key
+    selection study behind every lakehouse OPTIMIZE ... ZORDER
+    decision: lineitem is laid out two ways (natural orderkey order
+    vs shipdate-sorted), chunked into fixed {blk}-row blocks, and for
+    each quartile predicate `l_shipdate < cutoff` the audit counts
+    blocks a min/max zone map would skip (block min >= cutoff). The
+    shipdate-sorted layout should approach skip_ratio ≈ 1−q/100
+    while the natural layout skips ~nothing — the measured gap IS
+    the case for re-clustering.
+
+    Exact: quartile cutoffs by rank selection (total tie-broken
+    order), integer block ids, one final ratio division.
+
+    Scale: the audit itself runs on per-block min/max — in
+    production these come FROM parquet footers (x86's machinery,
+    O(files) reads); the full-sort simulation here is the planning
+    twin you run on a sample before rewriting 100 TB. The global
+    row_number is the deliberate single-total-order stage of that
+    simulation (per-file zone maps need no such order).
+    """
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    src = li.select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_shipdate").cast("date").alias("d"),
+    )
+    n_rows = src.count()
+    rn = src.select(
+        "d",
+        F.row_number()
+        .over(Window.orderBy("d", "l_orderkey", "l_linenumber"))
+        .alias("rn"),
+    )
+    import math
+
+    cut_rows = {q: math.ceil(n_rows * q / 100) for q in (25, 50, 75)}
+    cuts = (
+        rn.where(F.col("rn").isin(list(cut_rows.values())))
+        .crossJoin(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(q, r) for q, r in cut_rows.items()], "q INT, r BIGINT"
+                )
+            )
+        )
+        .where(F.col("rn") == F.col("r"))
+        .select("q", F.col("d").alias("cutoff"))
+    )
+    layouts = (
+        src.select(
+            F.lit("natural").alias("layout"),
+            (
+                (
+                    F.row_number().over(
+                        Window.orderBy("l_orderkey", "l_linenumber")
+                    )
+                    - 1
+                )
+                / _X347_BLOCK
+            ).cast("bigint").alias("block_id"),
+            "d",
+        )
+    ).unionAll(
+        src.select(
+            F.lit("shipdate_sorted").alias("layout"),
+            (
+                (
+                    F.row_number().over(
+                        Window.orderBy("d", "l_orderkey", "l_linenumber")
+                    )
+                    - 1
+                )
+                / _X347_BLOCK
+            ).cast("bigint").alias("block_id"),
+            "d",
+        )
+    )
+    blocks = layouts.groupBy("layout", "block_id").agg(
+        F.min("d").alias("bmin")
+    )
+    skippable = F.sum(
+        F.when(F.col("bmin") >= F.col("cutoff"), 1).otherwise(0)
+    )
+    return (
+        blocks.crossJoin(F.broadcast(cuts))
+        .groupBy(F.col("q").alias("pred_quartile"), "layout")
+        .agg(
+            F.count("*").cast("bigint").alias("n_blocks"),
+            skippable.cast("bigint").alias("n_skippable"),
+            F.round(
+                skippable.cast("double") / F.count("*"), 6
+            ).alias("skip_ratio"),
+        )
+        .orderBy("pred_quartile", "layout")
+    )
+
+
+x347_zonemap_effectiveness.__doc__ = x347_zonemap_effectiveness.__doc__.format(
+    blk=_X347_BLOCK
+)
