@@ -1573,3 +1573,108 @@ def x344_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 x344_inverted_index.__doc__ = x344_inverted_index.__doc__.format(
     top=_X344_TOP
 )
+
+
+# ---- x349: exact ROC-AUC via tie-corrected rank sums ----
+
+_X349_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, source, lang, UNNEST(STRING_SPLIT(text, ' ')) AS t
+      FROM documents),
+    scored AS (
+      SELECT doc_id, source, lang,
+             SUM(CAST(('0x' || SUBSTR(MD5('w:' || t), 1, 15)) AS BIGINT)
+                 % {_X98_WSPAN} - 500) AS wsum
+      FROM tok GROUP BY doc_id, source, lang),
+    ranked AS (
+      SELECT source,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_pos,
+             2 * RANK() OVER (PARTITION BY source ORDER BY wsum)
+               + COUNT(*) OVER (PARTITION BY source, wsum) - 1 AS dbl_rank
+      FROM scored),
+    agg AS (
+      SELECT source,
+             CAST(SUM(is_pos) AS BIGINT) AS n_pos,
+             CAST(SUM(1 - is_pos) AS BIGINT) AS n_neg,
+             SUM(CASE WHEN is_pos = 1 THEN dbl_rank ELSE 0 END) AS s2
+      FROM ranked GROUP BY source)
+    SELECT source, n_pos, n_neg,
+           ROUND(CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
+                 / (2 * n_pos * n_neg), 6) AS auc
+    FROM agg
+    WHERE n_pos > 0 AND n_neg > 0
+    ORDER BY source
+    """
+
+
+@register("x349_roc_auc", oracle=_X349_SQL)
+def x349_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the x98 hashed linear scorer at the task
+    "is this document English", per source — the quality-classifier
+    eval every filtered-corpus pipeline reports next to its PR curve
+    (x104 family). AUC is computed as the tie-corrected Mann-Whitney
+    rank statistic: with average ranks r̄ᵢ for the positives,
+    AUC = (Σr̄ᵢ − n₊(n₊+1)/2) / (n₊n₋). Staying integer: doubled
+    average rank = 2·RANK + |ties| − 1, so the numerator
+    S2 − n₊(n₊+1) is exact and ONE final rounded division produces
+    the score — no sort-order or float-accumulation dependence.
+
+    Scale: token explode is narrow; per-doc logits are one uniform
+    doc_id-keyed partial agg; ranking shuffles once on source (the
+    AUC groups), and ties resolve by value not position — the whole
+    statistic is an O(n log n) sort per group, the same cost as the
+    PR-curve sweep, with no pairwise n₊×n₋ expansion.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", "lang",
+        F.explode(F.split("text", " ")).alias("t"),
+    )
+    weight = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("w:"), F.col("t")).cast("binary")), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _X98_WSPAN
+        - 500
+    )
+    scored = (
+        tok.select("doc_id", "source", "lang", weight.alias("w"))
+        .groupBy("doc_id", "source", "lang")
+        .agg(F.sum("w").alias("wsum"))
+    )
+    ranked = scored.select(
+        "source",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_pos"),
+        (
+            2 * F.rank().over(Window.partitionBy("source").orderBy("wsum"))
+            + F.count("*").over(Window.partitionBy("source", "wsum"))
+            - 1
+        ).alias("dbl_rank"),
+    )
+    agg = ranked.groupBy("source").agg(
+        F.sum("is_pos").cast("bigint").alias("n_pos"),
+        F.sum(1 - F.col("is_pos")).cast("bigint").alias("n_neg"),
+        F.sum(
+            F.when(F.col("is_pos") == 1, F.col("dbl_rank")).otherwise(0)
+        ).alias("s2"),
+    )
+    return (
+        agg.where((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+        .select(
+            "source", "n_pos", "n_neg",
+            F.round(
+                (F.col("s2") - F.col("n_pos") * (F.col("n_pos") + 1)).cast(
+                    "double"
+                )
+                / (2 * F.col("n_pos") * F.col("n_neg")),
+                6,
+            ).alias("auc"),
+        )
+        .orderBy("source")
+    )

@@ -572,3 +572,125 @@ def x346_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# ---- x348: bounded-hop cheapest trade route (Bellman-Ford) ----
+
+_X348_ITERS = 4
+_X348_SRC = 0  # n_nationkey of the route origin
+_X348_CAP = 10**9  # friction numerator: cost = CAP // n_trades
+
+
+def _x348_iter_sql(i: int) -> str:
+    prev = f"bf{i - 1}"
+    return f"""
+    bf{i} AS (
+      SELECT node, MIN(cost) AS cost FROM (
+        SELECT node, cost FROM {prev}
+        UNION ALL
+        SELECT e.dst AS node, p.cost + e.w AS cost
+        FROM {prev} p JOIN edges e ON e.src = p.node
+      ) t GROUP BY node)"""
+
+
+_X348_SQL = f"""
+    WITH raw AS (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+             CAST(COUNT(*) AS BIGINT) AS n_trades
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE s.s_nationkey <> c.c_nationkey
+      GROUP BY s.s_nationkey, c.c_nationkey),
+    edges AS (
+      SELECT src, dst, {_X348_CAP} // n_trades AS w FROM raw),
+    bf0 AS (SELECT {_X348_SRC} AS node, CAST(0 AS BIGINT) AS cost),
+    {",".join(_x348_iter_sql(i) for i in range(1, _X348_ITERS + 1))}
+    SELECT na.n_name AS nation,
+           CAST(COALESCE(r.cost, -1) AS BIGINT) AS min_cost
+    FROM nation na
+    LEFT JOIN bf{_X348_ITERS} r ON r.node = na.n_nationkey
+    ORDER BY min_cost, nation
+    """
+
+
+@register("x348_cheapest_route", oracle=_X348_SQL)
+def x348_cheapest_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop cheapest-route search (Bellman-Ford, {it}
+    relaxation rounds) over the weighted nation trade graph: edge
+    friction is the integer {cap}//n_trades (heavier trade = cheaper
+    passage), and each round relaxes every edge once, so the result
+    is EXACTLY the cheapest cost reachable from nation {src} in <=
+    {it} hops — a well-defined quantity whether or not the search
+    has converged, which is how a fixed-iteration distributed SSSP
+    is actually run. Unreached nations report -1.
+
+    Determinism: integer weights, integer sums, exact MIN — the
+    iterative recurrence is bit-exact on both engines (the oracle
+    unrolls the same {it} rounds as CTEs, x100's technique).
+
+    Scale: edge distillation is the heavy stage (one fact-fact
+    orderkey shuffle, dims broadcast, skinny (src,dst) agg); each
+    relaxation is then a join+min on the AGGREGATED graph. For
+    fact-sized graphs each round is one shuffle keyed on src — the
+    frontier stays sparse early, and localCheckpoint bounds lineage
+    exactly as in x100/x07.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .where(supp["s_nationkey"] != cust["c_nationkey"])
+        .groupBy(
+            supp["s_nationkey"].alias("src"),
+            cust["c_nationkey"].alias("dst"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_trades"))
+        .select(
+            "src", "dst",
+            F.expr(f"div({_X348_CAP}, n_trades)").alias("w"),
+        )
+        .coalesce(1)
+        .localCheckpoint(eager=True)  # aggregated graph is dim-sized
+        # and referenced once per relaxation round (x100 rationale)
+    )
+    frontier = spark.createDataFrame(
+        [(_X348_SRC, 0)], "node INT, cost BIGINT"
+    ).select(F.col("node").cast("int"), F.col("cost").cast("bigint"))
+    for _ in range(_X348_ITERS):
+        relaxed = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("cost") + F.col("w")).alias("cost"),
+            )
+        )
+        frontier = (
+            frontier.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .coalesce(1)
+            .localCheckpoint(eager=True)
+        )
+    return (
+        nation.join(frontier, nation["n_nationkey"] == frontier["node"], "left")
+        .select(
+            F.col("n_name").alias("nation"),
+            F.coalesce(F.col("cost"), F.lit(-1)).cast("bigint").alias(
+                "min_cost"
+            ),
+        )
+        .orderBy("min_cost", "nation")
+    )
+
+
+x348_cheapest_route.__doc__ = x348_cheapest_route.__doc__.format(
+    it=_X348_ITERS, cap=_X348_CAP, src=_X348_SRC
+)
