@@ -16214,3 +16214,151 @@ def x347_zonemap_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
 x347_zonemap_effectiveness.__doc__ = x347_zonemap_effectiveness.__doc__.format(
     blk=_X347_BLOCK
 )
+
+
+# ---- x350: point-in-time feature lookup against SCD-2 history ----
+
+_X350_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         EPOCH_US(CAST(ts AS TIMESTAMP)) AS ts_us,
+         CAST(('0x' || SUBSTR(MD5('k' || json_extract_string(props, '$.k')),
+               1, 15)) AS BIGINT) % 4 AS attr
+  FROM events),
+dim_src AS (SELECT * FROM e WHERE event_type <> 'purchase'),
+marked AS (
+  SELECT user_id, ts_us, attr,
+         CASE WHEN LAG(attr) OVER w IS NULL
+                   OR LAG(attr) OVER w <> attr THEN 1 ELSE 0 END AS is_change
+  FROM dim_src
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+versioned AS (
+  SELECT user_id, ts_us, attr,
+         SUM(is_change) OVER (PARTITION BY user_id ORDER BY ts_us, attr
+                              ROWS UNBOUNDED PRECEDING) AS version_seq
+  FROM marked),
+dim AS (
+  SELECT user_id, version_seq, attr,
+         MIN(ts_us) AS valid_from_us,
+         LEAD(MIN(ts_us)) OVER (PARTITION BY user_id
+                                ORDER BY version_seq) AS valid_to_us
+  FROM versioned GROUP BY user_id, version_seq, attr),
+fact AS (SELECT user_id, ts_us FROM e WHERE event_type = 'purchase'),
+pit AS (
+  SELECT f.user_id, d.attr
+  FROM fact f
+  LEFT JOIN dim d
+    ON d.user_id = f.user_id
+   AND f.ts_us >= d.valid_from_us
+   AND (d.valid_to_us IS NULL OR f.ts_us < d.valid_to_us))
+SELECT CAST(COALESCE(attr, -1) AS BIGINT) AS attr_at_purchase,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM pit
+GROUP BY attr_at_purchase
+ORDER BY attr_at_purchase
+"""
+
+
+@register("x350_pit_feature_join", oracle=_X350_SQL)
+def x350_pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature lookup — the feature-store correctness
+    primitive that prevents temporal leakage in training sets: a
+    user-attribute SCD-2 history (x345's build, here from NON-
+    purchase events so dim and fact are disjoint; attr = stable
+    md5-of-props bucket) is joined to each purchase at THE VERSION
+    VALID AT PURCHASE TIME (valid_from <= t < valid_to), never the
+    current one. Purchases before a user's first version report
+    attr -1 — the cold-start rows a naive latest-value join would
+    silently mislabel. Output: purchase and user counts per
+    attribute-as-of-purchase.
+
+    Exact integer micros and counts end to end.
+
+    Scale: the interval join carries the user_id EQUI key — the
+    range predicate is a per-user residual over that user's few
+    versions, so this is one uniform-key shuffle, not a range join.
+    Dim build shares the same (user) exchange (window + rollup +
+    LEAD). At extreme per-user version counts the union-and-window
+    as-of form (q25/x33) replaces the residual scan; semantics
+    identical.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_id", "event_type",
+        F.expr(
+            "timestampdiff(MICROSECOND, "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("ts_us"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("k"),
+                            F.get_json_object("props", "$.k"),
+                        ).cast("binary")
+                    ),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("bigint")
+            % 4
+        ).alias("attr"),
+    )
+    dim_src = e.where(F.col("event_type") != "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    marked = dim_src.select(
+        "user_id", "ts_us", "attr",
+        F.when(
+            F.lag("attr").over(w).isNull()
+            | (F.lag("attr").over(w) != F.col("attr")),
+            1,
+        ).otherwise(0).alias("is_change"),
+    )
+    wv = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "attr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    versioned = marked.select(
+        "user_id", "ts_us", "attr",
+        F.sum("is_change").over(wv).alias("version_seq"),
+    )
+    wn = Window.partitionBy("user_id").orderBy("version_seq")
+    dim = (
+        versioned.groupBy("user_id", "version_seq", "attr")
+        .agg(F.min("ts_us").alias("valid_from_us"))
+        .select(
+            F.col("user_id").alias("d_user"),
+            "attr",
+            "valid_from_us",
+            F.lead("valid_from_us").over(
+                Window.partitionBy("user_id").orderBy("version_seq")
+            ).alias("valid_to_us"),
+        )
+    )
+    fact = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us"
+    )
+    pit = fact.join(
+        dim,
+        (fact["user_id"] == dim["d_user"])
+        & (fact["ts_us"] >= dim["valid_from_us"])
+        & (dim["valid_to_us"].isNull() | (fact["ts_us"] < dim["valid_to_us"])),
+        "left",
+    )
+    return (
+        pit.groupBy(
+            F.coalesce(F.col("attr"), F.lit(-1))
+            .cast("bigint")
+            .alias("attr_at_purchase")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_purchases"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy("attr_at_purchase")
+    )

@@ -1678,3 +1678,107 @@ def x349_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---- x351: in-batch negative contamination audit ----
+
+_X351_BATCH = 32
+
+_X351_SQL = f"""
+    WITH ordered AS (
+      SELECT doc_id, lang, source,
+             (ROW_NUMBER() OVER (
+                PARTITION BY source
+                ORDER BY MD5('b:' || CAST(doc_id AS VARCHAR)), doc_id) - 1)
+               // {_X351_BATCH} AS batch_id
+      FROM documents),
+    pairs AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b
+      FROM ordered a
+      JOIN ordered b
+        ON a.source = b.source AND a.batch_id = b.batch_id
+       AND a.doc_id < b.doc_id),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pairs)
+    SELECT lang_a AS lang,
+           CAST(COUNT(*) AS BIGINT) AS n_fn_pairs,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT n_pairs FROM tot), 6)
+             AS fn_share
+    FROM pairs
+    WHERE lang_a = lang_b
+    GROUP BY lang_a
+    ORDER BY lang
+    """
+
+
+@register("x351_inbatch_negatives", oracle=_X351_SQL)
+def x351_inbatch_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-batch negative contamination audit for contrastive
+    training (CLIP/DPR-style): documents are packed into
+    deterministic batches of {b} (salted-md5 order within each
+    source — the per-shard batching a streaming loader actually
+    does), and every same-batch pair sharing a label (lang, the
+    stand-in for semantic equivalence) is a FALSE negative — the
+    pairs that push matching representations apart and quietly cap
+    contrastive accuracy. Output: false-negative pair count per
+    language and its share of ALL in-batch pairs.
+
+    Exact integer pair counts; one final division against the exact
+    global pair total.
+
+    Scale: the self-join key is (source, batch_id), so the join
+    fan-out is hard-bounded at C({b},2) pairs per batch regardless
+    of corpus size — candidate volume is linear in documents. The
+    batching row_number partitions by source (shard-local), never a
+    global total order.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    ordered = docs.select(
+        "doc_id", "lang", "source",
+        (
+            (
+                F.row_number().over(
+                    Window.partitionBy("source").orderBy(
+                        F.md5(
+                            F.concat(
+                                F.lit("b:"), F.col("doc_id").cast("string")
+                            ).cast("binary")
+                        ),
+                        "doc_id",
+                    )
+                )
+                - 1
+            )
+            / _X351_BATCH
+        ).cast("bigint").alias("batch_id"),
+    )
+    a = ordered.alias("a")
+    b = ordered.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.batch_id") == F.col("b.batch_id"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.lang").alias("lang_a"), F.col("b.lang").alias("lang_b")
+    )
+    total = pairs.agg(F.count("*").cast("bigint").alias("n_pairs"))
+    return (
+        pairs.where(F.col("lang_a") == F.col("lang_b"))
+        .groupBy(F.col("lang_a").alias("lang"))
+        .agg(F.count("*").cast("bigint").alias("n_fn_pairs"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang", "n_fn_pairs",
+            F.round(
+                F.col("n_fn_pairs").cast("double") / F.col("n_pairs"), 6
+            ).alias("fn_share"),
+        )
+        .orderBy("lang")
+    )
+
+
+x351_inbatch_negatives.__doc__ = x351_inbatch_negatives.__doc__.format(
+    b=_X351_BATCH
+)
