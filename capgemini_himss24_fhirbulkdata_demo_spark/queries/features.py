@@ -1782,3 +1782,132 @@ def x351_inbatch_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 x351_inbatch_negatives.__doc__ = x351_inbatch_negatives.__doc__.format(
     b=_X351_BATCH
 )
+
+
+# ---- x353: split-conformal coverage audit ----
+
+_X353_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, source, lang, UNNEST(STRING_SPLIT(text, ' ')) AS t
+      FROM documents WHERE lang = 'en'),
+    scored AS (
+      SELECT doc_id, source,
+             CAST(('0x' || SUBSTR(MD5('s:' || CAST(doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) % 2 AS fold,
+             SUM(CAST(('0x' || SUBSTR(MD5('w:' || t), 1, 15)) AS BIGINT)
+                 % {_X98_WSPAN} - 500) AS wsum
+      FROM tok GROUP BY doc_id, source),
+    cal AS (
+      SELECT source, wsum,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY wsum, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n_cal
+      FROM scored WHERE fold = 0),
+    tau AS (
+      SELECT source, n_cal, wsum AS tau
+      FROM cal WHERE rn = (n_cal + 10) // 10),
+    ev AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_eval,
+             SUM(CASE WHEN wsum IS NOT NULL THEN 1 ELSE 0 END) AS chk
+      FROM scored WHERE fold = 1 GROUP BY source)
+    SELECT t.source, CAST(t.n_cal AS BIGINT) AS n_cal, e.n_eval,
+           CAST(t.tau AS BIGINT) AS tau,
+           ROUND(CAST((SELECT COUNT(*) FROM scored s
+                       WHERE s.fold = 1 AND s.source = t.source
+                         AND s.wsum >= t.tau) AS DOUBLE) / e.n_eval, 6)
+             AS coverage
+    FROM tau t JOIN ev e ON t.source = e.source
+    ORDER BY t.source
+    """
+
+
+@register("x353_conformal_coverage", oracle=_X353_SQL)
+def x353_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal coverage audit of the x98 scorer on the
+    English class — the distribution-free guarantee check a
+    filtering pipeline runs before trusting a classifier threshold:
+    English docs split into calibration/eval folds by the md5 hash
+    split (x41's idiom); per source, the threshold tau is the exact
+    k-th-smallest calibration logit with k = ceil((n_cal+1)/10)
+    (alpha = 0.1), and the eval fold's share of logits >= tau is the
+    realized coverage, which exchangeability pins near 0.9. A source
+    whose coverage craters flags distribution shift between folds —
+    the conformal form of x112's KS drift gate.
+
+    Exact integer logits and rank selection; one final division.
+
+    Scale: per-doc logits are one uniform doc_id-keyed agg; the
+    calibration rank and the eval probe share one (source) exchange;
+    tau is a per-source scalar joined back broadcast-style. No
+    stage exceeds the token-explode width.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("lang") == "en"
+    )
+    tok = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("t")
+    )
+    weight = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("w:"), F.col("t")).cast("binary")), 1, 15
+            ),
+            16, 10,
+        ).cast("bigint")
+        % _X98_WSPAN
+        - 500
+    )
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("s:"), F.col("doc_id").cast("string")
+                    ).cast("binary")
+                ),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("bigint")
+        % 2
+    )
+    scored = (
+        tok.select("doc_id", "source", weight.alias("w"))
+        .groupBy("doc_id", "source")
+        .agg(F.sum("w").alias("wsum"))
+        .select("doc_id", "source", "wsum", fold.alias("fold"))
+    )
+    cal = scored.where(F.col("fold") == 0).select(
+        "source", "wsum",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("wsum", "doc_id"))
+        .alias("rn"),
+        F.count("*").over(Window.partitionBy("source")).alias("n_cal"),
+    )
+    tau = cal.where(
+        F.col("rn") == F.expr("div(n_cal + 10, 10)")
+    ).select(
+        "source",
+        F.col("n_cal").cast("bigint").alias("n_cal"),
+        F.col("wsum").cast("bigint").alias("tau"),
+    )
+    ev = scored.where(F.col("fold") == 1)
+    return (
+        ev.join(F.broadcast(tau), "source")
+        .groupBy("source", "n_cal", "tau")
+        .agg(
+            F.count("*").cast("bigint").alias("n_eval"),
+            F.sum(
+                F.when(F.col("wsum") >= F.col("tau"), 1).otherwise(0)
+            ).alias("n_cov"),
+        )
+        .select(
+            "source", "n_cal", "n_eval", "tau",
+            F.round(
+                F.col("n_cov").cast("double") / F.col("n_eval"), 6
+            ).alias("coverage"),
+        )
+        .orderBy("source")
+    )

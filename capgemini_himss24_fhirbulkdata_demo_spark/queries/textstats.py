@@ -2346,3 +2346,90 @@ def x146_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---- x352: cross-source quantile calibration table ----
+
+_X352_SQL = """
+WITH src AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents),
+corp AS (
+  SELECT n_chars,
+         ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM documents),
+d AS (SELECT UNNEST([1,2,3,4,5,6,7,8,9]) AS decile),
+sq AS (
+  SELECT s.source, d.decile, s.n_chars AS src_len
+  FROM src s JOIN d ON s.rn = CAST(CEIL(s.n * d.decile / 10.0) AS BIGINT)),
+cq AS (
+  SELECT d.decile, c.n_chars AS corpus_len
+  FROM corp c JOIN d ON c.rn = CAST(CEIL(c.n * d.decile / 10.0) AS BIGINT))
+SELECT sq.source, sq.decile, sq.src_len, cq.corpus_len,
+       ROUND(CAST(sq.src_len AS DOUBLE) / cq.corpus_len, 6) AS len_ratio
+FROM sq JOIN cq ON sq.decile = cq.decile
+ORDER BY sq.source, sq.decile
+"""
+
+
+@register("x352_quantile_calibration", oracle=_X352_SQL)
+def x352_quantile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile calibration table — the quantile-
+    normalization mapping used to make per-domain scores and length
+    gates comparable across heterogeneous crawl sources: for each
+    source and decile d, the source's EXACT d-th decile document
+    length (PERCENTILE_DISC rank statistic, doc_id tie-break)
+    against the corpus-wide decile, plus their ratio. A source whose
+    ratio curve departs from 1 needs its thresholds remapped through
+    this table, not reused verbatim.
+
+    Exact integer rank selection both sides; one final division.
+
+    Scale: one (source) exchange serves the per-source ranking; the
+    corpus leg is a single total-order rank ONLY because exact
+    PERCENTILE_DISC demands it — the production swap-in is the
+    mergeable-histogram quantile (x104) with bucket-width error,
+    same output shape. Decile grid is a 9-row broadcast.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    deciles = spark.range(1, 10).select(
+        F.col("id").cast("int").alias("decile")
+    )
+    src = docs.select(
+        "source", "n_chars",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .alias("rn"),
+        F.count("*").over(Window.partitionBy("source")).alias("n"),
+    )
+    corp = docs.select(
+        "n_chars",
+        F.row_number().over(Window.orderBy("n_chars", "doc_id")).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    sq = src.join(
+        F.broadcast(deciles),
+        src["rn"]
+        == F.ceil(src["n"] * F.col("decile") / 10.0).cast("bigint"),
+    ).select("source", "decile", F.col("n_chars").alias("src_len"))
+    cq = corp.join(
+        F.broadcast(deciles),
+        corp["rn"]
+        == F.ceil(corp["n"] * F.col("decile") / 10.0).cast("bigint"),
+    ).select("decile", F.col("n_chars").alias("corpus_len"))
+    return (
+        sq.join(F.broadcast(cq), "decile")
+        .select(
+            "source", "decile", "src_len", "corpus_len",
+            F.round(
+                F.col("src_len").cast("double") / F.col("corpus_len"), 6
+            ).alias("len_ratio"),
+        )
+        .orderBy("source", "decile")
+    )
