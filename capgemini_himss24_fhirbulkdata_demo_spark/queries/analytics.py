@@ -16362,3 +16362,131 @@ def x350_pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("attr_at_purchase")
     )
+
+
+# ---- x354: t-closeness privacy audit (integer EMD) ----
+
+_X354_SQL = """
+WITH dec AS (
+  SELECT c_nationkey, c_mktsegment,
+         NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) - 1 AS sens
+  FROM customer),
+g AS (
+  SELECT c_nationkey, c_mktsegment, sens,
+         CAST(COUNT(*) AS BIGINT) AS n_gs
+  FROM dec GROUP BY c_nationkey, c_mktsegment, sens),
+gt AS (
+  SELECT c_nationkey, c_mktsegment, CAST(SUM(n_gs) AS BIGINT) AS n_g
+  FROM g GROUP BY c_nationkey, c_mktsegment),
+gdist AS (
+  SELECT sens, CAST(COUNT(*) AS BIGINT) AS n_s FROM dec GROUP BY sens),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM dec),
+grid AS (
+  SELECT t.c_nationkey, t.c_mktsegment, t.n_g, s.sens, s.n_s,
+         COALESCE(g.n_gs, 0) AS n_gs
+  FROM gt t CROSS JOIN gdist s
+  LEFT JOIN g ON g.c_nationkey = t.c_nationkey
+             AND g.c_mktsegment = t.c_mktsegment AND g.sens = s.sens),
+cum AS (
+  SELECT c_nationkey, c_mktsegment, n_g, sens,
+         SUM(n_gs * (SELECT n_tot FROM n) - n_s * n_g)
+           OVER (PARTITION BY c_nationkey, c_mktsegment
+                 ORDER BY sens ROWS UNBOUNDED PRECEDING) AS cumdiff
+  FROM grid)
+SELECT c_nationkey AS nationkey, c_mktsegment AS segment,
+       CAST(n_g AS BIGINT) AS n_members,
+       ROUND(CAST(SUM(ABS(cumdiff)) AS DOUBLE)
+             / (n_g * (SELECT n_tot FROM n) * 9), 6) AS t_closeness
+FROM cum
+WHERE sens < 9
+GROUP BY c_nationkey, c_mktsegment, n_g
+ORDER BY nationkey, segment
+"""
+
+
+@register("x354_t_closeness", oracle=_X354_SQL)
+def x354_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness privacy audit (Li et al., ICDE'07) — the
+    distribution-level guarantee beyond x75's k-anonymity and
+    l-diversity: for each quasi-identifier group (nation, market
+    segment), the earth-mover's distance between the group's
+    distribution over the ORDERED sensitive attribute (account-
+    balance decile) and the global distribution. EMD over an ordered
+    m-bin attribute is sum(|cum P - cum Q|)/(m-1); kept EXACT by
+    scaling both CDFs to the integer lattice n_g*N — cumdiff_i =
+    sum_{j<=i}(n_gj*N - N_j*n_g) — so the statistic is one final
+    division of an integer sum. Groups with small EMD can release
+    the attribute; large-EMD groups leak their members' balances.
+
+    Scale: one (group) agg + a 10-row broadcast global histogram;
+    the grid is |groups|x10, the cumsum window runs inside each
+    group. The decile NTILE is the only total-order stage and is a
+    property of the SENSITIVE DOMAIN (10 fixed bins) — production
+    swaps in fixed value breakpoints, removing it.
+    """
+    from pyspark.sql.window import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    dec = cust.select(
+        "c_nationkey", "c_mktsegment",
+        (
+            F.ntile(10).over(Window.orderBy("c_acctbal", "c_custkey")) - 1
+        ).alias("sens"),
+    )
+    g = dec.groupBy("c_nationkey", "c_mktsegment", "sens").agg(
+        F.count("*").cast("bigint").alias("n_gs")
+    )
+    gt = g.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("n_gs").cast("bigint").alias("n_g")
+    )
+    glob = dec.groupBy("sens").agg(
+        F.count("*").cast("bigint").alias("n_s")
+    )
+    n_tot = dec.agg(F.count("*").cast("bigint").alias("n_tot"))
+    grid = (
+        gt.crossJoin(F.broadcast(glob))
+        .join(
+            g.withColumnRenamed("c_nationkey", "g_nk")
+            .withColumnRenamed("c_mktsegment", "g_seg")
+            .withColumnRenamed("sens", "g_sens"),
+            (F.col("g_nk") == F.col("c_nationkey"))
+            & (F.col("g_seg") == F.col("c_mktsegment"))
+            & (F.col("g_sens") == F.col("sens")),
+            "left",
+        )
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "c_nationkey", "c_mktsegment", "n_g", "sens", "n_s", "n_tot",
+            F.coalesce(F.col("n_gs"), F.lit(0)).alias("n_gs"),
+        )
+    )
+    wc = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("sens")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.select(
+        "c_nationkey", "c_mktsegment", "n_g", "sens", "n_tot",
+        F.sum(
+            F.col("n_gs") * F.col("n_tot") - F.col("n_s") * F.col("n_g")
+        ).over(wc).alias("cumdiff"),
+    )
+    return (
+        cum.where(F.col("sens") < 9)
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("n_g").alias("n_members"),
+            "n_tot",
+        )
+        .agg(F.sum(F.abs(F.col("cumdiff"))).alias("emd_num"))
+        .select(
+            "nationkey", "segment", "n_members",
+            F.round(
+                F.col("emd_num").cast("double")
+                / (F.col("n_members") * F.col("n_tot") * 9),
+                6,
+            ).alias("t_closeness"),
+        )
+        .orderBy("nationkey", "segment")
+    )

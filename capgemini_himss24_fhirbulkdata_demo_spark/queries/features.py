@@ -1911,3 +1911,111 @@ def x353_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---- x355: expected calibration error of the rank-normalized scorer ----
+
+_X355_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, source, lang, UNNEST(STRING_SPLIT(text, ' ')) AS t
+      FROM documents),
+    scored AS (
+      SELECT doc_id, source, lang,
+             SUM(CAST(('0x' || SUBSTR(MD5('w:' || t), 1, 15)) AS BIGINT)
+                 % {_X98_WSPAN} - 500) AS wsum
+      FROM tok GROUP BY doc_id, source, lang),
+    binned AS (
+      SELECT source,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_pos,
+             ((ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY wsum, doc_id) - 1) * 10)
+               // COUNT(*) OVER (PARTITION BY source) AS bin
+      FROM scored),
+    perbin AS (
+      SELECT source, bin,
+             CAST(COUNT(*) AS BIGINT) AS n_b,
+             CAST(SUM(is_pos) AS BIGINT) AS pos_b
+      FROM binned GROUP BY source, bin)
+    SELECT source,
+           CAST(SUM(n_b) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(ABS(20 * pos_b - n_b * (2 * bin + 1))) AS DOUBLE)
+                 / (20 * SUM(n_b)), 6) AS ece
+    FROM perbin
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+@register("x355_calibration_error", oracle=_X355_SQL)
+def x355_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error (ECE, Naeini AAAI'15) of the
+    rank-normalized x98 scorer at the is-English task, per source —
+    the audit that decides whether a filter score can be READ AS A
+    PROBABILITY (for soft-weighting documents) or only as a ranking
+    (x349's AUC). Docs are binned into 10 equal-count rank bins; a
+    bin's implied confidence is its midpoint (2b+1)/20, its accuracy
+    the positive share, and ECE = sum_b (n_b/N)|acc_b - conf_b|.
+    The per-bin n_b cancels, so the whole statistic collapses to
+    the INTEGER sum of |20*pos_b - n_b(2b+1)| over one final
+    division by 20N — no float accumulates.
+
+    Scale: one doc_id-keyed logit agg, one (source) exchange shared
+    by the rank window and the bin rollup; 10 bins per source make
+    the final agg skinny. Rank-equal-count binning is the
+    production-standard reliability-diagram layout.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", "lang",
+        F.explode(F.split("text", " ")).alias("t"),
+    )
+    weight = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("w:"), F.col("t")).cast("binary")), 1, 15
+            ),
+            16, 10,
+        ).cast("bigint")
+        % _X98_WSPAN
+        - 500
+    )
+    scored = (
+        tok.select("doc_id", "source", "lang", weight.alias("w"))
+        .groupBy("doc_id", "source", "lang")
+        .agg(F.sum("w").alias("wsum"))
+    )
+    ws = Window.partitionBy("source")
+    binned = scored.select(
+        "source",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_pos"),
+        (
+            (
+                F.row_number().over(ws.orderBy("wsum", "doc_id")) - 1
+            ) * 10
+        ).alias("rn10"),
+        F.count("*").over(ws).alias("n_src"),
+    ).select(
+        "source", "is_pos", F.expr("div(rn10, n_src)").alias("bin")
+    )
+    perbin = binned.groupBy("source", "bin").agg(
+        F.count("*").cast("bigint").alias("n_b"),
+        F.sum("is_pos").cast("bigint").alias("pos_b"),
+    )
+    return (
+        perbin.groupBy("source")
+        .agg(
+            F.sum("n_b").cast("bigint").alias("n_docs"),
+            F.sum(
+                F.abs(20 * F.col("pos_b") - F.col("n_b") * (2 * F.col("bin") + 1))
+            ).alias("num"),
+        )
+        .select(
+            "source", "n_docs",
+            F.round(
+                F.col("num").cast("double") / (20 * F.col("n_docs")), 6
+            ).alias("ece"),
+        )
+        .orderBy("source")
+    )
