@@ -2062,3 +2062,66 @@ def x259_embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(Window.orderBy("var", "pos")) <= 10
         ).alias("low_var_flag"),
     ).orderBy("dim")
+
+
+# ---- x356: MRR of the LSH index against the exact nearest neighbor ----
+
+_X356_SQL = f"""
+    WITH exact AS ({_X10_SQL}),
+    ann AS ({_X11_SQL})
+    SELECT e.q_id,
+           CAST(COALESCE(a.rnk, 0) AS BIGINT) AS nn_rank,
+           ROUND(CASE WHEN a.rnk IS NULL THEN 0.0
+                      ELSE 1.0 / a.rnk END, 6) AS reciprocal_rank
+    FROM exact e
+    LEFT JOIN ann a ON e.q_id = a.q_id AND e.c_id = a.c_id
+    WHERE e.rnk = 1
+    ORDER BY e.q_id
+    """
+
+
+@register("x356_ann_mrr", oracle=_X356_SQL)
+def x356_ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-reciprocal-rank eval of the LSH index (x11) at the
+    find-the-true-nearest-neighbor task: for each query, WHERE in
+    the LSH candidate ranking the exact top-1 (x10) landed —
+    rank 1 is a perfect route, rank 0 means the bucketing dropped
+    the true neighbor entirely (the recall@k metric x13 cannot
+    localize: it counts overlap, MRR says how high). Per-query
+    reciprocal rank is one exact division; 0.0 for misses.
+
+    Scale: both legs are top-k-truncated per query before the eval
+    join, so the join is k-bounded per query regardless of corpus
+    size; the searches themselves are the cost, shared subtrees of
+    one plan.
+    """
+    truth = (
+        x10_knn_bruteforce(spark, sf_dir)
+        .where(F.col("rnk") == 1)
+        .select("q_id", "c_id")
+    )
+    ann = x11_knn_lsh(spark, sf_dir).select(
+        F.col("q_id").alias("a_q"),
+        F.col("c_id").alias("a_c"),
+        F.col("rnk").alias("a_rnk"),
+    )
+    return (
+        truth.join(
+            ann,
+            (F.col("q_id") == F.col("a_q")) & (F.col("c_id") == F.col("a_c")),
+            "left",
+        )
+        .select(
+            "q_id",
+            F.coalesce(F.col("a_rnk"), F.lit(0)).cast("bigint").alias(
+                "nn_rank"
+            ),
+            F.round(
+                F.when(F.col("a_rnk").isNull(), 0.0).otherwise(
+                    1.0 / F.col("a_rnk")
+                ),
+                6,
+            ).alias("reciprocal_rank"),
+        )
+        .orderBy("q_id")
+    )
