@@ -71,6 +71,14 @@ QUERIES = [
     # late-r5: the five-codec round-trip matrix — compute-bound
     # narrow map, slope should track doc count linearly.
     "x343_codec_matrix",
+    # sixth wave: the zone-map audit's deliberate total-order stage,
+    # the PIT interval join (per-user residual doubles with events),
+    # the rank-sum AUC (one sort per source group), and the
+    # batch-bounded contrastive self-join.
+    "x347_zonemap_effectiveness",
+    "x350_pit_feature_join",
+    "x349_roc_auc",
+    "x351_inbatch_negatives",
 ]
 
 _PARTS = {"lineitem": 8, "orders": 4, "documents": 4, "embeddings": 4, "events": 4}
