@@ -88,6 +88,21 @@ def _green_names() -> set[str]:
     return checked
 
 
+def _drain_key(name: str) -> tuple[int, int, str]:
+    """Queue-drain sort key: q* tier before x* tier, numeric within.
+
+    ``q53_conditional_null`` → (0, 53, ...); ``x125_topk`` → (1, 125,
+    ...). Names that don't match the ``[qx]<digits>_`` convention sort
+    after both tiers, alphabetically.
+    """
+    import re
+
+    m = re.match(r"([qx])(\d+)", name)
+    if not m:
+        return (2, 0, name)
+    return (0 if m.group(1) == "q" else 1, int(m.group(2)), name)
+
+
 def _rotation_aliases() -> list[str]:
     """Sort-first duplicate names for this round's driver-visibility batch.
 
@@ -106,16 +121,21 @@ def _rotation_aliases() -> list[str]:
 
     Self-maintaining: "already checked" = any name (alias-stripped)
     with an all-green row in any ``CORRECTNESS_r*.json`` in the repo —
-    each round's results automatically queue the next batch, ``x*``
-    extension queries first (the LLM-pipeline surface), then ``q*``.
-    When every name has a green row this returns [] and the window
-    becomes 50 rotating regression canaries (see ``_canary_names``).
+    each round's results automatically queue the next batch. Core
+    ``q*`` names go FIRST (they are the SURVEY §2B contract rows the
+    bar names), then ``x*`` extensions; within each tier names drain
+    in NUMERIC order (q53 before q110, x47 before x125) so older
+    registrations are never displaced by newer high-numbered ones —
+    the r5 lexicographic x*-first key starved q53–q117 for five
+    rounds. When every name has a green row this returns [] and the
+    window becomes 50 rotating regression canaries
+    (see ``_canary_names``).
     """
     from capgemini_himss24_fhirbulkdata_demo_spark.queries import QUERIES
 
     checked = _green_names()
     unchecked = [n for n in sorted(QUERIES) if n not in checked]
-    unchecked.sort(key=lambda n: (not n.startswith("x"), n))
+    unchecked.sort(key=_drain_key)
     return sorted(unchecked[:_ROTATION_BATCH])
 
 

@@ -25,7 +25,11 @@ from .registry import register
 
 # log10((d+1)/d), d=1..9 — literal constants so neither engine
 # evaluates a transcendental (libm log is not cross-engine
-# bit-stable; these are).
+# bit-stable; these are). In oracle SQL they are interpolated with an
+# ``e0`` suffix so DuckDB parses them as DOUBLE directly — a bare
+# ``0.3010299957`` binds as DECIMAL(11,10), and scale-10
+# decimal->double conversion is the known off-by-an-ulp class
+# (SURVEY §2G); strtod parsing is correctly rounded on both engines.
 _BENFORD_P = (
     0.3010299957,
     0.1760912591,
@@ -52,14 +56,14 @@ t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM c)
 SELECT c.digit,
        c.n_obs,
        ROUND(CAST(c.n_obs AS DOUBLE) / t.n, 6) AS obs_share,
-       (ARRAY[{", ".join(repr(p) for p in _BENFORD_P)}])[c.digit]
+       (ARRAY[{", ".join(f"{p!r}e0" for p in _BENFORD_P)}])[c.digit]
          AS benford_p,
        ROUND(
          (CAST(c.n_obs AS DOUBLE)
-          - t.n * (ARRAY[{", ".join(repr(p) for p in _BENFORD_P)}])[c.digit])
+          - t.n * (ARRAY[{", ".join(f"{p!r}e0" for p in _BENFORD_P)}])[c.digit])
          * (CAST(c.n_obs AS DOUBLE)
-          - t.n * (ARRAY[{", ".join(repr(p) for p in _BENFORD_P)}])[c.digit])
-         / (t.n * (ARRAY[{", ".join(repr(p) for p in _BENFORD_P)}])[c.digit]),
+          - t.n * (ARRAY[{", ".join(f"{p!r}e0" for p in _BENFORD_P)}])[c.digit])
+         / (t.n * (ARRAY[{", ".join(f"{p!r}e0" for p in _BENFORD_P)}])[c.digit]),
          6) AS chi2_term
 FROM c CROSS JOIN t
 ORDER BY c.digit
@@ -8232,10 +8236,10 @@ c AS (
 t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM c)
 SELECT c.digit, c.n_obs,
        ROUND(CAST(c.n_obs AS DOUBLE) / t.n, 6) AS obs_share,
-       (ARRAY[{", ".join(repr(p) for p in _BENFORD_P)}])[c.digit]
+       (ARRAY[{", ".join(f"{p!r}e0" for p in _BENFORD_P)}])[c.digit]
          AS benford_p,
        ROUND(CAST(c.n_obs AS DOUBLE) / t.n
-             - (ARRAY[{", ".join(repr(p) for p in _BENFORD_P)}])[c.digit],
+             - (ARRAY[{", ".join(f"{p!r}e0" for p in _BENFORD_P)}])[c.digit],
              6) AS deviation
 FROM c CROSS JOIN t
 ORDER BY c.digit

@@ -1071,14 +1071,16 @@ def x122_order_total_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x125_topk_with_ties",
     oracle="""
     WITH ranked AS (
-      SELECT o_custkey, o_orderkey, o_totalprice,
+      SELECT o_custkey, o_orderkey,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
              RANK() OVER (PARTITION BY o_custkey % 10
-                          ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC)
+                          ORDER BY CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                        AS BIGINT) DESC)
                AS rnk,
              o_custkey % 10 AS grp
       FROM orders)
     SELECT grp, rnk, CAST(o_orderkey AS BIGINT) AS o_orderkey,
-           ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 2) AS total
+           cents AS total_cents
     FROM ranked WHERE rnk <= 3
     ORDER BY grp, rnk, o_orderkey
     """,
@@ -1088,9 +1090,14 @@ def x125_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     TIES`` semantics): RANK instead of ROW_NUMBER, so every row tying
     the k-th value survives — the form reports need when truncating a
     tie would misstate a leaderboard (q31 is the arbitrary-tiebreak
-    sibling). Ranking on the DECIMAL view of the price keeps tie
-    detection exact (double equality would be representation-
-    dependent).
+    sibling).
+
+    Tie detection ranks on exact integer cents computed by an
+    identical IEEE fold on both engines (``FLOOR(x*100 + 0.5)``):
+    the r5 driver caught the previous double→DECIMAL(18,2) rank key
+    rounding an .xx5 tie differently across DuckDB builds — the cast
+    is engine-version-sensitive, the integer fold is not (SURVEY §2G
+    determinism rules).
 
     Scale: same WindowGroupLimit-eligible shape as q31 — rank
     filters push into the shuffle so each partition keeps only its
@@ -1100,14 +1107,13 @@ def x125_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     grp = (F.col("o_custkey") % 10).alias("grp")
-    w = Window.partitionBy(F.col("o_custkey") % 10).orderBy(
-        F.desc(F.col("o_totalprice").cast("decimal(18,2)"))
-    )
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    w = Window.partitionBy(F.col("o_custkey") % 10).orderBy(cents.desc())
     return (
         orders.select(
             grp,
             "o_orderkey",
-            "o_totalprice",
+            cents.alias("cents"),
             F.rank().over(w).alias("rnk"),
         )
         .filter(F.col("rnk") <= 3)
@@ -1115,9 +1121,7 @@ def x125_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
             "grp",
             "rnk",
             F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
-            F.round(F.col("o_totalprice").cast("decimal(18,2)"), 2).alias(
-                "total"
-            ),
+            F.col("cents").alias("total_cents"),
         )
         .orderBy("grp", "rnk", "o_orderkey")
     )

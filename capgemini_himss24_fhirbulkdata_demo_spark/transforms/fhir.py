@@ -213,8 +213,22 @@ def bcda_explanation_of_benefit(df: DataFrame, rxnav: DataFrame) -> DataFrame:
         & ~fail_name
     )
 
-    removed_ids = df.filter(~keep).select("id")
-    survivors = df.join(F.broadcast(removed_ids), "id", "left_anti")
+    # T17 anti-join (reference ``__init__.py``: removed-id exclusion).
+    # A plain filter(keep) is NOT equivalent: the reference removes
+    # every record sharing an id with ANY failing record (duplicate-id
+    # fidelity), so the anti-join stays. The anti-join side must NOT
+    # be hinted broadcast — under the demo gates it is nearly the
+    # whole corpus (only one patient's pharmacy claims survive), so a
+    # forced broadcast scales with the input and OOMs the driver at
+    # 100x. Restrict the join side to ids that appear on BOTH sides of
+    # the gate (the only ids where filter(keep) and the anti-join
+    # disagree): that set is bounded by the duplicate-id population,
+    # and AQE picks the strategy for it unhinted.
+    kept = df.filter(keep)
+    conflicted_ids = kept.select("id").join(
+        df.filter(~keep).select("id"), "id", "left_semi"
+    )
+    survivors = kept.join(conflicted_ids, "id", "left_anti")
 
     # Mutations (survivors always pass every gate, so unconditional).
     # T11: positional supportingInfo writes (``__init__.py:489-493``).
