@@ -108,9 +108,13 @@ def test_codegen_spans_exist(spark):
 
 
 def test_fhir_eob_join_strategies(spark, tmp_path):
-    """The FHIR EOB pipeline's two relational ops must both broadcast
-    (enrichment cross-join of the 1-row map + anti-join of removed
-    ids) — SURVEY §4.3.1/.2."""
+    """The FHIR EOB pipeline's enrichment join must broadcast (1-row
+    map), the duplicate-id exclusion must not degenerate to a
+    cartesian, and — the r5 verdict item — no join side may be
+    HINT-forced broadcast: the removed-id set scales with the corpus
+    under the demo gates, so only statistics/AQE broadcasts (which
+    vanish when the size threshold is disabled) are acceptable —
+    SURVEY §4.3.1/.2."""
     import json as _json
 
     from capgemini_himss24_fhirbulkdata_demo_spark.sources import read_ndjson
@@ -135,11 +139,30 @@ def test_fhir_eob_join_strategies(spark, tmp_path):
     )
     df = read_ndjson(spark, str(p), EXPLANATION_OF_BENEFIT_SCHEMA)
     rx = spark.createDataFrame([("1", "n", "r")], RXNAV_LOOKUP_SCHEMA)
-    out = get_transform("https://bcda.example", "ExplanationOfBenefit")(df, rx)
+    fn = get_transform("https://bcda.example", "ExplanationOfBenefit")
+    out = fn(df, rx)
     text = explain_str(out, "simple")
     assert "BroadcastNestedLoopJoin" in text or "BroadcastHashJoin" in text
     strategies = join_strategies(out)
     assert "CartesianProduct" not in strategies, strategies
+
+    # hint-forced broadcasts survive a disabled size threshold;
+    # statistics ones don't. The 1-row enrichment map remains hinted
+    # by design (IdentityBroadcastMode cross-join, bounded by the
+    # RxNav code universe, re-joined in each branch) — but no KEYED
+    # join side (HashedRelationBroadcastMode) may stay broadcast: the
+    # removed-id set scales with the corpus, so the id joins must
+    # degrade to SortMergeJoin here.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cold = explain_str(fn(df, rx), "simple")
+        assert "HashedRelationBroadcastMode" not in cold, (
+            f"corpus-scaled join side is hint-broadcast:\n{cold}"
+        )
+        assert "SortMergeJoin" in cold, cold
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
 def test_q16_dims_broadcast(spark):
