@@ -557,7 +557,7 @@ def q73_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q74_modern_aggs",
     oracle="""
     SELECT o_orderpriority,
-           COUNT_IF(o_totalprice > 150000) AS n_big,
+           CAST(COUNT_IF(o_totalprice > 150000) AS BIGINT) AS n_big,
            BOOL_AND(o_totalprice > 0) AS all_positive,
            BOOL_OR(o_orderstatus = 'P') AS any_pending,
            MAX_BY(o_orderkey,

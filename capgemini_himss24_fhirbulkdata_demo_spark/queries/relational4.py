@@ -707,7 +707,7 @@ def q109_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
            COALESCE(l_linestatus, 'ALL') AS ls,
            CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
            CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
-           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP(l_returnflag, l_linestatus)
     ORDER BY gid, rf, ls
