@@ -111,8 +111,10 @@ def test_json_envelope():
 
 def test_rotation_aliases_self_maintaining(tmp_path, monkeypatch):
     """The driver-window rotation derives its batch from green
-    CORRECTNESS rows: unchecked names queue x*-first, checked names
-    drop out, and the batch caps at 45 leaving canary slots."""
+    CORRECTNESS rows: unchecked names queue core-q*-first in numeric
+    order (the r5 verdict: lexicographic x*-first starved the §2B
+    contract rows), checked names drop out, and the batch caps at 45
+    leaving canary slots."""
     import json
 
     import __spark_entry__ as entry
@@ -124,11 +126,11 @@ def test_rotation_aliases_self_maintaining(tmp_path, monkeypatch):
     unchecked = [n for n in sorted(QUERIES) if n not in green]
     if unchecked:
         assert 0 < len(batch) <= entry._ROTATION_BATCH
-        # batch == head of the x*-first priority queue over *currently*
-        # unchecked names (stays true as CORRECTNESS files accumulate:
-        # once the x* pool drains below the batch size, q* names
-        # legitimately back-fill).
-        priority = sorted(unchecked, key=lambda n: (not n.startswith("x"), n))
+        # batch == head of the q*-first NUMERIC priority queue over
+        # *currently* unchecked names (stays true as CORRECTNESS files
+        # accumulate: once the q* pool drains below the batch size,
+        # x* names back-fill in numeric order — x47 before x125).
+        priority = sorted(unchecked, key=entry._drain_key)
         assert batch == sorted(priority[: entry._ROTATION_BATCH])
     else:
         assert batch == []
@@ -164,18 +166,27 @@ def test_rotation_aliases_self_maintaining(tmp_path, monkeypatch):
     # every stage of the rotation's life, not just today's disk state.
     all_names = sorted(QUERIES)
     x_names = [n for n in all_names if n.startswith("x")]
+    q_names = [n for n in all_names if n.startswith("q")]
     regimes = {
-        "empty": set(),  # round 1: nothing checked, pure x*-first batch
-        "x_drained": set(x_names),  # x* pool gone → q* back-fill
+        "empty": set(),  # round 1: nothing checked, pure q*-first batch
+        "q_drained": set(q_names),  # q* pool gone → x* numeric back-fill
         "all_green": set(all_names),  # fully drained → canaries only
     }
     for label, synthetic_green in regimes.items():
         monkeypatch.setattr(entry, "_green_names", lambda g=synthetic_green: g)
         b = entry._rotation_aliases()
         pool = [n for n in all_names if n not in synthetic_green]
-        pool.sort(key=lambda n: (not n.startswith("x"), n))
+        pool.sort(key=entry._drain_key)
         assert b == sorted(pool[: entry._ROTATION_BATCH]), label
     monkeypatch.undo()
+
+    # the key itself: q* tier before x*, numeric within a tier — so a
+    # late-registered x1xx can never displace an older x47, and no x*
+    # runs before the §2B q* contract rows
+    assert entry._drain_key("q53_a") < entry._drain_key("q110_b")
+    assert entry._drain_key("q110_b") < entry._drain_key("x1_c")
+    assert entry._drain_key("x47_d") < entry._drain_key("x125_e")
+    assert entry._drain_key("x99_f") < entry._drain_key("x100_g")
 
 
 def test_coverage_ledger_matches_rotation_scan(tmp_path):
@@ -199,8 +210,8 @@ def test_coverage_ledger_matches_rotation_scan(tmp_path):
 def test_rotation_advances_across_simulated_rounds(tmp_path, monkeypatch):
     """Simulate future driver rounds: when a CORRECTNESS file marks
     this round's whole alias batch green, the next batch excludes
-    those names (x*-first until exhausted, then q*), and the canary
-    rotation offset advances with the file count."""
+    those names (q*-first numeric until exhausted, then x* numeric),
+    and the canary rotation offset advances with the file count."""
     import json
     import os
 
@@ -225,11 +236,11 @@ def test_rotation_advances_across_simulated_rounds(tmp_path, monkeypatch):
 
     nxt = entry._rotation_aliases()
     assert not set(nxt) & set(batch_now)  # green names dropped out
-    # x* still pending queue before q*; once x* are exhausted the
-    # batch fills with unchecked plain names
+    # remaining q* still queue before x*; once q* are exhausted the
+    # batch fills with x* names in numeric order
     pending = [n for n in sorted(QUERIES)
                if n not in green_now | set(batch_now)]
-    pending.sort(key=lambda n: (not n.startswith("x"), n))
+    pending.sort(key=entry._drain_key)
     assert nxt == sorted(pending[: entry._ROTATION_BATCH])
     # canary offset moved with the extra round file
     assert entry._green_names() > green_now
