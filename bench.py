@@ -132,6 +132,17 @@ def bench_fhir_pipeline(spark, n_records: int = 100_000) -> dict:
     warm = read_ndjson(spark, warm_src, RESOURCE_SCHEMAS["ExplanationOfBenefit"])
     write_ndjson(fn(warm, rx), os.path.join(tmp, "warm_out"))
 
+    # The sweep harness shrinks maxPartitionBytes/openCost for the
+    # small sf0.1 parquet files; those values over-split the ~100 MB
+    # NDJSON input here into ~50 parse tasks (measured: 3.5 s vs
+    # 2.2 s best-of-3 on the same box). Scan-split tuning is
+    # per-workload harness config, so restore defaults for this
+    # section; runtime-settable, so no new session needed.
+    prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    prev_oc = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(4 * 1024 * 1024))
+
     # best-of-3 like the query sweep's best-of-2: the throughput bench
     # runs after ~70 query executions, so heap pressure from the sweep
     # can tax any single run; ask the JVM to collect first and take
@@ -159,6 +170,9 @@ def bench_fhir_pipeline(spark, n_records: int = 100_000) -> dict:
     t0 = time.perf_counter()
     fhir_oracle.process("https://bcda.example", "ExplanationOfBenefit", docs, RXNAV_BENCH)
     python_sec = (time.perf_counter() - t0) * (n_records / sample)
+
+    spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
+    spark.conf.set("spark.sql.files.openCostInBytes", prev_oc)
 
     return {
         "fhir_eob_records": n_records,
@@ -305,10 +319,12 @@ def bench_training_shards(spark) -> dict:
 # streaming default-conf drain run BEFORE the tuned one), and the
 # training-shards section.
 METHODOLOGY = {
-    "version": 3,
+    "version": 4,
     "query_sweep": "sf0.001 warmup per plan, System.gc(), untimed "
                    "target-sf primer of the first query, best-of-2 at target sf",
-    "fhir": "warmup + System.gc(), best-of-3; single-run basis also reported",
+    "fhir": "warmup + System.gc(), best-of-3; single-run basis also "
+            "reported; default scan-split confs (the sweep's tiny-split "
+            "tuning over-split the NDJSON input, v3 numbers ~60% low)",
     "streaming": "default-conf drain first (old basis), then gc + "
                  "state-partitions=8, noDataMicroBatches off",
     "shards": "best-of-2 write_training_shards, 8 shards on doc_id",
@@ -413,21 +429,40 @@ def main() -> None:
     shards = bench_training_shards(spark)
     print(f"[bench] training shards: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_sweep_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "fhir_pipeline": fhir,
-                "streaming": streaming,
-                "training_shards": shards,
-                "methodology": METHODOLOGY,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_query_sweep_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "fhir_pipeline": fhir,
+        "streaming": streaming,
+        "training_shards": shards,
+        "methodology": METHODOLOGY,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(payload))
+    # Persist the FULL payload as a repo file: the driver's 2000-char
+    # stdout tail truncated the per-query timings two rounds running
+    # (BENCH_r04/r05 lost the first ~40 entries), which breaks
+    # cross-round per-query regression tracking. Round number =
+    # latest driver-recorded BENCH_r*.json + 1 (the driver writes
+    # BENCH_rN after this run completes).
+    try:
+        import glob as _glob
+        import re as _re
+
+        rounds = [
+            int(m.group(1))
+            for p in _glob.glob(os.path.join(REPO_ROOT, "BENCH_r*.json"))
+            if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
+        ]
+        rnd = (max(rounds) if rounds else 0) + 1
+        local_path = os.path.join(REPO_ROOT, f"BENCH_LOCAL_r{rnd}.json")
+        with open(local_path, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+        print(f"[bench] full payload -> {local_path}", file=sys.stderr)
+    except Exception as e:  # persistence is advisory; never fail the bench
+        print(f"[bench] local payload skipped: {e}", file=sys.stderr)
     # Tail-capture hardening: the driver records only the last ~2000
     # chars of stdout, which truncated BENCH_r04's big JSON line and
     # lost the sweep total + first 8 query timings. A compact summary

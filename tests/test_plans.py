@@ -806,3 +806,57 @@ def test_x343_codec_stage_parallel_and_pruned(spark):
     assert "RoundRobinPartitioning" in p, p
     scans = read_schemas(df)
     assert len(scans) == 1 and set(scans[0]) <= {"doc_id", "text"}, scans
+
+
+def test_x346_triangle_join_runs_on_distilled_graph(spark):
+    # the 3-way triangle join must run on the checkpointed AGGREGATED
+    # edge list (Scan ExistingRDD), never re-derive edges from the
+    # fact tables per self-join arm: exactly one parquet scan (the
+    # broadcast nation dim) may survive in the final plan
+    df = _plan(spark, "x346_triangle_count")
+    assert_no_cartesian_product(df)
+    p = explain_str(df)
+    assert "Scan ExistingRDD" in p, p
+    assert "BroadcastHashJoin" in p, p
+    scans = read_schemas(df)
+    assert len(scans) == 1 and "n_name" in scans[0], scans
+
+
+def test_x348_frontier_lineage_cut(spark):
+    # after the 4 unrolled relaxation rounds the frontier must be a
+    # checkpointed frame (Scan ExistingRDD): without the lineage cut
+    # the final plan would re-expand every round's join over the fact
+    # scans — the iterative-algorithm failure mode at 100 TB
+    df = _plan(spark, "x348_cheapest_route")
+    assert_no_cartesian_product(df)
+    p = explain_str(df)
+    assert "Scan ExistingRDD" in p, p
+    scans = read_schemas(df)
+    assert len(scans) == 1 and "n_name" in scans[0], scans
+
+
+def test_x162_sessionization_single_user_shuffle(spark):
+    # lag, the running session counter, and the (user, session) depth
+    # agg must all ride ONE hashpartitioning(user_id) exchange per
+    # branch — a second exchange keyed on (user_id, session_no) would
+    # re-shuffle the full event stream for an agg the window
+    # partitioning already satisfies
+    df = _plan(spark, "x162_session_depth")
+    p = explain_str(df)
+    assert "hashpartitioning(user_id" in p, p
+    for line in p.splitlines():
+        if "hashpartitioning" in line:
+            assert "session_no" not in line, line
+    # the two window functions (lag + running sum) share one sort per
+    # branch: every Window node sits directly on another Window's
+    # output or on the branch's single Sort — equal counts of Sort-
+    # under-Window pairs and window branches means no re-sort between
+    # the lag pass and the session-counter pass
+    import re
+
+    tree = p.split("\n\n")[0]
+    n_window = len(re.findall(r"\bWindow \(\d+\)", tree))
+    n_window_on_sort = len(
+        re.findall(r"\bWindow \(\d+\)\n\s*[:| ]*\+- Sort \(\d+\)", tree)
+    )
+    assert n_window == 2 * n_window_on_sort, tree

@@ -1,0 +1,154 @@
+"""Parallelism-perturbation determinism check.
+
+The driver's correctness gate compares an order-insensitive value
+hash, so the one divergence class the 3-SF differential sweep cannot
+expose is *row-set nondeterminism*: a LIMIT / ROW_NUMBER / argmax
+whose ordering key admits ties lets each engine (or the same engine
+at a different parallelism) legitimately pick different rows — local
+green proves nothing about the driver's box.
+
+This tool re-runs every pending (not-yet-driver-green) query twice
+per engine under deliberately different parallelism and compares the
+engine's own two canonical results:
+
+- Spark: shuffle.partitions=32 vs =5 (different partition counts
+  reorder partial-agg folds and shuffle arrival order)
+- DuckDB: threads=8 vs threads=1 (parallel TopN / agg tie resolution)
+
+A query whose own output changes under perturbation matched its
+oracle by accident and WILL flake on the driver eventually. Usage:
+
+    python tools/perturb_check.py [sf_dir] [name_prefix...]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
+
+
+def green_names() -> set[str]:
+    out: set[str] = set()
+    for p in sorted(glob.glob(os.path.join(REPO_ROOT, "CORRECTNESS_r*.json"))):
+        try:
+            rows = json.load(open(p))
+        except Exception:
+            continue
+        for name, row in rows.items():
+            if isinstance(row, dict) and all(
+                row.get(k) for k in ("rows_match", "schema_match", "hash_match")
+            ):
+                out.add(name.removeprefix("a_"))
+    return out
+
+
+def canonical(cols, rows):
+    from tests.oracle import _rows_to_canonical
+
+    return _rows_to_canonical(list(cols), rows)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    prefixes = tuple(sys.argv[2:]) or None
+
+    import duckdb
+
+    from capgemini_himss24_fhirbulkdata_demo_spark import queries as q
+    from tests.oracle import TABLES
+
+    green = green_names()
+    names = [
+        n
+        for n in sorted(q.QUERIES)
+        if n not in green and (prefixes is None or n.startswith(prefixes))
+    ]
+    print(f"[perturb] {len(names)} pending queries, sf_dir={sf_dir}", file=sys.stderr)
+
+    # ---- DuckDB: threads=8 vs threads=1 ----
+    duck_flagged: list[str] = []
+    cons = []
+    for threads in (8, 1):
+        con = duckdb.connect()
+        con.execute(f"SET threads={threads}")
+        for t in TABLES:
+            p = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(p):
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+                )
+        cons.append(con)
+    for i, n in enumerate(names):
+        sql = q.ORACLE_SQL.get(n)
+        if sql is None:
+            continue
+        try:
+            res = []
+            for con in cons:
+                r = con.execute(sql)
+                res.append(canonical([d[0] for d in r.description], r.fetchall()))
+            if res[0] != res[1]:
+                duck_flagged.append(n)
+                print(f"[perturb] DUCK-UNSTABLE {n}", file=sys.stderr)
+        except Exception as ex:
+            print(f"[perturb] DUCK-ERR {n}: {str(ex)[:80]}", file=sys.stderr)
+        if (i + 1) % 50 == 0:
+            print(f"[perturb] duckdb {i + 1}/{len(names)}", file=sys.stderr)
+
+    # ---- Spark: shuffle.partitions=32 vs 5 (one session, conf is
+    # runtime-settable) ----
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", "12g")
+        # mirror the __spark_entry__ runtime conf: the queries are
+        # written for permissive (non-ANSI) semantics + UTC, which the
+        # entry point sets on whatever session the driver hands it —
+        # a perturb run without these reports ANSI errors, not
+        # instability
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark_flagged: list[str] = []
+    for i, n in enumerate(names):
+        try:
+            res = []
+            for parts in (32, 5):
+                spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+                df = q.QUERIES[n](spark, sf_dir)
+                res.append(canonical(df.columns, [tuple(r) for r in df.collect()]))
+                for dep in getattr(df, "_cached_deps", []):
+                    dep.unpersist()
+            if res[0] != res[1]:
+                spark_flagged.append(n)
+                print(f"[perturb] SPARK-UNSTABLE {n}", file=sys.stderr)
+        except Exception as ex:
+            print(f"[perturb] SPARK-ERR {n}: {str(ex)[:80]}", file=sys.stderr)
+        if (i + 1) % 25 == 0:
+            print(f"[perturb] spark {i + 1}/{len(names)}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "sf_dir": sf_dir,
+                "n_checked": len(names),
+                "duck_unstable": duck_flagged,
+                "spark_unstable": spark_flagged,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -79,6 +79,12 @@ QUERIES = [
     "x350_pit_feature_join",
     "x349_roc_auc",
     "x351_inbatch_negatives",
+    # r6 (VERDICT r5 #7): the widest x151+ shuffles not yet probed —
+    # the ordered-edge 3-way triangle join, the k-round Bellman-Ford
+    # unroll, and the gap-sessionization double window.
+    "x346_triangle_count",
+    "x348_cheapest_route",
+    "x162_session_depth",
 ]
 
 _PARTS = {"lineitem": 8, "orders": 4, "documents": 4, "embeddings": 4, "events": 4}
@@ -123,6 +129,11 @@ def main() -> None:
     import __spark_entry__ as entry
 
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    # optional name filters: probe only the listed queries (prefix
+    # match), reusing previously built probe datasets if present
+    names = [n for n in QUERIES if not sys.argv[2:] or any(
+        n.startswith(p) for p in sys.argv[2:]
+    )]
     spark = (
         SparkSession.builder.master(f"local[{os.cpu_count()}]")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -132,14 +143,15 @@ def main() -> None:
         .getOrCreate()
     )
     d1, d2 = "/tmp/scale_probe_sf01", "/tmp/scale_probe_sf02"
-    build(spark, src, d1, double=False)
-    build(spark, src, d2, double=True)
+    if not (os.path.isdir(d1) and os.path.isdir(d2)):
+        build(spark, src, d1, double=False)
+        build(spark, src, d2, double=True)
     qs = entry.queries()
     for d in (d1, d2):
-        for n in QUERIES:
+        for n in names:
             qs[n](spark, d).collect()  # warm
     print(f"{'query':28s} {'t1x':>6s} {'t2x':>6s} {'slope':>6s}")
-    for n in QUERIES:
+    for n in names:
         best = {}
         for d in (d1, d2):
             ts = []
