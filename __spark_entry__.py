@@ -88,19 +88,44 @@ def _green_names() -> set[str]:
     return checked
 
 
-def _drain_key(name: str) -> tuple[int, int, str]:
-    """Queue-drain sort key: q* tier before x* tier, numeric within.
+def _failed_names() -> set[str]:
+    """Alias-stripped names the driver has ATTEMPTED but never passed.
 
-    ``q53_conditional_null`` → (0, 53, ...); ``x125_topk`` → (1, 125,
-    ...). Names that don't match the ``[qx]<digits>_`` convention sort
-    after both tiers, alphabetically.
+    A driver-red row is a known contract regression: those names must
+    re-enter the very next window for retest (the r5 verdict's x125
+    ask) rather than wait out their numeric position in the queue.
+    """
+    import json
+
+    seen: set[str] = set()
+    for path in _correctness_files():
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except Exception:
+            continue
+        for name in rows:
+            seen.add(name.removeprefix("a_"))
+    return seen - _green_names()
+
+
+def _drain_key(name: str) -> tuple[int, int, int, str]:
+    """Queue-drain sort key: driver-FAILED names first (a red row is a
+    live contract regression — retest next round), then the q* tier
+    before the x* tier, numeric within.
+
+    A failed ``x125_topk`` → (0, 1, 125, ...); unattempted
+    ``q53_conditional_null`` → (1, 0, 53, ...). Names that don't match
+    the ``[qx]<digits>_`` convention sort after both tiers,
+    alphabetically.
     """
     import re
 
+    failed = 0 if name in _failed_names() else 1
     m = re.match(r"([qx])(\d+)", name)
     if not m:
-        return (2, 0, name)
-    return (0 if m.group(1) == "q" else 1, int(m.group(2)), name)
+        return (failed, 2, 0, name)
+    return (failed, 0 if m.group(1) == "q" else 1, int(m.group(2)), name)
 
 
 def _rotation_aliases() -> list[str]:
@@ -121,9 +146,11 @@ def _rotation_aliases() -> list[str]:
 
     Self-maintaining: "already checked" = any name (alias-stripped)
     with an all-green row in any ``CORRECTNESS_r*.json`` in the repo —
-    each round's results automatically queue the next batch. Core
-    ``q*`` names go FIRST (they are the SURVEY §2B contract rows the
-    bar names), then ``x*`` extensions; within each tier names drain
+    each round's results automatically queue the next batch.
+    Driver-FAILED names (attempted, never green) go first — a red row
+    is a live regression that must be retested immediately. Then core
+    ``q*`` names (they are the SURVEY §2B contract rows the bar
+    names), then ``x*`` extensions; within each tier names drain
     in NUMERIC order (q53 before q110, x47 before x125) so older
     registrations are never displaced by newer high-numbered ones —
     the r5 lexicographic x*-first key starved q53–q117 for five

@@ -252,3 +252,42 @@ def test_rotation_advances_across_simulated_rounds(tmp_path, monkeypatch):
     window = list(qs)[: entry._WINDOW]
     assert window[: len(nxt)] == [f"a_{n}" for n in nxt]
     assert all(not c.startswith("a_") for c in window[len(nxt):])
+
+
+def test_driver_failed_names_jump_the_queue(tmp_path, monkeypatch):
+    """A name with a driver-red row (attempted, never green) re-enters
+    the very next batch ahead of every unattempted name — a red row is
+    a live contract regression, not a back-of-queue novelty."""
+    import json
+    import os
+
+    import __spark_entry__ as entry
+    from capgemini_himss24_fhirbulkdata_demo_spark.queries import QUERIES
+
+    real = entry._correctness_files()
+    for p in real:
+        (tmp_path / os.path.basename(p)).write_text(open(p).read())
+    # synthesize a round where a high-numbered PENDING x* name FAILED
+    # (hash mismatch): numerically it would sort after hundreds of
+    # names, so only the failed tier can pull it into the next batch
+    pending = sorted(set(QUERIES) - entry._green_names(), key=entry._drain_key)
+    some_x = [n for n in pending if n.startswith("x3")][-1]
+    red = {"rows_match": True, "schema_match": True, "hash_match": False,
+           "spark_rows": 1, "oracle_rows": 1, "err": None}
+    (tmp_path / "CORRECTNESS_r98.json").write_text(
+        json.dumps({f"a_{some_x}": red})
+    )
+    monkeypatch.setattr(entry, "_REPO_ROOT", str(tmp_path))
+
+    assert some_x in entry._failed_names()
+    batch = entry._rotation_aliases()
+    assert some_x in batch
+    # the failed tier outranks both fresh tiers in the key itself
+    assert entry._drain_key(some_x) < entry._drain_key("q53_anything")
+    # and a green row in a later round clears the flag
+    green = dict(red, hash_match=True)
+    (tmp_path / "CORRECTNESS_r99.json").write_text(
+        json.dumps({f"a_{some_x}": green})
+    )
+    assert some_x not in entry._failed_names()
+    assert some_x not in entry._rotation_aliases()
