@@ -84,7 +84,8 @@ def q50_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            STRFTIME(LAST_DAY(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
            DATEDIFF('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_95,
            CAST(EPOCH(o_orderdate) AS BIGINT) AS epoch_s,
-           STRFTIME(TO_TIMESTAMP(CAST(EPOCH(o_orderdate) AS BIGINT)),
+           STRFTIME(TIMESTAMP '1970-01-01 00:00:00'
+                    + CAST(EPOCH(o_orderdate) AS BIGINT) * INTERVAL 1 SECOND,
                     '%Y-%m-%d %H:%M:%S') AS from_epoch,
            STRFTIME(MAKE_DATE(CAST(EXTRACT(YEAR FROM o_orderdate) AS INT), 1, 1),
                     '%Y-%m-%d') AS year_start

@@ -13,7 +13,15 @@ engine's own two canonical results:
 
 - Spark: shuffle.partitions=32 vs =5 (different partition counts
   reorder partial-agg folds and shuffle arrival order)
-- DuckDB: threads=8 vs threads=1 (parallel TopN / agg tie resolution)
+- DuckDB: threads=8 vs threads=1 (parallel TopN / agg tie resolution),
+  plus two *environment* perturbations the driver's DuckDB build could
+  legitimately differ on: session TimeZone (the default follows the
+  system TZ — any oracle whose result moves with it is driver-dependent)
+  and default_null_order (DuckDB flipped the default from NULLS_FIRST
+  to NULLS_LAST in 0.9 — an ordering key with NULLs feeding a LIMIT or
+  rank picks different rows across builds). The Spark side of both is
+  already pinned by the entry point (UTC session TZ, explicit
+  asc_nulls_* where it matters), so only the oracle side needs probing.
 
 A query whose own output changes under perturbation matched its
 oracle by accident and WILL flake on the driver eventually. Usage:
@@ -54,8 +62,10 @@ def canonical(cols, rows):
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    prefixes = tuple(sys.argv[2:]) or None
+    argv = [a for a in sys.argv[1:] if a != "--duck-only"]
+    duck_only = "--duck-only" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    prefixes = tuple(argv[1:]) or None
 
     import duckdb
 
@@ -70,12 +80,27 @@ def main() -> None:
     ]
     print(f"[perturb] {len(names)} pending queries, sf_dir={sf_dir}", file=sys.stderr)
 
-    # ---- DuckDB: threads=8 vs threads=1 ----
-    duck_flagged: list[str] = []
+    # ---- DuckDB: baseline vs each perturbation ----
+    # Index 0 is the baseline (the settings the local differential
+    # sweep runs under); each later connection changes exactly ONE
+    # knob, so a mismatch names its hazard class directly. The env
+    # perturbations run over ALL registered names, not just pending:
+    # a driver-green query re-drawn as a canary flakes just the same
+    # if its oracle is TZ- or null-order-sensitive.
+    duck_perturbations = [
+        ("baseline", ["SET threads=8"]),
+        ("threads1", ["SET threads=1"]),
+        ("tz_newyork", ["SET threads=8", "SET TimeZone='America/New_York'"]),
+        ("nulls_first", ["SET threads=8", "SET default_null_order='nulls_first'"]),
+    ]
+    duck_flagged: dict[str, list[str]] = {
+        label: [] for label, _ in duck_perturbations[1:]
+    }
     cons = []
-    for threads in (8, 1):
+    for _label, stmts in duck_perturbations:
         con = duckdb.connect()
-        con.execute(f"SET threads={threads}")
+        for s in stmts:
+            con.execute(s)
         for t in TABLES:
             p = os.path.join(sf_dir, f"{t}.parquet")
             if os.path.exists(p):
@@ -83,25 +108,50 @@ def main() -> None:
                     f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
                 )
         cons.append(con)
-    for i, n in enumerate(names):
+    env_names = [
+        n
+        for n in sorted(q.QUERIES)
+        if prefixes is None or n.startswith(prefixes)
+    ]
+    for i, n in enumerate(env_names):
         sql = q.ORACLE_SQL.get(n)
         if sql is None:
             continue
+        pending = n in set(names)
         try:
-            res = []
-            for con in cons:
+            r = cons[0].execute(sql)
+            base = canonical([d[0] for d in r.description], r.fetchall())
+            for (label, _stmts), con in zip(duck_perturbations[1:], cons[1:]):
+                if label == "threads1" and not pending:
+                    continue  # parallelism pass keeps its pending-only scope
                 r = con.execute(sql)
-                res.append(canonical([d[0] for d in r.description], r.fetchall()))
-            if res[0] != res[1]:
-                duck_flagged.append(n)
-                print(f"[perturb] DUCK-UNSTABLE {n}", file=sys.stderr)
+                got = canonical([d[0] for d in r.description], r.fetchall())
+                if got != base:
+                    duck_flagged[label].append(n)
+                    print(f"[perturb] DUCK-UNSTABLE[{label}] {n}", file=sys.stderr)
         except Exception as ex:
             print(f"[perturb] DUCK-ERR {n}: {str(ex)[:80]}", file=sys.stderr)
         if (i + 1) % 50 == 0:
-            print(f"[perturb] duckdb {i + 1}/{len(names)}", file=sys.stderr)
+            print(f"[perturb] duckdb {i + 1}/{len(env_names)}", file=sys.stderr)
 
     # ---- Spark: shuffle.partitions=32 vs 5 (one session, conf is
     # runtime-settable) ----
+    spark_flagged: list[str] = []
+    if duck_only:
+        print(
+            json.dumps(
+                {
+                    "sf_dir": sf_dir,
+                    "n_checked": len(names),
+                    "n_env_checked": len(env_names),
+                    "duck_unstable": duck_flagged["threads1"],
+                    "duck_tz_unstable": duck_flagged["tz_newyork"],
+                    "duck_null_order_unstable": duck_flagged["nulls_first"],
+                    "spark_unstable": None,
+                }
+            )
+        )
+        return
     from pyspark.sql import SparkSession
 
     spark = (
@@ -120,7 +170,6 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    spark_flagged: list[str] = []
     for i, n in enumerate(names):
         try:
             res = []
@@ -143,7 +192,10 @@ def main() -> None:
             {
                 "sf_dir": sf_dir,
                 "n_checked": len(names),
-                "duck_unstable": duck_flagged,
+                "n_env_checked": len(env_names),
+                "duck_unstable": duck_flagged["threads1"],
+                "duck_tz_unstable": duck_flagged["tz_newyork"],
+                "duck_null_order_unstable": duck_flagged["nulls_first"],
                 "spark_unstable": spark_flagged,
             }
         )
