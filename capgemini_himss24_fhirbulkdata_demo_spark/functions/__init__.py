@@ -6,3 +6,4 @@ from .encoding import (  # noqa: F401
     b64url_sql,
     sha384_hex_sql,
 )
+from .hof import bound  # noqa: F401

@@ -26,25 +26,34 @@ def dedup_first_wins(
 
 
 def shingle(text_col: Column, n: int = 2) -> Column:
-    """Distinct word n-gram shingles of a text column (codegen'd).
+    """Distinct word n-gram shingles of a text column.
 
     Documents with fewer than ``n`` tokens shingle to an empty array —
     Spark's ``sequence(1, 0)`` counts DOWN ([1, 0]), so the short-doc
     case must be guarded explicitly, not ranged.
+
+    The token array is lambda-bound (``functions.hof.bound``): HOF
+    lambdas are interpreted per element with no loop-invariant
+    motion, so a captured ``split`` would re-tokenize the document
+    for every shingle position — O(L^2) per doc.
     """
-    toks = F.split(text_col, " ")
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    return F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(
-                idx,
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(toks, i + j) for j in range(n)]
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    from ..functions.hof import bound
+
+    def shingles_of(toks: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+        return F.when(
+            F.size(toks) >= n,
+            F.array_distinct(
+                F.transform(
+                    idx,
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(toks, i + j) for j in range(n)]
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return bound(F.split(text_col, " "), shingles_of)
 
 
 def minhash_signatures(

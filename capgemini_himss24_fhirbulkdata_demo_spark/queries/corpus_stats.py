@@ -209,20 +209,27 @@ def x88_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot buckets, and no stage is quadratic in corpus size — cost ∝
     total span positions, i.e. ∝ corpus tokens.
     """
+    from ..functions.hof import bound
+
     docs = load_table(spark, sf_dir, "documents")
     g = _X88_NGRAM
     t = F.split(F.col("text"), " ")
     n = F.size(t)
-    idx = F.when(n >= g, F.sequence(F.lit(1), n - (g - 1))).otherwise(
-        F.array().cast("array<int>")
-    )
+    # token array lambda-bound: a captured split re-tokenizes per span
+    # position in the interpreted HOF (functions.hof.bound)
     spans = docs.select(
         "doc_id",
         F.explode(
-            F.transform(
-                idx,
-                lambda i: F.md5(
-                    F.array_join(F.slice(t, i, g), " ").cast("binary")
+            bound(
+                t,
+                lambda tk: F.transform(
+                    F.when(
+                        F.size(tk) >= g,
+                        F.sequence(F.lit(1), F.size(tk) - (g - 1)),
+                    ).otherwise(F.array().cast("array<int>")),
+                    lambda i: F.md5(
+                        F.array_join(F.slice(tk, i, g), " ").cast("binary")
+                    ),
                 ),
             )
         ).alias("fp"),
@@ -426,17 +433,25 @@ def x90_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline as x02, with winnowing's selection guarantee instead
     of minhash's probabilistic one.
     """
+    from ..functions.hof import bound
+
     docs = load_table(spark, sf_dir, "documents")
     k, wlen = _X90_K, _X90_W
-    t = F.split(F.col("text"), " ")
-    n = F.size(t)
-    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
-        F.array().cast("array<int>")
-    )
+    # token array lambda-bound (functions.hof.bound): a captured split
+    # re-tokenizes per gram position in the interpreted HOF
     grams = docs.select(
         "doc_id",
         F.posexplode(
-            F.transform(idx, lambda i: F.array_join(F.slice(t, i, k), " "))
+            bound(
+                F.split(F.col("text"), " "),
+                lambda t: F.transform(
+                    F.when(
+                        F.size(t) >= k,
+                        F.sequence(F.lit(1), F.size(t) - (k - 1)),
+                    ).otherwise(F.array().cast("array<int>")),
+                    lambda i: F.array_join(F.slice(t, i, k), " "),
+                ),
+            )
         ).alias("pos0", "gram"),
     ).select(
         "doc_id",
@@ -645,24 +660,29 @@ def x92_source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     argument decides). Cost ∝ matching gram occurrences, never
     |grams|². Per-source totals are an S-row broadcast.
     """
+    from ..functions.hof import bound
+
     docs = load_table(spark, sf_dir, "documents")
     g = _X92_NGRAM
-    t = F.split(F.col("text"), " ")
-    n = F.size(t)
-    idx = F.when(n >= g, F.sequence(F.lit(1), n - (g - 1))).otherwise(
-        F.array().cast("array<int>")
-    )
     # r5 perf: distinct and self-join on 128-bit md5 fingerprints,
     # not gram text (~3× fewer shuffle bytes; same collision budget
-    # as x88/x02 — ≈G²/2¹²⁹, negligible at any real corpus size)
+    # as x88/x02 — ≈G²/2¹²⁹, negligible at any real corpus size).
+    # Token array lambda-bound (functions.hof.bound): a captured
+    # split re-tokenizes per gram position in the interpreted HOF.
     grams = (
         docs.select(
             "source",
             F.explode(
-                F.transform(
-                    idx,
-                    lambda i: F.md5(
-                        F.array_join(F.slice(t, i, g), " ").cast("binary")
+                bound(
+                    F.split(F.col("text"), " "),
+                    lambda t: F.transform(
+                        F.when(
+                            F.size(t) >= g,
+                            F.sequence(F.lit(1), F.size(t) - (g - 1)),
+                        ).otherwise(F.array().cast("array<int>")),
+                        lambda i: F.md5(
+                            F.array_join(F.slice(t, i, g), " ").cast("binary")
+                        ),
                     ),
                 )
             ).alias("gram"),
@@ -1311,21 +1331,26 @@ def x132_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ∝ corpus shingles, and the cumulative question costs no window
     at all (MIN does it).
     """
+    from ..functions.hof import bound
+
     docs = load_table(spark, sf_dir, "documents")
     g = _X132_G
-    t = F.split(F.col("text"), " ")
-    n = F.size(t)
-    idx = F.when(n >= g, F.sequence(F.lit(1), n - (g - 1))).otherwise(
-        F.array().cast("array<int>")
-    )
+    # token array lambda-bound (functions.hof.bound): a captured split
+    # re-tokenizes per shingle position in the interpreted HOF
     grams = (
         docs.select(
             (F.col("doc_id") / _X132_BUCKET).cast("bigint").alias("bucket"),
             F.explode(
-                F.transform(
-                    idx,
-                    lambda i: F.md5(
-                        F.array_join(F.slice(t, i, g), " ").cast("binary")
+                bound(
+                    F.split(F.col("text"), " "),
+                    lambda t: F.transform(
+                        F.when(
+                            F.size(t) >= g,
+                            F.sequence(F.lit(1), F.size(t) - (g - 1)),
+                        ).otherwise(F.array().cast("array<int>")),
+                        lambda i: F.md5(
+                            F.array_join(F.slice(t, i, g), " ").cast("binary")
+                        ),
                     ),
                 )
             ).alias("fp"),

@@ -99,19 +99,25 @@ def _sql_shingles() -> str:
 
 
 def _spark_shingles():
-    # single-token docs shingle to [] (sequence(1,0) would count DOWN)
-    toks = F.split("text", " ")
-    return F.when(
-        F.size(toks) >= 2,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # single-token docs shingle to [] (sequence(1,0) would count DOWN);
+    # token array lambda-bound so the interpreted HOF doesn't
+    # re-tokenize per shingle position (functions.hof.bound)
+    from ..functions.hof import bound
+
+    return bound(
+        F.split("text", " "),
+        lambda toks: F.when(
+            F.size(toks) >= 2,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
 
 
 # Hash family: two md5 digests per shingle (d1 = md5(s), d2 =
@@ -1625,17 +1631,25 @@ def x115_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens with a constant cap factor, never |docs|². The df cap is
     the knob that trades recall for cost at 100 TB.
     """
+    from ..functions.hof import bound
+
     docs = load_table(spark, sf_dir, "documents")
-    arr = F.split(F.col("text"), " ")
-    n = F.size(arr)
     g = _X115_G
-    idx = F.when(n >= g, F.sequence(F.lit(1), n - (g - 1))).otherwise(
-        F.array().cast("array<int>")
-    )
+    # token array lambda-bound (functions.hof.bound): a captured split
+    # re-tokenizes per gram position in the interpreted HOF
     tok = docs.select(
         "doc_id",
         F.explode(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(arr, i, g)))
+            bound(
+                F.split(F.col("text"), " "),
+                lambda arr: F.transform(
+                    F.when(
+                        F.size(arr) >= g,
+                        F.sequence(F.lit(1), F.size(arr) - (g - 1)),
+                    ).otherwise(F.array().cast("array<int>")),
+                    lambda i: F.concat_ws(" ", F.slice(arr, i, g)),
+                ),
+            )
         ).alias("t"),
     )
     tf = tok.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.hof import bound
 from .registry import register
 
 # Tiny per-language stopword lists for the n-gram-free heuristic.
@@ -584,18 +585,20 @@ def x27_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle tamed by partial aggregation, top-k via ordered take.
     """
     docs = load_table(spark, sf_dir, "documents")
-    t = F.split(F.col("text"), " ")
-    n = F.size(t)
-    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
+    # token array lambda-bound (functions.hof.bound): a captured split
+    # re-tokenizes per bigram position in the interpreted HOF
     grams = docs.select(
         "doc_id",
         F.explode(
-            F.transform(
-                idx,
-                lambda i: F.concat_ws(
-                    " ", F.element_at(t, i), F.element_at(t, i + 1)
+            bound(
+                F.split(F.col("text"), " "),
+                lambda t: F.transform(
+                    F.when(
+                        F.size(t) >= 2, F.sequence(F.lit(1), F.size(t) - 1)
+                    ).otherwise(F.array().cast("array<int>")),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(t, i), F.element_at(t, i + 1)
+                    ),
                 ),
             )
         ).alias("bigram"),
@@ -790,17 +793,20 @@ def x29_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").cast("bigint").alias("top_token_n"),
     )
 
-    n = F.size(t)
-    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
+    # token array lambda-bound (functions.hof.bound): a captured split
+    # re-tokenizes per bigram position in the interpreted HOF
     grams = docs.select(
         "doc_id",
         F.explode(
-            F.transform(
-                idx,
-                lambda i: F.concat_ws(
-                    " ", F.element_at(t, i), F.element_at(t, i + 1)
+            bound(
+                t,
+                lambda tk: F.transform(
+                    F.when(
+                        F.size(tk) >= 2, F.sequence(F.lit(1), F.size(tk) - 1)
+                    ).otherwise(F.array().cast("array<int>")),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(tk, i), F.element_at(tk, i + 1)
+                    ),
                 ),
             )
         ).alias("bigram"),
@@ -909,16 +915,22 @@ def x42_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     g = _X42_NGRAM
     digit = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
-    t = F.split(F.col("text"), " ")
-    n = F.size(t)
-    idx = F.when(n >= g, F.sequence(F.lit(1), n - (g - 1))).otherwise(
-        F.array().cast("array<int>")
-    )
+    # token array lambda-bound (functions.hof.bound): a captured split
+    # re-tokenizes per gram position in the interpreted HOF
     grams = docs.select(
         "doc_id",
         digit.alias("d"),
         F.explode(
-            F.transform(idx, lambda i: F.array_join(F.slice(t, i, g), " "))
+            bound(
+                F.split(F.col("text"), " "),
+                lambda t: F.transform(
+                    F.when(
+                        F.size(t) >= g,
+                        F.sequence(F.lit(1), F.size(t) - (g - 1)),
+                    ).otherwise(F.array().cast("array<int>")),
+                    lambda i: F.array_join(F.slice(t, i, g), " "),
+                ),
+            )
         ).alias("gram"),
     )
     # the training-side distinct feeds both the totals agg and the

@@ -11,10 +11,17 @@ documents copy gets a perturbed leading token so fingerprints and
 shingles differ (otherwise every doc acquires an exact dup and the
 dedup families measure a different problem).
 
-Usage:  python tools/scale_probe.py [sf_dir]   (default sf0.1)
+Usage:  python tools/scale_probe.py [sf_dir] [--x4] [prefix ...]
 Writes probe datasets under /tmp/scale_probe_sf0{1,2} and prints a
 table. Ideal linear slope is <=2.0; fixed overhead pulls observed
 slopes down; anything >2 flags super-linear candidate growth.
+
+--x4 probes 1x vs 4x instead (dataset under /tmp/scale_probe_sf04).
+Two doublings separate growth classes a single doubling can't:
+n^1.5 shows a 2x slope of 2.83 (borderline) but a 4x slope of 8.0
+(unmistakable); n log n lands ~4.4 at 4x vs ~2.2 at 2x. Fixed
+overhead deflates both, so thresholds are <=4 clean, 4-5 log-class,
+>5 super-linear candidate.
 """
 
 from __future__ import annotations
@@ -91,7 +98,7 @@ _PARTS = {"lineitem": 8, "orders": 4, "documents": 4, "embeddings": 4, "events":
 _DIMS = ("region", "nation", "customer", "supplier", "part")
 
 
-def build(spark, src: str, dst: str, double: bool) -> None:
+def build(spark, src: str, dst: str, copies: int = 1) -> None:
     from pyspark.sql import functions as F
 
     os.makedirs(dst, exist_ok=True)
@@ -105,16 +112,22 @@ def build(spark, src: str, dst: str, double: bool) -> None:
         "events": "event_id",
     }
     for t, n in _PARTS.items():
-        df = spark.read.parquet(f"{src}/{t}.parquet")
-        if double:
+        base = spark.read.parquet(f"{src}/{t}.parquet")
+        df = base
+        if copies > 1:
             k = keys[t]
-            off = df.agg(F.max(k)).collect()[0][0] + 1
-            second = df.withColumn(k, F.col(k) + off)
-            if t == "documents":
-                second = second.withColumn(
-                    "text", F.concat(F.lit("cpyB "), F.col("text"))
-                )
-            df = df.unionByName(second)
+            off = base.agg(F.max(k)).collect()[0][0] + 1
+            for i in range(1, copies):
+                nxt = base.withColumn(k, F.col(k) + F.lit(i * off))
+                if t == "documents":
+                    # distinct leading token per copy so no copy pair
+                    # shares fingerprints/shingles (dedup families
+                    # must measure corpus growth, not found-dup count)
+                    nxt = nxt.withColumn(
+                        "text",
+                        F.concat(F.lit(f"cpy{chr(65 + i)} "), F.col("text")),
+                    )
+                df = df.unionByName(nxt)
         out = f"{dst}/{t}.parquet"
         if os.path.isdir(out):
             shutil.rmtree(out)
@@ -128,11 +141,13 @@ def main() -> None:
 
     import __spark_entry__ as entry
 
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    argv = [a for a in sys.argv[1:] if a != "--x4"]
+    x4 = "--x4" in sys.argv[1:]
+    src = argv[0] if argv else "/root/testdata/sf0.1"
     # optional name filters: probe only the listed queries (prefix
     # match), reusing previously built probe datasets if present
-    names = [n for n in QUERIES if not sys.argv[2:] or any(
-        n.startswith(p) for p in sys.argv[2:]
+    names = [n for n in QUERIES if not argv[1:] or any(
+        n.startswith(p) for p in argv[1:]
     )]
     spark = (
         SparkSession.builder.master(f"local[{os.cpu_count()}]")
@@ -142,15 +157,18 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", "32")
         .getOrCreate()
     )
-    d1, d2 = "/tmp/scale_probe_sf01", "/tmp/scale_probe_sf02"
-    if not (os.path.isdir(d1) and os.path.isdir(d2)):
-        build(spark, src, d1, double=False)
-        build(spark, src, d2, double=True)
+    d1 = "/tmp/scale_probe_sf01"
+    d2 = "/tmp/scale_probe_sf04" if x4 else "/tmp/scale_probe_sf02"
+    if not os.path.isdir(d1):
+        build(spark, src, d1, copies=1)
+    if not os.path.isdir(d2):
+        build(spark, src, d2, copies=4 if x4 else 2)
     qs = entry.queries()
     for d in (d1, d2):
         for n in names:
             qs[n](spark, d).collect()  # warm
-    print(f"{'query':28s} {'t1x':>6s} {'t2x':>6s} {'slope':>6s}")
+    hi = "t4x" if x4 else "t2x"
+    print(f"{'query':28s} {'t1x':>6s} {hi:>6s} {'slope':>6s}")
     for n in names:
         best = {}
         for d in (d1, d2):
