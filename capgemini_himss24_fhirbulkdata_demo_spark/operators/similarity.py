@@ -14,6 +14,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.hof import bound
+
 
 def cosine_dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product of two array<float|double> columns.
@@ -252,24 +254,48 @@ def assign_nearest_centroid(
     re-buckets by actual centroid proximity, so clusters follow the
     data even where sign cells are ragged).
 
-    Scale: centroids are k rows — broadcast; scoring is a narrow map
-    over the vector table (k fold-dot-products per row, plan width
-    O(1) in dim); the argmax is a per-row ``row_number`` over k scored
-    copies, i.e. one shuffle of n·k skinny rows partitioned by the
-    uniform vector id. Ties break toward the lowest list id, which
-    keeps the assignment deterministic across engines.
+    Scale: the k centroids collapse to ONE broadcast row carrying a
+    list-id-sorted array of (id, centroid, norm) structs; the argmax
+    is a per-row fold over that array — zero shuffle and zero row
+    amplification. (The previous form exploded n·k scored copies
+    through a ``row_number`` window, i.e. a shuffle carrying every
+    vector AND centroid payload k times — a k× amplification of the
+    corpus through the wire that the fold avoids entirely; it also
+    recomputed each centroid's norm n times, now once.) The fold
+    keeps the FIRST strictly-greater score, and the array is sorted
+    ascending by list id, so ties break toward the lowest list id —
+    the same deterministic rule as before.
     """
-    v = vectors.withColumn("__vn", vector_norm(F.col(vec_col)))
-    scored = v.crossJoin(F.broadcast(centroids)).withColumn(
-        "__csim",
-        cosine_dot(F.col(vec_col), F.col("centroid"))
-        / (F.col("__vn") * vector_norm(F.col("centroid"))),
+    cents = centroids.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(list_col).cast("bigint").alias("l"),
+                    F.col("centroid").alias("c"),
+                    vector_norm(F.col("centroid")).alias("cn"),
+                )
+            )
+        ).alias("__cents")
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("__csim"), F.col(list_col))
+    v = vectors.withColumn("__vn", vector_norm(F.col(vec_col)))
+    best = F.aggregate(
+        F.col("__cents"),
+        F.struct(
+            F.lit(float("-inf")).alias("csim"),
+            F.lit(None).cast("bigint").alias("l"),
+        ),
+        lambda acc, cc: bound(
+            cosine_dot(F.col(vec_col), cc["c"]) / (F.col("__vn") * cc["cn"]),
+            lambda s: F.when(
+                s > acc["csim"],
+                F.struct(s.alias("csim"), cc["l"].alias("l")),
+            ).otherwise(acc),
+        ),
+    )
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(*vectors.columns, F.col(list_col).alias(out_col))
+        v.crossJoin(F.broadcast(cents))
+        .select(*vectors.columns, best["l"].alias(out_col))
+        .filter(F.col(out_col).isNotNull())
     )
 
 
