@@ -12,20 +12,24 @@ Design for 100 TB of media:
 - decode is deterministic & dependency-gated: the synthetic ``FAKE``
   container, uncompressed BMP (24-bit / 8-bit paletted), binary PNM
   (P5 pgm / P6 ppm, 8- and 16-bit with exact maxval rescale), and
-  PNG (8-bit gray / RGB / palette / gray+alpha / RGBA and 16-bit
-  gray / RGB / gray+alpha / RGBA, all five row filters,
+  PNG (every legal depth/color-type combination: 1/2/4-bit gray and
+  palette, 8-bit gray / RGB / palette / gray+alpha / RGBA, 16-bit
+  gray / RGB / gray+alpha / RGBA; all five row filters,
   non-interlaced and Adam7-interlaced, inflate via stdlib zlib),
   multi-frame
   GIF87a/89a (LZW, global/local palettes, full-canvas and
   sub-rectangle frames composited with GCE disposal/transparency,
   4-pass interlace — the real-format path for frame sampling),
-  and both baseline sequential AND progressive JPEG (8-bit,
+  baseline sequential AND progressive JPEG (8-bit,
   Huffman, DRI/RST; progressive spectral-selection + successive-
   approximation scans with EOB-run semantics; Y-channel
   reconstruction — chroma entropy is decoded to advance the
-  stream but not IDCT'd, since stats are luma-based) decode with pure
+  stream but not IDCT'd, since stats are luma-based), and lossless
+  (SOF3) JPEG (2..16-bit grayscale, predictors 1-7, point transform,
+  DRI/RST) decode with pure
   stdlib code — no imaging library needed; anything else
-  (arithmetic/lossless JPEG, 1/2/4-bit PNG, ...) falls
+  (arithmetic-coded or hierarchical JPEG, multi-component
+  lossless, ...) falls
   through to PIL when importable and raises NotImplementedError
   otherwise (PIL is not baked into this container). Color decodes to
   8-bit luma via integer BT.601 weights
@@ -321,21 +325,43 @@ def _png_filter_rows(rows, ch: int, filter_type: int) -> bytes:
     return bytes(raw)
 
 
+def _png_pack_bits(samples, depth: int) -> bytes:
+    """Pack sub-8-bit samples into bytes, MSB-first (PNG bit order).
+    The last byte's unused low bits stay zero, per spec."""
+    per_byte = 8 // depth
+    maxv = (1 << depth) - 1
+    out = bytearray((len(samples) + per_byte - 1) // per_byte)
+    for x, v in enumerate(samples):
+        if not 0 <= v <= maxv:
+            raise ValueError(f"PNG sample {v} exceeds depth-{depth} range")
+        out[x // per_byte] |= v << (8 - depth - (x % per_byte) * depth)
+    return bytes(out)
+
+
 def encode_png(width: int, height: int, rows, color_type: int = 0,
                palette: list[tuple[int, int, int]] | None = None,
                filter_type: int = 0, interlace: int = 0,
                depth: int = 8) -> bytes:
-    """Minimal PNG writer (8/16-bit) — fixture twin of
+    """Minimal PNG writer (1/2/4/8/16-bit) — fixture twin of
     ``_decode_png``. ``rows`` is a list of per-row byte sequences in
     raw channel order (two big-endian bytes per sample at
-    ``depth=16``); ``filter_type`` applies that PNG filter to every
-    row so decoder filter paths (0=None 1=Sub 2=Up 3=Average
-    4=Paeth) are individually exercisable; ``interlace=1`` writes
-    Adam7 pass order (each pass filtered independently, empty passes
-    omitted, per spec)."""
+    ``depth=16``); at sub-8-bit depths (gray or palette only, per
+    spec) each row is a sequence of per-pixel sample VALUES
+    (0..2^depth−1) that the writer packs MSB-first. ``filter_type``
+    applies that PNG filter to every row so decoder filter paths
+    (0=None 1=Sub 2=Up 3=Average 4=Paeth) are individually
+    exercisable; ``interlace=1`` writes Adam7 pass order (each pass
+    filtered independently, empty passes omitted, per spec)."""
     import zlib
 
-    ch = _PNG_CHANNELS[color_type] * (depth // 8)  # filter byte offset
+    sub8 = depth < 8
+    if sub8 and color_type not in (0, 3):
+        raise ValueError(
+            f"PNG depth {depth} is only legal for gray/palette "
+            f"(color_type={color_type})"
+        )
+    # filter byte offset: whole bytes per pixel, min 1 (spec 4.5.2)
+    ch = _PNG_CHANNELS[color_type] * (depth // 8) if not sub8 else 1
 
     def chunk(tag: bytes, body: bytes) -> bytes:
         return (
@@ -345,7 +371,8 @@ def encode_png(width: int, height: int, rows, color_type: int = 0,
 
     rows = [bytes(r) for r in rows]
     if interlace == 0:
-        raw = _png_filter_rows(rows, ch, filter_type)
+        packed = [_png_pack_bits(r, depth) for r in rows] if sub8 else rows
+        raw = _png_filter_rows(packed, ch, filter_type)
     else:
         raw = bytearray()
         for x0, y0, dx, dy in _ADAM7:
@@ -356,6 +383,10 @@ def encode_png(width: int, height: int, rows, color_type: int = 0,
             sub_rows = []
             for j in range(ph):
                 row = rows[y0 + j * dy]
+                if sub8:  # sample-level extraction, then repack
+                    sub_rows.append(_png_pack_bits(
+                        [row[x0 + i * dx] for i in range(pw)], depth))
+                    continue
                 sub = bytearray()
                 for i in range(pw):
                     o = (x0 + i * dx) * ch
@@ -371,13 +402,16 @@ def encode_png(width: int, height: int, rows, color_type: int = 0,
     return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
 
 
-def _png_unfilter(raw, w: int, h: int, ch: int):
+def _png_unfilter(raw, w: int, h: int, ch: int, stride: int | None = None):
     """Undo per-row PNG filters over an ``h`` × ``w*ch`` (sub-)raster
     (decoder side; the up-neighbor of the first row is the zero row,
-    independently per Adam7 pass). Returns the list of unfiltered
-    row bytearrays; raises ValueError on size mismatch or an invalid
-    filter byte."""
-    stride = w * ch
+    independently per Adam7 pass). ``stride`` overrides the
+    ``w*ch`` row byte count for sub-8-bit rasters where pixels pack
+    below byte granularity (filter offset ``ch`` stays 1 there, per
+    spec 4.5.2). Returns the list of unfiltered row bytearrays;
+    raises ValueError on size mismatch or an invalid filter byte."""
+    if stride is None:
+        stride = w * ch
     if len(raw) != h * (1 + stride):
         raise ValueError(
             f"PNG raster size mismatch: need {h * (1 + stride)} "
@@ -435,12 +469,12 @@ def _png_row_luma(row, w: int, color_type: int, palette) -> bytearray:
 
 
 def _decode_png(payload: bytes):
-    """Pure-stdlib PNG decode (8-bit, color types 0/2/3/4/6; all five
-    row filters; non-interlaced AND Adam7-interlaced) →
-    (width, height, [luma frame]). zlib does the inflate; alpha is
-    ignored for luma stats. 16-bit PNGs fall through to the PIL
-    gate. Truncated or corrupt streams raise ValueError (same
-    contract as BMP/PNM)."""
+    """Pure-stdlib PNG decode (every legal depth/color-type combo:
+    1/2/4-bit gray+palette, 8-bit types 0/2/3/4/6, 16-bit types
+    0/2/4/6; all five row filters; non-interlaced AND
+    Adam7-interlaced) → (width, height, [luma frame]). zlib does the
+    inflate; alpha is ignored for luma stats. Truncated or corrupt
+    streams raise ValueError (same contract as BMP/PNM)."""
     import zlib
 
     if len(payload) < 8 + 25:
@@ -469,14 +503,12 @@ def _decode_png(payload: bytes):
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     width, height, depth, color_type, _comp, _filt, interlace = ihdr
-    if (
-        color_type not in _PNG_CHANNELS
-        or depth not in (8, 16)
-        or (depth == 16 and color_type == 3)  # 16-bit palette is illegal
-    ):
-        raise NotImplementedError(
-            f"only 8/16-bit PNG decodes dependency-free "
-            f"(depth={depth}, color_type={color_type}); others need PIL"
+    legal = {0: (1, 2, 4, 8, 16), 3: (1, 2, 4, 8),
+             2: (8, 16), 4: (8, 16), 6: (8, 16)}
+    if color_type not in legal or depth not in legal[color_type]:
+        raise ValueError(
+            f"illegal PNG depth/color-type combination "
+            f"(depth={depth}, color_type={color_type})"
         )
     if interlace not in (0, 1):
         raise ValueError(f"invalid PNG interlace method {interlace}")
@@ -487,9 +519,35 @@ def _decode_png(payload: bytes):
     except zlib.error as e:
         raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
     ch = _PNG_CHANNELS[color_type]
-    bpp = ch * (depth // 8)  # filter byte-offset = bytes per pixel
+    sub8 = depth < 8
+    # filter byte-offset: whole bytes per pixel, min 1 (spec 4.5.2)
+    bpp = 1 if sub8 else ch * (depth // 8)
+
+    def stride_of(w):  # packed row byte count
+        return (w * ch * depth + 7) // 8
+
+    maxv = (1 << depth) - 1
 
     def row_luma(row, w):
+        if sub8:
+            # unpack MSB-first, then scale gray / look up palette
+            per_byte = 8 // depth
+            out = bytearray(w)
+            for x in range(w):
+                v = (row[x // per_byte]
+                     >> (8 - depth - (x % per_byte) * depth)) & maxv
+                if color_type == 0:
+                    out[x] = v * 255 // maxv
+                else:
+                    if palette is None:
+                        raise ValueError("paletted PNG missing PLTE")
+                    if v >= len(palette):
+                        raise ValueError(
+                            f"PNG palette index {v} out of range "
+                            f"({len(palette)} entries)"
+                        )
+                    out[x] = palette[v]
+            return out
         if depth == 16:
             # high byte of each big-endian 16-bit sample == v*255//65535
             row = row[::2]
@@ -497,7 +555,7 @@ def _decode_png(payload: bytes):
 
     px = bytearray(width * height)
     if interlace == 0:
-        rows = _png_unfilter(raw, width, height, bpp)
+        rows = _png_unfilter(raw, width, height, bpp, stride_of(width))
         for y, row in enumerate(rows):
             px[y * width : (y + 1) * width] = row_luma(row, width)
     else:  # Adam7: 7 independently-filtered passes, scattered
@@ -507,10 +565,10 @@ def _decode_png(payload: bytes):
             ph = (height - y0 + dy - 1) // dy if height > y0 else 0
             if pw == 0 or ph == 0:
                 continue
-            need = ph * (1 + pw * bpp)
+            need = ph * (1 + stride_of(pw))
             sub = raw[off : off + need]
             off += need
-            rows = _png_unfilter(sub, pw, ph, bpp)
+            rows = _png_unfilter(sub, pw, ph, bpp, stride_of(pw))
             for j, row in enumerate(rows):
                 lum = row_luma(row, pw)
                 y = y0 + j * dy
@@ -935,6 +993,115 @@ def encode_jpeg_progressive(width: int, height: int, luma_rows,
     return bytes(out)
 
 
+# Lossless-JPEG difference categories run 0..16 (mod-2^16 differences;
+# SSSS=16 is the bit-less "diff == 32768" escape, T.81 H.1.2.2). A
+# uniform 5-bit canonical table over all 17 symbols (Kraft 17/32 < 1)
+# — the Annex-K DC table stops at SSSS=11, so it cannot carry
+# 12..16-bit differences of high-precision samples.
+_LL_BITS = [0, 0, 0, 0, 17] + [0] * 11
+_LL_VALS = list(range(17))
+
+
+def _ll_predict(rows, x: int, y: int, predictor: int, half: int) -> int:
+    """T.81 H.1.2 sample prediction: boundary rules first (the sample
+    above-left of everything predicts as 2^(P-1-Pt); the rest of the
+    first line predicts from the left neighbor; the first column
+    predicts from above), then the scan-selected predictor 1-7."""
+    if y == 0 and x == 0:
+        return half
+    if y == 0:
+        return rows[0][x - 1]
+    if x == 0:
+        return rows[y - 1][0]
+    a, b, c = rows[y][x - 1], rows[y - 1][x], rows[y - 1][x - 1]
+    if predictor == 1:
+        return a
+    if predictor == 2:
+        return b
+    if predictor == 3:
+        return c
+    if predictor == 4:
+        return a + b - c
+    if predictor == 5:
+        return a + ((b - c) >> 1)
+    if predictor == 6:
+        return b + ((a - c) >> 1)
+    return (a + b) >> 1  # 7
+
+
+def encode_jpeg_lossless(width: int, height: int, rows,
+                         predictor: int = 4, precision: int = 8,
+                         point_transform: int = 0,
+                         restart_interval: int = 0) -> bytes:
+    """Lossless (SOF3) GRAYSCALE JPEG writer — fixture twin of the
+    lossless decode path (T.81 Annex H). ``rows`` holds per-row
+    sample values in [0, 2^precision); the encoder transmits
+    ``sample >> point_transform`` (the Annex-H point transform — the
+    near-lossless knob; exact round-trip at Pt=0), predicting each
+    sample with ``predictor`` 1-7 under the spec boundary rules and
+    Huffman-coding the mod-2^16 differences as SSSS category + value
+    bits, SSSS=16 carrying diff=32768 with no bits.
+    ``restart_interval`` emits DRI + RSTn every N samples (an MCU is
+    one sample here); prediction resets to the scan-initial default
+    for the sample after each restart (T.81 H.2.2)."""
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"lossless JPEG predictor {predictor} not in 1..7")
+    if not 2 <= precision <= 16:
+        raise ValueError(f"lossless JPEG precision {precision} not in 2..16")
+    enc = {v: lc for lc, v in _huff_codes(_LL_BITS, _LL_VALS).items()}
+
+    def marker(tag, body):
+        return bytes((0xFF, tag)) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += marker(
+        0xC3,
+        struct.pack(">BHHB", precision, height, width, 1) + bytes((1, 0x11, 0)),
+    )
+    out += marker(0xC4, bytes([0x00]) + bytes(_LL_BITS) + bytes(_LL_VALS))
+    if restart_interval:
+        out += marker(0xDD, struct.pack(">H", restart_interval))
+    out += marker(
+        0xDA, bytes((1, 1, 0x00, predictor, 0, point_transform))
+    )
+
+    half = 1 << (precision - 1 - point_transform)
+    il = [[int(v) >> point_transform for v in r] for r in rows]
+    w = _BitWriter()
+    n = 0
+    force_default = False
+    for y in range(height):
+        for x in range(width):
+            if restart_interval and n and n % restart_interval == 0:
+                w.flush()
+                out += w.buf
+                w = _BitWriter()
+                out += bytes((0xFF, 0xD0 + (n // restart_interval - 1) % 8))
+                force_default = True
+            n += 1
+            px = half if force_default else _ll_predict(
+                il, x, y, predictor, half)
+            force_default = False
+            d = (il[y][x] - px) & 0xFFFF
+            if d > 32768:
+                d -= 65536
+            if d == 32768:
+                length, code = enc[16]
+                w.write(code, length)
+                continue
+            size = 0 if d == 0 else (
+                d.bit_length() if d > 0 else (-d).bit_length()
+            )
+            length, code = enc[size]
+            w.write(code, length)
+            if size:
+                w.write(d if d > 0 else d + (1 << size) - 1, size)
+    w.flush()
+    out += w.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 class _BitReader:
     def __init__(self, data, pos):
         self.data = data
@@ -1013,7 +1180,8 @@ def _decode_jpeg(payload: bytes):
     engine's media stats are luma-based, so chroma IDCTs would be
     wasted work. Progressive scans (DC/AC, first/refinement,
     EOB runs) accumulate coefficients until EOI, then dequantize +
-    IDCT once. 12-bit/arithmetic/lossless JPEGs raise
+    IDCT once. Lossless (SOF3) scans route to the Annex-H
+    predictive path. 12-bit-DCT/arithmetic/hierarchical JPEGs raise
     NotImplementedError (PIL gate); truncated or corrupt streams
     raise ValueError — including a stream cut cleanly between
     progressive scans (missing EOI)."""
@@ -1055,18 +1223,23 @@ def _decode_jpeg(payload: bytes):
                     tab[_ZIGZAG[i]] = zz[i]
                 qtabs[tid] = tab
                 p += 65
-        elif tag in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+        elif tag in (0xC0, 0xC1, 0xC2, 0xC3):
+            # SOF0/1 baseline, SOF2 progressive, SOF3 lossless
             prec, h, wdt, nc = struct.unpack(">BHHB", body[:6])
-            if prec != 8:
-                raise NotImplementedError("only 8-bit JPEG decodes here")
+            if tag == 0xC3:
+                if not 2 <= prec <= 16:
+                    raise ValueError(f"illegal lossless JPEG precision {prec}")
+            elif prec != 8:
+                raise NotImplementedError("only 8-bit DCT JPEG decodes here")
             comps = []
             for i in range(nc):
                 cid, samp, qid = body[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 0x0F, "q": qid})
-            frame = {"w": wdt, "h": h, "comps": comps,
-                     "progressive": tag == 0xC2}
-        elif tag in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("non-baseline JPEG (lossless/arithmetic) needs PIL")
+            frame = {"w": wdt, "h": h, "comps": comps, "prec": prec,
+                     "progressive": tag == 0xC2, "lossless": tag == 0xC3}
+        elif tag in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "hierarchical/arithmetic JPEG needs PIL")
         elif tag == 0xC4:  # DHT
             p = 0
             while p < len(body):
@@ -1090,6 +1263,12 @@ def _decode_jpeg(payload: bytes):
                 cs, tt = body[1 + 2 * i], body[2 + 2 * i]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append((comp, tt >> 4, tt & 0x0F))
+            if frame.get("lossless"):
+                ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+                return _decode_lossless_scan(
+                    payload, pos + 2 + seglen, frame, scan, ss,
+                    ahal & 0x0F, dc_tabs, restart_interval,
+                )
             if not frame.get("progressive"):
                 return _decode_jpeg_scan(
                     payload, pos + 2 + seglen, frame, scan, qtabs, dc_tabs,
@@ -1113,6 +1292,67 @@ def _decode_jpeg(payload: bytes):
             raise ValueError("truncated progressive JPEG: missing EOI")
         return _reconstruct_progressive(frame, coef_store, qtabs)
     raise ValueError("JPEG has no scan data")
+
+
+def _decode_lossless_scan(payload, pos, frame, scan, predictor, pt,
+                          dc_tabs, restart_interval):
+    """Lossless (SOF3) scan decode, T.81 Annex H: Huffman SSSS
+    category + value bits give a mod-2^16 difference added to the
+    predicted sample (Ss selects predictor 1-7; boundary rules in
+    ``_ll_predict``); SSSS=16 is the bit-less diff=32768 escape.
+    Reconstructed samples are shifted left by the point transform Pt
+    and scaled to 8-bit luma by exact integer v*255//(2^P-1) (the PNM
+    maxval rule). Single-component only — the engine's stats are
+    luma-based; multi-component lossless interleaving gates on PIL.
+    A restart resets prediction to the scan-initial default for the
+    next sample (T.81 H.2.2) and realigns the bit reader."""
+    if len(scan) != 1:
+        raise NotImplementedError(
+            "multi-component lossless JPEG needs PIL")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"lossless JPEG predictor {predictor} not in 1..7")
+    _comp, dc_id, _ = scan[0]
+    if dc_id not in dc_tabs:
+        raise ValueError(f"lossless JPEG scan references missing DHT {dc_id}")
+    table = dc_tabs[dc_id]
+    w, h, prec = frame["w"], frame["h"], frame["prec"]
+    if pt >= prec:
+        raise ValueError(
+            f"lossless JPEG point transform {pt} >= precision {prec}")
+    half = 1 << (prec - 1 - pt)
+    maxval = (1 << prec) - 1
+    r = _BitReader(payload, pos)
+    rows = [[0] * w for _ in range(h)]
+    n = 0
+    force_default = False
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and n and n % restart_interval == 0:
+                r.restart()
+                force_default = True
+            n += 1
+            ssss = r.huff(table)
+            if ssss == 16:
+                diff = 32768
+            elif ssss:
+                diff = _extend(r.bits(ssss), ssss)
+            else:
+                diff = 0
+            px = half if force_default else _ll_predict(
+                rows, x, y, predictor, half)
+            force_default = False
+            rx = (px + diff) & 0xFFFF
+            if rx << pt > maxval:
+                raise ValueError(
+                    f"corrupt lossless JPEG: sample {rx << pt} exceeds "
+                    f"precision-{prec} range"
+                )
+            rows[y][x] = rx
+    px8 = bytearray(w * h)
+    for y in range(h):
+        for x in range(w):
+            px8[y * w + x] = (rows[y][x] << pt) * 255 // maxval
+    return w, h, [bytes(px8)]
 
 
 def _init_coef_store(frame):
@@ -1737,15 +1977,13 @@ def _decode_fake(payload: bytes):
     if payload[:2] in (b"P5", b"P6"):
         return _decode_pnm(payload)
     if payload[:8] == _PNG_MAGIC:
-        try:
-            return _decode_png(payload)
-        except NotImplementedError:
-            return _decode_pil(payload)  # sub-8-bit depths
+        # every legal depth/color-type decodes stdlib-side; no PIL gate
+        return _decode_png(payload)
     if payload[:2] == b"\xff\xd8":
         try:
             return _decode_jpeg(payload)
         except NotImplementedError:
-            return _decode_pil(payload)  # 12-bit / arithmetic / lossless
+            return _decode_pil(payload)  # 12-bit DCT / arithmetic / hierarchical
     if payload[:6] in _GIF_MAGICS:
         try:
             return _decode_gif(payload)

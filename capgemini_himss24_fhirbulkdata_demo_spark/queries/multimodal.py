@@ -467,7 +467,8 @@ _X343_W = 8
 _X343_H = 8
 _X343_BYTES = _X343_W * _X343_H
 _X343_FORMATS = (
-    "gif_interlaced", "gif_subrect", "png16", "png8_adam7", "pnm16",
+    "gif_interlaced", "gif_subrect", "jpeg_lossless", "png16",
+    "png8_adam7", "pnm16",
 )
 
 _X343_SQL = f"""
@@ -475,7 +476,8 @@ _X343_SQL = f"""
       SELECT doc_id, g.fmt,
              SUBSTR(text, 1, {_X343_BYTES}) AS chunk
       FROM documents,
-           (SELECT UNNEST(['gif_interlaced', 'gif_subrect', 'png16',
+           (SELECT UNNEST(['gif_interlaced', 'gif_subrect',
+                           'jpeg_lossless', 'png16',
                            'png8_adam7', 'pnm16']) AS fmt) g
       WHERE STRLEN(text) >= {_X343_BYTES})
     SELECT doc_id, fmt, MD5(chunk) AS digest,
@@ -489,16 +491,18 @@ _X343_SQL = f"""
 @register("x343_codec_matrix", oracle=_X343_SQL)
 def x343_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lossless codec-matrix round trip: the document's head bytes
-    become an 8x8 gray raster encoded through FIVE distinct real
+    become an 8x8 gray raster encoded through SIX distinct real
     container paths — 4-pass interlaced GIF, sub-rectangle GIF with a
     fully-transparent GCE overlay frame (compositing must leave the
-    canvas untouched), 16-bit PNG (samples v*257, so the decoded
-    high byte is exactly v), Adam7-interlaced 8-bit PNG, and 16-bit
+    canvas untouched), lossless SOF3 JPEG (Annex-H predictive coding,
+    predictor 4 — exact at 8-bit, no DCT anywhere), 16-bit PNG
+    (samples v*257, so the decoded high byte is exactly v),
+    Adam7-interlaced 8-bit PNG, and 16-bit
     PNM (maxval 65535) — then decoded back by the pure-stdlib
     decoders inside mapInPandas. Every path is lossless on gray
     rasters, so each decoded frame must digest-match the source
     bytes; the DuckDB twin recomputes digest + luma sum from the
-    text slice per format. A hash match proves all five
+    text slice per format. A hash match proves all six
     encode→entropy-code→decode round trips inside the engine.
 
     Scale: 1→5 skinny rows per doc; compute-bound codec stage split
@@ -507,9 +511,11 @@ def x343_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..multimodal.binary import (
         _decode_gif,
+        _decode_jpeg,
         _decode_png,
         _decode_pnm,
         encode_gif,
+        encode_jpeg_lossless,
         encode_png,
         encode_pnm,
     )
@@ -548,6 +554,10 @@ def x343_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                         gces=[None, (0, 0)],
                     )
                 )[2][-1]
+                decoded["jpeg_lossless"] = _decode_jpeg(
+                    encode_jpeg_lossless(_X343_W, _X343_H, rows8,
+                                         predictor=4)
+                )[2][0]
                 rows16 = [
                     b"".join(_struct.pack(">H", v * 257) for v in r)
                     for r in rows8

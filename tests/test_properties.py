@@ -1022,6 +1022,132 @@ def test_png_16bit_high_byte_luma(w, h, color_type, filter_type,
 
 
 @given(
+    w=st.integers(min_value=1, max_value=18),
+    h=st.integers(min_value=1, max_value=12),
+    depth=st.sampled_from([1, 2, 4]),
+    color_type=st.sampled_from([0, 3]),
+    filter_type=st.integers(min_value=0, max_value=4),
+    interlace=st.integers(min_value=0, max_value=1),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_sub8bit_roundtrip(w, h, depth, color_type, filter_type,
+                               interlace, seed):
+    """Sub-8-bit PNG (1/2/4-bit gray and palette — the only legal
+    combos) decodes to exact v*255//maxv gray or BT.601 palette luma
+    across every row filter and both interlace modes. The hazards are
+    the MSB-first bit unpacking, the packed row stride (filter offset
+    stays 1 byte while pixels pack below byte granularity), and Adam7
+    pass strides at non-byte-aligned pass widths."""
+    import hashlib
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.multimodal.binary import (
+        _decode_png,
+        _luma,
+        encode_png,
+    )
+
+    maxv = (1 << depth) - 1
+
+    def b(i):
+        return hashlib.md5(f"{seed}:{i}".encode()).digest()[0]
+
+    rows = [[b(y * w + x) & maxv for x in range(w)] for y in range(h)]
+    palette = [(b(1000 + 3 * i), b(2000 + 3 * i), b(3000 + 3 * i))
+               for i in range(maxv + 1)]
+    png = encode_png(w, h, rows, color_type,
+                     palette if color_type == 3 else None,
+                     filter_type, interlace=interlace, depth=depth)
+    dw, dh, frames = _decode_png(png)
+    assert (dw, dh) == (w, h)
+    expect = bytearray()
+    for r in rows:
+        for v in r:
+            if color_type == 0:
+                expect.append(v * 255 // maxv)
+            else:
+                expect.append(_luma(*palette[v]))
+    assert frames[0] == bytes(expect)
+    # illegal depth/color-type combos must raise, not mis-decode
+    with pytest.raises(ValueError):
+        encode_png(w, h, rows, color_type=2, filter_type=0, depth=depth)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=14),
+    h=st.integers(min_value=1, max_value=10),
+    predictor=st.integers(min_value=1, max_value=7),
+    precision=st.sampled_from([2, 4, 8, 12, 16]),
+    restart_interval=st.sampled_from([0, 1, 5, 17]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=60, deadline=None)
+def test_jpeg_lossless_roundtrip(w, h, predictor, precision,
+                                 restart_interval, seed):
+    """Lossless (SOF3) JPEG round-trips EXACTLY (no DCT anywhere):
+    decoded luma == v*255//(2^P−1) of the original samples for every
+    predictor 1-7, precision 2..16, and restart interval — the
+    hazards are the Annex-H boundary prediction rules (first sample,
+    first row, first column), the mod-2^16 difference arithmetic with
+    the SSSS=16 escape, and prediction reset after RSTn."""
+    import hashlib
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.multimodal.binary import (
+        _decode_jpeg,
+        encode_jpeg_lossless,
+    )
+
+    maxval = (1 << precision) - 1
+
+    def s(i):
+        d = hashlib.md5(f"{seed}:{i}".encode()).digest()
+        return ((d[0] << 8) | d[1]) & maxval
+
+    rows = [[s(y * w + x) for x in range(w)] for y in range(h)]
+    jp = encode_jpeg_lossless(w, h, rows, predictor, precision,
+                              restart_interval=restart_interval)
+    dw, dh, frames = _decode_jpeg(jp)
+    assert (dw, dh) == (w, h)
+    assert frames[0] == bytes(v * 255 // maxval for r in rows for v in r)
+
+
+@given(
+    cut=st.integers(min_value=3, max_value=400),
+    pt=st.integers(min_value=0, max_value=3),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_lossless_point_transform_and_truncation(cut, pt, seed):
+    """The Annex-H point transform Pt makes decode reproduce
+    (v>>Pt)<<Pt exactly (the near-lossless contract); truncating the
+    stream anywhere inside the scan raises ValueError, never a short
+    or corrupt frame."""
+    import hashlib
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.multimodal.binary import (
+        _decode_fake,
+        _decode_jpeg,
+        encode_jpeg_lossless,
+    )
+
+    rows = [[hashlib.md5(f"{seed}:{y}:{x}".encode()).digest()[0]
+             for x in range(12)] for y in range(9)]
+    jp = encode_jpeg_lossless(12, 9, rows, predictor=4,
+                              point_transform=pt)
+    dw, dh, frames = _decode_fake(jp)  # dispatches on the JPEG magic
+    assert (dw, dh) == (12, 9)
+    assert frames[0] == bytes(
+        ((v >> pt) << pt) for r in rows for v in r)
+    # only the 2-byte EOI tail is pixel-free; any deeper cut raises
+    short = jp[: len(jp) - min(cut, len(jp) - 4)]
+    if cut <= 2:
+        assert _decode_jpeg(short)[2][0] == frames[0]
+    else:
+        with pytest.raises((ValueError, NotImplementedError)):
+            _decode_jpeg(short)
+
+
+@given(
     w=st.integers(min_value=1, max_value=12),
     h=st.integers(min_value=1, max_value=12),
     rgb=st.booleans(),
