@@ -24,7 +24,9 @@ Design for 100 TB of media:
   Huffman, DRI/RST; progressive spectral-selection + successive-
   approximation scans with EOB-run semantics; Y-channel
   reconstruction — chroma entropy is decoded to advance the
-  stream but not IDCT'd, since stats are luma-based), and lossless
+  stream but not IDCT'd, since stats are luma-based; 8- AND 12-bit
+  sample precision with 16-bit Pq=1 quantization tables), and
+  lossless
   (SOF3) JPEG (2..16-bit grayscale, predictors 1-7, point transform,
   DRI/RST) decode with pure
   stdlib code — no imaging library needed; anything else
@@ -714,30 +716,62 @@ class _BitWriter:
 
 
 def encode_jpeg(width: int, height: int, luma_rows, quant: int = 1,
-                restart_interval: int = 0) -> bytes:
+                restart_interval: int = 0, precision: int = 8) -> bytes:
     """Minimal baseline GRAYSCALE JPEG writer — fixture twin of
     ``_decode_jpeg``. ``quant`` scales a flat quantization table
     (1 = near-lossless: error is DCT rounding only, a few grey
     levels); Annex-K.3 Huffman tables. ``restart_interval`` emits a
     DRI segment plus RSTn markers every N MCUs (exercises the
-    decoder's resync + DC-predictor-reset path)."""
+    decoder's resync + DC-predictor-reset path). ``precision=12``
+    writes an extended-sequential (SOF1) frame: 12-bit samples (rows
+    hold values 0..4095), a 16-bit (Pq=1) quantization table, and
+    wider uniform canonical Huffman tables — DC categories reach 15
+    and AC sizes 14 at 12-bit (T.81 Table F.1), past where Annex K
+    stops."""
+    if precision not in (8, 12):
+        raise ValueError(f"DCT JPEG precision {precision} not in (8, 12)")
     qtab = [max(1, min(255, quant))] * 64
-    dc = _huff_codes(_DC_BITS, _DC_VALS)
-    ac = _huff_codes(_AC_BITS, _AC_VALS)
-    # invert to value -> (length, code)
-    dc_enc = {v: lc for lc, v in dc.items()}
-    ac_enc = {v: lc for lc, v in ac.items()}
+    if precision == 8:
+        dc_enc = {v: lc for lc, v in _huff_codes(_DC_BITS, _DC_VALS).items()}
+        ac_enc = {v: lc for lc, v in _huff_codes(_AC_BITS, _AC_VALS).items()}
+        dht_dc = (_DC_BITS, _DC_VALS)
+        dht_ac = (_AC_BITS, _AC_VALS)
+    else:
+        # uniform canonical tables wide enough for 12-bit categories:
+        # DC sizes 0..15 at 5 bits (Kraft 16/32), AC EOB+ZRL+runs 0-15
+        # x sizes 1-14 at 8 bits (Kraft 226/256)
+        dc_bits = [0, 0, 0, 0, 16] + [0] * 11
+        dc_vals = list(range(16))
+        ac_vals = [0x00, 0xF0] + [
+            (r << 4) | s for r in range(16) for s in range(1, 15)
+        ]
+        ac_bits = [0] * 7 + [len(ac_vals)] + [0] * 8
+        dc_enc = {v: lc for lc, v in _huff_codes(dc_bits, dc_vals).items()}
+        ac_enc = {v: lc for lc, v in _huff_codes(ac_bits, ac_vals).items()}
+        dht_dc = (dc_bits, dc_vals)
+        dht_ac = (ac_bits, ac_vals)
+    half = 1 << (precision - 1)
 
     def marker(tag, body):
         return bytes((0xFF, tag)) + struct.pack(">H", len(body) + 2) + body
 
     out = bytearray(b"\xff\xd8")  # SOI
-    out += marker(0xDB, bytes([0]) + bytes(qtab[_ZIGZAG[i]] for i in range(64)))
+    if precision == 8:
+        out += marker(
+            0xDB, bytes([0]) + bytes(qtab[_ZIGZAG[i]] for i in range(64))
+        )
+    else:  # Pq=1: 16-bit big-endian entries
+        out += marker(
+            0xDB,
+            bytes([0x10])
+            + b"".join(struct.pack(">H", qtab[_ZIGZAG[i]]) for i in range(64)),
+        )
     out += marker(
-        0xC0, struct.pack(">BHHB", 8, height, width, 1) + bytes((1, 0x11, 0))
+        0xC0 if precision == 8 else 0xC1,
+        struct.pack(">BHHB", precision, height, width, 1) + bytes((1, 0x11, 0)),
     )
-    out += marker(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
-    out += marker(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    out += marker(0xC4, bytes([0x00]) + bytes(dht_dc[0]) + bytes(dht_dc[1]))
+    out += marker(0xC4, bytes([0x10]) + bytes(dht_ac[0]) + bytes(dht_ac[1]))
     if restart_interval:
         out += marker(0xDD, struct.pack(">H", restart_interval))
     out += marker(0xDA, bytes((1, 1, 0x00, 0, 63, 0)))
@@ -761,7 +795,7 @@ def encode_jpeg(width: int, height: int, luma_rows, quant: int = 1,
                 for x in range(8):
                     sy = min(by * 8 + y, height - 1)
                     sx = min(bx * 8 + x, width - 1)
-                    block[y * 8 + x] = luma_rows[sy][sx] - 128.0
+                    block[y * 8 + x] = luma_rows[sy][sx] - float(half)
             coef = _fdct2d(block)
             q = [int(round(coef[_ZIGZAG[i]] / qtab[_ZIGZAG[i]])) for i in range(64)]
             # DC
@@ -1181,7 +1215,8 @@ def _decode_jpeg(payload: bytes):
     wasted work. Progressive scans (DC/AC, first/refinement,
     EOB runs) accumulate coefficients until EOI, then dequantize +
     IDCT once. Lossless (SOF3) scans route to the Annex-H
-    predictive path. 12-bit-DCT/arithmetic/hierarchical JPEGs raise
+    predictive path; DCT sample precision may be 8 or 12 (SOF1/2).
+    Arithmetic-coded and hierarchical JPEGs raise
     NotImplementedError (PIL gate); truncated or corrupt streams
     raise ValueError — including a stream cut cleanly between
     progressive scans (missing EOI)."""
@@ -1213,24 +1248,30 @@ def _decode_jpeg(payload: bytes):
             while p < len(body):
                 prec = body[p] >> 4
                 tid = body[p] & 0x0F
-                if prec != 0:
-                    raise NotImplementedError("16-bit quant tables need PIL")
-                zz = body[p + 1 : p + 65]
-                if len(zz) < 64:
+                if prec not in (0, 1):
+                    raise ValueError(f"invalid DQT precision {prec}")
+                sw = 2 if prec else 1  # Pq=1: 16-bit big-endian entries
+                zz = body[p + 1 : p + 1 + 64 * sw]
+                if len(zz) < 64 * sw:
                     raise ValueError("truncated DQT")
                 tab = [0] * 64
                 for i in range(64):
-                    tab[_ZIGZAG[i]] = zz[i]
+                    tab[_ZIGZAG[i]] = (
+                        (zz[2 * i] << 8) | zz[2 * i + 1]
+                    ) if prec else zz[i]
                 qtabs[tid] = tab
-                p += 65
+                p += 1 + 64 * sw
         elif tag in (0xC0, 0xC1, 0xC2, 0xC3):
             # SOF0/1 baseline, SOF2 progressive, SOF3 lossless
             prec, h, wdt, nc = struct.unpack(">BHHB", body[:6])
             if tag == 0xC3:
                 if not 2 <= prec <= 16:
                     raise ValueError(f"illegal lossless JPEG precision {prec}")
-            elif prec != 8:
-                raise NotImplementedError("only 8-bit DCT JPEG decodes here")
+            elif tag == 0xC0:
+                if prec != 8:  # baseline is 8-bit by definition (T.81 B.2.2)
+                    raise ValueError(f"illegal baseline JPEG precision {prec}")
+            elif prec not in (8, 12):  # SOF1/SOF2: extended/progressive
+                raise ValueError(f"illegal DCT JPEG precision {prec}")
             comps = []
             for i in range(nc):
                 cid, samp, qid = body[6 + 3 * i : 9 + 3 * i]
@@ -1537,6 +1578,7 @@ def _reconstruct_progressive(frame, store, qtabs):
         raise ValueError("missing quant table")
     st = store[luma["id"]]
     w, h = frame["w"], frame["h"]
+    half, maxval = _jpeg_sample_range(frame)
     lw = st["bw"] * 8
     plane = bytearray(lw * st["bh"] * 8)
     for row in range(st["bh"]):
@@ -1550,16 +1592,26 @@ def _reconstruct_progressive(frame, store, qtabs):
             for y in range(8):
                 row_off = (oy + y) * lw + ox
                 for x in range(8):
-                    v = int(round(px[y * 8 + x])) + 128
-                    plane[row_off + x] = 0 if v < 0 else (255 if v > 255 else v)
+                    v = int(round(px[y * 8 + x])) + half
+                    v = 0 if v < 0 else (maxval if v > maxval else v)
+                    plane[row_off + x] = v * 255 // maxval
     out = bytearray(w * h)
     for y in range(h):
         out[y * w : (y + 1) * w] = plane[y * lw : y * lw + w]
     return w, h, [bytes(out)]
 
 
+def _jpeg_sample_range(frame):
+    """(level-shift, maxval) for the frame's sample precision — 128/255
+    at 8-bit, 2048/4095 at 12-bit (T.81 A.3.1); luma output rescales
+    by exact integer v*255//maxval like the PNM/PNG deep paths."""
+    prec = frame.get("prec", 8)
+    return 1 << (prec - 1), (1 << prec) - 1
+
+
 def _decode_jpeg_scan(data, pos, frame, scan, qtabs, dc_tabs, ac_tabs, dri):
     w, h = frame["w"], frame["h"]
+    half, maxval = _jpeg_sample_range(frame)
     hmax = max(c["h"] for c in frame["comps"])
     vmax = max(c["v"] for c in frame["comps"])
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
@@ -1609,8 +1661,10 @@ def _decode_jpeg_scan(data, pos, frame, scan, qtabs, dc_tabs, ac_tabs, dri):
                             for y in range(8):
                                 row_off = (oy + y) * lw + ox
                                 for x in range(8):
-                                    v = int(round(px[y * 8 + x])) + 128
-                                    plane[row_off + x] = 0 if v < 0 else (255 if v > 255 else v)
+                                    v = int(round(px[y * 8 + x])) + half
+                                    v = 0 if v < 0 else (
+                                        maxval if v > maxval else v)
+                                    plane[row_off + x] = v * 255 // maxval
     out = bytearray(w * h)
     for y in range(h):
         out[y * w : (y + 1) * w] = plane[y * lw : y * lw + w]
@@ -1983,7 +2037,7 @@ def _decode_fake(payload: bytes):
         try:
             return _decode_jpeg(payload)
         except NotImplementedError:
-            return _decode_pil(payload)  # 12-bit DCT / arithmetic / hierarchical
+            return _decode_pil(payload)  # arithmetic-coded / hierarchical
     if payload[:6] in _GIF_MAGICS:
         try:
             return _decode_gif(payload)

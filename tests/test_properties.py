@@ -383,6 +383,43 @@ def test_jpeg_roundtrip_bounded_error(w, h, quant, seed):
 
 
 @given(
+    w=st.integers(min_value=1, max_value=18),
+    h=st.integers(min_value=1, max_value=18),
+    restart_interval=st.sampled_from([0, 3]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_12bit_roundtrip_bounded_error(w, h, restart_interval, seed):
+    """12-bit (SOF1 extended-sequential) JPEG at quant=1 reconstructs
+    each 12-bit sample within one grey level of the exact
+    v*255//4095 rescale — the hazards are the 2048 level shift, the
+    4095 clamp, the 16-bit (Pq=1) quantization table, and DC/AC
+    Huffman categories past the Annex-K range (sizes up to 15/14)."""
+    import hashlib
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.multimodal.binary import (
+        _decode_jpeg,
+        encode_jpeg,
+    )
+
+    def s12(i):
+        d = hashlib.md5(f"{seed}:{i}".encode()).digest()
+        return ((d[0] << 8) | d[1]) & 0xFFF
+
+    rows = [[s12(y * w + x) for x in range(w)] for y in range(h)]
+    dw, dh, frames = _decode_jpeg(
+        encode_jpeg(w, h, rows, quant=1, restart_interval=restart_interval,
+                    precision=12)
+    )
+    assert (dw, dh) == (w, h)
+    err = max(
+        abs(frames[0][y * w + x] - rows[y][x] * 255 // 4095)
+        for y in range(h) for x in range(w)
+    )
+    assert err <= 1, err
+
+
+@given(
     cut=st.integers(min_value=3, max_value=120),
     seed=st.integers(min_value=0, max_value=2**31),
 )
