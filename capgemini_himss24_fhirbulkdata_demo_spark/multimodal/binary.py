@@ -25,13 +25,15 @@ Design for 100 TB of media:
   approximation scans with EOB-run semantics; Y-channel
   reconstruction — chroma entropy is decoded to advance the
   stream but not IDCT'd, since stats are luma-based; 8- AND 12-bit
-  sample precision with 16-bit Pq=1 quantization tables), and
-  lossless
+  sample precision with 16-bit Pq=1 quantization tables),
+  arithmetic-coded sequential (SOF9) JPEG (T.81 Annex D QM-coder
+  with the F.1.4.4 DC/AC statistical models, DAC conditioning,
+  DRI/RST with full statistics reset), and lossless
   (SOF3) JPEG (2..16-bit grayscale, predictors 1-7, point transform,
   DRI/RST) decode with pure
   stdlib code — no imaging library needed; anything else
-  (arithmetic-coded or hierarchical JPEG, multi-component
-  lossless, ...) falls
+  (hierarchical JPEG, progressive- or lossless-arithmetic,
+  multi-component lossless, ...) falls
   through to PIL when importable and raises NotImplementedError
   otherwise (PIL is not baked into this container). Color decodes to
   8-bit luma via integer BT.601 weights
@@ -1136,6 +1138,490 @@ def encode_jpeg_lossless(width: int, height: int, rows,
     return bytes(out)
 
 
+def encode_jpeg_arith(width: int, height: int, luma_rows,
+                      quant: int = 1, restart_interval: int = 0,
+                      dc_cond: tuple[int, int] = (0, 1),
+                      ac_kx: int = 5) -> bytes:
+    """Arithmetic-coded sequential (SOF9) GRAYSCALE JPEG writer —
+    fixture twin of ``_decode_jpeg_scan_arith``. Transmits exactly
+    the same quantized coefficients as ``encode_jpeg`` at the same
+    ``quant`` (the entropy coder is the only difference, so the
+    decoded raster is bit-identical to the Huffman encoding), through
+    the T.81 Annex D QM-coder with the F.1.4.4 DC/AC statistical
+    models. ``dc_cond``/``ac_kx`` land in a DAC segment and steer the
+    DC conditioning thresholds / AC Kx split. ``restart_interval``
+    flushes the coder, emits RSTn, and resets statistics (F.1.4.4.3).
+    """
+    low, up = dc_cond
+    if not (0 <= low <= up <= 15):
+        raise ValueError(f"invalid DC conditioning L={low} U={up}")
+    if not 1 <= ac_kx <= 63:
+        raise ValueError(f"invalid AC conditioning Kx {ac_kx}")
+    qtab = [max(1, min(255, quant))] * 64
+
+    def marker(tag, body):
+        return bytes((0xFF, tag)) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += marker(0xDB, bytes([0]) + bytes(qtab[_ZIGZAG[i]] for i in range(64)))
+    out += marker(
+        0xC9, struct.pack(">BHHB", 8, height, width, 1) + bytes((1, 0x11, 0))
+    )
+    out += marker(0xCC, bytes((0x00, (up << 4) | low, 0x10, ac_kx)))
+    if restart_interval:
+        out += marker(0xDD, struct.pack(">H", restart_interval))
+    out += marker(0xDA, bytes((1, 1, 0x00, 0, 63, 0)))
+
+    def fresh():
+        return _QMEncoder(), bytearray(64), bytearray(256), bytearray(
+            (_QM_FIXED,)), 0, 0  # enc, dc_stats, ac_stats, fixed, ctx, pred
+
+    enc, dc_stats, ac_stats, fixed, dc_ctx, prev_dc = fresh()
+    bh = (height + 7) // 8
+    bw = (width + 7) // 8
+    n_mcu = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                out += enc.flush()
+                out += bytes((0xFF, 0xD0 + (n_mcu // restart_interval - 1) % 8))
+                enc, dc_stats, ac_stats, fixed, dc_ctx, prev_dc = fresh()
+            n_mcu += 1
+            block = [0.0] * 64
+            for y in range(8):
+                for x in range(8):
+                    sy = min(by * 8 + y, height - 1)
+                    sx = min(bx * 8 + x, width - 1)
+                    block[y * 8 + x] = luma_rows[sy][sx] - 128.0
+            coef = _fdct2d(block)
+            q = [int(round(coef[_ZIGZAG[i]] / qtab[_ZIGZAG[i]]))
+                 for i in range(64)]
+            # --- DC difference (F.1.4.4.1 decision tree) ---
+            diff = q[0] - prev_dc
+            prev_dc = q[0]
+            st = dc_ctx
+            if diff == 0:
+                enc.encode(dc_stats, st, 0)
+                dc_ctx = 0
+            else:
+                enc.encode(dc_stats, st, 1)
+                sign = 1 if diff < 0 else 0
+                enc.encode(dc_stats, st + 1, sign)
+                st += 2 + sign
+                mag = -diff if sign else diff
+                m = 0
+                t = mag - 1
+                if t:
+                    enc.encode(dc_stats, st, 1)
+                    m = 1
+                    st = 20  # X1
+                    v2 = t
+                    while v2 > 1:
+                        v2 >>= 1
+                        enc.encode(dc_stats, st, 1)
+                        m <<= 1
+                        st += 1
+                enc.encode(dc_stats, st, 0)
+                dc_ctx = _arith_dc_context(m, sign, (low, up))
+                st += 14
+                while m > 1:
+                    m >>= 1
+                    enc.encode(dc_stats, st, 1 if (m & t) else 0)
+            # --- AC coefficients (F.1.4.4.2) ---
+            ke = 63
+            while ke > 0 and q[ke] == 0:
+                ke -= 1
+            k = 1
+            while k <= ke:
+                st = 3 * (k - 1)
+                enc.encode(ac_stats, st, 0)  # not EOB
+                while q[k] == 0:
+                    enc.encode(ac_stats, st + 1, 0)
+                    st += 3
+                    k += 1
+                enc.encode(ac_stats, st + 1, 1)
+                v = q[k]
+                sign = 1 if v < 0 else 0
+                enc.encode(fixed, 0, sign)
+                st += 2
+                mag = -v if sign else v
+                m = 0
+                t = mag - 1
+                if t:
+                    enc.encode(ac_stats, st, 1)
+                    m = 1
+                    v2 = t
+                    if v2 > 1:
+                        enc.encode(ac_stats, st, 1)  # same state again
+                        m <<= 1
+                        st = 189 if k <= ac_kx else 217
+                        v2 >>= 1
+                        while v2 > 1:
+                            v2 >>= 1
+                            enc.encode(ac_stats, st, 1)
+                            m <<= 1
+                            st += 1
+                enc.encode(ac_stats, st, 0)
+                st += 14
+                while m > 1:
+                    m >>= 1
+                    enc.encode(ac_stats, st, 1 if (m & t) else 0)
+                k += 1
+            if k <= 63:
+                st = 3 * (k - 1)
+                enc.encode(ac_stats, st, 1)  # EOB
+    out += enc.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---- arithmetic-coded JPEG (T.81 Annex D QM-coder, pure stdlib) ----
+
+# Table D.3 probability-estimation state machine: (Qe, NLPS, NMPS,
+# Switch) per index — 113 adaptive states as published in ITU-T T.81
+# and reproduced across public implementations, plus the fixed
+# never-adapting ~0.5 state (index 113) that codes AC coefficient
+# signs (F.1.4.3.1: sign decisions carry no exploitable skew, so
+# adapting on them wastes state).
+_QM_TABLE = (
+    (0x5A1D, 1, 1, 1), (0x2586, 14, 2, 0), (0x1114, 16, 3, 0),
+    (0x080B, 18, 4, 0), (0x03D8, 20, 5, 0), (0x01DA, 23, 6, 0),
+    (0x00E5, 25, 7, 0), (0x006F, 28, 8, 0), (0x0036, 30, 9, 0),
+    (0x001A, 33, 10, 0), (0x000D, 35, 11, 0), (0x0006, 9, 12, 0),
+    (0x0003, 10, 13, 0), (0x0001, 12, 13, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 36, 16, 0), (0x2CF2, 38, 17, 0), (0x207C, 39, 18, 0),
+    (0x17B9, 40, 19, 0), (0x1182, 42, 20, 0), (0x0CEF, 43, 21, 0),
+    (0x09A1, 45, 22, 0), (0x072F, 46, 23, 0), (0x055C, 48, 24, 0),
+    (0x0406, 49, 25, 0), (0x0303, 51, 26, 0), (0x0240, 52, 27, 0),
+    (0x01B1, 54, 28, 0), (0x0144, 56, 29, 0), (0x00F5, 57, 30, 0),
+    (0x00B7, 59, 31, 0), (0x008A, 60, 32, 0), (0x0068, 62, 33, 0),
+    (0x004E, 63, 34, 0), (0x003B, 32, 35, 0), (0x002C, 33, 9, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 64, 38, 0), (0x3A0D, 65, 39, 0),
+    (0x2EF1, 67, 40, 0), (0x261F, 68, 41, 0), (0x1F33, 69, 42, 0),
+    (0x19A8, 70, 43, 0), (0x1518, 72, 44, 0), (0x1177, 73, 45, 0),
+    (0x0E74, 74, 46, 0), (0x0BFB, 75, 47, 0), (0x09F8, 77, 48, 0),
+    (0x0861, 78, 49, 0), (0x0706, 79, 50, 0), (0x05CD, 48, 51, 0),
+    (0x04DE, 50, 52, 0), (0x040F, 50, 53, 0), (0x0363, 51, 54, 0),
+    (0x02D4, 52, 55, 0), (0x025C, 53, 56, 0), (0x01F8, 54, 57, 0),
+    (0x01A4, 55, 58, 0), (0x0160, 56, 59, 0), (0x0125, 57, 60, 0),
+    (0x00F6, 58, 61, 0), (0x00CB, 59, 62, 0), (0x00AB, 61, 63, 0),
+    (0x008F, 61, 32, 0), (0x5B12, 65, 65, 1), (0x4D04, 80, 66, 0),
+    (0x412C, 81, 67, 0), (0x37D8, 82, 68, 0), (0x2FE8, 83, 69, 0),
+    (0x293C, 84, 70, 0), (0x2379, 86, 71, 0), (0x1EDF, 87, 72, 0),
+    (0x1AA9, 87, 73, 0), (0x174E, 72, 74, 0), (0x1424, 72, 75, 0),
+    (0x119C, 74, 76, 0), (0x0F6B, 74, 77, 0), (0x0D51, 75, 78, 0),
+    (0x0BB6, 77, 79, 0), (0x0A40, 77, 48, 0), (0x5832, 80, 81, 1),
+    (0x4D1C, 88, 82, 0), (0x438E, 89, 83, 0), (0x3BDD, 90, 84, 0),
+    (0x34EE, 91, 85, 0), (0x2EAE, 92, 86, 0), (0x299A, 93, 87, 0),
+    (0x2516, 86, 71, 0), (0x5570, 88, 89, 1), (0x4CA9, 95, 90, 0),
+    (0x44D9, 96, 91, 0), (0x3E22, 97, 92, 0), (0x3824, 99, 93, 0),
+    (0x32B4, 99, 94, 0), (0x2E17, 93, 86, 0), (0x56A8, 95, 96, 1),
+    (0x4F46, 101, 97, 0), (0x47E5, 102, 98, 0), (0x41CF, 103, 99, 0),
+    (0x3C3D, 104, 100, 0), (0x375E, 99, 93, 0), (0x5231, 105, 102, 0),
+    (0x4C0F, 106, 103, 0), (0x4639, 107, 104, 0), (0x415E, 103, 99, 0),
+    (0x5627, 105, 106, 1), (0x50E7, 108, 107, 0), (0x4B85, 109, 103, 0),
+    (0x5597, 110, 109, 0), (0x504F, 111, 107, 0), (0x5A10, 110, 111, 1),
+    (0x5522, 112, 109, 0), (0x59EB, 112, 111, 1),
+    # index 113: fixed equiprobable state for AC signs (never moves)
+    (0x5A1D, 113, 113, 0),
+)
+
+_QM_FIXED = 113  # index of the non-adaptive sign state
+
+
+class _QMDecoder:
+    """T.81 Annex D binary arithmetic decoder (QM-coder), registers
+    per the public flowchart form: ``c`` keeps ``ct`` spare low bits,
+    the interval ``a`` renormalizes to [0x8000, 0x10000). Context
+    states are single bytes packing (MPS << 7) | table-index; the
+    conditional MPS/LPS exchange (D.2.2) lives in ``decode``. A byte
+    fetch that sees 0xFF 0x00 unstuffs to a 0xFF data byte; 0xFF
+    followed by a marker stops consuming and feeds zero bytes (the
+    marker stays unconsumed for the restart handler); running off the
+    payload end without a marker raises ValueError (truncation
+    contract shared with the Huffman ``_BitReader``)."""
+
+    def __init__(self, data, pos):
+        self.data = data
+        self.pos = pos
+        self.c = 0
+        self.a = 0
+        self.ct = -16  # forces two initial byte fetches
+        self.marker = None
+
+    def _byte(self):
+        if self.marker is not None:
+            return 0
+        if self.pos >= len(self.data):
+            raise ValueError("truncated arithmetic JPEG scan data")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            while (self.pos < len(self.data)
+                   and self.data[self.pos] == 0xFF):
+                self.pos += 1  # fill bytes
+            if self.pos >= len(self.data):
+                raise ValueError("truncated arithmetic JPEG scan data")
+            nxt = self.data[self.pos]
+            self.pos += 1
+            if nxt != 0x00:  # a marker: stop here, feed zeros
+                self.marker = nxt
+                self.pos -= 2
+                return 0
+        return b
+
+    def decode(self, states, i):
+        # renormalize & feed (D.2.6); the init dance lands ct at 0
+        # exactly when the first two bytes are in C
+        while self.a < 0x8000:
+            self.ct -= 1
+            if self.ct < 0:
+                self.c = ((self.c << 8) | self._byte()) & 0xFFFFFFFF
+                self.ct += 8
+                if self.ct < 0:
+                    self.ct += 1
+                    if self.ct == 0:
+                        self.a = 0x8000  # two init bytes in: A = 0x10000 after <<
+            self.a = (self.a << 1) & 0xFFFFFFFF
+        sv = states[i]
+        qe, nlps, nmps, switch = _QM_TABLE[sv & 0x7F]
+        self.a -= qe
+        threshold = (self.a << self.ct) & 0xFFFFFFFF
+        if self.c >= threshold:
+            # code value in the upper subinterval
+            self.c -= threshold
+            if self.a < qe:  # conditional exchange: this was the MPS
+                d = sv >> 7
+                states[i] = (sv & 0x80) | nmps
+            else:
+                d = (sv >> 7) ^ 1
+                states[i] = ((sv & 0x80) ^ (switch << 7)) | nlps
+            self.a = qe
+        elif self.a < 0x8000:
+            if self.a < qe:  # conditional exchange: this was the LPS
+                d = (sv >> 7) ^ 1
+                states[i] = ((sv & 0x80) ^ (switch << 7)) | nlps
+            else:
+                d = sv >> 7
+                states[i] = (sv & 0x80) | nmps
+        else:
+            return sv >> 7  # no renorm, no estimation update
+        return d
+
+
+class _QMEncoder:
+    """T.81 Annex D binary arithmetic encoder — the exact inverse of
+    ``_QMDecoder`` (same Table D.3 walk, same conditional exchange).
+    Output-side machinery per D.1.6-D.1.8: carry propagation over
+    stacked 0xFF bytes, trailing-zero suppression, 0x00 stuffing
+    after every emitted 0xFF, and the final flush that picks the
+    in-interval code value with the most trailing zeros."""
+
+    def __init__(self):
+        self.c = 0
+        self.a = 0x10000
+        self.ct = 11
+        self.buffer = -1  # pending byte (-1: none yet)
+        self.sc = 0  # stacked 0xFF bytes awaiting carry resolution
+        self.zc = 0  # suppressed trailing 0x00 bytes
+        self.out = bytearray()
+
+    def _emit(self, b):
+        self.out.append(b)
+
+    def _emit_pending(self):
+        if self.buffer >= 0:
+            while self.zc:
+                self._emit(0x00)
+                self.zc -= 1
+            self._emit(self.buffer)
+            if self.buffer == 0xFF:
+                self._emit(0x00)
+
+    def encode(self, states, i, bit):
+        sv = states[i]
+        qe, nlps, nmps, switch = _QM_TABLE[sv & 0x7F]
+        self.a -= qe
+        if bit != (sv >> 7):
+            # LPS path (with conditional exchange)
+            if self.a >= qe:
+                self.c += self.a
+                self.a = qe
+            states[i] = ((sv & 0x80) ^ (switch << 7)) | nlps
+        else:
+            # MPS path
+            if self.a >= 0x8000:
+                return
+            if self.a < qe:  # conditional exchange
+                self.c += self.a
+                self.a = qe
+            states[i] = (sv & 0x80) | nmps
+        # renormalize & output (D.1.6)
+        while True:
+            self.a <<= 1
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                temp = self.c >> 19
+                if temp > 0xFF:
+                    # carry: ripple into the pending byte, stacked
+                    # 0xFF bytes become 0x00
+                    if self.buffer >= 0:
+                        while self.zc:
+                            self._emit(0x00)
+                            self.zc -= 1
+                        self._emit(self.buffer + 1)
+                        if self.buffer + 1 == 0xFF:
+                            self._emit(0x00)
+                    self.zc += self.sc
+                    self.sc = 0
+                    self.buffer = temp & 0xFF
+                elif temp == 0xFF:
+                    self.sc += 1  # stack until the carry question settles
+                else:
+                    if self.buffer == 0:
+                        self.zc += 1
+                    else:
+                        self._emit_pending()
+                    if self.sc:
+                        while self.zc:
+                            self._emit(0x00)
+                            self.zc -= 1
+                        while self.sc:
+                            self._emit(0xFF)
+                            self._emit(0x00)
+                            self.sc -= 1
+                    self.buffer = temp
+                self.c &= 0x7FFFF
+                self.ct += 8
+            if self.a >= 0x8000:
+                break
+
+    def flush(self) -> bytes:
+        """D.1.8 termination: clear final bits, push out everything."""
+        temp = (self.a - 1 + self.c) & 0xFFFF0000
+        if temp < self.c:
+            temp += 0x8000
+        self.c = temp << self.ct
+        if self.c & 0xF8000000:
+            # final carry
+            if self.buffer >= 0:
+                while self.zc:
+                    self._emit(0x00)
+                    self.zc -= 1
+                self._emit(self.buffer + 1)
+                if self.buffer + 1 == 0xFF:
+                    self._emit(0x00)
+            self.zc += self.sc
+            self.sc = 0
+        else:
+            if self.buffer == 0:
+                self.zc += 1
+            else:
+                self._emit_pending()
+            if self.sc:
+                while self.zc:
+                    self._emit(0x00)
+                    self.zc -= 1
+                while self.sc:
+                    self._emit(0xFF)
+                    self._emit(0x00)
+                    self.sc -= 1
+        # final code bytes, only if nonzero (trailing zeros drop)
+        if self.c & 0x7FFF800:
+            while self.zc:
+                self._emit(0x00)
+                self.zc -= 1
+            b = (self.c >> 19) & 0xFF
+            self._emit(b)
+            if b == 0xFF:
+                self._emit(0x00)
+            if self.c & 0x7F800:
+                b = (self.c >> 11) & 0xFF
+                self._emit(b)
+                if b == 0xFF:
+                    self._emit(0x00)
+        return bytes(self.out)
+
+
+def _arith_dc_context(m, sign, cond):
+    """F.1.4.4.1.2 DC conditioning category from the decoded diff's
+    magnitude-category MSB ``m`` against the (L, U) thresholds."""
+    low, up = cond
+    if m < (1 << low) >> 1:
+        return 0
+    if m > (1 << up) >> 1:
+        return 12 + sign * 4
+    return 4 + sign * 4
+
+
+def _arith_decode_dc(dec, stats, dc_context, cond):
+    """One DC difference (F.1.4.4.1 decision tree): zero flag at the
+    conditioning context, sign, magnitude-category chain from X1
+    (offset 20), mantissa bits 14 states above the final X state.
+    Returns (diff, new_context)."""
+    st = dc_context
+    if dec.decode(stats, st) == 0:
+        return 0, 0
+    sign = dec.decode(stats, st + 1)
+    st += 2 + sign
+    m = dec.decode(stats, st)
+    if m:
+        st = 20  # X1
+        while dec.decode(stats, st):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("arithmetic JPEG DC magnitude overflow")
+            st += 1
+    new_ctx = _arith_dc_context(m, sign, cond)
+    v = m
+    st += 14
+    while m > 1:
+        m >>= 1
+        if dec.decode(stats, st):
+            v |= m
+    v += 1
+    return (-v if sign else v), new_ctx
+
+
+def _arith_decode_ac_block(dec, stats, fixed, kx, coef, qt):
+    """AC coefficients k=1..63 (F.1.4.4.2): per-k EOB decision at
+    3·(k−1), zero-run walk, fixed-state sign, low/high magnitude
+    chains at 189/217 split by the Kx conditioning bound."""
+    k = 1
+    while k <= 63:
+        st = 3 * (k - 1)
+        if dec.decode(stats, st):
+            return  # EOB
+        while dec.decode(stats, st + 1) == 0:
+            st += 3
+            k += 1
+            if k > 63:
+                raise ValueError("arithmetic JPEG AC index overrun")
+        sign = dec.decode(fixed, 0)
+        st += 2
+        m = dec.decode(stats, st)
+        if m:
+            if dec.decode(stats, st):
+                m <<= 1
+                st = 189 if k <= kx else 217
+                while dec.decode(stats, st):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError(
+                            "arithmetic JPEG AC magnitude overflow")
+                    st += 1
+        v = m
+        st += 14
+        while m > 1:
+            m >>= 1
+            if dec.decode(stats, st):
+                v |= m
+        v += 1
+        coef[_ZIGZAG[k]] = (-v if sign else v) * qt[_ZIGZAG[k]]
+        k += 1
+
+
 class _BitReader:
     def __init__(self, data, pos):
         self.data = data
@@ -1215,8 +1701,9 @@ def _decode_jpeg(payload: bytes):
     wasted work. Progressive scans (DC/AC, first/refinement,
     EOB runs) accumulate coefficients until EOI, then dequantize +
     IDCT once. Lossless (SOF3) scans route to the Annex-H
-    predictive path; DCT sample precision may be 8 or 12 (SOF1/2).
-    Arithmetic-coded and hierarchical JPEGs raise
+    predictive path; arithmetic-coded sequential (SOF9) scans route
+    to the QM-coder path; DCT sample precision may be 8 or 12.
+    Hierarchical and progressive/lossless-arithmetic JPEGs raise
     NotImplementedError (PIL gate); truncated or corrupt streams
     raise ValueError — including a stream cut cleanly between
     progressive scans (missing EOI)."""
@@ -1226,6 +1713,8 @@ def _decode_jpeg(payload: bytes):
     qtabs = {}
     dc_tabs = {}
     ac_tabs = {}
+    dac_dc = {}
+    dac_ac = {}
     frame = None
     restart_interval = 0
     coef_store = None
@@ -1261,8 +1750,9 @@ def _decode_jpeg(payload: bytes):
                     ) if prec else zz[i]
                 qtabs[tid] = tab
                 p += 1 + 64 * sw
-        elif tag in (0xC0, 0xC1, 0xC2, 0xC3):
-            # SOF0/1 baseline, SOF2 progressive, SOF3 lossless
+        elif tag in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9):
+            # SOF0/1 baseline, SOF2 progressive, SOF3 lossless,
+            # SOF9 arithmetic sequential
             prec, h, wdt, nc = struct.unpack(">BHHB", body[:6])
             if tag == 0xC3:
                 if not 2 <= prec <= 16:
@@ -1270,17 +1760,36 @@ def _decode_jpeg(payload: bytes):
             elif tag == 0xC0:
                 if prec != 8:  # baseline is 8-bit by definition (T.81 B.2.2)
                     raise ValueError(f"illegal baseline JPEG precision {prec}")
-            elif prec not in (8, 12):  # SOF1/SOF2: extended/progressive
+            elif prec not in (8, 12):  # SOF1/2/9: extended DCT
                 raise ValueError(f"illegal DCT JPEG precision {prec}")
             comps = []
             for i in range(nc):
                 cid, samp, qid = body[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 0x0F, "q": qid})
             frame = {"w": wdt, "h": h, "comps": comps, "prec": prec,
-                     "progressive": tag == 0xC2, "lossless": tag == 0xC3}
-        elif tag in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                     "progressive": tag == 0xC2, "lossless": tag == 0xC3,
+                     "arith": tag == 0xC9}
+        elif tag in (0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "hierarchical/arithmetic JPEG needs PIL")
+                "hierarchical or progressive/lossless-arithmetic JPEG "
+                "needs PIL")
+        elif tag == 0xCC:  # DAC: arithmetic conditioning
+            p = 0
+            while p + 1 < len(body):
+                cls = body[p] >> 4
+                tid = body[p] & 0x0F
+                cs = body[p + 1]
+                if cls == 0:
+                    low, up = cs & 0x0F, cs >> 4
+                    if low > up or up > 15:
+                        raise ValueError(
+                            f"invalid DAC DC conditioning L={low} U={up}")
+                    dac_dc[tid] = (low, up)
+                else:
+                    if not 1 <= cs <= 63:
+                        raise ValueError(f"invalid DAC AC Kx {cs}")
+                    dac_ac[tid] = cs
+                p += 2
         elif tag == 0xC4:  # DHT
             p = 0
             while p < len(body):
@@ -1309,6 +1818,11 @@ def _decode_jpeg(payload: bytes):
                 return _decode_lossless_scan(
                     payload, pos + 2 + seglen, frame, scan, ss,
                     ahal & 0x0F, dc_tabs, restart_interval,
+                )
+            if frame.get("arith"):
+                return _decode_jpeg_scan_arith(
+                    payload, pos + 2 + seglen, frame, scan, qtabs,
+                    dac_dc, dac_ac, restart_interval,
                 )
             if not frame.get("progressive"):
                 return _decode_jpeg_scan(
@@ -1394,6 +1908,91 @@ def _decode_lossless_scan(payload, pos, frame, scan, predictor, pt,
         for x in range(w):
             px8[y * w + x] = (rows[y][x] << pt) * 255 // maxval
     return w, h, [bytes(px8)]
+
+
+def _decode_jpeg_scan_arith(data, pos, frame, scan, qtabs, dac_dc, dac_ac,
+                            dri):
+    """Sequential arithmetic-coded (SOF9) scan: the same MCU walk as
+    the Huffman path, entropy-decoded by the QM-coder with the
+    F.1.4.4 DC/AC statistical models. Per-table adaptive statistics
+    areas (64 DC / 256 AC byte states) start at state 0/MPS 0 and at
+    every restart, which also re-initializes the coder registers and
+    the DC predictors/contexts (F.1.4.4.3); the RSTn marker is
+    located by scanning past any unconsumed bytes of the finished
+    interval. Y-only reconstruction, like the Huffman path."""
+    w, h = frame["w"], frame["h"]
+    half, maxval = _jpeg_sample_range(frame)
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    luma = frame["comps"][0]
+    lw, lh = mcux * 8 * luma["h"], mcuy * 8 * luma["v"]
+    plane = bytearray(lw * lh)
+
+    def fresh_stats():
+        return (
+            {tid: bytearray(64) for _, tid, _ in scan},
+            {tid: bytearray(256) for _, _, tid in scan},
+            bytearray((_QM_FIXED,)),
+            {c["id"]: 0 for c in frame["comps"]},  # dc_context
+            {c["id"]: 0 for c in frame["comps"]},  # last_dc
+        )
+
+    dec = _QMDecoder(data, pos)
+    dc_stats, ac_stats, fixed, dc_ctx, pred = fresh_stats()
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and n_mcu and n_mcu % dri == 0:
+                # locate the RSTn past any unconsumed interval bytes
+                bp = dec.pos
+                while True:
+                    if bp + 1 >= len(data):
+                        raise ValueError(
+                            "truncated arithmetic JPEG: missing RST")
+                    if data[bp] == 0xFF and data[bp + 1] != 0x00:
+                        if not 0xD0 <= data[bp + 1] <= 0xD7:
+                            raise ValueError(
+                                f"expected RST, found marker "
+                                f"0xFF{data[bp + 1]:02X}"
+                            )
+                        bp += 2
+                        break
+                    bp += 1
+                dec = _QMDecoder(data, bp)
+                dc_stats, ac_stats, fixed, dc_ctx, pred = fresh_stats()
+            n_mcu += 1
+            for comp, dct, act in scan:
+                qt = qtabs.get(comp["q"])
+                if qt is None:
+                    raise ValueError("missing quant table")
+                cond = dac_dc.get(dct, (0, 1))
+                kx = dac_ac.get(act, 5)
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        coef = [0.0] * 64
+                        diff, dc_ctx[comp["id"]] = _arith_decode_dc(
+                            dec, dc_stats[dct], dc_ctx[comp["id"]], cond)
+                        pred[comp["id"]] += diff
+                        coef[0] = pred[comp["id"]] * qt[0]
+                        _arith_decode_ac_block(
+                            dec, ac_stats[act], fixed, kx, coef, qt)
+                        if comp is luma:
+                            px = _idct2d(coef)
+                            ox = (mx * luma["h"] + bx) * 8
+                            oy = (my * luma["v"] + by) * 8
+                            for y in range(8):
+                                row_off = (oy + y) * lw + ox
+                                for x in range(8):
+                                    v = int(round(px[y * 8 + x])) + half
+                                    v = 0 if v < 0 else (
+                                        maxval if v > maxval else v)
+                                    plane[row_off + x] = v * 255 // maxval
+    out = bytearray(w * h)
+    for y in range(h):
+        out[y * w : (y + 1) * w] = plane[y * lw : y * lw + w]
+    return w, h, [bytes(out)]
 
 
 def _init_coef_store(frame):
@@ -2037,7 +2636,7 @@ def _decode_fake(payload: bytes):
         try:
             return _decode_jpeg(payload)
         except NotImplementedError:
-            return _decode_pil(payload)  # arithmetic-coded / hierarchical
+            return _decode_pil(payload)  # hierarchical / prog-arithmetic
     if payload[:6] in _GIF_MAGICS:
         try:
             return _decode_gif(payload)

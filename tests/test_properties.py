@@ -420,6 +420,130 @@ def test_jpeg_12bit_roundtrip_bounded_error(w, h, restart_interval, seed):
 
 
 @given(
+    n=st.integers(min_value=1, max_value=400),
+    n_ctx=st.integers(min_value=1, max_value=8),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=60, deadline=None)
+def test_qm_coder_roundtrip(n, n_ctx, seed):
+    """The T.81 Annex D QM-coder pair is an exact inverse: any
+    decision sequence over any context pattern encodes and decodes
+    identically, with both sides walking the same Table D.3 states.
+    The hazards are carry propagation over stacked 0xFF bytes, byte
+    stuffing, the final-flush trailing-zero suppression, and the
+    decoder's two-byte init dance."""
+    import hashlib
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.multimodal.binary import (
+        _QMDecoder,
+        _QMEncoder,
+    )
+
+    def h(i):
+        return hashlib.md5(f"{seed}:{i}".encode()).digest()[0]
+
+    bits = [h(i) & 1 for i in range(n)]
+    ctxs = [h(1000 + i) % n_ctx for i in range(n)]
+    enc = _QMEncoder()
+    est = bytearray(n_ctx)
+    for bit, cx in zip(bits, ctxs):
+        enc.encode(est, cx, bit)
+    data = enc.flush() + b"\xff\xd9"  # EOI: overreads feed zero bytes
+    dec = _QMDecoder(data, 0)
+    dst = bytearray(n_ctx)
+    got = [dec.decode(dst, cx) for cx in ctxs]
+    assert got == bits
+
+
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    quant=st.sampled_from([1, 2, 8]),
+    restart_interval=st.sampled_from([0, 2]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=30, deadline=None)
+def test_jpeg_arith_decodes_identical_to_huffman(w, h, quant,
+                                                 restart_interval, seed):
+    """Arithmetic-coded (SOF9) JPEG transmits the same quantized
+    coefficients as the Huffman baseline, so the decoded raster must
+    be BIT-IDENTICAL at the same quant — the entropy coder is the
+    only difference (the progressive==baseline pin, extended to the
+    QM-coder path, restart resets included)."""
+    import hashlib
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.multimodal.binary import (
+        _decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_arith,
+    )
+
+    rows = [
+        [hashlib.md5(f"{seed}:{y}:{x}".encode()).digest()[0] for x in range(w)]
+        for y in range(h)
+    ]
+    huff = _decode_jpeg(
+        encode_jpeg(w, h, rows, quant=quant,
+                    restart_interval=restart_interval))
+    arith = _decode_jpeg(
+        encode_jpeg_arith(w, h, rows, quant=quant,
+                          restart_interval=restart_interval))
+    assert huff == arith
+
+
+@given(
+    cut=st.integers(min_value=3, max_value=200),
+    dc_cond=st.sampled_from([(0, 1), (1, 3), (4, 8)]),
+    ac_kx=st.sampled_from([1, 5, 40]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=30, deadline=None)
+def test_jpeg_arith_dac_and_truncation(cut, dc_cond, ac_kx, seed):
+    """DAC conditioning parameters (DC L/U thresholds, AC Kx split)
+    steer the statistical model without changing the decoded raster;
+    truncating the stream anywhere raises ValueError — the QM
+    decoder's byte fetch must never silently feed zeros without a
+    marker."""
+    import hashlib
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.multimodal.binary import (
+        _decode_fake,
+        _decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_arith,
+    )
+
+    rows = [
+        [hashlib.md5(f"{seed}:{y}:{x}".encode()).digest()[0]
+         for x in range(16)]
+        for y in range(12)
+    ]
+    aj = encode_jpeg_arith(16, 12, rows, quant=1, dc_cond=dc_cond,
+                           ac_kx=ac_kx)
+    assert _decode_fake(aj) == _decode_jpeg(encode_jpeg(16, 12, rows, quant=1))
+    short = aj[: len(aj) - min(cut, len(aj) - 4)]
+    with pytest.raises((ValueError, NotImplementedError)):
+        _decode_jpeg(short)
+
+
+def test_jpeg_arith_golden_stream():
+    """Freeze the QM-coder's exact output bytes for a fixed raster —
+    any change to the Table D.3 walk, the conditional-exchange
+    branches, carry/stuffing handling, or the flush shows up as a
+    digest change here (round-trip tests alone cannot see a
+    consistent change to both sides)."""
+    import hashlib
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.multimodal.binary import (
+        encode_jpeg_arith,
+    )
+
+    rows = [[(x * 31 + y * 17) & 0xFF for x in range(24)] for y in range(16)]
+    aj = encode_jpeg_arith(24, 16, rows, quant=2)
+    assert hashlib.md5(aj).hexdigest() == "2e5c234144022a0df55b2b09c6e0459f"
+
+
+@given(
     cut=st.integers(min_value=3, max_value=120),
     seed=st.integers(min_value=0, max_value=2**31),
 )
