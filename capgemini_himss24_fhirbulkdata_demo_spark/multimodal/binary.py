@@ -26,14 +26,15 @@ Design for 100 TB of media:
   reconstruction — chroma entropy is decoded to advance the
   stream but not IDCT'd, since stats are luma-based; 8- AND 12-bit
   sample precision with 16-bit Pq=1 quantization tables),
-  arithmetic-coded sequential (SOF9) JPEG (T.81 Annex D QM-coder
-  with the F.1.4.4 DC/AC statistical models, DAC conditioning,
-  DRI/RST with full statistics reset), and lossless
+  arithmetic-coded sequential (SOF9) AND progressive (SOF10) JPEG
+  (T.81 Annex D QM-coder with the F.1.4.4 sequential and
+  progressive DC/AC statistical models, DAC conditioning, DRI/RST
+  with full statistics reset), and lossless
   (SOF3) JPEG (2..16-bit grayscale, predictors 1-7, point transform,
   DRI/RST) decode with pure
   stdlib code — no imaging library needed; anything else
-  (hierarchical JPEG, progressive- or lossless-arithmetic,
-  multi-component lossless, ...) falls
+  (hierarchical JPEG, lossless-arithmetic, multi-component
+  lossless, ...) falls
   through to PIL when importable and raises NotImplementedError
   otherwise (PIL is not baked into this container). Color decodes to
   8-bit luma via integer BT.601 weights
@@ -1275,6 +1276,191 @@ def encode_jpeg_arith(width: int, height: int, luma_rows,
     return bytes(out)
 
 
+def encode_jpeg_progressive_arith(width: int, height: int, luma_rows,
+                                  quant: int = 1,
+                                  dc_cond: tuple[int, int] = (0, 1),
+                                  ac_kx: int = 5) -> bytes:
+    """Progressive arithmetic-coded (SOF10) GRAYSCALE JPEG writer —
+    fixture twin of ``_decode_prog_scan_arith``. Emits the same
+    6-scan script as ``encode_jpeg_progressive`` (DC first Al=1, two
+    AC bands first-pass Al=2, DC refine, two AC successive-
+    approximation refinements) with each scan QM-coded under the
+    F.1.4.4 progressive models and per-scan statistics reset.
+    Transmits exactly the quantized coefficients of ``encode_jpeg``,
+    so the decoded raster is bit-identical to the Huffman baseline
+    at the same ``quant``."""
+    low, up = dc_cond
+    if not (0 <= low <= up <= 15):
+        raise ValueError(f"invalid DC conditioning L={low} U={up}")
+    if not 1 <= ac_kx <= 63:
+        raise ValueError(f"invalid AC conditioning Kx {ac_kx}")
+    qtab = [max(1, min(255, quant))] * 64
+
+    blocks = []
+    bh, bw = (height + 7) // 8, (width + 7) // 8
+    for by in range(bh):
+        for bx in range(bw):
+            block = [0.0] * 64
+            for y in range(8):
+                for x in range(8):
+                    sy = min(by * 8 + y, height - 1)
+                    sx = min(bx * 8 + x, width - 1)
+                    block[y * 8 + x] = luma_rows[sy][sx] - 128.0
+            coef = _fdct2d(block)
+            blocks.append(
+                [int(round(coef[_ZIGZAG[i]] / qtab[_ZIGZAG[i]]))
+                 for i in range(64)]
+            )
+
+    def marker(tag, body):
+        return bytes((0xFF, tag)) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += marker(0xDB, bytes([0]) + bytes(qtab[_ZIGZAG[i]] for i in range(64)))
+    out += marker(
+        0xCA, struct.pack(">BHHB", 8, height, width, 1) + bytes((1, 0x11, 0))
+    )
+    out += marker(0xCC, bytes((0x00, (up << 4) | low, 0x10, ac_kx)))
+
+    def sos(ss, se, ah, al):
+        return marker(0xDA, bytes((1, 1, 0x00, ss, se, (ah << 4) | al)))
+
+    def encode_mag(enc, stats, st, t, chain):
+        """Shared magnitude-category + mantissa encode: ``t`` is
+        magnitude−1, ``chain`` the X-chain base (None: DC X1=20;
+        else the AC 189/217 split, entered after a second decision
+        at the first-magnitude state)."""
+        m = 0
+        if t:
+            enc.encode(stats, st, 1)
+            m = 1
+            v2 = t
+            if chain is None:
+                st = 20
+                while v2 > 1:
+                    v2 >>= 1
+                    enc.encode(stats, st, 1)
+                    m <<= 1
+                    st += 1
+            elif v2 > 1:
+                enc.encode(stats, st, 1)
+                m <<= 1
+                st = chain
+                v2 >>= 1
+                while v2 > 1:
+                    v2 >>= 1
+                    enc.encode(stats, st, 1)
+                    m <<= 1
+                    st += 1
+        enc.encode(stats, st, 0)
+        mag_st = st + 14
+        mm = m
+        while mm > 1:
+            mm >>= 1
+            enc.encode(stats, mag_st, 1 if (mm & t) else 0)
+        return m
+
+    def dc_first(al):
+        enc = _QMEncoder()
+        stats = bytearray(64)
+        ctx = 0
+        prev = 0
+        for q in blocks:
+            v = q[0] >> al
+            diff = v - prev
+            prev = v
+            st = ctx
+            if diff == 0:
+                enc.encode(stats, st, 0)
+                ctx = 0
+                continue
+            enc.encode(stats, st, 1)
+            sign = 1 if diff < 0 else 0
+            enc.encode(stats, st + 1, sign)
+            st += 2 + sign
+            t = (-diff if sign else diff) - 1
+            m = encode_mag(enc, stats, st, t, None)
+            ctx = _arith_dc_context(m, sign, (low, up))
+        return enc.flush()
+
+    def dc_refine(al):
+        enc = _QMEncoder()
+        fixed = bytearray((_QM_FIXED,))
+        for q in blocks:
+            enc.encode(fixed, 0, (q[0] >> al) & 1)
+        return enc.flush()
+
+    def ac_first(ss, se, al):
+        enc = _QMEncoder()
+        stats = bytearray(256)
+        fixed = bytearray((_QM_FIXED,))
+        for q in blocks:
+            ke = se
+            while ke >= ss and (abs(q[ke]) >> al) == 0:
+                ke -= 1
+            k = ss
+            while k <= ke:
+                st = 3 * (k - 1)
+                enc.encode(stats, st, 0)  # not EOB
+                while (abs(q[k]) >> al) == 0:
+                    enc.encode(stats, st + 1, 0)
+                    st += 3
+                    k += 1
+                enc.encode(stats, st + 1, 1)
+                sign = 1 if q[k] < 0 else 0
+                enc.encode(fixed, 0, sign)
+                st += 2
+                t = (abs(q[k]) >> al) - 1
+                encode_mag(enc, stats, st, t,
+                           189 if k <= ac_kx else 217)
+                k += 1
+            if k <= se:
+                enc.encode(stats, 3 * (k - 1), 1)  # EOB
+        return enc.flush()
+
+    def ac_refine(ss, se, ah, al):
+        enc = _QMEncoder()
+        stats = bytearray(256)
+        fixed = bytearray((_QM_FIXED,))
+        for q in blocks:
+            ke = se
+            while ke >= ss and (abs(q[ke]) >> al) == 0:
+                ke -= 1
+            kex = ke
+            while kex >= ss and (abs(q[kex]) >> ah) == 0:
+                kex -= 1
+            k = ss
+            while k <= ke:
+                st = 3 * (k - 1)
+                if k > kex:
+                    enc.encode(stats, st, 0)  # not EOB
+                while True:
+                    t = abs(q[k]) >> al
+                    if t:
+                        if t >> 1:  # history-nonzero: correction bit
+                            enc.encode(stats, st + 2, t & 1)
+                        else:  # newly nonzero
+                            enc.encode(stats, st + 1, 1)
+                            enc.encode(fixed, 0, 1 if q[k] < 0 else 0)
+                        break
+                    enc.encode(stats, st + 1, 0)
+                    st += 3
+                    k += 1
+                k += 1
+            if k <= se:
+                enc.encode(stats, 3 * (k - 1), 1)  # EOB
+        return enc.flush()
+
+    out += sos(0, 0, 0, 1) + dc_first(1)
+    out += sos(1, 5, 0, 2) + ac_first(1, 5, 2)
+    out += sos(6, 63, 0, 2) + ac_first(6, 63, 2)
+    out += sos(0, 0, 1, 0) + dc_refine(0)
+    out += sos(1, 63, 2, 1) + ac_refine(1, 63, 2, 1)
+    out += sos(1, 63, 1, 0) + ac_refine(1, 63, 1, 0)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ---- arithmetic-coded JPEG (T.81 Annex D QM-coder, pure stdlib) ----
 
 # Table D.3 probability-estimation state machine: (Qe, NLPS, NMPS,
@@ -1701,9 +1887,9 @@ def _decode_jpeg(payload: bytes):
     wasted work. Progressive scans (DC/AC, first/refinement,
     EOB runs) accumulate coefficients until EOI, then dequantize +
     IDCT once. Lossless (SOF3) scans route to the Annex-H
-    predictive path; arithmetic-coded sequential (SOF9) scans route
-    to the QM-coder path; DCT sample precision may be 8 or 12.
-    Hierarchical and progressive/lossless-arithmetic JPEGs raise
+    predictive path; arithmetic-coded scans (SOF9 sequential, SOF10
+    progressive) route to the QM-coder paths; DCT sample precision
+    may be 8 or 12. Hierarchical and lossless-arithmetic JPEGs raise
     NotImplementedError (PIL gate); truncated or corrupt streams
     raise ValueError — including a stream cut cleanly between
     progressive scans (missing EOI)."""
@@ -1750,9 +1936,9 @@ def _decode_jpeg(payload: bytes):
                     ) if prec else zz[i]
                 qtabs[tid] = tab
                 p += 1 + 64 * sw
-        elif tag in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9):
+        elif tag in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
             # SOF0/1 baseline, SOF2 progressive, SOF3 lossless,
-            # SOF9 arithmetic sequential
+            # SOF9/10 arithmetic sequential/progressive
             prec, h, wdt, nc = struct.unpack(">BHHB", body[:6])
             if tag == 0xC3:
                 if not 2 <= prec <= 16:
@@ -1760,19 +1946,19 @@ def _decode_jpeg(payload: bytes):
             elif tag == 0xC0:
                 if prec != 8:  # baseline is 8-bit by definition (T.81 B.2.2)
                     raise ValueError(f"illegal baseline JPEG precision {prec}")
-            elif prec not in (8, 12):  # SOF1/2/9: extended DCT
+            elif prec not in (8, 12):  # SOF1/2/9/10: extended DCT
                 raise ValueError(f"illegal DCT JPEG precision {prec}")
             comps = []
             for i in range(nc):
                 cid, samp, qid = body[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 0x0F, "q": qid})
             frame = {"w": wdt, "h": h, "comps": comps, "prec": prec,
-                     "progressive": tag == 0xC2, "lossless": tag == 0xC3,
-                     "arith": tag == 0xC9}
-        elif tag in (0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                     "progressive": tag in (0xC2, 0xCA),
+                     "lossless": tag == 0xC3,
+                     "arith": tag in (0xC9, 0xCA)}
+        elif tag in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "hierarchical or progressive/lossless-arithmetic JPEG "
-                "needs PIL")
+                "hierarchical or lossless-arithmetic JPEG needs PIL")
         elif tag == 0xCC:  # DAC: arithmetic conditioning
             p = 0
             while p + 1 < len(body):
@@ -1819,7 +2005,7 @@ def _decode_jpeg(payload: bytes):
                     payload, pos + 2 + seglen, frame, scan, ss,
                     ahal & 0x0F, dc_tabs, restart_interval,
                 )
-            if frame.get("arith"):
+            if frame.get("arith") and not frame.get("progressive"):
                 return _decode_jpeg_scan_arith(
                     payload, pos + 2 + seglen, frame, scan, qtabs,
                     dac_dc, dac_ac, restart_interval,
@@ -1832,11 +2018,18 @@ def _decode_jpeg(payload: bytes):
             ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
             if coef_store is None:
                 coef_store = _init_coef_store(frame)
-            pos = _decode_prog_scan(
-                payload, pos + 2 + seglen, frame, scan, ss, se,
-                ahal >> 4, ahal & 0x0F, dc_tabs, ac_tabs,
-                restart_interval, coef_store,
-            )
+            if frame.get("arith"):
+                pos = _decode_prog_scan_arith(
+                    payload, pos + 2 + seglen, frame, scan, ss, se,
+                    ahal >> 4, ahal & 0x0F, dac_dc, dac_ac,
+                    restart_interval, coef_store,
+                )
+            else:
+                pos = _decode_prog_scan(
+                    payload, pos + 2 + seglen, frame, scan, ss, se,
+                    ahal >> 4, ahal & 0x0F, dc_tabs, ac_tabs,
+                    restart_interval, coef_store,
+                )
             continue
         pos += 2 + seglen
     if frame is not None and frame.get("progressive") and coef_store is not None:
@@ -2010,6 +2203,176 @@ def _init_coef_store(frame):
             "blocks": [[0] * 64 for _ in range(bw * bh)],
         }
     return store
+
+
+def _decode_prog_scan_arith(data, pos, frame, scan, ss, se, ah, al,
+                            dac_dc, dac_ac, dri, store):
+    """One progressive arithmetic-coded (SOF10) SOS, statistical
+    models per the public libjpeg decode_mcu_* shapes: DC first =
+    the sequential conditioning tree with the result scaled by Al;
+    DC refine = one fixed-state bit per block ORed into 1<<Al; AC
+    first = the sequential per-k EOB / zero-run / magnitude model
+    over Ss..Se scaled by Al; AC refine = per-k correction bits at
+    offset +2 for history-nonzero coefficients, newly-nonzero flag
+    at +1 with a fixed-state sign, EOB decisions only past the
+    previous stage's end-of-block index. Statistics areas reset at
+    scan start and at every restart (F.1.4.4.3). Accumulates
+    quantized coefficients into ``store``; returns the position of
+    the next marker."""
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def fresh():
+        return (
+            _QMDecoder(data, pos),
+            {tid: bytearray(64) for _, tid, _ in scan},
+            {tid: bytearray(256) for _, _, tid in scan},
+            bytearray((_QM_FIXED,)),
+            {c["id"]: 0 for c in frame["comps"]},  # dc_context
+            {c["id"]: 0 for c in frame["comps"]},  # last_dc (DC first)
+        )
+
+    dec, dc_stats, ac_stats, fixed, dc_ctx, pred = fresh()
+    n_unit = 0
+
+    def check_restart():
+        nonlocal dec, dc_stats, ac_stats, fixed, dc_ctx, pred, n_unit, pos
+        if dri and n_unit and n_unit % dri == 0:
+            bp = dec.pos
+            while True:
+                if bp + 1 >= len(data):
+                    raise ValueError(
+                        "truncated arithmetic JPEG: missing RST")
+                if data[bp] == 0xFF and data[bp + 1] != 0x00:
+                    if not 0xD0 <= data[bp + 1] <= 0xD7:
+                        raise ValueError(
+                            f"expected RST, found marker "
+                            f"0xFF{data[bp + 1]:02X}"
+                        )
+                    bp += 2
+                    break
+                bp += 1
+            pos = bp
+            dec, dc_stats, ac_stats, fixed, dc_ctx, pred = fresh()
+        n_unit += 1
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+
+        def dc_block(blk, comp, dct):
+            if ah == 0:
+                cond = dac_dc.get(dct, (0, 1))
+                diff, dc_ctx[comp["id"]] = _arith_decode_dc(
+                    dec, dc_stats[dct], dc_ctx[comp["id"]], cond)
+                pred[comp["id"]] += diff
+                blk[0] = pred[comp["id"]] << al
+            elif dec.decode(fixed, 0):
+                blk[0] |= p1
+
+        if len(scan) == 1:  # non-interleaved: true block dims
+            comp, dct, _act = scan[0]
+            st = store[comp["id"]]
+            bw_t, bh_t = _true_block_dims(frame, comp, hmax, vmax)
+            for row in range(bh_t):
+                for col in range(bw_t):
+                    check_restart()
+                    dc_block(st["blocks"][row * st["bw"] + col], comp, dct)
+        else:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    check_restart()
+                    for comp, dct, _act in scan:
+                        st = store[comp["id"]]
+                        for by in range(comp["v"]):
+                            for bx in range(comp["h"]):
+                                row = my * comp["v"] + by
+                                col = mx * comp["h"] + bx
+                                dc_block(
+                                    st["blocks"][row * st["bw"] + col],
+                                    comp, dct,
+                                )
+        return _next_marker(data, dec.pos)
+
+    # AC scan: single component only (T.81 G.1.1.1.1)
+    if len(scan) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    comp, _dct, act = scan[0]
+    stc = store[comp["id"]]
+    kx = dac_ac.get(act, 5)
+    bw_t, bh_t = _true_block_dims(frame, comp, hmax, vmax)
+    for row in range(bh_t):
+        for col in range(bw_t):
+            check_restart()
+            blk = stc["blocks"][row * stc["bw"] + col]
+            stats = ac_stats[act]
+            if ah == 0:  # AC first: sequential model over Ss..Se, << Al
+                k = ss
+                while k <= se:
+                    st = 3 * (k - 1)
+                    if dec.decode(stats, st):
+                        break  # EOB
+                    while dec.decode(stats, st + 1) == 0:
+                        st += 3
+                        k += 1
+                        if k > se:
+                            raise ValueError(
+                                "arithmetic JPEG AC index overrun")
+                    sign = dec.decode(fixed, 0)
+                    st += 2
+                    m = dec.decode(stats, st)
+                    if m:
+                        if dec.decode(stats, st):
+                            m <<= 1
+                            st = 189 if k <= kx else 217
+                            while dec.decode(stats, st):
+                                m <<= 1
+                                if m == 0x8000:
+                                    raise ValueError(
+                                        "arithmetic JPEG AC magnitude "
+                                        "overflow")
+                                st += 1
+                    v = m
+                    st += 14
+                    while m > 1:
+                        m >>= 1
+                        if dec.decode(stats, st):
+                            v |= m
+                    v += 1
+                    blk[k] = (-v if sign else v) << al
+                    k += 1
+            else:  # AC refine
+                kex = se
+                while kex > 0:
+                    t = blk[kex]
+                    if (t if t >= 0 else -t) >> ah:
+                        break
+                    kex -= 1
+                k = ss
+                while k <= se:
+                    st = 3 * (k - 1)
+                    if k > kex:
+                        if dec.decode(stats, st):
+                            break  # EOB
+                    while True:
+                        if blk[k]:  # history-nonzero: correction bit
+                            if dec.decode(stats, st + 2):
+                                blk[k] += p1 if blk[k] >= 0 else m1
+                            break
+                        if dec.decode(stats, st + 1):  # newly nonzero
+                            blk[k] = m1 if dec.decode(fixed, 0) else p1
+                            break
+                        st += 3
+                        k += 1
+                        if k > se:
+                            raise ValueError(
+                                "arithmetic JPEG AC refine overrun")
+                    k += 1
+    return _next_marker(data, dec.pos)
 
 
 def _decode_prog_scan(data, pos, frame, scan, ss, se, ah, al,
@@ -2636,7 +2999,7 @@ def _decode_fake(payload: bytes):
         try:
             return _decode_jpeg(payload)
         except NotImplementedError:
-            return _decode_pil(payload)  # hierarchical / prog-arithmetic
+            return _decode_pil(payload)  # hierarchical / lossless-arithmetic
     if payload[:6] in _GIF_MAGICS:
         try:
             return _decode_gif(payload)

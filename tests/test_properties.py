@@ -526,6 +526,73 @@ def test_jpeg_arith_dac_and_truncation(cut, dc_cond, ac_kx, seed):
         _decode_jpeg(short)
 
 
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    quant=st.sampled_from([1, 2, 8]),
+    dc_cond=st.sampled_from([(0, 1), (1, 3)]),
+    ac_kx=st.sampled_from([1, 5, 40]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=30, deadline=None)
+def test_jpeg_progressive_arith_identical_to_baseline(w, h, quant, dc_cond,
+                                                      ac_kx, seed):
+    """Progressive arithmetic-coded (SOF10) JPEG decodes
+    BIT-IDENTICALLY to the Huffman baseline at the same quant —
+    coefficient transmission order and entropy coder are the only
+    differences. Covers all four progressive arithmetic scan types
+    (DC/AC x first/refinement): the hazards are the AC-refine
+    correction-bit contexts (st+2), the newly-nonzero flag (st+1)
+    with the fixed-state sign, and the previous-stage EOB index kex
+    gating the per-k EOB decisions."""
+    import hashlib
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.multimodal.binary import (
+        _decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive_arith,
+    )
+
+    rows = [
+        [hashlib.md5(f"{seed}:{y}:{x}".encode()).digest()[0] for x in range(w)]
+        for y in range(h)
+    ]
+    base = _decode_jpeg(encode_jpeg(w, h, rows, quant=quant))
+    pa = _decode_jpeg(
+        encode_jpeg_progressive_arith(w, h, rows, quant=quant,
+                                      dc_cond=dc_cond, ac_kx=ac_kx))
+    assert base == pa
+
+
+@given(
+    cut=st.integers(min_value=3, max_value=500),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=30, deadline=None)
+def test_jpeg_progressive_arith_truncation_raises(cut, seed):
+    """Truncating a progressive arithmetic JPEG anywhere raises
+    ValueError — including a cut that lands cleanly BETWEEN scans
+    (the missing-EOI rule: silently returning the coarse partial
+    image would corrupt stats, same class as the r4 GIF-trailer
+    bug)."""
+    import hashlib
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.multimodal.binary import (
+        _decode_jpeg,
+        encode_jpeg_progressive_arith,
+    )
+
+    rows = [
+        [hashlib.md5(f"{seed}:{y}:{x}".encode()).digest()[0]
+         for x in range(16)]
+        for y in range(16)
+    ]
+    pa = encode_jpeg_progressive_arith(16, 16, rows, quant=1)
+    short = pa[: len(pa) - min(cut, len(pa) - 4)]
+    with pytest.raises((ValueError, NotImplementedError)):
+        _decode_jpeg(short)
+
+
 def test_jpeg_arith_golden_stream():
     """Freeze the QM-coder's exact output bytes for a fixed raster —
     any change to the Table D.3 walk, the conditional-exchange
