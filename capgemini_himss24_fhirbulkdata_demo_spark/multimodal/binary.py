@@ -1465,10 +1465,19 @@ def encode_jpeg_progressive_arith(width: int, height: int, luma_rows,
 
 # Table D.3 probability-estimation state machine: (Qe, NLPS, NMPS,
 # Switch) per index — 113 adaptive states as published in ITU-T T.81
-# and reproduced across public implementations, plus the fixed
-# never-adapting ~0.5 state (index 113) that codes AC coefficient
-# signs (F.1.4.3.1: sign decisions carry no exploitable skew, so
-# adapting on them wastes state).
+# and reproduced across public implementations (libjpeg ships it as
+# jaricom.c's jpeg_aritab; the coder flowcharts below follow the
+# public jdarith.c/jcarith.c register conventions, which are the
+# T.81 Annex D procedures with C carrying ``ct`` spare low bits),
+# plus the fixed never-adapting ~0.5 state (index 113) that codes AC
+# coefficient signs (F.1.4.3.1: sign decisions carry no exploitable
+# skew, so adapting on them wastes state). Conformance evidence
+# without an in-container reference decoder: the encoder/decoder
+# pair round-trips exactly, every decoded raster is bit-identical to
+# the independently-tested Huffman path at the same quant, the
+# output stream is measurably smaller than Huffman (a broken
+# estimation table would round-trip but not compress), and a golden
+# stream digest freezes the byte-level behavior.
 _QM_TABLE = (
     (0x5A1D, 1, 1, 1), (0x2586, 14, 2, 0), (0x1114, 16, 3, 0),
     (0x080B, 18, 4, 0), (0x03D8, 20, 5, 0), (0x01DA, 23, 6, 0),
