@@ -465,6 +465,11 @@ def _png_row_luma(row, w: int, color_type: int, palette) -> bytearray:
         elif color_type == 3:
             if palette is None:
                 raise ValueError("paletted PNG missing PLTE")
+            if row[x] >= len(palette):
+                raise ValueError(
+                    f"PNG palette index {row[x]} out of range "
+                    f"({len(palette)} entries)"
+                )
             out[x] = palette[row[x]]
         elif color_type == 4:
             out[x] = row[2 * x]
@@ -1209,25 +1214,9 @@ def encode_jpeg_arith(width: int, height: int, luma_rows,
                 sign = 1 if diff < 0 else 0
                 enc.encode(dc_stats, st + 1, sign)
                 st += 2 + sign
-                mag = -diff if sign else diff
-                m = 0
-                t = mag - 1
-                if t:
-                    enc.encode(dc_stats, st, 1)
-                    m = 1
-                    st = 20  # X1
-                    v2 = t
-                    while v2 > 1:
-                        v2 >>= 1
-                        enc.encode(dc_stats, st, 1)
-                        m <<= 1
-                        st += 1
-                enc.encode(dc_stats, st, 0)
+                t = (-diff if sign else diff) - 1
+                m = _arith_encode_mag(enc, dc_stats, st, t, None)
                 dc_ctx = _arith_dc_context(m, sign, (low, up))
-                st += 14
-                while m > 1:
-                    m >>= 1
-                    enc.encode(dc_stats, st, 1 if (m & t) else 0)
             # --- AC coefficients (F.1.4.4.2) ---
             ke = 63
             while ke > 0 and q[ke] == 0:
@@ -1245,28 +1234,8 @@ def encode_jpeg_arith(width: int, height: int, luma_rows,
                 sign = 1 if v < 0 else 0
                 enc.encode(fixed, 0, sign)
                 st += 2
-                mag = -v if sign else v
-                m = 0
-                t = mag - 1
-                if t:
-                    enc.encode(ac_stats, st, 1)
-                    m = 1
-                    v2 = t
-                    if v2 > 1:
-                        enc.encode(ac_stats, st, 1)  # same state again
-                        m <<= 1
-                        st = 189 if k <= ac_kx else 217
-                        v2 >>= 1
-                        while v2 > 1:
-                            v2 >>= 1
-                            enc.encode(ac_stats, st, 1)
-                            m <<= 1
-                            st += 1
-                enc.encode(ac_stats, st, 0)
-                st += 14
-                while m > 1:
-                    m >>= 1
-                    enc.encode(ac_stats, st, 1 if (m & t) else 0)
+                _arith_encode_mag(enc, ac_stats, st, (-v if sign else v) - 1,
+                                  189 if k <= ac_kx else 217)
                 k += 1
             if k <= 63:
                 st = 3 * (k - 1)
@@ -1325,41 +1294,6 @@ def encode_jpeg_progressive_arith(width: int, height: int, luma_rows,
     def sos(ss, se, ah, al):
         return marker(0xDA, bytes((1, 1, 0x00, ss, se, (ah << 4) | al)))
 
-    def encode_mag(enc, stats, st, t, chain):
-        """Shared magnitude-category + mantissa encode: ``t`` is
-        magnitude−1, ``chain`` the X-chain base (None: DC X1=20;
-        else the AC 189/217 split, entered after a second decision
-        at the first-magnitude state)."""
-        m = 0
-        if t:
-            enc.encode(stats, st, 1)
-            m = 1
-            v2 = t
-            if chain is None:
-                st = 20
-                while v2 > 1:
-                    v2 >>= 1
-                    enc.encode(stats, st, 1)
-                    m <<= 1
-                    st += 1
-            elif v2 > 1:
-                enc.encode(stats, st, 1)
-                m <<= 1
-                st = chain
-                v2 >>= 1
-                while v2 > 1:
-                    v2 >>= 1
-                    enc.encode(stats, st, 1)
-                    m <<= 1
-                    st += 1
-        enc.encode(stats, st, 0)
-        mag_st = st + 14
-        mm = m
-        while mm > 1:
-            mm >>= 1
-            enc.encode(stats, mag_st, 1 if (mm & t) else 0)
-        return m
-
     def dc_first(al):
         enc = _QMEncoder()
         stats = bytearray(64)
@@ -1379,7 +1313,7 @@ def encode_jpeg_progressive_arith(width: int, height: int, luma_rows,
             enc.encode(stats, st + 1, sign)
             st += 2 + sign
             t = (-diff if sign else diff) - 1
-            m = encode_mag(enc, stats, st, t, None)
+            m = _arith_encode_mag(enc, stats, st, t, None)
             ctx = _arith_dc_context(m, sign, (low, up))
         return enc.flush()
 
@@ -1411,8 +1345,8 @@ def encode_jpeg_progressive_arith(width: int, height: int, luma_rows,
                 enc.encode(fixed, 0, sign)
                 st += 2
                 t = (abs(q[k]) >> al) - 1
-                encode_mag(enc, stats, st, t,
-                           189 if k <= ac_kx else 217)
+                _arith_encode_mag(enc, stats, st, t,
+                                  189 if k <= ac_kx else 217)
                 k += 1
             if k <= se:
                 enc.encode(stats, 3 * (k - 1), 1)  # EOB
@@ -1739,6 +1673,24 @@ class _QMEncoder:
         return bytes(self.out)
 
 
+def _find_rst(data, pos):
+    """Locate the next RSTn marker at or after ``pos``, skipping any
+    unconsumed bytes of the finished arithmetic interval (and stuffed
+    0xFF 0x00 pairs inside them); returns the offset just past the
+    marker. A non-RST marker or running off the payload raises
+    ValueError."""
+    while True:
+        if pos + 1 >= len(data):
+            raise ValueError("truncated arithmetic JPEG: missing RST")
+        if data[pos] == 0xFF and data[pos + 1] != 0x00:
+            if not 0xD0 <= data[pos + 1] <= 0xD7:
+                raise ValueError(
+                    f"expected RST, found marker 0xFF{data[pos + 1]:02X}"
+                )
+            return pos + 2
+        pos += 1
+
+
 def _arith_dc_context(m, sign, cond):
     """F.1.4.4.1.2 DC conditioning category from the decoded diff's
     magnitude-category MSB ``m`` against the (L, U) thresholds."""
@@ -1779,19 +1731,23 @@ def _arith_decode_dc(dec, stats, dc_context, cond):
     return (-v if sign else v), new_ctx
 
 
-def _arith_decode_ac_block(dec, stats, fixed, kx, coef, qt):
-    """AC coefficients k=1..63 (F.1.4.4.2): per-k EOB decision at
+def _arith_decode_ac_band(dec, stats, fixed, kx, ss, se):
+    """AC coefficients k=ss..se (F.1.4.4.2): per-k EOB decision at
     3·(k−1), zero-run walk, fixed-state sign, low/high magnitude
-    chains at 189/217 split by the Kx conditioning bound."""
-    k = 1
-    while k <= 63:
+    chains at 189/217 split by the Kx conditioning bound. Returns
+    the nonzero (k, signed value) pairs — the sequential caller
+    dequantizes into natural order, the progressive AC-first caller
+    shifts by Al into the coefficient store."""
+    out = []
+    k = ss
+    while k <= se:
         st = 3 * (k - 1)
         if dec.decode(stats, st):
-            return  # EOB
+            break  # EOB
         while dec.decode(stats, st + 1) == 0:
             st += 3
             k += 1
-            if k > 63:
+            if k > se:
                 raise ValueError("arithmetic JPEG AC index overrun")
         sign = dec.decode(fixed, 0)
         st += 2
@@ -1813,8 +1769,46 @@ def _arith_decode_ac_block(dec, stats, fixed, kx, coef, qt):
             if dec.decode(stats, st):
                 v |= m
         v += 1
-        coef[_ZIGZAG[k]] = (-v if sign else v) * qt[_ZIGZAG[k]]
+        out.append((k, -v if sign else v))
         k += 1
+    return out
+
+
+def _arith_encode_mag(enc, stats, st, t, chain):
+    """Shared magnitude-category + mantissa encode (F.1.4.4.1/2):
+    ``t`` is magnitude−1; ``chain`` is the X-chain base (None: the
+    DC X1=20 chain entered directly; else the AC 189/217 split,
+    entered after a second decision at the first-magnitude state).
+    Returns the category MSB m (the DC conditioning input)."""
+    m = 0
+    if t:
+        enc.encode(stats, st, 1)
+        m = 1
+        v2 = t
+        if chain is None:
+            st = 20
+            while v2 > 1:
+                v2 >>= 1
+                enc.encode(stats, st, 1)
+                m <<= 1
+                st += 1
+        elif v2 > 1:
+            enc.encode(stats, st, 1)
+            m <<= 1
+            st = chain
+            v2 >>= 1
+            while v2 > 1:
+                v2 >>= 1
+                enc.encode(stats, st, 1)
+                m <<= 1
+                st += 1
+    enc.encode(stats, st, 0)
+    mag_st = st + 14
+    mm = m
+    while mm > 1:
+        mm >>= 1
+        enc.encode(stats, mag_st, 1 if (mm & t) else 0)
+    return m
 
 
 class _BitReader:
@@ -2124,6 +2118,7 @@ def _decode_jpeg_scan_arith(data, pos, frame, scan, qtabs, dac_dc, dac_ac,
     interval. Y-only reconstruction, like the Huffman path."""
     w, h = frame["w"], frame["h"]
     half, maxval = _jpeg_sample_range(frame)
+    deep = maxval != 255
     hmax = max(c["h"] for c in frame["comps"])
     vmax = max(c["v"] for c in frame["comps"])
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
@@ -2148,21 +2143,7 @@ def _decode_jpeg_scan_arith(data, pos, frame, scan, qtabs, dac_dc, dac_ac,
         for mx in range(mcux):
             if dri and n_mcu and n_mcu % dri == 0:
                 # locate the RSTn past any unconsumed interval bytes
-                bp = dec.pos
-                while True:
-                    if bp + 1 >= len(data):
-                        raise ValueError(
-                            "truncated arithmetic JPEG: missing RST")
-                    if data[bp] == 0xFF and data[bp + 1] != 0x00:
-                        if not 0xD0 <= data[bp + 1] <= 0xD7:
-                            raise ValueError(
-                                f"expected RST, found marker "
-                                f"0xFF{data[bp + 1]:02X}"
-                            )
-                        bp += 2
-                        break
-                    bp += 1
-                dec = _QMDecoder(data, bp)
+                dec = _QMDecoder(data, _find_rst(data, dec.pos))
                 dc_stats, ac_stats, fixed, dc_ctx, pred = fresh_stats()
             n_mcu += 1
             for comp, dct, act in scan:
@@ -2178,8 +2159,9 @@ def _decode_jpeg_scan_arith(data, pos, frame, scan, qtabs, dac_dc, dac_ac,
                             dec, dc_stats[dct], dc_ctx[comp["id"]], cond)
                         pred[comp["id"]] += diff
                         coef[0] = pred[comp["id"]] * qt[0]
-                        _arith_decode_ac_block(
-                            dec, ac_stats[act], fixed, kx, coef, qt)
+                        for k, v in _arith_decode_ac_band(
+                                dec, ac_stats[act], fixed, kx, 1, 63):
+                            coef[_ZIGZAG[k]] = v * qt[_ZIGZAG[k]]
                         if comp is luma:
                             px = _idct2d(coef)
                             ox = (mx * luma["h"] + bx) * 8
@@ -2190,7 +2172,8 @@ def _decode_jpeg_scan_arith(data, pos, frame, scan, qtabs, dac_dc, dac_ac,
                                     v = int(round(px[y * 8 + x])) + half
                                     v = 0 if v < 0 else (
                                         maxval if v > maxval else v)
-                                    plane[row_off + x] = v * 255 // maxval
+                                    plane[row_off + x] = (
+                                        v * 255 // maxval if deep else v)
     out = bytearray(w * h)
     for y in range(h):
         out[y * w : (y + 1) * w] = plane[y * lw : y * lw + w]
@@ -2251,21 +2234,7 @@ def _decode_prog_scan_arith(data, pos, frame, scan, ss, se, ah, al,
     def check_restart():
         nonlocal dec, dc_stats, ac_stats, fixed, dc_ctx, pred, n_unit, pos
         if dri and n_unit and n_unit % dri == 0:
-            bp = dec.pos
-            while True:
-                if bp + 1 >= len(data):
-                    raise ValueError(
-                        "truncated arithmetic JPEG: missing RST")
-                if data[bp] == 0xFF and data[bp + 1] != 0x00:
-                    if not 0xD0 <= data[bp + 1] <= 0xD7:
-                        raise ValueError(
-                            f"expected RST, found marker "
-                            f"0xFF{data[bp + 1]:02X}"
-                        )
-                    bp += 2
-                    break
-                bp += 1
-            pos = bp
+            pos = _find_rst(data, dec.pos)
             dec, dc_stats, ac_stats, fixed, dc_ctx, pred = fresh()
         n_unit += 1
 
@@ -2320,40 +2289,9 @@ def _decode_prog_scan_arith(data, pos, frame, scan, ss, se, ah, al,
             blk = stc["blocks"][row * stc["bw"] + col]
             stats = ac_stats[act]
             if ah == 0:  # AC first: sequential model over Ss..Se, << Al
-                k = ss
-                while k <= se:
-                    st = 3 * (k - 1)
-                    if dec.decode(stats, st):
-                        break  # EOB
-                    while dec.decode(stats, st + 1) == 0:
-                        st += 3
-                        k += 1
-                        if k > se:
-                            raise ValueError(
-                                "arithmetic JPEG AC index overrun")
-                    sign = dec.decode(fixed, 0)
-                    st += 2
-                    m = dec.decode(stats, st)
-                    if m:
-                        if dec.decode(stats, st):
-                            m <<= 1
-                            st = 189 if k <= kx else 217
-                            while dec.decode(stats, st):
-                                m <<= 1
-                                if m == 0x8000:
-                                    raise ValueError(
-                                        "arithmetic JPEG AC magnitude "
-                                        "overflow")
-                                st += 1
-                    v = m
-                    st += 14
-                    while m > 1:
-                        m >>= 1
-                        if dec.decode(stats, st):
-                            v |= m
-                    v += 1
-                    blk[k] = (-v if sign else v) << al
-                    k += 1
+                for k, v in _arith_decode_ac_band(
+                        dec, stats, fixed, kx, ss, se):
+                    blk[k] = v << al
             else:  # AC refine
                 kex = se
                 while kex > 0:
@@ -2550,6 +2488,7 @@ def _reconstruct_progressive(frame, store, qtabs):
     st = store[luma["id"]]
     w, h = frame["w"], frame["h"]
     half, maxval = _jpeg_sample_range(frame)
+    deep = maxval != 255
     lw = st["bw"] * 8
     plane = bytearray(lw * st["bh"] * 8)
     for row in range(st["bh"]):
@@ -2565,7 +2504,7 @@ def _reconstruct_progressive(frame, store, qtabs):
                 for x in range(8):
                     v = int(round(px[y * 8 + x])) + half
                     v = 0 if v < 0 else (maxval if v > maxval else v)
-                    plane[row_off + x] = v * 255 // maxval
+                    plane[row_off + x] = v * 255 // maxval if deep else v
     out = bytearray(w * h)
     for y in range(h):
         out[y * w : (y + 1) * w] = plane[y * lw : y * lw + w]
@@ -2575,7 +2514,9 @@ def _reconstruct_progressive(frame, store, qtabs):
 def _jpeg_sample_range(frame):
     """(level-shift, maxval) for the frame's sample precision — 128/255
     at 8-bit, 2048/4095 at 12-bit (T.81 A.3.1); luma output rescales
-    by exact integer v*255//maxval like the PNM/PNG deep paths."""
+    by exact integer v*255//maxval like the PNM/PNG deep paths.
+    Reconstruction loops branch on ``maxval != 255`` so the dominant
+    8-bit case skips the identity multiply/divide per pixel."""
     prec = frame.get("prec", 8)
     return 1 << (prec - 1), (1 << prec) - 1
 
@@ -2583,6 +2524,7 @@ def _jpeg_sample_range(frame):
 def _decode_jpeg_scan(data, pos, frame, scan, qtabs, dc_tabs, ac_tabs, dri):
     w, h = frame["w"], frame["h"]
     half, maxval = _jpeg_sample_range(frame)
+    deep = maxval != 255
     hmax = max(c["h"] for c in frame["comps"])
     vmax = max(c["v"] for c in frame["comps"])
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
@@ -2635,7 +2577,8 @@ def _decode_jpeg_scan(data, pos, frame, scan, qtabs, dc_tabs, ac_tabs, dri):
                                     v = int(round(px[y * 8 + x])) + half
                                     v = 0 if v < 0 else (
                                         maxval if v > maxval else v)
-                                    plane[row_off + x] = v * 255 // maxval
+                                    plane[row_off + x] = (
+                                        v * 255 // maxval if deep else v)
     out = bytearray(w * h)
     for y in range(h):
         out[y * w : (y + 1) * w] = plane[y * lw : y * lw + w]

@@ -505,7 +505,7 @@ def x343_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     text slice per format. A hash match proves all six
     encode→entropy-code→decode round trips inside the engine.
 
-    Scale: 1→5 skinny rows per doc; compute-bound codec stage split
+    Scale: 1→6 skinny rows per doc; compute-bound codec stage split
     across cores first (same rationale as x64), payload bytes pruned
     from any plan not selecting them.
     """

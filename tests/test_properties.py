@@ -1340,7 +1340,7 @@ def test_jpeg_lossless_roundtrip(w, h, predictor, precision,
 
 
 @given(
-    cut=st.integers(min_value=3, max_value=400),
+    cut=st.integers(min_value=1, max_value=400),
     pt=st.integers(min_value=0, max_value=3),
     seed=st.integers(min_value=0, max_value=2**31),
 )
