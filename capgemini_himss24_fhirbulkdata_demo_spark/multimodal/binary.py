@@ -839,6 +839,167 @@ def encode_jpeg(width: int, height: int, luma_rows, quant: int = 1,
     return bytes(out)
 
 
+def _quantized_block(rows, x0, y0, w, h, qtab, half=128):
+    """One edge-clamped 8x8 tile → quantized zigzag coefficients."""
+    block = [0.0] * 64
+    for y in range(8):
+        for x in range(8):
+            sy = min(y0 + y, h - 1)
+            sx = min(x0 + x, w - 1)
+            block[y * 8 + x] = rows[sy][sx] - float(half)
+    coef = _fdct2d(block)
+    return [int(round(coef[_ZIGZAG[i]] / qtab[_ZIGZAG[i]])) for i in range(64)]
+
+
+def encode_jpeg_color(width: int, height: int, luma_rows,
+                      quant: int = 1, arith: bool = False,
+                      chroma_seed: int = 0) -> bytes:
+    """Three-component 4:2:0 (Y 2x2, Cb/Cr 1x1) sequential JPEG
+    writer — the fixture that exercises the decoders' MCU interleave
+    geometry (multi-block Y per MCU, per-component DC predictors,
+    shared entropy tables), which grayscale twins never touch. The
+    decoded LUMA must be bit-identical to the grayscale encoding of
+    the same plane at the same quant: the Y blocks carry identical
+    quantized coefficients (only the DC-difference chain reorders
+    into MCU tile order, which the per-component predictor makes
+    lossless) and chroma is entropy-decoded but never reconstructed.
+    Chroma planes are md5 noise from ``chroma_seed`` so their
+    entropy streams are non-trivial. ``arith=True`` emits SOF9 with
+    the QM-coder (all components sharing conditioning table 0)."""
+    qtab = [max(1, min(255, quant))] * 64
+    cw, ch_ = (width + 1) // 2, (height + 1) // 2
+    cb = [[hashlib.md5(f"cb:{chroma_seed}:{y}:{x}".encode()).digest()[0]
+           for x in range(cw)] for y in range(ch_)]
+    cr = [[hashlib.md5(f"cr:{chroma_seed}:{y}:{x}".encode()).digest()[0]
+           for x in range(cw)] for y in range(ch_)]
+
+    def marker(tag, body):
+        return bytes((0xFF, tag)) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += marker(0xDB, bytes([0]) + bytes(qtab[_ZIGZAG[i]] for i in range(64)))
+    out += marker(
+        0xC9 if arith else 0xC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes((1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0)),
+    )
+    if arith:
+        out += marker(0xCC, bytes((0x00, 0x10, 0x10, 5)))  # defaults
+    else:
+        out += marker(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+        out += marker(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    out += marker(0xDA, bytes((3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0)))
+
+    mcux = (width + 15) // 16
+    mcuy = (height + 15) // 16
+    # (plane, plane_w, plane_h, h_samp, v_samp) in scan order
+    comps = [
+        (luma_rows, width, height, 2, 2),
+        (cb, cw, ch_, 1, 1),
+        (cr, cw, ch_, 1, 1),
+    ]
+    if arith:
+        enc = _QMEncoder()
+        dc_stats = bytearray(64)
+        ac_stats = bytearray(256)
+        fixed = bytearray((_QM_FIXED,))
+        dc_ctx = [0, 0, 0]
+        pred = [0, 0, 0]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (plane, pw, ph, hs, vs) in enumerate(comps):
+                    for by in range(vs):
+                        for bx in range(hs):
+                            q = _quantized_block(
+                                plane, (mx * hs + bx) * 8,
+                                (my * vs + by) * 8, pw, ph, qtab)
+                            diff = q[0] - pred[ci]
+                            pred[ci] = q[0]
+                            st = dc_ctx[ci]
+                            if diff == 0:
+                                enc.encode(dc_stats, st, 0)
+                                dc_ctx[ci] = 0
+                            else:
+                                enc.encode(dc_stats, st, 1)
+                                sign = 1 if diff < 0 else 0
+                                enc.encode(dc_stats, st + 1, sign)
+                                t = (-diff if sign else diff) - 1
+                                m = _arith_encode_mag(
+                                    enc, dc_stats, st + 2 + sign, t, None)
+                                dc_ctx[ci] = _arith_dc_context(m, sign, (0, 1))
+                            ke = 63
+                            while ke > 0 and q[ke] == 0:
+                                ke -= 1
+                            k = 1
+                            while k <= ke:
+                                st = 3 * (k - 1)
+                                enc.encode(ac_stats, st, 0)
+                                while q[k] == 0:
+                                    enc.encode(ac_stats, st + 1, 0)
+                                    st += 3
+                                    k += 1
+                                enc.encode(ac_stats, st + 1, 1)
+                                v = q[k]
+                                sign = 1 if v < 0 else 0
+                                enc.encode(fixed, 0, sign)
+                                _arith_encode_mag(
+                                    enc, ac_stats, st + 2,
+                                    (-v if sign else v) - 1,
+                                    189 if k <= 5 else 217)
+                                k += 1
+                            if k <= 63:
+                                enc.encode(ac_stats, 3 * (k - 1), 1)
+        out += enc.flush()
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    dc_enc = {v: lc for lc, v in _huff_codes(_DC_BITS, _DC_VALS).items()}
+    ac_enc = {v: lc for lc, v in _huff_codes(_AC_BITS, _AC_VALS).items()}
+    w = _BitWriter()
+    pred = [0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (plane, pw, ph, hs, vs) in enumerate(comps):
+                for by in range(vs):
+                    for bx in range(hs):
+                        q = _quantized_block(
+                            plane, (mx * hs + bx) * 8,
+                            (my * vs + by) * 8, pw, ph, qtab)
+                        diff = q[0] - pred[ci]
+                        pred[ci] = q[0]
+                        size = 0 if diff == 0 else (
+                            diff.bit_length() if diff > 0
+                            else (-diff).bit_length())
+                        length, code = dc_enc[size]
+                        w.write(code, length)
+                        if size:
+                            w.write(diff if diff > 0
+                                    else diff + (1 << size) - 1, size)
+                        run = 0
+                        for i in range(1, 64):
+                            v = q[i]
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                length, code = ac_enc[0xF0]
+                                w.write(code, length)
+                                run -= 16
+                            size = (v.bit_length() if v > 0
+                                    else (-v).bit_length())
+                            length, code = ac_enc[(run << 4) | size]
+                            w.write(code, length)
+                            w.write(v if v > 0 else v + (1 << size) - 1, size)
+                            run = 0
+                        if run:
+                            length, code = ac_enc[0x00]  # EOB
+                            w.write(code, length)
+    w.flush()
+    out += w.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def encode_jpeg_progressive(width: int, height: int, luma_rows,
                             quant: int = 1) -> bytes:
     """Progressive (SOF2) GRAYSCALE JPEG writer — fixture twin of the

@@ -593,6 +593,41 @@ def test_jpeg_progressive_arith_truncation_raises(cut, seed):
         _decode_jpeg(short)
 
 
+@given(
+    w=st.integers(min_value=1, max_value=34),
+    h=st.integers(min_value=1, max_value=34),
+    quant=st.sampled_from([1, 2, 8]),
+    arith=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=30, deadline=None)
+def test_jpeg_color_420_luma_identity(w, h, quant, arith, seed):
+    """4:2:0 three-component JPEG (Huffman AND arithmetic) decodes to
+    the SAME luma as the grayscale encoding of the Y plane — the
+    multi-component MCU interleave (2x2 Y tiles + Cb + Cr per MCU,
+    per-component DC predictors, shared entropy tables, chroma
+    entropy-decoded but never reconstructed) must not disturb the Y
+    coefficients. Grayscale twins never touch this geometry, so this
+    is the only exercise of the comp.h/comp.v walk."""
+    import hashlib
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.multimodal.binary import (
+        _decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_color,
+    )
+
+    rows = [
+        [hashlib.md5(f"{seed}:{y}:{x}".encode()).digest()[0] for x in range(w)]
+        for y in range(h)
+    ]
+    gray = _decode_jpeg(encode_jpeg(w, h, rows, quant=quant))
+    color = _decode_jpeg(
+        encode_jpeg_color(w, h, rows, quant=quant, arith=arith,
+                          chroma_seed=seed & 0xFFFF))
+    assert gray == color
+
+
 def test_jpeg_arith_golden_stream():
     """Freeze the QM-coder's exact output bytes for a fixed raster —
     any change to the Table D.3 walk, the conditional-exchange
