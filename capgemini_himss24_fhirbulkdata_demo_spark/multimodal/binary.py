@@ -10,7 +10,8 @@ Design for 100 TB of media:
   not per row; ``spark.sql.execution.arrow.maxRecordsPerBatch`` and
   ``maxPartitionBytes`` bound executor memory against payload size;
 - decode is deterministic & dependency-gated: the synthetic ``FAKE``
-  container, uncompressed BMP (24-bit / 8-bit paletted), binary PNM
+  container, BMP (BITMAPCOREHEADER + BITMAPINFOHEADER;
+  1/4/8-bit paletted, 24/32-bit, RLE8/RLE4, top-down), binary PNM
   (P5 pgm / P6 ppm, 8- and 16-bit with exact maxval rescale), and
   PNG (every legal depth/color-type combination: 1/2/4-bit gray and
   palette, 8-bit gray / RGB / palette / gray+alpha / RGBA, 16-bit
@@ -117,6 +118,110 @@ def encode_bmp24(width: int, height: int, rgb_rows) -> bytes:
     return bytes(header + dib + pixel_data)
 
 
+def encode_bmp(width: int, height: int, rows, *, bpp: int = 8,
+               palette: list[tuple[int, int, int]] | None = None,
+               core: bool = False, rle: bool = False,
+               top_down: bool = False) -> bytes:
+    """General BMP writer — fixture twin of the widened
+    ``_decode_bmp``. ``rows`` holds palette indexes (bpp 1/4/8) or
+    (r, g, b) tuples (bpp 24/32). ``core=True`` writes the OS/2
+    BITMAPCOREHEADER (12-byte header, 3-byte palette entries,
+    unsigned dims); ``rle=True`` writes BI_RLE8/BI_RLE4 with greedy
+    runs, absolute mode for non-repeating stretches, end-of-line and
+    end-of-bitmap escapes; ``top_down`` writes a negative-height
+    uncompressed raster."""
+    if rle and (core or top_down or bpp not in (4, 8)):
+        raise ValueError("RLE BMP is 4/8-bit, bottom-up, non-core only")
+    if core and top_down:
+        raise ValueError("BITMAPCOREHEADER rasters are bottom-up only")
+    n_pal = (1 << bpp) if bpp <= 8 else 0
+    if bpp <= 8:
+        palette = palette or [(i, i, i) for i in range(n_pal)]
+        if len(palette) != n_pal:
+            raise ValueError(f"palette must have {n_pal} entries")
+
+    if rle:
+        data = bytearray()
+        for y in range(height - 1, -1, -1):  # bottom-up
+            row = list(rows[y])
+            x = 0
+            while x < width:
+                run = 1
+                while x + run < width and row[x + run] == row[x] and run < 255:
+                    run += 1
+                if run >= 2 or width - x == run:
+                    v = row[x] if bpp == 8 else (
+                        (row[x] << 4) | row[x])
+                    data += bytes((run, v))
+                    x += run
+                    continue
+                # absolute stretch until the next 3-repeat (min len 3)
+                end = x
+                while end < width and (
+                    end + 2 >= width
+                    or not (row[end] == row[end + 1] == row[end + 2])
+                ) and end - x < 255:
+                    end += 1
+                n = end - x
+                if n >= 3:
+                    data += bytes((0, n))
+                    if bpp == 8:
+                        chunk = bytes(row[x:end])
+                    else:
+                        chunk = bytearray((n + 1) // 2)
+                        for i in range(n):
+                            chunk[i // 2] |= row[x + i] << (
+                                4 if i % 2 == 0 else 0)
+                        chunk = bytes(chunk)
+                    data += chunk + b"\x00" * (len(chunk) & 1)
+                    x = end
+                else:  # too short for absolute: singleton runs
+                    v = row[x] if bpp == 8 else ((row[x] << 4) | row[x])
+                    data += bytes((1, v))
+                    x += 1
+            data += b"\x00\x00"  # end of line
+        data += b"\x00\x01"  # end of bitmap
+        pixel_data = bytes(data)
+        compression = 1 if bpp == 8 else 2
+    else:
+        compression = 0
+        row_size = ((width * bpp + 7) // 8 + 3) & ~3
+        pixel_data = bytearray()
+        order = range(height) if top_down else range(height - 1, -1, -1)
+        for y in order:
+            row = bytearray(row_size)
+            if bpp == 24:
+                for x, (r, g, b) in enumerate(rows[y]):
+                    row[3 * x : 3 * x + 3] = bytes((b, g, r))
+            elif bpp == 32:
+                for x, (r, g, b) in enumerate(rows[y]):
+                    row[4 * x : 4 * x + 4] = bytes((b, g, r, 0))
+            else:
+                per_byte = 8 // bpp
+                for x, v in enumerate(rows[y]):
+                    if v >= n_pal:
+                        raise ValueError(f"palette index {v} out of range")
+                    row[x // per_byte] |= v << (
+                        8 - bpp - (x % per_byte) * bpp)
+            pixel_data += row
+        pixel_data = bytes(pixel_data)
+
+    if core:
+        dib = struct.pack("<IHHHH", 12, width, height, 1, bpp)
+        pal = b"".join(bytes((b, g, r)) for r, g, b in (palette or []))
+    else:
+        dib = struct.pack(
+            "<IiiHHIIiiII", 40, width,
+            -height if top_down else height, 1, bpp, compression,
+            len(pixel_data), 2835, 2835, n_pal, 0,
+        )
+        pal = b"".join(bytes((b, g, r, 0)) for r, g, b in (palette or []))
+    pixel_off = 14 + len(dib) + len(pal)
+    header = b"BM" + struct.pack(
+        "<IHHI", pixel_off + len(pixel_data), 0, 0, pixel_off)
+    return bytes(header + dib + pal + pixel_data)
+
+
 def encode_wav(samples: bytes, framerate: int = 8000) -> bytes:
     """8-bit mono PCM RIFF/WAVE container via the stdlib ``wave``
     writer — the audio leg of the media path (fixture twin of
@@ -171,63 +276,165 @@ def encode_pnm(width: int, height: int, pixels, rgb: bool = False,
     return header + bytes(flat)
 
 
-def _decode_bmp(payload: bytes):
-    """Uncompressed BMP (BITMAPINFOHEADER, 24-bit BGR or 8-bit
-    paletted) → (width, height, [luma frame]). Pure stdlib.
+def _bmp_rle_decode(data, width, height, bpp):
+    """RLE8/RLE4 (BI_RLE8/BI_RLE4) → per-row palette-index rows,
+    bottom-up source order, top-down output. Escapes per the BMP
+    spec: 00 00 end-of-line, 00 01 end-of-bitmap, 00 02 dx dy delta,
+    00 n>=3 absolute run (word-aligned); runs alternate two nibbles
+    at 4 bpp. Unfilled pixels default to index 0."""
+    rows = [[0] * width for _ in range(height)]
+    x = y = pos = 0
+    while True:
+        if pos + 2 > len(data):
+            raise ValueError("truncated BMP RLE stream")
+        n, v = data[pos], data[pos + 1]
+        pos += 2
+        if n == 0:
+            if v == 0:  # end of line
+                x, y = 0, y + 1
+                continue
+            if v == 1:  # end of bitmap
+                break
+            if v == 2:  # delta
+                if pos + 2 > len(data):
+                    raise ValueError("truncated BMP RLE delta")
+                x += data[pos]
+                y += data[pos + 1]
+                pos += 2
+                continue
+            # absolute mode: v literal indices
+            nbytes = v if bpp == 8 else (v + 1) // 2
+            nbytes += nbytes & 1  # word-aligned
+            if pos + nbytes > len(data):
+                raise ValueError("truncated BMP RLE absolute run")
+            for i in range(v):
+                if y >= height or x >= width:
+                    raise ValueError("BMP RLE run overflows the raster")
+                if bpp == 8:
+                    idx = data[pos + i]
+                else:
+                    b = data[pos + i // 2]
+                    idx = (b >> 4) if i % 2 == 0 else (b & 0x0F)
+                rows[y][x] = idx
+                x += 1
+            pos += nbytes
+            continue
+        # encoded run: n pixels of v (two alternating nibbles at 4 bpp)
+        for i in range(n):
+            if y >= height or x >= width:
+                raise ValueError("BMP RLE run overflows the raster")
+            if bpp == 8:
+                idx = v
+            else:
+                idx = (v >> 4) if i % 2 == 0 else (v & 0x0F)
+            rows[y][x] = idx
+            x += 1
+    return rows[::-1]  # RLE bitmaps are bottom-up
 
-    Truncated payloads raise ValueError instead of silently decoding
-    short frames (downstream stats divide by width*height, so a short
-    raster would yield wrong values, not an error)."""
-    if len(payload) < 34:
+
+def _decode_bmp(payload: bytes):
+    """BMP → (width, height, [luma frame]), pure stdlib. Headers:
+    BITMAPCOREHEADER (OS/2, 12-byte, 3-byte palette entries) and
+    BITMAPINFOHEADER+ (40-byte and the V4/V5 extensions). Pixel
+    formats: 1/4/8-bit paletted (MSB-first packing), 24-bit BGR,
+    32-bit BGRX, and RLE8/RLE4 compression. Top-down rasters
+    (negative height) supported for the uncompressed forms.
+
+    Truncated payloads and out-of-range palette indexes raise
+    ValueError instead of silently decoding short/garbage frames
+    (downstream stats divide by width*height, so a short raster
+    would yield wrong values, not an error)."""
+    if len(payload) < 26:
         raise ValueError(f"truncated BMP header: {len(payload)} bytes")
     pixel_off = struct.unpack("<I", payload[10:14])[0]
     hdr_size = struct.unpack("<I", payload[14:18])[0]
-    if hdr_size < 40:
-        raise NotImplementedError("BITMAPCOREHEADER BMPs are not supported")
-    width, height = struct.unpack("<ii", payload[18:26])
-    bpp = struct.unpack("<H", payload[28:30])[0]
-    compression = struct.unpack("<I", payload[30:34])[0]
-    if compression != 0 or bpp not in (8, 24):
+    core = hdr_size == 12  # OS/2 BITMAPCOREHEADER
+    if core:
+        width, height, _planes, bpp = struct.unpack("<HHHH", payload[18:26])
+        compression = 0
+    else:
+        if hdr_size < 40 or len(payload) < 34:
+            raise ValueError(f"invalid BMP header size {hdr_size}")
+        width, height = struct.unpack("<ii", payload[18:26])
+        bpp = struct.unpack("<H", payload[28:30])[0]
+        compression = struct.unpack("<I", payload[30:34])[0]
+    if bpp not in (1, 4, 8, 24, 32):
         raise NotImplementedError(
-            f"only uncompressed 8/24-bit BMP supported (bpp={bpp}, "
-            f"compression={compression})"
-        )
+            f"BMP bit depth {bpp} (16-bit / bitfields) needs PIL")
+    if compression not in (0, 1, 2) or (
+        compression == 1 and bpp != 8
+    ) or (compression == 2 and bpp != 4):
+        raise NotImplementedError(
+            f"BMP compression {compression} at {bpp} bpp needs PIL")
     top_down = height < 0
     height = abs(height)
+    if top_down and compression:
+        raise ValueError("top-down RLE BMP is invalid")
     palette = None
-    if bpp == 8:
-        if len(payload) < 50:
-            raise ValueError(f"truncated BMP header: {len(payload)} bytes")
-        n_colors = struct.unpack("<I", payload[46:50])[0] or 256
+    if bpp <= 8:
+        entry = 3 if core else 4
+        n_colors = 0
+        if not core and len(payload) >= 50:
+            n_colors = struct.unpack("<I", payload[46:50])[0]
+        if not n_colors:
+            n_colors = 1 << bpp
         pal_off = 14 + hdr_size
-        if pal_off + 4 * n_colors > len(payload):
+        if pal_off + entry * n_colors > len(payload):
             raise ValueError(
-                f"truncated BMP palette: need {pal_off + 4 * n_colors} "
-                f"bytes, have {len(payload)}"
+                f"truncated BMP palette: need "
+                f"{pal_off + entry * n_colors} bytes, have {len(payload)}"
             )
         palette = [
-            _luma(payload[pal_off + 4 * i + 2], payload[pal_off + 4 * i + 1],
-                  payload[pal_off + 4 * i])
+            _luma(payload[pal_off + entry * i + 2],
+                  payload[pal_off + entry * i + 1],
+                  payload[pal_off + entry * i])
             for i in range(n_colors)
         ]
-    bytes_per_px = bpp // 8
-    row_size = (width * bytes_per_px + 3) & ~3  # rows pad to 4 bytes
+
+    def pal(idx):
+        if idx >= len(palette):
+            raise ValueError(
+                f"BMP palette index {idx} out of range "
+                f"({len(palette)} entries)"
+            )
+        return palette[idx]
+
+    px = bytearray(width * height)
+    if compression:  # RLE8 / RLE4
+        if pixel_off > len(payload):
+            raise ValueError("truncated BMP raster")
+        rows = _bmp_rle_decode(payload[pixel_off:], width, height, bpp)
+        for y in range(height):
+            for x in range(width):
+                px[y * width + x] = pal(rows[y][x])
+        return width, height, [bytes(px)]
+    row_size = ((width * bpp + 7) // 8 + 3) & ~3  # rows pad to 4 bytes
     if pixel_off + height * row_size > len(payload):
         raise ValueError(
             f"truncated BMP raster: need {pixel_off + height * row_size} "
             f"bytes, have {len(payload)}"
         )
-    px = bytearray(width * height)
     for y in range(height):
         src_y = y if top_down else height - 1 - y
-        row = payload[pixel_off + src_y * row_size :][: width * bytes_per_px]
+        row = payload[pixel_off + src_y * row_size :][:row_size]
         if bpp == 24:
             for x in range(width):
                 b, g, r = row[3 * x], row[3 * x + 1], row[3 * x + 2]
                 px[y * width + x] = _luma(r, g, b)
-        else:
+        elif bpp == 32:
             for x in range(width):
-                px[y * width + x] = palette[row[x]]
+                b, g, r = row[4 * x], row[4 * x + 1], row[4 * x + 2]
+                px[y * width + x] = _luma(r, g, b)
+        elif bpp == 8:
+            for x in range(width):
+                px[y * width + x] = pal(row[x])
+        else:  # 1/4-bit: MSB-first packed indices
+            per_byte = 8 // bpp
+            mask = (1 << bpp) - 1
+            for x in range(width):
+                v = (row[x // per_byte]
+                     >> (8 - bpp - (x % per_byte) * bpp)) & mask
+                px[y * width + x] = pal(v)
     return width, height, [bytes(px)]
 
 

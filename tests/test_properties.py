@@ -197,6 +197,86 @@ def test_bmp24_roundtrip_luma(w, h, seed):
 
 
 @given(
+    w=st.integers(min_value=1, max_value=17),
+    h=st.integers(min_value=1, max_value=9),
+    bpp=st.sampled_from([1, 4, 8, 24, 32]),
+    variant=st.sampled_from(["plain", "core", "top_down", "rle"]),
+    runs=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=60, deadline=None)
+def test_bmp_variant_matrix(w, h, bpp, variant, runs, seed):
+    """The widened BMP decoder reproduces exact BT.601 luma across
+    the header/format matrix: BITMAPCOREHEADER (3-byte palette
+    entries), top-down rasters, 1/4-bit MSB-first packed indexes
+    with 4-byte row padding, 32-bit BGRX, and RLE8/RLE4 (greedy
+    runs, absolute mode, end-of-line/bitmap escapes). ``runs``
+    flips between noise rasters (absolute-mode heavy) and banded
+    rasters (run heavy)."""
+    import hashlib
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.multimodal.binary import (
+        _decode_bmp,
+        _luma,
+        encode_bmp,
+    )
+
+    if variant == "rle" and bpp not in (4, 8):
+        variant = "plain"
+    if variant == "core" and bpp == 32:
+        bpp = 24  # core headers predate 32-bit
+
+    def b(i):
+        return hashlib.md5(f"{seed}:{i}".encode()).digest()[0]
+
+    kw = {"core": variant == "core", "top_down": variant == "top_down",
+          "rle": variant == "rle"}
+    if bpp <= 8:
+        npal = 1 << bpp
+        pal = [(b(3 * i), b(3 * i + 1), b(3 * i + 2)) for i in range(npal)]
+        if runs:
+            rows = [[(y + x // 4) % npal for x in range(w)]
+                    for y in range(h)]
+        else:
+            rows = [[b(1000 + y * w + x) % npal for x in range(w)]
+                    for y in range(h)]
+        expect = bytes(_luma(*pal[v]) for r in rows for v in r)
+        got = _decode_bmp(encode_bmp(w, h, rows, bpp=bpp, palette=pal, **kw))
+    else:
+        rows = [[(b(3 * (y * w + x)), b(3 * (y * w + x) + 1),
+                  b(3 * (y * w + x) + 2)) for x in range(w)]
+                for y in range(h)]
+        expect = bytes(_luma(*t) for r in rows for t in r)
+        got = _decode_bmp(encode_bmp(w, h, rows, bpp=bpp, **kw))
+    assert got == (w, h, [expect])
+
+
+def test_bmp_rle_delta_escape():
+    """The RLE delta escape (00 02 dx dy) skips pixels, which keep
+    palette index 0 — hand-crafted stream, since the encoder twin
+    never emits deltas."""
+    import struct as _struct
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.multimodal.binary import (
+        _decode_bmp,
+        _luma,
+    )
+
+    pal = [(10, 10, 10), (200, 200, 200)] + [(0, 0, 0)] * 254
+    pal_bytes = b"".join(bytes((bl, g, r, 0)) for r, g, bl in pal)
+    # bottom-up: run 2 of idx1; delta dx=1 dy=1; run 1 of idx1; EOB
+    rle = bytes((2, 1, 0, 2, 1, 1, 1, 1, 0, 1))
+    dib = _struct.pack("<IiiHHIIiiII", 40, 4, 2, 1, 8, 1, len(rle),
+                       2835, 2835, 256, 0)
+    off = 14 + len(dib) + len(pal_bytes)
+    bmp = (b"BM" + _struct.pack("<IHHI", off + len(rle), 0, 0, off)
+           + dib + pal_bytes + rle)
+    l0, l1 = _luma(10, 10, 10), _luma(200, 200, 200)
+    assert _decode_bmp(bmp) == (
+        4, 2, [bytes([l0, l0, l0, l1, l1, l1, l0, l0])])
+
+
+@given(
     w=st.integers(min_value=1, max_value=16),
     h=st.integers(min_value=1, max_value=16),
     rgb=st.booleans(),
