@@ -80,3 +80,62 @@ def run_streaming_cms(
     )
     q.awaitTermination(120)
     return sk
+
+
+def run_streaming_hll(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    distinct_col: str,
+    checkpoint: str,
+    sink_dir: str,
+) -> int:
+    """Cardinality leg of the streaming sketch family (CMS above is
+    frequency). Each micro-batch reduces to one DataSketches HLL
+    binary per key engine-side and APPENDS it to a parquet sink —
+    unlike the CMS counters, sketch binaries never cross to the
+    driver; the partial table is the hand-off format a 100 TB rollup
+    pipeline would checkpoint. Merge law is register-wise MAX (an
+    idempotent semilattice, vs. the CMS counters' sum), so re-unioning
+    partials is insensitive to HOW the stream was micro-batched —
+    ``finalize_streaming_hll`` proves it by unioning with
+    ``hll_union_agg``. Returns the number of micro-batches drained."""
+    from pyspark.sql import functions as F
+
+    n_batches = 0
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal n_batches
+        n_batches += 1
+        (
+            batch_df.groupBy(*key_cols)
+            .agg(F.hll_sketch_agg(distinct_col).alias("sk"))
+            .write.mode("append")
+            .parquet(sink_dir)
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return n_batches
+
+
+def finalize_streaming_hll(spark, sink_dir: str, key_cols: list[str]):
+    """Union the per-batch HLL partials back to one estimate per key
+    — the re-aggregation never rescans the raw stream, only the
+    constant-size sketch rows (the same refresh-cost-∝-summary
+    property x110 proves for exact partials)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(sink_dir)
+        .groupBy(*key_cols)
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+                "approx_distinct"
+            )
+        )
+    )

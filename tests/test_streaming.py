@@ -644,6 +644,70 @@ def test_stream_static_enrichment_equals_batch(spark, landed_events, tmp_path):
     assert len(exp) > 0
 
 
+def test_streaming_hll_live_equals_batch(spark, tmp_path):
+    """HLL mergeability: per-micro-batch sketch partials re-unioned
+    with hll_union_agg give the SAME estimate as one whole-corpus
+    sketch — register-wise max is an idempotent semilattice, so the
+    result is insensitive to how the stream was micro-batched. The
+    partials never cross to the driver (engine-side parquet append),
+    and estimates stay within the HLL error envelope of exact."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.streaming.sketches import (
+        finalize_streaming_hll,
+        run_streaming_hll,
+    )
+    from capgemini_himss24_fhirbulkdata_demo_spark.streaming.sources import (
+        read_parquet_stream,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "source", F.col("doc_id").cast("long").alias("doc_id")
+    )
+    landing = str(tmp_path / "hll_landing")
+    docs.repartition(4).write.mode("overwrite").parquet(landing)
+
+    schema = StructType(
+        [StructField("source", StringType()), StructField("doc_id", LongType())]
+    )
+    stream = read_parquet_stream(
+        spark, landing, schema, max_files_per_trigger=1
+    )
+    sink = str(tmp_path / "hll_partials")
+    n = run_streaming_hll(
+        stream, ["source"], "doc_id", str(tmp_path / "hll_ckpt"), sink
+    )
+    assert n >= 2, "expected multiple micro-batches"
+
+    live = {
+        r["source"]: r["approx_distinct"]
+        for r in finalize_streaming_hll(spark, sink, ["source"]).collect()
+    }
+    batch = {
+        r["source"]: r["approx_distinct"]
+        for r in docs.groupBy("source")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("doc_id")).alias(
+            "approx_distinct"))
+        .collect()
+    }
+    assert live == batch  # bit-identical estimates, not merely close
+
+    # and the estimate is inside the HLL error envelope of exact
+    exact = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source")
+        .agg(F.countDistinct("doc_id").alias("n"))
+        .collect()
+    }
+    for s, n_exact in exact.items():
+        assert abs(live[s] - n_exact) <= max(3, 0.05 * n_exact)
+
+
 def test_streaming_cms_equals_batch(spark, tmp_path):
     """Mergeability is EXACT: the Count-Min sketch accumulated over
     file micro-batches equals the whole-corpus batch sketch
