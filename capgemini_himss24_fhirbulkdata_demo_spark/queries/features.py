@@ -1200,6 +1200,25 @@ def x98_hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # HLL = cardinality, x97 CMS = frequency, x103 Bloom = membership).
 # The audit measures its false-positive rate against the EXACT
 # fingerprint join (x42's ground-truth style) per source.
+def bloom_bit(j: int, f_col):
+    """Bit position of hash row ``j`` for a fingerprint column — the
+    md5→BIGINT bridge mod the filter width, shared by the x103 batch
+    audit, its SQL twin (``_bloom_bit_sql``), and the streaming form
+    (``streaming.sketches.StreamingBloom``)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{j}:"), f_col).cast("binary")),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _BLOOM_M
+    )
+
+
 _BLOOM_M = 65536  # bits (sized so sf0.1's ~2.5k-doc train half
 # stays far from saturation: k·n/m ≈ 0.11 → FPR ≈ 0.1%³)
 _BLOOM_K = 3  # hash rows
@@ -1289,19 +1308,7 @@ def x103_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold.alias("fold"),
     )
 
-    def bit(j, f_col):
-        return (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{j}:"), f_col).cast("binary")),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("bigint")
-            % _BLOOM_M
-        )
+    bit = bloom_bit
 
     train = fp.filter(F.col("fold") == 0)
     ev = fp.filter(F.col("fold") == 1)

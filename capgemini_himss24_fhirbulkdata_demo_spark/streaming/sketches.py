@@ -123,6 +123,73 @@ def run_streaming_hll(
     return n_batches
 
 
+class StreamingBloom:
+    """Membership leg of the streaming sketch triad (CMS = frequency,
+    HLL = cardinality). The filter is the x103 audit's bit set — ≤ M
+    distinct positions, merged by set UNION (bit-OR), an idempotent
+    semilattice like the HLL registers, so live == batch exactly and
+    independently of micro-batching. Per-batch driver traffic is
+    bounded by the constant filter width, never data volume."""
+
+    def __init__(self) -> None:
+        self.bits: set[int] = set()
+        self.n_batches = 0
+
+    def merge_rows(self, rows) -> None:
+        self.bits.update(r["b"] for r in rows)
+        self.n_batches += 1
+
+    def merge_filter(self, other: "StreamingBloom") -> None:
+        self.bits |= other.bits
+
+    def might_contain(self, fingerprint: str) -> bool:
+        import hashlib as _hashlib
+
+        from ..queries.features import _BLOOM_K, _BLOOM_M
+
+        return all(
+            int(_hashlib.md5(f"{j}:{fingerprint}".encode()).hexdigest()[:15],
+                16) % _BLOOM_M in self.bits
+            for j in range(_BLOOM_K)
+        )
+
+
+def run_streaming_bloom(
+    stream_df: DataFrame,
+    fingerprint_col: str,
+    checkpoint: str,
+) -> StreamingBloom:
+    """Drain ``stream_df`` (availableNow), reducing each micro-batch
+    to its distinct bloom-bit rows engine-side and unioning them into
+    the returned :class:`StreamingBloom`."""
+    from pyspark.sql import functions as F
+
+    from ..queries.features import _BLOOM_K, bloom_bit
+
+    flt = StreamingBloom()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        bits = (
+            batch_df.select(
+                F.explode(
+                    F.array(*[bloom_bit(j, F.col(fingerprint_col))
+                              for j in range(_BLOOM_K)])
+                ).alias("b")
+            )
+            .distinct()
+        )
+        flt.merge_rows(bits.collect())
+
+    q = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return flt
+
+
 def finalize_streaming_hll(spark, sink_dir: str, key_cols: list[str]):
     """Union the per-batch HLL partials back to one estimate per key
     — the re-aggregation never rescans the raw stream, only the

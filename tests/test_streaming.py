@@ -708,6 +708,81 @@ def test_streaming_hll_live_equals_batch(spark, tmp_path):
         assert abs(live[s] - n_exact) <= max(3, 0.05 * n_exact)
 
 
+def test_streaming_bloom_live_equals_batch(spark, tmp_path):
+    """Bloom mergeability: the bit set unioned over micro-batches
+    equals the whole-corpus filter exactly (set union is idempotent —
+    micro-batching is invisible), the filter NEVER misses a member
+    (no false negatives), and the driver-side probe's md5 fold
+    matches the engine-side bit math bit-for-bit."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.queries.features import (
+        _BLOOM_K,
+        bloom_bit,
+    )
+    from capgemini_himss24_fhirbulkdata_demo_spark.streaming.sketches import (
+        StreamingBloom,
+        run_streaming_bloom,
+    )
+    from capgemini_himss24_fhirbulkdata_demo_spark.streaming.sources import (
+        read_parquet_stream,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5("text").alias("f"),
+    )
+    landing = str(tmp_path / "bloom_landing")
+    docs.repartition(4).write.mode("overwrite").parquet(landing)
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("f", StringType())]
+    )
+    stream = read_parquet_stream(
+        spark, landing, schema, max_files_per_trigger=1
+    )
+    flt = run_streaming_bloom(stream, "f", str(tmp_path / "bloom_ckpt"))
+    assert flt.n_batches >= 2, "expected multiple micro-batches"
+
+    batch = StreamingBloom()
+    batch.merge_rows(
+        docs.select(
+            F.explode(
+                F.array(*[bloom_bit(j, F.col("f")) for j in range(_BLOOM_K)])
+            ).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    assert flt.bits == batch.bits
+
+    # no false negatives: every member fingerprint probes positive
+    members = [r["f"] for r in docs.limit(40).collect()]
+    assert all(flt.might_contain(f) for f in members)
+
+    # cross-stream union: two half-filters merge to the full one
+    half_a, half_b = StreamingBloom(), StreamingBloom()
+    for half, pred in ((half_a, "doc_id % 2 = 0"), (half_b, "doc_id % 2 = 1")):
+        half.merge_rows(
+            docs.filter(pred)
+            .select(
+                F.explode(
+                    F.array(*[bloom_bit(j, F.col("f"))
+                              for j in range(_BLOOM_K)])
+                ).alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+    half_a.merge_filter(half_b)
+    assert half_a.bits == batch.bits
+
+
 def test_streaming_cms_equals_batch(spark, tmp_path):
     """Mergeability is EXACT: the Count-Min sketch accumulated over
     file micro-batches equals the whole-corpus batch sketch
