@@ -190,6 +190,81 @@ def run_streaming_bloom(
     return flt
 
 
+class StreamingHistogram:
+    """Quantile leg of the streaming summary family: the x104
+    fixed-grid histogram. Bucket counts SUM across micro-batches
+    (linearity, like the CMS counters), so live == batch exactly;
+    ``quantile`` interpolates inside the rank-holding bucket with the
+    SAME arithmetic as x104 (ceiling-rational rank, one final float
+    division) so streaming estimates equal the batch query's."""
+
+    def __init__(self, width: int | None = None) -> None:
+        from ..queries.features import _X104_W
+
+        self.w = width or _X104_W
+        self.buckets: dict[int, int] = {}
+        self.n = 0
+        self.n_batches = 0
+
+    def merge_rows(self, rows) -> None:
+        for r in rows:
+            self.buckets[r["bucket"]] = (
+                self.buckets.get(r["bucket"], 0) + r["cnt"]
+            )
+            self.n += r["cnt"]
+        self.n_batches += 1
+
+    def merge_hist(self, other: "StreamingHistogram") -> None:
+        for b, c in other.buckets.items():
+            self.buckets[b] = self.buckets.get(b, 0) + c
+        self.n += other.n
+
+    def quantile(self, q: int) -> float:
+        """x104's estimator: rank r = ceil(q·n/100); value =
+        bucket·w + w·(r − cum_before)/cnt, rounded to 6."""
+        r = (q * self.n + 99) // 100
+        cum = 0
+        for b in sorted(self.buckets):
+            cnt = self.buckets[b]
+            if cum + cnt >= r and cum < r:
+                return round(b * self.w + (self.w * (r - cum)) / cnt, 6)
+            cum += cnt
+        raise ValueError(f"rank {r} beyond histogram mass {self.n}")
+
+
+def run_streaming_histogram(
+    stream_df: DataFrame,
+    value_col: str,
+    checkpoint: str,
+    width: int | None = None,
+) -> StreamingHistogram:
+    """Drain ``stream_df`` (availableNow), reducing each micro-batch
+    to its constant-size bucket-count rows engine-side and summing
+    them into the returned :class:`StreamingHistogram`."""
+    from pyspark.sql import functions as F
+
+    hist = StreamingHistogram(width)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        rows = (
+            batch_df.select(
+                (F.col(value_col) / hist.w).cast("bigint").alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count("*").alias("cnt"))
+        )
+        hist.merge_rows(rows.collect())
+
+    q = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return hist
+
+
 def finalize_streaming_hll(spark, sink_dir: str, key_cols: list[str]):
     """Union the per-batch HLL partials back to one estimate per key
     — the re-aggregation never rescans the raw stream, only the

@@ -783,6 +783,73 @@ def test_streaming_bloom_live_equals_batch(spark, tmp_path):
     assert half_a.bits == batch.bits
 
 
+def test_streaming_histogram_live_equals_batch_query(spark, tmp_path):
+    """Histogram mergeability: bucket counts summed over micro-batches
+    equal the whole-corpus histogram exactly (linearity), and the
+    driver-side quantile interpolation reproduces the x104 BATCH
+    QUERY's est_value for every percentile — the streaming and batch
+    forms share one estimator."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.queries.features import (
+        _X104_QS,
+        _X104_W,
+        x104_histogram_quantiles,
+    )
+    from capgemini_himss24_fhirbulkdata_demo_spark.streaming.sketches import (
+        StreamingHistogram,
+        run_streaming_histogram,
+    )
+    from capgemini_himss24_fhirbulkdata_demo_spark.streaming.sources import (
+        read_parquet_stream,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        F.col("n_chars").cast("long").alias("n_chars")
+    )
+    landing = str(tmp_path / "hist_landing")
+    docs.repartition(4).write.mode("overwrite").parquet(landing)
+
+    schema = StructType([StructField("n_chars", LongType())])
+    stream = read_parquet_stream(
+        spark, landing, schema, max_files_per_trigger=1
+    )
+    hist = run_streaming_histogram(
+        stream, "n_chars", str(tmp_path / "hist_ckpt")
+    )
+    assert hist.n_batches >= 2, "expected multiple micro-batches"
+
+    batch = StreamingHistogram()
+    batch.merge_rows(
+        docs.select((F.col("n_chars") / _X104_W).cast("bigint").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    assert hist.buckets == batch.buckets and hist.n == batch.n
+
+    # the streaming estimator reproduces the batch QUERY's estimates
+    est = {
+        r["q"]: r["est_value"]
+        for r in x104_histogram_quantiles(spark, SF_DIR).collect()
+    }
+    for q in _X104_QS:
+        assert hist.quantile(q) == est[q], (q, hist.quantile(q), est[q])
+
+    # cross-stream union: two half-histograms merge to the full one
+    half_a, half_b = StreamingHistogram(), StreamingHistogram()
+    for half, pred in ((half_a, "n_chars % 2 = 0"), (half_b, "n_chars % 2 = 1")):
+        half.merge_rows(
+            docs.filter(pred)
+            .select((F.col("n_chars") / _X104_W).cast("bigint").alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        )
+    half_a.merge_hist(half_b)
+    assert half_a.buckets == batch.buckets
+
+
 def test_streaming_cms_equals_batch(spark, tmp_path):
     """Mergeability is EXACT: the Count-Min sketch accumulated over
     file micro-batches equals the whole-corpus batch sketch
