@@ -858,18 +858,31 @@ def _huff_codes(bits, vals):
     return out
 
 
+def _dct_tables():
+    """Module-level DCT basis (computed once — previously rebuilt per
+    8x8 block, 64 cos calls each; values and evaluation order are
+    unchanged, so decoded pixels stay bit-identical)."""
+    import math
+
+    c = [math.sqrt(0.5)] + [1.0] * 7
+    cos = [[math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)]
+           for x in range(8)]
+    return c, cos
+
+
+_DCT_C, _DCT_COS = _dct_tables()
+
+
 def _idct2d(coef):
     """Direct 2-D inverse DCT-III on one 8x8 block (float; exact IEEE
     ops in fixed order — deterministic across hosts). O(N^4) per
     block is fine for test/stub-scale media; real deployments hand
     decode to a native library behind the same interface."""
-    import math
-
     out = [0.0] * 64
     # separable: rows then columns
     tmp = [0.0] * 64
-    c = [math.sqrt(0.5)] + [1.0] * 7
-    cos = [[math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)] for x in range(8)]
+    c = _DCT_C
+    cos = _DCT_COS
     for y in range(8):
         for x in range(8):
             s = 0.0
@@ -887,10 +900,8 @@ def _idct2d(coef):
 
 def _fdct2d(block):
     """Forward 2-D DCT-II of one 8x8 spatial block (encoder twin)."""
-    import math
-
-    c = [math.sqrt(0.5)] + [1.0] * 7
-    cos = [[math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)] for x in range(8)]
+    c = _DCT_C
+    cos = _DCT_COS
     tmp = [0.0] * 64
     out = [0.0] * 64
     for y in range(8):
