@@ -30,12 +30,14 @@ Design for 100 TB of media:
   arithmetic-coded sequential (SOF9) AND progressive (SOF10) JPEG
   (T.81 Annex D QM-coder with the F.1.4.4 sequential and
   progressive DC/AC statistical models, DAC conditioning, DRI/RST
-  with full statistics reset), and lossless
+  with full statistics reset), lossless
   (SOF3) JPEG (2..16-bit grayscale, predictors 1-7, point transform,
-  DRI/RST) decode with pure
+  DRI/RST), and hierarchical (Annex J DHP/EXP pyramids with
+  sequential-Huffman differential SOF5 frames, spec J.1.1.2
+  upsampling) decode with pure
   stdlib code — no imaging library needed; anything else
-  (hierarchical JPEG, lossless-arithmetic, multi-component
-  lossless, ...) falls
+  (progressive/lossless-differential frames, lossless-arithmetic,
+  multi-component lossless, ...) falls
   through to PIL when importable and raises NotImplementedError
   otherwise (PIL is not baked into this container). Color decodes to
   8-bit luma via integer BT.601 weights
@@ -1774,6 +1776,170 @@ def encode_jpeg_progressive_arith(width: int, height: int, luma_rows,
     return bytes(out)
 
 
+def encode_jpeg_hier(width: int, height: int, luma_rows,
+                     quant: int = 1, levels: int = 2) -> bytes:
+    """Hierarchical (T.81 Annex J) GRAYSCALE JPEG writer — fixture
+    twin of the DHP/EXP/SOF5 decode path. Emits a ``levels``-deep
+    pyramid: DHP at full resolution, a baseline (SOF0) frame at the
+    coarsest level, then per level an EXP marker (doubling both
+    axes, spec J.1.1.2 filter) followed by a differential sequential
+    (SOF5) frame coding the residual against the decoder's own
+    upsampled reconstruction — residual blocks take no level shift
+    and no DC prediction. The encoder mirrors the decoder's
+    dequantize→IDCT→clamp per frame so residuals are exact against
+    what the decoder will actually hold; at quant=1 the final output
+    therefore lands within DCT rounding of the original, like
+    baseline. Downsampling (2x2 mean) is the encoder's choice, per
+    spec. Uses the wide uniform Huffman tables (residual DC
+    categories reach 13 bits at 8-bit precision)."""
+    if levels < 1:
+        raise ValueError("levels must be >= 1")
+    qtab = [max(1, min(255, quant))] * 64
+    dc_bits = [0, 0, 0, 0, 16] + [0] * 11
+    dc_vals = list(range(16))
+    ac_vals = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 15)
+    ]
+    ac_bits = [0] * 7 + [len(ac_vals)] + [0] * 8
+    dc_enc = {v: lc for lc, v in _huff_codes(dc_bits, dc_vals).items()}
+    ac_enc = {v: lc for lc, v in _huff_codes(ac_bits, ac_vals).items()}
+
+    # pyramid planes, coarsest last; 2x2-mean downsample, edge-clamped
+    pyr = [[list(r) for r in luma_rows]]
+    dims = [(width, height)]
+    for _ in range(levels - 1):
+        pw, ph = dims[-1]
+        nw, nh = (pw + 1) // 2, (ph + 1) // 2
+        src = pyr[-1]
+        down = []
+        for y in range(nh):
+            row = []
+            for x in range(nw):
+                xs = [2 * x, min(2 * x + 1, pw - 1)]
+                ys = [2 * y, min(2 * y + 1, ph - 1)]
+                row.append(
+                    (src[ys[0]][xs[0]] + src[ys[0]][xs[1]]
+                     + src[ys[1]][xs[0]] + src[ys[1]][xs[1]] + 2) // 4
+                )
+            down.append(row)
+        pyr.append(down)
+        dims.append((nw, nh))
+
+    def marker(tag, body):
+        return bytes((0xFF, tag)) + struct.pack(">H", len(body) + 2) + body
+
+    def sof(tag, w, h):
+        return marker(
+            tag, struct.pack(">BHHB", 8, h, w, 1) + bytes((1, 0x11, 0)))
+
+    out = bytearray(b"\xff\xd8")
+    out += marker(0xDB, bytes([0]) + bytes(qtab[_ZIGZAG[i]] for i in range(64)))
+    out += marker(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    out += marker(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    out += sof(0xDE, width, height)  # DHP: hierarchical envelope
+
+    def encode_frame(plane_rows, w, h, ref_flat):
+        """Emit one frame's entropy bits and return the decoder's
+        reconstruction of it (the next level's reference)."""
+        differential = ref_flat is not None
+        bw_, bh_ = (w + 7) // 8, (h + 7) // 8
+        lw = bw_ * 8
+        recon = bytearray(lw * bh_ * 8)
+        wtr = _BitWriter()
+        pred = 0
+        for by in range(bh_):
+            for bx in range(bw_):
+                block = [0.0] * 64
+                for y in range(8):
+                    for x in range(8):
+                        sy = min(by * 8 + y, h - 1)
+                        sx = min(bx * 8 + x, w - 1)
+                        v = plane_rows[sy][sx]
+                        if differential:
+                            v -= ref_flat[sy * w + sx]
+                        else:
+                            v -= 128
+                        block[y * 8 + x] = float(v)
+                coef = _fdct2d(block)
+                q = [int(round(coef[_ZIGZAG[i]] / qtab[_ZIGZAG[i]]))
+                     for i in range(64)]
+                if differential:
+                    diff = q[0]  # PRED = 0
+                else:
+                    diff = q[0] - pred
+                    pred = q[0]
+                size = 0 if diff == 0 else (
+                    diff.bit_length() if diff > 0 else (-diff).bit_length())
+                length, code = dc_enc[size]
+                wtr.write(code, length)
+                if size:
+                    wtr.write(diff if diff > 0 else diff + (1 << size) - 1,
+                              size)
+                run = 0
+                for i in range(1, 64):
+                    v = q[i]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        length, code = ac_enc[0xF0]
+                        wtr.write(code, length)
+                        run -= 16
+                    size = v.bit_length() if v > 0 else (-v).bit_length()
+                    length, code = ac_enc[(run << 4) | size]
+                    wtr.write(code, length)
+                    wtr.write(v if v > 0 else v + (1 << size) - 1, size)
+                    run = 0
+                if run:
+                    length, code = ac_enc[0x00]
+                    wtr.write(code, length)
+                # mirror the decoder: dequantize -> IDCT -> add -> clamp
+                dq = [0.0] * 64
+                for i in range(64):
+                    dq[_ZIGZAG[i]] = q[i] * qtab[_ZIGZAG[i]]
+                px = _idct2d(dq)
+                for y in range(8):
+                    row_off = (by * 8 + y) * lw + bx * 8
+                    for x in range(8):
+                        v = int(round(px[y * 8 + x]))
+                        if differential:
+                            sy = min(by * 8 + y, h - 1)
+                            sx = min(bx * 8 + x, w - 1)
+                            v += ref_flat[sy * w + sx]
+                        else:
+                            v += 128
+                        recon[row_off + x] = 0 if v < 0 else (
+                            255 if v > 255 else v)
+        wtr.flush()
+        flat = bytearray(w * h)
+        for y in range(h):
+            flat[y * w : (y + 1) * w] = recon[y * lw : y * lw + w]
+        return bytes(wtr.buf), flat
+
+    sos = marker(0xDA, bytes((1, 1, 0x00, 0, 63, 0)))
+    # coarsest level: non-differential baseline frame
+    w0, h0 = dims[-1]
+    bits, ref = encode_frame(pyr[-1], w0, h0, None)
+    out += sof(0xC0, w0, h0) + sos + bits
+    # each finer level: EXP + differential frame
+    for lvl in range(levels - 2, -1, -1):
+        pw, ph = dims[lvl + 1]
+        ref, uw, uh = _hier_upsample(ref, pw, ph, 1, 1)
+        w_l, h_l = dims[lvl]
+        if (uw, uh) != (w_l, h_l):
+            # ceil-halving can overshoot by one on odd dims: crop
+            cropped = bytearray(w_l * h_l)
+            for y in range(h_l):
+                cropped[y * w_l : (y + 1) * w_l] = ref[
+                    y * uw : y * uw + w_l]
+            ref = bytes(cropped)
+        out += marker(0xDF, bytes((0x11,)))  # EXP: double both axes
+        bits, ref = encode_frame(pyr[lvl], w_l, h_l, ref)
+        out += sof(0xC5, w_l, h_l) + sos + bits
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ---- arithmetic-coded JPEG (T.81 Annex D QM-coder, pure stdlib) ----
 
 # Table D.3 probability-estimation state machine: (Qe, NLPS, NMPS,
@@ -2270,8 +2436,10 @@ def _decode_jpeg(payload: bytes):
     EOB runs) accumulate coefficients until EOI, then dequantize +
     IDCT once. Lossless (SOF3) scans route to the Annex-H
     predictive path; arithmetic-coded scans (SOF9 sequential, SOF10
-    progressive) route to the QM-coder paths; DCT sample precision
-    may be 8 or 12. Hierarchical and lossless-arithmetic JPEGs raise
+    progressive) route to the QM-coder paths; hierarchical streams
+    (DHP/EXP + differential SOF5) assemble the pyramid in-loop; DCT
+    sample precision may be 8 or 12. Progressive/lossless-differential
+    and lossless-arithmetic JPEGs raise
     NotImplementedError (PIL gate); truncated or corrupt streams
     raise ValueError — including a stream cut cleanly between
     progressive scans (missing EOI)."""
@@ -2287,6 +2455,10 @@ def _decode_jpeg(payload: bytes):
     restart_interval = 0
     coef_store = None
     saw_eoi = False
+    hier = None  # DHP header once seen: hierarchical mode
+    hier_ref = None  # reference luma plane (bytes, current frame dims)
+    hier_dims = None  # (w, h) of hier_ref
+    exp_pending = None  # (Eh, Ev) from an EXP marker
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
@@ -2318,9 +2490,10 @@ def _decode_jpeg(payload: bytes):
                     ) if prec else zz[i]
                 qtabs[tid] = tab
                 p += 1 + 64 * sw
-        elif tag in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+        elif tag in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC9, 0xCA, 0xDE):
             # SOF0/1 baseline, SOF2 progressive, SOF3 lossless,
-            # SOF9/10 arithmetic sequential/progressive
+            # SOF5 differential sequential (hierarchical),
+            # SOF9/10 arithmetic sequential/progressive, DHP header
             prec, h, wdt, nc = struct.unpack(">BHHB", body[:6])
             if tag == 0xC3:
                 if not 2 <= prec <= 16:
@@ -2328,19 +2501,31 @@ def _decode_jpeg(payload: bytes):
             elif tag == 0xC0:
                 if prec != 8:  # baseline is 8-bit by definition (T.81 B.2.2)
                     raise ValueError(f"illegal baseline JPEG precision {prec}")
-            elif prec not in (8, 12):  # SOF1/2/9/10: extended DCT
+            elif prec not in (8, 12):  # SOF1/2/5/9/10: extended DCT
                 raise ValueError(f"illegal DCT JPEG precision {prec}")
             comps = []
             for i in range(nc):
                 cid, samp, qid = body[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 0x0F, "q": qid})
-            frame = {"w": wdt, "h": h, "comps": comps, "prec": prec,
-                     "progressive": tag in (0xC2, 0xCA),
-                     "lossless": tag == 0xC3,
-                     "arith": tag in (0xC9, 0xCA)}
-        elif tag in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+            hdr = {"w": wdt, "h": h, "comps": comps, "prec": prec,
+                   "progressive": tag in (0xC2, 0xCA),
+                   "lossless": tag == 0xC3,
+                   "arith": tag in (0xC9, 0xCA),
+                   "differential": tag == 0xC5}
+            if tag == 0xDE:  # DHP: the hierarchical envelope, not a frame
+                hier = hdr
+            else:
+                if tag == 0xC5 and hier is None:
+                    raise ValueError("differential frame without DHP")
+                frame = hdr
+        elif tag == 0xDF:  # EXP: expand reference before next frame
+            if hier is None:
+                raise ValueError("EXP marker outside hierarchical mode")
+            exp_pending = (body[0] >> 4, body[0] & 0x0F)
+        elif tag in (0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "hierarchical or lossless-arithmetic JPEG needs PIL")
+                "progressive/lossless-differential or lossless-arithmetic "
+                "JPEG needs PIL")
         elif tag == 0xCC:  # DAC: arithmetic conditioning
             p = 0
             while p + 1 < len(body):
@@ -2381,6 +2566,42 @@ def _decode_jpeg(payload: bytes):
                 cs, tt = body[1 + 2 * i], body[2 + 2 * i]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append((comp, tt >> 4, tt & 0x0F))
+            if hier is not None:
+                if frame.get("progressive") or frame.get("lossless") or (
+                    frame.get("arith")
+                ):
+                    raise NotImplementedError(
+                        "only sequential-Huffman hierarchical frames "
+                        "decode here")
+                if frame.get("differential"):
+                    eh, ev = exp_pending or (0, 0)
+                    exp_pending = None
+                    if eh or ev:
+                        hier_ref, rw, rh = _hier_upsample(
+                            hier_ref, *hier_dims, eh, ev)
+                        # ceil-halved pyramids overshoot odd frame
+                        # dims by one after doubling: clip (spec: the
+                        # reference is clipped to the frame size)
+                        fw, fh = frame["w"], frame["h"]
+                        if (rw, rh) != (fw, fh):
+                            if rw < fw or rh < fh:
+                                raise ValueError(
+                                    f"EXP reference {rw}x{rh} smaller "
+                                    f"than frame {fw}x{fh}"
+                                )
+                            clipped = bytearray(fw * fh)
+                            for y in range(fh):
+                                clipped[y * fw : (y + 1) * fw] = hier_ref[
+                                    y * rw : y * rw + fw]
+                            hier_ref, rw, rh = bytes(clipped), fw, fh
+                        hier_dims = (rw, rh)
+                hier_ref, pos = _decode_hier_frame(
+                    payload, pos + 2 + seglen, frame, scan, qtabs,
+                    dc_tabs, ac_tabs, restart_interval,
+                    hier_ref if frame.get("differential") else None,
+                )
+                hier_dims = (frame["w"], frame["h"])
+                continue
             if frame.get("lossless"):
                 ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
                 return _decode_lossless_scan(
@@ -2414,6 +2635,18 @@ def _decode_jpeg(payload: bytes):
                 )
             continue
         pos += 2 + seglen
+    if hier is not None and hier_ref is not None:
+        if not saw_eoi:
+            # same rule as progressive: a cut between frames would
+            # silently return the coarse pyramid level
+            raise ValueError("truncated hierarchical JPEG: missing EOI")
+        w, h = hier_dims
+        if (w, h) != (hier["w"], hier["h"]):
+            raise ValueError(
+                f"hierarchical stream ended at {w}x{h}, DHP declares "
+                f"{hier['w']}x{hier['h']}"
+            )
+        return w, h, [bytes(hier_ref)]
     if frame is not None and frame.get("progressive") and coef_store is not None:
         if not saw_eoi:
             # a stream ending cleanly between scans is still truncated:
@@ -2557,6 +2790,116 @@ def _decode_jpeg_scan_arith(data, pos, frame, scan, qtabs, dac_dc, dac_ac,
     for y in range(h):
         out[y * w : (y + 1) * w] = plane[y * lw : y * lw + w]
     return w, h, [bytes(out)]
+
+
+def _hier_upsample(plane, w, h, eh, ev):
+    """T.81 J.1.1.2 reference upsampling (per EXP marker): doubled
+    axis keeps input samples at even positions and fills odd ones
+    with the rounded mean of the neighbors, replicating the last
+    sample at the edge. Returns (plane, new_w, new_h)."""
+    if eh:
+        out = bytearray(2 * w * h)
+        for y in range(h):
+            base = y * w
+            obase = y * 2 * w
+            for x in range(w):
+                v = plane[base + x]
+                nxt = plane[base + min(x + 1, w - 1)]
+                out[obase + 2 * x] = v
+                out[obase + 2 * x + 1] = (v + nxt + 1) >> 1
+        plane, w = out, 2 * w
+    if ev:
+        out = bytearray(w * 2 * h)
+        for y in range(h):
+            nbase = min(y + 1, h - 1) * w
+            base = y * w
+            for x in range(w):
+                v = plane[base + x]
+                nxt = plane[nbase + x]
+                out[(2 * y) * w + x] = v
+                out[(2 * y + 1) * w + x] = (v + nxt + 1) >> 1
+        h = 2 * h
+        plane = out
+    return plane, w, h
+
+
+def _decode_hier_frame(data, pos, frame, scan, qtabs, dc_tabs, ac_tabs,
+                       dri, ref):
+    """One hierarchical frame's scan (grayscale): non-differential
+    frames decode like baseline; differential (SOF5) frames code the
+    residual DCT with NO level shift and NO DC prediction (the
+    per-frame reference carries the low frequencies), and the output
+    is clamp(reference + residual). Returns (plane, next marker
+    position)."""
+    w, h = frame["w"], frame["h"]
+    if len(frame["comps"]) != 1:
+        raise NotImplementedError(
+            "multi-component hierarchical JPEG needs PIL")
+    comp, dct, act = scan[0]
+    qt = qtabs.get(comp["q"])
+    if qt is None:
+        raise ValueError("missing quant table")
+    differential = frame.get("differential", False)
+    if differential:
+        if ref is None:
+            raise ValueError("differential frame before any reference")
+        if len(ref) != w * h:
+            raise ValueError(
+                f"differential frame dims {w}x{h} do not match the "
+                f"(expanded) reference of {len(ref)} samples"
+            )
+    r = _BitReader(data, pos)
+    bw = (w + 7) // 8
+    bh = (h + 7) // 8
+    lw = bw * 8
+    plane = bytearray(lw * bh * 8)
+    pred = 0
+    n_mcu = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if dri and n_mcu and n_mcu % dri == 0:
+                r.restart()
+                pred = 0
+            n_mcu += 1
+            coef = [0.0] * 64
+            size = r.huff(dc_tabs[dct])
+            diff = _extend(r.bits(size), size) if size else 0
+            if differential:
+                coef[0] = diff * qt[0]  # PRED = 0 in differential frames
+            else:
+                pred += diff
+                coef[0] = pred * qt[0]
+            i = 1
+            while i < 64:
+                rs = r.huff(ac_tabs[act])
+                if rs == 0x00:
+                    break
+                if rs == 0xF0:
+                    i += 16
+                    continue
+                i += rs >> 4
+                if i > 63:
+                    raise ValueError("AC coefficient overrun")
+                sz = rs & 0x0F
+                coef[_ZIGZAG[i]] = _extend(r.bits(sz), sz) * qt[_ZIGZAG[i]]
+                i += 1
+            px = _idct2d(coef)
+            for y in range(8):
+                row_off = (by * 8 + y) * lw + bx * 8
+                for x in range(8):
+                    v = int(round(px[y * 8 + x]))
+                    if differential:
+                        sy = min(by * 8 + y, h - 1)
+                        sx = min(bx * 8 + x, w - 1)
+                        v += ref[sy * w + sx]
+                    else:
+                        v += 128
+                    plane[row_off + x] = 0 if v < 0 else (
+                        255 if v > 255 else v)
+    out = bytearray(w * h)
+    for y in range(h):
+        out[y * w : (y + 1) * w] = plane[y * lw : y * lw + w]
+    return out, _next_marker(data, r.pos)
 
 
 def _init_coef_store(frame):
@@ -3330,7 +3673,7 @@ def _decode_fake(payload: bytes):
         try:
             return _decode_jpeg(payload)
         except NotImplementedError:
-            return _decode_pil(payload)  # hierarchical / lossless-arithmetic
+            return _decode_pil(payload)  # differential-progressive / SOF11
     if payload[:6] in _GIF_MAGICS:
         try:
             return _decode_gif(payload)

@@ -708,6 +708,70 @@ def test_jpeg_color_420_luma_identity(w, h, quant, arith, seed):
     assert gray == color
 
 
+@given(
+    w=st.integers(min_value=1, max_value=30),
+    h=st.integers(min_value=1, max_value=30),
+    levels=st.integers(min_value=1, max_value=3),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=30, deadline=None)
+def test_jpeg_hierarchical_roundtrip(w, h, levels, seed):
+    """Hierarchical (DHP/EXP/SOF5) JPEG at quant=1 reconstructs
+    within the DCT rounding envelope of the original — the encoder
+    codes each residual against the decoder's own upsampled
+    reconstruction, so pyramid depth adds no drift. Hazards: the
+    J.1.1.2 upsample filter (edge replication), reference clipping
+    when ceil-halved dims double past odd frame sizes, and the
+    no-level-shift / no-DC-prediction rules of differential frames."""
+    import hashlib
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.multimodal.binary import (
+        _decode_jpeg,
+        encode_jpeg_hier,
+    )
+
+    rows = [
+        [hashlib.md5(f"{seed}:{y}:{x}".encode()).digest()[0] for x in range(w)]
+        for y in range(h)
+    ]
+    dw, dh, frames = _decode_jpeg(
+        encode_jpeg_hier(w, h, rows, quant=1, levels=levels))
+    assert (dw, dh) == (w, h)
+    err = max(
+        abs(frames[0][y * w + x] - rows[y][x])
+        for y in range(h) for x in range(w)
+    )
+    assert err <= 3, err
+
+
+@given(
+    cut=st.integers(min_value=3, max_value=600),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=30, deadline=None)
+def test_jpeg_hierarchical_truncation_raises(cut, seed):
+    """Truncating a hierarchical stream anywhere raises ValueError —
+    including a clean cut BETWEEN pyramid frames (missing-EOI rule:
+    silently returning the coarse level would corrupt stats, the
+    same class as progressive between-scan cuts)."""
+    import hashlib
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.multimodal.binary import (
+        _decode_jpeg,
+        encode_jpeg_hier,
+    )
+
+    rows = [
+        [hashlib.md5(f"{seed}:{y}:{x}".encode()).digest()[0]
+         for x in range(16)]
+        for y in range(16)
+    ]
+    jp = encode_jpeg_hier(16, 16, rows, quant=1, levels=3)
+    short = jp[: len(jp) - min(cut, len(jp) - 4)]
+    with pytest.raises((ValueError, NotImplementedError)):
+        _decode_jpeg(short)
+
+
 def test_jpeg_arith_golden_stream():
     """Freeze the QM-coder's exact output bytes for a fixed raster —
     any change to the Table D.3 walk, the conditional-exchange
