@@ -355,8 +355,13 @@ def _decode_bmp(payload: bytes):
         width, height, _planes, bpp = struct.unpack("<HHHH", payload[18:26])
         compression = 0
     else:
-        if hdr_size < 40 or len(payload) < 34:
-            raise ValueError(f"invalid BMP header size {hdr_size}")
+        if hdr_size < 40:
+            # 13..39: valid-but-unsupported OS/2 2.x shortened headers
+            # — the unsupported-format gate, not a corrupt stream
+            raise NotImplementedError(
+                f"BMP header size {hdr_size} (OS/2 2.x) needs PIL")
+        if len(payload) < 34:
+            raise ValueError(f"truncated BMP header: {len(payload)} bytes")
         width, height = struct.unpack("<ii", payload[18:26])
         bpp = struct.unpack("<H", payload[28:30])[0]
         compression = struct.unpack("<I", payload[30:34])[0]
@@ -1026,33 +1031,7 @@ def encode_jpeg(width: int, height: int, luma_rows, quant: int = 1,
                     block[y * 8 + x] = luma_rows[sy][sx] - float(half)
             coef = _fdct2d(block)
             q = [int(round(coef[_ZIGZAG[i]] / qtab[_ZIGZAG[i]])) for i in range(64)]
-            # DC
-            diff = q[0] - prev_dc
-            prev_dc = q[0]
-            mag, size = (diff, 0) if diff == 0 else (diff, diff.bit_length() if diff > 0 else (-diff).bit_length())
-            length, code = dc_enc[size]
-            w.write(code, length)
-            if size:
-                w.write(diff if diff > 0 else diff + (1 << size) - 1, size)
-            # AC with run-lengths
-            run = 0
-            for i in range(1, 64):
-                v = q[i]
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    length, code = ac_enc[0xF0]  # ZRL
-                    w.write(code, length)
-                    run -= 16
-                size = v.bit_length() if v > 0 else (-v).bit_length()
-                length, code = ac_enc[(run << 4) | size]
-                w.write(code, length)
-                w.write(v if v > 0 else v + (1 << size) - 1, size)
-                run = 0
-            if run:
-                length, code = ac_enc[0x00]  # EOB
-                w.write(code, length)
+            prev_dc = _huff_emit_block(w, q, prev_dc, dc_enc, ac_enc)
     w.flush()
     out += w.buf
     out += b"\xff\xd9"  # EOI
@@ -1069,6 +1048,41 @@ def _quantized_block(rows, x0, y0, w, h, qtab, half=128):
             block[y * 8 + x] = rows[sy][sx] - float(half)
     coef = _fdct2d(block)
     return [int(round(coef[_ZIGZAG[i]] / qtab[_ZIGZAG[i]])) for i in range(64)]
+
+
+def _huff_emit_block(wtr, q, pred, dc_enc, ac_enc):
+    """Emit one quantized zigzag block's Huffman codes (DC size
+    category + one's-complement bits, AC run/size with ZRL and EOB)
+    — the shared entropy tail of every Huffman encoder twin. ``pred``
+    is the DC predictor (returns the updated value); pass ``None``
+    for hierarchical differential frames, where the DC coefficient is
+    coded directly (PRED = 0)."""
+    diff = q[0] if pred is None else q[0] - pred
+    size = 0 if diff == 0 else (
+        diff.bit_length() if diff > 0 else (-diff).bit_length())
+    length, code = dc_enc[size]
+    wtr.write(code, length)
+    if size:
+        wtr.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+    run = 0
+    for i in range(1, 64):
+        v = q[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            length, code = ac_enc[0xF0]  # ZRL
+            wtr.write(code, length)
+            run -= 16
+        size = v.bit_length() if v > 0 else (-v).bit_length()
+        length, code = ac_enc[(run << 4) | size]
+        wtr.write(code, length)
+        wtr.write(v if v > 0 else v + (1 << size) - 1, size)
+        run = 0
+    if run:
+        length, code = ac_enc[0x00]  # EOB
+        wtr.write(code, length)
+    return None if pred is None else q[0]
 
 
 def encode_jpeg_color(width: int, height: int, luma_rows,
@@ -1185,35 +1199,8 @@ def encode_jpeg_color(width: int, height: int, luma_rows,
                         q = _quantized_block(
                             plane, (mx * hs + bx) * 8,
                             (my * vs + by) * 8, pw, ph, qtab)
-                        diff = q[0] - pred[ci]
-                        pred[ci] = q[0]
-                        size = 0 if diff == 0 else (
-                            diff.bit_length() if diff > 0
-                            else (-diff).bit_length())
-                        length, code = dc_enc[size]
-                        w.write(code, length)
-                        if size:
-                            w.write(diff if diff > 0
-                                    else diff + (1 << size) - 1, size)
-                        run = 0
-                        for i in range(1, 64):
-                            v = q[i]
-                            if v == 0:
-                                run += 1
-                                continue
-                            while run > 15:
-                                length, code = ac_enc[0xF0]
-                                w.write(code, length)
-                                run -= 16
-                            size = (v.bit_length() if v > 0
-                                    else (-v).bit_length())
-                            length, code = ac_enc[(run << 4) | size]
-                            w.write(code, length)
-                            w.write(v if v > 0 else v + (1 << size) - 1, size)
-                            run = 0
-                        if run:
-                            length, code = ac_enc[0x00]  # EOB
-                            w.write(code, length)
+                        pred[ci] = _huff_emit_block(
+                            w, q, pred[ci], dc_enc, ac_enc)
     w.flush()
     out += w.buf
     out += b"\xff\xd9"
@@ -1863,36 +1850,9 @@ def encode_jpeg_hier(width: int, height: int, luma_rows,
                 coef = _fdct2d(block)
                 q = [int(round(coef[_ZIGZAG[i]] / qtab[_ZIGZAG[i]]))
                      for i in range(64)]
-                if differential:
-                    diff = q[0]  # PRED = 0
-                else:
-                    diff = q[0] - pred
-                    pred = q[0]
-                size = 0 if diff == 0 else (
-                    diff.bit_length() if diff > 0 else (-diff).bit_length())
-                length, code = dc_enc[size]
-                wtr.write(code, length)
-                if size:
-                    wtr.write(diff if diff > 0 else diff + (1 << size) - 1,
-                              size)
-                run = 0
-                for i in range(1, 64):
-                    v = q[i]
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        length, code = ac_enc[0xF0]
-                        wtr.write(code, length)
-                        run -= 16
-                    size = v.bit_length() if v > 0 else (-v).bit_length()
-                    length, code = ac_enc[(run << 4) | size]
-                    wtr.write(code, length)
-                    wtr.write(v if v > 0 else v + (1 << size) - 1, size)
-                    run = 0
-                if run:
-                    length, code = ac_enc[0x00]
-                    wtr.write(code, length)
+                # differential frames code DC directly (PRED = 0)
+                pred = _huff_emit_block(
+                    wtr, q, None if differential else pred, dc_enc, ac_enc)
                 # mirror the decoder: dequantize -> IDCT -> add -> clamp
                 dq = [0.0] * 64
                 for i in range(64):
@@ -2501,7 +2461,13 @@ def _decode_jpeg(payload: bytes):
             elif tag == 0xC0:
                 if prec != 8:  # baseline is 8-bit by definition (T.81 B.2.2)
                     raise ValueError(f"illegal baseline JPEG precision {prec}")
-            elif prec not in (8, 12):  # SOF1/2/5/9/10: extended DCT
+            elif tag in (0xC5, 0xDE):
+                # the hierarchical pipeline holds byte planes; 12-bit
+                # pyramids would need full-precision references
+                if prec != 8:
+                    raise NotImplementedError(
+                        "only 8-bit hierarchical JPEG decodes here")
+            elif prec not in (8, 12):  # SOF1/2/9/10: extended DCT
                 raise ValueError(f"illegal DCT JPEG precision {prec}")
             comps = []
             for i in range(nc):
@@ -2521,6 +2487,8 @@ def _decode_jpeg(payload: bytes):
         elif tag == 0xDF:  # EXP: expand reference before next frame
             if hier is None:
                 raise ValueError("EXP marker outside hierarchical mode")
+            if not body:
+                raise ValueError("empty EXP segment")
             exp_pending = (body[0] >> 4, body[0] & 0x0F)
         elif tag in (0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -2573,7 +2541,16 @@ def _decode_jpeg(payload: bytes):
                     raise NotImplementedError(
                         "only sequential-Huffman hierarchical frames "
                         "decode here")
+                if not frame.get("differential") and exp_pending:
+                    # T.81 ties EXP to the immediately following frame;
+                    # expanding before a non-differential frame is
+                    # meaningless and must not leak onto a later one
+                    raise ValueError(
+                        "EXP marker before a non-differential frame")
                 if frame.get("differential"):
+                    if hier_ref is None:
+                        raise ValueError(
+                            "differential frame before any reference")
                     eh, ev = exp_pending or (0, 0)
                     exp_pending = None
                     if eh or ev:
@@ -3663,7 +3640,10 @@ def _decode_fake(payload: bytes):
             off += width * height
         return width, height, frames
     if payload[:2] == b"BM":
-        return _decode_bmp(payload)
+        try:
+            return _decode_bmp(payload)
+        except NotImplementedError:
+            return _decode_pil(payload)  # 16-bit / bitfields / OS/2 2.x
     if payload[:2] in (b"P5", b"P6"):
         return _decode_pnm(payload)
     if payload[:8] == _PNG_MAGIC:

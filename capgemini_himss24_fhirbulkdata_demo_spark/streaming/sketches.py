@@ -221,13 +221,22 @@ class StreamingHistogram:
 
     def quantile(self, q: int) -> float:
         """x104's estimator: rank r = ceil(q·n/100); value =
-        bucket·w + w·(r − cum_before)/cnt, rounded to 6."""
+        bucket·w + w·(r − cum_before)/cnt, rounded to 6 with Spark's
+        rule — HALF_UP on the double's shortest decimal repr
+        (BigDecimal.valueOf) — NOT Python round()'s ties-to-even on
+        the binary value, which can differ at an exact .xxxxxx5."""
+        from decimal import ROUND_HALF_UP, Decimal
+
         r = (q * self.n + 99) // 100
         cum = 0
         for b in sorted(self.buckets):
             cnt = self.buckets[b]
             if cum + cnt >= r and cum < r:
-                return round(b * self.w + (self.w * (r - cum)) / cnt, 6)
+                v = b * self.w + (self.w * (r - cum)) / cnt
+                return float(
+                    Decimal(repr(v)).quantize(
+                        Decimal("1e-6"), rounding=ROUND_HALF_UP)
+                )
             cum += cnt
         raise ValueError(f"rank {r} beyond histogram mass {self.n}")
 

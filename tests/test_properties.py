@@ -772,6 +772,41 @@ def test_jpeg_hierarchical_truncation_raises(cut, seed):
         _decode_jpeg(short)
 
 
+def test_jpeg_hierarchical_corrupt_stream_contracts():
+    """Malformed hierarchical streams raise ValueError (never
+    TypeError/IndexError): a differential frame before any reference,
+    an empty EXP segment, and an EXP preceding a non-differential
+    frame (T.81 ties EXP to the immediately following frame — it must
+    not leak onto a later one). 12-bit hierarchical gates on
+    NotImplementedError (the pipeline holds byte planes)."""
+    import struct as _struct
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.multimodal.binary import (
+        _decode_jpeg,
+    )
+
+    def seg(tag, body):
+        return bytes((0xFF, tag)) + _struct.pack(">H", len(body) + 2) + body
+
+    def sof(tag, prec=8):
+        return seg(tag, _struct.pack(">BHHB", prec, 4, 4, 1)
+                   + bytes((1, 0x11, 0)))
+
+    sos = seg(0xDA, bytes((1, 1, 0x00, 0, 63, 0)))
+    dhp = sof(0xDE)
+    cases = [
+        dhp + seg(0xDF, bytes((0x11,))) + sof(0xC5) + sos,  # no reference
+        dhp + seg(0xDF, b""),  # empty EXP
+        dhp + seg(0xDF, bytes((0x11,))) + sof(0xC0) + sos,  # EXP→non-diff
+        sof(0xC5) + sos,  # differential without DHP
+    ]
+    for body in cases:
+        with pytest.raises(ValueError):
+            _decode_jpeg(b"\xff\xd8" + body + b"\xff\xd9")
+    with pytest.raises(NotImplementedError):
+        _decode_jpeg(b"\xff\xd8" + sof(0xDE, prec=12) + b"\xff\xd9")
+
+
 def test_jpeg_arith_golden_stream():
     """Freeze the QM-coder's exact output bytes for a fixed raster —
     any change to the Table D.3 walk, the conditional-exchange
