@@ -2,11 +2,14 @@
 
 Opaque ``binary`` payloads + typed metadata structs, processed with
 Arrow-batched ``mapInPandas`` pipelines (decode / feature-extract /
-resize / frame-sample). Real decoders (PIL/ffmpeg) are not in this
-container, so decoding is gated: the deterministic ``FAKE`` container
-format decodes fully, anything else raises NotImplementedError — the
+resize / frame-sample), plus WebDataset-style tar shard I/O
+(``webdataset.py``) — the loader hand-off format for multimodal
+training corpora. Decoding is pure stdlib for BMP / PNM / PNG / GIF /
+JPEG (baseline, progressive, 12-bit, lossless, arithmetic,
+hierarchical) / WAV and the deterministic ``FAKE`` container; the few
+remaining exotic forms gate on PIL with NotImplementedError — the
 Spark-side schema, partitioning, UDF signatures, and batch shapes are
-real and tested.
+real and tested either way.
 """
 
 from .binary import (  # noqa: F401
@@ -15,4 +18,8 @@ from .binary import (  # noqa: F401
     extract_patch_features,
     sample_frames,
     synthesize_media,
+)
+from .webdataset import (  # noqa: F401
+    read_webdataset,
+    write_webdataset_shards,
 )
