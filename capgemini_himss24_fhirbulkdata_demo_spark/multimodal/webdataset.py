@@ -158,8 +158,11 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
 
     Scale: ``binaryFile`` gives one row per shard (a shard is sized
     to fit worker memory by construction); unpacking is a narrow
-    mapInPandas — no shuffle at all, and payloads prune out of plans
-    that never select them.
+    mapInPandas — no shuffle at all. Column pruning drops payload
+    bytes from everything DOWNSTREAM of the unpack when a plan never
+    selects them (the unpack itself always reads the whole tar —
+    that is the format's sequential-access contract, the price of
+    index-free object-store streaming).
     """
     raw = spark.read.format("binaryFile").load(
         os.path.join(path, "*.tar")
