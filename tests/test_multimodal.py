@@ -424,3 +424,27 @@ def test_webdataset_roundtrip_and_determinism(spark, tmp_path):
         a = open(os.path.join(out1, s["file"]), "rb").read()
         b = open(os.path.join(out2, s["file"]), "rb").read()
         assert hashlib.md5(a).hexdigest() == hashlib.md5(b).hexdigest()
+
+
+def test_webdataset_empty_partitions_skip_files(spark, tmp_path):
+    """More shards than keys: range partitioning leaves empty
+    partitions, which must produce NO tar file and NO manifest entry
+    — the manifest total still matches."""
+    import os
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.multimodal.webdataset import (
+        read_webdataset,
+        write_webdataset_shards,
+    )
+
+    rows = [(f"{i:04d}", bytearray(b"payload-%d" % i)) for i in range(5)]
+    df = spark.createDataFrame(rows, "key STRING, payload BINARY")
+    out = str(tmp_path / "wds_sparse")
+    m = write_webdataset_shards(df, out, "key", 16)
+    assert m["n_samples"] == 5
+    assert m["n_shards"] <= 5
+    tars = [f for f in os.listdir(out) if f.endswith(".tar")]
+    assert len(tars) == m["n_shards"]
+    got = {r["key"]: bytes(r["payload"])
+           for r in read_webdataset(spark, out).collect()}
+    assert got == {k: bytes(p) for k, p in rows}
