@@ -448,3 +448,54 @@ def test_webdataset_empty_partitions_skip_files(spark, tmp_path):
     got = {r["key"]: bytes(r["payload"])
            for r in read_webdataset(spark, out).collect()}
     assert got == {k: bytes(p) for k, p in rows}
+
+
+def test_multimodal_pipeline_composition(spark, tmp_path):
+    """End-to-end multimodal prep: synthesize media → decode stats →
+    exact-dedup on payload digest → attach captions → export
+    WebDataset shards → read back. Pins that the pieces compose (the
+    realistic pipeline, not just each stage in isolation): dedup
+    removes the planted duplicates, stats ride the meta sidecar, and
+    every surviving payload round-trips byte-exactly."""
+    import json
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.multimodal.webdataset import (
+        read_webdataset,
+        write_webdataset_shards,
+    )
+
+    media = synthesize_media(spark, 12)
+    # plant duplicates: ids 100.. share payloads with ids 0..3
+    dupes = media.filter(F.col("media_id") < 4).withColumn(
+        "media_id", F.col("media_id") + 100
+    )
+    corpus = media.unionByName(dupes)
+    stats = decode_images(corpus).select("media_id", "mean_pixel")
+    keyed = (
+        corpus.join(stats, "media_id")
+        .withColumn("digest", F.md5(F.col("payload")))
+        .withColumn("caption", F.concat(F.lit("item "), F.col("media_id")))
+    )
+    # exact dedup, keep-min id per payload digest (x01's shape)
+    keep = keyed.groupBy("digest").agg(F.min("media_id").alias("media_id"))
+    deduped = keyed.join(keep, ["digest", "media_id"]).select(
+        F.format_string("%06d", F.col("media_id")).alias("key"),
+        "payload", "caption", "mean_pixel",
+    )
+    assert deduped.count() == 12  # the 4 planted duplicates are gone
+
+    out = str(tmp_path / "wds_pipe")
+    m = write_webdataset_shards(
+        deduped, out, "key", 3, text_cols=("caption",),
+        meta_cols=("mean_pixel",),
+    )
+    assert m["n_samples"] == 12
+
+    back = read_webdataset(spark, out)
+    rows = {r["key"]: r for r in back.collect()}
+    assert len(rows) == 12
+    src = {r["key"]: bytes(r["payload"]) for r in deduped.collect()}
+    for k, r in rows.items():
+        assert bytes(r["payload"]) == src[k]
+        assert r["texts"]["caption"].startswith("item ")
+        assert "mean_pixel" in json.loads(r["meta"])
