@@ -21,5 +21,6 @@ from .binary import (  # noqa: F401
 )
 from .webdataset import (  # noqa: F401
     read_webdataset,
+    read_webdataset_stream,
     write_webdataset_shards,
 )

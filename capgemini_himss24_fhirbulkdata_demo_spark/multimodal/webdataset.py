@@ -149,12 +149,68 @@ def write_webdataset_shards(
     return manifest
 
 
+_SAMPLE_SCHEMA = (
+    "key STRING, payload BINARY, texts MAP<STRING,STRING>, "
+    "meta STRING, shard STRING"
+)
+
+_BINARYFILE_SCHEMA = (
+    "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY"
+)
+
+
+def _unpack_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage shared by the batch and streaming readers:
+    (path, content) tar rows → one row per sample, grouping adjacent
+    members by basename (the WebDataset convention — grouping is
+    per-shard and stateless across shards, so shards parallelize
+    perfectly and micro-batching cannot split a sample)."""
+    for pdf in batches:
+        out = []
+        for shard_path, content in zip(pdf["path"], pdf["content"]):
+            shard = os.path.basename(shard_path)
+            tar = tarfile.open(fileobj=io.BytesIO(bytes(content)))
+            cur_key = None
+            cur: dict[str, bytes] = {}
+
+            def flush():
+                if cur_key is None:
+                    return
+                payload = cur.pop(_PAYLOAD_EXT, None)
+                meta = cur.pop("json", None)
+                texts = {
+                    ext[: -len(".txt")]: data.decode("utf-8")
+                    for ext, data in cur.items()
+                    if ext.endswith(".txt")
+                }
+                out.append(
+                    (
+                        cur_key,
+                        bytearray(payload) if payload is not None else None,
+                        texts,
+                        meta.decode("utf-8") if meta is not None else None,
+                        shard,
+                    )
+                )
+
+            for member in tar:
+                if not member.isfile():
+                    continue
+                key, _, ext = member.name.partition(".")
+                if key != cur_key:
+                    flush()
+                    cur_key, cur = key, {}
+                cur[ext] = tar.extractfile(member).read()
+            flush()
+        yield pd.DataFrame(
+            out, columns=["key", "payload", "texts", "meta", "shard"]
+        )
+
+
 def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
     """Read WebDataset tar shards back to one row per sample:
     ``(key, payload, texts map<ext,string>, meta json-string,
-    shard)``. Members sharing a basename group into one sample (the
-    WebDataset adjacency convention — grouping is per-shard and
-    stateless across shards, so shards parallelize perfectly).
+    shard)``.
 
     Scale: ``binaryFile`` gives one row per shard (a shard is sized
     to fit worker memory by construction); unpacking is a narrow
@@ -167,53 +223,23 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
     raw = spark.read.format("binaryFile").load(
         os.path.join(path, "*.tar")
     ).select("path", "content")
+    return raw.mapInPandas(_unpack_shards, _SAMPLE_SCHEMA)
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for shard_path, content in zip(pdf["path"], pdf["content"]):
-                shard = os.path.basename(shard_path)
-                tar = tarfile.open(fileobj=io.BytesIO(bytes(content)))
-                cur_key = None
-                cur: dict[str, bytes] = {}
 
-                def flush():
-                    if cur_key is None:
-                        return
-                    payload = cur.pop(_PAYLOAD_EXT, None)
-                    meta = cur.pop("json", None)
-                    texts = {
-                        ext[: -len(".txt")]: data.decode("utf-8")
-                        for ext, data in cur.items()
-                        if ext.endswith(".txt")
-                    }
-                    out.append(
-                        (
-                            cur_key,
-                            bytearray(payload) if payload is not None
-                            else None,
-                            texts,
-                            meta.decode("utf-8") if meta is not None
-                            else None,
-                            shard,
-                        )
-                    )
-
-                for member in tar:
-                    if not member.isfile():
-                        continue
-                    key, _, ext = member.name.partition(".")
-                    if key != cur_key:
-                        flush()
-                        cur_key, cur = key, {}
-                    cur[ext] = tar.extractfile(member).read()
-                flush()
-            yield pd.DataFrame(
-                out, columns=["key", "payload", "texts", "meta", "shard"]
-            )
-
-    schema = (
-        "key STRING, payload BINARY, texts MAP<STRING,STRING>, "
-        "meta STRING, shard STRING"
+def read_webdataset_stream(spark: SparkSession, path: str,
+                           max_files_per_trigger: int = 1) -> DataFrame:
+    """Streaming form of :func:`read_webdataset`: tar shards landing
+    in ``path`` become micro-batches of sample rows — the continuous
+    training-ingest shape (a crawler drops shards, the prep pipeline
+    consumes them incrementally; pair with ``foreachBatch`` or any
+    streaming sink). A shard is the atomic file-source unit, so a
+    sample can never straddle micro-batches; the unpack stage is
+    byte-identical to the batch reader's."""
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARYFILE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(os.path.join(path, "*.tar"))
+        .select("path", "content")
     )
-    return raw.mapInPandas(fn, schema)
+    return raw.mapInPandas(_unpack_shards, _SAMPLE_SCHEMA)

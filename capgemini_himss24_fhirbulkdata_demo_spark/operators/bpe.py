@@ -59,10 +59,21 @@ def word_counts(docs: DataFrame, text_col: str, top_k: int) -> list:
 
 
 def train_bpe(docs: DataFrame, text_col: str, n_merges: int,
-              top_k: int = 10000) -> list[tuple[str, str]]:
-    """Learn ``n_merges`` BPE merges from the corpus. Returns the
-    ordered merge list — rank i is the pair merged at step i, the
-    whole state of the tokenizer."""
+              top_k: int = 10000,
+              scorer: str = "bpe") -> list[tuple[str, str]]:
+    """Learn ``n_merges`` merges from the corpus. Returns the ordered
+    merge list — rank i is the pair merged at step i, the whole state
+    of the tokenizer. ``scorer='bpe'`` picks the most frequent pair
+    (Sennrich); ``scorer='wordpiece'`` picks the pair maximizing
+    count(ab)/(count(a)·count(b)) — the likelihood criterion BERT's
+    tokenizer trains with, which favors pairs that predict each other
+    over merely common ones. The wordpiece score is compared as an
+    exact rational (stdlib Fraction), never a float, so ties and
+    near-ties resolve identically on every host."""
+    if scorer not in ("bpe", "wordpiece"):
+        raise ValueError(f"unknown scorer {scorer!r}")
+    from fractions import Fraction
+
     dict_rows = word_counts(docs, text_col, top_k)
     # symbol sequences per dict word; merges rewrite these in place
     seqs = {w: tuple(w) + (_END,) for w, _ in dict_rows}
@@ -70,15 +81,25 @@ def train_bpe(docs: DataFrame, text_col: str, n_merges: int,
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         pair_counts: dict[tuple[str, str], int] = {}
+        sym_counts: dict[str, int] = {}
         for w, seq in seqs.items():
             c = counts[w]
             for i in range(len(seq) - 1):
                 p = (seq[i], seq[i + 1])
                 pair_counts[p] = pair_counts.get(p, 0) + c
+            for s in seq:
+                sym_counts[s] = sym_counts.get(s, 0) + c
         if not pair_counts:
             break
-        # max count, lexicographic tie-break → deterministic merges
-        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if scorer == "bpe":
+            # max count, lexicographic tie-break → deterministic
+            key = lambda kv: (-kv[1], kv[0])  # noqa: E731
+        else:
+            key = lambda kv: (  # noqa: E731
+                -Fraction(kv[1], sym_counts[kv[0][0]] * sym_counts[kv[0][1]]),
+                kv[0],
+            )
+        best = min(pair_counts.items(), key=key)[0]
         merges.append(best)
         merged = best[0] + best[1]
         for w, seq in seqs.items():

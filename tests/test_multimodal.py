@@ -499,3 +499,42 @@ def test_multimodal_pipeline_composition(spark, tmp_path):
         assert bytes(r["payload"]) == src[k]
         assert r["texts"]["caption"].startswith("item ")
         assert "mean_pixel" in json.loads(r["meta"])
+
+
+def test_webdataset_stream_equals_batch(spark, tmp_path):
+    """Streaming ingest of tar shards (binaryFile file source,
+    availableNow drain) yields exactly the batch reader's sample set
+    across multiple micro-batches — a shard is the atomic unit, so no
+    sample ever straddles a micro-batch."""
+    from capgemini_himss24_fhirbulkdata_demo_spark.multimodal.webdataset import (
+        read_webdataset,
+        read_webdataset_stream,
+        write_webdataset_shards,
+    )
+
+    rows = [(f"{i:05d}", bytearray(encode_fake(i, "image", 8, 8, 1)),
+             f"cap {i}") for i in range(24)]
+    df = spark.createDataFrame(
+        rows, "key STRING, payload BINARY, caption STRING")
+    out = str(tmp_path / "wds_stream")
+    m = write_webdataset_shards(df, out, "key", 4, text_cols=("caption",))
+    assert m["n_shards"] >= 2  # multiple micro-batches at 1 file/trigger
+
+    stream = read_webdataset_stream(spark, out)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("wds_sink")
+        .option("checkpointLocation", str(tmp_path / "wds_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    live = {
+        (r["key"], bytes(r["payload"]), r["texts"]["caption"])
+        for r in spark.sql("SELECT * FROM wds_sink").collect()
+    }
+    batch = {
+        (r["key"], bytes(r["payload"]), r["texts"]["caption"])
+        for r in read_webdataset(spark, out).collect()
+    }
+    assert live == batch and len(live) == 24

@@ -862,3 +862,30 @@ def test_bpe_encode_distributed_consistency(spark):
         toks = a[r["doc_id"]]
         rebuilt = "".join(toks).replace(_END, " ").split()
         assert rebuilt == str(r["text"]).split()
+
+
+def test_bpe_wordpiece_scorer(spark):
+    """The wordpiece scorer maximizes count(ab)/(count(a)·count(b))
+    with exact-rational comparison: on a corpus where a rare pair is
+    perfectly predictive ('q' only ever precedes 'z') it merges that
+    pair before the merely-frequent one, while plain BPE does the
+    opposite; both scorers retrain deterministically."""
+    from capgemini_himss24_fhirbulkdata_demo_spark.operators.bpe import (
+        train_bpe,
+    )
+
+    # 'ab' appears 20x but 'a'/'b' are everywhere (also alone);
+    # 'qz' appears 3x and q/z appear ONLY there
+    docs = spark.createDataFrame(
+        [(0, "ab " * 20), (1, "aa bb " * 10), (2, "qz " * 3)],
+        "doc_id LONG, text STRING",
+    )
+    bpe = train_bpe(docs, "text", n_merges=1, scorer="bpe")
+    wp = train_bpe(docs, "text", n_merges=1, scorer="wordpiece")
+    assert bpe != wp
+    assert wp[0] in (("q", "z"), ("z", "</w>"))  # the predictive pair
+    assert train_bpe(docs, "text", n_merges=1, scorer="wordpiece") == wp
+    import pytest
+
+    with pytest.raises(ValueError):
+        train_bpe(docs, "text", 1, scorer="unigram")
