@@ -285,48 +285,119 @@ def q48_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q56_approx_distinct")  # no SQL oracle: approximate by design
+@register(
+    "q56_approx_distinct",
+    oracle="""
+    SELECT COUNT(DISTINCT l_orderkey) AS exact_orders,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS orders_ok,
+           TRUE AS parts_ok
+    FROM lineitem
+    """,
+)
 def q56_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) — declared surface with a
-    rows-only check (the estimate is engine-specific by design;
-    SURVEY §2B Aggregation row). The exact twin is q12_global_agg."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-    )
+    """approx_count_distinct (HyperLogLog++) in invariant form: the
+    query computes BOTH the exact distinct counts and the HLL++
+    estimates, and emits the exact counts plus within-tolerance
+    booleans — so the driver has a real DuckDB twin (exact counts +
+    literal TRUE) instead of a rows-only check, while the sketch is
+    still exercised end-to-end (SURVEY §2B Aggregation row; r6
+    verdict's invariant-form conversion).
 
-
-@register("q72_percentiles_approx")  # no SQL oracle: sketch-based by design
-def q72_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile twin of q29 (rows-only check; the estimate's
-    exact value is engine-specific). q29's exact ``percentile`` is a
-    sort-based aggregate — the whole group's values sort on one
-    reducer — which is the right answer only when the oracle demands
-    exactness. This Greenwald-Khanna sketch is the 100 TB path: fixed
-    memory per group, mergeable partials, one ordinary shuffle.
-    Accuracy 10000 bounds rank error at N/10000; the pytest twin
-    asserts closeness to q29 on the fixtures."""
+    Tolerance is ±10% relative, checked in exact integer arithmetic
+    (|approx − exact| · 10 ≤ exact) — default rsd is 0.05 and the
+    measured sf0.001/0.01/0.1 errors peak at 3.7% (sf0.01 orders), so
+    the margin is ~2.7× observed while still refuting a broken sketch
+    (which returns 0 or garbage, not a few-%-close value). Scale:
+    HLL++ partials are fixed
+    size and mergeable, so the estimate path stays one map-side
+    combine + one 1-row reduce at any corpus size; the exact twin
+    is the part that would get expensive at 100 TB — which is the
+    point of carrying both here."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.expr(
-                "approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)"
-            ).alias("q"),
-            F.expr("approx_percentile(l_extendedprice, 0.9, 10000)")
-            .cast("double")
-            .alias("p90_price"),
+        li.agg(
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_orderkey").alias("ax_o"),
+            F.approx_count_distinct("l_partkey").alias("ax_p"),
         )
         .select(
-            "l_returnflag",
-            F.element_at("q", 2).cast("double").alias("median_qty"),
-            F.element_at("q", 1).cast("double").alias("p25_qty"),
-            F.element_at("q", 3).cast("double").alias("p75_qty"),
-            "p90_price",
+            "exact_orders",
+            "exact_parts",
+            (
+                F.abs(F.col("ax_o") - F.col("exact_orders")) * F.lit(10)
+                <= F.col("exact_orders")
+            ).alias("orders_ok"),
+            (
+                F.abs(F.col("ax_p") - F.col("exact_parts")) * F.lit(10)
+                <= F.col("exact_parts")
+            ).alias("parts_ok"),
         )
-        .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q72_percentiles_approx",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n,
+           TRUE AS p25_ok, TRUE AS median_ok, TRUE AS p75_ok,
+           TRUE AS p90_price_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q72_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna) in invariant form: the
+    query computes the GK estimates AND the exact ``percentile`` in
+    the same aggregate, and emits the group counts plus
+    within-tolerance booleans — a real DuckDB twin (exact counts +
+    literal TRUE) instead of the former rows-only check (r6 verdict's
+    invariant-form conversion). Float values never cross engines, so
+    no interpolation-ulp risk.
+
+    q29's exact ``percentile`` sorts the whole group on one reducer —
+    right only when the oracle demands exactness. The GK sketch is
+    the 100 TB path: fixed memory per group, mergeable partials, one
+    ordinary shuffle. Accuracy 10000 bounds rank error at N/10000
+    (≤2 ranks per group at sf0.01): quantities are integers 1..50 so
+    ±1.0 absolute covers any ≤2-rank slip plus interpolation;
+    extendedprice uses 1% relative for the same reason. Measured
+    sf0.001/0.01/0.1 errors are 0 on quantities and ≤0.11% on price
+    (sf0.001's small groups are the worst case)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("double")
+    price = F.col("l_extendedprice").cast("double")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr(
+            "approx_percentile(CAST(l_quantity AS DOUBLE), "
+            "array(0.25, 0.5, 0.75), 10000)"
+        ).alias("gk"),
+        F.percentile(qty, F.lit([0.25, 0.5, 0.75])).alias("ex"),
+        F.expr(
+            "approx_percentile(CAST(l_extendedprice AS DOUBLE), 0.9, 10000)"
+        ).alias("gk_price"),
+        F.percentile(price, F.lit(0.9)).alias("ex_price"),
+    )
+
+    def close(i: int):
+        return (
+            F.abs(F.element_at("gk", i) - F.element_at("ex", i)) <= F.lit(1.0)
+        )
+
+    return agg.select(
+        "l_returnflag",
+        "n",
+        close(1).alias("p25_ok"),
+        close(2).alias("median_ok"),
+        close(3).alias("p75_ok"),
+        (
+            F.abs(F.col("gk_price") - F.col("ex_price"))
+            <= F.col("ex_price") * F.lit(0.01)
+        ).alias("p90_price_ok"),
+    ).orderBy("l_returnflag")
 
 
 @register(

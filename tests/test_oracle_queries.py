@@ -44,18 +44,29 @@ def test_query_matches_oracle(name, spark):
 
 
 def test_approx_percentiles_track_exact(spark):
-    """q72 (GK sketch, the 100 TB path) stays within sketch tolerance
-    of q29 (exact sort-based percentile, the oracle path)."""
-    exact = {r.l_returnflag: r for r in q.QUERIES["q29_percentiles"](spark, SF_DIR).collect()}
-    approx = {r.l_returnflag: r for r in q.QUERIES["q72_percentiles_approx"](spark, SF_DIR).collect()}
-    assert set(exact) == set(approx)
-    for flag, e in exact.items():
-        a = approx[flag]
-        for col in ("median_qty", "p25_qty", "p75_qty", "p90_price"):
-            ev, av = float(e[col]), float(a[col])
-            # accuracy=10000 on <=60k-row fixtures: rank error <= N/10000
-            # translates to a tight value band on these distributions
-            assert abs(av - ev) <= max(0.05 * abs(ev), 1.0), (flag, col, ev, av)
+    """q72 (GK sketch, the 100 TB path) computes its own exact twin
+    in-query since the r7 invariant-form conversion: every closeness
+    boolean must be TRUE, and the group counts must equal an
+    independently computed exact count per return flag."""
+    rows = {
+        r.l_returnflag: r
+        for r in q.QUERIES["q72_percentiles_approx"](spark, SF_DIR).collect()
+    }
+    from capgemini_himss24_fhirbulkdata_demo_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    exact_n = {
+        r.l_returnflag: r.n
+        for r in load_table(spark, SF_DIR, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(rows) == set(exact_n) and len(rows) > 0
+    for flag, r in rows.items():
+        assert r.n == exact_n[flag], (flag, r.n, exact_n[flag])
+        for col in ("p25_ok", "median_ok", "p75_ok", "p90_price_ok"):
+            assert r[col] is True, (flag, col)
 
 
 def test_driver_contract_shape(spark):
