@@ -111,6 +111,7 @@ def bench_fhir_pipeline(spark, n_records: int = 100_000) -> dict:
         RXNAV_BENCH,
         make_eob,
         write_eob_ndjson,
+        write_eob_ndjson_dir,
     )
     from capgemini_himss24_fhirbulkdata_demo_spark.transforms.schemas import (
         RESOURCE_SCHEMAS,
@@ -118,7 +119,12 @@ def bench_fhir_pipeline(spark, n_records: int = 100_000) -> dict:
     )
 
     tmp = tempfile.mkdtemp(prefix="fhirbench_")
-    src = write_eob_ndjson(os.path.join(tmp, "eobs.ndjson"), n_records)
+    # Landing-DIR corpus (64 NDJSON files): a real bulk export is many
+    # files (the reference iterates a manifest of them), and it's what
+    # lets the DEFAULT 128 MB split conf parallelize the scan — the r6
+    # single ~100 MB file ran a handful of parse tasks on 32 cores
+    # under default confs (r6 verdict What's-wrong #2 structural fix).
+    src = write_eob_ndjson_dir(os.path.join(tmp, "eobs_landing"), n_records)
     rx = spark.createDataFrame(
         [(k, v["name"], v["rxnorm"]) for k, v in sorted(RXNAV_BENCH.items())],
         RXNAV_LOOKUP_SCHEMA,
@@ -133,46 +139,49 @@ def bench_fhir_pipeline(spark, n_records: int = 100_000) -> dict:
     write_ndjson(fn(warm, rx), os.path.join(tmp, "warm_out"))
 
     # The sweep harness shrinks maxPartitionBytes/openCost for the
-    # small sf0.1 parquet files; those values over-split the ~100 MB
-    # NDJSON input here into ~50 parse tasks (measured: 3.5 s vs
-    # 2.2 s best-of-3 on the same box). Scan-split tuning is
-    # per-workload harness config, so restore defaults for this
-    # section; runtime-settable, so no new session needed.
+    # small sf0.1 parquet files; this section states DEFAULT scan
+    # confs (the honest v4 methodology) — with the 64-file landing
+    # dir the defaults parallelize naturally (file boundaries are
+    # split boundaries). try/finally so an exception can't leak the
+    # overridden confs into the streaming/shards sections (ADVICE r6).
     prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
     prev_oc = spark.conf.get("spark.sql.files.openCostInBytes")
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     spark.conf.set("spark.sql.files.openCostInBytes", str(4 * 1024 * 1024))
+    try:
+        # best-of-3 like the query sweep's best-of-2: the throughput
+        # bench runs after ~70 query executions, so heap pressure from
+        # the sweep can tax any single run; ask the JVM to collect
+        # first and take the min as the steady-state number
+        spark.sparkContext._jvm.System.gc()
+        spark_sec = float("inf")
+        first_run_sec = None
+        for trial in range(3):
+            t0 = time.perf_counter()
+            df = read_ndjson(spark, src, RESOURCE_SCHEMAS["ExplanationOfBenefit"])
+            write_ndjson(fn(df, rx), os.path.join(tmp, f"out{trial}"))
+            elapsed = time.perf_counter() - t0
+            if first_run_sec is None:
+                first_run_sec = elapsed  # old (r2) single-run basis
+            spark_sec = min(spark_sec, elapsed)
 
-    # best-of-3 like the query sweep's best-of-2: the throughput bench
-    # runs after ~70 query executions, so heap pressure from the sweep
-    # can tax any single run; ask the JVM to collect first and take
-    # the min as the steady-state number
-    spark.sparkContext._jvm.System.gc()
-    spark_sec = float("inf")
-    first_run_sec = None
-    for trial in range(3):
+        # single-threaded reference-equivalent loop
+        # (tests/fhir_oracle.py semantics) on a 1/10 sample,
+        # extrapolated — running 100k records row-at-a-time takes
+        # minutes, which is itself the finding
+        sys.path.insert(0, os.path.join(REPO_ROOT, "tests"))
+        import fhir_oracle
+
+        sample = max(n_records // 10, 1)
+        docs = [make_eob(i) for i in range(sample)]
         t0 = time.perf_counter()
-        df = read_ndjson(spark, src, RESOURCE_SCHEMAS["ExplanationOfBenefit"])
-        write_ndjson(fn(df, rx), os.path.join(tmp, f"out{trial}"))
-        elapsed = time.perf_counter() - t0
-        if first_run_sec is None:
-            first_run_sec = elapsed  # old (r2) single-run basis
-        spark_sec = min(spark_sec, elapsed)
-
-    # single-threaded reference-equivalent loop (tests/fhir_oracle.py
-    # semantics) on a 1/10 sample, extrapolated — running 100k records
-    # row-at-a-time takes minutes, which is itself the finding
-    sys.path.insert(0, os.path.join(REPO_ROOT, "tests"))
-    import fhir_oracle
-
-    sample = max(n_records // 10, 1)
-    docs = [make_eob(i) for i in range(sample)]
-    t0 = time.perf_counter()
-    fhir_oracle.process("https://bcda.example", "ExplanationOfBenefit", docs, RXNAV_BENCH)
-    python_sec = (time.perf_counter() - t0) * (n_records / sample)
-
-    spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
-    spark.conf.set("spark.sql.files.openCostInBytes", prev_oc)
+        fhir_oracle.process(
+            "https://bcda.example", "ExplanationOfBenefit", docs, RXNAV_BENCH
+        )
+        python_sec = (time.perf_counter() - t0) * (n_records / sample)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", prev_oc)
 
     return {
         "fhir_eob_records": n_records,
@@ -319,12 +328,15 @@ def bench_training_shards(spark) -> dict:
 # streaming default-conf drain run BEFORE the tuned one), and the
 # training-shards section.
 METHODOLOGY = {
-    "version": 4,
+    "version": 5,
     "query_sweep": "sf0.001 warmup per plan, System.gc(), untimed "
                    "target-sf primer of the first query, best-of-2 at target sf",
     "fhir": "warmup + System.gc(), best-of-3; single-run basis also "
-            "reported; default scan-split confs (the sweep's tiny-split "
-            "tuning over-split the NDJSON input, v3 numbers ~60% low)",
+            "reported; default scan-split confs (restored via "
+            "try/finally); v5: input is a 64-file NDJSON landing dir "
+            "(the reference iterates a manifest of files) so the "
+            "default 128 MB split conf parallelizes naturally — v4's "
+            "single ~100 MB file under-parallelized on 32 cores",
     "streaming": "default-conf drain first (old basis), then gc + "
                  "state-partitions=8, noDataMicroBatches off",
     "shards": "best-of-2 write_training_shards, 8 shards on doc_id",

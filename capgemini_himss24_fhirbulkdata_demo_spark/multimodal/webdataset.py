@@ -94,18 +94,37 @@ def write_webdataset_shards(
             tar.addfile(info, io.BytesIO(data))
 
         for pdf in batches:
-            for _, row in pdf.iterrows():
-                key = str(row[key_col])
-                kmin = key if kmin is None else min(kmin, key)
-                kmax = key if kmax is None else max(kmax, key)
-                add(f"{key}.{_PAYLOAD_EXT}", bytes(row[payload_col]))
-                for c in text_cols:
-                    add(f"{key}.{c}.txt", str(row[c]).encode("utf-8"))
+            if not len(pdf):
+                continue
+            # Column-zip, not iterrows(): per-row Series construction
+            # is the slowest iteration idiom pandas has, and this loop
+            # runs once per sample in the shard hot path.
+            keys = [str(k) for k in pdf[key_col]]
+            for key in keys:
+                # The reader groups members by splitting names at the
+                # FIRST dot, so a '.' (or path separator) inside a key
+                # would silently regroup as a different sample on
+                # read-back — fail loudly at write time instead.
+                if "." in key or "/" in key:
+                    raise ValueError(
+                        f"webdataset sample key {key!r} contains '.' or "
+                        "'/': member names are '<key>.<ext>', so such "
+                        "keys mis-group on read; sanitize the key "
+                        "column first"
+                    )
+            kmin = min([kmin, *keys]) if kmin is not None else min(keys)
+            kmax = max([kmax, *keys]) if kmax is not None else max(keys)
+            texts = [list(pdf[c]) for c in text_cols]
+            metas = [list(pdf[c]) for c in meta_cols]
+            for i, (key, payload) in enumerate(zip(keys, pdf[payload_col])):
+                add(f"{key}.{_PAYLOAD_EXT}", bytes(payload))
+                for c, vals in zip(text_cols, texts):
+                    add(f"{key}.{c}.txt", str(vals[i]).encode("utf-8"))
                 if meta_cols:
                     add(
                         f"{key}.json",
                         json.dumps(
-                            {c: row[c] for c in meta_cols},
+                            {c: vals[i] for c, vals in zip(meta_cols, metas)},
                             sort_keys=True,
                             default=str,
                         ).encode("utf-8"),

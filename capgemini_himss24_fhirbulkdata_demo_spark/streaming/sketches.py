@@ -227,7 +227,12 @@ class StreamingHistogram:
         the binary value, which can differ at an exact .xxxxxx5."""
         from decimal import ROUND_HALF_UP, Decimal
 
-        r = (q * self.n + 99) // 100
+        if not 0 <= q <= 100:
+            raise ValueError(f"quantile q must be in 0..100, got {q}")
+        # q=0 would give rank 0, which no cumulative count ever
+        # reaches (the loop condition is cum < r) — clamp to rank 1,
+        # i.e. the minimum, matching percentile_cont's q=0 semantics.
+        r = max(1, (q * self.n + 99) // 100)
         cum = 0
         for b in sorted(self.buckets):
             cnt = self.buckets[b]

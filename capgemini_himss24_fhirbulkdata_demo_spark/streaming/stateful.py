@@ -42,14 +42,17 @@ def _flag_rapid_fire(min_gap_s: float, idle_timeout_ms: int):
         # null event times (NaT) carry INT64_MIN in .value — they would
         # poison last_ts_us and every subsequent gap; drop them
         batch = batch[batch["ts"].notna()].sort_values(["ts", "event_id"])
-        for _, row in batch.iterrows():
-            ts_us = int(row["ts"].value // 1000)  # pandas ns -> us
+        # column-zip, not iterrows(): per-row Series construction is
+        # the slowest pandas iteration idiom, and this is the per-group
+        # hot loop
+        for ts, eid in zip(batch["ts"], batch["event_id"]):
+            ts_us = int(ts.value // 1000)  # pandas ns -> us
             n += 1
             gap = (ts_us - last_us) / 1e6 if last_us is not None else None
             out.append(
                 (
                     key[0],
-                    int(row["event_id"]),
+                    int(eid),
                     n,
                     gap,
                     gap is not None and gap < min_gap_s,
@@ -113,9 +116,8 @@ def _advance_funnel(steps, idle_timeout_ms: int):
         slots = list(state.get) if state.exists else [None] * len(steps)
         batch = pd.concat(list(pdfs))
         batch = batch[batch["ts"].notna()].sort_values(["ts", "event_id"])
-        for _, row in batch.iterrows():
-            ts_us = int(row["ts"].value // 1000)
-            et = row["event_type"]
+        for ts, et in zip(batch["ts"], batch["event_type"]):
+            ts_us = int(ts.value // 1000)
             for k, step in enumerate(steps):
                 if (
                     et == step
@@ -215,14 +217,14 @@ class RapidFireProcessor(StatefulProcessor):
         batch = pd.concat(list(rows))
         batch = batch[batch["ts"].notna()].sort_values(["ts", "event_id"])
         out = []
-        for _, row in batch.iterrows():
-            ts_us = int(row["ts"].value // 1000)
+        for ts, eid in zip(batch["ts"], batch["event_id"]):
+            ts_us = int(ts.value // 1000)
             n += 1
             gap = (ts_us - last_us) / 1e6 if last_us is not None else None
             out.append(
                 (
                     key[0],
-                    int(row["event_id"]),
+                    int(eid),
                     n,
                     gap,
                     gap is not None and gap < self._min_gap_s,

@@ -10,6 +10,7 @@ the anti-join removal all exercise.
 from __future__ import annotations
 
 import json
+import os
 
 from . import constants as C
 
@@ -67,4 +68,28 @@ def write_eob_ndjson(path: str, n: int) -> str:
         for i in range(n):
             f.write(json.dumps(make_eob(i)))
             f.write("\n")
+    return path
+
+
+def write_eob_ndjson_dir(path: str, n: int, n_files: int = 64) -> str:
+    """Write ``n`` synthetic EOBs as a LANDING DIRECTORY of
+    ``n_files`` NDJSON files (contiguous record blocks per file).
+
+    A real bulk-export landing dir is many files — the reference
+    iterates a manifest of output-file URLs (``__init__.py:643-665``)
+    — and a multi-file corpus is what lets Spark's default 128 MB
+    split config parallelize the scan naturally. The single-file
+    writer above under-parallelized the r6 bench under default confs
+    (one ~100 MB file → a handful of splits on 32 cores; r6 verdict
+    What's-wrong #2)."""
+    os.makedirs(path, exist_ok=True)
+    per = (n + n_files - 1) // n_files
+    for j in range(n_files):
+        lo, hi = j * per, min((j + 1) * per, n)
+        if lo >= hi:
+            break
+        with open(os.path.join(path, f"eobs-{j:05d}.ndjson"), "w") as f:
+            for i in range(lo, hi):
+                f.write(json.dumps(make_eob(i)))
+                f.write("\n")
     return path

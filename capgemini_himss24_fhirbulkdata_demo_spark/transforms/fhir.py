@@ -222,18 +222,34 @@ def bcda_explanation_of_benefit(df: DataFrame, rxnav: DataFrame) -> DataFrame:
     # broadcast scales with the input and OOMs the driver at 100x.
     # Instead, reduce the join side to the only ids where filter(keep)
     # and the id-exclusion disagree: ids carrying BOTH a passing and a
-    # failing row. Both semi-join inputs are id-only projections, so
-    # the shuffle carries one thin column instead of the wide corpus;
-    # the conflicted set is bounded by the duplicate-id population,
-    # which AQE broadcasts unhinted for the final anti-join (measured
-    # on the 100k-record bench: 1.68 s vs 1.94 s for a (id, keep)
-    # groupBy formulation — unique ids give partial agg nothing to
-    # combine — vs 1.32 s for the unsafe forced broadcast).
-    kept = df.filter(keep)
-    conflicted_ids = kept.select("id").join(
-        df.filter(~keep).select("id"), "id", "left_semi"
+    # failing row. The conflicted set is bounded by the duplicate-id
+    # population, which AQE broadcasts unhinted for the final
+    # anti-join.
+    #
+    # Formulation history (100k-record bench, noop sink): r5 chose a
+    # kept-ids ⋉ failed-ids semi join (1.68 s) over an (id, keep)
+    # groupBy (1.94 s) and the unsafe forced broadcast (1.32 s). r7
+    # re-measured once it was clear SOURCE PARSES dominate this
+    # pipeline: each semi-join side re-parsed the JSON source (the
+    # keep predicate touches item/type/patient — most of the
+    # document), so r5's winner paid THREE parses per run. The
+    # groupBy over one skinny (id, keep) projection pays two — one
+    # for the flags, one for the survivor branch, which must re-read
+    # the full documents anyway because duplicate ids mean rows have
+    # no unique join key — and now wins: 1.68 s vs 1.97 s (the same
+    # ordering flip the partial-agg argument missed; an eager
+    # localCheckpoint of the flags was also tried and LOST, 2.48 s,
+    # because it serializes the two scans the one-job plan overlaps).
+    # At cluster scale the same math holds: one (id,bool) shuffle
+    # replaces two id-only shuffles plus a full extra source scan.
+    flags = df.select("id", keep.alias("_keep"))
+    conflicted_ids = (
+        flags.groupBy("id")
+        .agg(F.min("_keep").alias("_all"), F.max("_keep").alias("_any"))
+        .filter(F.col("_any") & ~F.col("_all"))
+        .select("id")
     )
-    survivors = kept.join(conflicted_ids, "id", "left_anti")
+    survivors = df.filter(keep).join(conflicted_ids, "id", "left_anti")
 
     # Mutations (survivors always pass every gate, so unconditional).
     # T11: positional supportingInfo writes (``__init__.py:489-493``).

@@ -538,3 +538,19 @@ def test_webdataset_stream_equals_batch(spark, tmp_path):
         for r in read_webdataset(spark, out).collect()
     }
     assert live == batch and len(live) == 24
+
+
+def test_webdataset_rejects_dotted_keys(spark, tmp_path):
+    """Keys containing '.' or '/' must fail AT WRITE TIME: the reader
+    splits member names at the first dot, so '1.5' would silently
+    regroup as sample '1' with ext '5.bin' on read-back."""
+    from capgemini_himss24_fhirbulkdata_demo_spark.multimodal.webdataset import (
+        write_webdataset_shards,
+    )
+
+    for bad_key in ("1.5", "a/b"):
+        df = spark.createDataFrame(
+            [(bad_key, bytearray(b"x"))], "key STRING, payload BINARY"
+        )
+        with pytest.raises(Exception, match="mis-group|contains"):
+            write_webdataset_shards(df, str(tmp_path / "wds_bad"), "key", 1)

@@ -917,3 +917,19 @@ def test_streaming_cms_equals_batch(spark, tmp_path):
     )
     half_a.merge_sketch(half_b)
     assert half_a.counters == batch.counters
+
+
+def test_streaming_histogram_quantile_bounds():
+    """q=0 clamps to rank 1 (the minimum, percentile_cont's q=0
+    semantics) instead of raising; out-of-range q raises clearly."""
+    from capgemini_himss24_fhirbulkdata_demo_spark.streaming.sketches import (
+        StreamingHistogram,
+    )
+
+    h = StreamingHistogram(width=10)
+    h.merge_rows([{"bucket": 2, "cnt": 3}, {"bucket": 5, "cnt": 1}])
+    assert h.quantile(0) == h.quantile(1)  # both rank 1 on n=4
+    assert h.quantile(100) > h.quantile(0)
+    for bad in (-1, 101):
+        with pytest.raises(ValueError, match="0..100"):
+            h.quantile(bad)
