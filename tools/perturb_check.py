@@ -27,6 +27,14 @@ A query whose own output changes under perturbation matched its
 oracle by accident and WILL flake on the driver eventually. Usage:
 
     python tools/perturb_check.py [sf_dir] [name_prefix...]
+    python tools/perturb_check.py --fhir     # §2A golden pipeline
+
+``--fhir`` runs the §2A golden FHIR corpus (every transform case from
+tests/test_fhir_golden.py, plus a duplicate-id EOB corpus — the
+conflicted-ids anti-join and positional-array writes are the §2A ops
+most exposed to partitioning) under shuffle-partitions × input-layout
+perturbations and asserts the canonical output is identical across
+all runs and equal to the pure-Python oracle.
 """
 
 from __future__ import annotations
@@ -61,7 +69,114 @@ def canonical(cols, rows):
     return _rows_to_canonical(list(cols), rows)
 
 
+def fhir_perturb() -> None:
+    """§2A golden-pipeline perturbation: each transform case runs at
+    shuffle.partitions {32, 5} × input repartition {1, 7} through the
+    real NDJSON read → transform → collect path; all four canonical
+    outputs must be identical and equal to the pure-Python oracle."""
+    import json as _json
+    import tempfile
+
+    from pyspark.sql import SparkSession
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.sources import read_ndjson
+    from capgemini_himss24_fhirbulkdata_demo_spark.transforms import get_transform
+    from capgemini_himss24_fhirbulkdata_demo_spark.transforms.schemas import (
+        RESOURCE_SCHEMAS,
+    )
+    from tests import fhir_oracle
+    from tests.test_fhir_golden import CASES, RXNAV, _eob, _NDC, _rxnav_df
+
+    # duplicate-id corpus: id 'dup-1' carries a passing AND a failing
+    # row (must be fully removed), 'dup-2' two passing rows (both
+    # kept) — the exact shapes the conflicted-ids formulation joins on
+    eobs_dup = list(CASES["bcda-ExplanationOfBenefit"][2]) + [
+        _eob("dup-1", codings=[{"system": _NDC, "code": "11111", "display": "A"}]),
+        _eob("dup-1", patient="Patient/nope"),
+        _eob("dup-2", codings=[{"system": _NDC, "code": "11111", "display": "A"}]),
+        _eob("dup-2", codings=[{"system": _NDC, "code": "22222"}]),
+    ]
+    cases = dict(CASES)
+    cases["bcda-EOB-duplicate-ids"] = (
+        "https://bcda.cms.example/api",
+        "ExplanationOfBenefit",
+        eobs_dup,
+    )
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    rx = _rxnav_df(spark)
+    tmp = tempfile.mkdtemp(prefix="fhirperturb_")
+    flagged: list[str] = []
+    for case, (server_url, resource, resources) in sorted(cases.items()):
+        in_path = os.path.join(tmp, f"{resource}-{case}.json")
+        with open(in_path, "w") as f:
+            f.write("\n".join(_json.dumps(r) for r in resources))
+        fn = get_transform(server_url, resource)
+        expected = fhir_oracle.process(server_url, resource, resources, RXNAV)
+
+        def canon_docs(docs):
+            # multiset of key-sorted JSON (duplicate ids make a dict
+            # keyed by id lossy); ints normalize to floats so the JSON
+            # integer 10 equals the struct-schema double 10.0, the
+            # same equivalence the golden test gets from Python dict
+            # equality
+            def norm(v):
+                if isinstance(v, bool):
+                    return v
+                if isinstance(v, int):
+                    return float(v)
+                if isinstance(v, list):
+                    return [norm(x) for x in v]
+                if isinstance(v, dict):
+                    return {k: norm(x) for k, x in v.items()}
+                return v
+
+            return sorted(_json.dumps(norm(d), sort_keys=True) for d in docs)
+
+        exp_c = canon_docs(expected)
+        results = {}
+        for parts in (32, 5):
+            for in_parts in (1, 7):
+                spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+                df = read_ndjson(spark, in_path, RESOURCE_SCHEMAS[resource])
+                if in_parts > 1:
+                    df = df.repartition(in_parts)
+                out = fn(df, rx)
+                results[(parts, in_parts)] = canon_docs(
+                    [_json.loads(r) for r in out.toJSON().collect()]
+                )
+        base = results[(32, 1)]
+        ok = all(v == base for v in results.values()) and base == exp_c
+        status = "ok" if ok else "UNSTABLE"
+        if not ok:
+            flagged.append(case)
+        print(f"[perturb-fhir] {status} {case}", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "mode": "fhir_golden",
+                "perturbations": "shuffle.partitions {32,5} x repartition {1,7}",
+                "n_cases": len(cases),
+                "unstable": flagged,
+            }
+        )
+    )
+    spark.stop()
+
+
 def main() -> None:
+    if "--fhir" in sys.argv[1:]:
+        fhir_perturb()
+        return
     argv = [a for a in sys.argv[1:] if a != "--duck-only"]
     duck_only = "--duck-only" in sys.argv[1:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
