@@ -121,16 +121,23 @@ def test_rotation_aliases_self_maintaining(tmp_path, monkeypatch):
 
     from capgemini_himss24_fhirbulkdata_demo_spark.queries import QUERIES
 
+    from capgemini_himss24_fhirbulkdata_demo_spark.queries import ORACLE_SQL
+
     batch = entry._rotation_aliases()
     green = entry._green_names()
-    unchecked = [n for n in sorted(QUERIES) if n not in green]
+    # r7: only ORACLE_SQL members queue — an oracle-less name can only
+    # ever come back err:no_oracle and would pin a dead slot forever
+    unchecked = [
+        n for n in sorted(QUERIES) if n not in green and n in ORACLE_SQL
+    ]
     if unchecked:
         assert 0 < len(batch) <= entry._ROTATION_BATCH
         # batch == head of the q*-first NUMERIC priority queue over
         # *currently* unchecked names (stays true as CORRECTNESS files
         # accumulate: once the q* pool drains below the batch size,
         # x* names back-fill in numeric order — x47 before x125).
-        priority = sorted(unchecked, key=entry._drain_key)
+        failed = entry._failed_names()
+        priority = sorted(unchecked, key=lambda n: entry._drain_key(n, failed))
         assert batch == sorted(priority[: entry._ROTATION_BATCH])
     else:
         assert batch == []
@@ -175,18 +182,26 @@ def test_rotation_aliases_self_maintaining(tmp_path, monkeypatch):
     for label, synthetic_green in regimes.items():
         monkeypatch.setattr(entry, "_green_names", lambda g=synthetic_green: g)
         b = entry._rotation_aliases()
-        pool = [n for n in all_names if n not in synthetic_green]
-        pool.sort(key=entry._drain_key)
+        # mirror the rotation's own failed-set derivation, which also
+        # sees the monkeypatched green set (failed = attempted − green)
+        failed = entry._failed_names()
+        pool = [
+            n
+            for n in all_names
+            if n not in synthetic_green and n in ORACLE_SQL
+        ]
+        pool.sort(key=lambda n: entry._drain_key(n, failed))
         assert b == sorted(pool[: entry._ROTATION_BATCH]), label
     monkeypatch.undo()
 
     # the key itself: q* tier before x*, numeric within a tier — so a
     # late-registered x1xx can never displace an older x47, and no x*
     # runs before the §2B q* contract rows
-    assert entry._drain_key("q53_a") < entry._drain_key("q110_b")
-    assert entry._drain_key("q110_b") < entry._drain_key("x1_c")
-    assert entry._drain_key("x47_d") < entry._drain_key("x125_e")
-    assert entry._drain_key("x99_f") < entry._drain_key("x100_g")
+    none = frozenset()
+    assert entry._drain_key("q53_a", none) < entry._drain_key("q110_b", none)
+    assert entry._drain_key("q110_b", none) < entry._drain_key("x1_c", none)
+    assert entry._drain_key("x47_d", none) < entry._drain_key("x125_e", none)
+    assert entry._drain_key("x99_f", none) < entry._drain_key("x100_g", none)
 
 
 def test_coverage_ledger_matches_rotation_scan(tmp_path):
@@ -237,10 +252,14 @@ def test_rotation_advances_across_simulated_rounds(tmp_path, monkeypatch):
     nxt = entry._rotation_aliases()
     assert not set(nxt) & set(batch_now)  # green names dropped out
     # remaining q* still queue before x*; once q* are exhausted the
-    # batch fills with x* names in numeric order
+    # batch fills with x* names in numeric order (oracle-less names
+    # never queue — they could only come back err:no_oracle)
+    from capgemini_himss24_fhirbulkdata_demo_spark.queries import ORACLE_SQL
+
+    failed = entry._failed_names()
     pending = [n for n in sorted(QUERIES)
-               if n not in green_now | set(batch_now)]
-    pending.sort(key=entry._drain_key)
+               if n not in green_now | set(batch_now) and n in ORACLE_SQL]
+    pending.sort(key=lambda n: entry._drain_key(n, failed))
     assert nxt == sorted(pending[: entry._ROTATION_BATCH])
     # canary offset moved with the extra round file
     assert entry._green_names() > green_now
@@ -270,7 +289,13 @@ def test_driver_failed_names_jump_the_queue(tmp_path, monkeypatch):
     # synthesize a round where a high-numbered PENDING x* name FAILED
     # (hash mismatch): numerically it would sort after hundreds of
     # names, so only the failed tier can pull it into the next batch
-    pending = sorted(set(QUERIES) - entry._green_names(), key=entry._drain_key)
+    from capgemini_himss24_fhirbulkdata_demo_spark.queries import ORACLE_SQL
+
+    no_fail = frozenset()
+    pending = sorted(
+        (set(QUERIES) - entry._green_names()) & set(ORACLE_SQL),
+        key=lambda n: entry._drain_key(n, no_fail),
+    )
     some_x = [n for n in pending if n.startswith("x3")][-1]
     red = {"rows_match": True, "schema_match": True, "hash_match": False,
            "spark_rows": 1, "oracle_rows": 1, "err": None}
@@ -283,7 +308,10 @@ def test_driver_failed_names_jump_the_queue(tmp_path, monkeypatch):
     batch = entry._rotation_aliases()
     assert some_x in batch
     # the failed tier outranks both fresh tiers in the key itself
-    assert entry._drain_key(some_x) < entry._drain_key("q53_anything")
+    failed_set = entry._failed_names()
+    assert entry._drain_key(some_x, failed_set) < entry._drain_key(
+        "q53_anything", failed_set
+    )
     # and a green row in a later round clears the flag
     green = dict(red, hash_match=True)
     (tmp_path / "CORRECTNESS_r99.json").write_text(
