@@ -212,3 +212,34 @@ def test_compact_landing_dir(spark, tmp_path):
     assert back == sorted(lines)  # byte-exact, address field intact
     myst = [r.value for r in spark.read.text(str(out / "Mystery")).collect()]
     assert myst == ['{"resourceType": "Mystery", "x": 1']
+
+
+def test_eob_bench_landing_dir_matches_single_file(tmp_path):
+    """The 64-file bench landing dir carries exactly the records the
+    single-file writer produces — same count, same content, contiguous
+    blocks per file — so the v5 bench input change alters file layout
+    only, never the measured workload."""
+    import json
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.transforms.benchdata import (
+        write_eob_ndjson,
+        write_eob_ndjson_dir,
+    )
+
+    n = 1_000
+    single = write_eob_ndjson(str(tmp_path / "one.ndjson"), n)
+    land = write_eob_ndjson_dir(str(tmp_path / "landing"), n, n_files=7)
+    files = sorted(
+        f for f in os.listdir(land) if f.endswith(".ndjson")
+    )
+    assert len(files) == 7
+    multi_lines = []
+    for f in files:
+        with open(os.path.join(land, f)) as fh:
+            multi_lines.extend(fh.read().splitlines())
+    single_lines = open(single).read().splitlines()
+    # contiguous blocks in file order == the single-file order exactly
+    assert multi_lines == single_lines
+    assert len(multi_lines) == n
+    # spot-check the content is real EOB JSON
+    assert json.loads(multi_lines[0])["resourceType"] == "ExplanationOfBenefit"
