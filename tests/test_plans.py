@@ -860,3 +860,43 @@ def test_x162_sessionization_single_user_shuffle(spark):
         re.findall(r"\bWindow \(\d+\)\n\s*[:| ]*\+- Sort \(\d+\)", tree)
     )
     assert n_window == 2 * n_window_on_sort, tree
+
+
+def test_fhir_eob_two_source_parses(spark, tmp_path):
+    """Parse-count contract (r7): the EOB pipeline reads its NDJSON
+    source exactly TWICE — once for the skinny (id, keep) flags
+    aggregate, once for the survivor branch (which must re-read the
+    full documents: duplicate ids mean rows carry no unique join
+    key). The r5 semi-join formulation paid a third parse (one per
+    semi-join side); at 100 TB a parse is a full source scan, so a
+    regression here is a 50%-I/O bug even though results stay
+    correct."""
+    import json as _json
+    import re
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.sources import read_ndjson
+    from capgemini_himss24_fhirbulkdata_demo_spark.transforms import get_transform
+    from capgemini_himss24_fhirbulkdata_demo_spark.transforms.schemas import (
+        EXPLANATION_OF_BENEFIT_SCHEMA,
+        RXNAV_LOOKUP_SCHEMA,
+    )
+
+    p = tmp_path / "ExplanationOfBenefit-c-1.json"
+    p.write_text(
+        _json.dumps(
+            {
+                "resourceType": "ExplanationOfBenefit",
+                "id": "e1",
+                "patient": {"reference": "Patient/-10000000000027"},
+                "type": {"coding": []},
+                "supportingInfo": [],
+                "item": [],
+            }
+        )
+    )
+    df = read_ndjson(spark, str(p), EXPLANATION_OF_BENEFIT_SCHEMA)
+    rx = spark.createDataFrame([("1", "n", "r")], RXNAV_LOOKUP_SCHEMA)
+    fn = get_transform("https://bcda.example", "ExplanationOfBenefit")
+    out = fn(df, rx)
+    n_scans = len(re.findall(r"Scan json", explain_str(out, "simple")))
+    assert n_scans == 2, f"EOB pipeline must parse the source exactly twice, plan has {n_scans} json scans"
