@@ -92,6 +92,13 @@ QUERIES = [
     "x346_triangle_count",
     "x348_cheapest_route",
     "x162_session_depth",
+    # r7 (invariant-form conversions): these queries now carry their
+    # exact twin in-query — q56 runs two countDistincts (Expand, 2x
+    # input) beside the HLL partials; x74 adds a region-grain
+    # countDistinct + 5-row join beside the sketch rollup.
+    "q56_approx_distinct",
+    "q72_percentiles_approx",
+    "x74_hll_rollup",
 ]
 
 _PARTS = {"lineitem": 8, "orders": 4, "documents": 4, "embeddings": 4, "events": 4}
