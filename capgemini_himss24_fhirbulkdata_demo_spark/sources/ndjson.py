@@ -6,9 +6,11 @@ decode/split/parse; ``:535`` re-join; ``:218`` type-from-filename).
 
 Spark mapping (SURVEY §1.2): ``spark.read.json`` *is* T1 (decode,
 line-split, per-line parse, null-on-missing) — distributed, spilling,
-vectorized. The sink re-serializes via ``to_json(struct(*))`` + text
-write, which reproduces ``'\\n'.join(...)`` with absent-key semantics
-for nulls (``ignoreNullFields`` default true).
+vectorized. The sink is the native ``df.write.json`` (r7; previously
+``to_json(struct(*))`` + text write — byte-identical output, same
+Jackson generator, minus one projection), which reproduces
+``'\\n'.join(...)`` with absent-key semantics for nulls
+(``ignoreNullFields`` default true).
 
 Scale: a landing *directory* of NDJSON files is one distributed scan
 (each file ≥1 task, big files split on line boundaries); schema is
@@ -50,8 +52,9 @@ def write_ndjson(
 ) -> str:
     """Write a DataFrame as NDJSON (one JSON object per line).
 
-    ``to_json`` omits null fields, matching the reference's output of
-    plain ``json.dumps`` on dicts that never contained those keys.
+    The JSON writer omits null fields (``ignoreNullFields`` default),
+    matching the reference's output of plain ``json.dumps`` on dicts
+    that never contained those keys.
 
     ``single_file=True`` produces exactly one NDJSON *file* at
     ``path`` (coalesce(1) + part-file promotion) — the shape a FHIR

@@ -119,9 +119,10 @@ def test_rotation_aliases_self_maintaining(tmp_path, monkeypatch):
 
     import __spark_entry__ as entry
 
-    from capgemini_himss24_fhirbulkdata_demo_spark.queries import QUERIES
-
-    from capgemini_himss24_fhirbulkdata_demo_spark.queries import ORACLE_SQL
+    from capgemini_himss24_fhirbulkdata_demo_spark.queries import (
+        ORACLE_SQL,
+        QUERIES,
+    )
 
     batch = entry._rotation_aliases()
     green = entry._green_names()
