@@ -24,6 +24,7 @@ from . import (  # noqa: F401
     corpus_stats,
     graph,
     analytics,
+    analytics2,
 )
 
 QUERIES = registry.QUERIES
