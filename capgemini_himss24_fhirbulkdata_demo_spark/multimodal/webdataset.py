@@ -70,6 +70,23 @@ def write_webdataset_shards(
     """
     os.makedirs(path, exist_ok=True)
     cols = [key_col, payload_col, *text_cols, *meta_cols]
+    # Engine-side key pre-validation (one narrow, column-pruned scan,
+    # no shuffle): a bad key raised inside the write task is retried
+    # (4 attempts by default) on a real cluster before failing the
+    # job, and shards already written by sibling tasks are left
+    # behind with no manifest.json. Failing HERE costs one cheap scan
+    # of the key column and fails once, before any shard file exists.
+    bad = (
+        df.select(F.col(key_col).cast("string").alias("k"))
+        .filter(F.col("k").contains(".") | F.col("k").contains("/"))
+        .first()
+    )
+    if bad is not None:
+        raise ValueError(
+            f"webdataset sample key {bad['k']!r} contains '.' or '/': "
+            "member names are '<key>.<ext>', so such keys mis-group "
+            "on read; sanitize the key column first"
+        )
     sharded = (
         df.select(*cols)
         .repartitionByRange(n_shards, F.col(key_col))

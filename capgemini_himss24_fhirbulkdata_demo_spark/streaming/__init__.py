@@ -21,5 +21,9 @@ from .windows import (  # noqa: F401
     streaming_dedup,
     tumbling_agg,
 )
+from .runner import (  # noqa: F401
+    DEFAULT_STATE_PARTITIONS,
+    start_stateful_query,
+)
 from .sinks import run_foreach_batch_import  # noqa: F401
 from .sketches import StreamingCountMin, run_streaming_cms  # noqa: F401

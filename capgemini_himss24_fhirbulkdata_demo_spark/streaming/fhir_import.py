@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..sources.ndjson import write_ndjson
 from ..transforms import get_transform
 from ..transforms.schemas import RESOURCE_SCHEMAS
+from .runner import DEFAULT_STATE_PARTITIONS, start_stateful_query
 from .sources import read_ndjson_stream
 
 
@@ -37,6 +38,7 @@ def start_streaming_import(
     rxnav: DataFrame | None = None,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    state_partitions: int | None = DEFAULT_STATE_PARTITIONS,
 ):
     """Start the incremental transform→land→commit stream for one
     resource type. Returns the StreamingQuery.
@@ -44,6 +46,12 @@ def start_streaming_import(
     ``commit(ndjson_paths, batch_id)`` receives the written single-file
     NDJSON blobs for the batch — the slot where the FHIR ``$import``
     manifest POST goes (idempotent on batch_id).
+
+    ``state_partitions`` right-sizes the per-micro-batch shuffle (the
+    EOB transform's conflicted-ids groupBy) the same way the stateful
+    runner sizes state stores — a micro-batch is one landing file, so
+    the session's batch-scale shuffle default is far oversized here;
+    ``None`` inherits the session default.
     """
     schema = RESOURCE_SCHEMAS.get(resource_type)
     if schema is None:
@@ -60,9 +68,10 @@ def start_streaming_import(
         write_ndjson(out, path, single_file=True)
         commit([path], batch_id)
 
-    writer = stream.writeStream.foreachBatch(process_batch).option(
-        "checkpointLocation", checkpoint_dir
+    return start_stateful_query(
+        stream,
+        checkpoint_dir,
+        foreach_batch=process_batch,
+        trigger_available_now=available_now,
+        state_partitions=state_partitions,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

@@ -548,9 +548,15 @@ def test_webdataset_rejects_dotted_keys(spark, tmp_path):
         write_webdataset_shards,
     )
 
+    import glob as _glob
+
     for bad_key in ("1.5", "a/b"):
         df = spark.createDataFrame(
-            [(bad_key, bytearray(b"x"))], "key STRING, payload BINARY"
+            [("ok", bytearray(b"y")), (bad_key, bytearray(b"x"))],
+            "key STRING, payload BINARY",
         )
-        with pytest.raises(Exception, match="mis-group|contains"):
-            write_webdataset_shards(df, str(tmp_path / "wds_bad"), "key", 1)
+        with pytest.raises(ValueError, match="mis-group|contains"):
+            write_webdataset_shards(df, str(tmp_path / "wds_bad"), "key", 2)
+        # engine-side pre-validation fails BEFORE the write stage: no
+        # orphan shard files from sibling tasks, no manifest
+        assert _glob.glob(str(tmp_path / "wds_bad" / "*")) == []

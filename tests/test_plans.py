@@ -899,4 +899,13 @@ def test_fhir_eob_two_source_parses(spark, tmp_path):
     fn = get_transform("https://bcda.example", "ExplanationOfBenefit")
     out = fn(df, rx)
     n_scans = len(re.findall(r"Scan json", explain_str(out, "simple")))
-    assert n_scans == 2, f"EOB pipeline must parse the source exactly twice, plan has {n_scans} json scans"
+    # The contract is "no THIRD parse" (the r5 semi-join regression):
+    # <= 2 also admits a future Spark legitimately reusing the scan
+    # (1 would be an improvement, not a break). Assumes the simple
+    # plan string spells file-source scans as 'Scan json' — if this
+    # assert trips at n_scans == 0, check the plan format first.
+    assert 1 <= n_scans <= 2, (
+        f"EOB pipeline must not re-parse the source a third time "
+        f"(expected 1-2 'Scan json' nodes, plan has {n_scans}; if 0, "
+        f"the 'Scan json' plan-format assumption broke)"
+    )

@@ -933,3 +933,44 @@ def test_streaming_histogram_quantile_bounds():
     for bad in (-1, 101):
         with pytest.raises(ValueError, match="0..100"):
             h.quantile(bad)
+
+
+def test_runner_sizes_state_partitions(spark, landed_events, tmp_path):
+    """Engine-owned state sizing (r7 verdict #2): start_stateful_query
+    pins the query's state-store partition count to state_partitions
+    at first checkpoint, restores the session shuffle conf right after
+    start, and produces the identical result set to a raw
+    session-default drain of the same plan."""
+    from capgemini_himss24_fhirbulkdata_demo_spark.streaming import (
+        start_stateful_query,
+    )
+
+    def drain(ck, **kw):
+        rows = []
+
+        def commit(batch_df, batch_id):
+            rows.extend(tuple(r) for r in batch_df.collect())
+
+        q = start_stateful_query(
+            tumbling_agg(read_parquet_stream(spark, landed_events, EVENTS_SCHEMA)),
+            ck,
+            foreach_batch=commit,
+            output_mode="update",
+            **kw,
+        )
+        q.awaitTermination(120)
+        return set(rows)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    ck_sized = str(tmp_path / "ck_sized")
+    got = drain(ck_sized, state_partitions=3)
+    # session conf untouched for the caller (cloned into the query)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    # state store pinned at exactly 3 partitions in the checkpoint
+    state_dirs = sorted(
+        d for d in os.listdir(os.path.join(ck_sized, "state", "0")) if d.isdigit()
+    )
+    assert state_dirs == ["0", "1", "2"]
+    # sizing is a physical knob only: same rows as the inherit path
+    exp = drain(str(tmp_path / "ck_default"), state_partitions=None)
+    assert got == exp and len(got) > 0

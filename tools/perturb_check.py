@@ -160,6 +160,98 @@ def fhir_perturb() -> None:
         if not ok:
             flagged.append(case)
         print(f"[perturb-fhir] {status} {case}", file=sys.stderr)
+
+    # ---- streaming-import leg (O6 incremental form, r7 verdict #7) ----
+    # Replay each golden corpus through start_streaming_import at two
+    # micro-batch sizes (1 landing file per batch vs all files in one
+    # batch) and assert the union of per-batch outputs equals the
+    # batch pipeline's oracle output. The corpus is landed as TWO
+    # id-coherent files (all rows of a resource id stay in one file):
+    # the conflicted-ids removal is per-batch state, so its unit of
+    # correctness is the batch — exactly the reference's own
+    # incremental contract, whose processing unit is the export FILE
+    # from the manifest loop (__init__.py:643-665), trivially
+    # id-coherent. With id-coherent files, per-file == global
+    # semantics, so both micro-batch sizes must reproduce the batch
+    # oracle bit-for-bit.
+    import shutil
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.streaming.fhir_import import (
+        start_streaming_import,
+    )
+
+    stream_flagged: list[str] = []
+    for case, (server_url, resource, resources) in sorted(cases.items()):
+        expected = fhir_oracle.process(server_url, resource, resources, RXNAV)
+
+        def canon_docs(docs):
+            def norm(v):
+                if isinstance(v, bool):
+                    return v
+                if isinstance(v, int):
+                    return float(v)
+                if isinstance(v, list):
+                    return [norm(x) for x in v]
+                if isinstance(v, dict):
+                    return {k: norm(x) for k, x in v.items()}
+                return v
+
+            return sorted(_json.dumps(norm(d), sort_keys=True) for d in docs)
+
+        exp_c = canon_docs(expected)
+        # id-coherent split: ids in first-appearance order, first half
+        # of ids -> file 0, rest -> file 1 (row order preserved)
+        id_order: list[str] = []
+        for r in resources:
+            rid = r.get("id")
+            if rid not in id_order:
+                id_order.append(rid)
+        first_ids = set(id_order[: max(1, len(id_order) // 2)])
+        split = ([], [])
+        for r in resources:
+            split[0 if r.get("id") in first_ids else 1].append(r)
+
+        results = {}
+        for mb_label, max_files in (("file_per_batch", 1), ("one_batch", None)):
+            run_dir = os.path.join(tmp, f"stream-{case}-{mb_label}")
+            landing = os.path.join(run_dir, "landing")
+            out_dir = os.path.join(run_dir, "out")
+            os.makedirs(landing)
+            os.makedirs(out_dir)
+            for i, part in enumerate(p for p in split if p):
+                with open(
+                    os.path.join(landing, f"{resource}-{i:03d}.json"), "w"
+                ) as f:
+                    f.write("\n".join(_json.dumps(r) for r in part))
+            committed: list[str] = []
+
+            def commit(paths, batch_id):
+                committed.extend(paths)
+
+            q = start_streaming_import(
+                spark,
+                landing,
+                resource,
+                server_url,
+                out_dir,
+                os.path.join(run_dir, "ck"),
+                commit,
+                rxnav=rx,
+                max_files_per_trigger=max_files,
+            )
+            q.awaitTermination(120)
+            docs = []
+            for p in committed:
+                with open(p) as f:
+                    docs.extend(_json.loads(line) for line in f if line.strip())
+            results[mb_label] = canon_docs(docs)
+            shutil.rmtree(run_dir, ignore_errors=True)
+        ok = all(v == exp_c for v in results.values())
+        status = "ok" if ok else "UNSTABLE"
+        if not ok:
+            stream_flagged.append(case)
+        print(f"[perturb-fhir-stream] {status} {case}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -167,6 +259,10 @@ def fhir_perturb() -> None:
                 "perturbations": "shuffle.partitions {32,5} x repartition {1,7}",
                 "n_cases": len(cases),
                 "unstable": flagged,
+                "streaming_perturbations": "micro-batch size "
+                "{1 file/batch, all-in-one} via start_streaming_import "
+                "over a 2-file id-coherent landing split",
+                "streaming_unstable": stream_flagged,
             }
         )
     )
