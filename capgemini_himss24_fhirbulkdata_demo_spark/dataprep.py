@@ -325,13 +325,54 @@ def token_budget_cut(
     text_col: str = "text",
 ) -> DataFrame:
     """Keep documents in id order until the whitespace-token budget is
-    exhausted (the document crossing the budget is excluded)."""
+    exhausted (the document crossing the budget is excluded).
+
+    Scalable exact form (r8): the naive expression — one running-sum
+    window with no partition — moves the ENTIRE corpus through a
+    single-partition WindowExec, the one shape in this op that cannot
+    survive 100 TB. Instead, the classic two-pass offset pattern:
+
+    1. range-repartition by id (a distributed sort: ascending id
+       ranges land on ascending partition ids) and run the cumulative
+       sum WITHIN each range partition — fully parallel;
+    2. prefix-sum the per-partition token totals (one row per shuffle
+       partition — a bounded frame, so ITS unpartitioned window is
+       harmless) and broadcast-join each partition's offset back.
+
+    within-partition cum + partition offset == the global running sum,
+    exactly, and independently of where the sampled range boundaries
+    fall. Requires unique ids (a range boundary may split equal keys).
+    The per-partition totals are a second skinny pass over the source
+    (Spark does not reuse DataFrame-API exchange subtrees) — two
+    narrow scans beat one single-partition sort at any real scale.
+    """
     n_tokens = F.size(F.split(F.col(text_col), " ")).cast("bigint")
-    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged = (
+        docs.repartitionByRange(F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__n", n_tokens)
+    )
+    w_in = Window.partitionBy("__pid").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = ranged.withColumn("__cum_in", F.sum("__n").over(w_in))
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        ranged.groupBy("__pid")
+        .agg(F.sum("__n").alias("__tot"))
+        .withColumn(
+            "__off",
+            F.coalesce(F.sum("__tot").over(w_off), F.lit(0).cast("bigint")),
+        )
+        .select("__pid", "__off")
+    )
     return (
-        docs.withColumn("__cum", F.sum(n_tokens).over(w))
-        .filter(F.col("__cum") <= budget_tokens)
-        .drop("__cum")
+        cum.join(F.broadcast(offsets), "__pid")
+        .filter((F.col("__cum_in") + F.col("__off")) <= budget_tokens)
+        .drop("__pid", "__n", "__cum_in", "__off")
     )
 
 

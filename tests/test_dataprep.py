@@ -57,6 +57,34 @@ def test_token_budget_cut(spark):
     assert got2 == [1]
 
 
+def test_token_budget_cut_matches_naive_across_layouts(spark):
+    """The two-pass range-partitioned form (r8 scalable rewrite) must
+    equal the naive single-window running sum on every input layout —
+    the partition-offset arithmetic is exact, so where the sampled
+    range boundaries fall must not matter."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, " ".join(f"t{j}" for j in range((i * 7) % 11 + 1)), "en", "s", i)
+        for i in range(1, 120)
+    ]
+    docs = _docs(spark, rows)
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    naive = set(
+        r.doc_id
+        for r in docs.withColumn("__cum", F.sum(n_tokens).over(w))
+        .filter(F.col("__cum") <= 300)
+        .collect()
+    )
+    for layout in (docs, docs.repartition(7), docs.coalesce(1)):
+        got = set(r.doc_id for r in token_budget_cut(layout, 300).collect())
+        assert got == naive and len(got) > 0
+
+
 def test_prepare_corpus_end_to_end(spark):
     docs = load_table(spark, SF_DIR, "documents")
     emb = load_table(spark, SF_DIR, "embeddings").withColumnRenamed("vec_id", "doc_id")

@@ -99,6 +99,16 @@ QUERIES = [
     "q56_approx_distinct",
     "q72_percentiles_approx",
     "x74_hll_rollup",
+    # r8 (first-time bench headliners): the BM25 inverted-index join,
+    # the x02-composed connected-components cluster profile (the
+    # round's most expensive sweep query), the IVF recall eval
+    # (probed search × brute-force truth), the CCNet-style
+    # perplexity-bucket partitioner, and the BPE merge application.
+    "x47_bm25_search",
+    "x56_dup_cluster_profile",
+    "x59_ivf_recall",
+    "x78_ccnet_partition",
+    "x80_bpe_segment",
 ]
 
 _PARTS = {"lineitem": 8, "orders": 4, "documents": 4, "embeddings": 4, "events": 4}
