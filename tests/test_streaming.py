@@ -974,3 +974,60 @@ def test_runner_sizes_state_partitions(spark, landed_events, tmp_path):
     # sizing is a physical knob only: same rows as the inherit path
     exp = drain(str(tmp_path / "ck_default"), state_partitions=None)
     assert got == exp and len(got) > 0
+
+
+def test_runner_restart_keeps_pinned_state_partitions(spark, tmp_path):
+    """Documented runner caveat: a restart from an existing checkpoint
+    keeps the ORIGINALLY pinned state partition count — a different
+    state_partitions on restart must neither error nor repartition
+    the state."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.streaming import (
+        start_stateful_query,
+    )
+
+    landing = str(tmp_path / "landing")
+
+    def land(rows, name):
+        df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(landing)
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    land(
+        [(1, t0, 1, "view", 1.0, None), (2, t0, 1, "click", 1.0, None)],
+        "first",
+    )
+    ck = str(tmp_path / "ck")
+    rows: list = []
+
+    def commit(batch_df, batch_id):
+        rows.extend(batch_df.collect())
+
+    def run(state_partitions):
+        q = start_stateful_query(
+            tumbling_agg(
+                read_parquet_stream(spark, landing, EVENTS_SCHEMA)
+            ),
+            ck,
+            foreach_batch=commit,
+            output_mode="update",
+            state_partitions=state_partitions,
+        )
+        q.awaitTermination(120)
+
+    run(3)
+    land(
+        [(3, t0 + dt.timedelta(minutes=5), 2, "view", 2.0, None)],
+        "second",
+    )
+    run(16)  # restart asks for 16; checkpoint must keep 3
+    state_dirs = sorted(
+        d
+        for d in os.listdir(os.path.join(ck, "state", "0"))
+        if d.isdigit()
+    )
+    assert state_dirs == ["0", "1", "2"]
+    assert len(rows) > 0  # the restarted query processed the new file
