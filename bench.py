@@ -37,6 +37,13 @@ if REPO_ROOT not in sys.path:
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 REPS = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
+# Wall-clock guard: a full 5-rep run is ~10-11 min on this box; if a
+# pathologically slow/contended host would push the TIMED phase past
+# this budget, stop after the current rep (>=2 reps always complete)
+# and report the reps we have — a payload with n_reps=3 beats a
+# driver-timeout losing the payload entirely. The dispersion block
+# records n_reps, so a short run is self-describing.
+BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1500"))
 
 # Headline set: the scan/join/agg/window workhorses (fact-table-heavy),
 # plus the extension pipelines once registered.
@@ -458,6 +465,10 @@ METHODOLOGY = {
     "host_variance": "this box swings up to ~30% run-to-run on "
                      "identical code; compare MEDIANS across rounds "
                      "and treat min..max as the noise band",
+    "budget_guard": "timed phase stops after the current rep (>=2) if "
+                    "projected past SPARK_GRAFT_BENCH_BUDGET_S "
+                    "(default 1500s); dispersion.n_reps records how "
+                    "many reps actually ran",
 }
 
 
@@ -541,6 +552,7 @@ def main() -> None:
 
     query_times: dict[str, list[float]] = {n: [] for n in names}
     sweep_totals: list[float] = []
+    t_timed_start = time.perf_counter()
     for rep in range(REPS):
         spark.sparkContext._jvm.System.gc()
         rep_total = 0.0
@@ -559,6 +571,16 @@ def main() -> None:
             f"fhir {t_f:.2f}s, streaming {t_s:.2f}s, shards {t_h:.2f}s",
             file=sys.stderr,
         )
+        elapsed_timed = time.perf_counter() - t_timed_start
+        per_rep = elapsed_timed / (rep + 1)
+        if rep + 1 >= 2 and rep + 1 < REPS and elapsed_timed + per_rep > BUDGET_S:
+            print(
+                f"[bench] budget guard: {elapsed_timed:.0f}s elapsed + "
+                f"~{per_rep:.0f}s/rep exceeds {BUDGET_S:.0f}s — stopping "
+                f"after {rep + 1}/{REPS} reps",
+                file=sys.stderr,
+            )
+            break
 
     per_query = {n: round(min(ts), 3) for n, ts in query_times.items()}
     total = round(sum(per_query.values()), 3)
