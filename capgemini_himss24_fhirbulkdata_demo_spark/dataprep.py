@@ -330,29 +330,47 @@ def token_budget_cut(
     Scalable exact form (r8): the naive expression — one running-sum
     window with no partition — moves the ENTIRE corpus through a
     single-partition WindowExec, the one shape in this op that cannot
-    survive 100 TB. Instead, the classic two-pass offset pattern:
+    survive 100 TB. Instead, the classic two-pass offset pattern with
+    boundaries fixed up front:
 
-    1. range-repartition by id (a distributed sort: ascending id
-       ranges land on ascending partition ids) and run the cumulative
-       sum WITHIN each range partition — fully parallel;
-    2. prefix-sum the per-partition token totals (one row per shuffle
-       partition — a bounded frame, so ITS unpartitioned window is
-       harmless) and broadcast-join each partition's offset back.
+    1. probe approx id quantiles ONCE (a bounded setup collect:
+       n_ranges − 1 boundary values, the sanctioned probe pattern
+       from the SCALE.md conventions) and embed them as literals, so
+       the range id ``__pid`` is a pure deterministic FUNCTION OF THE
+       ROW — identical in every pass by construction. (The tempting
+       alternative, ``repartitionByRange`` + ``spark_partition_id``,
+       is NOT safe here: the offsets branch re-executes the exchange
+       — Spark does not reuse DataFrame-API exchange subtrees — and
+       each execution samples its own boundaries, so the two passes
+       could disagree on pid and misalign the offset join.)
+    2. cumulative token sum WITHIN each id range (window partitioned
+       by ``__pid`` — fully parallel), plus a prefix-sum over the
+       per-range totals (one row per range — a bounded frame, so ITS
+       unpartitioned window is harmless) broadcast-joined back.
 
-    within-partition cum + partition offset == the global running sum,
-    exactly, and independently of where the sampled range boundaries
-    fall. Requires unique ids (a range boundary may split equal keys).
-    The per-partition totals are a second skinny pass over the source
-    (Spark does not reuse DataFrame-API exchange subtrees) — two
-    narrow scans beat one single-partition sort at any real scale.
+    within-range cum + range offset == the global running sum,
+    exactly, and independently of where the approximate boundaries
+    fall (skewed boundaries cost balance, never correctness).
     """
     n_tokens = F.size(F.split(F.col(text_col), " ")).cast("bigint")
-    ranged = (
-        docs.repartitionByRange(F.col(id_col))
-        .sortWithinPartitions(id_col)
-        .withColumn("__pid", F.spark_partition_id())
-        .withColumn("__n", n_tokens)
+    sess = docs.sparkSession
+    n_ranges = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
+    qs = [i / n_ranges for i in range(1, n_ranges)]
+    bounds = (
+        docs.agg(
+            F.percentile_approx(F.col(id_col), qs, 10_000).alias("b")
+        ).first()["b"]
+        if qs
+        else None
     )
+    if not bounds:  # empty corpus or a single range
+        bounds = []
+    pid = F.size(
+        F.filter(
+            F.array(*[F.lit(b) for b in bounds]), lambda b: b < F.col(id_col)
+        )
+    ) if bounds else F.lit(0)
+    ranged = docs.withColumn("__pid", pid).withColumn("__n", n_tokens)
     w_in = Window.partitionBy("__pid").orderBy(id_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
