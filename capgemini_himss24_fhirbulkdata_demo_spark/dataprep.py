@@ -327,6 +327,17 @@ def token_budget_cut(
     """Keep documents in id order until the whitespace-token budget is
     exhausted (the document crossing the budget is excluded).
 
+    API contract (r8 advice): with a NUMERIC ``id_col`` the scalable
+    two-pass form below runs an EAGER quantile-boundary probe (one
+    small Spark job) at call time, not at first action — callers
+    building expensive lazy pipelines should call this last or on a
+    checkpointed input. With a non-numeric ``id_col`` (e.g. string doc
+    ids, which ``percentile_approx`` cannot probe) the function falls
+    back to the exact single-window form: correct at any size but
+    corpus-grain single-partition at the window — at 100 TB scale map
+    string ids to a numeric sort key first (``conv(substr(md5(..)))``
+    changes the order; a monotonic ingest sequence does not).
+
     Scalable exact form (r8): the naive expression — one running-sum
     window with no partition — moves the ENTIRE corpus through a
     single-partition WindowExec, the one shape in this op that cannot
@@ -352,7 +363,21 @@ def token_budget_cut(
     exactly, and independently of where the approximate boundaries
     fall (skewed boundaries cost balance, never correctness).
     """
+    from pyspark.sql.types import NumericType
+
     n_tokens = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    if not isinstance(docs.schema[id_col].dataType, NumericType):
+        # Exact fallback for non-probe-able id types (r8 advice): the
+        # single running-sum window. Same semantics, no eager job,
+        # but single-partition at the window — see docstring.
+        w_all = Window.orderBy(id_col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return (
+            docs.withColumn("__cum", F.sum(n_tokens).over(w_all))
+            .filter(F.col("__cum") <= budget_tokens)
+            .drop("__cum")
+        )
     sess = docs.sparkSession
     n_ranges = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
     qs = [i / n_ranges for i in range(1, n_ranges)]

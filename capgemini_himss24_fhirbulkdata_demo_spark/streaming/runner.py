@@ -36,14 +36,21 @@ Caveats (documented contract):
 - A RESTART from an existing checkpoint keeps the originally pinned
   partition count; ``state_partitions`` only applies to a fresh
   checkpoint.
-- The set-and-restore around ``start()`` assumes queries are started
-  one at a time per session (no concurrent ``start()`` from another
-  thread mid-call) — the same single-threaded start contract the
-  rest of the engine's entry points use.
+- The set/start/restore window is serialized by a module-level lock,
+  so two threads calling ``start_stateful_query`` concurrently cannot
+  interleave their set/restore pairs. A BATCH job running in another
+  thread of the same session during the window could still observe
+  the temporary value — that residual race is inherent to session-
+  scoped conf (r8 advice); the guard below therefore also verifies at
+  restore time that the conf still holds the value we set and warns
+  loudly if some other writer clobbered it mid-window instead of
+  silently restoring over their change.
 """
 
 from __future__ import annotations
 
+import threading
+import warnings
 from typing import Callable
 
 from pyspark.sql import DataFrame
@@ -51,6 +58,11 @@ from pyspark.sql import DataFrame
 DEFAULT_STATE_PARTITIONS = 8
 
 _SHUFFLE_CONF = "spark.sql.shuffle.partitions"
+
+# Serializes the set/start/restore window across threads (r8 advice:
+# a concurrent start from another thread could pick up the temporary
+# sizing value or have its own restore clobbered).
+_START_LOCK = threading.Lock()
 
 
 def start_stateful_query(
@@ -99,9 +111,20 @@ def start_stateful_query(
 
     if state_partitions is None:
         return writer.start()
-    prev = spark.conf.get(_SHUFFLE_CONF)
-    spark.conf.set(_SHUFFLE_CONF, str(int(state_partitions)))
-    try:
-        return writer.start()
-    finally:
-        spark.conf.set(_SHUFFLE_CONF, prev)
+    sized = str(int(state_partitions))
+    with _START_LOCK:
+        prev = spark.conf.get(_SHUFFLE_CONF)
+        spark.conf.set(_SHUFFLE_CONF, sized)
+        try:
+            return writer.start()
+        finally:
+            observed = spark.conf.get(_SHUFFLE_CONF)
+            if observed != sized:
+                warnings.warn(
+                    f"{_SHUFFLE_CONF} changed from {sized!r} to "
+                    f"{observed!r} by another writer during streaming "
+                    f"start; restoring pre-start value {prev!r} over it",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+            spark.conf.set(_SHUFFLE_CONF, prev)

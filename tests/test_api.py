@@ -320,3 +320,51 @@ def test_driver_failed_names_jump_the_queue(tmp_path, monkeypatch):
     )
     assert some_x not in entry._failed_names()
     assert some_x not in entry._rotation_aliases()
+
+
+def test_canary_rotation_covers_full_green_set(monkeypatch):
+    """End-state dry-run (r8 verdict ask #8): once the alias queue
+    empties (~r13 at the current drain rate) the whole 50-name window
+    becomes rotating canaries. Pin that across simulated driver rounds
+    the rotation cycles through the ENTIRE green set — the offset
+    advances by _WINDOW per round and the window is _WINDOW wide, so
+    consecutive windows tile the sorted green list with no gap and no
+    name is permanently starved of regression coverage."""
+    import math
+
+    import __spark_entry__ as entry
+    from capgemini_himss24_fhirbulkdata_demo_spark.queries import QUERIES
+
+    all_green = set(QUERIES)
+    monkeypatch.setattr(entry, "_green_names", lambda: all_green)
+    # fully drained => nothing left to alias; window is canaries only
+    assert entry._rotation_aliases() == []
+
+    k = entry._WINDOW
+    n = len(all_green)
+    # offsets are (rounds * k) mod n — one full cycle of distinct
+    # offsets is n // gcd(k, n) rounds; coverage must close within it
+    period = n // math.gcd(k, n)
+    seen: set[str] = set()
+    first_full_round = None
+    for rnd in range(period):
+        monkeypatch.setattr(
+            entry, "_correctness_files", lambda r=rnd: ["f"] * r
+        )
+        names = entry._canary_names(k)
+        assert len(names) == k
+        assert all(c in all_green and not c.startswith("a_") for c in names)
+        seen.update(names)
+        if first_full_round is None and seen == all_green:
+            first_full_round = rnd
+    assert seen == all_green
+    # tiling argument: consecutive offsets differ by exactly the
+    # window width, so coverage closes in ~n/k rounds, not the full
+    # offset period — the end state re-verifies every green name
+    # roughly every ceil(n/k) driver rounds
+    assert first_full_round is not None
+    assert first_full_round <= math.ceil(n / k) + 1
+
+    # and the real queries() window in this state is canaries only
+    window = list(entry.queries())[:k]
+    assert all(not c.startswith("a_") for c in window)

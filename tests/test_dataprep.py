@@ -85,6 +85,26 @@ def test_token_budget_cut_matches_naive_across_layouts(spark):
         assert got == naive and len(got) > 0
 
 
+def test_token_budget_cut_string_ids_fallback(spark):
+    """Non-numeric id_col (r8 advice): percentile_approx can't probe
+    string ids, so the op must fall back to the exact single-window
+    form instead of raising AnalysisException — same keep-set as the
+    numeric path on the same data, ordered by the string id."""
+    rows = [
+        (f"doc-{i:03d}", " ".join(f"t{j}" for j in range((i * 5) % 9 + 1)))
+        for i in range(1, 60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id STRING, text STRING")
+    got = set(r.doc_id for r in token_budget_cut(docs, 120).collect())
+    cum, naive = 0, set()
+    for doc_id, text in rows:  # ids doc-001..doc-059 sort like the ints
+        cum += len(text.split(" "))
+        if cum > 120:
+            break
+        naive.add(doc_id)
+    assert got == naive and 0 < len(got) < len(rows)
+
+
 def test_prepare_corpus_end_to_end(spark):
     docs = load_table(spark, SF_DIR, "documents")
     emb = load_table(spark, SF_DIR, "embeddings").withColumnRenamed("vec_id", "doc_id")

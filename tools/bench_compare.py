@@ -47,6 +47,15 @@ def main() -> None:
     new = json.load(open(new_path))
 
     print(f"# {old_path} -> {new_path}")
+    vo = (old.get("methodology") or {}).get("version")
+    vn = (new.get("methodology") or {}).get("version")
+    if vo != vn:
+        print(
+            f"NOTE: methodology v{vo} -> v{vn} — bands may not be "
+            f"like-for-like (v7 warms all sections before rep 1, so "
+            f"v6 bands are cold-inflated; a v7 median inside a v6 "
+            f"band is weak evidence of 'no change')"
+        )
     for label, key, hib in SECTIONS:
         o = (old.get("dispersion") or {}).get(key)
         n = (new.get("dispersion") or {}).get(key)

@@ -109,6 +109,19 @@ QUERIES = [
     "x59_ivf_recall",
     "x78_ccnet_partition",
     "x80_bpe_segment",
+    # r9 (first-time bench headliners, r8 verdict ask #4): RAG
+    # chunking (per-doc sentence explode), Zipf-slope regression
+    # (corpus term agg + rank window over the bounded top-K head),
+    # winnowing fingerprints (sliding k-gram window explode), the
+    # multimodal resize grid (Arrow-batched decode map), PQ code
+    # assignment (broadcast codebook fold), and the Benford
+    # first-digit audit (one partial agg).
+    "x81_rag_chunks",
+    "x89_zipf_slope",
+    "x90_winnowing",
+    "x93_resize_grid",
+    "x95_pq_codes",
+    "x151_benford_audit",
 ]
 
 _PARTS = {"lineitem": 8, "orders": 4, "documents": 4, "embeddings": 4, "events": 4}
