@@ -479,7 +479,11 @@ class ShardsBench:
 # streaming's primary number moves to the ENGINE-DEFAULT drain
 # (start_stateful_query's own state sizing — the engine now owns the
 # conf the harness used to tune), with the tuned and raw
-# session-default drains kept as one-shot continuity bases.
+# session-default drains kept as one-shot continuity bases. v7 (r8
+# verdict What's-wrong #1 + ADVICE): full untimed warmup pass of all
+# four sections before rep 1 (warm bands); _default_basis restored to
+# the raw session-default drain with the engine median under its own
+# _engine_median key; section tempdirs removed in finalize.
 METHODOLOGY = {
     "version": 7,
     "reps": REPS,

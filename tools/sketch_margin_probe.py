@@ -191,6 +191,15 @@ def main() -> None:
         "means the tolerance needs a recalibration commit; an error",
         "inside the gate means a real regression.",
         "",
+        "Rows with sf `0.4_synth` come from a synthetic 4x corpus",
+        "(`tools/make_scaled_fixture.py`: key-offset copies of sf0.1,",
+        "join-integral, distinct-key cardinalities scaled exactly 4x).",
+        "Key fact it surfaced: HLL++ relative error is NOT monotone in",
+        "cardinality — q56 orderkey headroom is 5.5x at sf0.1 but only",
+        "1.44x at 4x (600k distinct), the tightest margin in the",
+        "ledger. Treat any q56 trip at a new sf as recalibration-first,",
+        "and probe before assuming a bigger corpus means more headroom.",
+        "",
         "| query | quantity | sf | measured error | gate | headroom |",
         "|---|---|---|---|---|---|",
     ]
