@@ -10,7 +10,16 @@ tree is the strongest pre-verification the round can produce — it is
 the driver's gate, executed through the driver's own surface, at the
 driver's scale factor.
 
-Usage: python tools/window_rehearsal.py [sf_dir=/root/testdata/sf0.01]
+``--next N`` rehearses the window the rotation will queue N rounds
+FROM NOW (simulated by feeding each intermediate round's alias batch
+back into the green set, exactly what a 50/50-green driver round
+does). ``--next 1`` therefore pre-verifies next round's window on
+this tree — failures surface a round early, while there is still a
+round to fix them in. The simulation patches the green-set reader
+only; batch selection, aliasing, insertion order, and canary fill
+all run through the real entry-surface code.
+
+Usage: python tools/window_rehearsal.py [sf_dir] [--next N]
 Exit code 0 iff every window name with an oracle compares clean.
 """
 
@@ -31,7 +40,28 @@ def main() -> None:
     import __spark_entry__ as entry
     from oracle import compare, run_duck, run_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    n_ahead = 0
+    if "--next" in args:
+        i = args.index("--next")
+        n_ahead = int(args[i + 1])
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+
+    if n_ahead:
+        real_green = entry._green_names()
+        simulated = set(real_green)
+        for _ in range(n_ahead):
+            entry._green_names = lambda g=frozenset(simulated): set(g)
+            simulated.update(n.removeprefix("a_") for n in entry._rotation_aliases())
+        # final patch: the window below must see every simulated round
+        # (including the last one) as driver-green
+        entry._green_names = lambda g=frozenset(simulated): set(g)
+        print(
+            f"[rehearsal] simulating {n_ahead} round(s) ahead: "
+            f"green {len(real_green)} -> {len(simulated)} assumed",
+            file=sys.stderr,
+        )
     spark = (
         SparkSession.builder.master(f"local[{os.cpu_count()}]")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
