@@ -312,10 +312,17 @@ def x89_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one uniform-key (lang, token) partial agg; ranking is a
     per-lang window whose input is the type (not token) space; only
     the top {k} rows per lang feed the regression, so the final agg
-    is tiny. Languages are few → the rank window could skew on one
-    giant lang at 100 TB; the (lang, token) pre-agg has already
-    collapsed to type granularity by then, and WindowGroupLimit
-    prunes rank > {k} before the shuffle's consumer.
+    is tiny. Languages are few → the rank window would skew on one
+    giant lang at 100 TB, so the rank window must stay PRUNABLE:
+    ``n_types`` is computed as its own lang-grain aggregate (lang
+    count rows — broadcast) rather than a ``count(*) over lang``
+    beside the ``row_number`` — a second non-rank function in the
+    same window spec BLOCKS Spark's WindowGroupLimit rewrite
+    (verified on the executed plan: the combined form ran the full
+    type space through WindowExec; the split form shows
+    WindowGroupLimit in Partial mode before the lang exchange and
+    Final after, so each map task forwards only its own top {k}
+    candidates per lang).
 
     Determinism: ln() inputs are exact integers; the ≤{k}-term sums
     leave ~1e-14 fp-order noise vs a ROUND(6) output on O(1) values
@@ -327,18 +334,22 @@ def x89_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "t")
         .agg(F.count("*").cast("bigint").alias("c"))
     )
-    w = Window.partitionBy("lang")
-    ranked = freq.select(
-        "lang",
-        "c",
-        F.row_number().over(w.orderBy(F.desc("c"), F.asc("t"))).alias("rank"),
-        F.count("*").over(w).alias("n_types"),
+    n_types = freq.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_types")
     )
-    pts = ranked.filter(F.col("rank") <= _X89_TOPK).select(
-        "lang",
-        "n_types",
-        F.log(F.col("rank").cast("double")).alias("x"),
-        F.log(F.col("c").cast("double")).alias("y"),
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("t"))
+    ranked = freq.select(
+        "lang", "c", F.row_number().over(w).alias("rank")
+    )
+    pts = (
+        ranked.filter(F.col("rank") <= _X89_TOPK)
+        .join(F.broadcast(n_types), "lang")
+        .select(
+            "lang",
+            "n_types",
+            F.log(F.col("rank").cast("double")).alias("x"),
+            F.log(F.col("c").cast("double")).alias("y"),
+        )
     )
     n = F.count("*")
     return (
