@@ -305,22 +305,28 @@ def q56_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict's invariant-form conversion).
 
     Tolerance is ±10% relative, checked in exact integer arithmetic
-    (|approx − exact| · 10 ≤ exact) — default rsd is 0.05 and the
-    measured sf0.001/0.01/0.1 errors peak at 3.7% (sf0.01 orders), so
-    the margin is ~2.7× observed while still refuting a broken sketch
-    (which returns 0 or garbage, not a few-%-close value). Scale:
-    HLL++ partials are fixed
-    size and mergeable, so the estimate path stays one map-side
-    combine + one 1-row reduce at any corpus size; the exact twin
-    is the part that would get expensive at 100 TB — which is the
-    point of carrying both here."""
+    (|approx − exact| · 10 ≤ exact), with the estimator pinned at
+    rsd=0.02 (NOT the 0.05 default). Why: the r9 sketch-margin probe
+    on synthetic 4×/8× corpora caught the default-rsd error CROSSING
+    the gate at 1.2 M distinct orderkeys (measured 10.45% > 10% —
+    HLL++ error is not monotone in cardinality; see
+    SKETCH_MARGINS.md), which would have surfaced as a driver-red
+    hash mismatch at any scale factor with that cardinality profile.
+    At rsd=0.02 the measured error peaks at 3.13% across all five
+    probe corpora (sf0.001 → 8×), a ≥3.2× margin everywhere while
+    still refuting a broken sketch (which returns 0 or garbage, not
+    a few-%-close value). Scale: HLL++ partials are fixed size
+    (2^12 registers at rsd=0.02) and mergeable, so the estimate path
+    stays one map-side combine + one 1-row reduce at any corpus
+    size; the exact twin is the part that would get expensive at
+    100 TB — which is the point of carrying both here."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.agg(
             F.countDistinct("l_orderkey").alias("exact_orders"),
             F.countDistinct("l_partkey").alias("exact_parts"),
-            F.approx_count_distinct("l_orderkey").alias("ax_o"),
-            F.approx_count_distinct("l_partkey").alias("ax_p"),
+            F.approx_count_distinct("l_orderkey", 0.02).alias("ax_o"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("ax_p"),
         )
         .select(
             "exact_orders",
