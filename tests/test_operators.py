@@ -666,12 +666,13 @@ def test_x74_hll_rollup_close_to_exact(spark):
     for k, n in got.items():
         assert n == exact[k], (k, n, exact[k])
 
-    # raw estimate, same two-level rollup the query runs: nation
-    # sketches unioned to region grain — within 2% of exact
+    # raw estimate, same two-level rollup the query runs (lgConfigK=14
+    # since the r9 recalibration): nation sketches unioned to region
+    # grain — within 2% of exact
     est = {
         r.r_name: r.est
         for r in joined.groupBy("r_name", "n_name")
-        .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+        .agg(F.hll_sketch_agg("o_custkey", 14).alias("sk"))
         .groupBy("r_name")
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
         .collect()
