@@ -195,17 +195,18 @@ def main() -> None:
         "means the tolerance needs a recalibration commit; an error",
         "inside the gate means a real regression.",
         "",
-        "Rows with sf `0.4_synth`/`0.8_synth` come from synthetic 4x/8x",
+        "Rows with a `_synth` sf come from synthetic 4x/8x/16x",
         "corpora (`tools/make_scaled_fixture.py`: key-offset copies of",
         "sf0.1, join-integral, distinct-key cardinalities scaled",
         "exactly). They caught a REAL latent red: HLL++ error is NOT",
         "monotone in cardinality, and at the DEFAULT rsd (0.05) the",
         "q56 orderkey error crossed its 10% gate at 8x (measured",
         "10.45% at 1.2M distinct — headroom 0.96x). q56 was therefore",
-        "recalibrated to rsd=0.02 (r9), which this probe mirrors;",
-        "post-recalibration error peaks at 3.13% across all five",
-        "corpora. Probe before assuming a bigger corpus means more",
-        "headroom.",
+        "recalibrated to rsd=0.02 (r9), which this probe mirrors, and",
+        "x74's rollup to lgConfigK=14; the 16x corpus (2.4M distinct",
+        "orderkeys) extends the post-recalibration evidence one more",
+        "doubling past the corpus that caught the crossing. Probe",
+        "before assuming a bigger corpus means more headroom.",
         "",
         "| query | quantity | sf | measured error | gate | headroom |",
         "|---|---|---|---|---|---|",
