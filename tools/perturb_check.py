@@ -28,6 +28,8 @@ oracle by accident and WILL flake on the driver eventually. Usage:
 
     python tools/perturb_check.py [sf_dir] [name_prefix...]
     python tools/perturb_check.py --fhir     # §2A golden pipeline
+    python tools/perturb_check.py [sf_dir] --scan-layout [prefix...]
+                                  # map-side axis, ALL registered names
 
 ``--fhir`` runs the §2A golden FHIR corpus (every transform case from
 tests/test_fhir_golden.py, plus a duplicate-id EOB corpus — the
@@ -269,9 +271,99 @@ def fhir_perturb() -> None:
     spark.stop()
 
 
+def scan_layout_check(sf_dir: str, prefixes) -> None:
+    """Scan-partitioning determinism sweep over ALL registered queries.
+
+    The shuffle-partitions axis of the main sweep perturbs reduce-side
+    fold order; this axis perturbs the MAP side. Shrinking
+    ``spark.sql.files.maxPartitionBytes`` (with ``openCostInBytes=0``
+    so tiny sf files are not re-packed into one split) multiplies the
+    number of scan partitions, which reorders partial-agg folds inside
+    the scan stage and re-seeds anything keyed on partition index
+    (``rand(seed)``, ``monotonically_increasing_id``,
+    ``spark_partition_id``). The driver always runs default layout at
+    a fixed sf, so driver-green rows carry ZERO evidence on this axis
+    — but a query whose OUTPUT moves with input-split geometry is
+    broken at any other scale factor, and at 100 TB layout is never
+    the same twice. Runs every registered name (driver-green included)
+    under default vs tiny splits at identical shuffle partitions and
+    flags any canonical-output difference.
+
+        python tools/perturb_check.py [sf_dir] --scan-layout [prefix...]
+    """
+    from capgemini_himss24_fhirbulkdata_demo_spark import queries as q
+    from pyspark.sql import SparkSession
+
+    names = [
+        n
+        for n in sorted(q.QUERIES)
+        if prefixes is None or n.startswith(prefixes)
+    ]
+    print(
+        f"[scan-layout] {len(names)} registered queries, sf_dir={sf_dir}",
+        file=sys.stderr,
+    )
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", "12g")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    # both passes set every knob explicitly — no reliance on ambient
+    # defaults surviving earlier queries in the same session
+    layouts = [
+        ("default", {"maxPartitionBytes": "134217728", "openCostInBytes": "4194304"}),
+        ("tiny_splits", {"maxPartitionBytes": "262144", "openCostInBytes": "0"}),
+    ]
+    flagged: list[str] = []
+    errs: list[str] = []
+    for i, n in enumerate(names):
+        try:
+            res = []
+            for _label, conf in layouts:
+                spark.conf.set("spark.sql.shuffle.partitions", "32")
+                for k, v in conf.items():
+                    spark.conf.set(f"spark.sql.files.{k}", v)
+                df = q.QUERIES[n](spark, sf_dir)
+                res.append(canonical(df.columns, [tuple(r) for r in df.collect()]))
+                for dep in getattr(df, "_cached_deps", []):
+                    dep.unpersist()
+            if res[0] != res[1]:
+                flagged.append(n)
+                print(f"[scan-layout] UNSTABLE {n}", file=sys.stderr)
+        except Exception as ex:
+            errs.append(n)
+            print(f"[scan-layout] ERR {n}: {str(ex)[:80]}", file=sys.stderr)
+        if (i + 1) % 25 == 0:
+            print(f"[scan-layout] {i + 1}/{len(names)}", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "mode": "scan_layout",
+                "sf_dir": sf_dir,
+                "n_checked": len(names),
+                "layouts": "files.maxPartitionBytes 128m/4m-openCost vs 256k/0",
+                "scan_layout_unstable": flagged,
+                "errors": errs,
+            }
+        )
+    )
+    sys.exit(1 if (flagged or errs) else 0)
+
+
 def main() -> None:
     if "--fhir" in sys.argv[1:]:
         fhir_perturb()
+        return
+    if "--scan-layout" in sys.argv[1:]:
+        argv = [a for a in sys.argv[1:] if a != "--scan-layout"]
+        sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+        scan_layout_check(sf_dir, tuple(argv[1:]) or None)
         return
     argv = [a for a in sys.argv[1:] if a != "--duck-only"]
     duck_only = "--duck-only" in sys.argv[1:]
