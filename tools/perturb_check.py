@@ -291,6 +291,89 @@ def scan_layout_check(sf_dir: str, prefixes) -> None:
 
         python tools/perturb_check.py [sf_dir] --scan-layout [prefix...]
     """
+    _conf_pair_check(
+        sf_dir,
+        prefixes,
+        mode="scan_layout",
+        tag="scan-layout",
+        axis_desc="files.maxPartitionBytes 128m/4m-openCost vs 256k/0",
+        passes=[
+            (
+                "default",
+                {
+                    "spark.sql.files.maxPartitionBytes": "134217728",
+                    "spark.sql.files.openCostInBytes": "4194304",
+                },
+            ),
+            (
+                "tiny_splits",
+                {
+                    "spark.sql.files.maxPartitionBytes": "262144",
+                    "spark.sql.files.openCostInBytes": "0",
+                },
+            ),
+        ],
+    )
+
+
+def aqe_check(sf_dir: str, prefixes) -> None:
+    """AQE-independence sweep: every registered query under
+    ``spark.sql.adaptive.enabled`` true vs false.
+
+    The entry point pins TZ/ANSI/nanos on the driver's session but
+    deliberately NOT AQE — the engine is supposed to be correct under
+    either. AQE's runtime re-planning changes physical shapes the
+    static axes can't reach: post-shuffle partition coalescing (fold
+    order and partition counts), runtime broadcast-join demotion/
+    promotion, and skew-join splitting. A query whose OUTPUT moves
+    with any of those has a physical-plan dependency bug that would
+    surface on any cluster with different AQE defaults or thresholds.
+
+        python tools/perturb_check.py [sf_dir] --aqe [prefix...]
+    """
+    _conf_pair_check(
+        sf_dir,
+        prefixes,
+        mode="aqe",
+        tag="aqe",
+        axis_desc="spark.sql.adaptive.enabled true vs false",
+        passes=[
+            ("aqe_on", {"spark.sql.adaptive.enabled": "true"}),
+            ("aqe_off", {"spark.sql.adaptive.enabled": "false"}),
+        ],
+    )
+
+
+def broadcast_check(sf_dir: str, prefixes) -> None:
+    """Join-strategy independence sweep: every registered query under
+    ``spark.sql.autoBroadcastJoinThreshold`` default (10 MB) vs -1.
+
+    With the threshold at -1 every join Catalyst would have silently
+    broadcast becomes a shuffle join (sort-merge or shuffled-hash),
+    which changes build/probe sides, row visit order, and partial
+    fold order — the physical degrees of freedom a 1000-executor
+    cluster exercises when a "small" dim stops being small. Explicit
+    ``F.broadcast`` hints are unaffected (that is the point: the
+    hinted joins are the audited always-dim-sized ones; this axis
+    proves the UNHINTED joins don't depend on the strategy AQE or
+    the threshold happened to pick).
+
+        python tools/perturb_check.py [sf_dir] --no-broadcast [prefix...]
+    """
+    _conf_pair_check(
+        sf_dir,
+        prefixes,
+        mode="broadcast_threshold",
+        tag="no-broadcast",
+        axis_desc="spark.sql.autoBroadcastJoinThreshold 10m vs -1",
+        passes=[
+            ("default", {"spark.sql.autoBroadcastJoinThreshold": "10485760"}),
+            ("no_auto_broadcast", {"spark.sql.autoBroadcastJoinThreshold": "-1"}),
+        ],
+    )
+
+
+def _conf_pair_check(sf_dir, prefixes, mode, tag, axis_desc, passes) -> None:
     from capgemini_himss24_fhirbulkdata_demo_spark import queries as q
     from pyspark.sql import SparkSession
 
@@ -300,7 +383,7 @@ def scan_layout_check(sf_dir: str, prefixes) -> None:
         if prefixes is None or n.startswith(prefixes)
     ]
     print(
-        f"[scan-layout] {len(names)} registered queries, sf_dir={sf_dir}",
+        f"[{tag}] {len(names)} registered queries, sf_dir={sf_dir}",
         file=sys.stderr,
     )
     spark = (
@@ -314,41 +397,37 @@ def scan_layout_check(sf_dir: str, prefixes) -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    # both passes set every knob explicitly — no reliance on ambient
+    # every pass sets each knob explicitly — no reliance on ambient
     # defaults surviving earlier queries in the same session
-    layouts = [
-        ("default", {"maxPartitionBytes": "134217728", "openCostInBytes": "4194304"}),
-        ("tiny_splits", {"maxPartitionBytes": "262144", "openCostInBytes": "0"}),
-    ]
     flagged: list[str] = []
     errs: list[str] = []
     for i, n in enumerate(names):
         try:
             res = []
-            for _label, conf in layouts:
+            for _label, conf in passes:
                 spark.conf.set("spark.sql.shuffle.partitions", "32")
                 for k, v in conf.items():
-                    spark.conf.set(f"spark.sql.files.{k}", v)
+                    spark.conf.set(k, v)
                 df = q.QUERIES[n](spark, sf_dir)
                 res.append(canonical(df.columns, [tuple(r) for r in df.collect()]))
                 for dep in getattr(df, "_cached_deps", []):
                     dep.unpersist()
             if res[0] != res[1]:
                 flagged.append(n)
-                print(f"[scan-layout] UNSTABLE {n}", file=sys.stderr)
+                print(f"[{tag}] UNSTABLE {n}", file=sys.stderr)
         except Exception as ex:
             errs.append(n)
-            print(f"[scan-layout] ERR {n}: {str(ex)[:80]}", file=sys.stderr)
+            print(f"[{tag}] ERR {n}: {str(ex)[:80]}", file=sys.stderr)
         if (i + 1) % 25 == 0:
-            print(f"[scan-layout] {i + 1}/{len(names)}", file=sys.stderr)
+            print(f"[{tag}] {i + 1}/{len(names)}", file=sys.stderr)
     print(
         json.dumps(
             {
-                "mode": "scan_layout",
+                "mode": mode,
                 "sf_dir": sf_dir,
                 "n_checked": len(names),
-                "layouts": "files.maxPartitionBytes 128m/4m-openCost vs 256k/0",
-                "scan_layout_unstable": flagged,
+                "axis": axis_desc,
+                f"{mode}_unstable": flagged,
                 "errors": errs,
             }
         )
@@ -364,6 +443,16 @@ def main() -> None:
         argv = [a for a in sys.argv[1:] if a != "--scan-layout"]
         sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
         scan_layout_check(sf_dir, tuple(argv[1:]) or None)
+        return
+    if "--aqe" in sys.argv[1:]:
+        argv = [a for a in sys.argv[1:] if a != "--aqe"]
+        sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+        aqe_check(sf_dir, tuple(argv[1:]) or None)
+        return
+    if "--no-broadcast" in sys.argv[1:]:
+        argv = [a for a in sys.argv[1:] if a != "--no-broadcast"]
+        sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+        broadcast_check(sf_dir, tuple(argv[1:]) or None)
         return
     argv = [a for a in sys.argv[1:] if a != "--duck-only"]
     duck_only = "--duck-only" in sys.argv[1:]
