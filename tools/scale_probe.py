@@ -181,6 +181,7 @@ def main() -> None:
     )]
     spark = (
         SparkSession.builder.master(f"local[{os.cpu_count()}]")
+        .config("spark.driver.memory", "12g")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
