@@ -17,6 +17,8 @@ from .dedup import (  # noqa: F401
     near_dup_pairs,
     release_cached_deps,
     shingle,
+    simhash_pairs64,
+    simhash_signatures64,
 )
 from .similarity import (  # noqa: F401
     assign_nearest_centroid,

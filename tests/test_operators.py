@@ -908,3 +908,70 @@ def test_bpe_wordpiece_scorer(spark):
 
     with pytest.raises(ValueError):
         train_bpe(docs, "text", 1, scorer="unigram")
+
+
+def test_simhash64_pairs_match_brute_force(spark):
+    """Pigeonhole exactness of the 64-bit banded pair search: on a
+    small corpus the banded operator must return EXACTLY the pairs a
+    brute-force all-pairs Hamming scan finds — banding may lose no
+    recall, verification may admit no extras. (The 64-bit operator is
+    the corpus-scale path of x05's 16-bit demonstrator; see the
+    operator docstring for the collision-rate argument.)"""
+    from capgemini_himss24_fhirbulkdata_demo_spark.operators.dedup import (
+        release_cached_deps,
+        simhash_pairs64,
+        simhash_signatures64,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").limit(150)
+    got_df = simhash_pairs64(docs, "doc_id", "text", hamming_max=3)
+    got = {(r.id_a, r.id_b, r.hamming) for r in got_df.collect()}
+    release_cached_deps(got_df)
+
+    sigs = simhash_signatures64(docs, "doc_id", "text")
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    brute = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+    )
+    want = {(r.id_a, r.id_b, r.hamming) for r in brute.collect()}
+    assert got == want
+
+
+def test_simhash64_finds_planted_duplicate_and_respects_bounds(spark):
+    """A byte-identical copy under a new id must surface at Hamming 0;
+    every reported pair obeys id_a < id_b and hamming <= max; an
+    indivisible band request raises."""
+    import pytest as _pytest
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.operators.dedup import (
+        release_cached_deps,
+        simhash_pairs64,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").limit(60)
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    planted = docs.unionByName(
+        docs.limit(1).select(
+            (F.col("doc_id") + F.lit(max_id + 1)).alias("doc_id"), F.col("text")
+        )
+    )
+    out = simhash_pairs64(planted, "doc_id", "text", hamming_max=3)
+    rows = out.collect()
+    release_cached_deps(out)
+    orig = docs.limit(1).first().doc_id
+    assert (orig, orig + max_id + 1, 0) in {
+        (r.id_a, r.id_b, r.hamming) for r in rows
+    }
+    assert all(r.id_a < r.id_b and 0 <= r.hamming <= 3 for r in rows)
+
+    with _pytest.raises(ValueError, match="equal bands"):
+        simhash_pairs64(planted, "doc_id", "text", hamming_max=2)
