@@ -38,7 +38,13 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            # Spark-written layout (tools/make_scaled_fixture.py):
+            # a directory of part files, not the driver's single file
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')"
+            )
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     return con
 

@@ -1,0 +1,110 @@
+"""Tests for the diagnostic tools that feed scale evidence.
+
+The scaled-fixture generator (tools/make_scaled_fixture.py) is the
+substrate for SKETCH_MARGINS.md and the full-corpus differential
+ladder (tools/full_differential.py); if its key-offset replication
+ever broke join integrity, every conclusion drawn from those corpora
+would be about a malformed corpus. These tests pin the invariants the
+docstring promises, on a 2x copy of sf0.001.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO_ROOT, "tools"))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+N = 2
+
+
+@pytest.fixture(scope="module")
+def scaled_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("fixture2x"))
+    import make_scaled_fixture
+
+    make_scaled_fixture.main([out, str(N), SF_DIR, "--all-tables"])
+    return out
+
+
+def _counts(spark, sf_dir, table):
+    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet")).count()
+
+
+def test_row_counts_scale_exactly(spark, scaled_dir):
+    fact = (
+        "lineitem orders customer part supplier events documents embeddings"
+    ).split()
+    for t in fact:
+        assert _counts(spark, scaled_dir, t) == N * _counts(spark, SF_DIR, t), t
+    for t in ("nation", "region"):
+        assert _counts(spark, scaled_dir, t) == _counts(spark, SF_DIR, t), t
+
+
+def _load(spark, sf_dir, table):
+    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+@pytest.mark.parametrize(
+    "left,right,cond",
+    [
+        ("lineitem", "orders", "l_orderkey = o_orderkey"),
+        ("lineitem", "part", "l_partkey = p_partkey"),
+        ("lineitem", "supplier", "l_suppkey = s_suppkey"),
+        ("orders", "customer", "o_custkey = c_custkey"),
+        ("events", "customer", "user_id = c_custkey"),
+        ("documents", "embeddings", "doc_id = vec_id"),
+        # group-A coherence: the as-of predicate must replicate
+        # per copy — a stride mismatch between event_id and
+        # o_orderkey would change this count non-linearly
+        (
+            "events",
+            "orders",
+            "user_id = o_custkey AND event_id <= o_orderkey",
+        ),
+    ],
+)
+def test_join_densities_scale_exactly(spark, scaled_dir, left, right, cond):
+    def pairs(sf_dir):
+        _load(spark, sf_dir, left).createOrReplaceTempView("l_")
+        _load(spark, sf_dir, right).createOrReplaceTempView("r_")
+        return spark.sql(f"SELECT count(*) c FROM l_ JOIN r_ ON {cond}").first()["c"]
+
+    base = pairs(SF_DIR)
+    assert base > 0, f"degenerate base join {left}/{right}"
+    assert pairs(scaled_dir) == N * base
+
+
+def test_copies_are_key_disjoint(spark, scaled_dir):
+    from pyspark.sql import functions as F
+
+    for t, k in [
+        ("documents", "doc_id"),
+        ("orders", "o_orderkey"),
+        ("events", "event_id"),
+        ("customer", "c_custkey"),
+    ]:
+        base = _load(spark, SF_DIR, t).agg(F.countDistinct(k)).first()[0]
+        scaled = _load(spark, scaled_dir, t).agg(F.countDistinct(k)).first()[0]
+        assert scaled == N * base, t
+
+
+def test_payloads_replicate_verbatim(spark, scaled_dir):
+    """Each document body appears exactly N times (the designed
+    exact-duplicate stress for the dedup family)."""
+    from pyspark.sql import functions as F
+
+    docs = _load(spark, scaled_dir, "documents")
+    mult = (
+        docs.groupBy("text").count().select(F.collect_set("count").alias("m"))
+    ).first()["m"]
+    base_max = (
+        _load(spark, SF_DIR, "documents").groupBy("text").count().agg(F.max("count"))
+    ).first()[0]
+    assert max(mult) <= N * base_max
+    assert min(mult) >= N

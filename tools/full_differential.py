@@ -1,0 +1,140 @@
+"""Full-registry Spark-vs-DuckDB differential at an arbitrary fixture dir.
+
+The driver's correctness gate and the in-repo oracle suite both run at
+the shipped scale factors (sf0.001/0.01/0.1). This tool runs EVERY
+registered query that has an ``oracle_sql()`` twin against ANY fixture
+directory — in particular the synthetic key-offset corpora written by
+``tools/make_scaled_fixture.py --all-tables`` — with the exact
+normalization/compare the driver mirror uses (tests/oracle.py).
+
+Why this exists (r9): the scaled corpora are the only way to observe
+query behavior PAST the largest shipped fixture, and replication is a
+deliberately harsh determinism stress (N-way exact-duplicate doc
+clusters, N-way ANN distance ties, N-way order ties under every
+rank/LIMIT). The 4x ad-hoc run of this differential is what exposed
+x05's 16-bit pair-space boundary (SCALE.md §"SimHash width boundary");
+this committed form makes the ladder reproducible and extensible.
+
+Usage:
+    python tools/full_differential.py SF_DIR [--skip NAME]...
+           [--prefix P]... [--out JSON_PATH]
+
+--skip marks a name as a documented exclusion (recorded in the JSON,
+not counted as failure); --prefix restricts the run to names starting
+with any given prefix. Exit 0 iff zero failures/errors among run
+names. Stdout ends with one JSON summary line; per-query status goes
+to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
+sys.path.insert(0, os.path.join(REPO_ROOT, "tests"))
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry
+    from oracle import compare, run_duck, run_spark
+
+    args = sys.argv[1:]
+    skips: set[str] = set()
+    prefixes: list[str] = []
+    out_path = None
+    pos: list[str] = []
+    i = 0
+    while i < len(args):
+        if args[i] == "--skip":
+            skips.add(args[i + 1])
+            i += 2
+        elif args[i] == "--prefix":
+            prefixes.append(args[i + 1])
+            i += 2
+        elif args[i] == "--out":
+            out_path = args[i + 1]
+            i += 2
+        else:
+            pos.append(args[i])
+            i += 1
+    if not pos:
+        print("usage: full_differential.py SF_DIR [--skip N] [--prefix P] [--out J]", file=sys.stderr)
+        sys.exit(2)
+    sf_dir = pos[0]
+
+    # mirror tools/window_rehearsal.py's session (the driver model)
+    spark = (
+        SparkSession.builder.master(f"local[{os.cpu_count()}]")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "12g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry.queries()
+    osql = entry.oracle_sql()
+    names = [
+        n
+        for n in qs
+        if (not prefixes or any(n.startswith(p) for p in prefixes))
+    ]
+    failures: dict[str, list[str]] = {}
+    timings: dict[str, float] = {}
+    n_ok = n_skipped = n_no_oracle = 0
+    for i, name in enumerate(sorted(names), 1):
+        tag = f"[{i:3d}/{len(names)}] {name}"
+        if name in skips:
+            n_skipped += 1
+            print(f"{tag}: SKIP (documented exclusion)", file=sys.stderr)
+            continue
+        if name not in osql:
+            n_no_oracle += 1
+            print(f"{tag}: rows-only (no oracle)", file=sys.stderr)
+            continue
+        t0 = time.monotonic()
+        try:
+            errs = compare(
+                name,
+                run_spark(qs[name], spark, sf_dir),
+                run_duck(osql[name], sf_dir),
+            )
+        except Exception as e:  # surface, keep running the rest
+            errs = [f"exception: {type(e).__name__}: {e}"]
+        dt = time.monotonic() - t0
+        timings[name] = round(dt, 2)
+        if errs:
+            failures[name] = errs
+            print(f"{tag}: FAIL ({dt:.1f}s) {'; '.join(errs)[:400]}", file=sys.stderr)
+        else:
+            n_ok += 1
+            print(f"{tag}: ok ({dt:.1f}s)", file=sys.stderr)
+    summary = {
+        "sf_dir": sf_dir,
+        "total": len(names),
+        "ok": n_ok,
+        "failures": failures,
+        "skipped": sorted(skips & set(names)),
+        "rows_only": n_no_oracle,
+        "slowest": dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:15]
+        ),
+        "total_sec": round(sum(timings.values()), 1),
+    }
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(summary, f, indent=1)
+    print(json.dumps(summary))
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
