@@ -5293,10 +5293,15 @@ def x213_spearman_price_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy("rev_u", "p_partkey"))
         .alias("rev_rank"),
     )
-    dd = F.col("price_rank") - F.col("rev_rank")
+    # row_number is IntegerType: the rank difference must widen to
+    # bigint BEFORE squaring — at n parts, d² reaches n², which
+    # silently wraps int32 past ~46k rows under the engine's
+    # permissive (non-ANSI) policy. Caught by the 4x-corpus
+    # differential (SCALE.md §"Corpus-differential ladder (r9)").
+    dd = (F.col("price_rank") - F.col("rev_rank")).cast("bigint")
     s = rk.agg(
         F.count("*").cast("bigint").alias("n"),
-        F.sum(dd * dd).cast("bigint").alias("sd2"),
+        F.sum(dd * dd).alias("sd2"),
     )
     return s.select(
         F.col("n").alias("n_parts"),

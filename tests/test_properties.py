@@ -1695,3 +1695,43 @@ def test_jpeg_progressive_flat_and_sparse_eob_runs(seed):
         for quant in (1, 16):
             assert _decode_jpeg(encode_jpeg_progressive(w, h, rows, quant)) \
                 == _decode_jpeg(encode_jpeg(w, h, rows, quant))
+
+
+def test_x213_spearman_rank_square_survives_int32_range(spark, tmp_path):
+    """Regression for the r9 4x-corpus differential finding: the
+    Spearman rank-difference square must widen to bigint BEFORE the
+    multiply. row_number() is IntegerType, so on a corpus with more
+    than ~46k ranked rows a perfectly anti-correlated pair ordering
+    drives d*d past 2^31 and the non-ANSI engine policy wraps it
+    silently (observed: rho 0.714541 instead of ~0 at 80k parts,
+    SCALE.md §"Corpus-differential ladder (r9)").
+
+    A 50k-part corpus with revenue exactly reversing the price order
+    has closed-form ranks: price_rank=k, rev_rank=n+1-k, so
+    sum(d^2) = n(n^2-1)/3 (= 4.1e13, far past int32) and rho = -1.
+    """
+    from pyspark.sql import functions as F
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.queries.analytics import (
+        x213_spearman_price_revenue,
+    )
+
+    n = 50_000
+    base = spark.range(1, n + 1).withColumnRenamed("id", "k")
+    part = base.select(
+        F.col("k").alias("p_partkey"),
+        F.col("k").cast("double").alias("p_retailprice"),
+    )
+    li = base.select(
+        F.col("k").alias("l_partkey"),
+        (n + 1 - F.col("k")).cast("double").alias("l_extendedprice"),
+        F.lit(0.0).alias("l_discount"),
+    )
+    sf = str(tmp_path)
+    part.write.parquet(f"{sf}/part.parquet")
+    li.write.parquet(f"{sf}/lineitem.parquet")
+
+    row = x213_spearman_price_revenue(spark, sf).first()
+    assert row["n_parts"] == n
+    assert row["sum_sq_rank_diff"] == n * (n * n - 1) // 3
+    assert row["spearman_rho"] == -1.0

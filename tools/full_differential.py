@@ -24,6 +24,16 @@ not counted as failure); --prefix restricts the run to names starting
 with any given prefix. Exit 0 iff zero failures/errors among run
 names. Stdout ends with one JSON summary line; per-query status goes
 to stderr.
+
+--ansi runs the Spark side with spark.sql.ansi.enabled=true. The
+engine policy is permissive (non-ANSI, session.py), so this is NOT a
+correctness gate — it is an overflow DETECTOR: integer wraparound
+that non-ANSI silently swallows (the x213 rank-difference square)
+becomes a loud ARITHMETIC_OVERFLOW at the exact expression. Triage
+each hit into (a) a genuine width bug — fix with an explicit
+cast-before-multiply — or (b) a benign permissive-semantics
+dependency (try_*, null-on-miss element_at, lenient casts) that ANSI
+flags by design.
 """
 
 from __future__ import annotations
@@ -46,8 +56,11 @@ def main() -> None:
 
     args = sys.argv[1:]
     skips: set[str] = set()
+    resumed: set[str] = set()
     prefixes: list[str] = []
     out_path = None
+    ansi = "--ansi" in args
+    args = [a for a in args if a != "--ansi"]
     pos: list[str] = []
     i = 0
     while i < len(args):
@@ -59,6 +72,15 @@ def main() -> None:
             i += 2
         elif args[i] == "--out":
             out_path = args[i + 1]
+            i += 2
+        elif args[i] == "--resume":
+            # don't re-run names already green in a prior run's
+            # stderr log (same fixture assumed; recorded separately
+            # from documented exclusions)
+            with open(args[i + 1]) as f:
+                for line in f:
+                    if ": ok (" in line:
+                        resumed.add(line.split("] ", 1)[1].split(":", 1)[0])
             i += 2
         else:
             pos.append(args[i])
@@ -73,6 +95,7 @@ def main() -> None:
         SparkSession.builder.master(f"local[{os.cpu_count()}]")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.ansi.enabled", "true" if ansi else "false")
         .config("spark.driver.memory", "12g")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
@@ -89,12 +112,16 @@ def main() -> None:
     ]
     failures: dict[str, list[str]] = {}
     timings: dict[str, float] = {}
-    n_ok = n_skipped = n_no_oracle = 0
+    n_ok = n_skipped = n_no_oracle = n_resumed = 0
     for i, name in enumerate(sorted(names), 1):
         tag = f"[{i:3d}/{len(names)}] {name}"
         if name in skips:
             n_skipped += 1
             print(f"{tag}: SKIP (documented exclusion)", file=sys.stderr)
+            continue
+        if name in resumed:
+            n_resumed += 1
+            print(f"{tag}: ok (resumed from prior log)", file=sys.stderr)
             continue
         if name not in osql:
             n_no_oracle += 1
@@ -119,8 +146,10 @@ def main() -> None:
             print(f"{tag}: ok ({dt:.1f}s)", file=sys.stderr)
     summary = {
         "sf_dir": sf_dir,
+        "ansi": ansi,
         "total": len(names),
         "ok": n_ok,
+        "resumed_ok": n_resumed,
         "failures": failures,
         "skipped": sorted(skips & set(names)),
         "rows_only": n_no_oracle,
