@@ -108,3 +108,22 @@ def test_payloads_replicate_verbatim(spark, scaled_dir):
     ).first()[0]
     assert max(mult) <= N * base_max
     assert min(mult) >= N
+
+
+def test_docs_override_scales_only_document_group(spark, tmp_path):
+    import make_scaled_fixture
+
+    out = str(tmp_path / "docs3x")
+    make_scaled_fixture.main([out, "1", SF_DIR, "--all-tables", "--docs", "3"])
+    for t in ("documents", "embeddings"):
+        assert _counts(spark, out, t) == 3 * _counts(spark, SF_DIR, t), t
+    for t in ("lineitem", "orders", "customer", "events"):
+        assert _counts(spark, out, t) == _counts(spark, SF_DIR, t), t
+    # doc/vec stride group intact under the override
+    d = _load(spark, out, "documents")
+    v = _load(spark, out, "embeddings")
+    joined = d.join(v, d["doc_id"] == v["vec_id"]).count()
+    db = _load(spark, SF_DIR, "documents")
+    vb = _load(spark, SF_DIR, "embeddings")
+    base = db.join(vb, db["doc_id"] == vb["vec_id"]).count()
+    assert joined == 3 * base

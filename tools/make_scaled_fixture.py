@@ -39,8 +39,14 @@ clusters for the dedup family, N-way distance ties for the ANN
 family, N-way order ties under every rank/LIMIT) while keeping both
 engines on identical inputs.
 
+``--docs M`` (with ``--all-tables``) overrides the copy count for the
+document group (documents + embeddings, which share a stride) so the
+text/dedup/ANN families can be stressed far past the uniform rung
+without paying a matching relational blow-up — e.g. ``1 --docs 32``
+is a 160 k-doc corpus over 1× relational tables.
+
 Usage: python tools/make_scaled_fixture.py OUT_DIR [N_COPIES=4] [SRC]
-                                           [--all-tables]
+                                           [--all-tables] [--docs M]
 """
 
 from __future__ import annotations
@@ -62,8 +68,13 @@ def main(argv: list[str] | None = None) -> None:
 
     if argv is None:
         argv = sys.argv[1:]
-    args = [a for a in argv if a != "--all-tables"]
     all_tables = "--all-tables" in argv
+    args = [a for a in argv if a != "--all-tables"]
+    docs_copies = None
+    if "--docs" in args:
+        i = args.index("--docs")
+        docs_copies = int(args[i + 1])
+        del args[i : i + 2]
     out_dir = args[0]
     n_copies = int(args[1]) if len(args) > 1 else 4
     src = args[2] if len(args) > 2 else SRC_DEFAULT
@@ -85,9 +96,9 @@ def main(argv: list[str] | None = None) -> None:
     pk_stride = max_of(li, "l_partkey") + 1
     ck_stride = max_of(cust, "c_custkey") + 1
 
-    def replicate(df, key_strides: dict[str, int]):
+    def replicate(df, key_strides: dict[str, int], copies_n: int | None = None):
         copies = []
-        for i in range(n_copies):
+        for i in range(copies_n or n_copies):
             c = df
             for col, stride in key_strides.items():
                 c = c.withColumn(col, F.col(col) + F.lit(i * stride))
@@ -141,8 +152,12 @@ def main(argv: list[str] | None = None) -> None:
         writes["events"] = replicate(
             events, {"event_id": a_stride, "user_id": ck_stride}
         )
-        writes["documents"] = replicate(docs, {"doc_id": de_stride})
-        writes["embeddings"] = replicate(embs, {"vec_id": de_stride})
+        writes["documents"] = replicate(
+            docs, {"doc_id": de_stride}, docs_copies
+        )
+        writes["embeddings"] = replicate(
+            embs, {"vec_id": de_stride}, docs_copies
+        )
 
     for name, df in writes.items():
         path = os.path.join(out_dir, f"{name}.parquet")
