@@ -5253,8 +5253,9 @@ s AS (
               AS BIGINT) AS sd2
   FROM rk)
 SELECT n AS n_parts, sd2 AS sum_sq_rank_diff,
-       ROUND(1 - CAST(6 * sd2 AS DOUBLE) / (n * (n * n - 1)), 6)
-         AS spearman_rho
+       ROUND(1 - 6 * CAST(sd2 AS DOUBLE)
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1)),
+             6) AS spearman_rho
 FROM s
 """
 
@@ -5303,13 +5304,21 @@ def x213_spearman_price_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.sum(dd * dd).alias("sd2"),
     )
+    # rho's cubic products run in DOUBLE (r9 ADVICE): in bigint,
+    # n·(n²−1) wraps int64 past ~2.1M ranked parts and 6·sd2 past
+    # sd2 ≈ 1.5e18 — the same x213 class one tier up. Double is exact
+    # to 2^53 and its ~1e-16 relative error is invisible at the final
+    # 6-decimal round; both engines evaluate the identical IEEE ops,
+    # so the oracle stays bit-exact. Remaining documented cap: the
+    # bigint Σd² ACCUMULATOR itself, exact to n(n²−1)/3 ≤ 2^63−1,
+    # i.e. ~3.0e6 ranked parts — at 100 TB part counts, widen the
+    # sum to decimal(38,0).
+    n_d = F.col("n").cast("double")
     return s.select(
         F.col("n").alias("n_parts"),
         F.col("sd2").alias("sum_sq_rank_diff"),
         F.round(
-            1
-            - (6 * F.col("sd2")).cast("double")
-            / (F.col("n") * (F.col("n") * F.col("n") - 1)),
+            1 - 6 * F.col("sd2").cast("double") / (n_d * (n_d * n_d - 1)),
             6,
         ).alias("spearman_rho"),
     )

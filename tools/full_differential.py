@@ -17,13 +17,20 @@ this committed form makes the ladder reproducible and extensible.
 
 Usage:
     python tools/full_differential.py SF_DIR [--skip NAME]...
-           [--prefix P]... [--out JSON_PATH]
+           [--prefix P]... [--out JSON_PATH] [--ansi]
+           [--resume PRIOR_STDERR_LOG]
 
 --skip marks a name as a documented exclusion (recorded in the JSON,
 not counted as failure); --prefix restricts the run to names starting
 with any given prefix. Exit 0 iff zero failures/errors among run
 names. Stdout ends with one JSON summary line; per-query status goes
 to stderr.
+
+--resume PRIOR_LOG skips names already green in a prior run's stderr
+log. The match is anchored to the exact ok-line format (a FAIL line
+whose error text happens to contain ": ok (" can never resume-pass),
+and the log must carry this tool's sf_dir header for the SAME fixture
+dir — resuming across fixtures is refused (r9 ADVICE).
 
 --ansi runs the Spark side with spark.sql.ansi.enabled=true. The
 engine policy is permissive (non-ANSI, session.py), so this is NOT a
@@ -49,16 +56,19 @@ sys.path.insert(0, os.path.join(REPO_ROOT, "tests"))
 
 
 def main() -> None:
-    from pyspark.sql import SparkSession
+    import re
 
     import __spark_entry__ as entry
     from oracle import compare, run_duck, run_spark
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.session import get_spark
 
     args = sys.argv[1:]
     skips: set[str] = set()
     resumed: set[str] = set()
     prefixes: list[str] = []
     out_path = None
+    resume_path = None
     ansi = "--ansi" in args
     args = [a for a in args if a != "--ansi"]
     pos: list[str] = []
@@ -74,34 +84,65 @@ def main() -> None:
             out_path = args[i + 1]
             i += 2
         elif args[i] == "--resume":
-            # don't re-run names already green in a prior run's
-            # stderr log (same fixture assumed; recorded separately
-            # from documented exclusions)
-            with open(args[i + 1]) as f:
-                for line in f:
-                    if ": ok (" in line:
-                        resumed.add(line.split("] ", 1)[1].split(":", 1)[0])
+            resume_path = args[i + 1]
             i += 2
         else:
             pos.append(args[i])
             i += 1
     if not pos:
-        print("usage: full_differential.py SF_DIR [--skip N] [--prefix P] [--out J]", file=sys.stderr)
+        print(
+            "usage: full_differential.py SF_DIR [--skip N]... [--prefix P]..."
+            " [--out J] [--ansi] [--resume PRIOR_LOG]",
+            file=sys.stderr,
+        )
         sys.exit(2)
     sf_dir = pos[0]
 
-    # mirror tools/window_rehearsal.py's session (the driver model)
-    spark = (
-        SparkSession.builder.master(f"local[{os.cpu_count()}]")
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.sql.ansi.enabled", "true" if ansi else "false")
-        .config("spark.driver.memory", "12g")
-        .config("spark.ui.enabled", "false")
-        .config("spark.ui.showConsoleProgress", "false")
-        .getOrCreate()
+    if resume_path:
+        # don't re-run names already green in a prior run's stderr
+        # log. Anchored to the exact ok-line format (r9 ADVICE: a
+        # substring match could resume-pass a FAIL line whose error
+        # text contains ': ok ('), and the log's sf_dir header must
+        # match this run's fixture — cross-fixture resume is refused.
+        log_sf = None
+        with open(resume_path) as f:
+            for line in f:
+                mh = re.match(r"\[differential\] sf_dir=(\S+) ", line)
+                if mh:
+                    log_sf = mh.group(1)
+                m = re.match(r"^\[ *\d+/\d+\] (\S+): ok \(", line)
+                if m:
+                    resumed.add(m.group(1))
+        if log_sf is None:
+            print(
+                f"--resume: {resume_path} has no '[differential] sf_dir=' "
+                "header (pre-r10 log format) — cannot verify it ran against "
+                f"{sf_dir}; refusing to resume",
+                file=sys.stderr,
+            )
+            sys.exit(2)
+        if os.path.normpath(log_sf) != os.path.normpath(sf_dir):
+            print(
+                f"--resume: log {resume_path} ran against {log_sf}, "
+                f"this run targets {sf_dir} — refusing cross-fixture resume",
+                file=sys.stderr,
+            )
+            sys.exit(2)
+
+    # engine session policy (UTC tz, permissive casts, nanosAsLong —
+    # r9 ADVICE: a bare builder session lacks the UTC timezone
+    # session.py documents as required for stable timestamp collection
+    # against the DuckDB oracle, making ladder runs host-TZ-dependent)
+    spark = get_spark(
+        master=f"local[{os.cpu_count()}]",
+        extra_conf={
+            "spark.sql.ansi.enabled": "true" if ansi else "false",
+            "spark.driver.memory": "12g",
+            "spark.ui.showConsoleProgress": "false",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
+    print(f"[differential] sf_dir={sf_dir} ansi={ansi}", file=sys.stderr)
 
     qs = entry.queries()
     osql = entry.oracle_sql()

@@ -75,6 +75,14 @@ def main(argv: list[str] | None = None) -> None:
         i = args.index("--docs")
         docs_copies = int(args[i + 1])
         del args[i : i + 2]
+        if not all_tables:
+            # r9 ADVICE: documents are only written in --all-tables
+            # mode; silently accepting --docs without it would drop
+            # the override on the floor
+            sys.exit("--docs requires --all-tables (default mode writes "
+                     "only the five margin-probe tables, no documents)")
+        if docs_copies < 1:
+            sys.exit("--docs must be >= 1")
     out_dir = args[0]
     n_copies = int(args[1]) if len(args) > 1 else 4
     src = args[2] if len(args) > 2 else SRC_DEFAULT
@@ -98,7 +106,7 @@ def main(argv: list[str] | None = None) -> None:
 
     def replicate(df, key_strides: dict[str, int], copies_n: int | None = None):
         copies = []
-        for i in range(copies_n or n_copies):
+        for i in range(n_copies if copies_n is None else copies_n):
             c = df
             for col, stride in key_strides.items():
                 c = c.withColumn(col, F.col(col) + F.lit(i * stride))
@@ -128,6 +136,15 @@ def main(argv: list[str] | None = None) -> None:
         embs = load_table(spark, src, "embeddings")
 
         sk_stride = max_of(supp, "s_suppkey") + 1
+        # r9 ADVICE: strides for shared key groups must clear the max
+        # across EVERY table in the group, not just the child — a part
+        # key above the max referenced l_partkey (or an events.user_id
+        # above max c_custkey) would otherwise collide across copies,
+        # silently corrupting the corpus. Groups A/E below already do
+        # this; C (part/lineitem) and B (customer/orders/events) now
+        # match the pattern.
+        pk_stride = max(pk_stride, max_of(part, "p_partkey") + 1)
+        ck_stride = max(ck_stride, max_of(events, "user_id") + 1)
         # group A: the q25 as-of predicate (event_id <= o_orderkey)
         # must shift identically on both sides
         a_stride = max(ok_stride, max_of(events, "event_id") + 1)
@@ -147,6 +164,8 @@ def main(argv: list[str] | None = None) -> None:
         writes["orders"] = replicate(
             orders, {"o_orderkey": a_stride, "o_custkey": ck_stride}
         )
+        # rebuilt: the default-mode entry baked the unguarded ck_stride
+        writes["customer"] = replicate(cust, {"c_custkey": ck_stride})
         writes["part"] = replicate(part, {"p_partkey": pk_stride})
         writes["supplier"] = replicate(supp, {"s_suppkey": sk_stride})
         writes["events"] = replicate(
