@@ -279,15 +279,18 @@ class StreamingBench:
     with trigger(availableNow) through a foreachBatch sink, and report
     events/sec over the drain wall-clock.
 
-    Per-rep drain = the ENGINE-DEFAULT path: ``start_stateful_query``
+    Per-rep drains = the ENGINE-DEFAULT path (``start_stateful_query``
     with its own ``DEFAULT_STATE_PARTITIONS`` sizing and no bench-side
     conf tuning — what a user of the streaming/ helpers gets out of
-    the box (r7 verdict What's-wrong #2: the tuned confs used to live
-    only in this harness). Two one-shot companions keep the old
-    cross-round series alive: a raw session-default drain (the old
-    "default basis": writeStream with the session's 32 shuffle
-    partitions) and the old tuned basis (gc + 8 partitions +
-    noDataMicroBatches off).
+    the box; r7 verdict What's-wrong #2: the tuned confs used to live
+    only in this harness) AND, since v7.1, the raw session-default
+    drain (the old "default basis": writeStream under the session's
+    32 shuffle partitions — the naive-user path). The raw drain was a
+    one-shot companion through v7, which left the r2–r9 historical
+    series with no dispersion band of its own and made it the
+    least-triageable number in the payload (r9 verdict ask #6). The
+    tuned basis stays one-shot (it exists only for series
+    continuity).
     """
 
     def __init__(self, spark):
@@ -308,6 +311,7 @@ class StreamingBench:
         ev.repartition(8).write.mode("overwrite").parquet(self.landing)
         self.schema = spark.read.parquet(self.landing).schema
         self.engine_default_walls: list[float] = []
+        self.session_default_walls: list[float] = []
         self.output_rows: int = 0
 
     def _stream(self):
@@ -342,34 +346,36 @@ class StreamingBench:
         wall = time.perf_counter() - t0
         self.engine_default_walls.append(wall)
         self.output_rows = int(sum(rows))
+        # v7.1: the raw session-default drain runs per-rep too, so the
+        # _default_basis series gets its own min/median/max band
+        self.session_default_walls.append(
+            self._raw_drain(os.path.join(self.tmp, f"ck_session_{rep}"))
+        )
         return wall
+
+    def _raw_drain(self, checkpoint: str) -> float:
+        rows = []
+
+        def commit(batch_df, batch_id):
+            rows.append(batch_df.count())
+
+        t0 = time.perf_counter()
+        q = (
+            self._stream()
+            .writeStream.foreachBatch(commit)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return time.perf_counter() - t0
 
     def finalize(self) -> dict:
         import shutil
 
         spark = self.spark
-
-        def raw_drain(checkpoint: str) -> float:
-            rows = []
-
-            def commit(batch_df, batch_id):
-                rows.append(batch_df.count())
-
-            t0 = time.perf_counter()
-            q = (
-                self._stream()
-                .writeStream.foreachBatch(commit)
-                .outputMode("update")
-                .option("checkpointLocation", checkpoint)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination(300)
-            return time.perf_counter() - t0
-
-        # old "default basis" series: raw writeStream under the
-        # session's batch shuffle default (32 partitions here)
-        wall_session_default = raw_drain(os.path.join(self.tmp, "ck_session"))
+        raw_drain = self._raw_drain
 
         # old tuned basis: gc + 8 state partitions + no-data batch off
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -384,6 +390,7 @@ class StreamingBench:
                 "spark.sql.streaming.noDataMicroBatches.enabled", "true"
             )
         rates = [self.n_events / w for w in self.engine_default_walls]
+        sd_rates = [self.n_events / w for w in self.session_default_walls]
         best = min(self.engine_default_walls)
         out = {
             "streaming_events": self.n_events,
@@ -397,10 +404,12 @@ class StreamingBench:
             # briefly (r8 only) pointed it at the engine-default
             # median; that median now lives under its own key,
             # `_engine_median`, so no cross-round comparison ever
-            # silently swaps measurement bases again.
-            # `_session_default_basis` (the r8-only name for the raw
-            # drain) is kept as an equal-valued duplicate for one
-            # more round of key continuity.
+            # silently swaps measurement bases again. Since v7.1 the
+            # raw drain runs per-rep: the point value moves to the
+            # min basis (like every other section) and the series
+            # carries its own dispersion band.
+            # (`_session_default_basis`, the r8-only duplicate key
+            # kept "one more round" in r9, is retired as documented.)
             "streaming_events_per_sec_tuned_basis": round(
                 self.n_events / wall_tuned
             ),
@@ -408,10 +417,10 @@ class StreamingBench:
                 statistics.median(rates)
             ),
             "streaming_events_per_sec_default_basis": round(
-                self.n_events / wall_session_default
+                self.n_events / min(self.session_default_walls)
             ),
-            "streaming_events_per_sec_session_default_basis": round(
-                self.n_events / wall_session_default
+            "streaming_events_per_sec_default_basis_dispersion": _summary(
+                sd_rates, 0
             ),
             "streaming_output_rows": self.output_rows,
         }
@@ -483,9 +492,12 @@ class ShardsBench:
 # verdict What's-wrong #1 + ADVICE): full untimed warmup pass of all
 # four sections before rep 1 (warm bands); _default_basis restored to
 # the raw session-default drain with the engine median under its own
-# _engine_median key; section tempdirs removed in finalize.
+# _engine_median key; section tempdirs removed in finalize. v7.1 (r9
+# verdict ask #6): the raw session-default drain runs per-rep so the
+# _default_basis series carries its own dispersion band; all other
+# bases unchanged.
 METHODOLOGY = {
-    "version": 7,
+    "version": 7.1,
     "reps": REPS,
     "interleaved": "per rep: query sweep -> FHIR -> streaming -> "
                    "shards; dispersion = median/min/max over reps",
@@ -502,12 +514,14 @@ METHODOLOGY = {
             "single-run basis = first timed rep",
     "streaming": "per rep: engine-default drain via "
                  "start_stateful_query (DEFAULT_STATE_PARTITIONS=8, "
-                 "no harness tuning); one-shot continuity drains: raw "
-                 "session-default (32 parts) and tuned (gc + 8 parts "
-                 "+ noDataMicroBatches off). Key semantics (v7): "
-                 "_default_basis = raw session-default drain (the "
-                 "r2-r7 historical series, restored); engine-default "
-                 "median lives under _engine_median",
+                 "no harness tuning) THEN the raw session-default "
+                 "drain (32 parts — per-rep since v7.1, giving the "
+                 "r2-r9 _default_basis series its own dispersion "
+                 "band; point value = min over reps, r9 verdict ask "
+                 "#6); one-shot continuity drain: tuned (gc + 8 "
+                 "parts + noDataMicroBatches off). _default_basis = "
+                 "raw session-default drain; engine-default median "
+                 "lives under _engine_median",
     "shards": "one write_training_shards per rep, 8 shards on doc_id; "
               "point value = min",
     "host_variance": "this box swings up to ~30% run-to-run on "
@@ -604,6 +618,7 @@ def main() -> None:
     shards.run_rep(-1)
     fhir.times.clear()
     streaming.engine_default_walls.clear()
+    streaming.session_default_walls.clear()
     shards.times.clear()
     print(
         f"[bench] target-scale warmup pass (untimed): "
@@ -660,6 +675,9 @@ def main() -> None:
             "fhir_rec_per_sec": fhir_out["fhir_eob_rec_per_sec_dispersion"],
             "streaming_ev_per_sec": streaming_out[
                 "streaming_events_per_sec_dispersion"
+            ],
+            "streaming_default_ev_per_sec": streaming_out[
+                "streaming_events_per_sec_default_basis_dispersion"
             ],
             "shards_docs_per_sec": shards_out[
                 "shards_docs_per_sec_dispersion"

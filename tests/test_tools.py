@@ -127,3 +127,62 @@ def test_docs_override_scales_only_document_group(spark, tmp_path):
     vb = _load(spark, SF_DIR, "embeddings")
     base = db.join(vb, db["doc_id"] == vb["vec_id"]).count()
     assert joined == 3 * base
+
+
+def test_docs_without_all_tables_errors(tmp_path):
+    """r9 ADVICE: --docs was silently ignored without --all-tables."""
+    import make_scaled_fixture
+
+    with pytest.raises(SystemExit):
+        make_scaled_fixture.main([str(tmp_path / "x"), "2", SF_DIR, "--docs", "3"])
+
+
+def test_resume_log_parsing_is_anchored(tmp_path):
+    """r9 ADVICE: --resume must not green a FAIL line containing
+    ': ok (' in its error text, and must carry the fixture header."""
+    import full_differential
+
+    log = tmp_path / "prior.log"
+    log.write_text(
+        "[differential] sf_dir=/tmp/fxA ansi=False\n"
+        "[  1/3] q01_pricing_summary: ok (1.2s)\n"
+        "[  2/3] q02_filter_project: FAIL (0.3s) exception: got ': ok (' in text\n"
+        "[  3/3] q03_top_revenue_orders: ok (resumed from prior log)\n"
+    )
+    sf, green = full_differential.parse_resume_log(str(log))
+    assert sf == "/tmp/fxA"
+    assert green == {"q01_pricing_summary", "q03_top_revenue_orders"}
+
+    headerless = tmp_path / "old.log"
+    headerless.write_text("[  1/1] q01_pricing_summary: ok (1.0s)\n")
+    sf2, green2 = full_differential.parse_resume_log(str(headerless))
+    assert sf2 is None  # pre-r10 log: main() refuses to resume
+    assert green2 == {"q01_pricing_summary"}
+
+
+def test_bench_compare_point_fallback():
+    """r9 verdict ask #6: the session-default streaming series gets a
+    triage row even against pre-v7.1 payloads (point fallback)."""
+    import bench_compare
+
+    old = {"streaming": {"streaming_events_per_sec_default_basis": 22800}}
+    band, is_point = bench_compare._band(old, "streaming_default_ev_per_sec")
+    assert is_point and band == {"median": 22800, "min": 22800, "max": 22800}
+
+    new = {
+        "dispersion": {
+            "streaming_default_ev_per_sec": {
+                "median": 21000, "min": 19000, "max": 24000,
+            }
+        }
+    }
+    band2, is_point2 = bench_compare._band(new, "streaming_default_ev_per_sec")
+    assert not is_point2 and band2["median"] == 21000
+    # 21000 inside the zero-width-band? no: below 22800 -> would read
+    # REGRESSION for higher-is-better against a zero-width band; the
+    # printed caveat marks it as weak evidence
+    assert bench_compare.verdict(band, band2, True).startswith("REGRESSION")
+    assert (
+        bench_compare.verdict(band, {"median": 22800, "min": 0, "max": 1}, True)
+        == "noise (medians inside bands)"
+    )

@@ -20,8 +20,33 @@ SECTIONS = (
     ("query sweep (s)", "sweep_total_sec", False),
     ("fhir (rec/s)", "fhir_rec_per_sec", True),
     ("streaming (ev/s)", "streaming_ev_per_sec", True),
+    ("streaming default (ev/s)", "streaming_default_ev_per_sec", True),
     ("shards (docs/s)", "shards_docs_per_sec", True),
 )
+
+# dispersion keys absent from pre-v7.1 payloads fall back to the
+# section's point value (r9 verdict ask #6: the raw session-default
+# drain — the naive-user path — had no triage row; through v7 it was
+# a ONE-SHOT number, so old payloads can only contribute a
+# zero-width "band")
+POINT_FALLBACK = {
+    "streaming_default_ev_per_sec": (
+        "streaming",
+        "streaming_events_per_sec_default_basis",
+    ),
+}
+
+
+def _band(payload: dict, key: str):
+    d = (payload.get("dispersion") or {}).get(key)
+    if d:
+        return d, False
+    if key in POINT_FALLBACK:
+        sec, k = POINT_FALLBACK[key]
+        v = (payload.get(sec) or {}).get(k)
+        if v is not None:
+            return {"median": v, "min": v, "max": v}, True
+    return None, False
 
 
 def verdict(old: dict | None, new: dict | None, higher_better: bool) -> str:
@@ -57,16 +82,18 @@ def main() -> None:
             f"band is weak evidence of 'no change')"
         )
     for label, key, hib in SECTIONS:
-        o = (old.get("dispersion") or {}).get(key)
-        n = (new.get("dispersion") or {}).get(key)
+        o, o_pt = _band(old, key)
+        n, n_pt = _band(new, key)
+        caveat = " [point fallback: one-shot value, zero-width band]" \
+            if (o_pt or n_pt) else ""
         if o and n:
             print(
-                f"{label:20s} median {o['median']:>9} -> {n['median']:>9}  "
+                f"{label:25s} median {o['median']:>9} -> {n['median']:>9}  "
                 f"bands [{o['min']}..{o['max']}] / [{n['min']}..{n['max']}]  "
-                f"=> {verdict(o, n, hib)}"
+                f"=> {verdict(o, n, hib)}{caveat}"
             )
         else:
-            print(f"{label:20s} {verdict(o, n, hib)}")
+            print(f"{label:25s} {verdict(o, n, hib)}{caveat}")
 
     qo, qn = old.get("queries", {}), new.get("queries", {})
     common = sorted(set(qo) & set(qn), key=lambda k: qn[k] - qo[k])

@@ -55,9 +55,30 @@ sys.path.insert(0, REPO_ROOT)
 sys.path.insert(0, os.path.join(REPO_ROOT, "tests"))
 
 
-def main() -> None:
+def parse_resume_log(path: str) -> tuple[str | None, set[str]]:
+    """Extract (header sf_dir, green names) from a prior stderr log.
+
+    Anchored to the exact ok-line format (r9 ADVICE: a bare ': ok ('
+    substring match could resume-pass a FAIL line whose truncated
+    error text contains it). Resumed names' own lines re-match, so
+    chained resumes work.
+    """
     import re
 
+    log_sf = None
+    green: set[str] = set()
+    with open(path) as f:
+        for line in f:
+            mh = re.match(r"\[differential\] sf_dir=(\S+) ", line)
+            if mh:
+                log_sf = mh.group(1)
+            m = re.match(r"^\[ *\d+/\d+\] (\S+): ok \(", line)
+            if m:
+                green.add(m.group(1))
+    return log_sf, green
+
+
+def main() -> None:
     import __spark_entry__ as entry
     from oracle import compare, run_duck, run_spark
 
@@ -100,19 +121,9 @@ def main() -> None:
 
     if resume_path:
         # don't re-run names already green in a prior run's stderr
-        # log. Anchored to the exact ok-line format (r9 ADVICE: a
-        # substring match could resume-pass a FAIL line whose error
-        # text contains ': ok ('), and the log's sf_dir header must
-        # match this run's fixture — cross-fixture resume is refused.
-        log_sf = None
-        with open(resume_path) as f:
-            for line in f:
-                mh = re.match(r"\[differential\] sf_dir=(\S+) ", line)
-                if mh:
-                    log_sf = mh.group(1)
-                m = re.match(r"^\[ *\d+/\d+\] (\S+): ok \(", line)
-                if m:
-                    resumed.add(m.group(1))
+        # log; the log's sf_dir header must match this run's fixture —
+        # cross-fixture resume is refused (r9 ADVICE).
+        log_sf, resumed = parse_resume_log(resume_path)
         if log_sf is None:
             print(
                 f"--resume: {resume_path} has no '[differential] sf_dir=' "
