@@ -5030,11 +5030,11 @@ wide AS (
   JOIN (SELECT nation, r FROM rk WHERE period = 'late') l
     ON e.nation = l.nation),
 pairs AS (
-  SELECT CAST(SUM(CASE WHEN (a.r_early - b.r_early)
-                          * (a.r_late - b.r_late) > 0
+  SELECT CAST(SUM(CASE WHEN CAST(a.r_early - b.r_early AS BIGINT)
+                          * CAST(a.r_late - b.r_late AS BIGINT) > 0
                        THEN 1 ELSE 0 END) AS BIGINT) AS c,
-         CAST(SUM(CASE WHEN (a.r_early - b.r_early)
-                          * (a.r_late - b.r_late) < 0
+         CAST(SUM(CASE WHEN CAST(a.r_early - b.r_early AS BIGINT)
+                          * CAST(a.r_late - b.r_late AS BIGINT) < 0
                        THEN 1 ELSE 0 END) AS BIGINT) AS d,
          CAST(COUNT(*) AS BIGINT) AS n_pairs
   FROM wide a JOIN wide b ON a.nation < b.nation)
@@ -5114,7 +5114,13 @@ def x211_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_early").alias("eb"),
         F.col("r_late").alias("lb"),
     )
-    sign = (F.col("ea") - F.col("eb")) * (F.col("la") - F.col("lb"))
+    # x213-class widen (caught by tools/accwidth_lint.py, r10): the
+    # sign product of two row_number differences wraps int32 past
+    # ~46k ranked entities. Harmless at the 25-nation grain, but the
+    # operator pattern ranks arbitrary entity tables — widen first.
+    sign = (F.col("ea") - F.col("eb")).cast("bigint") * (
+        F.col("la") - F.col("lb")
+    ).cast("bigint")
     pairs = (
         a.join(b, F.col("na") < F.col("nb"))
         .agg(
