@@ -11,10 +11,19 @@ documents copy gets a perturbed leading token so fingerprints and
 shingles differ (otherwise every doc acquires an exact dup and the
 dedup families measure a different problem).
 
-Usage:  python tools/scale_probe.py [sf_dir] [--x4] [prefix ...]
+Usage:  python tools/scale_probe.py [sf_dir] [--x4] [--ops] [prefix ...]
 Writes probe datasets under /tmp/scale_probe_sf0{1,2} and prints a
 table. Ideal linear slope is <=2.0; fixed overhead pulls observed
 slopes down; anything >2 flags super-linear candidate growth.
+
+--ops probes OPERATOR-level paths that have no registered query
+(currently the 64-bit SimHash pair operator, r9 verdict ask #5).
+These build their own corpora: the standard probe's one-token
+perturbation keeps copies within Hamming<=3 of each other — a 64-bit
+SimHash probe on it would measure cross-copy FOUND-PAIR growth
+(quadratic in copies, true output) instead of corpus growth, so the
+op probe salts EVERY token per copy (signatures ~32 bits apart, zero
+cross-copy pairs) and the slope isolates the banded join's cost.
 
 --x4 probes 1x vs 4x instead (dataset under /tmp/scale_probe_sf04).
 Two doublings separate growth classes a single doubling can't:
@@ -165,20 +174,90 @@ def build(spark, src: str, dst: str, copies: int = 1) -> None:
         os.rename(out + "_d", out)
 
 
+def _probe_simhash64(spark, src: str) -> None:
+    """1x-vs-2x slope for operators/dedup.py::simhash_pairs64.
+
+    Per-copy token salting (every token prefixed with the copy tag)
+    pushes copy signatures ~32 bits apart, so the pair output is
+    IDENTICAL per copy and the slope measures the explode + band-join
+    + verify pipeline, not found-pair volume.
+    """
+    from pyspark.sql import functions as F
+
+    from capgemini_himss24_fhirbulkdata_demo_spark.operators.dedup import (
+        simhash_pairs64,
+    )
+
+    def build(dst: str, copies: int) -> None:
+        docs = spark.read.parquet(f"{src}/documents.parquet")
+        off = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+        df = docs
+        for i in range(1, copies):
+            salted = docs.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(i * off)
+            ).withColumn(
+                "text",
+                F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda t: F.concat(F.lit(f"c{i}x"), t),
+                    ),
+                    " ",
+                ),
+            )
+            df = df.unionByName(salted)
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        df.repartition(4).write.mode("overwrite").parquet(dst)
+
+    def run(d: str) -> tuple[float, int]:
+        docs = spark.read.parquet(d)
+        t0 = time.time()
+        pairs = simhash_pairs64(docs, "doc_id", "text")
+        n = pairs.count()
+        for dep in getattr(pairs, "_cached_deps", []):
+            dep.unpersist()
+        return time.time() - t0, n
+
+    d1, d2 = "/tmp/scale_probe_sh64_1", "/tmp/scale_probe_sh64_2"
+    if not os.path.isdir(d1):
+        build(d1, 1)
+    if not os.path.isdir(d2):
+        build(d2, 2)
+    for d in (d1, d2):
+        run(d)  # warm
+    best, npairs = {}, {}
+    for d in (d1, d2):
+        ts = []
+        for _ in range(2):
+            t, n = run(d)
+            ts.append(t)
+            npairs[d] = n
+        best[d] = min(ts)
+    print(
+        f"{'op:simhash64_pairs':28s} {best[d1]:6.2f} {best[d2]:6.2f} "
+        f"{best[d2] / best[d1]:6.2f}   pairs {npairs[d1]} -> {npairs[d2]}"
+    )
+
+
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as entry
 
-    argv = [a for a in sys.argv[1:] if a != "--x4"]
+    argv = [a for a in sys.argv[1:] if a not in ("--x4", "--ops")]
     x4 = "--x4" in sys.argv[1:]
+    ops = "--ops" in sys.argv[1:]
     src = argv[0] if argv else "/root/testdata/sf0.1"
     # optional name filters: probe only the listed queries (prefix
-    # match), reusing previously built probe datasets if present
+    # match), reusing previously built probe datasets if present;
+    # --ops alone skips the query sweep entirely
     names = [n for n in QUERIES if not argv[1:] or any(
         n.startswith(p) for p in argv[1:]
     )]
+    if ops and not argv[1:]:
+        names = []
     spark = (
         SparkSession.builder.master(f"local[{os.cpu_count()}]")
         .config("spark.driver.memory", "12g")
@@ -190,10 +269,11 @@ def main() -> None:
     )
     d1 = "/tmp/scale_probe_sf01"
     d2 = "/tmp/scale_probe_sf04" if x4 else "/tmp/scale_probe_sf02"
-    if not os.path.isdir(d1):
-        build(spark, src, d1, copies=1)
-    if not os.path.isdir(d2):
-        build(spark, src, d2, copies=4 if x4 else 2)
+    if names:
+        if not os.path.isdir(d1):
+            build(spark, src, d1, copies=1)
+        if not os.path.isdir(d2):
+            build(spark, src, d2, copies=4 if x4 else 2)
     qs = entry.queries()
     for d in (d1, d2):
         for n in names:
@@ -212,6 +292,8 @@ def main() -> None:
         print(
             f"{n:28s} {best[d1]:6.2f} {best[d2]:6.2f} {best[d2] / best[d1]:6.2f}"
         )
+    if ops:
+        _probe_simhash64(spark, src)
     spark.stop()
 
 

@@ -75,6 +75,25 @@ def main() -> None:
     qs = entry.queries()
     osql = entry.oracle_sql()
     window = list(qs)[: entry._WINDOW]
+
+    # rows-only residue report (r9 verdict ask #7): name the window, if
+    # any, that carries a registered no-oracle query, so the driver's
+    # weaker rows-only handling is rehearsed rather than asserted. The
+    # x86 residue can never enter a window on the current tree — no
+    # oracle excludes it from the rotation queue (r6 verdict
+    # What's-wrong #1) and no driver-green row excludes it from the
+    # canary pool — and this line proves that from the live entry
+    # surface instead of restating the design.
+    for n in sorted(set(qs) - set(osql)):
+        where = (
+            f"IN this window (position {window.index(n) + 1}; the driver "
+            "will record its weaker rows-only check)"
+            if n in window
+            else "not in this window (no oracle -> never queued; no "
+            "driver-green row -> never a canary)"
+        )
+        print(f"[rehearsal] rows-only residue {n}: {where}", file=sys.stderr)
+
     failures: dict[str, list[str]] = {}
     n_no_oracle = 0
     for i, name in enumerate(window, 1):
