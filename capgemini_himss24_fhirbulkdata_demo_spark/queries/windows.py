@@ -171,12 +171,19 @@ def q33_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q34_ntile_percentiles",
     oracle="""
-    SELECT c_custkey,
-           NTILE(4) OVER w AS quartile,
-           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-           ROUND(CUME_DIST() OVER w, 6) AS cume
-    FROM customer
-    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    WITH rk AS (
+      SELECT c_custkey,
+             NTILE(4) OVER w AS quartile,
+             CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM customer
+      WINDOW w AS (ORDER BY c_acctbal, c_custkey))
+    SELECT c_custkey, quartile,
+           CASE WHEN n = 1 THEN 0.0
+                ELSE ((2*(rn-1)*1000000 + (n-1)) // (2*(n-1))) / 1000000.0
+           END AS pct_rank,
+           ((2*rn*1000000 + n) // (2*n)) / 1000000.0 AS cume
+    FROM rk
     ORDER BY c_custkey
     """,
 )
@@ -185,18 +192,42 @@ def q34_ntile_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Global-order windows don't scale (single partition); declared for
     surface completeness and run on the non-scaling customer dim only.
+
+    The percentile columns are computed as EXACT integer millionths
+    (half-up: round(k/n, 6) = (2k·10⁶ + n) DIV 2n) followed by ONE
+    double division by 10⁶ — the engine float policy applied
+    strictly. The builtin-double form (`round(cume_dist(), 6)`) is
+    cross-engine UNSTABLE at rounding boundaries: the r10 16×-corpus
+    differential caught it at n = 240 000 customers, where
+    cume = k/240000 lands EXACTLY on 5·10⁻⁷ half-way points for
+    k ≡ 3 (mod 6) and Spark's round (BigDecimal on the double's
+    shortest decimal repr, HALF_UP) disagrees with DuckDB's rounding
+    of the same binary double by 1 ulp in the 6th decimal (SCALE.md
+    §"Corpus-differential ladder"). Because (c_acctbal, c_custkey)
+    is a TOTAL order, percent_rank ≡ (rn−1)/(n−1) and
+    cume_dist ≡ rn/n with rn = row_number. Integer path is exact to
+    n ≈ 4.6·10¹² (2n·10⁶ < 2⁶³).
     """
     w = Window.orderBy("c_acctbal", "c_custkey")
-    return (
-        load_table(spark, sf_dir, "customer")
-        .select(
-            "c_custkey",
-            F.ntile(4).over(w).alias("quartile"),
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 6).alias("cume"),
-        )
-        .orderBy("c_custkey")
+    rk = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("n"),
     )
+    return rk.select(
+        "c_custkey",
+        "quartile",
+        F.when(F.col("n") == 1, F.lit(0.0))
+        .otherwise(
+            F.expr("(2*(rn-1)*1000000 + (n-1)) DIV (2*(n-1))")
+            / F.lit(1000000.0)
+        )
+        .alias("pct_rank"),
+        (F.expr("(2*rn*1000000 + n) DIV (2*n)") / F.lit(1000000.0)).alias(
+            "cume"
+        ),
+    ).orderBy("c_custkey")
 
 
 @register(
