@@ -178,9 +178,16 @@ def _probe_simhash64(spark, src: str) -> None:
     """1x-vs-2x slope for operators/dedup.py::simhash_pairs64.
 
     Per-copy token salting (every token prefixed with the copy tag)
-    pushes copy signatures ~32 bits apart, so the pair output is
-    IDENTICAL per copy and the slope measures the explode + band-join
-    + verify pipeline, not found-pair volume.
+    pushes cross-copy signatures ~32 bits apart — measured r10:
+    exactly 0 cross-copy pairs at hamming_max=3, so candidate volume
+    scales with the corpus, not copies². Caveat (measured, r10): the
+    WITHIN-copy pair count resamples with the salted hash draw — the
+    fixture docs average only ~23 distinct tokens, so per-bit votes
+    are small sums and the near-threshold (hamming 4–6) population is
+    large; copy 2's fresh draw yielded 230k internal pairs vs copy
+    1's 98k (popcount distributions healthy, ~26±3.8 both). The
+    probe's slope is therefore CONSERVATIVE: r10 measured 1.41 while
+    true output grew 3.3x.
     """
     from pyspark.sql import functions as F
 
