@@ -229,7 +229,7 @@ agg AS (
   GROUP BY n.n_name
 )
 SELECT nation, n_suppliers,
-       ROUND(CAST(tot_u AS DOUBLE) / 1000000, 2) AS revenue,
+       ((CAST(tot_u AS BIGINT) + 5000) // 10000) / 100.0 AS revenue,
        ROUND(CAST(sumsq_u AS DOUBLE)
              / (CAST(tot_u AS DOUBLE) * CAST(tot_u AS DOUBLE)), 6) AS hhi
 FROM agg
@@ -283,7 +283,7 @@ def x153_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "nation",
         "n_suppliers",
-        F.round(F.col("tot_u").cast("double") / 1000000, 2).alias("revenue"),
+        (F.expr("(cast(tot_u as bigint) + 5000) div 10000") / F.lit(100.0)).alias("revenue"),
         F.round(
             F.col("sumsq_u").cast("double")
             / (F.col("tot_u").cast("double") * F.col("tot_u").cast("double")),
@@ -4351,7 +4351,7 @@ agg AS (
   FROM tok GROUP BY name_token),
 tot AS (SELECT SUM(rev_u) AS t FROM rev)
 SELECT a.name_token, a.n_parts,
-       ROUND(CAST(a.rev_u AS DOUBLE) / 1000000, 2) AS revenue,
+       ((CAST(a.rev_u AS BIGINT) + 5000) // 10000) / 100.0 AS revenue,
        ROUND(CAST(a.rev_u AS DOUBLE) / CAST(t.t AS DOUBLE), 6)
          AS revenue_share
 FROM agg a CROSS JOIN tot t
@@ -4401,7 +4401,7 @@ def x203_name_token_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "name_token",
             "n_parts",
-            F.round(F.col("rev_u").cast("double") / 1000000, 2).alias(
+            (F.expr("(cast(rev_u as bigint) + 5000) div 10000") / F.lit(100.0)).alias(
                 "revenue"
             ),
             F.round(
@@ -6324,7 +6324,7 @@ sky AS (
   FROM j)
 SELECT p_partkey AS partkey, p_name,
        ROUND(p_retailprice, 2) AS retail_price,
-       ROUND(CAST(rev_u AS DOUBLE) / 1000000, 2) AS revenue
+       ((CAST(rev_u AS BIGINT) + 5000) // 10000) / 100.0 AS revenue
 FROM sky
 WHERE best_cheaper IS NULL OR rev_u > best_cheaper
 ORDER BY retail_price, partkey
@@ -6379,7 +6379,7 @@ def x225_price_revenue_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_partkey").alias("partkey"),
             "p_name",
             F.round("p_retailprice", 2).alias("retail_price"),
-            F.round(F.col("rev_u").cast("double") / 1000000, 2).alias(
+            (F.expr("(cast(rev_u as bigint) + 5000) div 10000") / F.lit(100.0)).alias(
                 "revenue"
             ),
         )
@@ -7737,7 +7737,7 @@ fy_rev AS (
   GROUP BY f.launch_yr, l.l_partkey)
 SELECT launch_yr AS launch_year,
        CAST(COUNT(*) AS BIGINT) AS n_parts_launched,
-       ROUND(CAST(SUM(fy_rev_u) AS DOUBLE) / 1000000, 2)
+       ((CAST(SUM(fy_rev_u) AS BIGINT) + 5000) // 10000) / 100.0
          AS first_year_revenue,
        ROUND(CAST(SUM(fy_rev_u) AS DOUBLE) / 1000000 / COUNT(*), 2)
          AS avg_first_year_rev_per_part
@@ -7796,8 +7796,9 @@ def x240_launch_cohort_vitality(spark: SparkSession, sf_dir: str) -> DataFrame:
         fy_rev.groupBy(F.col("launch_yr").alias("launch_year"))
         .agg(
             F.count("*").cast("bigint").alias("n_parts_launched"),
-            F.round(
-                F.sum("fy_rev_u").cast("double") / 1000000, 2
+            (
+                F.expr("(cast(sum(fy_rev_u) as bigint) + 5000) div 10000")
+                / F.lit(100.0)
             ).alias("first_year_revenue"),
             F.round(
                 F.sum("fy_rev_u").cast("double") / 1000000 / F.count("*"),

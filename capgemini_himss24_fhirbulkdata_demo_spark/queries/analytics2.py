@@ -882,7 +882,7 @@ WITH rev AS (
   GROUP BY p.p_type),
 tot AS (SELECT SUM(rev_u) AS t FROM rev)
 SELECT r.p_type, r.n_lines,
-       ROUND(CAST(r.rev_u AS DOUBLE) / 1000000, 2) AS revenue,
+       ((CAST(r.rev_u AS BIGINT) + 5000) // 10000) / 100.0 AS revenue,
        ROUND(CAST(r.rev_u AS DOUBLE) / CAST(t.t AS DOUBLE), 6)
          AS revenue_share
 FROM rev r CROSS JOIN tot t
@@ -925,7 +925,7 @@ def x262_type_revenue_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "p_type",
             "n_lines",
-            F.round(F.col("rev_u").cast("double") / 1000000, 2).alias(
+            (F.expr("(cast(rev_u as bigint) + 5000) div 10000") / F.lit(100.0)).alias(
                 "revenue"
             ),
             F.round(
@@ -1042,7 +1042,7 @@ slope AS (
          CAST(SUM(i * mean_ppm) AS BIGINT) AS sxy
   FROM idx)
 SELECT i.yr AS year, i.n AS n_lines,
-       ROUND(CAST(i.mean_ppm AS DOUBLE) / 1000000, 4) AS mean_delay_d,
+       ((i.mean_ppm + 50) // 100) / 10000.0 AS mean_delay_d,
        CASE WHEN sl.ny * sl.sxy < sl.sx * sl.sy THEN 'improving'
             WHEN sl.ny * sl.sxy > sl.sx * sl.sy THEN 'worsening'
             ELSE 'flat' END AS overall_trend
@@ -1109,9 +1109,14 @@ def x264_fulfillment_speed_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("yr").alias("year"),
             F.col("n").alias("n_lines"),
-            F.round(
-                F.col("mean_ppm").cast("double") / 1000000, 4
-            ).alias("mean_delay_d"),
+            # q34-class value-driven boundary (r10 inventory):
+            # round(mean_ppm/1e6, 4) hits a cross-engine half-way
+            # point whenever mean_ppm ≡ 50 (mod 100) — ~1% of value
+            # draws. Exact integer half-up + ONE double divide
+            # instead (nonneg: shipdate ≥ orderdate).
+            (F.expr("(mean_ppm + 50) div 100") / F.lit(10000.0)).alias(
+                "mean_delay_d"
+            ),
             F.when(lhs < rhs, "improving")
             .when(lhs > rhs, "worsening")
             .otherwise("flat")
@@ -1206,7 +1211,7 @@ rk AS (
   FROM rev)
 SELECT nation,
        p_brand AS top_brand,
-       ROUND(CAST(rev_u AS DOUBLE) / 1000000, 2) AS top_brand_revenue,
+       ((CAST(rev_u AS BIGINT) + 5000) // 10000) / 100.0 AS top_brand_revenue,
        ROUND(CAST(rev_u AS DOUBLE) / CAST(tot_u AS DOUBLE), 6)
          AS dependence_share
 FROM rk
@@ -1271,7 +1276,7 @@ def x266_brand_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "nation",
             F.col("p_brand").alias("top_brand"),
-            F.round(F.col("rev_u").cast("double") / 1000000, 2).alias(
+            (F.expr("(cast(rev_u as bigint) + 5000) div 10000") / F.lit(100.0)).alias(
                 "top_brand_revenue"
             ),
             F.round(
@@ -3173,9 +3178,9 @@ r AS (
   FROM ppu)
 SELECT p_brand,
        CAST(MAX(n) AS BIGINT) AS n_parts,
-       ROUND(CAST(MAX(CASE WHEN rn = CAST(CEIL(0.50 * n) AS BIGINT)
-                           THEN price_c * 1000 // size END) AS DOUBLE)
-             / 100000, 4) AS median_price_per_size
+       ((MAX(CASE WHEN rn = CAST(CEIL(0.50 * n) AS BIGINT)
+                  THEN price_c * 1000 // size END) + 5) // 10)
+         / 10000.0 AS median_price_per_size
 FROM r
 GROUP BY p_brand
 ORDER BY median_price_per_size DESC, p_brand
@@ -3219,21 +3224,29 @@ def x290_price_per_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rn"),
         F.count("*").over(Window.partitionBy("p_brand")).alias("n"),
     )
+    # q34-class value-driven boundary (r10 inventory):
+    # round(med_mc/1e5, 4) hits a cross-engine half-way point
+    # whenever med_mc ≡ 5 (mod 10) — ~10% of value draws, the
+    # hottest site in the registry. Exact integer half-up + ONE
+    # double divide instead (nonneg: prices and sizes > 0).
     return (
         r.groupBy("p_brand")
         .agg(
             F.max("n").cast("bigint").alias("n_parts"),
-            F.round(
-                F.max(
-                    F.when(
-                        F.col("rn")
-                        == F.ceil(0.50 * F.col("n")).cast("bigint"),
-                        F.col("unit_mc"),
-                    )
-                ).cast("double")
-                / 100000,
-                4,
-            ).alias("median_price_per_size"),
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.ceil(0.50 * F.col("n")).cast("bigint"),
+                    F.col("unit_mc"),
+                )
+            ).alias("med_mc"),
+        )
+        .select(
+            "p_brand",
+            "n_parts",
+            (F.expr("(med_mc + 5) div 10") / F.lit(10000.0)).alias(
+                "median_price_per_size"
+            ),
         )
         .orderBy(F.desc("median_price_per_size"), "p_brand")
     )
@@ -4397,7 +4410,7 @@ agg AS (
   GROUP BY m.material),
 tot AS (SELECT SUM(rev_u) AS t FROM agg)
 SELECT a.material, a.n_parts,
-       ROUND(CAST(a.rev_u AS DOUBLE) / 1000000, 2) AS revenue,
+       ((CAST(a.rev_u AS BIGINT) + 5000) // 10000) / 100.0 AS revenue,
        ROUND(CAST(a.rev_u AS DOUBLE) / CAST(t.t AS DOUBLE), 6)
          AS revenue_share
 FROM agg a CROSS JOIN tot t
@@ -4446,7 +4459,7 @@ def x305_material_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "material",
             "n_parts",
-            F.round(F.col("rev_u").cast("double") / 1000000, 2).alias(
+            (F.expr("(cast(rev_u as bigint) + 5000) div 10000") / F.lit(100.0)).alias(
                 "revenue"
             ),
             F.round(
@@ -4576,7 +4589,7 @@ agg AS (
   GROUP BY d.finish, d.coating),
 tot AS (SELECT SUM(rev_u) AS t FROM agg)
 SELECT a.finish, a.coating, a.n_parts,
-       ROUND(CAST(a.rev_u AS DOUBLE) / 1000000, 2) AS revenue,
+       ((CAST(a.rev_u AS BIGINT) + 5000) // 10000) / 100.0 AS revenue,
        ROUND(CAST(a.rev_u AS DOUBLE) / CAST(t.t AS DOUBLE), 6)
          AS revenue_share
 FROM agg a CROSS JOIN tot t
@@ -4626,7 +4639,7 @@ def x307_finish_coating_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "finish",
             "coating",
             "n_parts",
-            F.round(F.col("rev_u").cast("double") / 1000000, 2).alias(
+            (F.expr("(cast(rev_u as bigint) + 5000) div 10000") / F.lit(100.0)).alias(
                 "revenue"
             ),
             F.round(

@@ -115,3 +115,29 @@ def test_full_registry_clean(spark):
         f"{len(findings)} registered quer(ies) contain int-typed "
         f"products of non-foldable operands: {findings}"
     )
+
+
+def test_rounded_ratio_inventory_detects_the_q34_class(spark):
+    """Report-only inventory (SCALE.md q34 class): round over a
+    double division of two integer-valued operands, including
+    scale-0 decimals; plain double ratios are out of scope."""
+    from accwidth_lint import rounded_ratio_sites
+
+    df = spark.range(10).select(
+        F.col("id").cast("bigint").alias("k"),
+        (F.col("id") + 1).cast("bigint").alias("n"),
+        F.col("id").cast("decimal(19,0)").alias("kd"),
+        (F.col("id").cast("double") + 0.5).alias("x"),
+    )
+    int_ratio = df.select(
+        F.round(F.col("k").cast("double") / F.col("n"), 6).alias("r")
+    )
+    dec_ratio = df.select(
+        F.round(F.col("kd").cast("double") / F.col("n"), 2).alias("r")
+    )
+    dbl_ratio = df.select(
+        F.round(F.col("x") / F.col("n").cast("double"), 6).alias("r")
+    )
+    assert len(rounded_ratio_sites(int_ratio)) == 1
+    assert len(rounded_ratio_sites(dec_ratio)) == 1
+    assert rounded_ratio_sites(dbl_ratio) == []

@@ -41,6 +41,17 @@ Exit 0 iff zero findings. One JSON summary line on stdout; per-query
 progress on stderr. The pytest twin (tests/test_accwidth_lint.py)
 runs the identical walk over the full registry with the x213 pre-fix
 shape as its negative fixture.
+
+``--rounded-ratios`` runs a REPORT-ONLY inventory of the q34 class
+instead (SCALE.md §"Corpus-differential ladder", r10 finding):
+``round(int_ratio, s)`` sites — Round over a double Divide whose
+operands are both integer-valued under their implicit casts. These
+are NOT defects: the rational k/n rounds identically in both engines
+unless k·10ˢ/n can land exactly on a half-way point at some corpus
+cardinality, which no static check can decide. The inventory exists
+so that when a ladder rung at a NEW cardinality flakes by 1 ulp in
+the s-th decimal, the affected site is found by lookup instead of
+forensics (q34 took the forensics route). Always exits 0.
 """
 
 from __future__ import annotations
@@ -111,19 +122,71 @@ def int_product_findings(df) -> list[str]:
     return findings
 
 
+def rounded_ratio_sites(df) -> list[str]:
+    """Report-only q34-class inventory: ``Round(Divide(a, b), s)`` in
+    double where a and b are both integer-valued beneath their
+    implicit casts — a rounded rational that COULD hit a cross-engine
+    half-way point at some corpus cardinality. Scale-0 decimals
+    (e.g. the micro-unit revenue accumulators) are integer-valued
+    too and count."""
+    _INTEGRAL = ("int", "bigint", "smallint", "tinyint")
+
+    def _is_integral(e) -> bool:
+        s = e.dataType().simpleString()
+        return s in _INTEGRAL or (s.startswith("decimal(") and s.endswith(",0)"))
+
+    def _strip_casts(e):
+        while e.getClass().getSimpleName() in ("Cast", "AnsiCast"):
+            e = e.children().apply(0)
+        return e
+
+    sites: list[str] = []
+    stack = [df._jdf.queryExecution().analyzed()]
+    while stack:
+        p = stack.pop()
+        ch = p.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+        sub = p.subqueries()
+        for i in range(sub.size()):
+            stack.append(sub.apply(i))
+        exprs = p.expressions()
+        estack = [exprs.apply(i) for i in range(exprs.size())]
+        while estack:
+            e = estack.pop()
+            ech = e.children()
+            for i in range(ech.size()):
+                estack.append(ech.apply(i))
+            if e.getClass().getSimpleName() != "Round":
+                continue
+            target = e.children().apply(0)
+            if target.getClass().getSimpleName() != "Divide":
+                continue
+            if target.dataType().simpleString() != "double":
+                continue  # decimal division rounds engine-exactly
+            num = _strip_casts(target.left())
+            den = _strip_casts(target.right())
+            if _is_integral(num) and _is_integral(den):
+                sites.append(f"round(int/int) site: {e.sql()}")
+    return sites
+
+
 def scan_registry(spark, sf_dir: str, prefixes: list[str] | None = None,
-                  progress=None, apply_allowlist: bool = True
-                  ) -> dict[str, list[str]]:
-    """Run the lint over every registered query's analyzed plan.
+                  progress=None, apply_allowlist: bool = True,
+                  finder=None) -> dict[str, list[str]]:
+    """Run a plan-walk finder over every registered query.
 
     Builds each DataFrame at ``sf_dir`` (plan analysis only; eager
     queries run whatever they run at that sf). Returns
     {name: findings} for names with findings or build errors.
     ``apply_allowlist=False`` returns the raw findings (used by the
-    test that pins the allowlist to its exact expressions).
+    test that pins the allowlist to its exact expressions). ``finder``
+    defaults to ``int_product_findings``; the allowlist applies only
+    to that finder.
     """
     from capgemini_himss24_fhirbulkdata_demo_spark.queries import QUERIES
 
+    finder = finder or int_product_findings
     names = sorted(
         n for n in QUERIES
         if not prefixes or any(n.startswith(p) for p in prefixes)
@@ -132,12 +195,16 @@ def scan_registry(spark, sf_dir: str, prefixes: list[str] | None = None,
     for i, name in enumerate(names, 1):
         try:
             df = QUERIES[name](spark, sf_dir)
-            found = int_product_findings(df)
+            found = finder(df)
             for dep in getattr(df, "_cached_deps", []):
                 dep.unpersist()
         except Exception as exc:  # a build error is a finding too
             found = [f"plan build failed: {type(exc).__name__}: {exc}"]
-        if apply_allowlist and name in ALLOWLIST:
+        if (
+            apply_allowlist
+            and finder is int_product_findings
+            and name in ALLOWLIST
+        ):
             pinned = ALLOWLIST[name][0]
             found = [f for f in found if not f.endswith(pinned)]
         if found:
@@ -151,6 +218,8 @@ def main() -> None:
     from capgemini_himss24_fhirbulkdata_demo_spark.session import get_spark
 
     args = sys.argv[1:]
+    ratios = "--rounded-ratios" in args
+    args = [a for a in args if a != "--rounded-ratios"]
     prefixes: list[str] = []
     while "--prefix" in args:
         i = args.index("--prefix")
@@ -167,6 +236,20 @@ def main() -> None:
     def progress(i, n, name, found):
         status = f"FLAG x{len(found)}" if found else "ok"
         print(f"[{i:3d}/{n}] {name}: {status}", file=sys.stderr)
+
+    if ratios:
+        sites = scan_registry(
+            spark, sf_dir, prefixes, progress, finder=rounded_ratio_sites
+        )
+        print(json.dumps({
+            "mode": "rounded-ratios (report-only inventory, q34 class)",
+            "sf_dir": sf_dir,
+            "scanned_prefixes": prefixes or ["<all>"],
+            "sites": sites,
+            "n_queries_with_sites": len(sites),
+            "n_sites": sum(len(v) for v in sites.values()),
+        }))
+        sys.exit(0)
 
     findings = scan_registry(spark, sf_dir, prefixes, progress)
     print(json.dumps({
