@@ -9,6 +9,14 @@ The query surface itself lives in
 ``capgemini_himss24_fhirbulkdata_demo_spark/queries/`` (one module per
 SURVEY §2B category); this file only adapts the registry to the driver
 contract.
+
+Window mechanics: during the drain (through r13) each round's first
+50 names are a 45-alias rotation batch + ≥5 rotating canaries; once
+every oracle-bearing name is driver-green the window becomes 50
+rotating canaries automatically. SURVEY.md §2M is the standing
+operating note for that post-drain regime — including the checklist a
+post-freeze query registration must clear before it self-queues into
+the next window.
 """
 
 from __future__ import annotations

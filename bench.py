@@ -141,6 +141,20 @@ HEADLINE += [
     "x95_pq_codes",
     "x151_benford_audit",
 ]
+# Round-11 rotation (r10 verdict ask #3; the standing r8 rule): first-
+# time headliners from the r10 newly driver-green set (x217–x261),
+# picked for plan diversity — skyline dominance (self-join prune),
+# run-length text redundancy, payload Benford digit audit, the
+# exec-summary multi-leg join panel, and x240 whose revenue display is
+# one of the r10 exact-integer ratio rewrites (doubles as a regression
+# sentinel for the new DIV-based form).
+HEADLINE += [
+    "x223_run_redundancy",
+    "x225_price_revenue_skyline",
+    "x240_launch_cohort_vitality",
+    "x246_payload_benford",
+    "x260_exec_summary",
+]
 
 
 def _summary(values: list[float], ndigits: int = 3) -> dict:
@@ -312,7 +326,43 @@ class StreamingBench:
         self.schema = spark.read.parquet(self.landing).schema
         self.engine_default_walls: list[float] = []
         self.session_default_walls: list[float] = []
+        self.tuned_walls: list[float] = []
+        # v7.2 (r10 verdict ask #4): per-rep wall + JVM GC-time delta +
+        # micro-batch durations (first batch carries state-store init)
+        # recorded next to every drain, so a single-rep band-floor
+        # outlier can be attributed (GC pause vs init vs host) without
+        # a re-run — both r10 payloads had one engine-default rep ~3x
+        # below median and nothing to triage it with.
+        self.rep_notes: dict[str, list[dict]] = {
+            "engine_default": [], "session_default": [], "tuned": [],
+        }
         self.output_rows: int = 0
+
+    def _gc_ms(self) -> int:
+        """Cumulative JVM GC time (ms) across all collector beans."""
+        jvm = self.spark.sparkContext._jvm
+        beans = jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+        total, it = 0, beans.iterator()
+        while it.hasNext():
+            total += it.next().getCollectionTime()
+        return int(total)
+
+    def _note(self, basis: str, rep: int, wall: float, gc_ms: int, q) -> None:
+        durs = [
+            int(p["durationMs"]["triggerExecution"])
+            for p in q.recentProgress
+            if p.get("durationMs", {}).get("triggerExecution") is not None
+        ]
+        self.rep_notes[basis].append({
+            "rep": rep,
+            "wall_sec": round(wall, 3),
+            "gc_ms": gc_ms,
+            "n_batches": len(q.recentProgress),
+            # state-store init lands in the first trigger
+            "first_batch_ms": durs[0] if durs else None,
+            "max_batch_ms": max(durs) if durs else None,
+            "sum_batch_ms": sum(durs) if durs else None,
+        })
 
     def _stream(self):
         from capgemini_himss24_fhirbulkdata_demo_spark.streaming import (
@@ -327,38 +377,66 @@ class StreamingBench:
         )
 
     def run_rep(self, rep: int) -> float:
-        """Engine-default drain: helpers' own state sizing, no tuning."""
+        """Engine-default drain: helpers' own state sizing, no tuning.
+        Then the raw session-default drain (v7.1) and the tuned drain
+        (per-rep since v7.2 — the one-shot tuned number landed BELOW
+        the engine median on r10's driver run, which a single shot
+        can't distinguish from noise; banded it can)."""
         from capgemini_himss24_fhirbulkdata_demo_spark.streaming import (
             start_stateful_query,
         )
 
+        spark = self.spark
         rows = []
 
         def commit(batch_df, batch_id):
             rows.append(batch_df.count())
 
         ck = os.path.join(self.tmp, f"ck_engine_{rep}")
+        gc0 = self._gc_ms()
         t0 = time.perf_counter()
         q = start_stateful_query(
             self._stream(), ck, foreach_batch=commit, output_mode="update"
         )
         q.awaitTermination(300)
         wall = time.perf_counter() - t0
+        self._note("engine_default", rep, wall, self._gc_ms() - gc0, q)
         self.engine_default_walls.append(wall)
         self.output_rows = int(sum(rows))
         # v7.1: the raw session-default drain runs per-rep too, so the
         # _default_basis series gets its own min/median/max band
         self.session_default_walls.append(
-            self._raw_drain(os.path.join(self.tmp, f"ck_session_{rep}"))
+            self._raw_drain(
+                os.path.join(self.tmp, f"ck_session_{rep}"),
+                "session_default", rep,
+            )
         )
+        # v7.2: tuned drain per-rep (gc + 8 state partitions +
+        # no-data batch off), confs restored around each run
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+        spark.sparkContext._jvm.System.gc()
+        try:
+            self.tuned_walls.append(
+                self._raw_drain(
+                    os.path.join(self.tmp, f"ck_tuned_{rep}"), "tuned", rep
+                )
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            spark.conf.set(
+                "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+            )
         return wall
 
-    def _raw_drain(self, checkpoint: str) -> float:
+    def _raw_drain(self, checkpoint: str, basis: str, rep: int) -> float:
         rows = []
 
         def commit(batch_df, batch_id):
             rows.append(batch_df.count())
 
+        gc0 = self._gc_ms()
         t0 = time.perf_counter()
         q = (
             self._stream()
@@ -369,28 +447,24 @@ class StreamingBench:
             .start()
         )
         q.awaitTermination(300)
-        return time.perf_counter() - t0
+        wall = time.perf_counter() - t0
+        self._note(basis, rep, wall, self._gc_ms() - gc0, q)
+        return wall
+
+    def clear_warmup(self) -> None:
+        """Drop the untimed warmup pass's walls and notes (v7)."""
+        self.engine_default_walls.clear()
+        self.session_default_walls.clear()
+        self.tuned_walls.clear()
+        for v in self.rep_notes.values():
+            v.clear()
 
     def finalize(self) -> dict:
         import shutil
 
-        spark = self.spark
-        raw_drain = self._raw_drain
-
-        # old tuned basis: gc + 8 state partitions + no-data batch off
-        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-        spark.sparkContext._jvm.System.gc()
-        try:
-            wall_tuned = raw_drain(os.path.join(self.tmp, "ck_tuned"))
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-            spark.conf.set(
-                "spark.sql.streaming.noDataMicroBatches.enabled", "true"
-            )
         rates = [self.n_events / w for w in self.engine_default_walls]
         sd_rates = [self.n_events / w for w in self.session_default_walls]
+        tuned_rates = [self.n_events / w for w in self.tuned_walls]
         best = min(self.engine_default_walls)
         out = {
             "streaming_events": self.n_events,
@@ -410,8 +484,15 @@ class StreamingBench:
             # carries its own dispersion band.
             # (`_session_default_basis`, the r8-only duplicate key
             # kept "one more round" in r9, is retired as documented.)
+            # v7.2 (r10 verdict ask #4): the tuned basis runs per-rep
+            # and moves to the min basis with its own band — the
+            # one-shot number read below the engine median on r10,
+            # which the "tuned" label belied and one shot can't triage.
             "streaming_events_per_sec_tuned_basis": round(
-                self.n_events / wall_tuned
+                self.n_events / min(self.tuned_walls)
+            ),
+            "streaming_events_per_sec_tuned_basis_dispersion": _summary(
+                tuned_rates, 0
             ),
             "streaming_events_per_sec_engine_median": round(
                 statistics.median(rates)
@@ -423,6 +504,10 @@ class StreamingBench:
                 sd_rates, 0
             ),
             "streaming_output_rows": self.output_rows,
+            # v7.2: per-rep GC delta + micro-batch durations per basis
+            # (first batch carries state-store init) — the outlier
+            # triage data the r10 verdict asked for
+            "streaming_rep_notes": self.rep_notes,
         }
         shutil.rmtree(self.tmp, ignore_errors=True)
         return out
@@ -495,9 +580,14 @@ class ShardsBench:
 # _engine_median key; section tempdirs removed in finalize. v7.1 (r9
 # verdict ask #6): the raw session-default drain runs per-rep so the
 # _default_basis series carries its own dispersion band; all other
-# bases unchanged.
+# bases unchanged. v7.2 (r10 verdict ask #4): the tuned drain also
+# runs per-rep (min basis + band; the one-shot form was untriageable
+# and mislabeled when it landed below the engine median), and every
+# drain records per-rep GC-time delta + micro-batch durations under
+# streaming_rep_notes so a band-floor outlier is attributable without
+# a re-run.
 METHODOLOGY = {
-    "version": 7.1,
+    "version": 7.2,
     "reps": REPS,
     "interleaved": "per rep: query sweep -> FHIR -> streaming -> "
                    "shards; dispersion = median/min/max over reps",
@@ -518,10 +608,15 @@ METHODOLOGY = {
                  "drain (32 parts — per-rep since v7.1, giving the "
                  "r2-r9 _default_basis series its own dispersion "
                  "band; point value = min over reps, r9 verdict ask "
-                 "#6); one-shot continuity drain: tuned (gc + 8 "
-                 "parts + noDataMicroBatches off). _default_basis = "
-                 "raw session-default drain; engine-default median "
-                 "lives under _engine_median",
+                 "#6) THEN the tuned drain (gc + 8 parts + "
+                 "noDataMicroBatches off — per-rep since v7.2 with "
+                 "its own band; the one-shot tuned number read below "
+                 "the engine median on r10, r10 verdict ask #4). "
+                 "_default_basis = raw session-default drain; "
+                 "engine-default median lives under _engine_median. "
+                 "v7.2 also records per-rep GC-time delta + "
+                 "micro-batch durations (first batch = state-store "
+                 "init) under streaming_rep_notes for outlier triage",
     "shards": "one write_training_shards per rep, 8 shards on doc_id; "
               "point value = min",
     "host_variance": "this box swings up to ~30% run-to-run on "
@@ -617,8 +712,7 @@ def main() -> None:
     streaming.run_rep(-1)
     shards.run_rep(-1)
     fhir.times.clear()
-    streaming.engine_default_walls.clear()
-    streaming.session_default_walls.clear()
+    streaming.clear_warmup()
     shards.times.clear()
     print(
         f"[bench] target-scale warmup pass (untimed): "
@@ -678,6 +772,9 @@ def main() -> None:
             ],
             "streaming_default_ev_per_sec": streaming_out[
                 "streaming_events_per_sec_default_basis_dispersion"
+            ],
+            "streaming_tuned_ev_per_sec": streaming_out[
+                "streaming_events_per_sec_tuned_basis_dispersion"
             ],
             "shards_docs_per_sec": shards_out[
                 "shards_docs_per_sec_dispersion"

@@ -5315,8 +5315,19 @@ def x213_spearman_price_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sd2 ≈ 1.5e18 — the same x213 class one tier up. Double is exact
     # to 2^53 and its ~1e-16 relative error is invisible at the final
     # 6-decimal round; both engines evaluate the identical IEEE ops,
-    # so the oracle stays bit-exact. Remaining documented cap: the
-    # bigint Σd² ACCUMULATOR itself, exact to n(n²−1)/3 ≤ 2^63−1,
+    # so the PRE-round doubles are bit-identical. Residual risk (r10
+    # ADVICE): the final ROUND(double, 6) still applies each engine's
+    # divergent half-way semantics (Spark: HALF_UP on the shortest
+    # decimal repr; DuckDB: round of the binary value) — identical
+    # inputs do NOT guarantee identical rounded output if the exact
+    # rational 1−6·sd2/(n(n²−1)) lands on a 5e-7 boundary (the q34
+    # mechanism). This composite site IS in the --rounded-ratios
+    # inventory (kind=composite since r11's rational-of-integers
+    # generalization), so a future 1-ulp rung flake finds it by
+    # lookup; it has no single (k, n) for the --solvable-at screen,
+    # and its shipped-fixture safety evidence is the live oracle
+    # equality at all 3 SFs + the 16x rung. Remaining documented cap:
+    # the bigint Σd² ACCUMULATOR itself, exact to n(n²−1)/3 ≤ 2^63−1,
     # i.e. ~3.0e6 ranked parts — at 100 TB part counts, widen the
     # sum to decimal(38,0).
     n_d = F.col("n").cast("double")

@@ -1718,7 +1718,8 @@ t AS (SELECT CAST(SUM(n_lines) AS BIGINT) AS nt,
       FROM d)
 SELECT d.dow AS ship_dow, d.n_lines, d.qty,
        ROUND(CAST(d.n_lines AS DOUBLE) / t.nt, 6) AS line_share,
-       ROUND(CAST(t.qmax AS DOUBLE) / t.qmin, 4) AS peak_trough_ratio
+       ((2 * t.qmax * 10000 + t.qmin) // (2 * t.qmin)) / 10000.0
+         AS peak_trough_ratio
 FROM d CROSS JOIN t
 ORDER BY ship_dow
 """
@@ -1734,7 +1735,11 @@ def x272_ship_day_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     measures when operations SHIP.
 
     Integer counts; DuckDB's 0-based DAYOFWEEK is offset to
-    Spark's 1-based convention (the x161 rule).
+    Spark's 1-based convention (the x161 rule). The @4 ratio uses
+    the exact integer half-up form (r11 --solvable-at screen: a
+    scale-4 round of an integer ratio CAN hit a cross-engine
+    half-way point at the shipped fixture cardinalities — q34
+    class); qmax/qmin > 0, headroom to 2·k·10⁴ < 2⁶³.
 
     Scale: one narrow 7-key aggregate + 1-row extremes broadcast.
     """
@@ -1763,8 +1768,11 @@ def x272_ship_day_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.col("n_lines").cast("double") / F.col("nt"), 6
             ).alias("line_share"),
-            F.round(
-                F.col("qmax").cast("double") / F.col("qmin"), 4
+            (
+                F.expr("(2 * qmax * 10000 + qmin) div (2 * qmin)").cast(
+                    "double"
+                )
+                / 10000
             ).alias("peak_trough_ratio"),
         )
         .orderBy("ship_dow")
@@ -3108,8 +3116,8 @@ s AS (
          CAST(SUM(y * y) AS BIGINT) AS syy
   FROM j)
 SELECT n AS n_lines,
-       ROUND(CAST(sx AS DOUBLE) / n, 4) AS mean_size,
-       ROUND(CAST(sy AS DOUBLE) / n, 4) AS mean_qty,
+       ((2 * sx * 10000 + n) // (2 * n)) / 10000.0 AS mean_size,
+       ((2 * sy * 10000 + n) // (2 * n)) / 10000.0 AS mean_qty,
        ROUND(
          (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
                                 / CAST(n AS DOUBLE))
@@ -3130,6 +3138,11 @@ def x289_size_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     planners trade bin size against pick frequency from the
     catalog alone. x167's exact integer-moment Pearson on the
     catalog's p_size attribute — its first analytical use.
+
+    The @4 means use the exact integer half-up form (r11
+    --solvable-at screen: n here IS the lineitem fixture
+    cardinality — 60 000 at sf0.01 — where k ≡ 3 (mod 6) hits a
+    half-way point; q34 class). sx/sy ≥ 0.
 
     Scale: dim-broadcast fact join, 1-row moment reduce.
     """
@@ -3152,10 +3165,14 @@ def x289_size_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(d("sxx") - d("sx") * d("sx") / d("n"))
         * F.sqrt(d("syy") - d("sy") * d("sy") / d("n"))
     )
+    half_up4 = lambda k, n: (  # noqa: E731
+        F.expr(f"(2 * {k} * 10000 + {n}) div (2 * {n})").cast("double")
+        / 10000
+    )
     return s.select(
         F.col("n").alias("n_lines"),
-        F.round(d("sx") / F.col("n"), 4).alias("mean_size"),
-        F.round(d("sy") / F.col("n"), 4).alias("mean_qty"),
+        half_up4("sx", "n").alias("mean_size"),
+        half_up4("sy", "n").alias("mean_qty"),
         F.round(r, 6).alias("size_qty_corr"),
     )
 
@@ -3270,7 +3287,7 @@ m AS (
          CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
   FROM e GROUP BY month)
 SELECT month, n_sessions, mau,
-       ROUND(CAST(n_sessions AS DOUBLE) / mau, 4)
+       ((2 * n_sessions * 10000 + mau) // (2 * mau)) / 10000.0
          AS sessions_per_user
 FROM m
 ORDER BY month
@@ -3286,7 +3303,10 @@ def x291_session_intensity(spark: SparkSession, sf_dir: str) -> DataFrame:
     that). Session starts come from the x162 gap rule, attributed
     to the month they start in.
 
-    Integer counts; one division per month.
+    Integer counts; the @4 ratio uses the exact integer half-up
+    form (r11 --solvable-at screen, q34 class: a scale-4 integer
+    ratio can hit a cross-engine half-way point at shipped
+    cardinalities). n_sessions ≥ 0, mau ≥ 1.
 
     Scale: the x162 user window plus a (month)-keyed rollup with
     partial distinct on user.
@@ -3319,8 +3339,11 @@ def x291_session_intensity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "month",
         "n_sessions",
         "mau",
-        F.round(
-            F.col("n_sessions").cast("double") / F.col("mau"), 4
+        (
+            F.expr("(2 * n_sessions * 10000 + mau) div (2 * mau)").cast(
+                "double"
+            )
+            / 10000
         ).alias("sessions_per_user"),
     ).orderBy("month")
 
@@ -3478,8 +3501,8 @@ s AS (
          CAST(SUM(y * y) AS BIGINT) AS syy
   FROM per_o)
 SELECT n AS n_orders,
-       ROUND(CAST(sx AS DOUBLE) / n, 4) AS mean_lines,
-       ROUND(CAST(sy AS DOUBLE) / n, 4) AS mean_spread_d,
+       ((2 * sx * 10000 + n) // (2 * n)) / 10000.0 AS mean_lines,
+       ((2 * sy * 10000 + n) // (2 * n)) / 10000.0 AS mean_spread_d,
        ROUND(
          (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
                                 / CAST(n AS DOUBLE))
@@ -3500,7 +3523,8 @@ def x294_complexity_vs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     fragmentation is structural (more lines = more boxes), so
     consolidation efforts should target line-count reduction
     (kitting), not carrier SLAs. Exact integer moments, one pass
-    per order.
+    per order. The @4 means use the exact integer half-up form
+    (r11 --solvable-at screen, q34 class); sx/sy ≥ 0.
 
     Scale: orderkey-grain agg (unique key), 1-row moment reduce.
     """
@@ -3527,10 +3551,14 @@ def x294_complexity_vs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(d("sxx") - d("sx") * d("sx") / d("n"))
         * F.sqrt(d("syy") - d("sy") * d("sy") / d("n"))
     )
+    half_up4 = lambda k, n: (  # noqa: E731
+        F.expr(f"(2 * {k} * 10000 + {n}) div (2 * {n})").cast("double")
+        / 10000
+    )
     return s.select(
         F.col("n").alias("n_orders"),
-        F.round(d("sx") / F.col("n"), 4).alias("mean_lines"),
-        F.round(d("sy") / F.col("n"), 4).alias("mean_spread_d"),
+        half_up4("sx", "n").alias("mean_lines"),
+        half_up4("sy", "n").alias("mean_spread_d"),
         F.round(r, 6).alias("lines_spread_corr"),
     )
 
@@ -3990,8 +4018,8 @@ SELECT r.yr AS year,
        ROUND(CAST(r.total AS DOUBLE) / r.n_orders, 2) AS aov,
        ROUND(CAST(nc.n_new AS DOUBLE) / r.n_customers, 6)
          AS new_customer_share,
-       ROUND(CAST(s.delay_sum AS DOUBLE) / s.n_lines, 4)
-         AS mean_ship_delay_d,
+       ((2 * s.delay_sum * 10000 + s.n_lines) // (2 * s.n_lines))
+         / 10000.0 AS mean_ship_delay_d,
        ROUND(CAST(s.n_returned AS DOUBLE) / s.n_lines, 6)
          AS return_line_share
 FROM rev r
@@ -4012,7 +4040,10 @@ def x300_annual_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     traces to a dedicated x-series deep dive.
 
     Exact decimal revenue; integer counts; one division per
-    ratio.
+    ratio. The @4 delay mean uses the exact integer half-up form
+    (r11 --solvable-at screen, q34 class: per-year n_lines can
+    equal a congruence-solving cardinality); delay_sum ≥ 0 by
+    TPC-H's ship-after-order invariant.
 
     Scale: three year-grain aggregates (parallel legs) joined on
     the tiny year key.
@@ -4068,8 +4099,11 @@ def x300_annual_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.col("n_new").cast("double") / F.col("n_customers"), 6
             ).alias("new_customer_share"),
-            F.round(
-                F.col("delay_sum").cast("double") / F.col("n_lines"), 4
+            (
+                F.expr(
+                    "(2 * delay_sum * 10000 + n_lines) div (2 * n_lines)"
+                ).cast("double")
+                / 10000
             ).alias("mean_ship_delay_d"),
             F.round(
                 F.col("n_returned").cast("double") / F.col("n_lines"),
@@ -4335,7 +4369,7 @@ m AS (
          CAST(SUM(gap * gap) AS BIGINT) AS ss
   FROM g GROUP BY source)
 SELECT source, n AS n_gaps,
-       ROUND(CAST(s AS DOUBLE) / n, 4) AS mean_gap,
+       ((2 * s * 10000 + n) // (2 * n)) / 10000.0 AS mean_gap,
        ROUND(((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
                * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
               / (CAST(n AS DOUBLE) - 1))
@@ -4353,7 +4387,10 @@ def x304_ingest_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingestion (which x247 detects only when the batches carry
     duplicates; this sees the cadence itself). The variance
     comes from exact integer moments (the x180 machinery on
-    positions instead of counts).
+    positions instead of counts). The @4 mean uses the exact
+    integer half-up form (r11 --solvable-at screen, q34 class);
+    gaps > 0 so s > 0. The @4 Fano stays a composite rational
+    (no single k/n — same residual class as x213's rho).
 
     Scale: one source-partitioned lag window over the doc table,
     source-sized moment rollup.
@@ -4382,7 +4419,10 @@ def x304_ingest_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "source",
         F.col("n").alias("n_gaps"),
-        F.round(d("s") / F.col("n"), 4).alias("mean_gap"),
+        (
+            F.expr("(2 * s * 10000 + n) div (2 * n)").cast("double")
+            / 10000
+        ).alias("mean_gap"),
         F.round(var / (d("s") / F.col("n")), 4).alias("fano_factor"),
     ).orderBy("source")
 
@@ -5889,7 +5929,8 @@ m AS (
          CAST(SUM(n * n) AS BIGINT) AS ss
   FROM per_s GROUP BY s_nationkey)
 SELECT nn.n_name AS nation, m.n_sup AS n_suppliers,
-       ROUND(CAST(m.s AS DOUBLE) / m.n_sup, 4) AS mean_lines,
+       ((2 * m.s * 10000 + m.n_sup) // (2 * m.n_sup)) / 10000.0
+         AS mean_lines,
        ROUND(SQRT((CAST(m.ss AS DOUBLE) - CAST(m.s AS DOUBLE)
                    * CAST(m.s AS DOUBLE) / CAST(m.n_sup AS DOUBLE))
                   / (CAST(m.n_sup AS DOUBLE) - 1))
@@ -5906,7 +5947,9 @@ def x323_supplier_load_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     means the nation's volume rides a few workhorse vendors
     (capacity risk the single-SOURCE view x189 can't see, because
     here every part may have backups yet the VOLUME still
-    concentrates). Integer line-count moments per supplier.
+    concentrates). Integer line-count moments per supplier; the
+    @4 mean uses the exact integer half-up form (r11
+    --solvable-at screen, q34 class); s > 0.
 
     Scale: (nation, supplier) agg, 25-row moment rollup,
     broadcast dim join.
@@ -5933,7 +5976,12 @@ def x323_supplier_load_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("n_name").alias("nation"),
             F.col("n_sup").alias("n_suppliers"),
-            F.round(d("s") / F.col("n_sup"), 4).alias("mean_lines"),
+            (
+                F.expr("(2 * s * 10000 + n_sup) div (2 * n_sup)").cast(
+                    "double"
+                )
+                / 10000
+            ).alias("mean_lines"),
             F.round(cv, 6).alias("load_cv"),
         )
         .orderBy(F.desc("load_cv"), "nation")
@@ -6760,7 +6808,7 @@ s AS (
          SUM(CAST(y AS DECIMAL(19,0)) * y) AS syy
   FROM p)
 SELECT n AS n_gaps,
-       ROUND(CAST(sx AS DOUBLE) / n, 4) AS mean_gap_d,
+       ((2 * sx * 10000 + n) // (2 * n)) / 10000.0 AS mean_gap_d,
        ROUND(
          (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
                                 / CAST(n AS DOUBLE))
@@ -6781,7 +6829,9 @@ def x334_pentup_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
     stock-up baskets (win-back emails should sell bundles);
     zero means absence is just absence and x296's hazard timing
     is all that matters. Integer day gaps x integer cents, with
-    the cross-products in DECIMAL(19,0)-widened sums.
+    the cross-products in DECIMAL(19,0)-widened sums. The @4 mean
+    uses the exact integer half-up form (r11 --solvable-at
+    screen, q34 class); gaps ≥ 0 so sx ≥ 0.
 
     Scale: one custkey lag window, 1-row moment reduce.
     """
@@ -6820,7 +6870,10 @@ def x334_pentup_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return s.select(
         F.col("n").alias("n_gaps"),
-        F.round(d("sx") / F.col("n"), 4).alias("mean_gap_d"),
+        (
+            F.expr("(2 * sx * 10000 + n) div (2 * n)").cast("double")
+            / 10000
+        ).alias("mean_gap_d"),
         F.round(r, 6).alias("gap_value_corr"),
     )
 

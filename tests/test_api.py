@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 from capgemini_himss24_fhirbulkdata_demo_spark.api import (
     ApiResponse,
     handle_request,
@@ -368,3 +370,42 @@ def test_canary_rotation_covers_full_green_set(monkeypatch):
     # and the real queries() window in this state is canaries only
     window = list(entry.queries())[:k]
     assert all(not c.startswith("a_") for c in window)
+
+
+@pytest.mark.slow
+def test_next_window_rehearsal(spark, monkeypatch):
+    """r10 verdict ask #8: rehearse NEXT round's driver window as part
+    of every local run instead of a session ritual. Simulates one
+    50/50-green driver round (this round's alias batch joins the green
+    set — exactly what `window_rehearsal.py --next 1` does), then runs
+    the resulting window's queries against their DuckDB oracles at the
+    test fixture through the LIVE entry surface. A failure here
+    surfaces a round early, while there is still a round to fix it in.
+    """
+    import __spark_entry__ as entry
+
+    from .conftest import SF_DIR
+    from .oracle import compare, run_duck, run_spark
+
+    simulated = set(entry._green_names())
+    monkeypatch.setattr(entry, "_green_names", lambda: set(simulated))
+    simulated.update(
+        n.removeprefix("a_") for n in entry._rotation_aliases()
+    )
+    qs = entry.queries()
+    osql = entry.oracle_sql()
+    failures: dict[str, list[str]] = {}
+    for name in list(qs)[: entry._WINDOW]:
+        if name not in osql:  # rows-only residue: driver's weaker check
+            continue
+        try:
+            errs = compare(
+                name,
+                run_spark(qs[name], spark, SF_DIR),
+                run_duck(osql[name], SF_DIR),
+            )
+        except Exception as e:
+            errs = [f"exception: {e}"]
+        if errs:
+            failures[name] = errs
+    assert not failures, f"next driver window not green: {failures}"

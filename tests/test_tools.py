@@ -149,15 +149,43 @@ def test_resume_log_parsing_is_anchored(tmp_path):
         "[  2/3] q02_filter_project: FAIL (0.3s) exception: got ': ok (' in text\n"
         "[  3/3] q03_top_revenue_orders: ok (resumed from prior log)\n"
     )
-    sf, green = full_differential.parse_resume_log(str(log))
+    sf, log_ansi, green = full_differential.parse_resume_log(str(log))
     assert sf == "/tmp/fxA"
+    assert log_ansi == "False"
     assert green == {"q01_pricing_summary", "q03_top_revenue_orders"}
 
     headerless = tmp_path / "old.log"
     headerless.write_text("[  1/1] q01_pricing_summary: ok (1.0s)\n")
-    sf2, green2 = full_differential.parse_resume_log(str(headerless))
-    assert sf2 is None  # pre-r10 log: main() refuses to resume
+    sf2, ansi2, green2 = full_differential.parse_resume_log(str(headerless))
+    assert sf2 is None and ansi2 is None  # pre-r11: main() refuses
     assert green2 == {"q01_pricing_summary"}
+
+
+def test_resume_log_parsing_captures_ansi_and_resets_on_header(tmp_path):
+    """r10 ADVICE (medium): the header's ansi= flag must be captured
+    so main() can refuse a cross-MODE resume (a non-ANSI log must
+    never green-skip queries in an --ansi overflow-detector run), and
+    a log holding two concatenated runs must resume only the LAST
+    header's greens — not the union across fixtures/modes."""
+    import full_differential
+
+    log = tmp_path / "two_runs.log"
+    log.write_text(
+        # run 1: non-ANSI against fixture A
+        "[differential] sf_dir=/tmp/fxA ansi=False\n"
+        "[  1/2] q01_pricing_summary: ok (1.2s)\n"
+        "[  2/2] q02_filter_project: ok (0.3s)\n"
+        # run 2 (appended with >>): ANSI against fixture B
+        "[differential] sf_dir=/tmp/fxB ansi=True\n"
+        "[  1/2] q03_top_revenue_orders: ok (0.9s)\n"
+        "[  2/2] q02_filter_project: FAIL (0.3s) boom\n"
+    )
+    sf, log_ansi, green = full_differential.parse_resume_log(str(log))
+    assert sf == "/tmp/fxB"
+    assert log_ansi == "True"
+    # run 1's greens were reset at run 2's header: q01/q02 (only green
+    # non-ANSI against fxA) must NOT resume-pass an ANSI run on fxB
+    assert green == {"q03_top_revenue_orders"}
 
 
 def test_bench_compare_point_fallback():

@@ -21,6 +21,7 @@ SECTIONS = (
     ("fhir (rec/s)", "fhir_rec_per_sec", True),
     ("streaming (ev/s)", "streaming_ev_per_sec", True),
     ("streaming default (ev/s)", "streaming_default_ev_per_sec", True),
+    ("streaming tuned (ev/s)", "streaming_tuned_ev_per_sec", True),
     ("shards (docs/s)", "shards_docs_per_sec", True),
 )
 
@@ -33,6 +34,12 @@ POINT_FALLBACK = {
     "streaming_default_ev_per_sec": (
         "streaming",
         "streaming_events_per_sec_default_basis",
+    ),
+    # tuned drain was one-shot through v7.1 (banded per-rep in v7.2,
+    # r10 verdict ask #4)
+    "streaming_tuned_ev_per_sec": (
+        "streaming",
+        "streaming_events_per_sec_tuned_basis",
     ),
 }
 

@@ -55,27 +55,42 @@ sys.path.insert(0, REPO_ROOT)
 sys.path.insert(0, os.path.join(REPO_ROOT, "tests"))
 
 
-def parse_resume_log(path: str) -> tuple[str | None, set[str]]:
-    """Extract (header sf_dir, green names) from a prior stderr log.
+def parse_resume_log(path: str) -> tuple[str | None, str | None, set[str]]:
+    """Extract (header sf_dir, header ansi, green names) from a prior
+    stderr log.
 
     Anchored to the exact ok-line format (r9 ADVICE: a bare ': ok ('
     substring match could resume-pass a FAIL line whose truncated
     error text contains it). Resumed names' own lines re-match, so
     chained resumes work.
+
+    Two r10-ADVICE hardenings: (1) the header's ``ansi=`` flag is
+    captured so a resume can refuse a mode mismatch — the ANSI run is
+    the overflow DETECTOR, so green-skipping queries that only ran
+    non-ANSI would silently weaken exactly the evidence the mode
+    exists to produce; (2) the green set RESETS at every header line,
+    so a log holding two concatenated runs (appended with ``>>``)
+    resumes only the names green under the LAST header — the one
+    whose (sf_dir, ansi) the caller validates — instead of unioning
+    names that were only green against a different fixture or mode.
     """
     import re
 
     log_sf = None
+    log_ansi = None
     green: set[str] = set()
     with open(path) as f:
         for line in f:
-            mh = re.match(r"\[differential\] sf_dir=(\S+) ", line)
+            mh = re.match(r"\[differential\] sf_dir=(\S+) ansi=(\S+)", line)
             if mh:
                 log_sf = mh.group(1)
+                log_ansi = mh.group(2)
+                green = set()  # a new run starts: prior greens are
+                # that run's evidence, not this one's
             m = re.match(r"^\[ *\d+/\d+\] (\S+): ok \(", line)
             if m:
                 green.add(m.group(1))
-    return log_sf, green
+    return log_sf, log_ansi, green
 
 
 def main() -> None:
@@ -122,13 +137,17 @@ def main() -> None:
     if resume_path:
         # don't re-run names already green in a prior run's stderr
         # log; the log's sf_dir header must match this run's fixture —
-        # cross-fixture resume is refused (r9 ADVICE).
-        log_sf, resumed = parse_resume_log(resume_path)
-        if log_sf is None:
+        # cross-fixture resume is refused (r9 ADVICE) — and its ansi=
+        # flag must match this run's mode (r10 ADVICE: resuming a
+        # non-ANSI log into an --ansi run would report "zero overflow
+        # trips" for queries that never executed under the detector).
+        log_sf, log_ansi, resumed = parse_resume_log(resume_path)
+        if log_sf is None or log_ansi is None:
             print(
-                f"--resume: {resume_path} has no '[differential] sf_dir=' "
-                "header (pre-r10 log format) — cannot verify it ran against "
-                f"{sf_dir}; refusing to resume",
+                f"--resume: {resume_path} has no '[differential] "
+                "sf_dir=... ansi=...' header (pre-r11 log format) — "
+                f"cannot verify it ran against {sf_dir} in "
+                f"ansi={ansi} mode; refusing to resume",
                 file=sys.stderr,
             )
             sys.exit(2)
@@ -136,6 +155,15 @@ def main() -> None:
             print(
                 f"--resume: log {resume_path} ran against {log_sf}, "
                 f"this run targets {sf_dir} — refusing cross-fixture resume",
+                file=sys.stderr,
+            )
+            sys.exit(2)
+        if log_ansi != str(ansi):
+            print(
+                f"--resume: log {resume_path} ran with ansi={log_ansi}, "
+                f"this run is ansi={ansi} — refusing cross-mode resume "
+                "(the ANSI run is the overflow detector; its greens "
+                "must come from ANSI executions)",
                 file=sys.stderr,
             )
             sys.exit(2)

@@ -131,6 +131,18 @@ QUERIES = [
     "x93_resize_grid",
     "x95_pq_codes",
     "x151_benford_audit",
+    # r11 (first-time bench headliners, r10 verdict ask #3): run-length
+    # text redundancy (per-doc token window), the skyline dominance
+    # prune (rank-window over the part dim), the launch-cohort vitality
+    # panel (two year-grain fact passes; carries an r10 exact-integer
+    # ratio rewrite), the payload Benford audit (digit-grid agg), and
+    # the exec-summary multi-leg join panel (five independent
+    # aggregates joined on literal keys).
+    "x223_run_redundancy",
+    "x225_price_revenue_skyline",
+    "x240_launch_cohort_vitality",
+    "x246_payload_benford",
+    "x260_exec_summary",
 ]
 
 _PARTS = {"lineitem": 8, "orders": 4, "documents": 4, "embeddings": 4, "events": 4}
