@@ -256,17 +256,35 @@ def remove_dup_spans(
 
     Scale: spans and their coverage explode by the constant factor
     ``span_tokens``; the frequency pass is one uniform-key partial
-    agg on the span text (Zipf-skewed → AQE skew split); coverage →
-    token removal is a (doc, pos)-keyed anti-join — both sides
-    uniform; reassembly is one per-doc regroup. Every stage is
-    ∝ corpus tokens × k, never corpus².
+    agg on the span text (Zipf-skewed → AQE skew split); removal is
+    per-doc set-subtraction on token POSITIONS (an array filter over
+    each doc's removed-position set — never a token-grain shuffle);
+    reassembly is in-place array_join. Every stage is ∝ corpus
+    tokens × k, never corpus².
+
+    r11 shape (guide §1.2/§2.4, before/after plans in plans/r11):
+    the first cut exploded every token to a (doc, pos, tok) row,
+    anti-joined against the coverage set and regrouped per doc — a
+    token-grain shuffle of the corpus THREE times (tok build, anti
+    join, regroup) on top of TWO span-generation passes (the
+    frequency aggregate and the span⟷freq join each re-derived the
+    span stream; no exchange reuse fires across those shapes —
+    verified on the executed plan). Now (a) spans shuffle ONCE, as
+    128-bit md5 fingerprints rather than gram text (~3× fewer
+    shuffle bytes; the same collision budget x88/x02 already spend,
+    ≈G²/2¹²⁹); (b) for the min_docs=2 default, "occurs in ≥2
+    distinct docs" is exactly min(id)≠max(id) over a gram window —
+    the self-join and its second span pass disappear (general
+    min_docs keeps the aggregate+join form); (c) coverage rows
+    collapse straight to one removed-position set per doc
+    (collect_set dedups — no separate distinct exchange); (d) tokens
+    never leave their document: the rebuild is an order-preserving
+    array filter of split(text) against the position set. Remaining
+    data-sized shuffles: the fingerprint stream (×1) and the
+    docs⟷sets join.
     """
     k = span_tokens
     toks = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__t"))
-    tok = toks.select(
-        id_col,
-        F.posexplode("__t").alias("__p0", "__tok"),
-    ).select(id_col, (F.col("__p0") + 1).alias("__pos"), "__tok")
     n = F.size("__t")
     starts = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
         F.array().cast("array<int>")
@@ -278,43 +296,61 @@ def remove_dup_spans(
                 starts,
                 lambda i: F.struct(
                     i.alias("start"),
-                    F.concat_ws(" ", F.slice(F.col("__t"), i, k)).alias(
-                        "gram"
-                    ),
+                    F.md5(
+                        F.concat_ws(" ", F.slice(F.col("__t"), i, k)).cast(
+                            "binary"
+                        )
+                    ).alias("gram"),
                 ),
             )
         ).alias("s"),
     ).select(id_col, "s.start", "s.gram")
-    freq = spans.groupBy("gram").agg(
-        F.countDistinct(id_col).alias("__nd"), F.min(id_col).alias("__first")
-    )
-    rm = (
-        spans.join(freq, "gram")
-        .filter(
+    if min_docs == 2:
+        wg = Window.partitionBy("gram")
+        rm_rows = (
+            spans.select(
+                id_col,
+                "start",
+                F.min(id_col).over(wg).alias("__first"),
+                F.max(id_col).over(wg).alias("__last"),
+            )
+            .filter(
+                (F.col("__last") != F.col("__first"))
+                & (F.col(id_col) != F.col("__first"))
+            )
+        )
+    else:
+        freq = spans.groupBy("gram").agg(
+            F.countDistinct(id_col).alias("__nd"),
+            F.min(id_col).alias("__first"),
+        )
+        rm_rows = spans.join(freq, "gram").filter(
             (F.col("__nd") >= min_docs) & (F.col(id_col) != F.col("__first"))
         )
-        .select(
+    rmsets = (
+        rm_rows.select(
             id_col,
             F.explode(
                 F.sequence(F.col("start"), F.col("start") + (k - 1))
             ).alias("__pos"),
         )
-        .distinct()
+        .groupBy(id_col)
+        .agg(F.collect_set("__pos").alias("__rm"))
     )
-    kept = tok.join(rm, [id_col, "__pos"], "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
-                lambda s: s["__tok"],
-            ),
-            " ",
-        ).alias("__clean")
+    # left join + empty-set coalesce: docs with no removed span keep
+    # every token (the old anti-join shape kept them implicitly);
+    # docs losing every token drop out, as before
+    rm = F.coalesce(F.col("__rm"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.split(F.col(text_col), " "),
+        lambda tok, i: ~F.array_contains(rm, i + F.lit(1)),
     )
     return (
-        docs.join(rebuilt, id_col)
-        .withColumn(text_col, F.col("__clean"))
-        .drop("__clean")
+        docs.join(rmsets, id_col, "left")
+        .withColumn("__kept", kept)
+        .filter(F.size("__kept") > 0)
+        .withColumn(text_col, F.array_join("__kept", " "))
+        .drop("__rm", "__kept")
     )
 
 

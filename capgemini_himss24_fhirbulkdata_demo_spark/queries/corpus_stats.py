@@ -108,30 +108,43 @@ def x87_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("t")
     ).select("doc_id", "lang", bucket.alias("bucket"))
-    dc = tok.groupBy("doc_id", "bucket").agg(
+    # One tokenize+md5 pass (was three): the per-(doc, bucket) counts
+    # are the finest grain every downstream number needs — the raw
+    # and target bucket histograms roll up from them exactly (sum of
+    # per-doc counts == per-bucket counts), with the lang='en' slice
+    # as a CONDITIONAL sum instead of a filtered re-scan, so both
+    # histograms collapse into one bucket-count-row aggregate and the
+    # raw⟕tgt join disappears (a bucket with no 'en' tokens gets
+    # ct=0 — the same value the old COALESCE(ct, 0) produced). lang
+    # rides along in the grouping key (one value per doc, grain
+    # unchanged). The two remaining consumers (per-doc rollup and
+    # bucket histogram) share one identical tokenize→partial-agg→
+    # exchange subtree, which ReuseExchange materializes once (guide
+    # §1.2 / §2.4: remove whole passes first).
+    dcl = tok.groupBy("doc_id", "lang", "bucket").agg(
         F.count("*").cast("bigint").alias("cnt")
     )
-    tgt = (
-        tok.filter(F.col("lang") == "en")
-        .groupBy("bucket")
-        .agg(F.count("*").cast("bigint").alias("ct"))
+    dc = dcl.select("doc_id", "bucket", "cnt")
+    en_cnt = F.when(F.col("lang") == "en", F.col("cnt")).otherwise(F.lit(0))
+    bs = dcl.groupBy("bucket").agg(
+        F.sum("cnt").cast("bigint").alias("cr"),
+        F.sum(en_cnt).cast("bigint").alias("ct"),
     )
-    raw = tok.groupBy("bucket").agg(F.count("*").cast("bigint").alias("cr"))
-    tots = raw.agg(F.sum("cr").alias("r_tot")).crossJoin(
-        tgt.agg(F.sum("ct").alias("t_tot"))
-    )
-    lr = (
-        raw.join(tgt, "bucket", "left")
-        .crossJoin(F.broadcast(tots))
-        .select(
-            "bucket",
-            F.log(
-                ((F.coalesce("ct", F.lit(0)) + 1)
-                 * (F.col("r_tot") + _X87_BUCKETS)).cast("double")
-                / ((F.col("cr") + 1)
-                   * (F.col("t_tot") + _X87_BUCKETS)).cast("double")
-            ).alias("logratio"),
-        )
+    # The corpus totals are sums over bs's ≤{b} rows — a global
+    # window over that dim-sized frame costs one {b}-row single-
+    # partition exchange and removes what used to be a third full
+    # tokenize branch (tots = bs.agg re-derived the entire lineage
+    # from the scan) plus its crossJoin. Integer sums, so window-vs-
+    # agg evaluation order cannot change a bit.
+    wall = Window.partitionBy()
+    lr = bs.select(
+        "bucket",
+        F.log(
+            ((F.col("ct") + 1)
+             * (F.sum("cr").over(wall) + _X87_BUCKETS)).cast("double")
+            / ((F.col("cr") + 1)
+               * (F.sum("ct").over(wall) + _X87_BUCKETS)).cast("double")
+        ).alias("logratio"),
     )
     return (
         dc.join(F.broadcast(lr), "bucket")
@@ -449,31 +462,34 @@ def x90_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     k, wlen = _X90_K, _X90_W
     # token array lambda-bound (functions.hof.bound): a captured split
-    # re-tokenizes per gram position in the interpreted HOF
+    # re-tokenizes per gram position in the interpreted HOF.
+    # n_grams rides along NARROWLY from the token count (r11: the
+    # count(*)-over-doc window it replaces was a whole extra Window
+    # pass over the gram stream; size(t) - (k-1) is the same number
+    # for every doc that emits any gram).
+    t = F.split(F.col("text"), " ")
     grams = docs.select(
         "doc_id",
+        (F.size(t) - (k - 1)).alias("n_grams"),
         F.posexplode(
             bound(
-                F.split(F.col("text"), " "),
-                lambda t: F.transform(
+                t,
+                lambda tk: F.transform(
                     F.when(
-                        F.size(t) >= k,
-                        F.sequence(F.lit(1), F.size(t) - (k - 1)),
+                        F.size(tk) >= k,
+                        F.sequence(F.lit(1), F.size(tk) - (k - 1)),
                     ).otherwise(F.array().cast("array<int>")),
-                    lambda i: F.array_join(F.slice(t, i, k), " "),
+                    lambda i: F.array_join(F.slice(tk, i, k), " "),
                 ),
             )
         ).alias("pos0", "gram"),
     ).select(
         "doc_id",
+        "n_grams",
         (F.col("pos0") + 1).alias("pos"),
         F.conv(F.substring(F.md5(F.col("gram").cast("binary")), 1, 15), 16, 10)
         .cast("bigint")
         .alias("h"),
-    )
-    wdoc = Window.partitionBy("doc_id")
-    hashed = grams.select(
-        "doc_id", "pos", "h", F.count("*").over(wdoc).alias("n_grams")
     )
     wmin = (
         Window.partitionBy("doc_id")
@@ -484,7 +500,7 @@ def x90_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sliding min would shrink tail windows to the surviving rows
     # (caught by the winnowing-guarantee property test)
     fps = (
-        hashed.select(
+        grams.select(
             "doc_id",
             "pos",
             "n_grams",
@@ -496,29 +512,32 @@ def x90_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "fp")
         .distinct()
     )
-    shared = (
-        fps.groupBy("fp").agg(F.count("*").alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("fp")
-    )
-    tot = fps.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_fp")
-    )
-    hit = (
-        fps.join(shared, "fp", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count("*").cast("bigint").alias("n_shared"))
-    )
-    n_shared = F.coalesce("n_shared", F.lit(0).cast("bigint"))
+    # r11 single-pass rollup (guide §1.2/§2.4): the old shape computed
+    # fps THREE times (shared = groupBy fp, tot = groupBy doc, hit =
+    # semi-join + groupBy doc — three full tokenize+window lineages)
+    # and stitched them with two joins. A count-over-fp window gives
+    # each fingerprint its doc multiplicity in place, and ONE per-doc
+    # aggregate derives both n_fp and n_shared (a doc with zero
+    # shared fps sums the conditional to 0, exactly the old
+    # COALESCE). Same grain, same values, one pass, zero joins.
+    wfp = Window.partitionBy("fp")
+    n_shared = F.sum(
+        F.when(F.col("nd") > 1, F.lit(1)).otherwise(F.lit(0))
+    ).cast("bigint")
     return (
-        tot.join(hit, "doc_id", "left")
+        fps.withColumn("nd", F.count("*").over(wfp))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_fp"),
+            n_shared.alias("n_shared"),
+        )
         .select(
             "doc_id",
             "n_fp",
-            n_shared.alias("n_shared"),
-            (F.floor(n_shared * 10000.0 / F.col("n_fp")) / 10000).alias(
-                "shared_share"
-            ),
+            "n_shared",
+            (
+                F.floor(F.col("n_shared") * 10000.0 / F.col("n_fp")) / 10000
+            ).alias("shared_share"),
         )
         .orderBy("doc_id")
     )
@@ -680,37 +699,40 @@ def x92_source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as x88/x02 — ≈G²/2¹²⁹, negligible at any real corpus size).
     # Token array lambda-bound (functions.hof.bound): a captured
     # split re-tokenizes per gram position in the interpreted HOF.
-    grams = (
-        docs.select(
-            "source",
-            F.explode(
-                bound(
-                    F.split(F.col("text"), " "),
-                    lambda t: F.transform(
-                        F.when(
-                            F.size(t) >= g,
-                            F.sequence(F.lit(1), F.size(t) - (g - 1)),
-                        ).otherwise(F.array().cast("array<int>")),
-                        lambda i: F.md5(
-                            F.array_join(F.slice(t, i, g), " ").cast("binary")
-                        ),
+    grams = docs.select(
+        "source",
+        F.explode(
+            bound(
+                F.split(F.col("text"), " "),
+                lambda t: F.transform(
+                    F.when(
+                        F.size(t) >= g,
+                        F.sequence(F.lit(1), F.size(t) - (g - 1)),
+                    ).otherwise(F.array().cast("array<int>")),
+                    lambda i: F.md5(
+                        F.array_join(F.slice(t, i, g), " ").cast("binary")
                     ),
-                )
-            ).alias("gram"),
-        )
-        .distinct()
+                ),
+            )
+        ).alias("gram"),
     )
-    per_src = grams.groupBy("source").agg(
-        F.count("*").cast("bigint").alias("n_grams")
-    )
-    # r5 perf: instead of a gram-keyed SELF-JOIN (which re-shuffles
-    # the distinct gram set twice), fold each gram's source set once
-    # (sets are ≤S, S = #sources) and explode the ordered pairs
-    # narrowly — one data-sized shuffle fewer, identical counts
-    srcs = (
-        grams.groupBy("gram")
-        .agg(F.array_sort(F.collect_set("source")).alias("ss"))
-        .filter(F.size("ss") > 1)
+    # r11 single-pass fold (guide §1.2, §3.3): the old shape ran the
+    # tokenize → (source, gram) DISTINCT pipeline THREE times — once
+    # per consumer (per_src feeding both broadcast sides, and the
+    # pair fold) — because collect_set's non-deterministic
+    # canonicalization defeats ReuseExchange (verified on the
+    # executed plan). Every number the query outputs lives at
+    # (source_a, source_b) or (source) grain — at most S²+S rows for
+    # S sources, i.e. dim-sized — so ONE explode can emit, per gram,
+    # both its ordered source pairs AND a (source, NULL) marker per
+    # member; one count aggregate over that explode yields n_shared
+    # for every pair (b non-null) and each source's distinct-gram
+    # total (b null: gram g counts for source s iff s ∈ ss(g) —
+    # exactly "distinct (source, gram)"). The dim-sized result is
+    # localCheckpoint'ed eagerly (x100 precedent), so the corpus is
+    # tokenized ONCE and everything downstream is S²-row local work.
+    gs = grams.groupBy("gram").agg(
+        F.array_sort(F.collect_set("source")).alias("ss")
     )
     pair_structs = F.flatten(
         F.transform(
@@ -721,19 +743,34 @@ def x92_source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    pairs = (
-        srcs.select(F.explode(pair_structs).alias("p"))
-        .groupBy(
-            F.col("p.a").alias("source_a"),
-            F.col("p.b").alias("source_b"),
+    single_structs = F.transform(
+        F.col("ss"),
+        lambda x: F.struct(
+            x.alias("a"), F.lit(None).cast("string").alias("b")
+        ),
+    )
+    counts = (
+        gs.select(
+            F.explode(F.concat(pair_structs, single_structs)).alias("p")
         )
-        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    pairs = counts.filter(F.col("b").isNotNull()).select(
+        F.col("a").alias("source_a"),
+        F.col("b").alias("source_b"),
+        F.col("c").alias("n_shared"),
+    )
+    per_src = counts.filter(F.col("b").isNull()).select(
+        "a", F.col("c").alias("n_grams")
     )
     sa = per_src.select(
-        F.col("source").alias("source_a"), F.col("n_grams").alias("ga")
+        F.col("a").alias("source_a"), F.col("n_grams").alias("ga")
     )
     sb = per_src.select(
-        F.col("source").alias("source_b"), F.col("n_grams").alias("gb")
+        F.col("a").alias("source_b"), F.col("n_grams").alias("gb")
     )
     return (
         pairs.join(F.broadcast(sa), "source_a")

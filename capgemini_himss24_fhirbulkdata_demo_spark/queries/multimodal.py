@@ -419,25 +419,54 @@ def x93_resize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Vectorized per batch (spark_optimization_guide §4.2: hand
+        # whole batches to NumPy instead of looping rows — the old
+        # per-byte Python dict loop dominated this query's runtime).
+        # Exact integer block sums: identical values to the scalar
+        # loop, only the loop is gone.
+        import numpy as np
+
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "by": pd.Series([], dtype="int32"),
+                "bx": pd.Series([], dtype="int32"),
+                "n_px": pd.Series([], dtype="int64"),
+                "sum_v": pd.Series([], dtype="int64"),
+            }
+        )
         for pdf in batches:
-            out = []
-            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(payload)
-                agg: dict[tuple[int, int], list[int]] = {}
-                for j, v in enumerate(b):
-                    key = (
-                        (j // _X93_ROW) // _X93_BOX,
-                        (j % _X93_ROW) // _X93_BOX,
-                    )
-                    if key in agg:
-                        agg[key][0] += v
-                        agg[key][1] += 1
-                    else:
-                        agg[key] = [v, 1]
-                for (by, bx), (s, n) in agg.items():
-                    out.append((int(did), by, bx, n, s))
+            payloads = [bytes(p) for p in pdf["payload"]]
+            lens = np.fromiter(
+                (len(p) for p in payloads), dtype=np.int64, count=len(payloads)
+            )
+            total = int(lens.sum())
+            if total == 0:
+                yield empty
+                continue
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            doc_idx = np.repeat(np.arange(len(payloads), dtype=np.int64), lens)
+            offsets = np.cumsum(lens) - lens
+            j = np.arange(total, dtype=np.int64) - np.repeat(offsets, lens)
+            by = (j // _X93_ROW) // _X93_BOX
+            bx = (j % _X93_ROW) // _X93_BOX
+            # (doc, by, bx) packed into one int64 key; by < 2^24 needs
+            # docs < 2^32 rows/batch and payloads < 2^28 bytes — far
+            # above any Arrow batch.
+            key = (doc_idx << 32) | (by << 8) | bx
+            uk, inv = np.unique(key, return_inverse=True)
+            counts = np.bincount(inv)
+            # float64 sums are exact here (≤ 255 · len < 2^53)
+            sums = np.bincount(inv, weights=buf).astype(np.int64)
             yield pd.DataFrame(
-                out, columns=["doc_id", "by", "bx", "n_px", "sum_v"]
+                {
+                    "doc_id": ids[(uk >> 32)],
+                    "by": (uk >> 8 & 0xFFFFFF).astype(np.int32),
+                    "bx": (uk & 0xFF).astype(np.int32),
+                    "n_px": counts.astype(np.int64),
+                    "sum_v": sums,
+                }
             )
 
     schema = "doc_id BIGINT, by INT, bx INT, n_px BIGINT, sum_v BIGINT"
