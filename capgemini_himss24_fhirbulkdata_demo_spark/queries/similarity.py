@@ -1204,6 +1204,46 @@ def _pq_assign(sub: DataFrame, cb: DataFrame) -> DataFrame:
     )
 
 
+def _pq_cbrow(cb: DataFrame) -> DataFrame:
+    """The whole ≤{m}·{k}-row codebook folded into ONE broadcastable
+    row of (sub_id, bkt)-sorted structs (r11, guide §2.4/§3.1): with
+    the codebook in a single array column, nearest-entry assignment
+    becomes a per-row FOLD instead of a join + argmin window — the
+    same zero-shuffle pattern as assign_nearest_centroid."""
+    return cb.agg(
+        F.array_sort(
+            F.collect_list(F.struct("sub_id", "bkt", "entry"))
+        ).alias("cbs")
+    )
+
+
+def _pq_best(emb_col, s: int):
+    """argmin (d2, bkt) over subspace ``s``'s codebook entries, as a
+    fold over the 1-row broadcast codebook column ``cbs``. Strict <
+    over the bkt-ascending sorted array keeps the FIRST minimum —
+    exactly the row_number(d2 asc, bkt asc) = 1 rule of _pq_assign.
+    Returns a struct (d2, bkt)."""
+    from ..functions.hof import bound
+
+    sv = F.slice(emb_col, s * _PQ_SD + 1, _PQ_SD)
+    es = F.filter(F.col("cbs"), lambda e: e["sub_id"] == F.lit(s))
+    init = F.struct(
+        F.lit(float("inf")).alias("d2"),
+        F.lit(None).cast("int").alias("bkt"),
+    )
+    return F.aggregate(
+        es,
+        init,
+        lambda acc, e: bound(
+            _pq_d2(sv, e["entry"]),
+            lambda d: F.when(
+                d < acc["d2"],
+                F.struct(d.alias("d2"), e["bkt"].alias("bkt")),
+            ).otherwise(acc),
+        ),
+    )
+
+
 @register("x95_pq_codes", oracle=_X95_SQL)
 def x95_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization (Jégou et al., TPAMI'11): the embedding
@@ -1226,28 +1266,28 @@ def x95_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     sub = _pq_sub(emb)
     cb = _pq_codebook(sub)
-    best = _pq_assign(sub, cb)
-    mse = (
-        F.aggregate(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("sub_id", "d2"))),
-                lambda s: s["d2"],
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        / _DIM
-    )
+    # r11 (guide §2.4, before/after plans in plans/r11): assignment
+    # was sub ⋈ broadcast(cb) → per-(vec, sub) argmin WINDOW → per-vec
+    # pivot groupBy — i.e. the corpus exploded ×{m}, shuffled and
+    # sorted twice, and the sub pipeline itself ran twice (codebook
+    # branch + scored branch). With the codebook folded to one
+    # broadcast row (_pq_cbrow), the codes and MSE are a pure
+    # PROJECTION over the unexploded table: per row, {m} argmin folds
+    # with the identical strict-<, bkt-ascending tie rule, and the
+    # MSE sums the per-sub d2 in the same sub_id order the old
+    # sorted-collect fold used. Zero data-sized exchanges remain
+    # (the only shuffles left are the skinny codebook build and the
+    # final orderBy).
+    bests = [_pq_best(F.col("embedding"), s) for s in range(_PQ_M)]
+    mse_sum = bests[0]["d2"]
+    for b in bests[1:]:
+        mse_sum = mse_sum + b["d2"]
     return (
-        best.groupBy("vec_id")
-        .agg(
-            *[
-                F.max(
-                    F.when(F.col("sub_id") == s, F.col("bkt"))
-                ).alias(f"c{s}")
-                for s in range(_PQ_M)
-            ],
-            F.round(mse, 6).alias("pq_mse"),
+        emb.crossJoin(F.broadcast(_pq_cbrow(cb)))
+        .select(
+            "vec_id",
+            *[bests[s]["bkt"].alias(f"c{s}") for s in range(_PQ_M)],
+            F.round(mse_sum / _DIM, 6).alias("pq_mse"),
         )
         .orderBy("vec_id")
     )
@@ -1318,34 +1358,88 @@ def x96_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     sub = _pq_sub(emb)
     cb = _pq_codebook(sub)
-    codes = _pq_assign(sub, cb).select(
-        F.col("vec_id").alias("c_id"), "sub_id", F.col("bkt").alias("code")
+    cbrow = _pq_cbrow(cb)
+    # r11 (guide §2.4, plans in plans/r11): the old shape exploded
+    # the corpus ×{m} THREE times (codes, q and the codebook's own
+    # sub pass), shuffled the ({m}-fanned) contrib rows into a
+    # (q_id, c_id) aggregate, and ran the per-(vec, sub) argmin
+    # window. Both small relations are now ONE broadcast row each:
+    # the codebook (_pq_cbrow) and the per-query distance TABLE
+    # (Q·{m}·{k} entries — ADC's actual artifact). A candidate's
+    # codes are {m} argmin folds (same strict-<, bkt-ascending rule),
+    # and its ADC against each query is {m} table lookups summed in
+    # sub_id order — identical IEEE sequence to the old sorted-
+    # collect fold, with the (q_id, c_id) shuffle gone. The per-query
+    # top-k stays a WindowGroupLimit.
+    qrow = (
+        emb.filter(F.col("vec_id") < _N_QUERIES)
+        .crossJoin(F.broadcast(cbrow))
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("cbs"),
+                lambda e: F.struct(
+                    e["sub_id"].alias("sub_id"),
+                    e["bkt"].alias("bkt"),
+                    _pq_d2(
+                        F.slice(
+                            F.col("embedding"),
+                            e["sub_id"] * _PQ_SD + 1,
+                            _PQ_SD,
+                        ),
+                        e["entry"],
+                    ).alias("qd2"),
+                ),
+            ).alias("dt"),
+        )
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("vec_id").alias("q_id"), F.col("dt"))
+                )
+            ).alias("qs")
+        )
     )
-    q = sub.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), "sub_id", "sv"
+    bests = [_pq_best(F.col("embedding"), s) for s in range(_PQ_M)]
+    codes = F.array(*[bests[s]["bkt"] for s in range(_PQ_M)])
+
+    def adc_of(dt):
+        total = F.lit(0.0)
+        for s in range(_PQ_M):
+            total = total + F.element_at(
+                F.filter(
+                    dt,
+                    lambda x: (x["sub_id"] == F.lit(s))
+                    & (x["bkt"] == F.element_at(F.col("__codes"), s + 1)),
+                ),
+                1,
+            )["qd2"]
+        return total
+
+    scored = (
+        emb.crossJoin(F.broadcast(cbrow))
+        .select(F.col("vec_id").alias("c_id"), codes.alias("__codes"))
+        .crossJoin(F.broadcast(qrow))
+        .select(
+            "c_id",
+            F.explode(
+                F.transform(
+                    F.col("qs"),
+                    lambda q: F.struct(
+                        q["q_id"].alias("q_id"),
+                        adc_of(q["dt"]).alias("adc"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .filter(F.col("p.q_id") != F.col("c_id"))
+        .select(
+            F.col("p.q_id").alias("q_id"), "c_id", F.col("p.adc").alias("adc")
+        )
     )
-    dtab = q.join(F.broadcast(cb), "sub_id").select(
-        "q_id",
-        "sub_id",
-        "bkt",
-        _pq_d2(F.col("sv"), F.col("entry")).alias("qd2"),
-    )
-    contrib = codes.join(
-        F.broadcast(dtab),
-        (codes["sub_id"] == dtab["sub_id"]) & (codes["code"] == dtab["bkt"]),
-    ).filter(F.col("c_id") != F.col("q_id"))
-    adc = F.aggregate(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct(codes["sub_id"], "qd2"))),
-            lambda s: s["qd2"],
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    summed = contrib.groupBy("q_id", "c_id").agg(adc.alias("adc"))
     w = Window.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("c_id"))
     return (
-        summed.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _TOP_K)
         .select("q_id", "c_id", F.round("adc", 6).alias("adc_d2"), "rnk")
         .orderBy("q_id", "rnk")

@@ -714,15 +714,19 @@ def test_x90_windowed_min_stays_per_doc(spark):
 
 
 def test_x96_codebook_and_dtable_broadcast(spark):
-    # ADC scan contract: both the codebook join (assignment) and the
-    # per-query distance-table join must be broadcasts — the
-    # data-sized codes table must never shuffle for a lookup against
-    # constant-sized state
+    # ADC scan contract (r11 form): the codebook and the per-query
+    # distance table are each folded to ONE broadcast row, so every
+    # join in the plan is a BroadcastNestedLoopJoin of a 1-row side —
+    # the data-sized codes table must never shuffle for a lookup
+    # against constant-sized state, and the old per-(vec, sub)
+    # explode + (q_id, c_id) aggregate exchange must stay gone
     df = _plan(spark, "x96_pq_adc_search")
     assert_no_cartesian_product(df)
     p = explain_str(df)
-    assert "BroadcastHashJoin" in p, p
+    assert "BroadcastNestedLoopJoin" in p, p
     assert "SortMergeJoin" not in p, p
+    assert "ShuffledHashJoin" not in p, p
+    assert "BroadcastHashJoin" not in p, p
 
 
 def test_x97_sketch_probe_broadcast(spark):
