@@ -252,6 +252,12 @@ def near_dup_pairs(
     return out
 
 
+# ~32 MB of (src, dst) bigint edges per shuffle partition for the
+# label-propagation rounds; the actual width is derived per call from
+# the materialized edge count (scale-adaptive, never a local constant)
+_CC_EDGES_PER_PARTITION = 2_000_000
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",
@@ -268,9 +274,14 @@ def connected_components(
     small cliques (diameter 1-2), so 2-3 rounds in practice.
 
     Scale notes: each round is one shuffle (edges join labels, keyed
-    on vertex) + one groupBy min; ``localCheckpoint`` truncates the
-    lineage per round (an iterative loop's plan otherwise doubles
-    every round). Convergence is detected by the strictly-decreasing
+    on vertex) + one union + groupBy min; ``localCheckpoint``
+    truncates the lineage per round (an iterative loop's plan
+    otherwise doubles every round). The rounds' shuffle width is
+    derived from the materialized edge count (r11, guide §2.2): the
+    pair graph is output-proportional — orders smaller than the
+    corpus — so iterating at the corpus-sized session width is
+    scheduling overhead locally and oversized exchanges on a
+    cluster. Convergence is detected by the strictly-decreasing
     label sum — one tiny aggregate action per round, not a row-wise
     diff. This is the cluster-representative step real dedup needs
     after pair generation (drop all but MIN(doc) per component).
@@ -280,33 +291,56 @@ def connected_components(
     result silently splits components, which downstream dedup would
     read as "keep several representatives of one duplicate cluster".
     """
+    spark = pairs.sparkSession
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = fwd.unionAll(
         pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     ).distinct().localCheckpoint()
-    labels = edges.select(F.col("src").alias("v")).distinct().select(
-        "v", F.col("v").alias("label")
-    ).localCheckpoint()
-    prev_sum = labels.agg(F.sum("label")).first()[0]
-    converged = prev_sum is None  # empty graph is trivially converged
-    for _ in range(max_iter):
-        msgs = (
-            edges.join(labels, edges.dst == labels.v)
-            .groupBy("src")
-            .agg(F.min("label").alias("nl"))
-        )
-        labels = (
-            labels.join(msgs, labels.v == msgs.src, "left")
-            .select(
-                "v", F.least(F.col("label"), F.coalesce("nl", "label")).alias("label")
+    # r11 (guide §2.2/§2.5): the iteration's shuffle width derives
+    # from the MEASURED edge count, not the session constant — the
+    # pair graph is orders smaller than the corpus (near-dup output),
+    # so label rounds at corpus shuffle width are pure scheduling
+    # overhead locally and oversized exchanges on a cluster. The
+    # count is a cheap action over the already-materialized
+    # checkpoint blocks; rows/partition targets ~32 MB of (src, dst)
+    # longs. Conf is scoped to the loop and restored.
+    n_edges = edges.count()
+    parts = max(1, min(
+        edges.rdd.getNumPartitions(),
+        -(-n_edges // _CC_EDGES_PER_PARTITION),
+    ))
+    if parts < edges.rdd.getNumPartitions():
+        edges = edges.coalesce(parts).localCheckpoint()
+    shuffle_key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(shuffle_key)
+    spark.conf.set(shuffle_key, str(parts))
+    try:
+        labels = edges.select(F.col("src").alias("v")).distinct().select(
+            "v", F.col("v").alias("label")
+        ).localCheckpoint()
+        prev_sum = labels.agg(F.sum("label")).first()[0]
+        converged = prev_sum is None  # empty graph is trivially converged
+        for _ in range(max_iter):
+            # one join + one aggregate per round: neighbor labels and
+            # each vertex's own label meet in a single min-aggregate
+            # (the old msgs-then-left-join form ran a second join and
+            # an extra exchange per round for the same result)
+            msgs = edges.join(labels, edges.dst == labels.v).select(
+                F.col("src").alias("v"), "label"
             )
-            .localCheckpoint()
-        )
-        cur_sum = labels.agg(F.sum("label")).first()[0]
-        if cur_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = cur_sum
+            labels = (
+                msgs.unionAll(labels)
+                .groupBy("v")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint()
+            )
+            cur_sum = labels.agg(F.sum("label")).first()[0]
+            if cur_sum == prev_sum:
+                converged = True
+                break
+            prev_sum = cur_sum
+    finally:
+        spark.conf.set(shuffle_key, old_parts)
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in max_iter={max_iter} "

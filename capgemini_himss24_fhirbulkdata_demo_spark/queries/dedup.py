@@ -213,34 +213,46 @@ def x02_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     band keys → self-join on band buckets → candidate pairs →
     Jaccard(shingles) ≥ threshold.
 
-    Scale: signatures are a narrow scan; the self-join shuffles on
-    uniformly-distributed band hashes (skinny rows — carrying the
-    signature columns through the explode doubles wall time by
-    multiplying the shuffle's bytes on both self-join sides). The
-    estimate gate (>= _AGREE_MIN of _N_HASHES minhashes agreeing)
-    joins the distinct candidate pairs back to the signature table
-    with PLAIN joins — no broadcast hints; AQE broadcasts only a
+    Scale (r11 shape, guide §1.2/§2.3): ONE persisted narrow relation
+    carries (doc_id, shingles, signature); candidates come from a
+    single groupBy on the uniformly-distributed band keys with
+    intra-bucket pair emission (one skinny exchange — the old
+    two-sided self-join shuffled the band stream twice and recomputed
+    the explode lineage per side), and the gate + verify read the
+    persisted relation once per pair side (2 joins, was 4). The
+    agree gate (>= _AGREE_MIN of _N_HASHES minhashes agreeing) sits
+    FIRST in the fused filter so the exact-Jaccard intersect only
+    evaluates on gate-passing rows, exactly as the old two-stage
+    pipeline did. No broadcast hints anywhere: AQE broadcasts only a
     genuinely-small side, and at corpus scale these are ordinary
-    shuffled hash joins keyed on doc_id.
+    shuffled hash joins keyed on doc_id. Bucket pair emission
+    streams (posexplode + slice-explode) — per-row transient memory
+    is one bucket's id array, never the s² pair set; the collect_set
+    bucket buffer is the same s-bounded budget x92's gram fold
+    already carries.
 
     Local-mode specifics: the documents fixture is one small parquet
     file (one input split), so the md5-heavy signature expansion is
     repartitioned across cores first — compute here is large relative
     to input bytes, the same reason this repartition is cheap at any
-    scale. sh/sigs are persisted because three plan branches read
-    each (signatures / band explode + gate A + gate B); at 100 TB a
-    real pipeline materializes them columnar between stages instead
+    scale. At 100 TB a real pipeline materializes the doc relation
+    columnar between stages instead
     (operators.dedup.near_dup_pairs: persist_shingles=False).
     """
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism * 2
     )
-    sh = docs.select("doc_id", _spark_shingles().alias("sh")).persist()
-    dg = sh.select("doc_id", "sh", *_spark_digests())
-    sigs = dg.select(
-        "doc_id", *[_spark_minhash(i).alias(f"h{i}") for i in range(_N_HASHES)]
-    ).persist()
-    bands = sigs.select(
+    d = (
+        docs.select("doc_id", _spark_shingles().alias("sh"))
+        .select("doc_id", "sh", *_spark_digests())
+        .select(
+            "doc_id",
+            "sh",
+            *[_spark_minhash(i).alias(f"h{i}") for i in range(_N_HASHES)],
+        )
+        .persist()
+    )
+    bands = d.select(
         "doc_id",
         F.explode(
             F.array(
@@ -256,43 +268,39 @@ def x02_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bv"),
     ).select("doc_id", "bv.band_idx", "bv.band_val")
-    a = bands.alias("a")
-    b = bands.alias("b")
     cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select("ids", F.posexplode("ids").alias("i", "doc_a"))
+        .select(
+            "doc_a",
+            F.explode(
+                F.slice("ids", F.col("i") + 2, F.size("ids"))
+            ).alias("doc_b"),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    g1 = sigs.select(
+    da = d.select(
         F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
         *[F.col(f"h{i}").alias(f"ha{i}") for i in range(_N_HASHES)],
     )
-    g2 = sigs.select(
+    db = d.select(
         F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
         *[F.col(f"h{i}").alias(f"hb{i}") for i in range(_N_HASHES)],
     )
     agree = None
     for i in range(_N_HASHES):
         t = F.when(F.col(f"ha{i}") == F.col(f"hb{i}"), 1).otherwise(0)
         agree = t if agree is None else agree + t
-    gated = (
-        cand.join(g1, "doc_a")
-        .join(g2, "doc_b")
-        .filter(agree >= _AGREE_MIN)
-        .select("doc_a", "doc_b")
-    )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     # |A∪B| = |A|+|B|−|A∩B|: one intersect per pair, no union alloc.
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    scored = (
-        gated.join(sa, "doc_a")
-        .join(sb, "doc_b")
+    out = (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .filter(agree >= _AGREE_MIN)
         .select(
             "doc_a",
             "doc_b",
@@ -301,14 +309,11 @@ def x02_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("jaccard"),
         )
-    )
-    out = (
-        scored.filter(F.col("jaccard") >= _JACCARD_MIN)
-        .select("doc_a", "doc_b", "jaccard")
+        .filter(F.col("jaccard") >= _JACCARD_MIN)
         .orderBy("doc_a", "doc_b")
     )
     # releasable by composing queries (x07) via release_cached_deps
-    out._cached_deps = [sh, sigs]
+    out._cached_deps = [d]
     return out
 
 
