@@ -68,6 +68,23 @@ def _proj(vec, coeffs: list[int]):
     )
 
 
+def _emb_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings scan spread across cores before fold-dense compute
+    (r11, guide §2.5/§6.2): the fixture is ONE small parquet file
+    (~4 input splits at bench confs), while the similarity pipelines
+    run 17-64 interpreted fold-aggregates per row over it — compute
+    per input byte is enormous, so one input-sized exchange buys full
+    parallelism for every downstream fold (the same measured trade
+    x02 makes for its md5-heavy signature pass, and cheap at any
+    scale for the same reason). Values are partition-independent:
+    folds are per-row and every aggregate downstream is
+    order-insensitive by construction.
+    """
+    return load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 # DuckDB-side fold helpers ------------------------------------------------
 
 def _sql_dot(a: str, b: str) -> str:
@@ -124,7 +141,7 @@ def x10_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines by fold construction) with c_id tiebreak; the surfaced
     score is rounded for display only.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb_fanout(spark, sf_dir)
     norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
@@ -192,7 +209,7 @@ def x11_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is a hash join on it (vs x10's cross join). Multi-probe (flip
     one bit) would be the recall upgrade; not needed for the contract.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb_fanout(spark, sf_dir)
     bucket = None
     for p in range(_N_PLANES):
         term = F.when(_proj(F.col("embedding"), _PLANES[p]) > 0, F.lit(1 << p)).otherwise(
@@ -300,10 +317,9 @@ def x12_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     and scoring via the same sequential folds); recall vs the x10
     brute-force baseline is asserted in tests.
     """
-    from ..catalog import load_table as _lt
     from ..operators.similarity import ivf_assign, ivf_topk
 
-    emb = _lt(spark, sf_dir, "embeddings")
+    emb = _emb_fanout(spark, sf_dir)
     assigned, centroids = ivf_assign(emb, "vec_id", "embedding", n_lists=8, dim=_DIM)
     q = emb.filter(F.col("vec_id") < _N_QUERIES)
     out = ivf_topk(
@@ -355,7 +371,7 @@ def x06_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup consumes the pair list as a keep-min anti-join
     (dataprep.remove_embedding_dups is the pipeline form).
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb_fanout(spark, sf_dir)
     bucket = None
     for p in range(_N_PLANES):
         term = F.when(_proj(F.col("embedding"), _PLANES[p]) > 0, F.lit(1 << p)).otherwise(
@@ -525,7 +541,7 @@ def x14_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import pandas as pd
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb_fanout(spark, sf_dir)
     norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
     q = emb.filter(F.col("vec_id") < _X14_NQ).select(
         F.col("vec_id").alias("qid"),
@@ -662,7 +678,7 @@ def x15_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     column is what you'd actually persist (64 bytes vs 256) — this
     query surfaces the audit stats, not the payload.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb_fanout(spark, sf_dir)
     e = F.col("embedding")
     lo = F.array_min(e).cast("double")
     hi = F.array_max(e).cast("double")
@@ -787,7 +803,7 @@ def x16_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.similarity import semdedup
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb_fanout(spark, sf_dir)
     assigned, dup = semdedup(
         emb.select("vec_id", "embedding"), "vec_id", "embedding",
         threshold=_COS_DUP_MIN, n_lists=32, dim=_DIM, persist_assigned=True,
@@ -856,7 +872,7 @@ def x57_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid is one row, broadcast; per-label work never touches raw
     pairs.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb_fanout(spark, sf_dir)
     long = emb.select("label", F.posexplode("embedding").alias("__pos", "__val"))
     dec = F.sum(F.col("__val").cast("double").cast("decimal(28,12)")).cast(
         "double"
@@ -987,7 +1003,7 @@ def x67_embedding_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-agg shuffle — the cheapest possible full-corpus screen;
     no joins, no pairs, plan width O(1) in dim.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb_fanout(spark, sf_dir)
     n = emb.select(
         "label",
         F.size("embedding").alias("dim"),
@@ -1263,7 +1279,7 @@ def x95_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(vec, sub) argmin window on a uniform key. At 100 TB the
     codebook stays KB-sized and the pass is embarrassingly parallel.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb_fanout(spark, sf_dir)
     sub = _pq_sub(emb)
     cb = _pq_codebook(sub)
     # r11 (guide §2.4, before/after plans in plans/r11): assignment
@@ -1355,7 +1371,7 @@ def x96_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory-bound design point: the index fits where raw vectors
     cannot.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb_fanout(spark, sf_dir)
     sub = _pq_sub(emb)
     cb = _pq_codebook(sub)
     cbrow = _pq_cbrow(cb)
@@ -1550,7 +1566,7 @@ def x99_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     while the scan stays identical, which is precisely the trade MRL
     buys at 100 TB.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb_fanout(spark, sf_dir)
     full_k = _x99_search(emb, _DIM)
     trunc_k = _x99_search(emb, _MRL_DIM).withColumnRenamed("rnk", "t_rnk")
     return (
@@ -1654,7 +1670,7 @@ def x105_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.similarity import ivf_assign
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb_fanout(spark, sf_dir)
     assigned, centroids = ivf_assign(
         emb, "vec_id", "embedding", n_lists=8, dim=_DIM
     )
@@ -1785,7 +1801,7 @@ def x187_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage (skinny (label, pos) shuffle); the k x k pair join is
     dimension-table sized at any corpus scale.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb_fanout(spark, sf_dir)
     long = emb.select(
         "label", F.posexplode("embedding").alias("__pos", "__val")
     )
@@ -1894,7 +1910,7 @@ def x188_label_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-k fan-out per vector (k rows per vector, k = label
     count — linear in corpus, never pairwise in vectors).
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb_fanout(spark, sf_dir)
     long = emb.select(
         "label", F.posexplode("embedding").alias("__pos", "__val")
     )
@@ -2020,7 +2036,7 @@ def x209_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-centroid scoring pass + a label-keyed mean join —
     linear in vectors, never pairwise.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb_fanout(spark, sf_dir)
     long = emb.select(
         "label", F.posexplode("embedding").alias("__pos", "__val")
     )
@@ -2133,7 +2149,7 @@ def x259_embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb_fanout(spark, sf_dir)
     long = emb.select(
         F.posexplode("embedding").alias("pos0", "v0")
     ).select(
