@@ -252,7 +252,18 @@ def x88_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = docs.filter(n >= g).select(
         "doc_id", (n - (g - 1)).cast("bigint").alias("n_spans")
     )
-    gd = spans.groupBy("fp", "doc_id").agg(F.count("*").alias("cnt"))
+    # r11 (guide §2.4): hash-distribute the span stream by fp ONCE —
+    # HashPartitioning(fp) satisfies both the (fp, doc_id) aggregate's
+    # clustered distribution AND the fp window's, so the old second
+    # exchange (agg on (fp, doc_id), re-shuffle on fp for the window)
+    # disappears; one data-sized exchange moves the fingerprints.
+    # Repeated (fp, doc) spans are rare within a doc, so the lost
+    # map-side partial agg costs ~nothing in shuffle bytes.
+    gd = (
+        spans.repartition("fp")
+        .groupBy("fp", "doc_id")
+        .agg(F.count("*").alias("cnt"))
+    )
     wg = Window.partitionBy("fp")
     hit = (
         gd.withColumn("nd", F.count("*").over(wg))

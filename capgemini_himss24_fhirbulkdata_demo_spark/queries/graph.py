@@ -123,7 +123,18 @@ def x100_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .localCheckpoint(eager=True)
     )
+    # r11 (guide §3.3): outdeg is loop-invariant — fold it onto the
+    # checkpointed edge rows ONCE so each of the _PR_ITERS steps runs
+    # one join fewer (the old shape joined deg inside every
+    # iteration, costing an extra broadcast + join per step on the
+    # unrolled lazy plan). Still dim-sized, still one partition.
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    edges = (
+        edges.join(deg, "src")
+        .select("src", "dst", "outdeg")
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
     nodes = nation.select(F.col("n_nationkey").alias("node"))
     n_nodes = nodes.count()  # dim-sized; a literal both engines share
 
@@ -132,7 +143,6 @@ def x100_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(_PR_ITERS):
         contrib = (
             edges.join(pr.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
             .select("dst", F.expr("pr DIV outdeg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))

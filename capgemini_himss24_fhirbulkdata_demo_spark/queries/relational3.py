@@ -61,24 +61,39 @@ def q83_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     zero = F.lit(0).cast("decimal(18,2)")
-    focus = F.sum(
-        F.when(F.col("n_name") == _FOCUS_NATION, _disc_price()).otherwise(zero)
+    # r11 (guide §2.3): the dim joins are broadcast (narrow), so the
+    # per-ORDER partial aggregate can run BEFORE the fact-fact
+    # shuffle — the lineitem side of the orderkey exchange shrinks
+    # from one row per line to one skinny row per order (~4×), and
+    # decimal sums regroup exactly (associative), so the per-year
+    # totals are bit-identical.
+    per_order = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("n_name") == _FOCUS_NATION, _disc_price()
+                ).otherwise(zero)
+            ).alias("__focus"),
+            F.sum(_disc_price()).alias("__tot"),
+            F.count("*").alias("__n"),
+        )
     )
     return (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        per_order.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(F.year("o_orderdate").cast("bigint").alias("yr"))
         .agg(
             (
                 F.floor(
-                    focus.cast("double")
-                    / F.sum(_disc_price()).cast("double")
+                    F.sum("__focus").cast("double")
+                    / F.sum("__tot").cast("double")
                     * F.lit(1e6)
                 )
                 / F.lit(1e6)
             ).alias("mkt_share"),
-            F.count("*").alias("n_lines"),
+            F.sum("__n").alias("n_lines"),
         )
         .orderBy("yr")
     )
