@@ -1895,26 +1895,37 @@ def x173_session_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             w.rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
-    st = s.select("user_id", "session_no", "event_type").distinct()
-    ns = st.select("user_id", "session_no").distinct().agg(
-        F.count("*").cast("bigint").alias("n_sessions")
+    # r11 (guide §1.2/§2.4): the old shape re-derived the
+    # sessionization + distinct for every consumer (session count,
+    # type counts, and BOTH self-join sides — four lineages) and
+    # shuffled the (user, session, type) stream three more times.
+    # Fold each session's distinct types into ONE sorted array —
+    # the groupBy(user_id, session_no) is satisfied by the window's
+    # existing user_id partitioning, so no new exchange — persist
+    # the session-grain rows, and every consumer becomes a narrow
+    # derivation: session count = count, type counts = explode,
+    # co-occurrence = intra-array pair emission (sessions hold ≤5
+    # distinct types). The corpus crosses one exchange, once.
+    sess = (
+        s.groupBy("user_id", "session_no")
+        .agg(F.array_sort(F.collect_set("event_type")).alias("types"))
+        .persist()
     )
-    tcount = st.groupBy("event_type").agg(
-        F.count("*").cast("bigint").alias("n")
+    ns = sess.agg(F.count("*").cast("bigint").alias("n_sessions"))
+    tcount = (
+        sess.select(F.explode("types").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
     )
-    a = st.alias("a")
-    b = st.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.user_id") == F.col("b.user_id"))
-            & (F.col("a.session_no") == F.col("b.session_no"))
-            & (F.col("a.event_type") < F.col("b.event_type")),
+        sess.select("types", F.posexplode("types").alias("i", "ta"))
+        .select(
+            F.col("ta").alias("type_a"),
+            F.explode(
+                F.slice("types", F.col("i") + 2, F.size("types"))
+            ).alias("type_b"),
         )
-        .groupBy(
-            F.col("a.event_type").alias("type_a"),
-            F.col("b.event_type").alias("type_b"),
-        )
+        .groupBy("type_a", "type_b")
         .agg(F.count("*").cast("bigint").alias("n_both"))
     )
     ta = tcount.select(
@@ -1923,7 +1934,7 @@ def x173_session_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     tb = tcount.select(
         F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
     )
-    return (
+    out = (
         pairs.join(F.broadcast(ta), "type_a")
         .join(F.broadcast(tb), "type_b")
         .crossJoin(F.broadcast(ns))
@@ -1941,6 +1952,8 @@ def x173_session_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+    out._cached_deps = [sess]
+    return out
 
 
 # ---- x174: user lifespan histogram ----
