@@ -474,20 +474,28 @@ def x25_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(doc,term) counts, document frequency, linear idf, window
     top-k.
 
-    Scale: two shuffles (doc,term) and (term) — both uniform keys;
-    the corpus-size scalar joins in as a broadcast literal, and the
-    final top-k is a WindowGroupLimit, never a global sort of the
-    scored stream.
+    r11 (guide §1.2/§2.4): the old shape tokenized the corpus TWICE
+    (tf and df each re-derived the explode) and shuffled the raw
+    token stream twice. df over the tf relation is exactly
+    COUNT(DISTINCT doc_id) — tf already holds one row per (doc,
+    term) — so df becomes a count-over-term window on tf and the
+    tf⋈df join disappears. One tokenize, one token-stream shuffle;
+    the two remaining exchanges carry the (doc,term)-distinct
+    stream only.
+
+    Scale: shuffles (doc,term) then (term) then (doc) — all uniform
+    keys over the distinct stream; the corpus-size scalar joins in as
+    a broadcast literal, and the final top-k is a WindowGroupLimit,
+    never a global sort of the scored stream.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
     ).filter(F.col("term") != "")
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(df, "term")
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -933,30 +941,37 @@ def x42_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     )
-    # the training-side distinct feeds both the totals agg and the
-    # collision semi-join; measured: Spark's ReusedExchange already
-    # shares its shuffle across the consumers, so persisting it is
-    # neutral-to-worse (cache write cost) — left unpersisted
-    tg = (
-        grams.filter(~F.col("d").isin("e", "f"))
-        .select("doc_id", "gram")
-        .distinct()
+    # r11 (guide §2.4): one gram-keyed repartition feeds BOTH the
+    # (gram, doc)-dedup aggregate and the gram-grain eval-presence
+    # window — HashPartitioning(gram) satisfies the aggregate's
+    # clustering (gram ⊆ {gram, doc_id, d}) and the window's, so the
+    # gram stream crosses exactly ONE exchange. The old shape ran the
+    # train distinct, the per-doc totals, the tg-by-gram semi-join
+    # re-key, the separate eval-side distinct and the tot⟕hit join —
+    # three full-stream exchanges plus two join branches. The
+    # semi-join becomes max(is_eval) over the gram partition; a train
+    # doc with no collisions sums the 0s to n_hit = 0, which is the
+    # old COALESCE.
+    is_eval = F.col("d").isin("e", "f")
+    dedup = (
+        grams.repartition("gram")
+        .groupBy("gram", "doc_id", "d")
+        .agg(F.count("*").alias("__dup"))
     )
-    eg = grams.filter(F.col("d").isin("e", "f")).select("gram").distinct()
-    tot = tg.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_grams"))
-    hit = (
-        tg.join(eg, "gram", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count("*").cast("bigint").alias("n_hit"))
+    flagged = dedup.withColumn(
+        "has_eval",
+        F.max(F.when(is_eval, 1).otherwise(0)).over(
+            Window.partitionBy("gram")
+        ),
     )
-    n_hit = F.coalesce("n_hit", F.lit(0).cast("bigint"))
+    n_hit = F.sum("has_eval").cast("bigint")
     out = (
-        tot.join(hit, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_grams",
+        flagged.filter(~is_eval)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
             n_hit.alias("n_hit"),
-            (F.floor(n_hit * 10000.0 / F.col("n_grams")) / 10000).alias(
+            (F.floor(n_hit * 10000.0 / F.count("*")) / 10000).alias(
                 "hit_share"
             ),
             F.when(n_hit > 0, F.lit(1)).otherwise(F.lit(0)).alias(
@@ -1378,10 +1393,18 @@ def x46_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape with the LM built in-engine).
 
     Scale: bigram generation is a narrow map; the model build is one
-    uniform-key partial-agg shuffle on (a, b); scoring joins document
-    bigrams to the model on the same key — stopword-pair skew is AQE
-    skew-join territory, the same class as x42's gram join. Vocabulary
-    size is a 1-row broadcast. Nothing is per-row Python.
+    uniform-key partial-agg shuffle on (a, b). r11 (guide §1.2/§3.3):
+    the unigram counts attach to the MODEL side (distinct-bigram
+    grain, orders smaller than the instance stream) instead of
+    re-keying every scored instance by `a` as the old shape did —
+    the instance stream now crosses one (a, b) exchange instead of
+    two. (A shared repartition("a","b") feeding both the count
+    aggregate and the join was tried and rejected: column pruning
+    makes the two consumers' subtrees differ — one carries doc_id —
+    so ReuseExchange cannot fire, and the extra exchange also loses
+    the count's map-side partial aggregation.) Stopword-pair skew is
+    AQE skew-join territory, the same class as x42's gram join.
+    Vocabulary size is a 1-row broadcast. Nothing is per-row Python.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
@@ -1406,18 +1429,19 @@ def x46_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("g"),
     ).select("doc_id", F.col("g.a").alias("a"), F.col("g.b").alias("b"))
     bgc = dbg.groupBy("a", "b").agg(F.count("*").alias("cab"))
-    scored = (
-        dbg.join(bgc, ["a", "b"])
-        .join(uni.withColumnRenamed("tok", "a"), ["a"])
+    model = (
+        bgc.join(uni.withColumnRenamed("tok", "a"), ["a"])
         .crossJoin(F.broadcast(vocab))
         .select(
-            "doc_id",
+            "a",
+            "b",
             F.log(
                 (F.col("cab") + F.lit(1)).cast("double")
                 / (F.col("c") + F.col("v")).cast("double")
             ).alias("lp"),
         )
     )
+    scored = dbg.join(model, ["a", "b"]).select("doc_id", "lp")
     return (
         scored.groupBy("doc_id")
         .agg(

@@ -305,15 +305,26 @@ def q36_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q37_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic dropDuplicates: first-row-per-key via explicit
-    window order (SURVEY §7.c — never rely on nondeterministic
-    dropDuplicates for oracle-checked results)."""
-    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    order (SURVEY §7.c — never rely on nondeterministic
+    dropDuplicates for oracle-checked results).
+
+    r11 (guide §2.3): first-row-by-(l_linenumber, l_partkey) is
+    exactly MIN over the struct (lexicographic field-by-field
+    comparison on non-null TPC-H keys), so the row_number window —
+    whose partial WindowGroupLimit still sorted every scan partition
+    — becomes a hash aggregate with map-side partial MIN: no sort
+    before the exchange, and the shuffle carries one row per key per
+    task either way."""
+    m = F.min(F.struct("l_linenumber", "l_partkey"))
     return (
         load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_linenumber", "l_partkey")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        .groupBy("l_orderkey")
+        .agg(m.alias("m"))
+        .select(
+            "l_orderkey",
+            F.col("m.l_linenumber").alias("l_linenumber"),
+            F.col("m.l_partkey").alias("l_partkey"),
+        )
         .orderBy("l_orderkey")
     )
 
