@@ -918,52 +918,36 @@ def x17_repetition_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     original order. Complements x19, which removes CROSS-document
     duplicates. Every doc retains >=1 chunk, so none drop out.
 
-    Scale: chunking is the same narrow slice+concat_ws map as
-    x18/x19; the keep-first pass is one (doc_id, chunk)-keyed
-    partial-agg shuffle (key cardinality is bounded by total chunk
-    count); reassembly is one per-doc regroup with an in-group sort.
-    Nothing is corpus-squared, nothing leaves the JVM.
+    Scale (r11, guide §2.4): the whole operation is WITHIN-document,
+    so it needs no shuffle at all — the old shape exploded chunks
+    twice and ran two chunk-grain exchanges plus a join, but
+    keep-first-occurrence dedup over a doc's chunk array is exactly
+    ``array_distinct`` (documented to preserve first-occurrence
+    order), and reassembly is an ``array_join`` of that result. One
+    narrow map; the corpus never crosses an exchange (only the
+    doc-grain output sort does). Per-row transient memory is the
+    token + chunk arrays — the same budget every chunking op here
+    already carries.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split("text", " ").alias("t"))
     n_chunks_expr = (F.size("t") + F.lit(_CHUNK_TOKENS - 1)) / F.lit(_CHUNK_TOKENS)
     chunks = toks.select(
         "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), n_chunks_expr.cast("int") - 1),
-                lambda i: F.struct(
-                    i.alias("chunk_idx"),
-                    F.concat_ws(
-                        " ", F.slice(F.col("t"), i * _CHUNK_TOKENS + 1, _CHUNK_TOKENS)
-                    ).alias("chunk"),
-                ),
-            )
-        ).alias("c"),
-    ).select("doc_id", "c.chunk_idx", "c.chunk")
-    kept = chunks.groupBy("doc_id", "chunk").agg(
-        F.min("chunk_idx").alias("chunk_idx")
-    )
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
-                lambda s: s["chunk"],
+        F.transform(
+            F.sequence(F.lit(0), n_chunks_expr.cast("int") - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(F.col("t"), i * _CHUNK_TOKENS + 1, _CHUNK_TOKENS)
             ),
-            " ",
-        ).alias("clean"),
-        F.count("*").cast("bigint").alias("n_kept_chunks"),
+        ).alias("chunks"),
     )
-    before = chunks.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_chunks")
-    )
+    kept = F.array_distinct("chunks")
     return (
-        before.join(rebuilt, "doc_id")
-        .select(
+        chunks.select(
             "doc_id",
-            "n_chunks",
-            "n_kept_chunks",
-            F.md5(F.col("clean").cast("binary")).alias("clean_md5"),
+            F.size("chunks").cast("bigint").alias("n_chunks"),
+            F.size(kept).cast("bigint").alias("n_kept_chunks"),
+            F.md5(F.array_join(kept, " ").cast("binary")).alias("clean_md5"),
         )
         .orderBy("doc_id")
     )

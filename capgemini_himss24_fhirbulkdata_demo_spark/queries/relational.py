@@ -345,16 +345,36 @@ def q11_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q12_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global (no-group) aggregate incl. exact COUNT(DISTINCT)."""
+    """Global (no-group) aggregate incl. exact COUNT(DISTINCT).
+
+    r11 (guide §2.3): mixing distinct and plain aggregates in one
+    agg() plans an Expand that DOUBLES every scanned row before the
+    partial aggregate. Splitting the count-distinct into its own
+    branch (distinct keys partial-aggregate map-side, then a count)
+    and broadcast-joining the two 1-row results keeps the scan
+    single-width; values are identical."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
+    plain = li.agg(
         F.count("*").alias("n_rows"),
-        F.countDistinct("l_orderkey").alias("n_orders"),
         F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("min_ship"),
         F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("max_ship"),
         F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
+    )
+    n_orders = (
+        li.select("l_orderkey")
+        .distinct()
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return plain.crossJoin(F.broadcast(n_orders)).select(
+        "n_rows",
+        "n_orders",
+        "min_ship",
+        "max_ship",
+        "sum_qty",
+        "min_price",
+        "max_price",
     )
 
 

@@ -109,16 +109,26 @@ def q16_nation_trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: large-volume orders via HAVING on an exact
-    decimal sum, deterministic top-20."""
+    decimal sum, deterministic top-20.
+
+    r11 (guide §2.3/§3.2): the HAVING predicate depends on lineitem
+    alone, so the per-order quantity sum aggregates and filters
+    BEFORE any join — the orderkey join then carries only the few
+    qualifying orders (AQE broadcasts that side) instead of shuffling
+    every lineitem row against orders. Decimal sums regroup exactly;
+    (c_name, c_custkey, o_orderdate) are functionally dependent on
+    o_orderkey, so the per-orderkey grouping is value-identical."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(li, orders.o_orderkey == li.l_orderkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate")
+    tq = (
+        li.groupBy("l_orderkey")
         .agg(F.sum(_dec("l_quantity")).alias("_tq"))
         .filter(F.col("_tq") > 150)
+    )
+    return (
+        tq.join(orders, tq.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .select(
             "c_name",
             "c_custkey",
