@@ -194,10 +194,15 @@ def remove_dup_paragraphs(
     out entirely.
 
     Scale: chunking is a narrow slice+concat_ws map (no per-token
-    explode); the frequency pass is one uniform-key partial-agg
-    shuffle on the chunk text; the keep-filter joins on the same key;
-    reassembly is one groupBy(doc) with an in-group sort — all
-    bounded by input + chunk count, never corpus².
+    explode); reassembly is one groupBy(doc) with an in-group sort —
+    all bounded by input + chunk count, never corpus². r11 (guide
+    §2.3/§2.4), mirroring remove_dup_spans: for the default
+    ``min_docs=2``, "occurs in ≥2 distinct docs" is exactly
+    ``min(id) ≠ max(id)``, so the frequency aggregate — whose mixed
+    COUNT(DISTINCT)+MIN planned an Expand that DOUBLED the chunk
+    stream — and the chunk-keyed keep-join collapse into ONE window
+    over a single chunk-keyed exchange. General ``min_docs`` keeps
+    the aggregate+join form.
     """
     toks = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__t"))
     n_chunks = (F.size("__t") + F.lit(chunk_tokens - 1)) / F.lit(chunk_tokens)
@@ -215,12 +220,23 @@ def remove_dup_paragraphs(
             )
         ).alias("c"),
     ).select(id_col, "c.chunk_idx", "c.chunk")
-    freq = chunks.groupBy("chunk").agg(
-        F.countDistinct(id_col).alias("__nd"), F.min(id_col).alias("__first")
-    )
-    kept = chunks.join(freq, "chunk").filter(
-        (F.col("__nd") < min_docs) | (F.col(id_col) == F.col("__first"))
-    )
+    if min_docs == 2:
+        w = Window.partitionBy("chunk")
+        kept = (
+            chunks.withColumn("__first", F.min(id_col).over(w))
+            .withColumn("__last", F.max(id_col).over(w))
+            .filter(
+                (F.col("__first") == F.col("__last"))
+                | (F.col(id_col) == F.col("__first"))
+            )
+        )
+    else:
+        freq = chunks.groupBy("chunk").agg(
+            F.countDistinct(id_col).alias("__nd"), F.min(id_col).alias("__first")
+        )
+        kept = chunks.join(freq, "chunk").filter(
+            (F.col("__nd") < min_docs) | (F.col(id_col) == F.col("__first"))
+        )
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(

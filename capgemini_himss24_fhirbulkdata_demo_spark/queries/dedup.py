@@ -21,7 +21,7 @@ banded self-join); brute-force all-pairs appears only inside buckets.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -781,10 +781,13 @@ def x18_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc reports its duplicated-chunk share.
 
     Scale: chunking is a narrow map (slice + concat_ws — no
-    per-token explode); the frequency pass is one uniform-key
-    partial-agg shuffle on the chunk hash; the flag join keys on the
-    same chunk value. Identical shape to x42's gram join. The actual
-    REMOVAL pipeline is this plus a filter on chunk dup flags before
+    per-token explode). r11 (guide §2.4): "occurs in >1 distinct
+    doc" is exactly ``min(doc_id) ≠ max(doc_id)`` over a chunk
+    window, so the old countDistinct aggregate + chunk-keyed flag
+    join (which re-derived the chunk explode for each side and
+    re-keyed the full stream) collapse into ONE window over a single
+    chunk-keyed exchange — the x94/x19 pattern. The actual REMOVAL
+    pipeline is this plus a filter on chunk dup flags before
     reassembly — the audit is the oracle-checkable core.
     """
     docs = load_table(spark, sf_dir, "documents")
@@ -795,21 +798,18 @@ def x18_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), n_chunks_expr.cast("int") - 1),
-                lambda i: F.struct(
-                    i.alias("chunk_idx"),
-                    F.concat_ws(
-                        " ", F.slice(F.col("t"), i * _CHUNK_TOKENS + 1, _CHUNK_TOKENS)
-                    ).alias("chunk"),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("t"), i * _CHUNK_TOKENS + 1, _CHUNK_TOKENS)
                 ),
             )
-        ).alias("c"),
-    ).select("doc_id", "c.chunk_idx", "c.chunk")
-    freq = chunks.groupBy("chunk").agg(
-        F.countDistinct("doc_id").alias("n_docs")
+        ).alias("chunk"),
     )
-    flagged = chunks.join(freq, "chunk").select(
+    w = Window.partitionBy("chunk")
+    flagged = chunks.select(
         "doc_id",
-        F.when(F.col("n_docs") > 1, 1).otherwise(0).alias("dup"),
+        F.when(
+            F.min("doc_id").over(w) != F.max("doc_id").over(w), 1
+        ).otherwise(0).alias("dup"),
     )
     return (
         flagged.groupBy("doc_id")
