@@ -7783,32 +7783,35 @@ def x240_launch_cohort_vitality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exact decimal micro-units with decimal-zero ELSE arms.
 
-    Scale: partkey min-year agg, a partkey-co-keyed join back,
-    launch-year rollup. Edge cohorts (first/last fixture years)
-    are partially observed — interpret trend on interior years.
+    Scale (r11, guide §2.4): the old shape scanned lineitem twice
+    (min-year aggregate + the fact side) and joined them back on
+    partkey; the launch year is now ``min(yr) OVER (PARTITION BY
+    l_partkey)`` — ONE partkey exchange — and the per-(launch, part)
+    rollup rides the same partitioning with no further shuffle.
+    Launch-year rollup after that is dim-sized. Edge cohorts
+    (first/last fixture years) are partially observed — interpret
+    trend on interior years.
     """
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem")
-    first_year = li.groupBy("l_partkey").agg(
-        F.min(F.year(F.col("l_shipdate").cast("date")))
-        .cast("bigint")
-        .alias("launch_yr")
-    )
     net = (
         F.col("l_extendedprice").cast("decimal(18,2)")
         * (F.lit(1).cast("decimal(6,4)") - F.col("l_discount").cast("decimal(6,4)"))
     )
     zero = F.lit(0).cast("decimal(25,6)")
+    yr = F.year(F.col("l_shipdate").cast("date"))
+    li2 = li.select("l_partkey", yr.alias("yr"), net.alias("net")).withColumn(
+        "launch_yr",
+        F.min("yr").over(Window.partitionBy("l_partkey")).cast("bigint"),
+    )
     fy_rev = (
-        li.join(first_year, "l_partkey")
-        .groupBy("launch_yr", "l_partkey")
+        li2.groupBy("launch_yr", "l_partkey")
         .agg(
             (
                 F.sum(
-                    F.when(
-                        F.year(F.col("l_shipdate").cast("date"))
-                        == F.col("launch_yr"),
-                        net,
-                    ).otherwise(zero)
+                    F.when(F.col("yr") == F.col("launch_yr"), F.col("net"))
+                    .otherwise(zero)
                 )
                 * 1000000
             )

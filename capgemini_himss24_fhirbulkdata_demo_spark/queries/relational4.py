@@ -127,6 +127,14 @@ def q92_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer/supplier/nation are broadcast, and the nation-pair filter
     prunes to two nations *before* the aggregate, so the grouped state
     is tiny. The date window pushes down to the lineitem scan.
+    r11 (guide §3.2): each side of the symmetric pair predicate
+    implies a NECESSARY single-side condition — the supplier nation
+    must be one of the two, and so must the customer nation — so
+    lineitem pre-filters through its broadcast supplier chain and
+    orders through its broadcast customer chain BEFORE the orderkey
+    join: both sides of the only data-sized exchange shrink to the
+    two nations' rows (~2/N of each fact) and the exact pair filter
+    then runs on the joined survivors, unchanged.
     """
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
@@ -145,12 +153,18 @@ def q92_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair = (
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
-    return (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    li_side = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    )
+    ord_side = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    )
+    return (
+        li_side.join(ord_side, F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(pair)
         .groupBy(
             "supp_nation",
