@@ -1716,27 +1716,39 @@ def x171_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_orderkey's distinct_rate of 1.0 doubles as the PK-uniqueness
     check.
 
-    Scale: ONE scan computes every column's counts (the per-column
-    SELECTs the oracle unions are fused by Spark into a single
-    multi-distinct aggregate); integer counts, two divisions per
-    row.
+    Scale (r11, guide §2.3): the old single multi-distinct aggregate
+    planned an Expand that multiplied every scanned row by
+    N_COLUMNS+1 before the partial agg. Each column now profiles in
+    its own branch — group by the column's values (map-side partial
+    collapses to the column's cardinality), then count groups /
+    non-null groups / total rows from the tiny group table — and the
+    six 6-field rows union. Each branch's scan reads ONE column
+    (columnar pruning), so total I/O equals the old single scan
+    without the 7× row multiplication; integer counts, two divisions
+    per row.
     """
     orders = load_table(spark, sf_dir, "orders")
-    aggs = []
+    branches = []
     for c in _X171_COLS:
-        aggs += [
-            F.count("*").cast("bigint").alias(f"{c}__rows"),
-            (F.count("*") - F.count(c)).cast("bigint").alias(f"{c}__nulls"),
-            F.countDistinct(c).cast("bigint").alias(f"{c}__distinct"),
-        ]
-    wide = orders.agg(*aggs)
-    stack_expr = ", ".join(
-        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct" for c in _X171_COLS
-    )
-    long = wide.selectExpr(
-        f"stack({len(_X171_COLS)}, {stack_expr}) AS "
-        "(column_name, n_rows, n_nulls, n_distinct)"
-    )
+        grp = orders.groupBy(F.col(c).alias("__v")).agg(
+            F.count("*").alias("__cnt")
+        )
+        branches.append(
+            grp.agg(
+                F.lit(c).alias("column_name"),
+                F.sum("__cnt").cast("bigint").alias("n_rows"),
+                F.coalesce(
+                    F.sum(F.when(F.col("__v").isNull(), F.col("__cnt"))),
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias("n_nulls"),
+                F.count(F.col("__v")).cast("bigint").alias("n_distinct"),
+            )
+        )
+    long = branches[0]
+    for b in branches[1:]:
+        long = long.unionByName(b)
     return long.select(
         "column_name",
         "n_rows",
@@ -2096,9 +2108,15 @@ def x175_emerging_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold); the growth ratio is one fixed double expression,
     and top-30 orders by the unrounded ratio with token tiebreak.
 
-    Scale: one explode + (half, token) partial agg; the full-outer
-    token join shuffles on token (Zipf head collapses map-side);
-    totals are 2-row broadcasts; top-30 is TakeOrdered.
+    Scale (r11, guide §1.2/§2.4): one explode + ONE token-keyed
+    partial agg with conditional early/late sums — the old
+    (half, token) aggregate re-derived for the totals and BOTH
+    full-outer join sides (four corpus lineages, two token re-keys)
+    collapses into a single pass whose conditional sums make the
+    full-outer join and its COALESCEs fall out arithmetically
+    (a token absent from a half sums 0 there). Totals are a second
+    vocab-sized aggregate broadcast as one row; top-30 is
+    TakeOrdered.
     """
     docs = load_table(spark, sf_dir, "documents")
     mid = docs.agg(
@@ -2107,34 +2125,23 @@ def x175_emerging_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = (
         docs.crossJoin(F.broadcast(mid))
         .select(
-            F.when(F.col("doc_id") <= F.col("m"), "early")
-            .otherwise("late")
-            .alias("half"),
+            (F.col("doc_id") <= F.col("m")).alias("is_early"),
             F.explode(F.split(F.lower("text"), " ")).alias("token"),
         )
     )
-    cnt = tok.groupBy("half", "token").agg(
-        F.count("*").cast("bigint").alias("n")
+    m = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("is_early"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_early"),
+        F.sum(F.when(~F.col("is_early"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_late"),
     )
-    tot = cnt.groupBy("half").agg(F.sum("n").cast("bigint").alias("t"))
-    e = cnt.where(F.col("half") == "early").select(
-        "token", F.col("n").alias("ne")
+    tots = m.agg(
+        F.sum("n_early").cast("bigint").alias("tot_early"),
+        F.sum("n_late").cast("bigint").alias("tot_late"),
     )
-    l = cnt.where(F.col("half") == "late").select(
-        F.col("token").alias("token_l"), F.col("n").alias("nl")
-    )
-    m = e.join(l, e.token == l.token_l, "full_outer").select(
-        F.coalesce("token", "token_l").alias("token"),
-        F.coalesce("ne", F.lit(0)).alias("n_early"),
-        F.coalesce("nl", F.lit(0)).alias("n_late"),
-    )
-    te = tot.where(F.col("half") == "early").select(
-        F.col("t").alias("tot_early")
-    )
-    tl = tot.where(F.col("half") == "late").select(
-        F.col("t").alias("tot_late")
-    )
-    j = m.crossJoin(F.broadcast(te)).crossJoin(F.broadcast(tl))
+    j = m.crossJoin(F.broadcast(tots))
     growth = (F.col("n_late").cast("double") / F.col("tot_late")) / (
         (F.col("n_early") + F.lit(1.0)) / F.col("tot_early")
     )
@@ -6962,8 +6969,14 @@ def x231_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the often-forgotten mass of corpus terms the source never
     uses (via anti-join) — with ONE final double division.
 
-    Scale: (source, term) and term aggregates share the token
-    shuffle family; the missing-mass anti-join is term-keyed.
+    Scale (r11, guide §1.2/§2.4): the missing-mass S×V crossJoin +
+    anti-join fall out ANALYTICALLY: Σ_{t∉source} N_t·t_s =
+    t_s·(T − Σ_{t∈source} N_t), so the present-terms join also
+    carries each term's corpus count and one per-source aggregate
+    closes the total — exact integer arithmetic, identical value;
+    two whole (source,term) lineages and their term-keyed anti-join
+    disappear. (Persisting `sc` was tried and measured WORSE —
+    frozen cached partitioning, the x87 lesson — recompute wins.)
     The 38-digit headroom holds to ~1e19 tokens.
     """
     docs = load_table(spark, sf_dir, "documents")
@@ -6978,52 +6991,42 @@ def x231_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("bigint").alias("small_t")
     )
     ct = sc.agg(F.sum("n").cast("bigint").alias("big_t"))
-    terms = (
+    per_src = (
         sc.join(cc, "t")
         .join(F.broadcast(st), "source")
         .crossJoin(F.broadcast(ct))
-        .select(
-            "source",
-            F.abs(
-                F.col("n").cast("decimal(38,0)") * F.col("big_t")
-                - F.col("big_n").cast("decimal(38,0)")
-                * F.col("small_t")
-            ).alias("num_u"),
-        )
-    )
-    missing = (
-        st.crossJoin(cc)
-        .join(sc, ["source", "t"], "left_anti")
-        .select(
-            "source",
-            (
-                F.col("big_n").cast("decimal(38,0)")
-                * F.col("small_t")
-            ).alias("num_u"),
-        )
-    )
-    tot = (
-        terms.unionByName(missing)
         .groupBy("source")
-        .agg(F.sum("num_u").alias("num"))
-    )
-    return (
-        st.join(tot, "source")
-        .crossJoin(F.broadcast(ct))
-        .select(
-            "source",
-            F.round(
-                F.col("num").cast("double")
-                / (
-                    2
-                    * F.col("small_t").cast("double")
-                    * F.col("big_t")
-                ),
-                6,
-            ).alias("tv_distance"),
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("n").cast("decimal(38,0)") * F.col("big_t")
+                    - F.col("big_n").cast("decimal(38,0)")
+                    * F.col("small_t")
+                )
+            ).alias("present_num"),
+            F.sum(F.col("big_n").cast("decimal(38,0)")).alias(
+                "present_mass"
+            ),
+            F.first("small_t").alias("small_t"),
+            F.first("big_t").alias("big_t"),
         )
-        .orderBy("source")
     )
+    num = F.col("present_num") + F.col("small_t").cast("decimal(38,0)") * (
+        F.col("big_t").cast("decimal(38,0)") - F.col("present_mass")
+    )
+    out = per_src.select(
+        "source",
+        F.round(
+            num.cast("double")
+            / (
+                2
+                * F.col("small_t").cast("double")
+                * F.col("big_t")
+            ),
+            6,
+        ).alias("tv_distance"),
+    ).orderBy("source")
+    return out
 
 
 # ---- x232: pre-churn error signal ----

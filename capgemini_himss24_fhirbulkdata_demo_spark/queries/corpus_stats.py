@@ -1023,6 +1023,14 @@ def x111_token_association(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bounded by {v}²/2 REGARDLESS of document length — the Apriori
     prune is what keeps the pair space constant while the corpus
     grows. The pair agg is a skinny (tok_a, tok_b) shuffle.
+    r11 (guide §1.2/§2.3/§5): the driver-side count() action becomes
+    a 1-row broadcast (no collect in the query path, one lineage
+    fewer), and the pair stream comes from intra-array emission over
+    each doc's sorted vocab-token set (the x02/x173 pattern —
+    ≤{v} entries/doc) instead of a doc-keyed self-join, so the
+    candidate stream crosses ONE exchange and no join. (Persisting
+    the distinct relation was tried and measured 40% WORSE — cache
+    write + frozen partitioning, the x87 lesson.)
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
@@ -1036,21 +1044,28 @@ def x111_token_association(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _X111_VOCAB)
         .select("t", "n")
     )
+    nd = tok.agg(F.countDistinct("doc_id").alias("__nd"))
     dt = tok.join(F.broadcast(vocab.select("t")), "t")
-    a = dt.select("doc_id", F.col("t").alias("tok_a"))
-    b = dt.select("doc_id", F.col("t").alias("tok_b"))
+    sets = dt.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("t")).alias("ts")
+    )
     pairs = (
-        a.join(b, "doc_id")
-        .filter(F.col("tok_a") < F.col("tok_b"))
+        sets.select("ts", F.posexplode("ts").alias("i", "tok_a"))
+        .select(
+            "tok_a",
+            F.explode(
+                F.slice("ts", F.col("i") + 2, F.size("ts"))
+            ).alias("tok_b"),
+        )
         .groupBy("tok_a", "tok_b")
         .agg(F.count("*").alias("n_ab"))
     )
-    n_docs = tok.select("doc_id").distinct().count()
     va = vocab.select(F.col("t").alias("tok_a"), F.col("n").alias("n_a"))
     vb = vocab.select(F.col("t").alias("tok_b"), F.col("n").alias("n_b"))
     ranked = (
         pairs.join(F.broadcast(va), "tok_a")
         .join(F.broadcast(vb), "tok_b")
+        .crossJoin(F.broadcast(nd))
         .withColumn(
             "rnk",
             F.row_number().over(
@@ -1059,7 +1074,7 @@ def x111_token_association(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= _X111_TOP)
     )
-    return ranked.select(
+    out = ranked.select(
         "rnk",
         "tok_a",
         "tok_b",
@@ -1067,11 +1082,12 @@ def x111_token_association(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_a").cast("bigint").alias("n_a"),
         F.col("n_b").cast("bigint").alias("n_b"),
         F.round(
-            (F.col("n_ab") * F.lit(n_docs)).cast("double")
+            (F.col("n_ab") * F.col("__nd")).cast("double")
             / (F.col("n_a") * F.col("n_b")),
             6,
         ).alias("lift"),
     ).orderBy("rnk")
+    return out
 
 
 x111_token_association.__doc__ = x111_token_association.__doc__.format(
