@@ -1659,7 +1659,11 @@ def x139_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: distinct (order, part) is one uniform agg; the vocab
     broadcast bounds per-basket pair fan-out at {v}²/2 regardless of
-    basket size; the pair agg is a skinny key.
+    basket size; the pair agg is a skinny key. r11 (guide
+    §1.2/§2.3/§5, the x111 fix applied to its retail twin): the
+    driver-side count() action becomes a 1-row broadcast, and pairs
+    emit intra-array from each order's sorted vocab-part set instead
+    of an orderkey self-join — one exchange, no join, no collect.
     """
     from pyspark.sql.window import Window
 
@@ -1675,15 +1679,21 @@ def x139_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_partkey", "n")
     )
     bt = it.join(F.broadcast(vocab.select("l_partkey")), "l_partkey")
-    a = bt.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = bt.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    sets = bt.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
     pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
+        sets.select("ps", F.posexplode("ps").alias("i", "part_a"))
+        .select(
+            "part_a",
+            F.explode(
+                F.slice("ps", F.col("i") + 2, F.size("ps"))
+            ).alias("part_b"),
+        )
         .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("n_ab"))
     )
-    n_orders = it.select("l_orderkey").distinct().count()
+    nd = it.agg(F.countDistinct("l_orderkey").alias("__nd"))
     va = vocab.select(
         F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a")
     )
@@ -1693,6 +1703,7 @@ def x139_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = (
         pairs.join(F.broadcast(va), "part_a")
         .join(F.broadcast(vb), "part_b")
+        .crossJoin(F.broadcast(nd))
         .withColumn(
             "rnk",
             F.row_number().over(
@@ -1709,7 +1720,7 @@ def x139_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_a").cast("bigint").alias("n_a"),
         F.col("n_b").cast("bigint").alias("n_b"),
         F.round(
-            (F.col("n_ab") * F.lit(n_orders)).cast("double")
+            (F.col("n_ab") * F.col("__nd")).cast("double")
             / (F.col("n_a") * F.col("n_b")),
             6,
         ).alias("lift"),

@@ -277,41 +277,61 @@ def x35_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     first event — the product-analytics conversion query. Step
     conversion = n_step / n_prev, floor-truncated.
 
-    Implementation is stepwise min-aggregates re-joined forward (no
-    correlated subquery per row, no window over the full event
-    stream): each stage is one shuffle on user_id over an
-    already-filtered event subset; step tables shrink monotonically,
-    and the final stack is three scalar counts.
+    Implementation (r11, guide §1.2/§2.4): the old stepwise
+    min-aggregates re-joined forward re-derived the event scan for
+    every stage and its count (six scans, two user-keyed joins).
+    Each step's first-qualifying timestamp is now a chained
+    conditional-min WINDOW over ONE user_id exchange — t2's
+    condition reads t1 from the previous window over the SAME
+    partitioning, so no further shuffle — and the three user counts
+    come from one count-non-null aggregate. Step semantics are
+    identical: a null previous step nulls the comparison, so the
+    conditional min skips exactly the users the old join dropped.
 
     Streaming form: :func:`..streaming.stateful.funnel_firsts` runs
     the same shape incrementally via ``applyInPandasWithState`` keyed
     by user (state = first-seen ts per step; cross-batch carry and
     ordered-arrival semantics tested in tests/test_streaming.py).
     """
-    ev = load_table(spark, sf_dir, "events")
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
     )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
+    w = Window.partitionBy("user_id")
+    e = ev.withColumn(
+        "t1",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
     )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
+    e = e.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
     )
-    n = (
-        v.agg(F.count("*").alias("n1"))
-        .crossJoin(c.agg(F.count("*").alias("n2")))
-        .crossJoin(p.agg(F.count("*").alias("n3")))
+    e = e.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.first("t1").alias("t1"),
+        F.first("t2").alias("t2"),
+        F.first("t3").alias("t3"),
+    )
+    n = per_user.agg(
+        F.count("t1").alias("n1"),
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
     )
     conv2 = F.floor(F.col("n2").cast("double") / F.col("n1") * F.lit(1e4)) / F.lit(1e4)
     conv3 = F.floor(F.col("n3").cast("double") / F.col("n2") * F.lit(1e4)) / F.lit(1e4)

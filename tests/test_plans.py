@@ -269,13 +269,15 @@ def test_x26_topk_is_ordered_take(spark):
     assert "TakeOrderedAndProject" in plan, plan
 
 
-def test_x35_funnel_no_cartesian(spark):
-    # the three scalar counts combine via crossJoin of 1-row frames —
-    # legal; but no unbounded cartesian may appear
+def test_x35_funnel_single_exchange_no_joins(spark):
+    # r11 contract: the chained conditional-min windows share ONE
+    # user_id exchange; the stepwise user-keyed joins are gone and
+    # no cartesian may appear
     df = _plan(spark, "x35_funnel")
+    assert_no_cartesian_product(df)
+    assert join_strategies(df) == [], join_strategies(df)
     plan = explain_str(df, "simple")
-    # step joins on user_id must be hash joins
-    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
 
 
 def test_x13_recall_join_no_cartesian(spark):
