@@ -752,13 +752,21 @@ def test_x100_edge_distillation_broadcasts_dims(spark):
     assert "BroadcastHashJoin" in p, p
 
 
-def test_x94_span_removal_anti_join(spark):
-    # token survival is a (doc, pos)-keyed LEFT ANTI join against the
-    # removed-coverage set — never a per-token membership UDF
+def test_x94_span_removal_position_set_join(spark):
+    # r11 contract (OPTIMIZATION_r11.md §x94): token survival is an
+    # order-preserving array filter against ONE per-doc removed-
+    # position set attached by a LEFT OUTER join — tokens never leave
+    # their document; never a per-token membership UDF, never a
+    # cartesian. (The pre-r11 shape exploded every token into a
+    # (doc, pos)-keyed LEFT ANTI join — three token-grain shuffles.)
     df = _plan(spark, "x94_span_removal")
     assert_no_cartesian_product(df)
     p = explain_str(df)
-    assert "LeftAnti" in p, p
+    assert "LeftOuter" in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    # the joined side must be the doc-grain coverage aggregate, not a
+    # token-grain relation: exactly one join in the whole plan
+    assert len(join_strategies(df)) == 1, join_strategies(df)
 
 
 def test_x172_fk_audit_anti_joins(spark):
