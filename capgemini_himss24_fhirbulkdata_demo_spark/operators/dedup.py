@@ -315,9 +315,15 @@ def connected_components(
     old_parts = spark.conf.get(shuffle_key)
     spark.conf.set(shuffle_key, str(parts))
     try:
+        # r11 (guide §1.5/§2.2): LAZY localCheckpoint — the round's
+        # convergence-sum action materializes the checkpoint AND
+        # computes the sum in ONE job, halving the loop's job count
+        # (eager checkpoint + separate sum was two scheduling
+        # round-trips per round for the same work and the same
+        # lineage truncation).
         labels = edges.select(F.col("src").alias("v")).distinct().select(
             "v", F.col("v").alias("label")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         prev_sum = labels.agg(F.sum("label")).first()[0]
         converged = prev_sum is None  # empty graph is trivially converged
         for _ in range(max_iter):
@@ -332,7 +338,7 @@ def connected_components(
                 msgs.unionAll(labels)
                 .groupBy("v")
                 .agg(F.min("label").alias("label"))
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
             cur_sum = labels.agg(F.sum("label")).first()[0]
             if cur_sum == prev_sum:
