@@ -470,30 +470,51 @@ def x90_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..functions.hof import bound
 
-    docs = load_table(spark, sf_dir, "documents")
+    # md5 per gram dominates this query's compute and the fixture is
+    # one small file, so spread the scan across cores first — the
+    # same measured compute≫bytes trade x02's signature pass makes,
+    # cheap at any scale for the same reason (r12, guide §2.5/§6.2).
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism * 2
+    )
     k, wlen = _X90_K, _X90_W
     # token array lambda-bound (functions.hof.bound): a captured split
     # re-tokenizes per gram position in the interpreted HOF.
-    # n_grams rides along NARROWLY from the token count (r11: the
-    # count(*)-over-doc window it replaces was a whole extra Window
-    # pass over the gram stream; size(t) - (k-1) is the same number
-    # for every doc that emits any gram).
+    # r12 (guide §2.3/§7.2): n_grams and the gram array are computed
+    # in ONE bound struct in a projection BELOW the Generate. The r11
+    # form wrote `size(split(text)) - (k-1)` in the SAME select as the
+    # posexplode, which Catalyst evaluates in the projection ABOVE the
+    # Generate — i.e. text re-split once PER GRAM ROW, O(tokens²) per
+    # doc (committed before-plan shows `size(split(text..)) AS
+    # n_grams` above the Generate). The struct binds split(text) once
+    # per doc; the Generate explodes the precomputed array and carries
+    # only (doc_id, n_grams) scalars per gram row.
     t = F.split(F.col("text"), " ")
-    grams = docs.select(
+    base = docs.select(
         "doc_id",
-        (F.size(t) - (k - 1)).alias("n_grams"),
-        F.posexplode(
-            bound(
-                t,
-                lambda tk: F.transform(
+        bound(
+            t,
+            lambda tk: F.struct(
+                (F.size(tk) - (k - 1)).alias("ng"),
+                F.transform(
                     F.when(
                         F.size(tk) >= k,
                         F.sequence(F.lit(1), F.size(tk) - (k - 1)),
                     ).otherwise(F.array().cast("array<int>")),
                     lambda i: F.array_join(F.slice(tk, i, k), " "),
-                ),
-            )
-        ).alias("pos0", "gram"),
+                ).alias("gs"),
+            ),
+        ).alias("b"),
+    ).select("doc_id", F.col("b.ng").alias("n_grams"), F.col("b.gs").alias("gs"))
+    # posexplode_OUTER: the non-outer form makes InferFiltersFromGenerate
+    # push a `size(gs) > 0` filter below the exchange, re-evaluating the
+    # whole gram-struct once more per doc. Outer emits one null row for
+    # gram-less docs instead; its null pos fails the window-tail filter
+    # below, so the output set is unchanged (oracle-verified 3 SFs).
+    grams = base.select(
+        "doc_id",
+        "n_grams",
+        F.posexplode_outer("gs").alias("pos0", "gram"),
     ).select(
         "doc_id",
         "n_grams",
