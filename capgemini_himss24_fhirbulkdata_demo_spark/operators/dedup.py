@@ -256,6 +256,13 @@ def near_dup_pairs(
 # label-propagation rounds; the actual width is derived per call from
 # the materialized edge count (scale-adaptive, never a local constant)
 _CC_EDGES_PER_PARTITION = 2_000_000
+# Broadcast the per-round label relation instead of shuffle-joining it
+# when the measured edge count says labels are trivially broadcastable
+# (vertices <= 2·edges, 2 bigints each: 2M edges -> <= 4M label rows,
+# ~64 MB built - well inside guide §3.1's comfortable range). Past the
+# gate the loop keeps the shuffled join, which is what a corpus-scale
+# pair graph needs.
+_CC_BROADCAST_EDGES = 2_000_000
 
 
 def connected_components(
@@ -273,80 +280,108 @@ def connected_components(
     converges in graph-diameter rounds. Near-dup graphs are unions of
     small cliques (diameter 1-2), so 2-3 rounds in practice.
 
-    Scale notes: each round is one shuffle (edges join labels, keyed
-    on vertex) + one union + groupBy min; ``localCheckpoint``
+    Scale notes: each round is one exchange (the min-aggregate over
+    msgs ∪ labels) plus the edges⟷labels join; ``localCheckpoint``
     truncates the lineage per round (an iterative loop's plan
-    otherwise doubles every round). The rounds' shuffle width is
-    derived from the materialized edge count (r11, guide §2.2): the
-    pair graph is output-proportional — orders smaller than the
-    corpus — so iterating at the corpus-sized session width is
-    scheduling overhead locally and oversized exchanges on a
-    cluster. Convergence is detected by the strictly-decreasing
-    label sum — one tiny aggregate action per round, not a row-wise
-    diff. This is the cluster-representative step real dedup needs
-    after pair generation (drop all but MIN(doc) per component).
+    otherwise doubles every round). The aggregate's width is derived
+    from the materialized edge count via an explicit
+    ``repartition(parts, "v")`` (r12 — the r11 form flipped the
+    session-global ``spark.sql.shuffle.partitions`` for the loop,
+    which silently resized any concurrent query on the same session;
+    ADVICE r11 medium): the pair graph is output-proportional —
+    orders smaller than the corpus — so label rounds at corpus
+    shuffle width are pure scheduling overhead locally and oversized
+    exchanges on a cluster. When the measured edge count is small
+    (``_CC_BROADCAST_EDGES``) the per-round label relation is
+    broadcast into the join (guide §3.1: broadcast the side that
+    fits — vertex labels are 16 B/row and bounded by 2·edges), so a
+    round's only exchange is the min-aggregate; past the gate the
+    join stays a shuffled join at the derived width. Convergence is
+    detected by the strictly-decreasing label sum — one tiny
+    aggregate action per round, not a row-wise diff; the LAZY
+    checkpoints mean that action also materializes the round's
+    checkpoint in the same job (guide §1.5). This is the
+    cluster-representative step real dedup needs after pair
+    generation (drop all but MIN(doc) per component).
 
     Raises ``RuntimeError`` if the labels have not converged after
     ``max_iter`` rounds (graph diameter > max_iter) — an unconverged
     result silently splits components, which downstream dedup would
     read as "keep several representatives of one duplicate cluster".
     """
-    spark = pairs.sparkSession
-    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    edges = fwd.unionAll(
-        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-    ).distinct().localCheckpoint()
-    # r11 (guide §2.2/§2.5): the iteration's shuffle width derives
-    # from the MEASURED edge count, not the session constant — the
-    # pair graph is orders smaller than the corpus (near-dup output),
-    # so label rounds at corpus shuffle width are pure scheduling
-    # overhead locally and oversized exchanges on a cluster. The
-    # count is a cheap action over the already-materialized
-    # checkpoint blocks; rows/partition targets ~32 MB of (src, dst)
-    # longs. Conf is scoped to the loop and restored.
+    # Symmetrize with ONE reference to the pair plan (r12): the old
+    # fwd.unionAll(bwd) embedded the caller's whole pair pipeline in
+    # BOTH union branches, executing everything its persisted
+    # intermediates don't cover twice (x56's committed before-plan
+    # shows two full sort+range-exchange subtrees under the union).
+    # One explode of a 2-struct array emits the same multiset of
+    # directed edges from a single pass.
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+                ),
+                F.struct(
+                    F.col(b_col).alias("src"), F.col(a_col).alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst").distinct().localCheckpoint(eager=False)
+    # r11 (guide §2.2/§2.5): the iteration's width derives from the
+    # MEASURED edge count, not the session constant. The count is the
+    # action that materializes the lazy checkpoint (one job, r12 —
+    # the eager checkpoint + count was two); rows/partition targets
+    # ~32 MB of (src, dst) longs.
     n_edges = edges.count()
     parts = max(1, min(
         edges.rdd.getNumPartitions(),
         -(-n_edges // _CC_EDGES_PER_PARTITION),
     ))
     if parts < edges.rdd.getNumPartitions():
-        edges = edges.coalesce(parts).localCheckpoint()
-    shuffle_key = "spark.sql.shuffle.partitions"
-    old_parts = spark.conf.get(shuffle_key)
-    spark.conf.set(shuffle_key, str(parts))
-    try:
-        # r11 (guide §1.5/§2.2): LAZY localCheckpoint — the round's
-        # convergence-sum action materializes the checkpoint AND
-        # computes the sum in ONE job, halving the loop's job count
-        # (eager checkpoint + separate sum was two scheduling
-        # round-trips per round for the same work and the same
-        # lineage truncation).
-        labels = edges.select(F.col("src").alias("v")).distinct().select(
-            "v", F.col("v").alias("label")
-        ).localCheckpoint(eager=False)
-        prev_sum = labels.agg(F.sum("label")).first()[0]
-        converged = prev_sum is None  # empty graph is trivially converged
-        for _ in range(max_iter):
-            # one join + one aggregate per round: neighbor labels and
-            # each vertex's own label meet in a single min-aggregate
-            # (the old msgs-then-left-join form ran a second join and
-            # an extra exchange per round for the same result)
-            msgs = edges.join(labels, edges.dst == labels.v).select(
-                F.col("src").alias("v"), "label"
-            )
-            labels = (
-                msgs.unionAll(labels)
-                .groupBy("v")
-                .agg(F.min("label").alias("label"))
-                .localCheckpoint(eager=False)
-            )
-            cur_sum = labels.agg(F.sum("label")).first()[0]
-            if cur_sum == prev_sum:
-                converged = True
-                break
-            prev_sum = cur_sum
-    finally:
-        spark.conf.set(shuffle_key, old_parts)
+        edges = edges.coalesce(parts).localCheckpoint(eager=False)
+    broadcast_labels = n_edges <= _CC_BROADCAST_EDGES
+    # LAZY localCheckpoint (r11, guide §1.5/§2.2): the round's
+    # convergence-sum action materializes the checkpoint AND computes
+    # the sum in ONE job. Width control is per-plan (repartition),
+    # never session conf (r12, ADVICE r11).
+    # r12: round 1 needs no join — label₀ is the identity, so
+    # label₁(v) = min(v, min over v's neighbors), computable straight
+    # from the symmetrized edge list in the same aggregate that used
+    # to build the identity labels. One full propagation round
+    # (join + union + aggregate + sum action) gone; the loop below
+    # runs the remaining max_iter - 1 rounds, so the documented
+    # "max_iter rounds" contract is unchanged.
+    labels = (
+        edges.select(F.col("src").alias("v"), F.col("dst"))
+        .repartition(parts, "v")
+        .groupBy("v")
+        .agg(F.least(F.col("v"), F.min("dst")).alias("label"))
+        .localCheckpoint(eager=False)
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    converged = prev_sum is None  # empty graph is trivially converged
+    for _ in range(max_iter - 1):
+        # one join + one aggregate per round: neighbor labels and
+        # each vertex's own label meet in a single min-aggregate
+        # (the old msgs-then-left-join form ran a second join and
+        # an extra exchange per round for the same result)
+        lab = F.broadcast(labels) if broadcast_labels else labels
+        msgs = edges.join(lab, edges.dst == lab.v).select(
+            F.col("src").alias("v"), "label"
+        )
+        labels = (
+            msgs.unionAll(labels)
+            .repartition(parts, "v")
+            .groupBy("v")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = cur_sum
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in max_iter={max_iter} "
