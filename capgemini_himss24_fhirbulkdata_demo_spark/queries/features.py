@@ -360,24 +360,37 @@ def x80_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab's thousands of merges would move to a broadcast map +
     pandas UDF, trading codegen for table lookup).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # The per-token char-split regex + 8 nested replaces dominate this
+    # query's compute and the fixture is one small file (a handful of
+    # scan splits), so spread the scan across cores before the heavy
+    # narrow map — the measured compute≫bytes trade x02's signature
+    # pass makes, cheap at any scale for the same reason (r12, guide
+    # §2.5/§6.2).
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism * 2
+    )
     pieces = F.expr(
         "transform(split(text, ' '), tok -> "
         f"size(split(trim({_bpe_expr('tok', False)}), ' ')))"
     )
     seg = docs.select("doc_id", pieces.alias("pieces"))
-    return seg.select(
+    # n_pieces folded ONCE (r12): the old select wrote the aggregate
+    # twice (n_pieces + inside pieces_per_token) and interpreted HOFs
+    # get no subexpression elimination, so the whole BPE fold ran
+    # twice per row.
+    counted = seg.select(
         "doc_id",
         F.size("pieces").cast("bigint").alias("n_tokens"),
         F.aggregate("pieces", F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
             "n_pieces"
         ),
+    )
+    return counted.select(
+        "doc_id",
+        "n_tokens",
+        "n_pieces",
         F.round(
-            F.aggregate(
-                "pieces", F.lit(0).cast("bigint"), lambda a, x: a + x
-            ).cast("double")
-            / F.size("pieces"),
-            4,
+            F.col("n_pieces").cast("double") / F.col("n_tokens"), 4
         ).alias("pieces_per_token"),
     ).orderBy("doc_id")
 
