@@ -400,17 +400,28 @@ def ivf_topk(
     k: int = 10,
     n_probe: int = 1,
     list_col: str = "ivf_list",
+    query_norm: str | None = None,
+    cand_norm: str | None = None,
 ) -> DataFrame:
     """IVF search: route each query to its ``n_probe`` nearest
     centroid lists, exact cosine only within those lists.
 
     Probe selection and scoring both use the deterministic fold dot
     product. Output: (query_id, neighbor_id, cosine, rank).
+
+    ``query_norm`` / ``cand_norm`` name columns that already carry
+    ``vector_norm`` of the respective vector (r12): callers that
+    persist a normed base relation (x59 shares one across its exact
+    and IVF branches) skip re-folding the norm per branch. Values are
+    identical by construction — the column must be the same
+    deterministic fold.
     """
     q = queries.select(
         F.col(query_id).alias("__qid"),
         F.col(query_vec).alias("__qv"),
-        vector_norm(F.col(query_vec)).alias("__qn"),
+        (
+            F.col(query_norm) if query_norm else vector_norm(F.col(query_vec))
+        ).alias("__qn"),
     )
     probes = (
         F.broadcast(q)
@@ -435,7 +446,9 @@ def ivf_topk(
     c = assigned.select(
         F.col(cand_id).alias("__cid"),
         F.col(cand_vec).alias("__cv"),
-        vector_norm(F.col(cand_vec)).alias("__cn"),
+        (
+            F.col(cand_norm) if cand_norm else vector_norm(F.col(cand_vec))
+        ).alias("__cn"),
         F.col(list_col),
     )
     scored = (

@@ -132,27 +132,31 @@ _X10_SQL = f"""
     """
 
 
-@register("x10_knn_bruteforce", oracle=_X10_SQL)
-def x10_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k: query rows broadcast against the full
-    embedding table, exact cosine, per-query row_number ≤ k.
+def _emb_normed(emb: DataFrame) -> DataFrame:
+    """(vec_id, label, embedding, norm) — the deterministic fold norm
+    attached once, so composed queries (x59) can persist ONE base
+    relation and every branch reads the same norm instead of
+    re-folding it per side (r12, guide §1.2)."""
+    return emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    )
 
-    Ranking runs on the *unrounded* cosine (bit-identical across
-    engines by fold construction) with c_id tiebreak; the surfaced
-    score is rounded for display only.
-    """
-    emb = _emb_fanout(spark, sf_dir)
-    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
-    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+
+def _x10_ranked(base: DataFrame) -> DataFrame:
+    """x10's ranked top-k (UNsorted output) from a normed base."""
+    q = base.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
-        norm.alias("q_norm"),
+        F.col("norm").alias("q_norm"),
     )
-    c = emb.select(
+    c = base.select(
         F.col("vec_id").alias("c_id"),
         F.col("label").alias("c_label"),
         F.col("embedding").alias("c_emb"),
-        norm.alias("c_norm"),
+        F.col("norm").alias("c_norm"),
     )
     scored = (
         F.broadcast(q)
@@ -171,8 +175,20 @@ def x10_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _TOP_K)
         .select("q_id", "c_id", "c_label", F.round("cos_raw", 6).alias("cosine"), "rnk")
-        .orderBy("q_id", "rnk")
     )
+
+
+@register("x10_knn_bruteforce", oracle=_X10_SQL)
+def x10_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: query rows broadcast against the full
+    embedding table, exact cosine, per-query row_number ≤ k.
+
+    Ranking runs on the *unrounded* cosine (bit-identical across
+    engines by fold construction) with c_id tiebreak; the surfaced
+    score is rounded for display only.
+    """
+    emb = _emb_fanout(spark, sf_dir)
+    return _x10_ranked(_emb_normed(emb)).orderBy("q_id", "rnk")
 
 
 _X11_SQL = f"""
@@ -307,6 +323,26 @@ _X12_SQL = f"""
     """
 
 
+def _x12_ranked(base: DataFrame) -> DataFrame:
+    """x12's IVF top-k (UNsorted output) from a normed base: the
+    precomputed ``norm`` column rides into ``ivf_topk`` for both the
+    query and candidate sides, so a persisted base (x59) folds each
+    norm exactly once."""
+    from ..operators.similarity import ivf_assign, ivf_topk
+
+    assigned, centroids = ivf_assign(
+        base, "vec_id", "embedding", n_lists=8, dim=_DIM
+    )
+    q = base.filter(F.col("vec_id") < _N_QUERIES)
+    out = ivf_topk(
+        q, assigned, centroids, "vec_id", "vec_id", "embedding", "embedding",
+        k=_TOP_K, n_probe=_IVF_N_PROBE, query_norm="norm", cand_norm="norm",
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
 @register("x12_knn_ivf", oracle=_X12_SQL)
 def x12_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (operators/similarity.py): hyperplane-seeded coarse
@@ -317,18 +353,8 @@ def x12_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     and scoring via the same sequential folds); recall vs the x10
     brute-force baseline is asserted in tests.
     """
-    from ..operators.similarity import ivf_assign, ivf_topk
-
     emb = _emb_fanout(spark, sf_dir)
-    assigned, centroids = ivf_assign(emb, "vec_id", "embedding", n_lists=8, dim=_DIM)
-    q = emb.filter(F.col("vec_id") < _N_QUERIES)
-    out = ivf_topk(
-        q, assigned, centroids, "vec_id", "vec_id", "embedding", "embedding",
-        k=_TOP_K, n_probe=_IVF_N_PROBE,
-    )
-    return out.select(
-        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
-    ).orderBy("query_id", "rank")
+    return _x12_ranked(_emb_normed(emb)).orderBy("query_id", "rank")
 
 
 # ---- x06: embedding-cosine near-dup pairs (dedup north-star) ----
@@ -803,9 +829,14 @@ def x16_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.similarity import semdedup
 
-    emb = _emb_fanout(spark, sf_dir)
+    # r12: the centroid build (posexplode branch) and the nearest-
+    # centroid assignment both scan the embeddings; persist the
+    # fanned-out base so the scan + repartition + column prune run
+    # once and both branches read the cache (released with the
+    # assignment via _cached_deps).
+    emb = _emb_fanout(spark, sf_dir).select("vec_id", "embedding").persist()
     assigned, dup = semdedup(
-        emb.select("vec_id", "embedding"), "vec_id", "embedding",
+        emb, "vec_id", "embedding",
         threshold=_COS_DUP_MIN, n_lists=32, dim=_DIM, persist_assigned=True,
     )
     members = assigned.groupBy("cluster").agg(F.count("*").alias("n_members"))
@@ -827,7 +858,7 @@ def x16_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
-    out._cached_deps = [assigned]
+    out._cached_deps = [assigned, emb]
     return out
 
 
@@ -943,13 +974,19 @@ def x59_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: both inputs are top-k-truncated (k rows per query), so
     the eval join is O(queries·k) regardless of corpus size; the two
-    searches run as parallel branches of one plan.
+    searches share ONE persisted normed base relation (r12, guide
+    §1.2) — the r11 plan scanned + repartitioned the embeddings six
+    times and re-folded every norm per branch — released via
+    ``_cached_deps``. The branches skip their standalone ORDER BYs
+    (the eval join re-aggregates; this query's own final sort is the
+    only ordering that matters).
     """
-    exact = x10_knn_bruteforce(spark, sf_dir).select("q_id", "c_id")
-    ivf = x12_knn_ivf(spark, sf_dir).select(
+    base = _emb_normed(_emb_fanout(spark, sf_dir)).persist()
+    exact = _x10_ranked(base).select("q_id", "c_id")
+    ivf = _x12_ranked(base).select(
         F.col("query_id").alias("a_q"), F.col("neighbor_id").alias("a_c")
     )
-    return (
+    out = (
         exact.join(
             ivf,
             (F.col("q_id") == F.col("a_q")) & (F.col("c_id") == F.col("a_c")),
@@ -964,6 +1001,8 @@ def x59_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id")
     )
+    out._cached_deps = [base]
+    return out
 
 
 # ---- x67: embedding QA screen (pre-index data-quality audit) ----
