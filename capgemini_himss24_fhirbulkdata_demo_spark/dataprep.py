@@ -199,10 +199,19 @@ def remove_dup_paragraphs(
     §2.3/§2.4), mirroring remove_dup_spans: for the default
     ``min_docs=2``, "occurs in ≥2 distinct docs" is exactly
     ``min(id) ≠ max(id)``, so the frequency aggregate — whose mixed
-    COUNT(DISTINCT)+MIN planned an Expand that DOUBLED the chunk
-    stream — and the chunk-keyed keep-join collapse into ONE window
-    over a single chunk-keyed exchange. General ``min_docs`` keeps
-    the aggregate+join form.
+    COUNT(DISTINCT)+MIN planned a 4-stage aggregate keyed on
+    (chunk, doc) that carried every buffer per distinct pair through
+    the exchange (Spark Expands only for ≥2 distinct groups;
+    mechanism corrected r12) — and the chunk-keyed keep-join
+    collapse into ONE window over a single chunk-keyed exchange.
+    General ``min_docs`` keeps the aggregate+join form. Skew note
+    (ADVICE r11): windows get no map-side partial aggregation and no
+    AQE skew split, so a Zipf-hot chunk key lands on one partition
+    at cluster scale where the aggregate form would partial-reduce
+    it map-side — if chunk-frequency skew is expected, prefer the
+    general ``min_docs`` aggregate+join form (or salt the key); the
+    fast path's win is measured at the fixtures' near-uniform chunk
+    distribution.
     """
     toks = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__t"))
     n_chunks = (F.size("__t") + F.lit(chunk_tokens - 1)) / F.lit(chunk_tokens)
@@ -291,7 +300,12 @@ def remove_dup_spans(
     ≈G²/2¹²⁹); (b) for the min_docs=2 default, "occurs in ≥2
     distinct docs" is exactly min(id)≠max(id) over a gram window —
     the self-join and its second span pass disappear (general
-    min_docs keeps the aggregate+join form); (c) coverage rows
+    min_docs keeps the aggregate+join form; skew note, ADVICE r11:
+    the window gets no map-side partials and no AQE skew split, so a
+    Zipf-hot span fingerprint becomes one straggler partition at
+    cluster scale — when gram-frequency skew is expected, use the
+    general-min_docs aggregate+join form or salt the key); (c)
+    coverage rows
     collapse straight to one removed-position set per doc
     (collect_set dedups — no separate distinct exchange); (d) tokens
     never leave their document: the rebuild is an order-preserving

@@ -347,12 +347,16 @@ def q11_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q12_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global (no-group) aggregate incl. exact COUNT(DISTINCT).
 
-    r11 (guide §2.3): mixing distinct and plain aggregates in one
-    agg() plans an Expand that DOUBLES every scanned row before the
-    partial aggregate. Splitting the count-distinct into its own
-    branch (distinct keys partial-aggregate map-side, then a count)
-    and broadcast-joining the two 1-row results keeps the scan
-    single-width; values are identical."""
+    r11 (guide §2.3; mechanism corrected r12): mixing ONE distinct
+    with plain aggregates plans a 4-stage aggregate keyed on the
+    distinct column — every plain aggregate's buffer is carried PER
+    DISTINCT l_orderkey through the exchange instead of collapsing
+    to a single partial row (Spark only plans an Expand for >= 2
+    distinct groups; the committed before-dump shows none).
+    Splitting the count-distinct into its own branch lets the plain
+    aggregates partial-aggregate to one row before their exchange
+    while the distinct branch exchanges bare keys; the two 1-row
+    results broadcast-join. Values are identical."""
     li = load_table(spark, sf_dir, "lineitem")
     plain = li.agg(
         F.count("*").alias("n_rows"),

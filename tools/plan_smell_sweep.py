@@ -10,13 +10,23 @@ Findings and their triage (fixed: x171/x175/x231/x111; declared-
 surface or by-design: the rest) are recorded in OPTIMIZATION_r11.md.
 Usage: python tools/plan_smell_sweep.py   (writes /tmp/plan_sweep.json)
 """
-import sys, re, json, traceback
-sys.path.insert(0, "/root/repo")
+import sys, re, json, os, traceback
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
 from tools.opt_profile import build_session
 from capgemini_himss24_fhirbulkdata_demo_spark.queries import QUERIES
 from capgemini_himss24_fhirbulkdata_demo_spark.plans.inspect import explain_str
 
-SF = "/root/testdata/sf0.001"
+# smallest shipped fixture next to $SPARK_GRAFT_SF_DIR (ADVICE r11:
+# derive paths like opt_profile does instead of hardcoding this box's)
+_SF_BASE = os.path.dirname(
+    os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1").rstrip("/")
+)
+SF = os.path.join(_SF_BASE, "sf0.001")
+if not os.path.isdir(SF):
+    SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 spark = build_session()
 rows = []
 for name in sorted(QUERIES):
