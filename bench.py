@@ -759,6 +759,55 @@ def main() -> None:
     streaming_out = streaming.finalize()
     shards_out = shards.finalize()
 
+    # r12 (r11 verdict ask #5): OPTIONAL higher-SF scaling probe. At
+    # sf0.1 every benched query is per-query fixed-overhead-bound
+    # (r11's 8-core driver sweep beat its 32-core one, 68.5 vs
+    # 77.7 s), so the driver's low/high-core ratios cannot separate
+    # serial paths from parallel ones. Setting SPARK_GRAFT_SCALING_SF
+    # to a LARGER fixture dir (e.g. written by
+    # tools/make_scaled_fixture.py --all-tables) appends a one-rep
+    # mini-sweep of the slowest headliners at that scale under a
+    # separate "scaling_probe" payload key. Additions-only: the main
+    # `queries` dict, every section number and the BENCH_SUMMARY line
+    # are byte-identical whether or not the env var is set (unset —
+    # the driver's runs — means no probe at all).
+    scaling_probe = None
+    probe_dir = os.environ.get("SPARK_GRAFT_SCALING_SF")
+    if probe_dir and os.path.isdir(probe_dir):
+        probe_n = int(os.environ.get("SPARK_GRAFT_SCALING_TOP", "10"))
+        top = [
+            n for n, _ in sorted(per_query.items(), key=lambda kv: -kv[1])
+        ][:probe_n]
+        probe_times: dict[str, float | None] = {}
+        for name in top:
+            try:
+                run_once(name, probe_dir)  # warm the plan at probe scale
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.perf_counter()
+                run_once(name, probe_dir)
+                probe_times[name] = round(time.perf_counter() - t0, 3)
+            except Exception as exc:  # advisory; never fail the bench
+                probe_times[name] = None
+                print(
+                    f"[bench] scaling probe {name} failed: {exc}",
+                    file=sys.stderr,
+                )
+        scaling_probe = {
+            "sf_dir": probe_dir,
+            "cpus": int(CPUS) if CPUS.isdigit() else CPUS,
+            "reps": 1,
+            "queries": probe_times,
+            "total_sec": round(
+                sum(v for v in probe_times.values() if v), 3
+            ),
+        }
+        print(
+            f"[bench] scaling probe at {probe_dir} "
+            f"(local[{CPUS}]): {scaling_probe['total_sec']}s over "
+            f"{len(probe_times)} queries",
+            file=sys.stderr,
+        )
+
     payload = {
         "metric": "headline_query_sweep_sec",
         "value": total,
@@ -786,6 +835,8 @@ def main() -> None:
         "methodology": METHODOLOGY,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if scaling_probe is not None:
+        payload["scaling_probe"] = scaling_probe
     print(json.dumps(payload))
     # Persist the FULL payload as a repo file: the driver's 2000-char
     # stdout tail truncated the per-query timings two rounds running
